@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar function library (SURVEY §2.8 / §2.3).
+  *
+  * Everything here is a pure `Column` combinator over built-in Spark
+  * expressions, so the whole library stays inside whole-stage codegen —
+  * no UDFs on the hot path. Dates are ISO-8601 *strings* throughout
+  * (`yyyy-MM-dd`), matching the reference's string-date semantics where
+  * lexicographic order == chronological order (reference
+  * src/common/trgx.clj:23-43,63-65).
+  */
+object Functions {
+
+  private val DtFmt = "yyyy-MM-dd"
+  private def fmt(c: Column): Column = date_format(c, DtFmt)
+  private def d(c: Column): Column = to_date(c, DtFmt)
+
+  // ---- null semantics (trgx.clj:20-21; d_bolome_order_show_debut.clj:45-48)
+
+  /** `"null"`/`"NULL"` string sentinel → real SQL null (trgx.clj:20). */
+  def convertNull(c: Column): Column =
+    when(lower(c) === "null", lit(null)).otherwise(c)
+
+  /** `cif`: if(test, then, else) as an expression
+    * (d_bolome_order_show_debut.clj:45). */
+  def cif(test: Column, thenC: Column, elseC: Column): Column =
+    when(test, thenC).otherwise(elseC)
+
+  /** `nvl2`: if(c is not null, a, b) (d_bolome_order_show_debut.clj:46). */
+  def nvl2(c: Column, a: Column, b: Column): Column =
+    when(c.isNotNull, a).otherwise(b)
+
+  /** `cor`: first non-null (d_bolome_order_show_debut.clj:47). */
+  def cor(cs: Column*): Column = coalesce(cs: _*)
+
+  /** `or-tuple`: pairwise coalesce across aligned column pairs — the
+    * stg-vs-ods merge kernel (trgx.clj:21; used ods/d_bolome_show.clj:48-50).
+    */
+  def orTuple(pairs: (Column, Column)*): Seq[Column] =
+    pairs.map { case (a, b) => coalesce(a, b) }
+
+  /** `c>`: null-propagating compare (mlin/d_bolome_user_order.clj:64). */
+  def cGt(a: Column, b: Column): Column = a > b
+
+  /** `c>*`: null-defaulting compare — null operands → false
+    * (mlin/d_bolome_user_order.clj:65). */
+  def cGtDefault(a: Column, b: Column): Column = coalesce(a > b, lit(false))
+
+  /** `mark*`: one boolean flag per candidate value
+    * (mlin/d_bolome_user_order.clj:49). */
+  def mark(c: Column, values: Seq[Any]): Seq[Column] =
+    values.map(v => coalesce(c === lit(v), lit(false)))
+
+  /** `compare-mark*`: 3-way comparison → [lt, eq, gt] flags, null-safe
+    * (mlin/d_bolome_user_order.clj:50). */
+  def compareMark(a: Column, b: Column): Seq[Column] =
+    Seq(coalesce(a < b, lit(false)),
+        coalesce(a === b, lit(false)),
+        coalesce(a > b, lit(false)))
+
+  /** `str-least`: min of non-null values — Spark's `least` already skips
+    * nulls (d_bolome_order_show_debut.clj:48). */
+  def strLeast(cs: Column*): Column = least(cs: _*)
+
+  /** `sort?` as a between-check (mlvar/d_bolome_user_order_stat.clj:72). */
+  def sortBetween(c: Column, lo: Column, hi: Column): Column = c.between(lo, hi)
+
+  /** `pad`: right-pad an array to length n with a default
+    * (trgx.clj:249). Never truncates, matching the reference. */
+  def pad(arr: Column, n: Int, default: Column): Column =
+    concat(arr, array_repeat(default, greatest(lit(0), lit(n) - size(arr))))
+
+  // ---- date library (trgx.clj:23-43,129)
+
+  /** `ts->dt`: ISO timestamp string → date string (trgx.clj:129). */
+  def tsToDt(ts: Column): Column = substring(ts, 1, 10)
+
+  /** `dt->year` (m_cocacola_score_period_months.clj:69). */
+  def dtToYear(dt: Column): Column = substring(dt, 1, 4)
+
+  /** `tomorrow-dt` / `future-dt` relative to a date column. */
+  def offsetDt(dt: Column, days: Int): Column = fmt(date_add(d(dt), days))
+
+  /** `last-day`: month-end from `yyyy-MM` (trgx.clj:26). */
+  def lastDayOfYm(ym: Column): Column =
+    fmt(last_day(to_date(concat(ym, lit("-01")), "yyyy-MM-dd")))
+
+  /** `simple-last-day`: month-end from `yyyyMM` (trgx.clj:25). */
+  def simpleLastDay(yyyymm: Column): Column =
+    fmt(last_day(to_date(yyyymm, "yyyyMM")))
+
+  /** `prev-last-day`: last day of the previous month (trgx.clj:28). */
+  def prevLastDay(dt: Column): Column = fmt(last_day(add_months(d(dt), -1)))
+
+  /** `prev-last-month`: Dec 31 of the previous year (trgx.clj:30). */
+  def prevLastMonth(dt: Column): Column =
+    fmt(last_day(add_months(trunc(d(dt), "year"), -1)))
+
+  /** `prev-same-month`: same month-end one year back (trgx.clj:32). */
+  def prevSameMonth(dt: Column): Column = fmt(last_day(add_months(d(dt), -12)))
+
+  /** `mk-dts`: array of daily date strings in [start, end] (trgx.clj:37-39).
+    * Distributed: `sequence` is a codegen'd Catalyst expression — no
+    * driver-built list (cf. VERDICT round-1 plan audit). */
+  def mkDts(start: Column, end: Column): Column =
+    transform(sequence(d(start), d(end), expr("interval 1 day")), fmt(_))
+
+  /** `mk-month-dts`: array of month-end date strings with month-end in
+    * [start, end] (trgx.clj:41-43). */
+  def mkMonthDts(start: Column, end: Column): Column =
+    filter(
+      transform(
+        sequence(trunc(d(start), "MM"), trunc(d(end), "MM"),
+                 expr("interval 1 month")),
+        m => fmt(last_day(m))),
+      me => me >= start && me <= end)
+
+  // ---- map/array helpers (trgx.clj:46-60)
+
+  /** `vars->kv`: zip a static header with value columns into a map
+    * (trgx.clj:46). */
+  def varsToKv(pairs: (String, Column)*): Column =
+    map(pairs.flatMap { case (k, v) => Seq(lit(k), v) }: _*)
+
+  /** `vars->pair`: ordered pair-list array(struct(k,v)) (trgx.clj:47). */
+  def varsToPair(pairs: (String, Column)*): Column =
+    array(pairs.map { case (k, v) =>
+      struct(lit(k).as("key"), v.as("value")) }: _*)
+
+  /** `kv->tuple` / `tkv-select`: extract map values by key list
+    * (trgx.clj:57-58). */
+  def kvToTuple(m: Column, keys: Seq[String]): Seq[Column] =
+    keys.map(k => m.getItem(k))
+
+  /** `kv->lkp`: look up N *dynamic* key columns in a map column — the lag
+    * mechanism of the sliding pattern (trgx.clj:60). */
+  def kvLookup(m: Column, keyCols: Seq[Column]): Seq[Column] =
+    keyCols.map(k => element_at(m, k))
+
+  /** Canonical render of a map column: sorted `k=v` pairs joined by `,`.
+    * Deterministic across engines — used wherever map values must be
+    * hash-compared against a SQL oracle. */
+  def mapToCanonicalString(m: Column): Column =
+    array_join(
+      transform(array_sort(map_entries(m)),
+                e => concat(e.getField("key"), lit("="), e.getField("value"))),
+      ",")
+
+  /** Canonical render of an array column: sorted, `|`-joined. */
+  def arrayToCanonicalString(a: Column): Column =
+    array_join(array_sort(a), "|")
+}

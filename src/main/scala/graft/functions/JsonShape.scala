@@ -1,0 +1,82 @@
+package graft.functions
+
+import scala.collection.immutable.TreeMap
+
+/** The report-shaping serializers (SURVEY §2.2).
+  *
+  * `PairTree` models the reference's pair-EDN report payload: a nested
+  * tree of `[k v]` pairs where a leaf level of scalar pairs renders as
+  * `"k=v"` strings inside a JSON array, and branch pairs render as JSON
+  * object fields (reference src/common/trgx.clj:78-79 `pair-edn->json`,
+  * built by `tr-dimension-metrics` trgx.clj:72-77).
+  *
+  * Key order is canonicalized to sorted-ascending so the emitted JSON is
+  * deterministic across partitions/engines (SURVEY §7 "What's hard").
+  */
+object JsonShape {
+
+  sealed trait PairTree
+  /** Branch: dimension value → subtree. */
+  final case class Branch(children: TreeMap[String, PairTree]) extends PairTree
+  /** Leaf: metric name → already-formatted metric value. */
+  final case class Leaf(metrics: TreeMap[String, String]) extends PairTree
+
+  object Branch {
+    def apply(kvs: (String, PairTree)*): Branch = Branch(TreeMap(kvs: _*))
+  }
+  object Leaf {
+    def apply(kvs: (String, String)*): Leaf = Leaf(TreeMap(kvs: _*))
+  }
+
+  /** JSON string escape (minimal, RFC 8259). */
+  def esc(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case '\n'          => sb.append("\\n")
+      case '\r'          => sb.append("\\r")
+      case '\t'          => sb.append("\\t")
+      case c if c < ' '  => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** `pair-edn->json`: render the tree, collapsing leaf `[k v]` pairs to
+    * `"k=v"` strings (trgx.clj:78-79). */
+  def pairTreeToJson(t: PairTree): String = t match {
+    case Leaf(ms) =>
+      ms.map { case (k, v) => "\"" + esc(s"$k=$v") + "\"" }
+        .mkString("[", ",", "]")
+    case Branch(ch) =>
+      ch.map { case (k, v) => "\"" + esc(k) + "\":" + pairTreeToJson(v) }
+        .mkString("{", ",", "}")
+  }
+
+  /** Build a PairTree from rows of (dimension-path, metrics). Last write
+    * wins per path, matching Clojure `assoc-in` merge order. */
+  def fromRows(rows: Iterable[(Seq[String], Seq[(String, String)])]): PairTree = {
+    if (rows.isEmpty) return Branch()
+    def insert(t: PairTree, path: Seq[String],
+               metrics: Seq[(String, String)]): PairTree =
+      path match {
+        case Nil => Leaf(TreeMap(metrics: _*))
+        case h +: rest =>
+          val br = t match {
+            case b: Branch => b
+            case _         => Branch()
+          }
+          val child = br.children.getOrElse(h, Branch(TreeMap.empty[String, PairTree]))
+          Branch(br.children.updated(h, insert(child, rest, metrics)))
+      }
+    rows.foldLeft[PairTree](Branch()) { case (acc, (p, m)) => insert(acc, p, m) }
+  }
+
+  /** `get-item-json-string`: flat JSON object from named fields
+    * (m_cocacola_gt_score_deep_dive.clj:36-37), canonical key order. */
+  def flatJson(fields: (String, String)*): String =
+    TreeMap(fields: _*)
+      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+}

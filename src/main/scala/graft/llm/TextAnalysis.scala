@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (builder
+  * brief north-star; SURVEY §7 `graft.llm`).
+  *
+  * Everything is built from codegen'd Catalyst expressions (regexp_*,
+  * split, higher-order array functions) — no UDFs — so these run inside
+  * whole-stage codegen over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Canonical text normalization: lowercase + whitespace collapse. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace token count. */
+  def tokenCountWs(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish token count: alnum runs + individual punctuation marks —
+    * a cheap deterministic proxy for subword token counts. */
+  def tokenCountBpe(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Punctuation/symbol character count and ratio. */
+  def punctCount(c: Column): Column =
+    regexp_count(c, lit("[^A-Za-z0-9\\s]"))
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(punctCount(c).cast("double") / length(c))
+
+  /** Count of tokens from `words` (exact match on whitespace tokens). */
+  def stopwordCount(c: Column, words: Seq[String]): Column =
+    size(filter(split(normalizeText(c), " "), t => t.isInCollection(words)))
+
+  def stopwordRatio(c: Column, words: Seq[String]): Column =
+    when(tokenCountWs(c) === 0, lit(0.0))
+      .otherwise(stopwordCount(c, words).cast("double") / tokenCountWs(c))
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small + ASCII so the same lists are
+    * replayable in any SQL engine. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "que", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "不"))
+
+  /** Language ID: argmax of stopword hits across the lists above;
+    * CJK-character presence short-circuits to `zh`; no hits → "und".
+    * Ties break by language-code order (deterministic). */
+  def langId(c: Column): Column = {
+    val scores = langStopwords.map { case (lang, ws) =>
+      lang -> stopwordCount(c, ws)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]")) > 0, lit("zh"))
+      .otherwise(pick)
+  }
+
+  /** Quality score in [0, 1]: length sweet-spot + low punctuation +
+    * healthy stopword density. Deterministic arithmetic only. */
+  def qualityScore(c: Column, stopwords: Seq[String] =
+      langStopwords.toMap.apply("en")): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 5.0)
+    val swScore = least(stopwordRatio(c, stopwords) * 4.0, lit(1.0))
+    round((lenScore + punctScore + swScore) / 3.0, 6)
+  }
+
+  /** Word n-gram shingles over normalized text; short docs yield the
+    * whole normalized text as a single shingle. */
+  def wordShingles(c: Column, n: Int = 3): Column = {
+    require(n == 3, "word shingles fixed at n=3 for oracle parity")
+    val w = split(normalizeText(c), " ")
+    val k = size(w) - (n - 1)
+    when(k <= 0, array(normalizeText(c))).otherwise(
+      transform(sequence(lit(1), k), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+                  element_at(w, i + 2))))
+  }
+
+  /** Exact-content fingerprint: md5 of normalized text. */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** Rolling-hash document fingerprint: min over shingle md5s (a 1-value
+    * winnowing sketch — stable under small appends, unlike full-text
+    * md5). */
+  def rollingFingerprint(c: Column, n: Int = 3): Column =
+    array_min(transform(wordShingles(c, n), s => md5(s)))
+}

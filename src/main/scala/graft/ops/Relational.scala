@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.agg.Aggregators
+import graft.functions.Functions._
+
+/** Relational building blocks (SURVEY §7 `graft.ops`). */
+object Relational {
+
+  /** Full-outer stg ⊕ ods merge with `or-tuple` coalesce — SCD-0 upsert
+    * preserving ods surrogate ids (reference
+    * src/bolome/ods/d_bolome_show.clj:41-56; or-tuple trgx.clj:21).
+    *
+    * `keys`: natural join keys; `valueCols`: columns present on both
+    * sides, stg wins when non-null. Scale: a shuffle on the natural key
+    * on both sides — exactly one exchange each, co-partitioned join.
+    */
+  def fullOuterMerge(stg: DataFrame, ods: DataFrame, keys: Seq[String],
+                     valueCols: Seq[String]): DataFrame = {
+    val s = stg.alias("stg")
+    val o = ods.alias("ods")
+    val joined = s.join(o, keys, "full_outer")
+    val merged = valueCols.map(c =>
+      coalesce(col(s"stg.$c"), col(s"ods.$c")).as(c))
+    joined.select(keys.map(col) ++ merged: _*)
+  }
+
+  /** Left-outer dimension lookup — the `!!var` ungrounding join
+    * (mlin/d_bolome_user_order.clj:81-85). Dimension side is broadcast:
+    * at 100 TB the fact never shuffles for a small-dim lookup. */
+  def dimLookup(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                broadcastDim: Boolean = true): DataFrame =
+    fact.join(if (broadcastDim) broadcast(dim) else dim, keys, "left_outer")
+
+  /** The sliding-score pattern (SURVEY §2.6; reference
+    * m_cocacola_score_overall.clj:42-57): collapse a (group, dt, value)
+    * fact to `{dt → value}` per group, explode a month-end date axis,
+    * look up the 3 reference dates per axis date, emit deltas.
+    *
+    * Input: df with `groupCols`, a date-string column `dtCol`, and a
+    * *string-formatted* value column `valCol` (decimal-cast upstream so
+    * arithmetic is exact). Output: one row per (group, axis-date) where
+    * the axis date has a value, with mom/ytd/yoy deltas.
+    *
+    * Scale: ONE shuffle (the groupBy); the axis explode and the lag
+    * lookups are map-side on the compact per-group map — no self-joins,
+    * no window sort over the raw fact.
+    */
+  def slidingScores(df: DataFrame, groupCols: Seq[String], dtCol: String,
+                    valCol: String, axisStart: String,
+                    axisEnd: String): DataFrame = {
+    val kv = df.groupBy(groupCols.map(col): _*)
+      .agg(Aggregators.collectKv(col(dtCol), col(valCol)).as("dt_kv"))
+    val axis = kv.withColumn(
+      "dt", explode(mkMonthDts(lit(axisStart), lit(axisEnd))))
+    val withRefs = axis
+      .withColumn("value", element_at(col("dt_kv"), col("dt")))
+      .filter(col("value").isNotNull)
+      .withColumn("prev_mom", element_at(col("dt_kv"), prevLastDay(col("dt"))))
+      .withColumn("prev_ytd", element_at(col("dt_kv"), prevLastMonth(col("dt"))))
+      .withColumn("prev_yoy", element_at(col("dt_kv"), prevSameMonth(col("dt"))))
+    def delta(a: Column, b: Column): Column =
+      when(b.isNull, lit(null)).otherwise(
+        a.cast("decimal(28,3)") - b.cast("decimal(28,3)"))
+    withRefs
+      .withColumn("delta_mom", delta(col("value"), col("prev_mom")))
+      .withColumn("delta_ytd", delta(col("value"), col("prev_ytd")))
+      .withColumn("delta_yoy", delta(col("value"), col("prev_yoy")))
+      .drop("dt_kv")
+  }
+
+  /** Group-max over partition (m_cocacola_score_overall.clj:53): max of
+    * the collected map's values ≡ MAX(value) OVER (PARTITION BY group). */
+  def groupMax(valueMap: Column): Column = array_max(map_values(valueMap))
+
+  /** `row-num` surrogate-key assignment, window form (reference
+    * trgx.clj:166-186 + load-max-dw-id): rows keep an existing id;
+    * new rows get maxExisting + rank over a deterministic order.
+    *
+    * `partitionCol` mirrors the reference's per-partition-number
+    * assignment and keeps the window from funnelling through a single
+    * partition — REQUIRED at scale (round-1 plan audit). Ids are made
+    * globally unique by striding: id = max + (rank-1) * nPartitions +
+    * partitionIndex + 1.
+    */
+  def surrogateKeys(df: DataFrame, idCol: String, orderCol: String,
+                    maxExisting: Long, partitionCol: Column,
+                    nPartitions: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCol).orderBy(col(orderCol))
+    df.withColumn("__prt", partitionCol)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn(idCol,
+        coalesce(col(idCol),
+          lit(maxExisting) + (col("__rk") - 1) * nPartitions
+            + col("__prt") + 1))
+      .drop("__prt", "__rk")
+  }
+
+  /** Scale-path surrogate keys: two-phase zipWithIndex (per-partition
+    * counts → cumulative offsets → local index), no global sort, no
+    * single-partition window. Dense, gap-free ids continuing from
+    * `maxExisting`. */
+  def surrogateKeysDistributed(df: DataFrame, idCol: String,
+                               maxExisting: Long): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val idIdx = schema.fieldIndex(idCol)
+    val rdd = df.rdd
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.count(r => r.isNullAt(idIdx))))
+    }.collect().sortBy(_._1)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var next = maxExisting + bc.value(i)
+      it.map { r =>
+        if (r.isNullAt(idIdx)) {
+          next += 1
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.updated(idIdx, next))
+        } else r
+      }
+    }
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(schema.map(f =>
+        if (f.name == idCol) f.copy(dataType =
+          org.apache.spark.sql.types.LongType, nullable = false) else f)))
+  }
+
+  /** Report shaping: selectors + tr-dimension-metrics JSON payload —
+    * the tail of every report (trgx.clj:72-79). */
+  def reportShape(df: DataFrame, selectorCols: Seq[String],
+                  dimCols: Seq[String],
+                  metrics: Seq[(String, Column)]): DataFrame = {
+    val dims = array(dimCols.map(col): _*)
+    val mmap = map(metrics.flatMap { case (n, c) =>
+      Seq(lit(n), c.cast("string")) }: _*)
+    df.groupBy(selectorCols.map(col): _*)
+      .agg(Aggregators.trDimensionMetrics(dims, mmap).as("report"))
+  }
+}

@@ -1,0 +1,260 @@
+package graft.trgx
+
+import scala.collection.immutable.TreeMap
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
+
+/** The "trgx" recursive tree library (SURVEY §2.8 map/array/tree; reference
+  * src/common/trgx.clj:212-275 and
+  * src/bolome/mlvar/d_bolome_user_order_stat.clj:73-135).
+  *
+  * A trgx is `{nodeKey → {DATA: {k→v}, CHILDREN: {childKey → trgx-node}}}`.
+  * The reference stores these as EDN text in a Postgres column; here the
+  * storage form is a canonical JSON string column (sorted keys), with this
+  * ADT + codec used inside UDFs. Arbitrary recursion has no static Spark
+  * type, so JSON-string columns are the faithful representation (SURVEY §1
+  * "Nested data").
+  */
+final case class TrgxNode(data: Map[String, String],
+                          children: Map[String, TrgxNode]) {
+  def isLeaf: Boolean = children.isEmpty
+}
+
+object TrgxNode {
+  val empty: TrgxNode = TrgxNode(Map.empty, Map.empty)
+}
+
+object Trgx {
+  /** A trgx "tree" is a map of root keys → nodes (the reference's outer
+    * map may hold one or many roots). */
+  type Tree = Map[String, TrgxNode]
+
+  private val mapper = new ObjectMapper()
+  private val nf = JsonNodeFactory.instance
+
+  // ---------- JSON codec (EDN-in-TEXT equivalent) ----------
+
+  private def nodeToJson(n: TrgxNode): ObjectNode = {
+    val o = nf.objectNode()
+    val d = nf.objectNode()
+    TreeMap(n.data.toSeq: _*).foreach { case (k, v) =>
+      if (v == null) d.putNull(k) else d.put(k, v)
+    }
+    o.set[ObjectNode]("DATA", d)
+    val c = nf.objectNode()
+    TreeMap(n.children.toSeq: _*).foreach { case (k, ch) =>
+      c.set[ObjectNode](k, nodeToJson(ch))
+    }
+    o.set[ObjectNode]("CHILDREN", c)
+    o
+  }
+
+  /** Canonical (sorted-key) JSON of a tree. */
+  def toJson(t: Tree): String = {
+    val o = nf.objectNode()
+    TreeMap(t.toSeq: _*).foreach { case (k, n) => o.set[ObjectNode](k, nodeToJson(n)) }
+    mapper.writeValueAsString(o)
+  }
+
+  private def nodeFromJson(j: JsonNode): TrgxNode = {
+    val data = Option(j.get("DATA")).map { d =>
+      val it = d.fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+      }
+      b.result()
+    }.getOrElse(Map.empty[String, String])
+    val children = Option(j.get("CHILDREN")).map { c =>
+      val it = c.fields()
+      val b = Map.newBuilder[String, TrgxNode]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> nodeFromJson(e.getValue)
+      }
+      b.result()
+    }.getOrElse(Map.empty[String, TrgxNode])
+    TrgxNode(data, children)
+  }
+
+  def fromJson(s: String): Tree = {
+    val root = mapper.readTree(s)
+    val it = root.fields()
+    val b = Map.newBuilder[String, TrgxNode]
+    while (it.hasNext) {
+      val e = it.next()
+      b += e.getKey -> nodeFromJson(e.getValue)
+    }
+    b.result()
+  }
+
+  // ---------- core ops (trgx.clj:212-275) ----------
+
+  /** `trgx->leaf` (trgx.clj:212): is this single-root tree a leaf. */
+  def isLeaf(t: Tree): Boolean = t.size == 1 && t.head._2.isLeaf
+
+  /** `trgx-get-in` (trgx.clj:215): node at key path, if present. */
+  def getIn(t: Tree, path: Seq[String]): Option[TrgxNode] = path match {
+    case Nil => None
+    case h +: rest =>
+      t.get(h).flatMap { n =>
+        if (rest.isEmpty) Some(n) else getIn(n.children, rest)
+      }
+  }
+
+  /** `trgx-assoc-in` (trgx.clj:217): set/merge DATA at key path, creating
+    * intermediate nodes. */
+  def assocIn(t: Tree, path: Seq[String], data: Map[String, String]): Tree =
+    path match {
+      case Nil => t
+      case h +: rest =>
+        val cur = t.getOrElse(h, TrgxNode.empty)
+        val upd =
+          if (rest.isEmpty) cur.copy(data = cur.data ++ data)
+          else cur.copy(children = assocIn(cur.children, rest, data))
+        t.updated(h, upd)
+    }
+
+  /** `trgx->path` (trgx.clj:220): key path of the single chain in a
+    * linear tree (first child at each level). */
+  def path(t: Tree): Seq[String] = {
+    def walk(m: Tree, acc: Vector[String]): Vector[String] =
+      if (m.isEmpty) acc
+      else {
+        val (k, n) = m.toSeq.minBy(_._1)
+        walk(n.children, acc :+ k)
+      }
+    walk(t, Vector.empty)
+  }
+
+  /** `trgx-path-seq` (trgx.clj:226): all root-to-leaf key paths, sorted. */
+  def pathSeq(t: Tree): Seq[Seq[String]] = {
+    def walk(m: Tree, prefix: Vector[String]): Seq[Vector[String]] =
+      TreeMap(m.toSeq: _*).toSeq.flatMap { case (k, n) =>
+        if (n.isLeaf) Seq(prefix :+ k) else walk(n.children, prefix :+ k)
+      }
+    walk(t, Vector.empty)
+  }
+
+  /** `trgx-take` (trgx.clj:229): truncate to the first n levels. */
+  def take(t: Tree, n: Int): Tree =
+    if (n <= 0) Map.empty
+    else t.map { case (k, nd) => k -> nd.copy(children = take(nd.children, n - 1)) }
+
+  /** `trgx-last` (trgx.clj:234): depth of the tree. */
+  def depth(t: Tree): Int =
+    if (t.isEmpty) 0 else 1 + t.values.map(n => depth(n.children)).max
+
+  /** `trgx-take-last` (trgx.clj:239): truncate depth keeping the last
+    * (deepest) n levels of each chain. */
+  def takeLast(t: Tree, n: Int): Tree = {
+    val d = depth(t)
+    def drop(m: Tree, toDrop: Int): Tree =
+      if (toDrop <= 0) m
+      else m.values.foldLeft(Map.empty: Tree) { (acc, nd) =>
+        // merge children of dropped levels
+        drop(nd.children, toDrop - 1).foldLeft(acc) { case (a, (k, v)) =>
+          a.updated(k, a.get(k).map(ex =>
+            ex.copy(data = ex.data ++ v.data,
+                    children = ex.children ++ v.children)).getOrElse(v))
+        }
+      }
+    drop(t, d - n)
+  }
+
+  /** `trgx-split-at` (trgx.clj:246): cut at level n into
+    * (path-prefix, subtree) records. */
+  def splitAt(t: Tree, n: Int): Seq[(Seq[String], Tree)] = {
+    def walk(m: Tree, prefix: Vector[String], left: Int): Seq[(Seq[String], Tree)] =
+      if (left == 0) Seq((prefix, m))
+      else TreeMap(m.toSeq: _*).toSeq.flatMap { case (k, nd) =>
+        walk(nd.children, prefix :+ k, left - 1)
+      }
+    walk(t, Vector.empty, n)
+  }
+
+  /** `trgx-leaf-trunc` (trgx.clj:265): drop the leaf level, hoisting each
+    * leaf's DATA onto its parent. */
+  def leafTrunc(t: Tree): Tree =
+    t.map { case (k, n) =>
+      if (n.children.nonEmpty && n.children.values.forall(_.isLeaf)) {
+        val merged = TreeMap(n.children.toSeq: _*).values
+          .foldLeft(n.data)((d, ch) => d ++ ch.data)
+        k -> n.copy(data = merged, children = Map.empty)
+      } else k -> n.copy(children = leafTrunc(n.children))
+    }
+
+  /** `trgx->kv` / `path-trgx->kv` (trgx.clj:271-275): flatten to
+    * (path-joined-key → leaf DATA) pairs. */
+  def toKv(t: Tree, sep: String = "/"): Map[String, Map[String, String]] = {
+    def walk(m: Tree, prefix: Vector[String]): Seq[(String, Map[String, String])] =
+      TreeMap(m.toSeq: _*).toSeq.flatMap { case (k, n) =>
+        val p = prefix :+ k
+        if (n.isLeaf) Seq(p.mkString(sep) -> n.data)
+        else walk(n.children, p)
+      }
+    walk(t, Vector.empty).toMap
+  }
+
+  /** `kv->trgx` (trgx.clj:49-55): attach `{id → data}` onto the leaves of
+    * a config tree whose leaf keys normalize to those ids. */
+  def kvToTrgx(config: Tree, kv: Map[String, Map[String, String]],
+               normalize: String => String = identity): Tree =
+    config.map { case (k, n) =>
+      if (n.isLeaf)
+        k -> n.copy(data = n.data ++ kv.getOrElse(normalize(k), Map.empty))
+      else k -> n.copy(children = kvToTrgx(n.children, kv, normalize))
+    }
+
+  // ---------- path queries (mlvar/d_bolome_user_order_stat.clj:73-95) ----
+
+  sealed trait PathStep
+  case class Key(k: String) extends PathStep
+  case object Wildcard extends PathStep
+  /** `[:range a b]`: keys lexicographically in [a, b]. */
+  case class Range(lo: String, hi: String) extends PathStep
+
+  /** `subtree` / `tree-nodes`: all (path, node) matches of a step pattern. */
+  def query(t: Tree, steps: Seq[PathStep]): Seq[(Seq[String], TrgxNode)] = {
+    def matches(k: String, s: PathStep): Boolean = s match {
+      case Key(x)       => k == x
+      case Wildcard     => true
+      case Range(a, b)  => k >= a && k <= b
+    }
+    def walk(m: Tree, prefix: Vector[String],
+             rest: Seq[PathStep]): Seq[(Seq[String], TrgxNode)] =
+      rest match {
+        case Nil => Seq.empty
+        case s +: tail =>
+          TreeMap(m.toSeq: _*).toSeq.filter(e => matches(e._1, s)).flatMap {
+            case (k, n) =>
+              val p = prefix :+ k
+              if (tail.isEmpty) Seq((p, n)) else walk(n.children, p, tail)
+          }
+      }
+    walk(t, Vector.empty, steps)
+  }
+
+  /** `shift-cut-trgx` (mlvar/d_bolome_user_order_stat.clj:97-135):
+    * aggregate a date-keyed order tree over k lookback windows ending at
+    * `asOf`, summing numeric DATA fields per window → one feature map per
+    * window `(windowIndex → {field → sum})`. */
+  def shiftCut(t: Tree, asOf: String, windowDays: Int,
+               numWindows: Int): Seq[(Int, Map[String, Double])] = {
+    val asOfDate = java.time.LocalDate.parse(asOf)
+    (0 until numWindows).map { w =>
+      val hi = asOfDate.minusDays(w.toLong * windowDays)
+      val lo = hi.minusDays(windowDays - 1L)
+      val hits = query(t, Seq(Range(lo.toString, hi.toString), Wildcard))
+      val sums = hits.foldLeft(Map.empty[String, Double]) { case (acc, (_, n)) =>
+        n.data.foldLeft(acc) { case (a, (k, v)) =>
+          val x = try v.toDouble catch { case _: Throwable => 0.0 }
+          a.updated(k, a.getOrElse(k, 0.0) + x)
+        }
+      }
+      w -> sums
+    }
+  }
+}
