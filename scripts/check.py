@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the testdata tables and compare to the parquet dumped by
+graft.Verify (column names sorted, values compared row-by-row)."""
+import sys, json, glob, math
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+
+con = duckdb.connect()
+for tbl in ["region","nation","customer","supplier","part","orders",
+            "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+results = {}
+for name in sorted(oracle):
+    pq = f"{out_dir}/{name}"
+    if not glob.glob(f"{pq}/*.parquet"):
+        results[name] = "NO_SPARK_OUTPUT"
+        continue
+    try:
+        got = con.sql(f"SELECT * FROM '{pq}/*.parquet'").fetchdf()
+    except Exception as e:
+        results[name] = f"SPARK_READ_FAIL {e}"
+        continue
+    try:
+        exp = con.sql(oracle[name]).fetchdf()
+    except Exception as e:
+        results[name] = f"ORACLE_FAIL {str(e)[:200]}"
+        continue
+    g = got[sorted(got.columns)]
+    e_ = exp[sorted(exp.columns)]
+    if list(g.columns) != list(e_.columns):
+        results[name] = f"COLS {list(g.columns)} vs {list(e_.columns)}"
+        continue
+    if len(g) != len(e_):
+        results[name] = f"ROWS {len(g)} vs {len(e_)}"
+        continue
+    if len(g) == 0:
+        results[name] = "OK_EMPTY"
+        continue
+    bad = None
+    for c in g.columns:
+        gv, ev = g[c].tolist(), e_[c].tolist()
+        for i, (a, b) in enumerate(zip(gv, ev)):
+            if a is None and b is None: continue
+            try:
+                if isinstance(a, float) or isinstance(b, float):
+                    fa, fb = float(a), float(b)
+                    if math.isnan(fa) and math.isnan(fb): continue
+                    if fa != fb:
+                        bad = f"col {c} row {i}: {a!r} != {b!r}"; break
+                elif str(a) != str(b):
+                    bad = f"col {c} row {i}: {a!r} != {b!r}"; break
+            except (TypeError, ValueError):
+                if str(a) != str(b):
+                    bad = f"col {c} row {i}: {a!r} != {b!r}"; break
+        if bad: break
+    results[name] = bad or "OK"
+
+n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+for k, v in results.items():
+    mark = "PASS" if v.startswith("OK") else "FAIL"
+    print(f"{mark} {k}: {v}")
+# rows-only (no-oracle) queries
+for pq in sorted(glob.glob(f"{out_dir}/*/")):
+    name = pq.rstrip("/").split("/")[-1]
+    if name not in oracle:
+        try:
+            n = con.sql(f"SELECT count(*) FROM '{pq}/*.parquet'").fetchone()[0]
+            print(f"{'PASS' if n > 0 else 'WARN'} {name}: ROWS_ONLY n={n}")
+        except Exception as ex:
+            print(f"FAIL {name}: ROWS_ONLY {ex}")
+print(f"== {n_ok}/{len(results)} oracle-checked pass")

@@ -1,0 +1,804 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.agg.Aggregators
+import graft.core.Tables
+import graft.etl.TableOps
+import graft.functions.Functions._
+import graft.ops.Relational
+
+/** Oracle-checked probes for every relational operator in SURVEY §2
+  * (rows 1-46). Each entry pairs a Spark DataFrame program with ANSI SQL
+  * the driver replays in DuckDB; column names, types, and row order are
+  * aligned on both sides (decimal casts for exact aggregate arithmetic,
+  * string dates, explicit ORDER BY).
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private def dtStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.1 row 1 — parquet source w/ pushdown (pg-tap equivalent)
+    "source_parquet_scan" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                dtStr(col("l_shipdate")).as("ship_dt"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // §2.1 row 2 — memory sink (??-): scalar collect
+    "memory_sink_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    // §2.1 row 3 — in-memory generator fixture
+    "inmemory_generator" -> ((s, dir) => {
+      import s.implicits._
+      Seq((1, "alpha"), (2, "beta"), (3, "gamma")).toDF("id", "name")
+        .orderBy("id")
+    }),
+
+    // §2.1 row 4 — driver-side config source (latest-trgx-root shape)
+    "config_source" -> ((s, dir) => {
+      val k = t(s, dir, "region").agg(min("r_regionkey")).first().getInt(0)
+      t(s, dir, "nation").filter(col("n_regionkey") === k)
+        .select("n_nationkey", "n_name").orderBy("n_nationkey")
+    }),
+
+    // §2.1 row 5 — DDL/orchestration: create-if → staged write → publish
+    "ddl_table_lifecycle" -> ((s, dir) => {
+      val base = "/root/repo/target/graft_tmp/lifecycle"
+      val nation = t(s, dir, "nation")
+      TableOps.createTableIf(s, base, nation.schema)
+      nation.filter(col("n_regionkey") <= 1)
+        .write.mode("overwrite").parquet(base + "__staged")
+      TableOps.replaceInto(base + "__staged", base)
+      s.read.parquet(base).select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
+    // §2.2 row 6 — select-fields projection
+    "select_fields" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // §2.2 row 7 — :> destructure / rename*
+    "rename_fields" -> ((s, dir) =>
+      t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+        .toDF("id", "name", "segment").orderBy("id")),
+
+    // §2.2 row 8 — mapfn scalar computation
+    "mapfn_scalar" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        (col("l_quantity") * lit(2.0) + lit(1.0)).as("qty2"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // §2.2 row 9 — mapcatfn / explode (split-rows)
+    "mapcat_explode" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        explode(split(col("p_type"), " ")).as("word"))
+        .orderBy("p_partkey", "word")),
+
+    // §2.2 row 10 — c/each + c/juxt combinators
+    "combinators" -> ((s, dir) => {
+      val each = Seq("o_orderstatus", "o_orderpriority")
+        .map(c => upper(col(c)).as(c + "_u")) // c/each: same fn, N cols
+      val juxt = Seq(year(col("o_orderdate")).as("yr"),
+                     month(col("o_orderdate")).as("mo")) // c/juxt: N fns, 1 col
+      t(s, dir, "orders").select(col("o_orderkey") +: (each ++ juxt): _*)
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.2 row 11 — vars->kv map build (canonical render)
+    "vars_to_kv" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        mapToCanonicalString(varsToKv(
+          "name" -> col("c_name"), "seg" -> col("c_mktsegment"))).as("kv"))
+        .orderBy("c_custkey")),
+
+    // §2.2 row 12 — kv->tuple extraction round-trip
+    "kv_to_tuple" -> ((s, dir) => {
+      val m = varsToKv(
+        "bal" -> col("c_acctbal").cast("decimal(18,2)").cast("string"),
+        "nk" -> col("c_nationkey").cast("string"))
+      val df = t(s, dir, "customer").withColumn("m", m)
+      val Seq(bal, nk) = kvToTuple(col("m"), Seq("bal", "nk"))
+      df.select(col("c_custkey"), bal.as("bal"), nk.as("nk"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.2 row 14 — pad array align
+    "pad_align" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        element_at(pad(split(col("p_name"), " "), 3, lit("NA")), 3).as("w3"))
+        .orderBy("p_partkey")),
+
+    // §2.2 row 16 — get-item-json-string manual JSON build
+    "get_item_json" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        concat(lit("{\"key\":\""), col("c_name"), lit("\",\"seg\":\""),
+               col("c_mktsegment"), lit("\"}")).as("item"))
+        .orderBy("c_custkey")),
+
+    // §2.2 row 17 — JSON round-trip at the storage boundary
+    "edn_json_roundtrip" -> ((s, dir) => {
+      val ser = to_json(struct(col("c_custkey").as("id"),
+                               col("c_mktsegment").as("seg")))
+      t(s, dir, "customer").withColumn("js", ser)
+        .withColumn("back", from_json(col("js"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, seg STRING")))
+        .select(col("c_custkey"), col("back.id").as("rt_id"),
+                col("back.seg").as("rt_seg"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.3 row 18 — bare boolean filters
+    "filter_basic" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 150000 && col("o_orderstatus") =!= "F"
+          && col("o_custkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // §2.3 row 19 — regex filter (re-find → unanchored rlike)
+    "filter_regex" -> ((s, dir) =>
+      t(s, dir, "part").filter(col("p_name").rlike("gold|rose|blue"))
+        .select("p_partkey", "p_name").orderBy("p_partkey")),
+
+    // §2.3 row 20 — deffilterfn named filter (isin)
+    "filter_named_isin" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")),
+
+    // §2.3 row 21 — ?var null-guard semantics
+    "filter_null_guard" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("et", when(col("event_type") === "click", lit(null))
+          .otherwise(col("event_type")))
+        .filter(col("et").isNotNull) // the implicit ?var NOT NULL
+        .groupBy("et").agg(count(lit(1)).as("cnt"))
+        .orderBy("et")),
+
+    // §2.3 row 22 — convert-null sentinel normalization
+    "convert_null" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("x", when(col("source") === "src0", lit("NULL"))
+          .otherwise(col("source")))
+        .select(col("doc_id"), convertNull(col("x")).as("src"))
+        .orderBy("doc_id")),
+
+    // §2.3 row 23 — cif / nvl2 / cor
+    "cif_cor" -> ((s, dir) => {
+      val nn = when(col("o_orderstatus") === "O", lit(null))
+        .otherwise(col("o_orderstatus"))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        cif(col("o_totalprice") > 100000, lit("big"), lit("small"))
+          .as("size_cls"),
+        graft.functions.Functions.nvl2(nn, lit("closed"), lit("open"))
+          .as("state"),
+        cor(nn, col("o_orderpriority")).as("first_nn"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.3 row 24 — or-tuple pairwise coalesce
+    "or_tuple" -> ((s, dir) => {
+      val a1 = when(col("o_orderstatus") === "O", lit(null))
+        .otherwise(col("o_orderstatus"))
+      val a2 = when(col("o_orderpriority") === "1-URGENT", lit(null))
+        .otherwise(col("o_orderpriority"))
+      val merged = orTuple(a1 -> lit("fb_status"), a2 -> lit("fb_prio"))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        merged(0).as("m_status"), merged(1).as("m_prio"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.3 row 25 — c> / c>* null-safe compare
+    "null_safe_compare" -> ((s, dir) => {
+      val nullable = when(col("l_discount") === 0.0, lit(null))
+        .otherwise(col("l_discount"))
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        cGt(nullable, col("l_tax")).cast("int").as("gt_strict"),
+        cGtDefault(nullable, col("l_tax")).cast("int").as("gt_default"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // §2.3 row 26 — mark* / compare-mark* flag encoders
+    "mark_flags" -> ((s, dir) => {
+      val ms = mark(col("o_orderstatus"), Seq("O", "F", "P"))
+      val cm = compareMark(col("o_totalprice"), lit(100000.0))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        ms(0).cast("int").as("m_o"), ms(1).cast("int").as("m_f"),
+        ms(2).cast("int").as("m_p"),
+        cm(0).cast("int").as("cmp_lt"), cm(1).cast("int").as("cmp_eq"),
+        cm(2).cast("int").as("cmp_gt"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.3 row 27 — str-least
+    "str_least" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        strLeast(col("o_orderstatus"), col("o_orderpriority")).as("least_s"))
+        .orderBy("o_orderkey")),
+
+    // §2.3 row 28 — sort? between-check
+    "between_check" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("dt", dtStr(col("o_orderdate")))
+        .filter(sortBetween(col("dt"), lit("1996-01-01"), lit("1996-12-31")))
+        .select("o_orderkey", "dt").orderBy("o_orderkey")),
+
+    // §2.4 row 29 — multi-way star inner join (broadcast dims)
+    "join_inner_star" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        // decimal-first arithmetic: operands are exact 2-decimal values,
+        // so the product and sum are exact (no double-rounding drift)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+               (lit(1) - col("l_discount")).cast("decimal(12,2)"))
+               .cast("decimal(38,4)").as("revenue"),
+             count(lit(1)).as("cnt"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // §2.4 row 30 — left outer join via !!var ungrounding
+    "join_left_outer" -> ((s, dir) =>
+      Relational.dimLookup(t(s, dir, "customer")
+          .withColumnRenamed("c_custkey", "k"),
+          t(s, dir, "orders").withColumnRenamed("o_custkey", "k"),
+          Seq("k"), broadcastDim = false)
+        .groupBy(col("k").as("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .select(col("c_custkey"), col("n_orders"))
+        .orderBy("c_custkey")),
+
+    // §2.4 row 31 — full-outer stg⊕ods merge with or-tuple coalesce
+    "full_outer_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val stg = o.filter(col("o_orderkey") % 2 === 0).select(
+        col("o_orderkey"),
+        (col("o_totalprice") * 2).cast("decimal(18,2)").as("val_price"),
+        lit("U").as("val_status"))
+      val ods = o.filter(col("o_orderkey") % 3 === 0).select(
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("val_price"),
+        col("o_orderstatus").as("val_status"))
+      Relational.fullOuterMerge(stg, ods, Seq("o_orderkey"),
+          Seq("val_price", "val_status"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.4 row 32 — snapshot self-join w/ map-union merge
+    "snapshot_merge_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumn("dt", dtStr(col("o_orderdate")))
+      def side(f: Column): DataFrame =
+        o.filter(f).groupBy(col("o_custkey").as("custkey"))
+          .agg(Aggregators.collectKvs(col("o_orderstatus"),
+                 col("o_orderpriority")).as("m"),
+               min(col("dt")).as("d"))
+      val a = side(col("dt") < "1997-06-01").alias("a")
+      val b = side(col("dt") >= "1997-06-01").alias("b")
+      val merged = a.join(b, Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          when(col("a.m").isNull, col("b.m"))
+            .when(col("b.m").isNull, col("a.m"))
+            .otherwise(Aggregators.mapSetUnion(col("a.m"), col("b.m")))
+            .as("mm"),
+          least(col("a.d"), col("b.d")).as("first_dt"))
+      merged.select(col("custkey"),
+        array_join(transform(array_sort(map_entries(col("mm"))),
+          e => concat(e.getField("key"), lit(":"),
+                      array_join(e.getField("value"), "|"))), ",")
+          .as("merged"),
+        col("first_dt"))
+        .orderBy("custkey")
+    }),
+
+    // §2.4 row 33 — cross join
+    "cross_join" -> ((s, dir) =>
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select("r_name", "n_name").orderBy("r_name", "n_name")),
+
+    // §2.4 row 34 — broadcast config-tree join (driver-fetched map
+    // closed over the row stream, trgx.clj:202-207)
+    "broadcast_config_join" -> ((s, dir) => {
+      val cfg: Map[Int, String] = t(s, dir, "region").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      val cfgMap = typedlit(cfg)
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"),
+        element_at(cfgMap, col("n_regionkey")).as("region_name"))
+        .orderBy("n_nationkey")
+    }),
+
+    // §2.5 row 35 — collect-kv aggregator
+    "collect_kv" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+                 date_format(date_trunc("month", col("o_orderdate")),
+                             "yyyy-MM-dd").as("mo"))
+        .agg(count(lit(1)).as("cnt"))
+      m.groupBy("seg")
+        .agg(Aggregators.collectKv(col("mo"), col("cnt").cast("string"))
+          .as("kv"))
+        .select(col("seg"), mapToCanonicalString(col("kv")).as("dt_kv"))
+        .orderBy("seg")
+    }),
+
+    // §2.5 row 36a — collect-set
+    "collect_set" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(arrayToCanonicalString(collect_set(col("o_orderpriority")))
+          .as("prios"))
+        .orderBy("o_orderstatus")),
+
+    // §2.5 row 36b — collect-kvs multimap
+    "collect_kvs" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_custkey").as("custkey"))
+        .agg(Aggregators.collectKvs(col("o_orderstatus"),
+               col("o_orderpriority")).as("m"))
+        .select(col("custkey"),
+          array_join(transform(array_sort(map_entries(col("m"))),
+            e => concat(e.getField("key"), lit(":"),
+                        array_join(e.getField("value"), "|"))), ",")
+            .as("kvs"))
+        .orderBy("custkey")),
+
+    // §2.5 row 37 — str-max / str-min (null-sentinel-skipping)
+    "str_max_min" -> ((s, dir) => {
+      val x = when(col("o_orderpriority") === "3-MEDIUM", lit("null"))
+        .otherwise(col("o_orderpriority"))
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(Aggregators.strMax(x).as("mx"), Aggregators.strMin(x).as("mn"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // §2.5 row 38 — c/count + c/max aggregates
+    "count_max" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), max(col("l_quantity")).as("max_qty"))
+        .orderBy("l_returnflag")),
+
+    // §2.5 row 39 + §2.2 row 15 — tr-dimension-metrics + pair-edn->json
+    "report_shape" -> ((s, dir) => {
+      val pre = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"),
+             sum(col("c_acctbal").cast("decimal(18,2)"))
+               .cast("decimal(38,2)").as("sum_bal"))
+      Relational.reportShape(pre, Seq("r_name"), Seq("n_name"),
+          Seq("n_cust" -> col("n_cust"), "sum_bal" -> col("sum_bal")))
+        .orderBy("r_name")
+    }),
+
+    // §2.5 row 40 — row-num surrogate-key assignment
+    "row_num_surrogate" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_custkey") <= 50, col("c_custkey")).cast("long")
+          .as("dw_id"))
+      val maxExisting = base.agg(max("dw_id")).first() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      Relational.surrogateKeys(base, "dw_id", "c_custkey", maxExisting,
+          lit(0), 1)
+        .orderBy("c_custkey")
+    }),
+
+    // §2.5 row 41 — group-max over partition
+    "group_max_window" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"),
+        max(col("o_totalprice"))
+          .over(Window.partitionBy(col("o_custkey"))).as("cust_max"))
+        .orderBy("o_orderkey")),
+
+    // §2.6 row 42 + §2.2 row 13 — the sliding lag pattern
+    // (collect-kv → month axis → kv->lkp lag lookups → deltas)
+    "sliding_scores" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+                 dtStr(last_day(col("o_orderdate"))).as("dt"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("val"))
+      val rng = m.agg(min("dt"), max("dt")).first()
+      Relational.slidingScores(m, Seq("seg"), "dt", "val",
+          rng.getString(0), rng.getString(1))
+        .select(col("seg"), col("dt"),
+          col("value").cast("decimal(38,2)").as("value"),
+          col("delta_mom").cast("decimal(38,3)").as("delta_mom"),
+          col("delta_ytd").cast("decimal(38,3)").as("delta_ytd"),
+          col("delta_yoy").cast("decimal(38,3)").as("delta_yoy"))
+        .orderBy("seg", "dt")
+    }),
+
+    // §2.7 row 43 — UNION multi-grain append
+    "union_multigrain" -> ((s, dir) => {
+      val cn = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+      val g1 = cn.groupBy(col("n_name").as("name"))
+        .agg(count(lit(1)).as("cnt")).withColumn("grain", lit("nation"))
+      val g2 = cn
+        .join(broadcast(t(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("name"))
+        .agg(count(lit(1)).as("cnt")).withColumn("grain", lit("region"))
+      g1.unionByName(g2).select("grain", "name", "cnt")
+        .orderBy("grain", "name")
+    }),
+
+    // §2.6/§2.7 — c/first-n limit (top-N with sort keys)
+    "limit_top_n" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10).select("o_orderkey", "o_totalprice")),
+
+    // §2.8 row 44 — scalar date library
+    "date_functions" -> ((s, dir) => {
+      val dt = dtStr(col("o_orderdate"))
+      t(s, dir, "orders").select(col("o_orderkey"), dt.as("dt"),
+        prevLastDay(dt).as("prev_last_day"),
+        prevLastMonth(dt).as("prev_last_month"),
+        prevSameMonth(dt).as("prev_same_month"),
+        dtToYear(dt).as("yr"),
+        offsetDt(dt, 1).as("next_dt"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.10 row 46 — incremental bookkeeping (report->next-dt +
+    // save-and-load-rng shape)
+    "bookkeeping_next_dt" -> ((s, dir) =>
+      t(s, dir, "orders").withColumn("dt", dtStr(col("o_orderdate")))
+        .agg(min(col("dt")).as("mn_dt"), max(col("dt")).as("mx_dt"),
+             count(lit(1)).as("cnt"))
+        .withColumn("next_dt",
+          date_format(date_add(to_date(col("mx_dt")), 1), "yyyy-MM-dd"))),
+
+    // TPC-H Q1 shape — the bench headline aggregate
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_base"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(12,2)"))
+            .cast("decimal(38,4)").as("sum_disc_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Structured-streaming-shaped windowed aggregation (batch-equivalent
+    // of streaming/StreamOps.windowedCounts; tumbling 1-day event-time
+    // windows)
+    "events_windowed_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("value").cast("decimal(18,3)")).cast("decimal(38,3)")
+               .as("sum_val"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+                col("event_type"), col("cnt"), col("sum_val"))
+        .orderBy("day", "event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "source_parquet_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship_dt
+         FROM lineitem WHERE l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "memory_sink_count" -> "SELECT count(*) AS cnt FROM lineitem",
+    "inmemory_generator" ->
+      """SELECT * FROM (VALUES (1,'alpha'),(2,'beta'),(3,'gamma'))
+         AS t(id, name) ORDER BY id""",
+    "config_source" ->
+      """SELECT n_nationkey, n_name FROM nation
+         WHERE n_regionkey = (SELECT min(r_regionkey) FROM region)
+         ORDER BY n_nationkey""",
+    "ddl_table_lifecycle" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+         WHERE n_regionkey <= 1 ORDER BY n_nationkey""",
+    "select_fields" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         ORDER BY o_orderkey""",
+    "rename_fields" ->
+      """SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+         FROM customer ORDER BY id""",
+    "mapfn_scalar" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1 - l_discount) AS revenue,
+         l_quantity * 2.0 + 1.0 AS qty2
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "mapcat_explode" ->
+      """SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
+         FROM part ORDER BY p_partkey, word""",
+    "combinators" ->
+      """SELECT o_orderkey, upper(o_orderstatus) AS o_orderstatus_u,
+         upper(o_orderpriority) AS o_orderpriority_u,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo
+         FROM orders ORDER BY o_orderkey""",
+    "vars_to_kv" ->
+      """SELECT c_custkey, 'name=' || c_name || ',seg=' || c_mktsegment
+         AS kv FROM customer ORDER BY c_custkey""",
+    "kv_to_tuple" ->
+      """SELECT c_custkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS bal,
+         CAST(c_nationkey AS VARCHAR) AS nk
+         FROM customer ORDER BY c_custkey""",
+    "pad_align" ->
+      """SELECT p_partkey,
+         coalesce((string_split(p_name, ' '))[3], 'NA') AS w3
+         FROM part ORDER BY p_partkey""",
+    "get_item_json" ->
+      """SELECT c_custkey, '{"key":"' || c_name || '","seg":"' ||
+         c_mktsegment || '"}' AS item FROM customer ORDER BY c_custkey""",
+    "edn_json_roundtrip" ->
+      """SELECT c_custkey, c_custkey AS rt_id, c_mktsegment AS rt_seg
+         FROM customer ORDER BY c_custkey""",
+    "filter_basic" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_totalprice > 150000 AND o_orderstatus <> 'F'
+         AND o_custkey % 2 = 0 ORDER BY o_orderkey""",
+    "filter_regex" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE regexp_matches(p_name, 'gold|rose|blue')
+         ORDER BY p_partkey""",
+    "filter_named_isin" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "filter_null_guard" ->
+      """SELECT et, count(*) AS cnt FROM (
+           SELECT CASE WHEN event_type = 'click' THEN NULL
+                  ELSE event_type END AS et FROM events)
+         WHERE et IS NOT NULL GROUP BY et ORDER BY et""",
+    "convert_null" ->
+      """SELECT doc_id,
+         CASE WHEN lower(x) = 'null' THEN NULL ELSE x END AS src
+         FROM (SELECT doc_id, CASE WHEN source = 'src0' THEN 'NULL'
+               ELSE source END AS x FROM documents)
+         ORDER BY doc_id""",
+    "cif_cor" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END
+           AS size_cls,
+         CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL THEN 'closed'
+           ELSE 'open' END AS state,
+         coalesce(nullif(o_orderstatus, 'O'), o_orderpriority)
+           AS first_nn
+         FROM orders ORDER BY o_orderkey""",
+    "or_tuple" ->
+      """SELECT o_orderkey,
+         coalesce(nullif(o_orderstatus, 'O'), 'fb_status') AS m_status,
+         coalesce(nullif(o_orderpriority, '1-URGENT'), 'fb_prio') AS m_prio
+         FROM orders ORDER BY o_orderkey""",
+    "null_safe_compare" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(nullif(l_discount, 0.0) > l_tax AS INT) AS gt_strict,
+         CAST(coalesce(nullif(l_discount, 0.0) > l_tax, FALSE) AS INT)
+           AS gt_default
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "mark_flags" ->
+      """SELECT o_orderkey,
+         CAST(o_orderstatus = 'O' AS INT) AS m_o,
+         CAST(o_orderstatus = 'F' AS INT) AS m_f,
+         CAST(o_orderstatus = 'P' AS INT) AS m_p,
+         CAST(coalesce(o_totalprice < 100000.0, FALSE) AS INT) AS cmp_lt,
+         CAST(coalesce(o_totalprice = 100000.0, FALSE) AS INT) AS cmp_eq,
+         CAST(coalesce(o_totalprice > 100000.0, FALSE) AS INT) AS cmp_gt
+         FROM orders ORDER BY o_orderkey""",
+    "str_least" ->
+      """SELECT o_orderkey, least(o_orderstatus, o_orderpriority)
+         AS least_s FROM orders ORDER BY o_orderkey""",
+    "between_check" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS dt
+         FROM orders
+         WHERE strftime(o_orderdate, '%Y-%m-%d')
+           BETWEEN '1996-01-01' AND '1996-12-31'
+         ORDER BY o_orderkey""",
+    "join_inner_star" ->
+      """SELECT r_name, n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           CAST(1 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4))
+           AS revenue,
+         count(*) AS cnt
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "full_outer_merge" ->
+      """WITH stg AS (SELECT o_orderkey,
+             CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS val_price,
+             'U' AS val_status FROM orders WHERE o_orderkey % 2 = 0),
+         ods AS (SELECT o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS val_price,
+             o_orderstatus AS val_status FROM orders
+             WHERE o_orderkey % 3 = 0)
+         SELECT coalesce(stg.o_orderkey, ods.o_orderkey) AS o_orderkey,
+           coalesce(stg.val_price, ods.val_price) AS val_price,
+           coalesce(stg.val_status, ods.val_status) AS val_status
+         FROM stg FULL OUTER JOIN ods
+           ON stg.o_orderkey = ods.o_orderkey
+         ORDER BY o_orderkey""",
+    "snapshot_merge_union" ->
+      """WITH lv AS (SELECT o_custkey AS custkey, o_orderstatus AS st,
+             string_agg(DISTINCT o_orderpriority, '|'
+               ORDER BY o_orderpriority) AS vs
+           FROM orders GROUP BY 1, 2),
+         agg AS (SELECT custkey,
+             string_agg(st || ':' || vs, ',' ORDER BY st) AS merged
+           FROM lv GROUP BY custkey),
+         mn AS (SELECT o_custkey AS custkey,
+             min(strftime(o_orderdate, '%Y-%m-%d')) AS first_dt
+           FROM orders GROUP BY 1)
+         SELECT agg.custkey, merged, first_dt
+         FROM agg JOIN mn USING (custkey) ORDER BY custkey""",
+    "cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+    "broadcast_config_join" ->
+      """SELECT n_nationkey, n_name, r_name AS region_name
+         FROM nation JOIN region ON r_regionkey = n_regionkey
+         ORDER BY n_nationkey""",
+    "collect_kv" ->
+      """WITH m AS (SELECT c_mktsegment AS seg,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mo,
+             count(*) AS cnt
+           FROM orders JOIN customer ON c_custkey = o_custkey
+           GROUP BY 1, 2)
+         SELECT seg, string_agg(mo || '=' || cnt, ',' ORDER BY mo)
+           AS dt_kv
+         FROM m GROUP BY seg ORDER BY seg""",
+    "collect_set" ->
+      """SELECT o_orderstatus,
+         string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+           AS prios
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "collect_kvs" ->
+      """WITH lv AS (SELECT o_custkey AS custkey, o_orderstatus AS st,
+             string_agg(DISTINCT o_orderpriority, '|'
+               ORDER BY o_orderpriority) AS vs
+           FROM orders GROUP BY 1, 2)
+         SELECT custkey, string_agg(st || ':' || vs, ',' ORDER BY st)
+           AS kvs
+         FROM lv GROUP BY custkey ORDER BY custkey""",
+    "str_max_min" ->
+      """SELECT o_orderstatus, max(y) AS mx, min(y) AS mn
+         FROM (SELECT o_orderstatus,
+               CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+                    ELSE o_orderpriority END AS y FROM orders)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "count_max" ->
+      """SELECT l_returnflag, count(*) AS cnt, max(l_quantity) AS max_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "report_shape" ->
+      """WITH a AS (SELECT r_name, n_name, count(*) AS n_cust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS sum_bal
+           FROM customer
+           JOIN nation ON n_nationkey = c_nationkey
+           JOIN region ON r_regionkey = n_regionkey
+           GROUP BY 1, 2)
+         SELECT r_name, '{' || string_agg('"' || n_name ||
+             '":["n_cust=' || n_cust || '","sum_bal=' || sum_bal || '"]',
+             ',' ORDER BY n_name) || '}' AS report
+         FROM a GROUP BY r_name ORDER BY r_name""",
+    "row_num_surrogate" ->
+      """SELECT c_custkey,
+         CASE WHEN c_custkey <= 50 THEN c_custkey
+              ELSE (SELECT max(c_custkey) FROM customer
+                    WHERE c_custkey <= 50)
+                   + row_number() OVER (PARTITION BY (c_custkey > 50)
+                                        ORDER BY c_custkey) END AS dw_id
+         FROM customer ORDER BY c_custkey""",
+    "group_max_window" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+         max(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_max
+         FROM orders ORDER BY o_orderkey""",
+    "sliding_scores" ->
+      """WITH m AS (SELECT c_mktsegment AS seg,
+             strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS dt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS val
+           FROM orders JOIN customer ON c_custkey = o_custkey
+           GROUP BY 1, 2)
+         SELECT a.seg AS seg, a.dt AS dt,
+           CAST(a.val AS DECIMAL(38,2)) AS value,
+           CAST(a.val - mom.val AS DECIMAL(38,3)) AS delta_mom,
+           CAST(a.val - ytd.val AS DECIMAL(38,3)) AS delta_ytd,
+           CAST(a.val - yoy.val AS DECIMAL(38,3)) AS delta_yoy
+         FROM m a
+         LEFT JOIN m mom ON mom.seg = a.seg AND mom.dt =
+           strftime(last_day(CAST(a.dt AS DATE) - INTERVAL 1 MONTH),
+                    '%Y-%m-%d')
+         LEFT JOIN m ytd ON ytd.seg = a.seg AND ytd.dt =
+           strftime(last_day(date_trunc('year', CAST(a.dt AS DATE))
+                    - INTERVAL 1 MONTH), '%Y-%m-%d')
+         LEFT JOIN m yoy ON yoy.seg = a.seg AND yoy.dt =
+           strftime(last_day(CAST(a.dt AS DATE) - INTERVAL 12 MONTH),
+                    '%Y-%m-%d')
+         ORDER BY a.seg, a.dt""",
+    "union_multigrain" ->
+      """SELECT 'nation' AS grain, n_name AS name, count(*) AS cnt
+         FROM customer JOIN nation ON n_nationkey = c_nationkey
+         GROUP BY n_name
+         UNION ALL
+         SELECT 'region' AS grain, r_name AS name, count(*) AS cnt
+         FROM customer JOIN nation ON n_nationkey = c_nationkey
+         JOIN region ON r_regionkey = n_regionkey
+         GROUP BY r_name
+         ORDER BY grain, name""",
+    "limit_top_n" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "date_functions" ->
+      """SELECT o_orderkey, strftime(d, '%Y-%m-%d') AS dt,
+         strftime(last_day(d - INTERVAL 1 MONTH), '%Y-%m-%d')
+           AS prev_last_day,
+         strftime(last_day(date_trunc('year', d) - INTERVAL 1 MONTH),
+                  '%Y-%m-%d') AS prev_last_month,
+         strftime(last_day(d - INTERVAL 12 MONTH), '%Y-%m-%d')
+           AS prev_same_month,
+         substr(strftime(d, '%Y-%m-%d'), 1, 4) AS yr,
+         strftime(d + INTERVAL 1 DAY, '%Y-%m-%d') AS next_dt
+         FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders)
+         ORDER BY o_orderkey""",
+    "bookkeeping_next_dt" ->
+      """SELECT min(dt) AS mn_dt, max(dt) AS mx_dt, count(*) AS cnt,
+         strftime(CAST(max(dt) AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d')
+           AS next_dt
+         FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt
+               FROM orders)""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+           AS DECIMAL(38,2)) AS sum_base,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           CAST(1 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4))
+           AS sum_disc_price,
+         count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "events_windowed_agg" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         event_type, count(*) AS cnt,
+         CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(38,3))
+           AS sum_val
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
+  )
+}

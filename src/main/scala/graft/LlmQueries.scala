@@ -1,0 +1,367 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.trgx.Trgx
+
+/** LLM training-data pipeline probes (builder-brief north star):
+  * dedup / similarity search / text analysis / multimodal plumbing,
+  * plus the trgx tree queries. Dedup corpora are the documents table
+  * unioned with an id-shifted copy so duplicate machinery provably finds
+  * non-empty, oracle-checkable pairs at every scale factor.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** documents ∪ exact copy with doc_id + 1,000,000. */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+                           col("text")))
+  }
+
+  /** SQL twin of dupCorpus. */
+  private val dupCorpusSql =
+    """SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 1000000, text FROM documents"""
+
+  /** embeddings ∪ exact copy with vec_id + 100,000. */
+  private def dupVectors(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    e.unionByName(e.select((col("vec_id") + 100000L).as("vec_id"),
+                           col("embedding")))
+  }
+
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** word-3-shingle CTE over a (doc_id, text) relation named u. */
+  private val shingleCte =
+    s"""w AS (SELECT doc_id AS id, $normSql AS norm,
+           string_split($normSql, ' ') AS ws FROM u),
+       s AS (SELECT id, unnest(CASE WHEN len(ws) >= 3
+             THEN list_transform(range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             ELSE [norm] END) AS g FROM w),
+       sd AS (SELECT DISTINCT id, g FROM s)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: hash-groupBy on content fingerprint
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDupPairs(dupCorpus(s, dir), "text", "doc_id")
+        .orderBy("id1", "id2")),
+
+    // exact dedup group stats (canonical id + dup count per content)
+    "dedup_exact_groups" -> ((s, dir) =>
+      Dedup.exactDedup(dupCorpus(s, dir), "text", "doc_id")
+        .select("fp", "canonical_id", "dup_count")
+        .orderBy("canonical_id")),
+
+    // MinHash-LSH banded near-dup (threshold 1.0 ⇒ exact recall ⇒
+    // oracle = identical distinct-shingle sets)
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashDedupPairs(dupCorpus(s, dir), "text", "doc_id",
+          threshold = 1.0, numHashes = 32, bands = 8)
+        .orderBy("id1", "id2")),
+
+    // SimHash near-dup (hash-function-dependent → rows-only check)
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashDedupPairs(dupCorpus(s, dir), "text", "doc_id",
+          maxHamming = 3)
+        .orderBy("id1", "id2")),
+
+    // n-gram Jaccard similarity over adjacent doc pairs
+    "ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val a = d.alias("a"); val b = d.alias("b")
+      a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          round(Dedup.ngramJaccard(col("a.text"), col("b.text")), 6)
+            .as("jaccard"))
+        .orderBy("id1")
+    }),
+
+    // embedding near-dup via random-hyperplane LSH + cosine verify
+    "embedding_dedup" -> ((s, dir) =>
+      Dedup.embeddingDedupPairs(dupVectors(s, dir), "embedding", "vec_id",
+          threshold = 0.95, planes = 16)
+        .orderBy("id1", "id2")),
+
+    // brute-force cosine top-k ANN baseline
+    "embedding_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+          "embedding", "vec_id", 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-bucketed approximate ANN (scale path; approximate → rows-only)
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+          "embedding", "vec_id", 10, nCells = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // language-ID heuristic (stopword argmax + CJK short-circuit)
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
+        .orderBy("doc_id")),
+
+    // quality scoring: length/punct/stopword signals
+    "text_quality" -> ((s, dir) => {
+      val c = col("text")
+      val en = TextAnalysis.langStopwords.toMap.apply("en")
+      t(s, dir, "documents").select(col("doc_id"),
+        length(c).as("n_chars_calc"),
+        TextAnalysis.tokenCountWs(c).as("tok_ws"),
+        TextAnalysis.tokenCountBpe(c).as("tok_bpe"),
+        TextAnalysis.punctCount(c).as("punct_cnt"),
+        round(TextAnalysis.stopwordRatio(c, en), 6).as("sw_ratio"),
+        TextAnalysis.qualityScore(c).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // document fingerprinting: content md5 + rolling min-shingle hash
+    "doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
+        .orderBy("doc_id")),
+
+    // multimodal: binary payload column + batched decode-stub features
+    "multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"),
+        "doc_id", "text")
+      Multimodal.extractFeatures(media)
+        .select("media_id", "n_bytes", "width", "height")
+        .orderBy("media_id")
+    }),
+
+    // multimodal: deterministic frame sampling plumbing
+    "multimodal_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"),
+        "doc_id", "text")
+      Multimodal.sampleFrames(media, stride = 10)
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // trgx tree: build per-customer order tree, serialize, round-trip,
+    // report structural stats (codec + ops; not SQL-expressible)
+    "trgx_tree_ops" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), date_format(col("o_orderdate"),
+            "yyyy-MM-dd").as("dt"), col("o_orderkey").cast("string"),
+          col("o_totalprice").cast("decimal(18,2)").cast("string")
+            .as("price"))
+        .as[(Long, String, String, String)]
+      o.groupByKey(_._1)
+        .mapGroups { (ck, rows) =>
+          val tree = rows.foldLeft(Map.empty: Trgx.Tree) {
+            case (acc, (_, dt, okey, price)) =>
+              Trgx.assocIn(acc, Seq(dt, okey), Map("price" -> price))
+          }
+          val json = Trgx.toJson(tree)
+          val back = Trgx.fromJson(json)           // codec round-trip
+          val paths = Trgx.pathSeq(back)
+          val takeLast1 = Trgx.toJson(Trgx.takeLast(back, 1))
+          (ck, json.length, Trgx.depth(back), paths.size, takeLast1.length)
+        }
+        .toDF("custkey", "json_len", "depth", "n_paths", "takelast_len")
+        .orderBy("custkey")
+    }),
+
+    // trgx shift-cut: windowed feature extraction over the order tree
+    "trgx_shift_cut" -> ((s, dir) => {
+      import s.implicits._
+      val asOf = t(s, dir, "orders")
+        .agg(max(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+        .first().getString(0)
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), date_format(col("o_orderdate"),
+            "yyyy-MM-dd").as("dt"), col("o_orderkey").cast("string"),
+          col("o_totalprice").cast("decimal(18,2)").cast("string")
+            .as("price"))
+        .as[(Long, String, String, String)]
+      o.groupByKey(_._1)
+        .flatMapGroups { (ck, rows) =>
+          val tree = rows.foldLeft(Map.empty: Trgx.Tree) {
+            case (acc, (_, dt, okey, price)) =>
+              Trgx.assocIn(acc, Seq(dt, okey), Map("price" -> price))
+          }
+          Trgx.shiftCut(tree, asOf, 365, 3).iterator.flatMap {
+            case (w, sums) => sums.get("price").map { v =>
+              (ck, w, BigDecimal(v).setScale(2,
+                BigDecimal.RoundingMode.HALF_UP).toString)
+            }
+          }
+        }
+        .toDF("custkey", "w", "price_sum")
+        .orderBy("custkey", "w")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH u AS ($dupCorpusSql),
+         n AS (SELECT doc_id, $normSql AS norm FROM u)
+         SELECT a.doc_id AS id1, b.doc_id AS id2
+         FROM n a JOIN n b ON a.norm = b.norm AND a.doc_id < b.doc_id
+         ORDER BY id1, id2""",
+    "dedup_exact_groups" ->
+      s"""WITH u AS ($dupCorpusSql),
+         n AS (SELECT doc_id, md5($normSql) AS fp FROM u)
+         SELECT fp, min(doc_id) AS canonical_id, count(*) AS dup_count
+         FROM n GROUP BY fp ORDER BY canonical_id""",
+    "dedup_minhash" ->
+      s"""WITH u AS ($dupCorpusSql),
+         $shingleCte,
+         canon AS (SELECT id, string_agg(g, chr(1) ORDER BY g) AS cs
+                   FROM sd GROUP BY id)
+         SELECT a.id AS id1, b.id AS id2, CAST(1.0 AS DOUBLE) AS jaccard
+         FROM canon a JOIN canon b ON a.cs = b.cs AND a.id < b.id
+         ORDER BY id1, id2""",
+    "ngram_jaccard" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents),
+         $shingleCte,
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+                   FROM documents a JOIN documents b
+                   ON b.doc_id = a.doc_id + 1),
+         inter AS (SELECT p.id1, p.id2, count(*) AS n
+                   FROM pairs p
+                   JOIN sd x ON x.id = p.id1
+                   JOIN sd y ON y.id = p.id2 AND y.g = x.g
+                   GROUP BY p.id1, p.id2),
+         sizes AS (SELECT id, count(*) AS n FROM sd GROUP BY id)
+         SELECT p.id1 AS id1, p.id2 AS id2,
+           round(CAST(coalesce(i.n, 0) AS DOUBLE) /
+                 (sa.n + sb.n - coalesce(i.n, 0)), 6) AS jaccard
+         FROM pairs p
+         LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+         JOIN sizes sa ON sa.id = p.id1
+         JOIN sizes sb ON sb.id = p.id2
+         ORDER BY p.id1""",
+    "embedding_dedup" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT vec_id + 100000, embedding FROM embeddings)
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(CAST(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             AS DOUBLE), 6) AS cos
+         FROM u a JOIN u b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])) >= 0.95
+         ORDER BY id1, id2""",
+    "embedding_cosine_topk" ->
+      """SELECT query_id, corpus_id, rank, cos FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                 CAST(c.embedding AS DOUBLE[]),
+                 CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS INT)
+               AS rank,
+             round(CAST(list_cosine_similarity(
+               CAST(c.embedding AS DOUBLE[]),
+               CAST(q.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cos
+           FROM embeddings c, embeddings q
+           WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "text_langid" -> {
+      val langs = TextAnalysis.langStopwords
+      val counts = langs.map { case (lang, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        s"count(CASE WHEN tok IN ($inList) THEN 1 END) AS c_$lang"
+      }.mkString(", ")
+      val langCodes = langs.map(_._1)
+      val argmax = langCodes.map { l =>
+        val geAll = langCodes.map(o => s"c_$l >= c_$o").mkString(" AND ")
+        s"WHEN $geAll AND c_$l > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH toks AS (SELECT doc_id,
+             unnest(string_split($normSql, ' ')) AS tok FROM documents),
+         cnt AS (SELECT doc_id, $counts FROM toks GROUP BY doc_id),
+         cjk AS (SELECT doc_id,
+             regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+           FROM documents)
+         SELECT d.doc_id,
+           CASE WHEN cjk.has_cjk THEN 'zh' $argmax ELSE 'und' END
+             AS lang_id
+         FROM documents d
+         JOIN cnt ON cnt.doc_id = d.doc_id
+         JOIN cjk ON cjk.doc_id = d.doc_id
+         ORDER BY d.doc_id"""
+    },
+    "text_quality" -> {
+      val en = TextAnalysis.langStopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, text,
+             CAST(length(text) AS INT) AS n_chars_calc,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS INT) AS tok_ws,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS tok_bpe,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+               AS INT) AS punct_cnt,
+             len(list_filter(string_split($normSql, ' '),
+               t -> t IN ($en))) AS sw_cnt
+           FROM documents)
+         SELECT doc_id, n_chars_calc, tok_ws, tok_bpe, punct_cnt,
+           round(CASE WHEN tok_ws = 0 THEN 0.0
+                 ELSE CAST(sw_cnt AS DOUBLE) / tok_ws END, 6)
+             AS sw_ratio,
+           round((least(CAST(n_chars_calc AS DOUBLE) / 500.0, 1.0)
+             + greatest(0.0, 1.0 - (CASE WHEN n_chars_calc = 0 THEN 0.0
+                 ELSE CAST(punct_cnt AS DOUBLE) / n_chars_calc END) * 5.0)
+             + least((CASE WHEN tok_ws = 0 THEN 0.0
+                 ELSE CAST(sw_cnt AS DOUBLE) / tok_ws END) * 4.0, 1.0))
+             / 3.0, 6) AS quality
+         FROM base ORDER BY doc_id"""
+    },
+    "doc_fingerprint" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents),
+         $shingleCte
+         SELECT d.doc_id, md5($normSql) AS fp, mn.rolling_fp
+         FROM documents d
+         JOIN (SELECT id, min(md5(g)) AS rolling_fp FROM sd GROUP BY id)
+           mn ON mn.id = d.doc_id
+         ORDER BY d.doc_id""",
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+         CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+         CAST(64 + (ascii(substr(text, 1, 1)) % 64) * 16 AS INT)
+           AS width,
+         CAST(64 + (ascii(substr(text, length(text), 1)) % 64) * 16
+           AS INT) AS height
+         FROM documents ORDER BY media_id""",
+    "multimodal_frame_sample" ->
+      """SELECT doc_id AS media_id,
+         CAST(unnest(range(0, CAST(floor(octet_length(CAST(text AS BLOB))
+           / 16) AS INT) + 1, 10)) AS INT) AS frame_idx,
+         CAST(floor(octet_length(CAST(text AS BLOB)) / 16) + 1 AS INT)
+           AS n_frames
+         FROM documents ORDER BY media_id, frame_idx""",
+    "trgx_shift_cut" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS asof
+           FROM orders),
+         d AS (SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE)
+             AS dt, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders),
+         w AS (SELECT unnest([0, 1, 2]) AS w)
+         SELECT custkey, CAST(w.w AS INT) AS w,
+           CAST(CAST(sum(p) AS DECIMAL(38,2)) AS VARCHAR) AS price_sum
+         FROM d CROSS JOIN w CROSS JOIN mx
+         WHERE dt <= mx.asof - to_days(CAST(w.w * 365 AS INT))
+           AND dt >= mx.asof - to_days(CAST(w.w * 365 + 364 AS INT))
+         GROUP BY custkey, w.w
+         ORDER BY custkey, w"""
+  )
+}

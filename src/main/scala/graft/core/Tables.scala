@@ -13,7 +13,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   /** Read one named table from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read nanos as long and convert to microsecond
+    * timestamps (day/second-grain queries are unaffected). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

@@ -89,7 +89,10 @@ object Relational {
   def surrogateKeys(df: DataFrame, idCol: String, orderCol: String,
                     maxExisting: Long, partitionCol: Column,
                     nPartitions: Int): DataFrame = {
-    val w = Window.partitionBy(partitionCol).orderBy(col(orderCol))
+    // rank only among rows missing an id — the reference's counter
+    // advances per *new* row (trgx.clj:181-186)
+    val w = Window.partitionBy(partitionCol, col(idCol).isNull)
+      .orderBy(col(orderCol))
     df.withColumn("__prt", partitionCol)
       .withColumn("__rk", row_number().over(w))
       .withColumn(idCol,
