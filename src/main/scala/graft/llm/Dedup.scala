@@ -37,13 +37,15 @@ object Dedup {
   }
 
   /** MinHash signature: array of `numHashes` minima of per-seed xxhash64
-    * over the document's word-3-shingles. Pure Catalyst HOFs. */
-  def minHashSignature(textCol: Column, numHashes: Int): Column = {
-    val sh = wordShingles(textCol)
+    * over an already-materialized shingle array column. Pure Catalyst
+    * HOFs. NOTE: pass an *attribute* (a staged column), not a derived
+    * expression — the signature references it `numHashes` times, and a
+    * non-attribute operand would be duplicated into the plan that many
+    * times (quadratic Catalyst blowup). */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
     }: _*)
-  }
 
   /** MinHash-LSH near-dup pairs.
     *
@@ -61,10 +63,12 @@ object Dedup {
                         bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val base = df.select(
-      col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol))).as("shingles"),
-      minHashSignature(col(textCol), numHashes).as("sig"))
+    // stage each derived column so downstream expressions reference
+    // attributes, not duplicated subtrees
+    val base = df
+      .select(col(idCol).as("id"),
+              array_distinct(wordShingles(col(textCol))).as("shingles"))
+      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
     val banded = base.select(
       col("id"), col("shingles"),
       explode(array((0 until bands).map { j =>
@@ -157,18 +161,20 @@ object Dedup {
   def embeddingDedupPairs(df: DataFrame, vecCol: String, idCol: String,
                           threshold: Double = 0.95,
                           planes: Int = 16): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val sigBits = (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(v, transform(sequence(lit(0), size(col(vecCol)) - 1),
-          d => when(xxhash64(lit(p), d) % 2 === 0, lit(1.0))
-                 .otherwise(lit(-1.0))),
-          (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
+    // deterministic Rademacher hyperplanes, materialized driver-side as
+    // literals (they are row-independent; recomputing them per row via
+    // hash expressions bloats the plan and the inner loop)
+    val dims = df.select(size(col(vecCol))).first().getInt(0)
+    val planeLits = Similarity.rademacherPlanes(planes, dims)
+      .map(p => typedlit(p))
+    val staged = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val sigBits = planeLits.map { w =>
+      val dot = aggregate(zip_with(col("vec"), w, (x, ww) => x * ww),
+                          lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1)).otherwise(lit(0)).cast("string")
     }
-    val base = df.select(col(idCol).as("id"), v.as("vec"),
-                         concat(sigBits: _*).as("bucket"))
+    val base = staged.withColumn("bucket", concat(sigBits: _*))
     val a = base.alias("a"); val b = base.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))

@@ -26,6 +26,17 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Deterministic Rademacher (±1) hyperplanes from xxhash64-style
+    * mixing — row-independent, so callers embed them as literals. */
+  def rademacherPlanes(planes: Int, dims: Int): Seq[Seq[Double]] =
+    (0 until planes).map { p =>
+      (0 until dims).map { d =>
+        val h = scala.util.hashing.MurmurHash3
+          .productHash((p, d))
+        if ((h & 1) == 0) 1.0 else -1.0
+      }
+    }
+
   /** Exact brute-force top-k: for each query vector, the k most cosine-
     * similar corpus vectors (self-match excluded). Queries are broadcast;
     * ranking is a window partitioned by query id (k small, queries few —
@@ -48,20 +59,15 @@ object Similarity {
               round(col("cos"), 4).as("cos"))
   }
 
-  /** Deterministic pseudo-random unit-ish centroid for IVF cells:
-    * Rademacher ±1 per (cell, dim) from xxhash64. */
-  private def centroid(cell: Int, dims: Column): Column =
-    transform(sequence(lit(0), dims - 1), d =>
-      when(xxhash64(lit(cell * 7919), d) % 2 === 0, lit(1.0))
-        .otherwise(lit(-1.0)))
-
-  /** IVF cell assignment: nearest centroid by dot product. */
-  def ivfCell(vec: Column, nCells: Int): Column = {
-    val v = asDouble(vec)
-    val dots = (0 until nCells).map { c =>
-      struct(aggregate(zip_with(v, centroid(c, size(vec)), (x, w) => x * w),
+  /** IVF cell assignment: nearest coarse centroid by dot product.
+    * `vec` must be a staged array<double> attribute; centroids are
+    * deterministic Rademacher literals. */
+  def ivfCell(vec: Column, nCells: Int, dims: Int): Column = {
+    val cents = rademacherPlanes(nCells, dims)
+    val dots = cents.zipWithIndex.map { case (c, i) =>
+      struct(aggregate(zip_with(vec, typedlit(c), (x, w) => x * w),
                        lit(0.0), (s, x) => s + x).as("dot"),
-             lit(c).as("cell"))
+             lit(i).as("cell"))
     }
     array_max(array(dots: _*)).getField("cell")
   }
@@ -71,12 +77,13 @@ object Similarity {
     * depends on cell granularity; exactness is NOT claimed. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, nCells: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"),
-                          asDouble(col(vecCol)).as("cvec"),
-                          ivfCell(col(vecCol), nCells).as("cell"))
-    val q = queries.select(col(idCol).as("query_id"),
-                           asDouble(col(vecCol)).as("qvec"),
-                           ivfCell(col(vecCol), nCells).as("cell"))
+    val dims = corpus.select(size(col(vecCol))).first().getInt(0)
+    val c = corpus
+      .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cell", ivfCell(col("cvec"), nCells, dims))
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("cell", ivfCell(col("qvec"), nCells, dims))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agg.Aggregators
+
+class AggregatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("collectKv folds (k,v) into a map per group (trgx.clj:45)") {
+    val df = Seq(("g1", "2016-01-31", "10"), ("g1", "2016-02-29", "20"),
+                 ("g2", "2016-01-31", "5"))
+      .toDF("g", "dt", "v")
+    val out = df.groupBy("g")
+      .agg(Aggregators.collectKv($"dt", $"v").as("m"))
+      .as[(String, Map[String, String])].collect().toMap
+    assert(out("g1") == Map("2016-01-31" -> "10", "2016-02-29" -> "20"))
+    assert(out("g2") == Map("2016-01-31" -> "5"))
+  }
+
+  test("collectKvs builds a sorted multimap (mlin clj:42)") {
+    val df = Seq(("g", "k1", "b"), ("g", "k1", "a"), ("g", "k1", "a"),
+                 ("g", "k2", "z")).toDF("g", "k", "v")
+    val out = df.groupBy("g")
+      .agg(Aggregators.collectKvs($"k", $"v").as("m"))
+      .as[(String, Map[String, Seq[String]])].head()._2
+    assert(out == Map("k1" -> Seq("a", "b"), "k2" -> Seq("z")))
+  }
+
+  test("trDimensionMetrics emits canonical nested pair-tree JSON") {
+    val df = Seq(("s", Seq("d1", "x"), Map("m" -> "1")),
+                 ("s", Seq("d1", "y"), Map("m" -> "2", "n" -> "3")),
+                 ("s", Seq("d0", "x"), Map("m" -> "9")))
+      .toDF("sel", "dims", "metrics")
+    val out = df.groupBy("sel")
+      .agg(Aggregators.trDimensionMetrics($"dims", $"metrics").as("j"))
+      .as[(String, String)].head()._2
+    assert(out ==
+      """{"d0":{"x":["m=9"]},"d1":{"x":["m=1"],"y":["m=2","n=3"]}}""")
+  }
+
+  test("strMax/strMin skip the null sentinel (trgx.clj:63-69)") {
+    val df = Seq(("g", "b"), ("g", "null"), ("g", "a"), ("g", "NULL"))
+      .toDF("g", "v")
+    val out = df.groupBy("g")
+      .agg(Aggregators.strMax($"v"), Aggregators.strMin($"v"))
+      .as[(String, String, String)].head()
+    assert((out._2, out._3) == ("b", "a"))
+  }
+
+  test("mapSetUnion merges map-of-set columns (merge-with union)") {
+    val df = Seq((Map("a" -> Seq("1"), "b" -> Seq("2")),
+                  Map("a" -> Seq("3", "1"), "c" -> Seq("4"))))
+      .toDF("m1", "m2")
+    val out = df.select(Aggregators.mapSetUnion($"m1", $"m2"))
+      .as[Map[String, Seq[String]]].head()
+    assert(out == Map("a" -> Seq("1", "3"), "b" -> Seq("2"),
+                      "c" -> Seq("4")))
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke coverage of the driver contract: flagship entry plus a sample
+  * of registered queries against the sf0.001 tables. (Full oracle
+  * verification runs via graft.Verify + the driver's DuckDB compare.) */
+class EntrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("flagship entry returns report rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq == Seq("seg", "report"))
+    assert(df.count() > 0)
+  }
+
+  test("every registered query has distinct output column names") {
+    // duplicate column names would break the driver's column-sorted hash
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val cols = fn(spark, dir).columns.toSeq
+      assert(cols.distinct.size == cols.size,
+        s"$name has duplicate columns: $cols")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracles without queries: $extra")
+  }
+
+  test("sample queries return rows at sf0.001") {
+    Seq("q1_agg", "sliding_scores", "report_shape", "dedup_minhash",
+        "embedding_cosine_topk", "row_num_surrogate").foreach { q =>
+      assert(SparkEntry.queries(q)(spark, dir).count() > 0, q)
+    }
+  }
+}

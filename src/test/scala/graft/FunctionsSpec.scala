@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Functions._
+import graft.functions.JsonShape
+
+/** Unit tests for the scalar library, mirroring the reference's inline
+  * REPL fixtures (reference trgx.clj:251-263,
+  * model/d_bolome_order_show_debut.clj:101-109). */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("convertNull maps the null sentinel, keeps other values") {
+    val out = Seq("null", "NULL", "x", null)
+      .toDF("c").select(convertNull($"c")).as[String].collect()
+    assert(out.toSeq == Seq(null, null, "x", null))
+  }
+
+  test("cif/nvl2/cor mirror d_bolome_order_show_debut.clj:101-109") {
+    // reference fixture: [[-1 "aa"] [1 "bb"]] through nvl2-style branch
+    val out = Seq((-1, "aa"), (1, "bb")).toDF("n", "s")
+      .select(cif($"n" > 0, $"s", lit("neg")).as("c"),
+              graft.functions.Functions.nvl2($"s", lit("nn"),
+                lit("isnull")).as("v"),
+              cor(lit(null).cast("string"), $"s").as("o"))
+      .as[(String, String, String)].collect().toSeq
+    assert(out == Seq(("neg", "nn", "aa"), ("bb", "nn", "bb")))
+  }
+
+  test("orTuple pairwise coalesce (trgx.clj:21 fixture)") {
+    val df = Seq((Option.empty[String], Some("b"), Some("c"),
+                  Option.empty[String])).toDF("a1", "b1", "a2", "b2")
+    val m = orTuple($"a1" -> $"b1", $"a2" -> $"b2")
+    val Row(x: String, y: String) = df.select(m: _*).head
+    assert((x, y) == ("b", "c"))
+  }
+
+  test("mark and compareMark flag encoders") {
+    val df = Seq(("O", 5), ("F", 10)).toDF("s", "n")
+    val ms = mark($"s", Seq("O", "F", "P"))
+    val cm = compareMark($"n", lit(7))
+    val rows = df.select((ms ++ cm).map(_.cast("int")): _*)
+      .collect().map(_.toSeq).toSeq
+    assert(rows == Seq(Seq(1, 0, 0, 1, 0, 0), Seq(0, 1, 0, 0, 0, 1)))
+  }
+
+  test("pad right-pads but never truncates (trgx.clj:251-263 fixture)") {
+    val df = Seq(Seq("a"), Seq("a", "b", "c", "d")).toDF("xs")
+    val out = df.select(pad($"xs", 3, lit("z"))).as[Seq[String]]
+      .collect().toSeq
+    assert(out == Seq(Seq("a", "z", "z"), Seq("a", "b", "c", "d")))
+  }
+
+  test("date library: prev-last-day / prev-last-month / prev-same-month") {
+    val df = Seq("2016-03-31", "2016-01-15").toDF("dt")
+    val out = df.select(prevLastDay($"dt"), prevLastMonth($"dt"),
+        prevSameMonth($"dt"))
+      .as[(String, String, String)].collect().toSeq
+    assert(out == Seq(
+      ("2016-02-29", "2015-12-31", "2015-03-31"),
+      ("2015-12-31", "2015-12-31", "2015-01-31")))
+  }
+
+  test("mkMonthDts generates month-ends within the range") {
+    val out = spark.range(1)
+      .select(mkMonthDts(lit("2016-01-31"), lit("2016-04-15")))
+      .as[Seq[String]].head()
+    assert(out == Seq("2016-01-31", "2016-02-29", "2016-03-31"))
+  }
+
+  test("mapToCanonicalString sorts keys") {
+    val out = spark.range(1)
+      .select(mapToCanonicalString(
+        map(lit("b"), lit("2"), lit("a"), lit("1"))))
+      .as[String].head()
+    assert(out == "a=1,b=2")
+  }
+
+  test("pairTreeToJson collapses leaf pairs to k=v strings") {
+    import JsonShape._
+    val t = Branch("d1" -> Branch("d2" -> Leaf("m" -> "1", "a" -> "2")))
+    assert(pairTreeToJson(t) == """{"d1":{"d2":["a=2","m=1"]}}""")
+  }
+
+  test("fromRows builds sorted nested tree, last write wins") {
+    import JsonShape._
+    val t = fromRows(Seq(
+      (Seq("b"), Seq("m" -> "1")),
+      (Seq("a"), Seq("m" -> "2")),
+      (Seq("a"), Seq("m" -> "3"))))
+    assert(pairTreeToJson(t) == """{"a":["m=3"],"b":["m=1"]}""")
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river"),
+    (3L, "the quick brown fox jumps over the lazy cat near the river"),
+    (4L, "completely different content about spark query engines today"),
+    (5L, "an unrelated short text"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup groups identical normalized content") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+      .filter($"dup_count" > 1)
+      .select($"canonical_id", $"dup_count").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minHashDedupPairs finds near-dups via banded LSH, not all-pairs") {
+    val pairs = Dedup.minHashDedupPairs(docs, "text", "doc_id",
+        threshold = 0.5, numHashes = 32, bands = 16)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))  // exact dup: certain recall
+    assert(pairs.contains((1L, 3L)))  // 1-word edit: high jaccard
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simHash near-identical texts within small hamming distance") {
+    val pairs = Dedup.simHashDedupPairs(docs, "text", "doc_id",
+        maxHamming = 8)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngramJaccard: identical=1, disjoint=0") {
+    val out = docs.alias("a").join(docs.alias("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.ngramJaccard(col("a.text"), col("b.text")).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 4L)) == 0.0)
+    assert(out((1L, 3L)) > 0.5 && out((1L, 3L)) < 1.0)
+  }
+
+  test("cosine and bruteForceTopK rank by similarity") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs,
+        vecs.filter($"vec_id" === 0), "embedding", "vec_id", 2)
+      .select($"corpus_id", $"rank").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 1, 2L -> 2))
+  }
+
+  test("embeddingDedupPairs finds exact-copy vectors through LSH") {
+    val vecs = Seq(
+      (0L, Array.tabulate(8)(i => i.toFloat + 1)),
+      (1L, Array.tabulate(8)(i => i.toFloat + 1)),   // copy of 0
+      (2L, Array.tabulate(8)(i => -(i.toFloat) - 1)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDedupPairs(vecs, "embedding", "vec_id",
+        threshold = 0.99, planes = 8)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      "the cat and the dog is in the house",
+      "der Hund und die Katze ist nicht ein Tier",
+      "el perro y la casa de un gato en la calle",
+      "qzx wvu ploki").toDF("text")
+    val out = df.select(TextAnalysis.langId($"text")).as[String]
+      .collect().toSeq
+    assert(out == Seq("en", "de", "es", "und"))
+  }
+
+  test("token counts and quality score are deterministic") {
+    val df = Seq("The quick fox! It runs.").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCountWs($"text"),
+      TextAnalysis.tokenCountBpe($"text"),
+      TextAnalysis.punctCount($"text"),
+      TextAnalysis.qualityScore($"text"))
+      .as[(Int, Int, Int, Double)].head()
+    assert(r._1 == 5)       // 5 whitespace tokens
+    assert(r._2 == 7)       // 5 words + '!' + '.'
+    assert(r._3 == 2)
+    assert(r._4 > 0 && r._4 <= 1.0)
+  }
+
+  test("fingerprints: md5 stable, rolling fp survives small append") {
+    val df = Seq(
+      ("a", "one two three four five six seven eight nine ten"),
+      ("b", "one two three four five six seven eight nine ten extra"))
+      .toDF("id", "text")
+    val fps = df.select($"id", TextAnalysis.fingerprint($"text"),
+        TextAnalysis.rollingFingerprint($"text"))
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(fps("a")._1 != fps("b")._1)   // md5 differs
+    // min-shingle sketch usually unchanged by a 1-word append
+    assert(fps("a")._2 == fps("b")._2)
+  }
+
+  test("multimodal: batched decode stub yields deterministic features") {
+    val media = Multimodal.asMediaTable(
+      Seq((7L, "hello world")).toDF("doc_id", "text"), "doc_id", "text")
+    val r = Multimodal.extractFeatures(media, batchSize = 2)
+      .as[(Long, Int, Int, Int, Double)].head()
+    assert(r._1 == 7L && r._2 == 11)
+    assert(r._3 == 64 + ('h'.toInt % 64) * 16)
+    assert(r._4 == 64 + ('d'.toInt % 64) * 16)
+  }
+
+  test("ivfTopK searches only the query's cell (approximate)") {
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" < 2),
+        "embedding", "vec_id", 3)
+    assert(out.count() > 0)
+  }
+}

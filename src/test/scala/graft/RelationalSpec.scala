@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fullOuterMerge: stg wins when present, ods preserved otherwise") {
+    val stg = Seq((1, "a1"), (2, "a2")).toDF("k", "v")
+    val ods = Seq((2, "b2"), (3, "b3")).toDF("k", "v")
+    val out = Relational.fullOuterMerge(stg, ods, Seq("k"), Seq("v"))
+      .as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "a1", 2 -> "a2", 3 -> "b3"))
+  }
+
+  test("dimLookup keeps unmatched fact rows (left outer, !!var)") {
+    val fact = Seq((1, "x"), (2, "y")).toDF("k", "f")
+    val dim = Seq((1, "d1")).toDF("k", "d")
+    val out = Relational.dimLookup(fact, dim, Seq("k"))
+      .as[(Int, String, Option[String])].collect()
+    assert(out.map(_._1).toSet == Set(1, 2))
+    assert(out.find(_._1 == 2).get._3.isEmpty)
+  }
+
+  test("slidingScores computes mom/ytd/yoy deltas via map lookup") {
+    val m = Seq(
+      ("g", "2016-01-31", "100.00"), ("g", "2016-02-29", "130.00"),
+      ("g", "2015-12-31", "90.00"), ("g", "2015-02-28", "80.00"))
+      .toDF("g", "dt", "v")
+    val out = Relational.slidingScores(m, Seq("g"), "dt", "v",
+        "2015-02-28", "2016-02-29")
+      .select($"dt", $"delta_mom".cast("string"),
+              $"delta_ytd".cast("string"), $"delta_yoy".cast("string"))
+      .as[(String, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 2016-02-29: mom vs 2016-01-31 (+30), ytd vs 2015-12-31 (+40),
+    // yoy vs 2015-02-28... 2015-02-28 is the Feb-2015 month end (+50)
+    assert(out("2016-02-29") == (("30.000", "40.000", "50.000")))
+    // 2016-01-31: mom vs 2015-12-31 (+10); yoy 2015-01-31 missing → null
+    assert(out("2016-01-31")._1 == "10.000")
+    assert(out("2016-01-31")._3 == null)
+  }
+
+  test("surrogateKeys keeps existing ids, continues from max") {
+    val df = Seq((10L, Some(10L)), (11L, None), (12L, Some(3L)),
+                 (13L, None))
+      .toDF("k", "dw_id")
+    val out = Relational.surrogateKeys(df, "dw_id", "k", 10L, lit(0), 1)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(10L -> 10L, 11L -> 11L, 12L -> 3L, 13L -> 12L))
+  }
+
+  test("surrogateKeysDistributed: dense ids, no single-partition funnel") {
+    val df = spark.range(0, 1000, 1, 8)
+      .select($"id".as("k"),
+        when($"id" % 3 === 0, $"id" + 5000).cast("long").as("dw_id"))
+    val out = Relational.surrogateKeysDistributed(df, "dw_id", 9000L)
+    val ids = out.select("dw_id").as[Long].collect()
+    assert(ids.distinct.length == 1000)          // unique
+    val newIds = ids.filter(_ > 9000).sorted     // dense from max+1
+    assert(newIds.head == 9001L &&
+      newIds.last == 9000L + newIds.length)
+  }
+
+  test("reportShape groups dimension metrics under selectors") {
+    val df = Seq(("s1", "d1", 10L), ("s1", "d2", 20L), ("s2", "d1", 5L))
+      .toDF("sel", "dim", "m")
+    val out = Relational.reportShape(df, Seq("sel"), Seq("dim"),
+        Seq("cnt" -> col("m")))
+      .as[(String, String)].collect().toMap
+    assert(out("s1") == """{"d1":["cnt=10"],"d2":["cnt=20"]}""")
+    assert(out("s2") == """{"d1":["cnt=5"]}""")
+  }
+}

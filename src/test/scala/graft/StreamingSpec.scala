@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("windowedCounts over AvailableNow micro-batch matches batch agg") {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream_in").toString
+    val batch = Seq(
+      ("2024-01-01 00:10:00", "click", 1.0),
+      ("2024-01-01 00:20:00", "click", 2.0),
+      ("2024-01-01 01:05:00", "view", 3.0))
+      .toDF("ts_s", "event_type", "value")
+      .select(to_timestamp($"ts_s").as("ts"), $"event_type", $"value")
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = StreamOps.readTableStream(spark, dir, batch.schema)
+    val agg = StreamOps.windowedCounts(stream, "ts", "event_type",
+      "1 hour", "2 hours")
+    StreamOps.runAvailableNowToMemory(agg, "wc_test")
+
+    val rows = spark.sql(
+      "SELECT event_type, cnt FROM wc_test ORDER BY event_type")
+      .as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("click", 2L), ("view", 1L)))
+  }
+
+  test("etl bookkeeping: reportNextDt resumes from max date") {
+    val df = Seq("2016-01-01", "2016-01-05").toDF("dw_dt")
+    val (start, end) = graft.etl.TableOps.reportNextDt(df, "dw_dt",
+      "2000-01-01", "2016-02-01")
+    assert((start, end) == ("2016-01-06", "2016-02-01"))
+    val empty = Seq.empty[String].toDF("dw_dt")
+    assert(graft.etl.TableOps.reportNextDt(empty, "dw_dt",
+      "2000-01-01", "x")._1 == "2000-01-01")
+  }
+
+  test("etl table lifecycle: create-if / truncate / switch") {
+    val base = "/root/repo/target/graft_tmp/spec_lifecycle"
+    val live = base + "/live"; val shadow = base + "/shadow"
+    val s = spark
+    import graft.etl.TableOps
+    Seq((1, "a")).toDF("k", "v").write.mode("overwrite").parquet(live)
+    Seq((2, "b")).toDF("k", "v").write.mode("overwrite").parquet(shadow)
+    TableOps.switchTab(live, shadow)
+    assert(s.read.parquet(live).as[(Int, String)].head() == ((2, "b")))
+    assert(s.read.parquet(shadow).as[(Int, String)].head() == ((1, "a")))
+    TableOps.truncateTab(s, live)
+    assert(s.read.parquet(live).count() == 0)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.trgx.{Trgx, TrgxNode}
+
+class TrgxSpec extends AnyFunSuite {
+  import Trgx._
+
+  private val tree: Tree = Map(
+    "2016-01-01" -> TrgxNode(Map("d" -> "r"), Map(
+      "o1" -> TrgxNode(Map("price" -> "10.00"), Map.empty),
+      "o2" -> TrgxNode(Map("price" -> "20.00"), Map.empty))),
+    "2016-02-01" -> TrgxNode(Map.empty, Map(
+      "o3" -> TrgxNode(Map("price" -> "5.00"), Map.empty))))
+
+  test("json codec round-trips (json_to_trgx ∘ trgx_to_json = id)") {
+    assert(fromJson(toJson(tree)) == tree)
+  }
+
+  test("codec round-trip holds for seeded random trees (property)") {
+    val rnd = new scala.util.Random(42)
+    def gen(depth: Int): TrgxNode = TrgxNode(
+      data = (0 until rnd.nextInt(3))
+        .map(i => s"k$i" -> rnd.nextInt(100).toString).toMap,
+      children =
+        if (depth == 0) Map.empty
+        else (0 until rnd.nextInt(3))
+          .map(i => s"c${rnd.nextInt(50)}" -> gen(depth - 1)).toMap)
+    (1 to 50).foreach { _ =>
+      val t: Tree = Map("root" -> gen(3))
+      assert(fromJson(toJson(t)) == t, s"round-trip failed for $t")
+    }
+  }
+
+  test("getIn / assocIn (trgx.clj:215-218)") {
+    assert(getIn(tree, Seq("2016-01-01", "o2")).get.data("price")
+      == "20.00")
+    val t2 = assocIn(tree, Seq("2016-03-01", "o9"), Map("price" -> "1"))
+    assert(getIn(t2, Seq("2016-03-01", "o9")).get.data("price") == "1")
+  }
+
+  test("pathSeq lists sorted root-to-leaf paths (trgx.clj:226)") {
+    assert(pathSeq(tree) == Seq(
+      Seq("2016-01-01", "o1"), Seq("2016-01-01", "o2"),
+      Seq("2016-02-01", "o3")))
+  }
+
+  test("depth / take / takeLast (trgx.clj:229-244)") {
+    assert(depth(tree) == 2)
+    assert(depth(take(tree, 1)) == 1)
+    val tl = takeLast(tree, 1)
+    assert(tl.keySet == Set("o1", "o2", "o3"))
+  }
+
+  test("splitAt cuts into (path, subtree) records (trgx.clj:246)") {
+    val parts = splitAt(tree, 1)
+    assert(parts.map(_._1) == Seq(Seq("2016-01-01"), Seq("2016-02-01")))
+    assert(parts.head._2.keySet == Set("o1", "o2"))
+  }
+
+  test("leafTrunc hoists leaf data onto parents (trgx.clj:265)") {
+    val lt = leafTrunc(tree)
+    assert(lt("2016-01-01").children.isEmpty)
+    // last sorted leaf's data wins per key
+    assert(lt("2016-01-01").data("price") == "20.00")
+  }
+
+  test("toKv flattens leaves; kvToTrgx attaches data to config leaves") {
+    val kv = toKv(tree)
+    assert(kv("2016-02-01/o3") == Map("price" -> "5.00"))
+    val config: Tree = Map("KPI" -> TrgxNode(Map.empty, Map(
+      "o1" -> TrgxNode(Map.empty, Map.empty))))
+    val attached = kvToTrgx(config, Map("o1" -> Map("v" -> "9")))
+    assert(getIn(attached, Seq("KPI", "o1")).get.data("v") == "9")
+  }
+
+  test("query supports wildcard and [:range a b] path steps") {
+    val hits = query(tree, Seq(Range("2016-01-01", "2016-01-31"),
+      Wildcard))
+    assert(hits.map(_._1.last) == Seq("o1", "o2"))
+  }
+
+  test("shiftCut aggregates windows of numeric DATA (mlvar:97-135)") {
+    val fs = shiftCut(tree, "2016-02-15", 40, 2).toMap
+    assert(fs(0)("price") == 5.0)  // window [2016-01-07, 2016-02-15]
+    assert(fs(1)("price") == 30.0) // window [2015-11-28, 2016-01-06]
+  }
+}
