@@ -36,15 +36,17 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
   }
 
-  /** MinHash signature: array of `numHashes` minima of per-seed xxhash64
-    * over an already-materialized shingle array column. Pure Catalyst
-    * HOFs. NOTE: pass an *attribute* (a staged column), not a derived
+  /** MinHash signature from an already-hashed shingle column
+    * (array<long>): each slot re-hashes the 8-byte base hash with a
+    * distinct seed — the expensive string hashing happens once per
+    * shingle, not once per (shingle × slot).
+    * NOTE: pass an *attribute* (a staged column), not a derived
     * expression — the signature references it `numHashes` times, and a
     * non-attribute operand would be duplicated into the plan that many
     * times (quadratic Catalyst blowup). */
-  def minHashSignature(shingles: Column, numHashes: Int): Column =
+  def minHashSignature(shingleHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+      array_min(transform(shingleHashes, h => xxhash64(lit(i), h)))
     }: _*)
 
   /** MinHash-LSH near-dup pairs.
@@ -65,28 +67,34 @@ object Dedup {
     val r = numHashes / bands
     // stage each derived column so downstream expressions reference
     // attributes, not duplicated subtrees
-    val base = df
-      .select(col(idCol).as("id"),
-              array_distinct(wordShingles(col(textCol))).as("shingles"))
-      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
-    val banded = base.select(
-      col("id"), col("shingles"),
+    val shingled = df.select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol))).as("shingles"))
+    val sigs = shingled
+      .select(col("id"),
+              transform(col("shingles"), s => xxhash64(s)).as("hs"))
+      .withColumn("sig", minHashSignature(col("hs"), numHashes))
+    // bands carry only (id, band, bh): the shuffle stays narrow — the
+    // wide shingle arrays never ride through the bucket join
+    val banded = sigs.select(col("id"),
       explode(array((0 until bands).map { j =>
         struct(lit(j).as("band"),
                xxhash64(concat_ws("_",
                  slice(col("sig"), j * r + 1, r).cast("array<string>"))
                ).as("bh"))
       }: _*)).as("bucket"))
-      .select(col("id"), col("shingles"),
-              col("bucket.band"), col("bucket.bh"))
+      .select(col("id"), col("bucket.band"), col("bucket.bh"))
     val a = banded.alias("a"); val b = banded.alias("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-              col("a.shingles").as("sh1"), col("b.shingles").as("sh2"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
+    // verify only candidate pairs: join the shingle sets back by id
     candidates
+      .join(shingled.select(col("id").as("id1"),
+        col("shingles").as("sh1")), Seq("id1"))
+      .join(shingled.select(col("id").as("id2"),
+        col("shingles").as("sh2")), Seq("id2"))
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))))

@@ -77,15 +77,23 @@ object TextAnalysis {
   }
 
   /** Word n-gram shingles over normalized text; short docs yield the
-    * whole normalized text as a single shingle. */
+    * whole normalized text as a single shingle.
+    *
+    * Built as a zip of shifted slices (not `transform(sequence, i =>
+    * element_at(w, i)…)`): a lambda that closes over `w` would
+    * re-evaluate the split-of-normalized-text for every position —
+    * ~O(len²) per document. zip_with evaluates each operand once. */
   def wordShingles(c: Column, n: Int = 3): Column = {
     require(n == 3, "word shingles fixed at n=3 for oracle parity")
-    val w = split(normalizeText(c), " ")
+    val norm = normalizeText(c)
+    val w = split(norm, " ")
     val k = size(w) - (n - 1)
-    when(k <= 0, array(normalizeText(c))).otherwise(
-      transform(sequence(lit(1), k), i =>
-        concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-                  element_at(w, i + 2))))
+    when(k <= 0, array(norm)).otherwise(
+      zip_with(
+        zip_with(slice(w, lit(1), k), slice(w, lit(2), k),
+                 (a, b) => concat_ws(" ", a, b)),
+        slice(w, lit(3), k),
+        (ab, cc) => concat_ws(" ", ab, cc)))
   }
 
   /** Exact-content fingerprint: md5 of normalized text. */
