@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Functions._
+import graft.rpt.Reports
+
+/** Full report-pipeline probes — the composed shapes of the reference's
+  * rpt jobs (sliding score report, share-with-Others, ranking report,
+  * mlin denormalization), each oracle-checked end-to-end. */
+object RptQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // the flagship score_overall pipeline end-to-end
+    // (m_cocacola_score_overall.clj:42-86)
+    "report_score_overall" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+                 date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+                   .as("dt"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("val"))
+      val rng = m.agg(min("dt"), max("dt")).first()
+      Reports.slidingScoreReport(m, Seq("seg"), "dt", "val",
+          rng.getString(0), rng.getString(1),
+          Seq("score" -> col("value")))
+        .orderBy("seg")
+    }),
+
+    // share-of-voice with exact "Others" remainder
+    // (m_cocacola_sovi_brand.clj:46-48)
+    "report_share_others" -> ((s, dir) =>
+      Reports.shareWithOthers(
+          t(s, dir, "customer")
+            .join(broadcast(t(s, dir, "nation")),
+                  col("c_nationkey") === col("n_nationkey")),
+          "c_mktsegment", "n_name")
+        .orderBy("c_mktsegment", "brand")),
+
+    // ranking report: all rows shipped with rank sort-keys as data
+    // (m_cocacola_score_top_bottom5_ranking.clj:83-98)
+    "report_ranking" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("revenue"))
+      Reports.withRankColumns(base, col("revenue"), col("n_name"))
+        .orderBy("n_name")
+    }),
+
+    // mlin denormalization: star join + flag encoders in one pass
+    // (mlin/d_bolome_user_order.clj:73-92)
+    "mlin_denormalize" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+      val segFlags = mark(col("c_mktsegment"),
+        Seq("AUTOMOBILE", "BUILDING", "MACHINERY"))
+      val cmp = compareMark(col("o_totalprice"), lit(150000.0))
+      df.select(col("o_orderkey"), col("c_custkey"), col("n_name"),
+          segFlags(0).cast("int").as("seg_auto"),
+          segFlags(1).cast("int").as("seg_bld"),
+          segFlags(2).cast("int").as("seg_mach"),
+          cmp(0).cast("int").as("big_lt"), cmp(2).cast("int").as("big_gt"),
+          cGtDefault(when(col("c_acctbal") < 0, lit(null))
+            .otherwise(col("c_acctbal")), lit(5000.0)).cast("int")
+            .as("rich"))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "report_score_overall" ->
+      """WITH m AS (SELECT c_mktsegment AS seg,
+             strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS dt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS val
+           FROM orders JOIN customer ON c_custkey = o_custkey
+           GROUP BY 1, 2)
+         SELECT seg, '{' || string_agg('"' || dt || '":["score=' || val
+             || '"]', ',' ORDER BY dt) || '}' AS report
+         FROM m GROUP BY seg ORDER BY seg""",
+    "report_share_others" ->
+      """WITH base AS (SELECT c_mktsegment, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey),
+         counts AS (SELECT c_mktsegment, n_name AS brand,
+             count(*) AS cnt FROM base GROUP BY 1, 2),
+         totals AS (SELECT c_mktsegment, count(*) AS total FROM base
+           GROUP BY 1),
+         shares AS (SELECT c.c_mktsegment, brand,
+             cnt * 100000 // total AS share_milli
+           FROM counts c JOIN totals t USING (c_mktsegment))
+         SELECT c_mktsegment, brand, share_milli FROM shares
+         UNION ALL
+         SELECT c_mktsegment, 'Others', 100000 - sum(share_milli)
+         FROM shares GROUP BY c_mktsegment
+         ORDER BY c_mktsegment, brand""",
+    "report_ranking" ->
+      """WITH base AS (SELECT n_name,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS revenue
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name)
+         SELECT n_name, revenue,
+           CAST(row_number() OVER (ORDER BY revenue DESC, n_name)
+             AS INT) AS rank_top,
+           CAST(row_number() OVER (ORDER BY revenue ASC, n_name)
+             AS INT) AS rank_bottom
+         FROM base ORDER BY n_name""",
+    "mlin_denormalize" ->
+      """SELECT o_orderkey, c_custkey, n_name,
+         CAST(c_mktsegment = 'AUTOMOBILE' AS INT) AS seg_auto,
+         CAST(c_mktsegment = 'BUILDING' AS INT) AS seg_bld,
+         CAST(c_mktsegment = 'MACHINERY' AS INT) AS seg_mach,
+         CAST(coalesce(o_totalprice < 150000.0, FALSE) AS INT) AS big_lt,
+         CAST(coalesce(o_totalprice > 150000.0, FALSE) AS INT) AS big_gt,
+         CAST(coalesce(CASE WHEN c_acctbal < 0 THEN NULL
+           ELSE c_acctbal END > 5000.0, FALSE) AS INT) AS rich
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY o_orderkey"""
+  )
+}

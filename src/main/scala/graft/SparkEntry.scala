@@ -39,10 +39,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ LlmQueries.queries
+    CoreQueries.queries ++ LlmQueries.queries ++ RptQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ LlmQueries.oracles
+    CoreQueries.oracles ++ LlmQueries.oracles ++ RptQueries.oracles
 }

@@ -73,7 +73,9 @@ object Aggregators {
     def zero: Map[String, Map[String, String]] = Map.empty
     def reduce(b: Map[String, Map[String, String]],
                in: (Seq[String], Map[String, String])) =
-      b.updated(in._1.mkString(Sep), in._2)
+      // null metric values are dropped (Clojure nil pairs vanish on
+      // JSON render; a null would NPE the serializer)
+      b.updated(in._1.mkString(Sep), in._2.filter(_._2 != null))
     def merge(a: Map[String, Map[String, String]],
               b: Map[String, Map[String, String]]) = a ++ b
     def finish(b: Map[String, Map[String, String]]): String = {
