@@ -63,6 +63,22 @@ object CoreQueries {
         .orderBy("n_nationkey")
     }),
 
+    // §2.1 — CSV + JSON-lines source/sink round-trip (hfs-delimited /
+    // hfs-seqfile surface)
+    "source_csv_json_roundtrip" -> ((s, dir) => {
+      import graft.sources.Formats
+      val base = "/root/repo/target/graft_tmp/formats"
+      val df = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+      Formats.writeCsv(df, base + "/csv")
+      Formats.writeJsonLines(df, base + "/json")
+      val csv = Formats.readCsv(s, base + "/csv", df.schema)
+      val json = Formats.readJsonLines(s, base + "/json", df.schema)
+      csv.unionByName(json).groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(count(lit(1)).as("n_copies"))
+        .orderBy("c_custkey")
+    }),
+
     // §2.2 row 6 — select-fields projection
     "select_fields" -> ((s, dir) =>
       t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -522,6 +538,10 @@ object CoreQueries {
     "ddl_table_lifecycle" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          WHERE n_regionkey <= 1 ORDER BY n_nationkey""",
+    "source_csv_json_roundtrip" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+         CAST(2 AS BIGINT) AS n_copies
+         FROM customer ORDER BY c_custkey""",
     "select_fields" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          ORDER BY o_orderkey""",

@@ -179,32 +179,27 @@ object LlmQueries {
         .orderBy("custkey")
     }),
 
-    // trgx shift-cut: windowed feature extraction over the order tree
+    // trgx shift-cut: the full mlvar pipeline — build date-keyed order
+    // trees (JSON TEXT storage boundary), then windowed feature sums
     "trgx_shift_cut" -> ((s, dir) => {
       import s.implicits._
       val asOf = t(s, dir, "orders")
         .agg(max(date_format(col("o_orderdate"), "yyyy-MM-dd")))
         .first().getString(0)
-      val o = t(s, dir, "orders")
-        .select(col("o_custkey"), date_format(col("o_orderdate"),
-            "yyyy-MM-dd").as("dt"), col("o_orderkey").cast("string"),
-          col("o_totalprice").cast("decimal(18,2)").cast("string")
-            .as("price"))
-        .as[(Long, String, String, String)]
-      o.groupByKey(_._1)
-        .flatMapGroups { (ck, rows) =>
-          val tree = rows.foldLeft(Map.empty: Trgx.Tree) {
-            case (acc, (_, dt, okey, price)) =>
-              Trgx.assocIn(acc, Seq(dt, okey), Map("price" -> price))
-          }
-          Trgx.shiftCut(tree, asOf, 365, 3).iterator.flatMap {
-            case (w, sums) => sums.get("price").map { v =>
-              (ck, w, BigDecimal(v).setScale(2,
-                BigDecimal.RoundingMode.HALF_UP).toString)
-            }
-          }
-        }
-        .toDF("custkey", "w", "price_sum")
+      val o = t(s, dir, "orders").select(
+        col("o_custkey").as("custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"),
+        col("o_orderkey").as("okey"),
+        col("o_totalprice").cast("decimal(18,2)").cast("string")
+          .as("price"))
+      val trees = graft.etl.Pipelines.mlvarUserOrderTrees(
+        o, "custkey", "dt", "okey", Seq("price"))
+      graft.etl.Pipelines.shiftCutFeatures(trees, "custkey", asOf,
+          365, 3, "price")
+        .select(col("custkey"), col("w"),
+          udf((v: Double) => BigDecimal(v).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP).toString)
+            .apply(col("price_sum")).as("price_sum"))
         .orderBy("custkey", "w")
     })
   )

@@ -1,0 +1,95 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+import graft.trgx.Trgx
+
+/** Composed ETL pipelines (SURVEY §3 entry points; SURVEY §7
+  * `graft.etl`).
+  */
+object Pipelines {
+
+  /** EP-3: the ODS merge load (reference
+    * src/bolome/ods/d_bolome_show.clj:58-83): bookkeeping → full-outer
+    * stg⊕ods merge preserving surrogate ids → new-row id assignment →
+    * staged write → atomic publish. Returns the published row count.
+    *
+    * The reference alternates driver-JDBC and cluster dataflow four
+    * times; here the same choreography is explicit and
+    * non-exception-swallowing. */
+  def odsMerge(spark: SparkSession, stg: DataFrame, odsPath: String,
+               naturalKey: Seq[String], valueCols: Seq[String],
+               idCol: String, orderCol: String, dtCol: String,
+               rngPath: String): Long = {
+    // 1. load-range bookkeeping (save-and-load-rng-dt!)
+    TableOps.saveAndLoadRng(spark, stg, dtCol, rngPath)
+    // 2. current ods (create if first load)
+    TableOps.createTableIf(spark, odsPath,
+      stg.schema.add(idCol, org.apache.spark.sql.types.LongType))
+    val ods = spark.read.parquet(odsPath)
+    // 3. merge: stg wins per column, ods ids preserved
+    val merged = Relational.fullOuterMerge(
+      stg.withColumn(idCol, lit(null).cast("long")), ods,
+      naturalKey, valueCols :+ idCol)
+    // 4. surrogate ids for new rows (load-max-dw-id + row-num)
+    val maxId = ods.agg(max(col(idCol))).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val keyed = Relational.surrogateKeys(merged, idCol, orderCol, maxId,
+      lit(0), 1)
+    // 5. staged write + atomic publish (replace-into-ods)
+    val staged = odsPath + "__staged"
+    keyed.write.mode("overwrite").parquet(staged)
+    TableOps.replaceInto(staged, odsPath)
+    spark.read.parquet(odsPath).count()
+  }
+
+  /** mlvar tree build (reference
+    * src/bolome/mlvar/d_bolome_user_order.clj:75-141): roll each user's
+    * orders into a date-keyed trgx tree, stored as a canonical-JSON TEXT
+    * column — the reference's EDN-in-TEXT storage boundary. */
+  def mlvarUserOrderTrees(orders: DataFrame, userCol: String,
+                          dtCol: String, keyCol: String,
+                          dataCols: Seq[String]): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    orders
+      .select(col(userCol).cast("long"), col(dtCol).cast("string"),
+        col(keyCol).cast("string"),
+        map(dataCols.flatMap(c =>
+          Seq(lit(c), col(c).cast("string"))): _*))
+      .as[(Long, String, String, Map[String, String])]
+      .groupByKey(_._1)
+      .mapGroups { (uid, rows) =>
+        val tree = rows.foldLeft(Map.empty: Trgx.Tree) {
+          case (acc, (_, dt, k, data)) =>
+            Trgx.assocIn(acc, Seq(dt, k), data)
+        }
+        (uid, Trgx.toJson(tree))
+      }
+      .toDF(userCol, "trgx")
+  }
+
+  /** mlvar shift-cut features (reference
+    * src/bolome/mlvar/d_bolome_user_order_stat.clj:97-135): slice each
+    * user's tree into k lookback windows ending at `asOf`, summing the
+    * numeric field per window. */
+  def shiftCutFeatures(trees: DataFrame, userCol: String, asOf: String,
+                       windowDays: Int, numWindows: Int,
+                       field: String): DataFrame = {
+    val spark = trees.sparkSession
+    import spark.implicits._
+    trees.select(col(userCol).cast("long"), col("trgx"))
+      .as[(Long, String)]
+      .flatMap { case (uid, json) =>
+        Trgx.shiftCut(Trgx.fromJson(json), asOf, windowDays, numWindows)
+          .flatMap { case (w, sums) =>
+            sums.get(field).map(v => (uid, w, v))
+          }
+      }
+      .toDF(userCol, "w", field + "_sum")
+  }
+}

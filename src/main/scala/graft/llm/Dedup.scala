@@ -103,32 +103,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens (weighted bit-vote of
-    * per-token xxhash64). Near-dup candidates = equality on any of 4
-    * 16-bit chunks (detects Hamming distance ≤ 3 pairs with certainty
-    * by pigeonhole when distance < 4 chunks differ). */
-  private val simhashUdf = udf { tokens: Seq[String] =>
-    if (tokens == null || tokens.isEmpty) 0L
-    else {
-      val votes = new Array[Long](64)
-      tokens.foreach { t =>
-        // xxhash64-compatible enough: deterministic 64-bit per token
-        val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
-          (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
-        var i = 0
-        while (i < 64) {
-          votes(i) += (if (((h >>> i) & 1L) == 1L) 1L else -1L)
-          i += 1
-        }
-      }
-      var out = 0L
-      var i = 0
-      while (i < 64) { if (votes(i) > 0) out |= (1L << i); i += 1 }
-      out
-    }
+    * per-token hashes) via the native codegen'd Catalyst expression —
+    * no ScalaUDF serde on the fingerprinting hot path. Near-dup
+    * candidates = equality on any of 4 16-bit chunks (pigeonhole:
+    * Hamming ≤ 3 pairs share at least one chunk with certainty). */
+  def simHash(textCol: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.SimHash64(
+      GraftBridge.expression(split(normalizeText(textCol), " "))))
   }
-
-  def simHash(textCol: Column): Column =
-    simhashUdf(split(normalizeText(textCol), " "))
 
   /** SimHash near-dup pairs via 16-bit-chunk bucket join + Hamming
     * verify (≤ maxHamming). */

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the package-private Column ⇄ Expression converters so
+  * graft's native Catalyst expressions (e.g. SimHash64) can be exposed
+  * as `Column`s — the standard pattern for Spark extension libraries. */
+object GraftBridge {
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+}
