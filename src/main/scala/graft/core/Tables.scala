@@ -34,4 +34,12 @@ object Tables {
   /** Register every table as a temp view (for spark.sql use). */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Hive-layout partitioned write — at 100 TB, partitioning the
+    * warehouse tiers by load date (`dw_dt`) makes incremental reads and
+    * ranged deletes partition-pruned scans instead of full-table
+    * rewrites. */
+  def writePartitioned(df: org.apache.spark.sql.DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }

@@ -133,6 +133,23 @@ object Relational {
           org.apache.spark.sql.types.LongType, nullable = false) else f)))
   }
 
+  /** Salted join for skewed keys: when one fact key dominates (a
+    * boilerplate document, a mega-customer) a plain shuffle join funnels
+    * it into one task. Salting spreads each fact key over `nSalt`
+    * sub-partitions and replicates the (medium-sized, non-broadcastable)
+    * dim side ×nSalt. Complements AQE skew splitting, which only kicks
+    * in post-shuffle.
+    *
+    * Produces exactly the plain-join result (inner/left on `keys`). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 nSalt: Int, joinType: String = "inner"): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(nSalt.toLong)))
+    val replicated = dim.withColumn("__salt",
+      explode(array((0 until nSalt).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Report shaping: selectors + tr-dimension-metrics JSON payload —
     * the tail of every report (trgx.clj:72-79). */
   def reportShape(df: DataFrame, selectorCols: Seq[String],

@@ -33,6 +33,29 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col(keyCol), col("cnt"),
               col("sum_val"))
 
+  /** Stateful per-key running aggregates via mapGroupsWithState — the
+    * custom-state upgrade path for incremental pipelines (running event
+    * counts + value sums per key, state carried across micro-batches). */
+  def statefulRunningCounts(events: DataFrame, keyCol: String,
+                            valueCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (String, Long, Double)](
+        GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Double)]) =>
+          val (c0, s0) = state.getOption.getOrElse((0L, 0.0))
+          val batch = rows.toSeq
+          val next = (c0 + batch.size, s0 + batch.map(_._2).sum)
+          state.update(next)
+          (key, next._1, next._2)
+      }
+      .toDF(keyCol, "cnt", "sum_val")
+  }
+
   /** Run a streaming DataFrame to a named in-memory sink, processing all
     * available input (AvailableNow = the `_rng`-style batch increment),
     * then stop. Returns the completed query for assertions. */

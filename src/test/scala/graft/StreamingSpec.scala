@@ -43,6 +43,54 @@ class StreamingSpec extends AnyFunSuite {
       "2000-01-01", "x")._1 == "2000-01-01")
   }
 
+  test("statefulRunningCounts carries state via mapGroupsWithState") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "state_in").toString
+    val batch = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0))
+      .toDF("k", "value")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = StreamOps.readTableStream(spark, dir, batch.schema)
+    val counts = StreamOps.statefulRunningCounts(stream, "k", "value")
+    val q = counts.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("state_test")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT k, cnt, sum_val FROM state_test")
+      .as[(String, Long, Double)].collect().toSet
+    assert(rows == Set(("a", 2L, 3.0), ("b", 1L, 5.0)))
+  }
+
+  test("saltedJoin equals plain join; partitioned write prunes") {
+    import graft.ops.Relational
+    val fact = Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "v")
+    val dim = Seq((1, "d1"), (2, "d2"), (3, "d3")).toDF("k", "d")
+    val salted = Relational.saltedJoin(fact, dim, Seq("k"), 4)
+      .orderBy("k", "v").collect().toSeq
+    val plain = fact.join(dim, Seq("k")).orderBy("k", "v")
+      .collect().toSeq
+    assert(salted == plain)
+
+    val pdir = "/root/repo/target/graft_tmp/part_write"
+    graft.core.Tables.writePartitioned(
+      Seq(("2016-01-01", 1), ("2016-02-01", 2)).toDF("dw_dt", "v"),
+      pdir, Seq("dw_dt"))
+    val pruned = spark.read.parquet(pdir).filter($"dw_dt" === "2016-01-01")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(pruned.count() == 1)
+  }
+
+  test("deleteRange rewrites without the dated rows") {
+    val p = "/root/repo/target/graft_tmp/del_range"
+    Seq(("2016-01-01", 1), ("2016-01-15", 2), ("2016-02-01", 3))
+      .toDF("dw_dt", "v").write.mode("overwrite").parquet(p)
+    graft.etl.TableOps.deleteRange(spark, p, "dw_dt",
+      "2016-01-01", "2016-01-31")
+    val left = spark.read.parquet(p).as[(String, Int)].collect().toSeq
+    assert(left == Seq(("2016-02-01", 3)))
+  }
+
   test("etl table lifecycle: create-if / truncate / switch") {
     val base = "/root/repo/target/graft_tmp/spec_lifecycle"
     val live = base + "/live"; val shadow = base + "/shadow"
