@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.Functions._
+import graft.ops.Relational
 import graft.rpt.Reports
 
 /** Full report-pipeline probes — the composed shapes of the reference's
@@ -56,6 +57,58 @@ object RptQueries {
           .cast("decimal(38,2)").as("revenue"))
       Reports.withRankColumns(base, col("revenue"), col("n_name"))
         .orderBy("n_name")
+    }),
+
+    // core_sku shape: per-grain reports UNION-appended to one sink,
+    // each shaped through tr-dimension-metrics
+    // (m_cocacola_core_sku.clj:44-95)
+    "report_core_sku" -> ((s, dir) => {
+      val cn = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+      val g1 = cn.groupBy(col("n_name").as("name"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("grain", lit("nation"))
+      val g2 = cn.groupBy(col("r_name").as("name"),
+          col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("grain", lit("region"))
+      Relational.reportShape(g1.unionByName(g2),
+          Seq("grain", "name"), Seq("seg"), Seq("cnt" -> col("cnt")))
+        .orderBy("grain", "name")
+    }),
+
+    // tree-shaped KPI report (m_cocacola_score_period.clj:60-78 shape):
+    // driver-side config tree, kv->trgx attaches per-leaf metrics,
+    // canonical tree JSON per root. Tree codec is not SQL-expressible →
+    // rows-only here; exact JSON asserted in RptSpec.
+    "report_tree_kpi" -> ((s, dir) => {
+      import s.implicits._
+      import graft.trgx.{Trgx, TrgxNode}
+      val regionNations: Map[String, Seq[String]] =
+        t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")),
+                col("n_regionkey") === col("r_regionkey"))
+          .select("r_name", "n_name").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val scores: Map[String, Map[String, String]] =
+        t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")),
+                col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name").agg(count(lit(1)).as("cnt"))
+          .collect()
+          .map(r => r.getString(0) -> Map("score" -> r.getLong(1).toString))
+          .toMap
+      val rows = regionNations.toSeq.sortBy(_._1).map { case (region, ns) =>
+        val config: Trgx.Tree = Map(region -> TrgxNode(Map.empty,
+          ns.map(n => n -> TrgxNode.empty).toMap))
+        (region, Trgx.toJson(Trgx.kvToTrgx(config, scores)))
+      }
+      rows.toDF("r_name", "kpi_tree")
     }),
 
     // mlin denormalization: star join + flag encoders in one pass
@@ -120,6 +173,19 @@ object RptQueries {
            CAST(row_number() OVER (ORDER BY revenue ASC, n_name)
              AS INT) AS rank_bottom
          FROM base ORDER BY n_name""",
+    "report_core_sku" ->
+      """WITH cn AS (SELECT c_mktsegment AS seg, n_name, r_name
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         g AS (SELECT 'nation' AS grain, n_name AS name, seg,
+             count(*) AS cnt FROM cn GROUP BY 2, 3
+           UNION ALL
+           SELECT 'region' AS grain, r_name AS name, seg, count(*)
+           FROM cn GROUP BY 2, 3)
+         SELECT grain, name, '{' || string_agg('"' || seg || '":["cnt='
+             || cnt || '"]', ',' ORDER BY seg) || '}' AS report
+         FROM g GROUP BY grain, name ORDER BY grain, name""",
     "mlin_denormalize" ->
       """SELECT o_orderkey, c_custkey, n_name,
          CAST(c_mktsegment = 'AUTOMOBILE' AS INT) AS seg_auto,

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.trgx.{Trgx, TrgxNode}
+
+/** ScalaCheck property tests for the tricky semantics (SURVEY §5c):
+  * trgx codec round-trip, or-tuple coalesce laws, string-date ordering.
+  * Driven through scalatest so one runner reports everything. */
+class PropertiesSpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(200), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val keyGen = Gen.alphaNumStr.map(_.take(8)).suchThat(_.nonEmpty)
+  private val dataGen: Gen[Map[String, String]] =
+    Gen.mapOf(Gen.zip(keyGen, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.const("with \"quotes\" and \\slashes\n"))))
+      .map(_.take(3))
+
+  private def nodeGen(depth: Int): Gen[TrgxNode] =
+    if (depth == 0) dataGen.map(TrgxNode(_, Map.empty))
+    else for {
+      d <- dataGen
+      n <- Gen.choose(0, 2)
+      ch <- Gen.mapOfN(n, Gen.zip(keyGen, nodeGen(depth - 1)))
+    } yield TrgxNode(d, ch)
+
+  private val treeGen: Gen[Trgx.Tree] =
+    Gen.mapOfN(2, Gen.zip(keyGen, nodeGen(3)))
+
+  test("trgx codec: fromJson ∘ toJson = id (incl. escapes)") {
+    check("roundtrip", Prop.forAll(treeGen) { t =>
+      Trgx.fromJson(Trgx.toJson(t)) == t
+    })
+  }
+
+  test("trgx toJson is canonical: equal trees give equal JSON") {
+    check("canonical", Prop.forAll(treeGen) { t =>
+      // rebuild with reversed insertion order → same JSON
+      val reordered: Trgx.Tree = t.toSeq.reverse.toMap
+      Trgx.toJson(reordered) == Trgx.toJson(t)
+    })
+  }
+
+  test("trgx take/depth laws") {
+    check("take", Prop.forAll(treeGen, Gen.choose(0, 5)) { (t, n) =>
+      Trgx.depth(Trgx.take(t, n)) <= n &&
+        Trgx.depth(Trgx.take(t, n)) <= Trgx.depth(t)
+    })
+  }
+
+  test("pathSeq paths all resolve via getIn") {
+    check("paths", Prop.forAll(treeGen) { t =>
+      Trgx.pathSeq(t).forall(p => Trgx.getIn(t, p).isDefined)
+    })
+  }
+
+  test("string-date ordering == chronological ordering (trgx.clj:63)") {
+    val dateGen = for {
+      y <- Gen.choose(1990, 2030); m <- Gen.choose(1, 12)
+      d <- Gen.choose(1, 28)
+    } yield java.time.LocalDate.of(y, m, d)
+    check("dates", Prop.forAll(dateGen, dateGen) { (a, b) =>
+      (a.toString < b.toString) == a.isBefore(b)
+    })
+  }
+
+  test("JsonShape.fromRows: insertion-order independent") {
+    import graft.functions.JsonShape
+    val rowGen = Gen.listOfN(6,
+      Gen.zip(Gen.listOfN(2, keyGen), Gen.zip(keyGen, keyGen)))
+      .map(_.map { case (p, (k, v)) => (p.toSeq, Seq(k -> v)) })
+      // last-write-wins makes duplicate paths order-sensitive by design;
+      // dedupe paths to test pure shape canonicalization
+      .map(_.distinctBy(_._1))
+    check("fromRows", Prop.forAll(rowGen) { rows =>
+      JsonShape.pairTreeToJson(JsonShape.fromRows(rows)) ==
+        JsonShape.pairTreeToJson(JsonShape.fromRows(rows.reverse))
+    })
+  }
+}
