@@ -480,7 +480,9 @@ object CoreQueries {
         prevLastMonth(dt).as("prev_last_month"),
         prevSameMonth(dt).as("prev_same_month"),
         dtToYear(dt).as("yr"),
-        offsetDt(dt, 1).as("next_dt"))
+        offsetDt(dt, 1).as("next_dt"),
+        lastDayOfYm(substring(dt, 1, 7)).as("last_day_dt"),
+        dtRebase(dt, lit("1995-01-01"), lit("2020-01-01")).as("rebased"))
         .orderBy("o_orderkey")
     }),
 
@@ -792,7 +794,10 @@ object CoreQueries {
          strftime(last_day(d - INTERVAL 12 MONTH), '%Y-%m-%d')
            AS prev_same_month,
          substr(strftime(d, '%Y-%m-%d'), 1, 4) AS yr,
-         strftime(d + INTERVAL 1 DAY, '%Y-%m-%d') AS next_dt
+         strftime(d + INTERVAL 1 DAY, '%Y-%m-%d') AS next_dt,
+         strftime(last_day(d), '%Y-%m-%d') AS last_day_dt,
+         strftime(DATE '2020-01-01' + (d - DATE '1995-01-01'),
+                  '%Y-%m-%d') AS rebased
          FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
                FROM orders)
          ORDER BY o_orderkey""",

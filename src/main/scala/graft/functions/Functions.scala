@@ -102,6 +102,31 @@ object Functions {
   /** `prev-same-month`: same month-end one year back (trgx.clj:32). */
   def prevSameMonth(dt: Column): Column = fmt(last_day(add_months(d(dt), -12)))
 
+  /** `latest-ts`: now as ISO-8601 (trgx.clj:23) — driver-side, like the
+    * reference (a load timestamp, never part of dataflow determinism). */
+  def latestTs(): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssX")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+
+  /** `dt-rebase`: shift dt by the interval from one base date to another
+    * (mlvar/d_bolome_user_order_stat.clj:43-70): result = toBase +
+    * (dt − fromBase). */
+  def dtRebase(dt: Column, fromBase: Column, toBase: Column): Column =
+    fmt(date_add(d(toBase), datediff(d(dt), d(fromBase))))
+
+  /** `dt-ge-get`: value gated on dt ≥ bound (mlvar stat window pick). */
+  def dtGeGet(dt: Column, bound: Column, value: Column): Column =
+    when(dt >= bound, value)
+
+  /** `take-train-dts`: driver-side train/test window-end generator
+    * (mlvar/d_bolome_user_order_stat.clj:43-70): k window-end dates
+    * stepping back from asOf by `stepDays`. */
+  def takeTrainDts(asOf: String, k: Int, stepDays: Int): Seq[String] = {
+    val base = java.time.LocalDate.parse(asOf)
+    (0 until k).map(i => base.minusDays(i.toLong * stepDays).toString)
+  }
+
   /** `mk-dts`: array of daily date strings in [start, end] (trgx.clj:37-39).
     * Distributed: `sequence` is a codegen'd Catalyst expression — no
     * driver-built list (cf. VERDICT round-1 plan audit). */

@@ -65,6 +65,22 @@ class FunctionsSpec extends AnyFunSuite {
       ("2015-12-31", "2015-12-31", "2015-01-31")))
   }
 
+  test("dtRebase shifts by the base interval; dtGeGet gates on bound") {
+    val out = Seq(("2016-01-10", "v")).toDF("dt", "v")
+      .select(dtRebase($"dt", lit("2016-01-01"), lit("2020-06-01")),
+        dtGeGet($"dt", lit("2016-01-05"), $"v"),
+        dtGeGet($"dt", lit("2016-02-01"), $"v"))
+      .as[(String, Option[String], Option[String])].head()
+    assert(out == (("2020-06-10", Some("v"), None)))
+  }
+
+  test("takeTrainDts steps back deterministically; latestTs is ISO") {
+    assert(takeTrainDts("2016-03-01", 3, 30) ==
+      Seq("2016-03-01", "2016-01-31", "2016-01-01"))
+    assert(latestTs().matches(
+      "\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z"))
+  }
+
   test("mkMonthDts generates month-ends within the range") {
     val out = spark.range(1)
       .select(mkMonthDts(lit("2016-01-31"), lit("2016-04-15")))
