@@ -796,7 +796,8 @@ object CoreQueries {
          substr(strftime(d, '%Y-%m-%d'), 1, 4) AS yr,
          strftime(d + INTERVAL 1 DAY, '%Y-%m-%d') AS next_dt,
          strftime(last_day(d), '%Y-%m-%d') AS last_day_dt,
-         strftime(DATE '2020-01-01' + (d - DATE '1995-01-01'),
+         strftime(DATE '2020-01-01' +
+                  to_days(CAST(d - DATE '1995-01-01' AS INT)),
                   '%Y-%m-%d') AS rebased
          FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
                FROM orders)
