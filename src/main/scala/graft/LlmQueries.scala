@@ -70,6 +70,13 @@ object LlmQueries {
           threshold = 1.0, numHashes = 32, bands = 8)
         .orderBy("id1", "id2")),
 
+    // MinHash-LSH at a realistic near-dup threshold (probabilistic
+    // recall → rows-only; exact-recall variant above is the oracle one)
+    "dedup_minhash_near" -> ((s, dir) =>
+      Dedup.minHashDedupPairs(dupCorpus(s, dir), "text", "doc_id",
+          threshold = 0.8, numHashes = 32, bands = 16)
+        .orderBy("id1", "id2")),
+
     // SimHash near-dup (hash-function-dependent → rows-only check)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashDedupPairs(dupCorpus(s, dir), "text", "doc_id",

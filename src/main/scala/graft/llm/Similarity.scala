@@ -59,31 +59,43 @@ object Similarity {
               round(col("cos"), 4).as("cos"))
   }
 
-  /** IVF cell assignment: nearest coarse centroid by dot product.
-    * `vec` must be a staged array<double> attribute; centroids are
-    * deterministic Rademacher literals. */
-  def ivfCell(vec: Column, nCells: Int, dims: Int): Column = {
+  /** IVF cell assignment: the `nProbe` nearest coarse centroids by dot
+    * product. `vec` must be a staged array<double> attribute; centroids
+    * are deterministic Rademacher literals. Returns array<int>, nearest
+    * first. */
+  def ivfCells(vec: Column, nCells: Int, dims: Int,
+               nProbe: Int): Column = {
     val cents = rademacherPlanes(nCells, dims)
     val dots = cents.zipWithIndex.map { case (c, i) =>
       struct(aggregate(zip_with(vec, typedlit(c), (x, w) => x * w),
                        lit(0.0), (s, x) => s + x).as("dot"),
              lit(i).as("cell"))
     }
-    array_max(array(dots: _*)).getField("cell")
+    transform(
+      slice(reverse(array_sort(array(dots: _*))), lit(1), lit(nProbe)),
+      _.getField("cell"))
   }
 
-  /** IVF approximate top-k: corpus pre-bucketed by cell; each query
-    * searches its own cell only (nProbe=1 variant). Approximate — recall
-    * depends on cell granularity; exactness is NOT claimed. */
+  /** Single nearest cell (corpus assignment). */
+  def ivfCell(vec: Column, nCells: Int, dims: Int): Column =
+    ivfCells(vec, nCells, dims, 1).getItem(0)
+
+  /** IVF approximate top-k: corpus pre-bucketed by nearest cell; each
+    * query probes its `nProbe` nearest cells. At scale the corpus is
+    * hash-partitioned by cell, so a query touches nProbe/nCells of the
+    * data. Approximate — recall grows with nProbe; exactness is NOT
+    * claimed. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-              idCol: String, k: Int, nCells: Int = 8): DataFrame = {
+              idCol: String, k: Int, nCells: Int = 8,
+              nProbe: Int = 2): DataFrame = {
     val dims = corpus.select(size(col(vecCol))).first().getInt(0)
     val c = corpus
       .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
       .withColumn("cell", ivfCell(col("cvec"), nCells, dims))
     val q = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
-      .withColumn("cell", ivfCell(col("qvec"), nCells, dims))
+      .withColumn("cell",
+        explode(ivfCells(col("qvec"), nCells, dims, nProbe)))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),

@@ -51,6 +51,48 @@ class PipelinesSpec extends AnyFunSuite {
     assert(spark.read.parquet(rngPath).count() == 2)
   }
 
+  test("order_show_debut flow: delta/shadow/switch with map-union merge") {
+    // reference model/d_bolome_order_show_debut.clj:61-99: merge a delta
+    // snapshot into the current one — union the per-key date sets, keep
+    // the earliest debut timestamp — then publish via shadow swap.
+    import graft.agg.Aggregators
+    import java.nio.file.{Files, Paths}
+    val live = "/root/repo/target/graft_tmp/debut/live"
+    val pp = Paths.get("/root/repo/target/graft_tmp/debut")
+    if (Files.exists(pp))
+      Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+
+    Seq((1L, Map("o" -> Seq("2016-01-05")), "2016-01-05"),
+        (2L, Map("o" -> Seq("2016-01-07")), "2016-01-07"))
+      .toDF("dw_id", "pay_dts", "debut_dt")
+      .write.parquet(live)
+    val delta = Seq(
+      (1L, Map("o" -> Seq("2016-01-03")), "2016-01-03"), // earlier debut
+      (3L, Map("o" -> Seq("2016-02-01")), "2016-02-01")) // new show
+      .toDF("dw_id", "pay_dts", "debut_dt")
+
+    graft.etl.TableOps.deltaShadowSwitch(spark, live, delta,
+      (d, cur) => {
+        val j = d.alias("d").join(cur.alias("c"), Seq("dw_id"),
+          "full_outer")
+        j.select($"dw_id",
+          when($"d.pay_dts".isNull, $"c.pay_dts")
+            .when($"c.pay_dts".isNull, $"d.pay_dts")
+            .otherwise(Aggregators.mapSetUnion($"d.pay_dts", $"c.pay_dts"))
+            .as("pay_dts"),
+          least($"d.debut_dt", $"c.debut_dt").as("debut_dt"))
+      })
+
+    val out = spark.read.parquet(live)
+      .select("dw_id", "debut_dt").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "2016-01-03", 2L -> "2016-01-07",
+                      3L -> "2016-02-01"))
+    val union = spark.read.parquet(live).filter($"dw_id" === 1)
+      .select("pay_dts").as[Map[String, Seq[String]]].head()
+    assert(union("o") == Seq("2016-01-03", "2016-01-05"))
+  }
+
   test("mlvar tree build + shift-cut features end-to-end") {
     val orders = Seq(
       (1L, "2016-01-10", "o1", 10.0), (1L, "2016-02-10", "o2", 20.0),
