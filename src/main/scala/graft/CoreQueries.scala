@@ -495,6 +495,17 @@ object CoreQueries {
         .withColumn("next_dt",
           date_format(date_add(to_date(col("mx_dt")), 1), "yyyy-MM-dd"))),
 
+    // spark.sql surface over the registered table views
+    "sql_surface" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT n_name, count(*) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                 AS DECIMAL(38,2)) AS bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")
+    }),
+
     // TPC-H Q1 shape — the bench headline aggregate
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
@@ -808,6 +819,12 @@ object CoreQueries {
            AS next_dt
          FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt
                FROM orders)""",
+    "sql_surface" ->
+      """SELECT n_name, count(*) AS n_cust,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression tests (see PLANS.md): assert the physical
+  * properties that make these operators scale — pushdown, pruning,
+  * broadcast joins, partial aggregation. A change that silently
+  * reintroduces a fact-table shuffle or a full-width scan fails here,
+  * not in a 100 TB production run. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("source_parquet_scan pushes the filter into the parquet scan") {
+    val p = plan("source_parquet_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThan(l_quantity,45.0)]"), p.take(800))
+  }
+
+  test("source_parquet_scan prunes to the 4 referenced columns") {
+    val p = plan("source_parquet_scan")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_linenumber:int,l_quantity:double,l_shipdate:timestamp_ntz>"))
+  }
+
+  test("join_inner_star broadcasts every dimension (no fact shuffle " +
+       "before aggregation)") {
+    val p = plan("join_inner_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4, p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("sliding_scores: custom aggregators plan as ObjectHashAggregate " +
+       "with map-side partials") {
+    val p = plan("sliding_scores")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2)
+    // axis explode sits above the aggregation, not below it
+    val gen = p.indexOf("Generate explode")
+    val agg = p.indexOf("ObjectHashAggregate")
+    assert(gen >= 0 && agg > gen,
+      "explode must consume the aggregated maps, not the fact")
+  }
+
+  test("dedup_minhash bucket join carries only narrow band keys") {
+    val p = plan("dedup_minhash")
+    // the band-bucket equi-join must not carry the shingle arrays
+    val joins = p.linesIterator.filter(_.contains("SortMergeJoin"))
+      .mkString ++ p.linesIterator.filter(_.contains("ShuffledHashJoin"))
+      .mkString
+    assert(!joins.contains("shingles"), joins)
+  }
+
+  test("broadcast_config_join stays map-side (no join operator at all)") {
+    val p = plan("broadcast_config_join")
+    assert(!p.contains("Join"), p.take(500))
+  }
+}
