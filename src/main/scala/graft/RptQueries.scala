@@ -83,8 +83,8 @@ object RptQueries {
 
     // tree-shaped KPI report (m_cocacola_score_period.clj:60-78 shape):
     // driver-side config tree, kv->trgx attaches per-leaf metrics,
-    // canonical tree JSON per root. Tree codec is not SQL-expressible →
-    // rows-only here; exact JSON asserted in RptSpec.
+    // canonical (sorted-key, DATA-then-CHILDREN) tree JSON per root —
+    // which the oracle reconstructs with ordered string_agg.
     "report_tree_kpi" -> ((s, dir) => {
       import s.implicits._
       import graft.trgx.{Trgx, TrgxNode}
@@ -186,6 +186,18 @@ object RptQueries {
          SELECT grain, name, '{' || string_agg('"' || seg || '":["cnt='
              || cnt || '"]', ',' ORDER BY seg) || '}' AS report
          FROM g GROUP BY grain, name ORDER BY grain, name""",
+    "report_tree_kpi" ->
+      """WITH s AS (SELECT n_name, r_name, count(*) AS cnt
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY n_name, r_name)
+         SELECT r_name,
+           '{"' || r_name || '":{"DATA":{},"CHILDREN":{' ||
+           string_agg('"' || n_name || '":{"DATA":{"score":"' || cnt
+             || '"},"CHILDREN":{}}', ',' ORDER BY n_name) ||
+           '}}}' AS kpi_tree
+         FROM s GROUP BY r_name ORDER BY r_name""",
     "mlin_denormalize" ->
       """SELECT o_orderkey, c_custkey, n_name,
          CAST(c_mktsegment = 'AUTOMOBILE' AS INT) AS seg_auto,
