@@ -35,6 +35,17 @@ object Tables {
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** Bucketed catalog write: co-locates both sides of a recurring
+    * equi-join (the stg⊕ods merge key, the fact⋈fact self-join) so the
+    * join plans with zero Exchanges — at 100 TB the shuffle this avoids
+    * is the dominant cost of every incremental merge. Requires a
+    * catalog table (bucket metadata lives in the metastore). */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String,
+                    bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** Hive-layout partitioned write — at 100 TB, partitioning the
     * warehouse tiers by load date (`dw_dt`) makes incremental reads and
     * ranged deletes partition-pruned scans instead of full-table

@@ -58,4 +58,26 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("broadcast_config_join")
     assert(!p.contains("Join"), p.take(500))
   }
+
+  test("bucketed tables co-locate the merge join: zero exchanges") {
+    import spark.implicits._
+    // disable auto-broadcast so the join must co-locate or shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val stg = (1 to 1000).map(i => (i.toLong, s"s$i"))
+        .toDF("k", "v_stg")
+      val ods = (500 to 1500).map(i => (i.toLong, s"o$i"))
+        .toDF("k", "v_ods")
+      graft.core.Tables.writeBucketed(stg, "bkt_stg", "k", 4)
+      graft.core.Tables.writeBucketed(ods, "bkt_ods", "k", 4)
+      val joined = spark.table("bkt_stg")
+        .join(spark.table("bkt_ods"), Seq("k"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p.take(800))
+      assert(joined.count() == 501)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }
