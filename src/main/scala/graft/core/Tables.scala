@@ -41,10 +41,22 @@ object Tables {
     * is the dominant cost of every incremental merge. Requires a
     * catalog table (bucket metadata lives in the metastore). */
   def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String,
-                    bucketCol: String, nBuckets: Int): Unit =
+                    bucketCol: String, nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // with an in-memory catalog a previous JVM's table dir can survive
+    // without metadata; clear it so CREATE doesn't trip on the location
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(warehouse, table.toLowerCase)
+    if (java.nio.file.Files.exists(loc))
+      java.nio.file.Files.walk(loc)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
+  }
 
   /** Hive-layout partitioned write — at 100 TB, partitioning the
     * warehouse tiers by load date (`dw_dt`) makes incremental reads and
