@@ -444,6 +444,7 @@ object CoreQueries {
           rng.getString(0), rng.getString(1))
         .select(col("seg"), col("dt"),
           col("value").cast("decimal(38,2)").as("value"),
+          col("max_value").cast("decimal(38,3)").as("max_value"),
           col("delta_mom").cast("decimal(38,3)").as("delta_mom"),
           col("delta_ytd").cast("decimal(38,3)").as("delta_ytd"),
           col("delta_yoy").cast("decimal(38,3)").as("delta_yoy"))
@@ -769,6 +770,8 @@ object CoreQueries {
            GROUP BY 1, 2)
          SELECT a.seg AS seg, a.dt AS dt,
            CAST(a.val AS DECIMAL(38,2)) AS value,
+           CAST(max(a.val) OVER (PARTITION BY a.seg) AS DECIMAL(38,3))
+             AS max_value,
            CAST(a.val - mom.val AS DECIMAL(38,3)) AS delta_mom,
            CAST(a.val - ytd.val AS DECIMAL(38,3)) AS delta_ytd,
            CAST(a.val - yoy.val AS DECIMAL(38,3)) AS delta_yoy

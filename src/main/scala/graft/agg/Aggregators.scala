@@ -79,8 +79,13 @@ object Aggregators {
     def merge(a: Map[String, Map[String, String]],
               b: Map[String, Map[String, String]]) = a ++ b
     def finish(b: Map[String, Map[String, String]]): String = {
+      // empty dims (reference tr-dimension-metrics with [] dimensions,
+      // m_cocacola_score_overall.clj:72) → a bare leaf array, not {"":[…]}
       val rows = b.toSeq.map { case (path, ms) =>
-        (path.split(Sep, -1).toSeq, ms.toSeq)
+        val segs =
+          if (path.isEmpty) Seq.empty[String]
+          else path.split(Sep, -1).toSeq
+        (segs, ms.toSeq)
       }
       JsonShape.pairTreeToJson(JsonShape.fromRows(rows))
     }

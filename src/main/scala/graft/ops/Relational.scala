@@ -59,6 +59,12 @@ object Relational {
     val withRefs = axis
       .withColumn("value", element_at(col("dt_kv"), col("dt")))
       .filter(col("value").isNotNull)
+      // ?max-value: numeric max over the group's whole {dt→value} map
+      // (m_cocacola_score_overall.clj:53) — values are decimal strings,
+      // so compare numerically, not lexicographically
+      .withColumn("max_value",
+        array_max(transform(map_values(col("dt_kv")),
+          _.cast("decimal(28,3)"))))
       .withColumn("prev_mom", element_at(col("dt_kv"), prevLastDay(col("dt"))))
       .withColumn("prev_ytd", element_at(col("dt_kv"), prevLastMonth(col("dt"))))
       .withColumn("prev_yoy", element_at(col("dt_kv"), prevSameMonth(col("dt"))))

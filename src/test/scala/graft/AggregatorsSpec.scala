@@ -41,6 +41,17 @@ class AggregatorsSpec extends AnyFunSuite {
       """{"d0":{"x":["m=9"]},"d1":{"x":["m=1"],"y":["m=2","n=3"]}}""")
   }
 
+  test("trDimensionMetrics with empty dims renders a bare leaf array " +
+       "(score_overall's [] dimensions)") {
+    val df = Seq(("s", Seq.empty[String], Map("score" -> "1.5",
+                                              "pp" -> "0.5")))
+      .toDF("sel", "dims", "metrics")
+    val out = df.groupBy("sel")
+      .agg(Aggregators.trDimensionMetrics($"dims", $"metrics").as("j"))
+      .as[(String, String)].head()._2
+    assert(out == """["pp=0.5","score=1.5"]""")
+  }
+
   test("strMax/strMin skip the null sentinel (trgx.clj:63-69)") {
     val df = Seq(("g", "b"), ("g", "null"), ("g", "a"), ("g", "NULL"))
       .toDF("g", "v")

@@ -43,6 +43,12 @@ class RelationalSpec extends AnyFunSuite {
     // 2016-01-31: mom vs 2015-12-31 (+10); yoy 2015-01-31 missing → null
     assert(out("2016-01-31")._1 == "10.000")
     assert(out("2016-01-31")._3 == null)
+
+    // ?max-value: numeric max over the group's map (not lexicographic)
+    val mx = Relational.slidingScores(m, Seq("g"), "dt", "v",
+        "2015-02-28", "2016-02-29")
+      .select($"max_value".cast("string")).distinct().as[String].collect()
+    assert(mx.toSeq == Seq("130.000"))
   }
 
   test("surrogateKeys keeps existing ids, continues from max") {
