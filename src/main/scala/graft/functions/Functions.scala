@@ -68,10 +68,14 @@ object Functions {
   /** `sort?` as a between-check (mlvar/d_bolome_user_order_stat.clj:72). */
   def sortBetween(c: Column, lo: Column, hi: Column): Column = c.between(lo, hi)
 
-  /** `pad`: right-pad an array to length n with a default
-    * (trgx.clj:249). Never truncates, matching the reference. */
+  /** `pad`: fix an array to length exactly n — right-pad with a default
+    * AND truncate when longer (trgx.clj:249 is `take n (concat coll
+    * (repeat v))`). */
   def pad(arr: Column, n: Int, default: Column): Column =
-    concat(arr, array_repeat(default, greatest(lit(0), lit(n) - size(arr))))
+    slice(
+      concat(arr,
+        array_repeat(default, greatest(lit(0), lit(n) - size(arr)))),
+      1, n)
 
   // ---- date library (trgx.clj:23-43,129)
 

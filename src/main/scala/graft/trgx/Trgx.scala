@@ -147,22 +147,28 @@ object Trgx {
   def depth(t: Tree): Int =
     if (t.isEmpty) 0 else 1 + t.values.map(n => depth(n.children)).max
 
-  /** `trgx-take-last` (trgx.clj:239): truncate depth keeping the last
-    * (deepest) n levels of each chain. */
-  def takeLast(t: Tree, n: Int): Tree = {
-    val d = depth(t)
-    def drop(m: Tree, toDrop: Int): Tree =
-      if (toDrop <= 0) m
-      else m.values.foldLeft(Map.empty: Tree) { (acc, nd) =>
-        // merge children of dropped levels
-        drop(nd.children, toDrop - 1).foldLeft(acc) { case (a, (k, v)) =>
-          a.updated(k, a.get(k).map(ex =>
-            ex.copy(data = ex.data ++ v.data,
-                    children = ex.children ++ v.children)).getOrElse(v))
-        }
-      }
-    drop(t, d - n)
-  }
+  /** Set a full node at a key path, creating intermediate nodes. */
+  private def setNodeIn(t: Tree, path: Seq[String], node: TrgxNode): Tree =
+    path match {
+      case Nil => t
+      case h +: Nil => t.updated(h, node)
+      case h +: rest =>
+        val cur = t.getOrElse(h, TrgxNode.empty)
+        t.updated(h, cur.copy(children = setNodeIn(cur.children, rest, node)))
+    }
+
+  /** Leaf-key → root-to-leaf path map (`trgx->path`, trgx.clj:220). */
+  def leafPaths(t: Tree): Map[String, Seq[String]] =
+    pathSeq(t).map(p => p.last -> p).toMap
+
+  /** `trgx-take-last` (trgx.clj:239-244): keep the first n levels and
+    * re-attach each chain's deepest leaf directly below its truncated
+    * prefix (the reference's custom take-last: `header :+ last tail`). */
+  def takeLast(t: Tree, n: Int): Tree =
+    pathSeq(t).foldLeft(take(t, n)) { (acc, p) =>
+      val np = if (p.length > n) p.take(n) :+ p.last else p
+      setNodeIn(acc, np, getIn(t, p).get)
+    }
 
   /** `trgx-split-at` (trgx.clj:246): cut at level n into
     * (path-prefix, subtree) records. */
@@ -175,15 +181,12 @@ object Trgx {
     walk(t, Vector.empty, n)
   }
 
-  /** `trgx-leaf-trunc` (trgx.clj:265): drop the leaf level, hoisting each
-    * leaf's DATA onto its parent. */
-  def leafTrunc(t: Tree): Tree =
-    t.map { case (k, n) =>
-      if (n.children.nonEmpty && n.children.values.forall(_.isLeaf)) {
-        val merged = TreeMap(n.children.toSeq: _*).values
-          .foldLeft(n.data)((d, ch) => d ++ ch.data)
-        k -> n.copy(data = merged, children = Map.empty)
-      } else k -> n.copy(children = leafTrunc(n.children))
+  /** `trgx-leaf-trunc` (trgx.clj:265-269): re-home every leaf node at
+    * depth `level`+1 — the ancestor path truncated to `level` with the
+    * leaf key appended. */
+  def leafTrunc(t: Tree, level: Int): Tree =
+    pathSeq(t).foldLeft(Map.empty: Tree) { (acc, p) =>
+      setNodeIn(acc, p.take(level) :+ p.last, getIn(t, p).get)
     }
 
   /** `trgx->kv` / `path-trgx->kv` (trgx.clj:271-275): flatten to

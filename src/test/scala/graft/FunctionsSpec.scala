@@ -48,11 +48,12 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows == Seq(Seq(1, 0, 0, 1, 0, 0), Seq(0, 1, 0, 0, 0, 1)))
   }
 
-  test("pad right-pads but never truncates (trgx.clj:251-263 fixture)") {
+  test("pad fixes length to n: right-pads short, truncates long " +
+       "(trgx.clj:249 `take n (concat coll (repeat v))`)") {
     val df = Seq(Seq("a"), Seq("a", "b", "c", "d")).toDF("xs")
     val out = df.select(pad($"xs", 3, lit("z"))).as[Seq[String]]
       .collect().toSeq
-    assert(out == Seq(Seq("a", "z", "z"), Seq("a", "b", "c", "d")))
+    assert(out == Seq(Seq("a", "z", "z"), Seq("a", "b", "c")))
   }
 
   test("date library: prev-last-day / prev-last-month / prev-same-month") {

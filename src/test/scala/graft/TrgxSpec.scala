@@ -49,8 +49,16 @@ class TrgxSpec extends AnyFunSuite {
   test("depth / take / takeLast (trgx.clj:229-244)") {
     assert(depth(tree) == 2)
     assert(depth(take(tree, 1)) == 1)
-    val tl = takeLast(tree, 1)
-    assert(tl.keySet == Set("o1", "o2", "o3"))
+    // take-last keeps the first n levels + each chain's deepest leaf:
+    // on a 2-level tree with n=1 that reproduces the tree itself
+    assert(takeLast(tree, 1) == tree)
+    // 3-level chain a→b→c, n=1 → middle level cut: a→c
+    val deep: Tree = Map("a" -> TrgxNode(Map("d" -> "1"), Map(
+      "b" -> TrgxNode(Map.empty, Map(
+        "c" -> TrgxNode(Map("x" -> "9"), Map.empty))))))
+    val cut = takeLast(deep, 1)
+    assert(getIn(cut, Seq("a", "c")).get.data("x") == "9")
+    assert(getIn(cut, Seq("a", "b")).isEmpty)
   }
 
   test("splitAt cuts into (path, subtree) records (trgx.clj:246)") {
@@ -59,11 +67,20 @@ class TrgxSpec extends AnyFunSuite {
     assert(parts.head._2.keySet == Set("o1", "o2"))
   }
 
-  test("leafTrunc hoists leaf data onto parents (trgx.clj:265)") {
-    val lt = leafTrunc(tree)
-    assert(lt("2016-01-01").children.isEmpty)
-    // last sorted leaf's data wins per key
-    assert(lt("2016-01-01").data("price") == "20.00")
+  test("leafTrunc re-homes leaf nodes at the given level (trgx.clj:265)") {
+    val lt0 = leafTrunc(tree, 0)
+    assert(lt0.keySet == Set("o1", "o2", "o3"))
+    assert(lt0("o2").data("price") == "20.00")
+    // depth-2 tree: same shape and leaf data (intermediate DATA is
+    // dropped — the reference rebuilds from {} too)
+    val lt1 = leafTrunc(tree, 1)
+    assert(pathSeq(lt1) == pathSeq(tree))
+    assert(getIn(lt1, Seq("2016-01-01", "o2")).get.data("price")
+      == "20.00")
+  }
+
+  test("leafPaths maps leaf keys to full paths (trgx->path)") {
+    assert(leafPaths(tree)("o3") == Seq("2016-02-01", "o3"))
   }
 
   test("toKv flattens leaves; kvToTrgx attaches data to config leaves") {
