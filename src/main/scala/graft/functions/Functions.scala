@@ -123,12 +123,59 @@ object Functions {
   def dtGeGet(dt: Column, bound: Column, value: Column): Column =
     when(dt >= bound, value)
 
-  /** `take-train-dts`: driver-side train/test window-end generator
-    * (mlvar/d_bolome_user_order_stat.clj:43-70): k window-end dates
-    * stepping back from asOf by `stepDays`. */
-  def takeTrainDts(asOf: String, k: Int, stepDays: Int): Seq[String] = {
-    val base = java.time.LocalDate.parse(asOf)
-    (0 until k).map(i => base.minusDays(i.toLong * stepDays).toString)
+  /** `dt-rebase` on ranges (mlvar/d_bolome_user_order_stat.clj:47-50):
+    * fill the nil side of [newStart, newEnd] by shifting the other by
+    * the day-length of [start, end]. */
+  def dtRebaseRange(newRange: (Option[String], Option[String]),
+                    base: (String, String)): (String, String) = {
+    import java.time.LocalDate
+    import java.time.temporal.ChronoUnit
+    val days = ChronoUnit.DAYS.between(
+      LocalDate.parse(base._1), LocalDate.parse(base._2))
+    val start = newRange._1.getOrElse(
+      LocalDate.parse(newRange._2.get).minusDays(days).toString)
+    val end = newRange._2.getOrElse(
+      LocalDate.parse(newRange._1.get).plusDays(days).toString)
+    (start, end)
+  }
+
+  /** One train/test sample: the target (y) window plus one lookback (x)
+    * window per requested interval, keyed by interval days. */
+  final case class TrainSpec(y: (String, String),
+                             xs: Map[Int, (String, String)])
+
+  /** `take-train-dts` (mlvar/d_bolome_user_order_stat.clj:52-70):
+    * driver-side train/test window generator. Steps `backStep` days back
+    * from the day before the target (dm) window, rebasing a y-window of
+    * the dm length at each step and attaching per-interval x-lookback
+    * windows clipped to the warehouse range. */
+  def takeTrainDts(n: Int, backStep: Int, dmRange: (String, String),
+                   dwRange: (String, String),
+                   intervals: Seq[Int]): (Seq[TrainSpec], Seq[TrainSpec]) = {
+    import java.time.LocalDate
+    val (dmStart, dmEnd) = dmRange
+    val (dwMin, dwMax) = dwRange
+    val hisMax =
+      Seq(dwMax, LocalDate.parse(dmStart).minusDays(1).toString).min
+    def calDts(dt: String): Option[TrainSpec] = {
+      val (yStart, yEnd) = dtRebaseRange((None, Some(dt)), (dmStart, dmEnd))
+      val (xMax, _) = dtRebaseRange((None, Some(yEnd)), (hisMax, dmEnd))
+      val xs = intervals.sorted.iterator
+        .map(i => i -> LocalDate.parse(xMax).minusDays(i.toLong).toString)
+        .takeWhile { case (_, xStart) => xStart >= dwMin }
+        .map { case (i, xStart) => i -> (xStart, xMax) }
+        .toMap
+      if (xs.nonEmpty) Some(TrainSpec((yStart, yEnd), xs)) else None
+    }
+    val trainBase = Iterator.iterate(LocalDate.parse(hisMax))(
+        _.minusDays(backStep.toLong))
+      .map(_.toString).takeWhile(_ >= dwMin)
+    val trainSeq = trainBase.map(calDts).takeWhile(_.isDefined)
+      .map(_.get).toSeq
+    val train =
+      if (n < trainSeq.size) trainSeq.take(n)
+      else trainSeq.takeWhile(_.xs.size == intervals.size)
+    (train, calDts(dmEnd).toSeq)
   }
 
   /** `mk-dts`: array of daily date strings in [start, end] (trgx.clj:37-39).

@@ -240,24 +240,41 @@ object Trgx {
     walk(t, Vector.empty, steps)
   }
 
-  /** `shift-cut-trgx` (mlvar/d_bolome_user_order_stat.clj:97-135):
-    * aggregate a date-keyed order tree over k lookback windows ending at
-    * `asOf`, summing numeric DATA fields per window → one feature map per
-    * window `(windowIndex → {field → sum})`. */
+  /** Numeric coercion used by the shift-cut sums: booleans count as
+    * 0/1, like the reference's `(condp = % "false" 0 "true" 1 %)`
+    * (mlvar/d_bolome_user_order_stat.clj:108). */
+  private def numeric(v: String): Double = v match {
+    case "true"  => 1.0
+    case "false" => 0.0
+    case s => try s.toDouble catch { case _: Throwable => 0.0 }
+  }
+
+  /** Sum numeric DATA fields of all nodes one level below the date keys
+    * falling in [lo, hi]. */
+  def windowSums(t: Tree, lo: String, hi: String): Map[String, Double] =
+    query(t, Seq(Range(lo, hi), Wildcard))
+      .foldLeft(Map.empty[String, Double]) { case (acc, (_, n)) =>
+        n.data.foldLeft(acc) { case (a, (k, v)) =>
+          a.updated(k, a.getOrElse(k, 0.0) + numeric(v))
+        }
+      }
+
+  /** `shift-cut-trgx` over explicit windows (the shape take-train-dts
+    * produces): one feature map per (label, [lo, hi]) window. */
+  def shiftCutWindows(t: Tree, windows: Seq[(Int, (String, String))]):
+      Seq[(Int, Map[String, Double])] =
+    windows.map { case (label, (lo, hi)) => label -> windowSums(t, lo, hi) }
+
+  /** `shift-cut-trgx` (mlvar/d_bolome_user_order_stat.clj:97-135),
+    * fixed-stride form: k lookback windows of `windowDays` ending at
+    * `asOf`. */
   def shiftCut(t: Tree, asOf: String, windowDays: Int,
                numWindows: Int): Seq[(Int, Map[String, Double])] = {
     val asOfDate = java.time.LocalDate.parse(asOf)
-    (0 until numWindows).map { w =>
+    shiftCutWindows(t, (0 until numWindows).map { w =>
       val hi = asOfDate.minusDays(w.toLong * windowDays)
       val lo = hi.minusDays(windowDays - 1L)
-      val hits = query(t, Seq(Range(lo.toString, hi.toString), Wildcard))
-      val sums = hits.foldLeft(Map.empty[String, Double]) { case (acc, (_, n)) =>
-        n.data.foldLeft(acc) { case (a, (k, v)) =>
-          val x = try v.toDouble catch { case _: Throwable => 0.0 }
-          a.updated(k, a.getOrElse(k, 0.0) + x)
-        }
-      }
-      w -> sums
-    }
+      w -> (lo.toString, hi.toString)
+    })
   }
 }

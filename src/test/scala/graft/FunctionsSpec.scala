@@ -75,9 +75,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out == (("2020-06-10", Some("v"), None)))
   }
 
-  test("takeTrainDts steps back deterministically; latestTs is ISO") {
-    assert(takeTrainDts("2016-03-01", 3, 30) ==
-      Seq("2016-03-01", "2016-01-31", "2016-01-01"))
+  test("dtRebaseRange fills the nil side by the base interval length") {
+    assert(dtRebaseRange((None, Some("2016-03-10")),
+      ("2016-01-01", "2016-01-11")) == (("2016-02-29", "2016-03-10")))
+    assert(dtRebaseRange((Some("2016-03-01"), None),
+      ("2016-01-01", "2016-01-11")) == (("2016-03-01", "2016-03-11")))
+  }
+
+  test("takeTrainDts builds train/test window specs like the reference") {
+    // dm window 2016-03-01..2016-03-10 (9 days), warehouse
+    // 2016-01-01..2016-12-31, lookbacks 7 and 30 days, step 10
+    val (train, test) = takeTrainDts(2, 10,
+      ("2016-03-01", "2016-03-10"), ("2016-01-01", "2016-12-31"),
+      Seq(7, 30))
+    assert(test.size == 1)
+    // test y-window = the dm window itself
+    assert(test.head.y == (("2016-03-01", "2016-03-10")))
+    assert(train.size == 2)
+    // first train y ends the day before dm starts, same length
+    assert(train.head.y == (("2016-02-20", "2016-02-29")))
+    // its x windows end at the rebased history max and step back by
+    // the interval lengths
+    assert(train.head.xs(7)._2 == train.head.xs(30)._2)
+    assert(train.head.xs.keySet == Set(7, 30))
     assert(latestTs().matches(
       "\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z"))
   }
