@@ -744,8 +744,8 @@ object CoreQueries {
            JOIN nation ON n_nationkey = c_nationkey
            JOIN region ON r_regionkey = n_regionkey
            GROUP BY 1, 2)
-         SELECT r_name, '{' || string_agg('"' || n_name ||
-             '":["n_cust=' || n_cust || '","sum_bal=' || sum_bal || '"]',
+         SELECT r_name, '{' || string_agg('"n_name=' || n_name ||
+             '":{"n_cust":' || n_cust || ',"sum_bal":' || sum_bal || '}',
              ',' ORDER BY n_name) || '}' AS report
          FROM a GROUP BY r_name ORDER BY r_name""",
     "row_num_surrogate" ->

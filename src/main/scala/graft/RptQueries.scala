@@ -142,8 +142,8 @@ object RptQueries {
                AS DECIMAL(38,2)) AS val
            FROM orders JOIN customer ON c_custkey = o_custkey
            GROUP BY 1, 2)
-         SELECT seg, '{' || string_agg('"' || dt || '":["score=' || val
-             || '"]', ',' ORDER BY dt) || '}' AS report
+         SELECT seg, '{' || string_agg('"dt=' || dt || '":{"score":'
+             || val || '}', ',' ORDER BY dt) || '}' AS report
          FROM m GROUP BY seg ORDER BY seg""",
     "report_share_others" ->
       """WITH base AS (SELECT c_mktsegment, n_name FROM customer
@@ -183,8 +183,9 @@ object RptQueries {
            UNION ALL
            SELECT 'region' AS grain, r_name AS name, seg, count(*)
            FROM cn GROUP BY 2, 3)
-         SELECT grain, name, '{' || string_agg('"' || seg || '":["cnt='
-             || cnt || '"]', ',' ORDER BY seg) || '}' AS report
+         SELECT grain, name, '{' || string_agg('"seg=' || seg ||
+             '":{"cnt":' || cnt || '}', ',' ORDER BY seg) || '}'
+             AS report
          FROM g GROUP BY grain, name ORDER BY grain, name""",
     "report_tree_kpi" ->
       """WITH s AS (SELECT n_name, r_name, count(*) AS cnt

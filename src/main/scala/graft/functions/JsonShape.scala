@@ -43,16 +43,34 @@ object JsonShape {
     sb.toString
   }
 
-  /** `pair-edn->json`: render the tree, collapsing leaf `[k v]` pairs to
-    * `"k=v"` strings (trgx.clj:78-79). */
+  private val NumericRe = "^-?\\d+(\\.\\d+)?$".r
+
+  /** Render a scalar as JSON: numeric strings stay numbers (the
+    * reference's metric values are EDN numbers → unquoted in cheshire's
+    * output), everything else is a quoted string. */
+  def jsonScalar(v: String): String =
+    if (v != null && NumericRe.matches(v)) v else "\"" + esc(v) + "\""
+
+  /** `pair-edn->json` on the dimension-metrics tree (trgx.clj:78-79):
+    * branch keys are already `header=value` strings (built by
+    * tr-dimension-metrics' dimension pairs); metric leaves stay plain
+    * JSON object fields — in the reference only non-map-entry `[k v]`
+    * pairs collapse to `"k=v"`, and metric entries are map entries. */
   def pairTreeToJson(t: PairTree): String = t match {
     case Leaf(ms) =>
-      ms.map { case (k, v) => "\"" + esc(s"$k=$v") + "\"" }
-        .mkString("[", ",", "]")
+      ms.map { case (k, v) => "\"" + esc(k) + "\":" + jsonScalar(v) }
+        .mkString("{", ",", "}")
     case Branch(ch) =>
       ch.map { case (k, v) => "\"" + esc(k) + "\":" + pairTreeToJson(v) }
         .mkString("{", ",", "}")
   }
+
+  /** `pair-edn->json` on a `vars->pair` selector list: ordered `[k v]`
+    * pairs → JSON array of `"k=v"` strings (the collapse case;
+    * m_cocacola_score_overall.clj:72-74). */
+  def kvPairsToJson(pairs: Seq[(String, String)]): String =
+    pairs.map { case (k, v) => "\"" + esc(s"$k=$v") + "\"" }
+      .mkString("[", ",", "]")
 
   /** Build a PairTree from rows of (dimension-path, metrics). Last write
     * wins per path, matching Clojure `assoc-in` merge order. */

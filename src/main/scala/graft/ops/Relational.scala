@@ -157,11 +157,15 @@ object Relational {
   }
 
   /** Report shaping: selectors + tr-dimension-metrics JSON payload —
-    * the tail of every report (trgx.clj:72-79). */
+    * the tail of every report (trgx.clj:72-79). Dimension levels are
+    * keyed `header=value` (the reference's `[header value]` pair keys
+    * after the pair-edn collapse); metrics render as plain JSON fields.
+    */
   def reportShape(df: DataFrame, selectorCols: Seq[String],
                   dimCols: Seq[String],
                   metrics: Seq[(String, Column)]): DataFrame = {
-    val dims = array(dimCols.map(col): _*)
+    val dims = array(dimCols.map(c =>
+      concat_ws("=", lit(c), col(c))): _*)
     val mmap = map(metrics.flatMap { case (n, c) =>
       Seq(lit(n), c.cast("string")) }: _*)
     df.groupBy(selectorCols.map(col): _*)

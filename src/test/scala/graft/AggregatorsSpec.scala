@@ -38,7 +38,7 @@ class AggregatorsSpec extends AnyFunSuite {
       .agg(Aggregators.trDimensionMetrics($"dims", $"metrics").as("j"))
       .as[(String, String)].head()._2
     assert(out ==
-      """{"d0":{"x":["m=9"]},"d1":{"x":["m=1"],"y":["m=2","n=3"]}}""")
+      """{"d0":{"x":{"m":9}},"d1":{"x":{"m":1},"y":{"m":2,"n":3}}}""")
   }
 
   test("trDimensionMetrics with empty dims renders a bare leaf array " +
@@ -49,7 +49,8 @@ class AggregatorsSpec extends AnyFunSuite {
     val out = df.groupBy("sel")
       .agg(Aggregators.trDimensionMetrics($"dims", $"metrics").as("j"))
       .as[(String, String)].head()._2
-    assert(out == """["pp=0.5","score=1.5"]""")
+    // matches the reference's flat metrics object for [] dimensions
+    assert(out == """{"pp":0.5,"score":1.5}""")
   }
 
   test("strMax/strMin skip the null sentinel (trgx.clj:63-69)") {

@@ -117,10 +117,12 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out == "a=1,b=2")
   }
 
-  test("pairTreeToJson collapses leaf pairs to k=v strings") {
+  test("pairTreeToJson: metric leaves are JSON fields, numbers " +
+       "unquoted (reference cheshire rendering)") {
     import JsonShape._
-    val t = Branch("d1" -> Branch("d2" -> Leaf("m" -> "1", "a" -> "2")))
-    assert(pairTreeToJson(t) == """{"d1":{"d2":["a=2","m=1"]}}""")
+    val t = Branch("d=1" -> Branch("e=2" -> Leaf("m" -> "1.5",
+                                                 "a" -> "x")))
+    assert(pairTreeToJson(t) == """{"d=1":{"e=2":{"a":"x","m":1.5}}}""")
   }
 
   test("fromRows builds sorted nested tree, last write wins") {
@@ -129,6 +131,12 @@ class FunctionsSpec extends AnyFunSuite {
       (Seq("b"), Seq("m" -> "1")),
       (Seq("a"), Seq("m" -> "2")),
       (Seq("a"), Seq("m" -> "3"))))
-    assert(pairTreeToJson(t) == """{"a":["m=3"],"b":["m=1"]}""")
+    assert(pairTreeToJson(t) == """{"a":{"m":3},"b":{"m":1}}""")
+  }
+
+  test("kvPairsToJson: selector pair lists collapse to k=v strings " +
+       "(vars->pair through pair-edn->json)") {
+    assert(JsonShape.kvPairsToJson(Seq("period" -> "2016-01-31",
+      "bg" -> "X")) == """["period=2016-01-31","bg=X"]""")
   }
 }

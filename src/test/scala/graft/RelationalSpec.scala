@@ -78,7 +78,7 @@ class RelationalSpec extends AnyFunSuite {
     val out = Relational.reportShape(df, Seq("sel"), Seq("dim"),
         Seq("cnt" -> col("m")))
       .as[(String, String)].collect().toMap
-    assert(out("s1") == """{"d1":["cnt=10"],"d2":["cnt=20"]}""")
-    assert(out("s2") == """{"d1":["cnt=5"]}""")
+    assert(out("s1") == """{"dim=d1":{"cnt":10},"dim=d2":{"cnt":20}}""")
+    assert(out("s2") == """{"dim=d1":{"cnt":5}}""")
   }
 }
