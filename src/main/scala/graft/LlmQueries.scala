@@ -200,7 +200,7 @@ object LlmQueries {
         col("o_totalprice").cast("decimal(18,2)").cast("string")
           .as("price"))
       val trees = graft.etl.Pipelines.mlvarUserOrderTrees(
-        o, "custkey", "dt", "okey", Seq("price"))
+        o, "custkey", Seq("dt", "okey"), Seq("price"))
       graft.etl.Pipelines.shiftCutFeatures(trees, "custkey", asOf,
           365, 3, "price")
         .select(col("custkey"), col("w"),

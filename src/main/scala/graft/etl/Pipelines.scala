@@ -49,24 +49,25 @@ object Pipelines {
 
   /** mlvar tree build (reference
     * src/bolome/mlvar/d_bolome_user_order.clj:75-141): roll each user's
-    * orders into a date-keyed trgx tree, stored as a canonical-JSON TEXT
-    * column — the reference's EDN-in-TEXT storage boundary. */
+    * rows into a trgx tree keyed by `pathCols` (the reference nests
+    * user → dw-dt → order → product), DATA attached at the leaf, stored
+    * as a canonical-JSON TEXT column — the EDN-in-TEXT storage boundary.
+    */
   def mlvarUserOrderTrees(orders: DataFrame, userCol: String,
-                          dtCol: String, keyCol: String,
+                          pathCols: Seq[String],
                           dataCols: Seq[String]): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._
     orders
-      .select(col(userCol).cast("long"), col(dtCol).cast("string"),
-        col(keyCol).cast("string"),
+      .select(col(userCol).cast("long"),
+        array(pathCols.map(c => col(c).cast("string")): _*),
         map(dataCols.flatMap(c =>
           Seq(lit(c), col(c).cast("string"))): _*))
-      .as[(Long, String, String, Map[String, String])]
+      .as[(Long, Seq[String], Map[String, String])]
       .groupByKey(_._1)
       .mapGroups { (uid, rows) =>
         val tree = rows.foldLeft(Map.empty: Trgx.Tree) {
-          case (acc, (_, dt, k, data)) =>
-            Trgx.assocIn(acc, Seq(dt, k), data)
+          case (acc, (_, path, data)) => Trgx.assocIn(acc, path, data)
         }
         (uid, Trgx.toJson(tree))
       }
@@ -78,14 +79,15 @@ object Pipelines {
     * user's tree into k lookback windows ending at `asOf`, summing the
     * numeric field per window. */
   def shiftCutFeatures(trees: DataFrame, userCol: String, asOf: String,
-                       windowDays: Int, numWindows: Int,
-                       field: String): DataFrame = {
+                       windowDays: Int, numWindows: Int, field: String,
+                       leafDepthBelowDate: Int = 1): DataFrame = {
     val spark = trees.sparkSession
     import spark.implicits._
     trees.select(col(userCol).cast("long"), col("trgx"))
       .as[(Long, String)]
       .flatMap { case (uid, json) =>
-        Trgx.shiftCut(Trgx.fromJson(json), asOf, windowDays, numWindows)
+        Trgx.shiftCut(Trgx.fromJson(json), asOf, windowDays, numWindows,
+            leafDepthBelowDate)
           .flatMap { case (w, sums) =>
             sums.get(field).map(v => (uid, w, v))
           }

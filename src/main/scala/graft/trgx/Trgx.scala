@@ -249,10 +249,12 @@ object Trgx {
     case s => try s.toDouble catch { case _: Throwable => 0.0 }
   }
 
-  /** Sum numeric DATA fields of all nodes one level below the date keys
-    * falling in [lo, hi]. */
-  def windowSums(t: Tree, lo: String, hi: String): Map[String, Double] =
-    query(t, Seq(Range(lo, hi), Wildcard))
+  /** Sum numeric DATA fields of all nodes `leafDepth` levels below the
+    * date keys falling in [lo, hi] (the reference's wildcard chains,
+    * e.g. `[:range a b] "*" "*"` for order-level sums). */
+  def windowSums(t: Tree, lo: String, hi: String,
+                 leafDepth: Int = 1): Map[String, Double] =
+    query(t, Range(lo, hi) +: Seq.fill(leafDepth)(Wildcard))
       .foldLeft(Map.empty[String, Double]) { case (acc, (_, n)) =>
         n.data.foldLeft(acc) { case (a, (k, v)) =>
           a.updated(k, a.getOrElse(k, 0.0) + numeric(v))
@@ -261,20 +263,23 @@ object Trgx {
 
   /** `shift-cut-trgx` over explicit windows (the shape take-train-dts
     * produces): one feature map per (label, [lo, hi]) window. */
-  def shiftCutWindows(t: Tree, windows: Seq[(Int, (String, String))]):
+  def shiftCutWindows(t: Tree, windows: Seq[(Int, (String, String))],
+                      leafDepth: Int = 1):
       Seq[(Int, Map[String, Double])] =
-    windows.map { case (label, (lo, hi)) => label -> windowSums(t, lo, hi) }
+    windows.map { case (label, (lo, hi)) =>
+      label -> windowSums(t, lo, hi, leafDepth)
+    }
 
   /** `shift-cut-trgx` (mlvar/d_bolome_user_order_stat.clj:97-135),
     * fixed-stride form: k lookback windows of `windowDays` ending at
     * `asOf`. */
-  def shiftCut(t: Tree, asOf: String, windowDays: Int,
-               numWindows: Int): Seq[(Int, Map[String, Double])] = {
+  def shiftCut(t: Tree, asOf: String, windowDays: Int, numWindows: Int,
+               leafDepth: Int = 1): Seq[(Int, Map[String, Double])] = {
     val asOfDate = java.time.LocalDate.parse(asOf)
     shiftCutWindows(t, (0 until numWindows).map { w =>
       val hi = asOfDate.minusDays(w.toLong * windowDays)
       val lo = hi.minusDays(windowDays - 1L)
       w -> (lo.toString, hi.toString)
-    })
+    }, leafDepth)
   }
 }

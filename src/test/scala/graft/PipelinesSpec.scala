@@ -98,8 +98,8 @@ class PipelinesSpec extends AnyFunSuite {
       (1L, "2016-01-10", "o1", 10.0), (1L, "2016-02-10", "o2", 20.0),
       (2L, "2016-02-11", "o3", 5.0))
       .toDF("user_id", "dt", "order_id", "price")
-    val trees = Pipelines.mlvarUserOrderTrees(orders, "user_id", "dt",
-      "order_id", Seq("price"))
+    val trees = Pipelines.mlvarUserOrderTrees(orders, "user_id",
+      Seq("dt", "order_id"), Seq("price"))
     assert(trees.count() == 2)
     val feats = Pipelines.shiftCutFeatures(trees, "user_id",
         "2016-02-15", 30, 2, "price")
@@ -108,5 +108,21 @@ class PipelinesSpec extends AnyFunSuite {
     assert(feats((1L, 0)) == 20.0)  // window ending 2016-02-15
     assert(feats((1L, 1)) == 10.0)  // previous 30-day window
     assert(feats((2L, 0)) == 5.0)
+  }
+
+  test("mlvar deep tree (user→dt→order→product) with product-level sums") {
+    val rows = Seq(
+      (1L, "2016-01-10", "o1", "p1", 10.0, 2.0),
+      (1L, "2016-01-10", "o1", "p2", 20.0, 1.0),
+      (1L, "2016-01-20", "o2", "p1", 5.0, 3.0))
+      .toDF("user_id", "dt", "order_id", "product_id", "revenue",
+            "quantity")
+    val trees = Pipelines.mlvarUserOrderTrees(rows, "user_id",
+      Seq("dt", "order_id", "product_id"), Seq("revenue", "quantity"))
+    // product-level DATA sits two wildcards below the date keys
+    val feats = Pipelines.shiftCutFeatures(trees, "user_id",
+        "2016-01-31", 31, 1, "revenue", leafDepthBelowDate = 2)
+      .as[(Long, Int, Double)].collect()
+    assert(feats.toSeq == Seq((1L, 0, 35.0)))
   }
 }
