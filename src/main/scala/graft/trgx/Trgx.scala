@@ -215,6 +215,8 @@ object Trgx {
 
   sealed trait PathStep
   case class Key(k: String) extends PathStep
+  /** key list — the reference's `select-keys` filter form. */
+  case class Keys(ks: Set[String]) extends PathStep
   case object Wildcard extends PathStep
   /** `[:range a b]`: keys lexicographically in [a, b]. */
   case class Range(lo: String, hi: String) extends PathStep
@@ -223,6 +225,7 @@ object Trgx {
   def query(t: Tree, steps: Seq[PathStep]): Seq[(Seq[String], TrgxNode)] = {
     def matches(k: String, s: PathStep): Boolean = s match {
       case Key(x)       => k == x
+      case Keys(ks)     => ks.contains(k)
       case Wildcard     => true
       case Range(a, b)  => k >= a && k <= b
     }
@@ -239,6 +242,12 @@ object Trgx {
       }
     walk(t, Vector.empty, steps)
   }
+
+  /** `tree-nodes [... :DATA fields]`: pluck DATA values in field order
+    * (missing fields → null), matching the reference's ordered
+    * extraction before `partition`/`zipmap`. */
+  def dataFieldValues(n: TrgxNode, fields: Seq[String]): Seq[String] =
+    fields.map(f => n.data.getOrElse(f, null))
 
   /** Numeric coercion used by the shift-cut sums: booleans count as
     * 0/1, like the reference's `(condp = % "false" 0 "true" 1 %)`

@@ -92,10 +92,14 @@ class TrgxSpec extends AnyFunSuite {
     assert(getIn(attached, Seq("KPI", "o1")).get.data("v") == "9")
   }
 
-  test("query supports wildcard and [:range a b] path steps") {
+  test("query supports wildcard, key-list, and [:range a b] path steps") {
     val hits = query(tree, Seq(Range("2016-01-01", "2016-01-31"),
       Wildcard))
     assert(hits.map(_._1.last) == Seq("o1", "o2"))
+    val picked = query(tree, Seq(Wildcard, Keys(Set("o1", "o3"))))
+    assert(picked.map(_._1.last) == Seq("o1", "o3"))
+    assert(dataFieldValues(picked.head._2, Seq("price", "missing"))
+      == Seq("10.00", null))
   }
 
   test("shiftCut aggregates windows of numeric DATA (mlvar:97-135)") {
