@@ -71,10 +71,12 @@ object LlmQueries {
         .orderBy("id1", "id2")),
 
     // MinHash-LSH at a realistic near-dup threshold (probabilistic
-    // recall → rows-only; exact-recall variant above is the oracle one)
+    // recall → rows-only; exact-recall variant above is the oracle one).
+    // b=8, r=4: P(detect) = 1-(1-0.8^4)^8 ≈ 0.985 with far fewer
+    // false-positive candidate pairs than r=2 banding.
     "dedup_minhash_near" -> ((s, dir) =>
       Dedup.minHashDedupPairs(dupCorpus(s, dir), "text", "doc_id",
-          threshold = 0.8, numHashes = 32, bands = 16)
+          threshold = 0.8, numHashes = 32, bands = 8)
         .orderBy("id1", "id2")),
 
     // SimHash near-dup (hash-function-dependent → rows-only check)
