@@ -79,7 +79,9 @@ object Relational {
   }
 
   /** Group-max over partition (m_cocacola_score_overall.clj:53): max of
-    * the collected map's values ≡ MAX(value) OVER (PARTITION BY group). */
+    * the collected map's values ≡ MAX(value) OVER (PARTITION BY group).
+    * NOTE: compares in the map's value type — for decimal-string maps
+    * cast first (slidingScores does this for its `max_value`). */
   def groupMax(valueMap: Column): Column = array_max(map_values(valueMap))
 
   /** `row-num` surrogate-key assignment, window form (reference
