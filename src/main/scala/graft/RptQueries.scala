@@ -111,6 +111,27 @@ object RptQueries {
       rows.toDF("r_name", "kpi_tree")
     }),
 
+    // build-delta debut shape (model/d_bolome_order_show_debut.clj:60-76):
+    // collect-set membership flag + sorted pay-date keys + first key +
+    // conditional debut date, per entity
+    "model_debut" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("dt", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      val agg = o.groupBy(col("o_custkey").as("custkey"))
+        .agg(
+          sortKeys(graft.agg.Aggregators.collectKv(col("dt"),
+            col("o_orderkey").cast("string"))).as("pay_dts_arr"),
+          max(col("o_orderpriority") === "1-URGENT").cast("int")
+            .as("exist_urgent"))
+      agg.select(col("custkey"), col("exist_urgent"),
+          array_join(col("pay_dts_arr"), "|").as("pay_dts"),
+          element_at(col("pay_dts_arr"), 1).as("min_pay_dt"),
+          cif(col("exist_urgent") === 1,
+              prevLastDay(element_at(col("pay_dts_arr"), 1)),
+              element_at(col("pay_dts_arr"), 1)).as("debut_dt"))
+        .orderBy("custkey")
+    }),
+
     // mlin denormalization: star join + flag encoders in one pass
     // (mlin/d_bolome_user_order.clj:73-92)
     "mlin_denormalize" -> ((s, dir) => {
@@ -199,6 +220,22 @@ object RptQueries {
              || '"},"CHILDREN":{}}', ',' ORDER BY n_name) ||
            '}}}' AS kpi_tree
          FROM s GROUP BY r_name ORDER BY r_name""",
+    "model_debut" ->
+      """WITH k AS (SELECT o_custkey AS custkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS dt, o_orderpriority
+           FROM orders),
+         agg AS (SELECT custkey,
+             string_agg(DISTINCT dt, '|' ORDER BY dt) AS pay_dts,
+             min(dt) AS min_pay_dt,
+             CAST(max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                  ELSE 0 END) AS INT) AS exist_urgent
+           FROM k GROUP BY custkey)
+         SELECT custkey, exist_urgent, pay_dts, min_pay_dt,
+           CASE WHEN exist_urgent = 1
+                THEN strftime(last_day(CAST(min_pay_dt AS DATE)
+                     - INTERVAL 1 MONTH), '%Y-%m-%d')
+                ELSE min_pay_dt END AS debut_dt
+         FROM agg ORDER BY custkey""",
     "mlin_denormalize" ->
       """SELECT o_orderkey, c_custkey, n_name,
          CAST(c_mktsegment = 'AUTOMOBILE' AS INT) AS seg_auto,

@@ -216,6 +216,10 @@ object Functions {
   def kvLookup(m: Column, keyCols: Seq[Column]): Seq[Column] =
     keyCols.map(k => element_at(m, k))
 
+  /** `sort-keys`: sorted key array of a map column
+    * (model/d_bolome_order_show_debut.clj:44). */
+  def sortKeys(m: Column): Column = array_sort(map_keys(m))
+
   /** Canonical render of a map column: sorted `k=v` pairs joined by `,`.
     * Deterministic across engines — used wherever map values must be
     * hash-compared against a SQL oracle. */
