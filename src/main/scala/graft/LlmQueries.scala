@@ -162,8 +162,9 @@ object LlmQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
-    // trgx tree: build per-customer order tree, serialize, round-trip,
-    // report structural stats (codec + ops; not SQL-expressible)
+    // trgx tree: build per-customer order tree, serialize through the
+    // JSON TEXT boundary, round-trip (hard failure on codec mismatch),
+    // report structural stats the oracle can recompute relationally
     "trgx_tree_ops" -> ((s, dir) => {
       import s.implicits._
       val o = t(s, dir, "orders")
@@ -178,15 +179,22 @@ object LlmQueries {
             case (acc, (_, dt, okey, price)) =>
               Trgx.assocIn(acc, Seq(dt, okey), Map("price" -> price))
           }
-          val json = Trgx.toJson(tree)
-          val back = Trgx.fromJson(json)           // codec round-trip
-          val paths = Trgx.pathSeq(back)
-          val takeLast1 = Trgx.toJson(Trgx.takeLast(back, 1))
-          (ck, json.length, Trgx.depth(back), paths.size, takeLast1.length)
+          val back = Trgx.fromJson(Trgx.toJson(tree))
+          require(back == tree, s"trgx codec round-trip broke for $ck")
+          (ck, Trgx.depth(back), Trgx.pathSeq(back).size.toLong,
+            Trgx.query(back, Seq(Trgx.Wildcard)).size.toLong)
         }
-        .toDF("custkey", "json_len", "depth", "n_paths", "takelast_len")
+        .toDF("custkey", "depth", "n_paths", "n_days")
         .orderBy("custkey")
     }),
+
+    // corpus vocabulary stats: top-50 tokens by frequency
+    "text_token_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(TextAnalysis.normalizeText(col("text")),
+          " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(50)),
 
     // trgx shift-cut: the full mlvar pipeline — build date-keyed order
     // trees (JSON TEXT storage boundary), then windowed feature sums
@@ -353,6 +361,17 @@ object LlmQueries {
          CAST(floor(octet_length(CAST(text AS BLOB)) / 16) + 1 AS INT)
            AS n_frames
          FROM documents ORDER BY media_id, frame_idx""",
+    "trgx_tree_ops" ->
+      """SELECT o_custkey AS custkey, CAST(2 AS INT) AS depth,
+         count(*) AS n_paths,
+         count(DISTINCT strftime(o_orderdate, '%Y-%m-%d')) AS n_days
+         FROM orders GROUP BY o_custkey ORDER BY custkey""",
+    "text_token_topk" ->
+      """SELECT tok, count(*) AS cnt FROM (
+           SELECT unnest(string_split(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+             AS tok FROM documents)
+         GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50""",
     "trgx_shift_cut" ->
       """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS asof
            FROM orders),
