@@ -268,7 +268,7 @@ object CoreQueries {
         // so the product and sum are exact (no double-rounding drift)
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
                (lit(1) - col("l_discount")).cast("decimal(12,2)"))
-               .cast("decimal(38,4)").as("revenue"),
+               .cast("decimal(38,4)").cast("string").as("revenue"),
              count(lit(1)).as("cnt"))
         .orderBy("r_name", "n_name")
     }),
@@ -289,11 +289,13 @@ object CoreQueries {
       val o = t(s, dir, "orders")
       val stg = o.filter(col("o_orderkey") % 2 === 0).select(
         col("o_orderkey"),
-        (col("o_totalprice") * 2).cast("decimal(18,2)").as("val_price"),
+        (col("o_totalprice") * 2).cast("decimal(18,2)").cast("string")
+          .as("val_price"),
         lit("U").as("val_status"))
       val ods = o.filter(col("o_orderkey") % 3 === 0).select(
         col("o_orderkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("val_price"),
+        col("o_totalprice").cast("decimal(18,2)").cast("string")
+          .as("val_price"),
         col("o_orderstatus").as("val_status"))
       Relational.fullOuterMerge(stg, ods, Seq("o_orderkey"),
           Seq("val_price", "val_status"))
@@ -417,8 +419,8 @@ object CoreQueries {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
-      Relational.surrogateKeys(base, "dw_id", "c_custkey", maxExisting,
-          lit(0), 1)
+      Relational.surrogateKeysOrdered(base, "dw_id", "c_custkey",
+          maxExisting, 8)
         .orderBy("c_custkey")
     }),
 
@@ -443,11 +445,15 @@ object CoreQueries {
       Relational.slidingScores(m, Seq("seg"), "dt", "val",
           rng.getString(0), rng.getString(1))
         .select(col("seg"), col("dt"),
-          col("value").cast("decimal(38,2)").as("value"),
-          col("max_value").cast("decimal(38,3)").as("max_value"),
-          col("delta_mom").cast("decimal(38,3)").as("delta_mom"),
-          col("delta_ytd").cast("decimal(38,3)").as("delta_ytd"),
-          col("delta_yoy").cast("decimal(38,3)").as("delta_yoy"))
+          col("value").cast("decimal(38,2)").cast("string").as("value"),
+          col("max_value").cast("decimal(38,3)").cast("string")
+            .as("max_value"),
+          col("delta_mom").cast("decimal(38,3)").cast("string")
+            .as("delta_mom"),
+          col("delta_ytd").cast("decimal(38,3)").cast("string")
+            .as("delta_ytd"),
+          col("delta_yoy").cast("decimal(38,3)").cast("string")
+            .as("delta_yoy"))
         .orderBy("seg", "dt")
     }),
 
@@ -501,8 +507,8 @@ object CoreQueries {
       Tables.registerViews(s, dir)
       s.sql("""
         SELECT n_name, count(*) AS n_cust,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
-                 AS DECIMAL(38,2)) AS bal
+               CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                 AS DECIMAL(38,2)) AS STRING) AS bal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name""")
     }),
@@ -512,12 +518,12 @@ object CoreQueries {
       t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_qty"),
+            .cast("decimal(38,2)").cast("string").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_base"),
+            .cast("decimal(38,2)").cast("string").as("sum_base"),
           sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1) - col("l_discount")).cast("decimal(12,2)"))
-            .cast("decimal(38,4)").as("sum_disc_price"),
+            .cast("decimal(38,4)").cast("string").as("sum_disc_price"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -529,7 +535,7 @@ object CoreQueries {
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
              sum(col("value").cast("decimal(18,3)")).cast("decimal(38,3)")
-               .as("sum_val"))
+               .cast("string").as("sum_val"))
         .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
                 col("event_type"), col("cnt"), col("sum_val"))
         .orderBy("day", "event_type"))
@@ -657,9 +663,9 @@ object CoreQueries {
          ORDER BY o_orderkey""",
     "join_inner_star" ->
       """SELECT r_name, n_name,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
            CAST(1 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4))
-           AS revenue,
+           AS VARCHAR) AS revenue,
          count(*) AS cnt
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -673,10 +679,12 @@ object CoreQueries {
          GROUP BY c_custkey ORDER BY c_custkey""",
     "full_outer_merge" ->
       """WITH stg AS (SELECT o_orderkey,
-             CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS val_price,
+             CAST(CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS VARCHAR)
+               AS val_price,
              'U' AS val_status FROM orders WHERE o_orderkey % 2 = 0),
          ods AS (SELECT o_orderkey,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS val_price,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+               AS val_price,
              o_orderstatus AS val_status FROM orders
              WHERE o_orderkey % 3 = 0)
          SELECT coalesce(stg.o_orderkey, ods.o_orderkey) AS o_orderkey,
@@ -769,12 +777,15 @@ object CoreQueries {
            FROM orders JOIN customer ON c_custkey = o_custkey
            GROUP BY 1, 2)
          SELECT a.seg AS seg, a.dt AS dt,
-           CAST(a.val AS DECIMAL(38,2)) AS value,
-           CAST(max(a.val) OVER (PARTITION BY a.seg) AS DECIMAL(38,3))
-             AS max_value,
-           CAST(a.val - mom.val AS DECIMAL(38,3)) AS delta_mom,
-           CAST(a.val - ytd.val AS DECIMAL(38,3)) AS delta_ytd,
-           CAST(a.val - yoy.val AS DECIMAL(38,3)) AS delta_yoy
+           CAST(CAST(a.val AS DECIMAL(38,2)) AS VARCHAR) AS value,
+           CAST(CAST(max(a.val) OVER (PARTITION BY a.seg)
+             AS DECIMAL(38,3)) AS VARCHAR) AS max_value,
+           CAST(CAST(a.val - mom.val AS DECIMAL(38,3)) AS VARCHAR)
+             AS delta_mom,
+           CAST(CAST(a.val - ytd.val AS DECIMAL(38,3)) AS VARCHAR)
+             AS delta_ytd,
+           CAST(CAST(a.val - yoy.val AS DECIMAL(38,3)) AS VARCHAR)
+             AS delta_yoy
          FROM m a
          LEFT JOIN m mom ON mom.seg = a.seg AND mom.dt =
            strftime(last_day(CAST(a.dt AS DATE) - INTERVAL 1 MONTH),
@@ -824,27 +835,27 @@ object CoreQueries {
                FROM orders)""",
     "sql_surface" ->
       """SELECT n_name, count(*) AS n_cust,
-         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
-           AS bal
+         CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+           AS DECIMAL(38,2)) AS VARCHAR) AS bal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
-           AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-           AS DECIMAL(38,2)) AS sum_base,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+           AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+           AS DECIMAL(38,2)) AS VARCHAR) AS sum_base,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
            CAST(1 - l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4))
-           AS sum_disc_price,
+           AS VARCHAR) AS sum_disc_price,
          count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "events_windowed_agg" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
          event_type, count(*) AS cnt,
-         CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(38,3))
-           AS sum_val
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(38,3))
+           AS VARCHAR) AS sum_val
          FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
   )
 }

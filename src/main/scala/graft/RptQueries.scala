@@ -56,6 +56,7 @@ object RptQueries {
         .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
           .cast("decimal(38,2)").as("revenue"))
       Reports.withRankColumns(base, col("revenue"), col("n_name"))
+        .withColumn("revenue", col("revenue").cast("string"))
         .orderBy("n_name")
     }),
 
@@ -174,11 +175,12 @@ object RptQueries {
          totals AS (SELECT c_mktsegment, count(*) AS total FROM base
            GROUP BY 1),
          shares AS (SELECT c.c_mktsegment, brand,
-             cnt * 100000 // total AS share_milli
+             CAST(cnt * 100000 // total AS BIGINT) AS share_milli
            FROM counts c JOIN totals t USING (c_mktsegment))
          SELECT c_mktsegment, brand, share_milli FROM shares
          UNION ALL
-         SELECT c_mktsegment, 'Others', 100000 - sum(share_milli)
+         SELECT c_mktsegment, 'Others',
+           CAST(100000 - sum(share_milli) AS BIGINT)
          FROM shares GROUP BY c_mktsegment
          ORDER BY c_mktsegment, brand""",
     "report_ranking" ->
@@ -188,7 +190,7 @@ object RptQueries {
            FROM orders JOIN customer ON o_custkey = c_custkey
            JOIN nation ON c_nationkey = n_nationkey
            GROUP BY n_name)
-         SELECT n_name, revenue,
+         SELECT n_name, CAST(revenue AS VARCHAR) AS revenue,
            CAST(row_number() OVER (ORDER BY revenue DESC, n_name)
              AS INT) AS rank_top,
            CAST(row_number() OVER (ORDER BY revenue ASC, n_name)

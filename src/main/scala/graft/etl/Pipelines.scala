@@ -38,8 +38,8 @@ object Pipelines {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    val keyed = Relational.surrogateKeys(merged, idCol, orderCol, maxId,
-      lit(0), 1)
+    val keyed = Relational.surrogateKeysOrdered(merged, idCol, orderCol,
+      maxId)
     // 5. staged write + atomic publish (replace-into-ods)
     val staged = odsPath + "__staged"
     keyed.write.mode("overwrite").parquet(staged)

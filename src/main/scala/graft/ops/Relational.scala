@@ -141,6 +141,52 @@ object Relational {
           org.apache.spark.sql.types.LongType, nullable = false) else f)))
   }
 
+  /** The registered scale path for surrogate keys: ids assigned to
+    * null-id rows in `orderCol` order, dense and gap-free from
+    * `maxExisting`, with NO single-partition window. Range-repartition
+    * by `orderCol` gives a global order across partition indexes
+    * (RangePartitioner's partition 0 holds the lowest range), then the
+    * two-phase per-partition count/offset assignment runs fully
+    * parallel. Matches the window form's id sequence whenever
+    * `orderCol` is a total order. */
+  def surrogateKeysOrdered(df: DataFrame, idCol: String, orderCol: String,
+                           maxExisting: Long,
+                           nPartitions: Int = 32): DataFrame =
+    surrogateKeysDistributed(
+      df.repartitionByRange(nPartitions, col(orderCol))
+        .sortWithinPartitions(orderCol),
+      idCol, maxExisting)
+
+  /** Global row_number over a total order without a single-partition
+    * window: range-repartition on the sort keys (global order across
+    * partition indexes), then two-phase per-partition offsets — a count
+    * job plus a map job over the same shuffled RDD (the RangePartitioner
+    * is sampled once per RDD instance, so both jobs see identical
+    * boundaries). Emits LongType `outCol` starting at 1. */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+                      outCol: String, nPartitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val rdd = df.repartitionByRange(nPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .rdd
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.size.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = bc.value(i)
+      it.map { r =>
+        n += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ n)
+      }
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(
+      schema.add(outCol, org.apache.spark.sql.types.LongType,
+        nullable = false)))
+  }
+
   /** Salted join for skewed keys: when one fact key dominates (a
     * boilerplate document, a mega-customer) a plain shuffle join funnels
     * it into one task. Salting spreads each fact key over `nSalt`

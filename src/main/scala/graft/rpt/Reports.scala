@@ -48,13 +48,17 @@ object Reports {
   /** Ranking report (m_cocacola_score_top_bottom5_ranking.clj:83-98):
     * ships *all* rows with rank columns carried as data — ordering is
     * deferred to the serving layer, the sink stays an unordered
-    * relation. */
+    * relation. Ranks are global but computed WITHOUT a single-partition
+    * window: each direction is a distributed range-partitioned
+    * row_number (Relational.globalRowNumber), so the operator survives
+    * inputs far past report grain. */
   def withRankColumns(df: DataFrame, orderCol: Column,
-                      tieBreak: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val desc = Window.orderBy(orderCol.desc, tieBreak)
-    val asc = Window.orderBy(orderCol.asc, tieBreak)
-    df.withColumn("rank_top", row_number().over(desc))
-      .withColumn("rank_bottom", row_number().over(asc))
+                      tieBreak: Column, nPartitions: Int = 32): DataFrame = {
+    val top = Relational.globalRowNumber(df,
+      Seq(orderCol.desc, tieBreak.asc), "rank_top", nPartitions)
+    Relational.globalRowNumber(top,
+      Seq(orderCol.asc, tieBreak.asc), "rank_bottom", nPartitions)
+      .withColumn("rank_top", col("rank_top").cast("int"))
+      .withColumn("rank_bottom", col("rank_bottom").cast("int"))
   }
 }

@@ -59,6 +59,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(500))
   }
 
+  test("no registered query plans a single-partition window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for ((name, q) <- SparkEntry.queries) {
+      val physical = q(spark, dir).queryExecution.executedPlan
+      val bad = physical.collect {
+        case w: WindowExec
+            if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) =>
+          w
+      }
+      assert(bad.isEmpty,
+        s"$name funnels through a single-partition window:\n" +
+          bad.mkString("\n"))
+    }
+  }
+
   test("bucketed tables co-locate the merge join: zero exchanges") {
     import spark.implicits._
     // disable auto-broadcast so the join must co-locate or shuffle
