@@ -70,20 +70,45 @@ object LlmQueries {
           threshold = 1.0, numHashes = 32, bands = 8)
         .orderBy("id1", "id2")),
 
-    // MinHash-LSH at a realistic near-dup threshold (probabilistic
-    // recall → rows-only; exact-recall variant above is the oracle one).
-    // b=8, r=4: P(detect) = 1-(1-0.8^4)^8 ≈ 0.985 with far fewer
-    // false-positive candidate pairs than r=2 banding.
+    // MinHash-LSH at a realistic near-dup threshold. The borderline
+    // (0.8 ≤ j < 1) pair set is probabilistic (b=8, r=4: P(detect) =
+    // 1-(1-0.8^4)^8 ≈ 0.985), so the registered output is the
+    // DETERMINISTIC validation summary: planted (id, id+1e6) exact dups
+    // are always recalled (j=1 ⇒ identical signatures ⇒ every band
+    // matches), as is every identical-shingle-set pair, and no reported
+    // pair may fall below the exact-Jaccard threshold.
     "dedup_minhash_near" -> ((s, dir) =>
       Dedup.minHashDedupPairs(dupCorpus(s, dir), "text", "doc_id",
           threshold = 0.8, numHashes = 32, bands = 8)
-        .orderBy("id1", "id2")),
+        .agg(
+          count(when(col("id2") === col("id1") + 1000000L, 1))
+            .as("planted_found"),
+          count(when(col("jaccard") >= 1.0, 1)).as("exact_found"),
+          count(when(col("jaccard") < 0.8, 1))
+            .as("precision_violations"))),
 
-    // SimHash near-dup (hash-function-dependent → rows-only check)
-    "dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashDedupPairs(dupCorpus(s, dir), "text", "doc_id",
-          maxHamming = 3)
-        .orderBy("id1", "id2")),
+    // SimHash near-dup. The hamming ∈ [1,3] pair set depends on the
+    // hash function, so (as above) the registered output is the
+    // deterministic summary: pigeonhole banding (4×16-bit chunks)
+    // guarantees recall of every hamming ≤ 3 pair, hence of every
+    // identical-normalized-text pair (hamming 0); no reported pair may
+    // exceed maxHamming.
+    "dedup_simhash" -> ((s, dir) => {
+      val pairs = Dedup.simHashDedupPairs(dupCorpus(s, dir), "text",
+        "doc_id", maxHamming = 3)
+      val norm = dupCorpus(s, dir).select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("norm"))
+      pairs
+        .join(norm.select(col("doc_id").as("id1"),
+          col("norm").as("norm1")), Seq("id1"))
+        .join(norm.select(col("doc_id").as("id2"),
+          col("norm").as("norm2")), Seq("id2"))
+        .agg(
+          count(when(col("id2") === col("id1") + 1000000L, 1))
+            .as("planted_found"),
+          count(when(col("norm1") === col("norm2"), 1)).as("exact_found"),
+          count(when(col("hamming") > 3, 1)).as("hamming_violations"))
+    }),
 
     // n-gram Jaccard similarity over adjacent doc pairs
     "ngram_jaccard" -> ((s, dir) => {
@@ -241,6 +266,60 @@ object LlmQueries {
          SELECT a.id AS id1, b.id AS id2, CAST(1.0 AS DOUBLE) AS jaccard
          FROM canon a JOIN canon b ON a.cs = b.cs AND a.id < b.id
          ORDER BY id1, id2""",
+    "dedup_minhash_near" ->
+      s"""WITH u AS ($dupCorpusSql),
+         $shingleCte,
+         canon AS (SELECT id, string_agg(g, chr(1) ORDER BY g) AS cs
+                   FROM sd GROUP BY id)
+         SELECT (SELECT count(*) FROM documents) AS planted_found,
+           (SELECT count(*) FROM canon a JOIN canon b
+              ON a.cs = b.cs AND a.id < b.id) AS exact_found,
+           CAST(0 AS BIGINT) AS precision_violations""",
+    "dedup_simhash" ->
+      s"""WITH u AS ($dupCorpusSql),
+         n AS (SELECT doc_id, $normSql AS norm FROM u)
+         SELECT (SELECT count(*) FROM documents) AS planted_found,
+           (SELECT count(*) FROM n a JOIN n b
+              ON a.norm = b.norm AND a.doc_id < b.doc_id) AS exact_found,
+           CAST(0 AS BIGINT) AS hamming_violations""",
+    "ann_ivf_topk" -> {
+      // replicate the deterministic IVF path in SQL: same Rademacher
+      // centroids (dims fixed at 64 across all SFs of the driver's
+      // embeddings table), same (dot desc, cell desc) probe order, same
+      // (cos desc, corpus_id) ranking — the approximate result is a pure
+      // function of the data, so it oracle-checks exactly.
+      val cents = Similarity.rademacherPlanes(8, 64).zipWithIndex
+        .map { case (p, i) =>
+          s"($i, [${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
+        }.mkString(",\n           ")
+      s"""WITH cents(cell, w) AS (VALUES $cents),
+         c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[])
+             AS v FROM embeddings),
+         cd AS (SELECT corpus_id, v, cell, list_dot_product(v, w) AS d
+             FROM c CROSS JOIN cents),
+         cc AS (SELECT corpus_id, v, cell FROM
+             (SELECT *, row_number() OVER (PARTITION BY corpus_id
+                ORDER BY d DESC, cell DESC) AS rn FROM cd)
+             WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[])
+             AS v FROM embeddings WHERE vec_id < 5),
+         qd AS (SELECT query_id, v, cell, list_dot_product(v, w) AS d
+             FROM q CROSS JOIN cents),
+         qc AS (SELECT query_id, v, cell FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY d DESC, cell DESC) AS rn FROM qd)
+             WHERE rn <= 2),
+         scored AS (SELECT qc.query_id, cc.corpus_id,
+             list_cosine_similarity(cc.v, qc.v) AS cos
+             FROM cc JOIN qc ON cc.cell = qc.cell
+               AND cc.corpus_id <> qc.query_id)
+         SELECT query_id, corpus_id, rank, round(cos, 4) AS cos FROM
+           (SELECT query_id, corpus_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, corpus_id) AS INT) AS rank, cos
+            FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank"""
+    },
     "ngram_jaccard" ->
       s"""WITH u AS (SELECT doc_id, text FROM documents),
          $shingleCte,
