@@ -79,6 +79,26 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
+    // §2.1 row 1 (JDBC form) — pg-tap parity: write nation through the
+    // all-String `-`→`_` tap into embedded Derby, read it back under
+    // logical dashed names (trgx.clj:96-108 semantics, offline-safe)
+    "source_jdbc_roundtrip" -> ((s, dir) => {
+      import graft.sources.Jdbc
+      val url = "jdbc:derby:/root/repo/target/graft_tmp/derbydb;create=true"
+      Jdbc.executeUpdateSilent(url, "DROP TABLE graft_nation")
+      Jdbc.createTableIf(url, "graft_nation", Seq(
+        "n_nationkey" -> "VARCHAR(20)", "n_name" -> "VARCHAR(64)",
+        "n_regionkey" -> "VARCHAR(20)"))
+      val logical = t(s, dir, "nation").select(
+        col("n_nationkey").as("n-nationkey"),
+        col("n_name").as("n-name"),
+        col("n_regionkey").as("n-regionkey"))
+      Jdbc.writeTable(logical, url, "graft_nation")
+      val back = Jdbc.readTable(s, url, "graft_nation",
+        Seq("n-nationkey", "n-name", "n-regionkey"))
+      back.orderBy(back.col("n-nationkey").cast("int"))
+    }),
+
     // §2.2 row 6 — select-fields projection
     "select_fields" -> ((s, dir) =>
       t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -562,6 +582,11 @@ object CoreQueries {
       """SELECT c_custkey, c_name, c_mktsegment,
          CAST(2 AS BIGINT) AS n_copies
          FROM customer ORDER BY c_custkey""",
+    "source_jdbc_roundtrip" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS "n-nationkey",
+         CAST(n_name AS VARCHAR) AS "n-name",
+         CAST(n_regionkey AS VARCHAR) AS "n-regionkey"
+         FROM nation ORDER BY n_nationkey""",
     "select_fields" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          ORDER BY o_orderkey""",

@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** JDBC table source/sink with the reference tap's semantics
+  * (src/common/trgx.clj:96-108 `pg-tap`):
+  *
+  *   - logical field names use `-`, physical columns use `_` — the tap
+  *     rewrites on the way in and out (trgx.clj:104);
+  *   - every column crosses the boundary as String (the JDBCScheme
+  *     declares all fields String; `stringtype=unspecified` lets the
+  *     database cast server-side);
+  *   - DDL and range-deletes go through raw `executeUpdate` on the tap
+  *     (trgx.clj:110-127 `detele-report!` / `create-table-if`).
+  *
+  * Scale: reads accept a partition spec (`partitionColumn`/bounds/`n`)
+  * so a large table fans out over n concurrent connections instead of
+  * one executor streaming the whole table; writes ride Spark's
+  * per-partition batched inserts.
+  */
+object Jdbc {
+
+  /** Logical (`-`) → physical (`_`) column rewrite. */
+  def physical(name: String): String = name.replace("-", "_")
+
+  /** Optional parallel-read spec: (physical column, lower, upper,
+    * numPartitions). */
+  final case class PartitionSpec(column: String, lower: Long, upper: Long,
+                                 numPartitions: Int)
+
+  /** Read `table`, projecting `header` (logical names): each physical
+    * `_` column is cast to String and surfaced under its logical `-`
+    * name — the all-String scheme of the reference tap. */
+  def readTable(spark: SparkSession, url: String, table: String,
+                header: Seq[String],
+                partition: Option[PartitionSpec] = None): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    val reader = partition.fold(base) { p =>
+      base.option("partitionColumn", p.column)
+        .option("lowerBound", p.lower)
+        .option("upperBound", p.upper)
+        .option("numPartitions", p.numPartitions)
+    }
+    reader.load()
+      .select(header.map(h =>
+        col(physical(h)).cast("string").as(h)): _*)
+  }
+
+  /** Append `df` to `table`: logical `-` names rewritten to physical
+    * `_`, every column cast to String. */
+  def writeTable(df: DataFrame, url: String, table: String): Unit =
+    df.select(df.columns.map(c =>
+        df.col(c).cast("string").as(physical(c))): _*)
+      .write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .mode("append")
+      .save()
+
+  /** Raw DDL/DML on the tap connection (trgx.clj:110 executeUpdate). */
+  def executeUpdate(url: String, sql: String): Int = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(sql) finally st.close()
+    } finally conn.close()
+  }
+
+  /** executeUpdate that swallows failures (drop-if-exists shims for
+    * engines without IF EXISTS, e.g. Derby). Returns true on success. */
+  def executeUpdateSilent(url: String, sql: String): Boolean =
+    try { executeUpdate(url, sql); true }
+    catch { case _: java.sql.SQLException => false }
+
+  /** create-table-if (trgx.clj:122-127): specs are (physical column,
+    * SQL type) pairs. Engines without CREATE TABLE IF NOT EXISTS
+    * (Derby) surface "already exists" as an SQLException, which is
+    * treated as success. */
+  def createTableIf(url: String, table: String,
+                    specs: Seq[(String, String)]): Unit = {
+    val cols = specs.map { case (c, t) => s"$c $t" }.mkString(", ")
+    executeUpdateSilent(url, s"CREATE TABLE $table ($cols)")
+  }
+
+  /** detele-report! shape (trgx.clj:118-120): range-delete by date
+    * column plus fixed selector predicates. */
+  def deleteRange(url: String, table: String, dtCol: String,
+                  startDt: String, endDt: String,
+                  extraWhere: Option[String] = None): Int = {
+    val extra = extraWhere.map(w => s"$w AND ").getOrElse("")
+    executeUpdate(url,
+      s"DELETE FROM $table WHERE $extra$dtCol BETWEEN '$startDt' AND '$endDt'")
+  }
+}
