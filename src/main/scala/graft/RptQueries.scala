@@ -60,6 +60,80 @@ object RptQueries {
         .orderBy("n_name")
     }),
 
+    // the concrete channel report with the reference's verbatim UTF-8
+    // constants (m_cocacola_score_channel.clj:72-79): (not !code),
+    // split-first kpi + 产品铺货率→产品铺货 remap, ^全体$ kpi filter,
+    // "Total / 所有渠道" channel exclusion, and the three bottler
+    // exclusion regexes (\S*区域$ / \S*辽宁$ / Tier\d). The score-table
+    // shape is synthesized from the star schema with those constants
+    // injected so every filter provably keeps AND drops rows.
+    "report_score_channel" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+      val fact = base.select(
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("dw_dt"),
+        col("r_name").as("bg"),
+        when(col("n_nationkey") % 7 === 0, concat(col("n_name"), lit("区域")))
+          .when(col("n_nationkey") % 7 === 1,
+                concat(col("n_name"), lit("辽宁")))
+          .when(col("n_nationkey") % 7 === 2,
+                concat(lit("Tier"), (col("n_nationkey") % 3 + 1)
+                  .cast("string")))
+          .otherwise(col("n_name")).as("bottler"),
+        when(col("c_mktsegment") === "MACHINERY", lit("Total / 所有渠道"))
+          .otherwise(col("c_mktsegment")).as("channel"),
+        when(col("o_orderkey") % 10 === 0, lit("X"))
+          .otherwise(lit(null).cast("string")).as("code"),
+        // exactly one item survives the kpi filter per group (the
+        // reference's score table carries one 全体 item per grain; two
+        // surviving items would race in the last-write-wins dim path)
+        when(col("o_orderpriority") === "1-URGENT", lit("单品分销-整体"))
+          .when(col("o_orderpriority") === "2-HIGH", lit("产品铺货率-整体"))
+          .when(col("o_orderpriority") === "3-MEDIUM", lit("全体"))
+          .otherwise(lit("冰柜纯净度-纯净度")).as("item"),
+        col("o_totalprice"))
+      val m = fact
+        .groupBy("bg", "bottler", "channel", "code", "item", "dw_dt")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("val"))
+      val rng = m.agg(min("dw_dt"), max("dw_dt")).first()
+      val sliding = Relational.slidingScores(m,
+        Seq("bg", "bottler", "channel", "code", "item"), "dw_dt", "val",
+        rng.getString(0), rng.getString(1))
+      val kpi0 = element_at(split(col("item"), "-"), 1)
+      val filtered = sliding
+        .filter(col("code").isNull) // (not !code)
+        .withColumn("kpi",
+          when(kpi0 === "产品铺货率", lit("产品铺货")).otherwise(kpi0))
+        .filter(col("kpi").rlike("^全体$"))
+        .filter(col("channel") =!= "Total / 所有渠道")
+        .filter(!col("bottler").rlike("\\S*区域$") &&
+                !col("bottler").rlike("\\S*辽宁$") &&
+                !col("bottler").rlike("Tier\\d"))
+      val withSel = filtered.withColumn("selector",
+        concat(lit("[\"period="), col("dt"), lit("\",\"bg="), col("bg"),
+               lit("\",\"bottler="), col("bottler"), lit("\"]")))
+      Relational.reportShape(withSel.withColumnRenamed("dt", "dw_dt"),
+          Seq("dw_dt", "selector"), Seq("channel"),
+          Seq("score" -> col("value"),
+              "pp_score" -> col("prev_mom"),
+              "vs_pp_score" -> col("delta_mom"),
+              "last_dec_score" -> col("prev_ytd"),
+              "vs_last_dec_score" -> col("delta_ytd"),
+              "last_year_same_month_score" -> col("prev_yoy"),
+              "vs_last_year_same_month_score" -> col("delta_yoy")))
+        .withColumnRenamed("report", "dimension_metrics")
+        .select(col("dw_dt"), lit("cocacola").as("project"),
+                lit("score").as("category"), lit("channel").as("report"),
+                col("selector"), lit("").as("selector_desc"),
+                col("dimension_metrics"))
+        .orderBy("dw_dt", "selector")
+    }),
+
     // core_sku shape: per-grain reports UNION-appended to one sink,
     // each shaped through tr-dimension-metrics
     // (m_cocacola_core_sku.clj:44-95)
@@ -196,6 +270,88 @@ object RptQueries {
            CAST(row_number() OVER (ORDER BY revenue ASC, n_name)
              AS INT) AS rank_bottom
          FROM base ORDER BY n_name""",
+    "report_score_channel" ->
+      """WITH base AS (
+           SELECT strftime(last_day(CAST(o_orderdate AS DATE)),
+               '%Y-%m-%d') AS dw_dt,
+             r_name AS bg,
+             CASE WHEN n_nationkey % 7 = 0 THEN n_name || '区域'
+                  WHEN n_nationkey % 7 = 1 THEN n_name || '辽宁'
+                  WHEN n_nationkey % 7 = 2
+                    THEN 'Tier' || CAST(n_nationkey % 3 + 1 AS VARCHAR)
+                  ELSE n_name END AS bottler,
+             CASE WHEN c_mktsegment = 'MACHINERY' THEN 'Total / 所有渠道'
+                  ELSE c_mktsegment END AS channel,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'X' END AS code,
+             CASE o_orderpriority
+                  WHEN '1-URGENT' THEN '单品分销-整体'
+                  WHEN '2-HIGH' THEN '产品铺货率-整体'
+                  WHEN '3-MEDIUM' THEN '全体'
+                  ELSE '冰柜纯净度-纯净度' END AS item,
+             o_totalprice
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         m AS (SELECT bg, bottler, channel, item, dw_dt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS val
+           FROM base
+           WHERE code IS NULL
+             AND regexp_matches(CASE WHEN string_split(item, '-')[1]
+                 = '产品铺货率' THEN '产品铺货'
+                 ELSE string_split(item, '-')[1] END, '^全体$')
+             AND channel <> 'Total / 所有渠道'
+             AND NOT regexp_matches(bottler, '\S*区域$')
+             AND NOT regexp_matches(bottler, '\S*辽宁$')
+             AND NOT regexp_matches(bottler, 'Tier\d')
+           GROUP BY 1, 2, 3, 4, 5),
+         s AS (SELECT a.bg, a.bottler, a.channel, a.dw_dt,
+             CAST(a.val AS VARCHAR) AS score,
+             CAST(mom.val AS VARCHAR) AS pp_score,
+             CAST(CAST(a.val - mom.val AS DECIMAL(28,3)) AS VARCHAR)
+               AS vs_pp_score,
+             CAST(ytd.val AS VARCHAR) AS last_dec_score,
+             CAST(CAST(a.val - ytd.val AS DECIMAL(28,3)) AS VARCHAR)
+               AS vs_last_dec_score,
+             CAST(yoy.val AS VARCHAR) AS last_year_same_month_score,
+             CAST(CAST(a.val - yoy.val AS DECIMAL(28,3)) AS VARCHAR)
+               AS vs_last_year_same_month_score
+           FROM m a
+           LEFT JOIN m mom ON mom.bg = a.bg AND mom.bottler = a.bottler
+             AND mom.channel = a.channel AND mom.item = a.item
+             AND mom.dw_dt = strftime(last_day(CAST(a.dw_dt AS DATE)
+               - INTERVAL 1 MONTH), '%Y-%m-%d')
+           LEFT JOIN m ytd ON ytd.bg = a.bg AND ytd.bottler = a.bottler
+             AND ytd.channel = a.channel AND ytd.item = a.item
+             AND ytd.dw_dt = strftime(last_day(date_trunc('year',
+               CAST(a.dw_dt AS DATE)) - INTERVAL 1 MONTH), '%Y-%m-%d')
+           LEFT JOIN m yoy ON yoy.bg = a.bg AND yoy.bottler = a.bottler
+             AND yoy.channel = a.channel AND yoy.item = a.item
+             AND yoy.dw_dt = strftime(last_day(CAST(a.dw_dt AS DATE)
+               - INTERVAL 12 MONTH), '%Y-%m-%d')),
+         leafed AS (SELECT dw_dt,
+             '["period=' || dw_dt || '","bg=' || bg || '","bottler='
+               || bottler || '"]' AS selector,
+             channel,
+             '{' || array_to_string(list_filter([
+                 '"last_dec_score":' || last_dec_score,
+                 '"last_year_same_month_score":'
+                   || last_year_same_month_score,
+                 '"pp_score":' || pp_score,
+                 '"score":' || score,
+                 '"vs_last_dec_score":' || vs_last_dec_score,
+                 '"vs_last_year_same_month_score":'
+                   || vs_last_year_same_month_score,
+                 '"vs_pp_score":' || vs_pp_score],
+               x -> x IS NOT NULL), ',') || '}' AS leaf
+           FROM s)
+         SELECT dw_dt, 'cocacola' AS project, 'score' AS category,
+           'channel' AS report, selector, '' AS selector_desc,
+           '{' || string_agg('"channel=' || channel || '":' || leaf,
+             ',' ORDER BY channel) || '}' AS dimension_metrics
+         FROM leafed GROUP BY dw_dt, selector
+         ORDER BY dw_dt, selector""",
     "report_core_sku" ->
       """WITH cn AS (SELECT c_mktsegment AS seg, n_name, r_name
            FROM customer
