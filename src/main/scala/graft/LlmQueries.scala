@@ -170,12 +170,14 @@ object LlmQueries {
         TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
         .orderBy("doc_id")),
 
-    // multimodal: binary payload column + batched decode-stub features
+    // multimodal: REAL javax.imageio decode over real PNG payloads —
+    // geometry and band values are pure functions of the id, so the
+    // oracle predicts the decoded width/height/mean without a codec
     "multimodal_features" -> ((s, dir) => {
-      val media = Multimodal.asMediaTable(t(s, dir, "documents"),
-        "doc_id", "text")
+      val media = Multimodal.asPngTable(t(s, dir, "documents"), "doc_id")
       Multimodal.extractFeatures(media)
-        .select("media_id", "n_bytes", "width", "height")
+        .select(col("media_id"), col("width"), col("height"),
+                col("mean_px"), col("decoded"))
         .orderBy("media_id")
     }),
 
@@ -427,11 +429,11 @@ object LlmQueries {
          ORDER BY d.doc_id""",
     "multimodal_features" ->
       """SELECT doc_id AS media_id,
-         CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
-         CAST(64 + (ascii(substr(text, 1, 1)) % 64) * 16 AS INT)
-           AS width,
-         CAST(64 + (ascii(substr(text, length(text), 1)) % 64) * 16
-           AS INT) AS height
+         CAST(16 + 2 * (doc_id % 8) AS INT) AS width,
+         CAST(16 + (doc_id % 16) AS INT) AS height,
+         CAST((doc_id % 256) + ((doc_id * 7 + 13) % 256) AS DOUBLE) / 2
+           AS mean_px,
+         TRUE AS decoded
          FROM documents ORDER BY media_id""",
     "multimodal_frame_sample" ->
       """SELECT doc_id AS media_id,

@@ -115,12 +115,26 @@ class LlmSpec extends AnyFunSuite {
     assert(fps("a")._2 == fps("b")._2)
   }
 
-  test("multimodal: batched decode stub yields deterministic features") {
+  test("multimodal: real PNG payloads decode to the predicted geometry " +
+       "and band mean") {
+    val media = Multimodal.asPngTable(
+      Seq((23L, "x")).toDF("doc_id", "text"), "doc_id")
+    val r = Multimodal.extractFeatures(media)
+      .as[(Long, Int, Int, Int, Double, Boolean)].head()
+    assert(r._1 == 23L && r._6, "ImageIO path must run for PNG payloads")
+    assert(r._3 == Multimodal.pngWidth(23L))
+    assert(r._4 == Multimodal.pngHeight(23L))
+    assert(r._5 ==
+      (Multimodal.pngBand1(23L) + Multimodal.pngBand2(23L)) / 2.0)
+  }
+
+  test("multimodal: non-image payloads fall back to the deterministic " +
+       "stub") {
     val media = Multimodal.asMediaTable(
       Seq((7L, "hello world")).toDF("doc_id", "text"), "doc_id", "text")
     val r = Multimodal.extractFeatures(media, batchSize = 2)
-      .as[(Long, Int, Int, Int, Double)].head()
-    assert(r._1 == 7L && r._2 == 11)
+      .as[(Long, Int, Int, Int, Double, Boolean)].head()
+    assert(r._1 == 7L && r._2 == 11 && !r._6)
     assert(r._3 == 64 + ('h'.toInt % 64) * 16)
     assert(r._4 == 64 + ('d'.toInt % 64) * 16)
   }
