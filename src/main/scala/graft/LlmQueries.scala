@@ -241,9 +241,8 @@ object LlmQueries {
       graft.etl.Pipelines.shiftCutFeatures(trees, "custkey", asOf,
           365, 3, "price")
         .select(col("custkey"), col("w"),
-          udf((v: Double) => BigDecimal(v).setScale(2,
-            BigDecimal.RoundingMode.HALF_UP).toString)
-            .apply(col("price_sum")).as("price_sum"))
+          col("price_sum").cast("decimal(38,2)").cast("string")
+            .as("price_sum"))
         .orderBy("custkey", "w")
     })
   )

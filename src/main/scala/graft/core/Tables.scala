@@ -20,7 +20,9 @@ object Tables {
     * reader rejects; read nanos as long and convert to microsecond
     * timestamps (day/second-grain queries are unaffected). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(nanosKey).contains("true"))
+      spark.conf.set(nanosKey, "true")
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
