@@ -1,36 +1,21 @@
 package graft.agg
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-import graft.functions.JsonShape
-
 /** Custom aggregation functions (SURVEY §2.5).
   *
-  * All are typed `Aggregator`s registered through `functions.udaf`, which
-  * plans as an ObjectHashAggregate with **map-side partial aggregation**:
+  * All plan as ObjectHashAggregate with **map-side partial aggregation**:
   * the buffer is keyed by group content (bounded by key cardinality), not
   * by row count — the scale-safe shape the round-1 verdict demanded
-  * (never a `collect_list` row buffer on hot groups).
+  * (never a `collect_list` row buffer on hot groups). The two hottest
+  * (collect-kv, tr-dimension-metrics) are native Catalyst
+  * TypedImperativeAggregates (NativeAggs.scala); collect-kvs stays a
+  * typed `Aggregator` via `functions.udaf`.
   */
 object Aggregators {
-
-  /** `collect-kv`: fold (k, v) pairs into a `{k → v}` map, last write
-    * wins per key (reference src/common/trgx.clj:45). In the reference
-    * workload (group, dt) is unique, so merge order never matters. */
-  class CollectKv extends Aggregator[(String, String), Map[String, String],
-                                     Map[String, String]] {
-    def zero: Map[String, String] = Map.empty
-    def reduce(b: Map[String, String], in: (String, String)) =
-      if (in._1 == null) b else b.updated(in._1, in._2)
-    def merge(a: Map[String, String], b: Map[String, String]) = a ++ b
-    def finish(b: Map[String, String]) = b
-    def bufferEncoder: Encoder[Map[String, String]] =
-      ExpressionEncoder[Map[String, String]]()
-    def outputEncoder: Encoder[Map[String, String]] = bufferEncoder
-  }
 
   /** `collect-kvs`: multimap `{k → set(v)}` per group
     * (mlin/d_bolome_user_order.clj:42). Values deduped and sorted so the
@@ -56,58 +41,30 @@ object Aggregators {
     def outputEncoder: Encoder[Map[String, Seq[String]]] = bufferEncoder
   }
 
-  /** `tr-dimension-metrics`: fold rows of (dimension-path, metric-map)
-    * into a nested pair-tree rendered as canonical JSON — the pivot
-    * workhorse of every report (trgx.clj:72-77 + pair-edn->json
-    * trgx.clj:78-79).
-    *
-    * Buffer = `{dim-path-joined → metric-map}`; its size is the number of
-    * *distinct dimension paths* in the group (report dimensions are
-    * low-cardinality), so partial aggregation combines map-side and the
-    * shuffle carries one compact map per group — this is the 100 TB-safe
-    * design from the round-1 plan audit. */
-  class TrDimensionMetrics
-      extends Aggregator[(Seq[String], Map[String, String]),
-                         Map[String, Map[String, String]], String] {
-    private val Sep = ""
-    def zero: Map[String, Map[String, String]] = Map.empty
-    def reduce(b: Map[String, Map[String, String]],
-               in: (Seq[String], Map[String, String])) =
-      // null metric values are dropped (Clojure nil pairs vanish on
-      // JSON render; a null would NPE the serializer)
-      b.updated(in._1.mkString(Sep), in._2.filter(_._2 != null))
-    def merge(a: Map[String, Map[String, String]],
-              b: Map[String, Map[String, String]]) = a ++ b
-    def finish(b: Map[String, Map[String, String]]): String = {
-      // empty dims (reference tr-dimension-metrics with [] dimensions,
-      // m_cocacola_score_overall.clj:72) → a bare leaf array, not {"":[…]}
-      val rows = b.toSeq.map { case (path, ms) =>
-        val segs =
-          if (path.isEmpty) Seq.empty[String]
-          else path.split(Sep, -1).toSeq
-        (segs, ms.toSeq)
-      }
-      JsonShape.pairTreeToJson(JsonShape.fromRows(rows))
-    }
-    def bufferEncoder: Encoder[Map[String, Map[String, String]]] =
-      ExpressionEncoder[Map[String, Map[String, String]]]()
-    def outputEncoder: Encoder[String] = Encoders.STRING
-  }
-
   // ---- Column-level entry points -----------------------------------
 
-  /** collect_kv(k, v) → MapType column. */
-  def collectKv(k: Column, v: Column): Column =
-    udaf(new CollectKv).apply(k, v)
+  /** collect_kv(k, v) → MapType column — the native
+    * TypedImperativeAggregate (NativeAggs.scala): raw InternalRow
+    * updates, compact byte-buffer partials, no encoder serde. */
+  def collectKv(k: Column, v: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(CollectKvAgg(GraftBridge.expression(k),
+      GraftBridge.expression(v)).toAggregateExpression())
+  }
 
   /** collect_kvs(k, v) → Map[String, Seq[String]] column. */
   def collectKvs(k: Column, v: Column): Column =
     udaf(new CollectKvs).apply(k, v)
 
   /** tr_dimension_metrics(array(dims...), map(metricName, value, ...))
-    * → nested-JSON string column. */
-  def trDimensionMetrics(dims: Column, metrics: Column): Column =
-    udaf(new TrDimensionMetrics).apply(dims, metrics)
+    * → nested-JSON string column — the native TypedImperativeAggregate
+    * (NativeAggs.scala). */
+  def trDimensionMetrics(dims: Column, metrics: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(TrDimensionMetricsAgg(GraftBridge.expression(dims),
+      GraftBridge.expression(metrics)).toAggregateExpression())
+  }
+
 
   /** `str-max` / `str-min` (trgx.clj:63-69): lexicographic extremes
     * skipping null and the "null" sentinel — built-ins suffice once the

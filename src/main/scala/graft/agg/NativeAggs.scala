@@ -1,0 +1,208 @@
+package graft.agg
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.JsonShape
+
+/** Length-prefixed UTF-8 string serde for aggregation buffers — the
+  * shuffle format for the native aggregates below (no ExpressionEncoder
+  * round-trip per partial). */
+private[agg] object AggSerde {
+  def writeStr(out: DataOutputStream, s: String): Unit =
+    if (s == null) out.writeInt(-1)
+    else {
+      val b = s.getBytes(UTF_8); out.writeInt(b.length); out.write(b)
+    }
+  def readStr(in: DataInputStream): String = {
+    val n = in.readInt()
+    if (n < 0) null
+    else {
+      val b = new Array[Byte](n); in.readFully(b); new String(b, UTF_8)
+    }
+  }
+}
+
+/** `collect-kv` as a native Catalyst TypedImperativeAggregate
+  * (trgx.clj:45 semantics: last write wins per key, null keys skipped).
+  *
+  * Plans as ObjectHashAggregate with map-side partials like the
+  * Aggregator form it replaces, but updates read the input row directly
+  * (no tuple encoder per row) and partials ship as a compact
+  * length-prefixed byte buffer (no ExpressionEncoder serde per
+  * partial) — the SURVEY §7 100 TB candidate. Output keys are sorted so
+  * the map bytes are deterministic across merge orders. */
+case class CollectKvAgg(keyExpr: Expression, valExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, String]]
+  with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(keyExpr, valExpr)
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = MapType(StringType, StringType)
+  override def prettyName: String = "collect_kv"
+
+  override def createAggregationBuffer(): mutable.HashMap[String, String] =
+    mutable.HashMap.empty
+
+  override def update(b: mutable.HashMap[String, String],
+                      input: InternalRow): mutable.HashMap[String, String] = {
+    val k = keyExpr.eval(input)
+    if (k != null) {
+      val v = valExpr.eval(input)
+      b.update(k.toString, if (v == null) null else v.toString)
+    }
+    b
+  }
+
+  override def merge(a: mutable.HashMap[String, String],
+                     b: mutable.HashMap[String, String]) = { a ++= b; a }
+
+  override def eval(b: mutable.HashMap[String, String]): Any = {
+    val entries = b.toArray.sortBy(_._1)
+    new ArrayBasedMapData(
+      new GenericArrayData(
+        entries.map(e => UTF8String.fromString(e._1): Any)),
+      new GenericArrayData(entries.map(e =>
+        (if (e._2 == null) null else UTF8String.fromString(e._2)): Any)))
+  }
+
+  override def serialize(b: mutable.HashMap[String, String]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.size)
+    b.foreach { case (k, v) =>
+      AggSerde.writeStr(out, k); AggSerde.writeStr(out, v)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]) = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = mutable.HashMap.empty[String, String]
+    var n = in.readInt()
+    while (n > 0) {
+      b.update(AggSerde.readStr(in), AggSerde.readStr(in)); n -= 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): CollectKvAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): CollectKvAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): CollectKvAgg =
+    copy(keyExpr = c(0), valExpr = c(1))
+}
+
+/** `tr-dimension-metrics` as a native TypedImperativeAggregate
+  * (trgx.clj:72-79): fold (dimension-path, metric-map) rows into the
+  * canonical pair-tree JSON. Buffer is `{path → metrics}` keyed by the
+  * distinct dimension paths of the group (low cardinality), so partials
+  * combine map-side and the shuffle carries one compact byte buffer per
+  * group — same plan shape as the Aggregator form, minus the per-partial
+  * encoder serde. Null metric values are dropped (Clojure nil pairs
+  * vanish on JSON render); last write wins per path. */
+case class TrDimensionMetricsAgg(dimsExpr: Expression,
+    metricsExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[
+    mutable.HashMap[Seq[String], Map[String, String]]]
+  with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(dimsExpr, metricsExpr)
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), MapType(StringType, StringType))
+  override def nullable: Boolean = false
+  override def dataType: DataType = StringType
+  override def prettyName: String = "tr_dimension_metrics"
+
+  override def createAggregationBuffer() =
+    mutable.HashMap.empty[Seq[String], Map[String, String]]
+
+  override def update(b: mutable.HashMap[Seq[String], Map[String, String]],
+                      input: InternalRow) = {
+    val d = dimsExpr.eval(input).asInstanceOf[ArrayData]
+    if (d != null) {
+      val path = (0 until d.numElements()).map(i =>
+        if (d.isNullAt(i)) null else d.getUTF8String(i).toString)
+      val m = metricsExpr.eval(input).asInstanceOf[MapData]
+      val metrics =
+        if (m == null) Map.empty[String, String]
+        else {
+          val ks = m.keyArray(); val vs = m.valueArray()
+          (0 until m.numElements()).flatMap { i =>
+            if (vs.isNullAt(i)) None
+            else Some(ks.getUTF8String(i).toString ->
+              vs.getUTF8String(i).toString)
+          }.toMap
+        }
+      b.update(path, metrics)
+    }
+    b
+  }
+
+  override def merge(a: mutable.HashMap[Seq[String], Map[String, String]],
+                     b: mutable.HashMap[Seq[String], Map[String, String]]) = {
+    a ++= b; a
+  }
+
+  override def eval(
+      b: mutable.HashMap[Seq[String], Map[String, String]]): Any =
+    UTF8String.fromString(JsonShape.pairTreeToJson(JsonShape.fromRows(
+      b.toSeq.map { case (p, ms) => (p, ms.toSeq) })))
+
+  override def serialize(
+      b: mutable.HashMap[Seq[String], Map[String, String]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.size)
+    b.foreach { case (path, ms) =>
+      out.writeInt(path.size)
+      path.foreach(AggSerde.writeStr(out, _))
+      out.writeInt(ms.size)
+      ms.foreach { case (k, v) =>
+        AggSerde.writeStr(out, k); AggSerde.writeStr(out, v)
+      }
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]) = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = mutable.HashMap.empty[Seq[String], Map[String, String]]
+    var n = in.readInt()
+    while (n > 0) {
+      val pn = in.readInt()
+      val path = Seq.fill(pn)(AggSerde.readStr(in))
+      val mn = in.readInt()
+      val ms = Seq.fill(mn)(
+        (AggSerde.readStr(in), AggSerde.readStr(in))).toMap
+      b.update(path, ms)
+      n -= 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): TrDimensionMetricsAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TrDimensionMetricsAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): TrDimensionMetricsAgg =
+    copy(dimsExpr = c(0), metricsExpr = c(1))
+}
