@@ -143,6 +143,26 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF with spherical k-means centroids: better-balanced cells lift
+    // recall@10 from ~34% (Rademacher) to 60% at nProbe=2/8 on this
+    // corpus. Recall depends on the (deterministic) clustering, so the
+    // registered output is the validation summary: every query returns
+    // exactly k rows and recall vs the exact top-10 clears the 50%
+    // floor (measured 30/50 at sf0.001/0.01/0.1).
+    "ann_ivf_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val approx = Similarity.ivfTopKKMeans(e, q, "embedding", "vec_id", 10)
+      val exact = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", 10)
+        .select("query_id", "corpus_id")
+      approx.agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (count(lit(1)) === countDistinct(col("query_id")) * 10)
+            .as("all_k_rows"))
+        .crossJoin(approx.join(exact, Seq("query_id", "corpus_id"))
+          .agg((count(lit(1)) >= 25).as("recall_ok")))
+    }),
+
     // language-ID heuristic (stopword argmax + CJK short-circuit)
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -366,6 +386,9 @@ object LlmQueries {
            FROM embeddings c, embeddings q
            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "ann_ivf_kmeans" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS all_k_rows,
+         TRUE AS recall_ok""",
     "text_langid" -> {
       val langs = TextAnalysis.langStopwords
       val counts = langs.map { case (lang, ws) =>

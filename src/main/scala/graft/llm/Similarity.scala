@@ -59,13 +59,10 @@ object Similarity {
               round(col("cos"), 4).as("cos"))
   }
 
-  /** IVF cell assignment: the `nProbe` nearest coarse centroids by dot
-    * product. `vec` must be a staged array<double> attribute; centroids
-    * are deterministic Rademacher literals. Returns array<int>, nearest
-    * first. */
-  def ivfCells(vec: Column, nCells: Int, dims: Int,
-               nProbe: Int): Column = {
-    val cents = rademacherPlanes(nCells, dims)
+  /** IVF cell assignment against explicit centroid literals: the
+    * `nProbe` nearest by dot product, nearest first. `vec` must be a
+    * staged array<double> attribute. */
+  def cellsFor(vec: Column, cents: Seq[Seq[Double]], nProbe: Int): Column = {
     val dots = cents.zipWithIndex.map { case (c, i) =>
       struct(aggregate(zip_with(vec, typedlit(c), (x, w) => x * w),
                        lit(0.0), (s, x) => s + x).as("dot"),
@@ -76,26 +73,71 @@ object Similarity {
       _.getField("cell"))
   }
 
+  /** IVF cell assignment with Rademacher centroids (kept for the
+    * oracle-replicable path). Returns array<int>, nearest first. */
+  def ivfCells(vec: Column, nCells: Int, dims: Int,
+               nProbe: Int): Column =
+    cellsFor(vec, rademacherPlanes(nCells, dims), nProbe)
+
   /** Single nearest cell (corpus assignment). */
   def ivfCell(vec: Column, nCells: Int, dims: Int): Column =
     ivfCells(vec, nCells, dims, 1).getItem(0)
 
-  /** IVF approximate top-k: corpus pre-bucketed by nearest cell; each
-    * query probes its `nProbe` nearest cells. At scale the corpus is
-    * hash-partitioned by cell, so a query touches nProbe/nCells of the
-    * data. Approximate — recall grows with nProbe; exactness is NOT
-    * claimed. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-              idCol: String, k: Int, nCells: Int = 8,
-              nProbe: Int = 2): DataFrame = {
-    val dims = corpus.select(size(col(vecCol))).first().getInt(0)
+  /** Deterministic spherical k-means centroids from a bounded,
+    * deterministically-chosen sample (first `sampleN` ids): strided
+    * init, `iters` Lloyd rounds with cosine assignment, mean +
+    * renormalize update. Driver-side on the sample only — at 100 TB the
+    * clustering cost is O(sampleN × k × iters), independent of corpus
+    * size; assignment of the full corpus stays distributed. */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+                      k: Int, sampleN: Int = 2048,
+                      iters: Int = 5): Seq[Seq[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val sample = corpus.orderBy(col(idCol)).limit(sampleN)
+      .select(asDouble(col(vecCol)))
+      .collect().map(r => normalize(r.getSeq[Double](0).toArray))
+    require(sample.length >= k, s"sample ${sample.length} < k $k")
+    var cents = Array.tabulate(k)(i =>
+      sample(i * sample.length / k).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c)))
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** IVF approximate top-k against explicit centroids: corpus
+    * pre-bucketed by nearest cell; each query probes its `nProbe`
+    * nearest cells. At scale the corpus is hash-partitioned by cell, so
+    * a query touches nProbe/nCells of the data. Approximate — recall
+    * grows with nProbe; exactness is NOT claimed. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                  idCol: String, k: Int, cents: Seq[Seq[Double]],
+                  nProbe: Int): DataFrame = {
     val c = corpus
       .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
-      .withColumn("cell", ivfCell(col("cvec"), nCells, dims))
+      .withColumn("cell", cellsFor(col("cvec"), cents, 1).getItem(0))
     val q = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
-      .withColumn("cell",
-        explode(ivfCells(col("qvec"), nCells, dims, nProbe)))
+      .withColumn("cell", explode(cellsFor(col("qvec"), cents, nProbe)))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
@@ -107,4 +149,22 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("rank"),
               round(col("cos"), 4).as("cos"))
   }
+
+  /** IVF top-k with Rademacher centroids (the oracle-replicable
+    * registered path). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+              idCol: String, k: Int, nCells: Int = 8,
+              nProbe: Int = 2): DataFrame = {
+    val dims = corpus.select(size(col(vecCol))).first().getInt(0)
+    ivfTopKWith(corpus, queries, vecCol, idCol, k,
+      rademacherPlanes(nCells, dims), nProbe)
+  }
+
+  /** IVF top-k with spherical k-means centroids — better-balanced cells
+    * and higher recall at the same nProbe than the Rademacher planes. */
+  def ivfTopKKMeans(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                    idCol: String, k: Int, nCells: Int = 8,
+                    nProbe: Int = 2): DataFrame =
+    ivfTopKWith(corpus, queries, vecCol, idCol, k,
+      kmeansCentroids(corpus, vecCol, idCol, nCells), nProbe)
 }
