@@ -39,15 +39,15 @@ object Dedup {
   /** MinHash signature from an already-hashed shingle column
     * (array<long>): each slot re-hashes the 8-byte base hash with a
     * distinct seed — the expensive string hashing happens once per
-    * shingle, not once per (shingle × slot).
-    * NOTE: pass an *attribute* (a staged column), not a derived
-    * expression — the signature references it `numHashes` times, and a
-    * non-attribute operand would be duplicated into the plan that many
-    * times (quadratic Catalyst blowup). */
-  def minHashSignature(shingleHashes: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleHashes, h => xxhash64(lit(i), h)))
-    }: _*)
+    * shingle, not once per (shingle × slot). Computed by the native
+    * single-pass MinHashSig expression (MinHashSig.scala): one
+    * traversal for all slots instead of `numHashes` transform +
+    * array_min passes, bit-identical values. */
+  def minHashSignature(shingleHashes: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.MinHashSig(
+      GraftBridge.expression(shingleHashes), numHashes))
+  }
 
   /** MinHash-LSH near-dup pairs.
     *

@@ -33,6 +33,24 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("native MinHashSig matches the composed xxhash64 slot-min form " +
+       "bit for bit") {
+    import org.apache.spark.sql.GraftBridge
+    val staged = docs.select($"doc_id",
+      transform(array_distinct(TextAnalysis.wordShingles($"text")),
+        s => xxhash64(s)).as("hs"))
+    val composed = staged.select($"doc_id",
+      array((0 until 16).map { i =>
+        array_min(transform($"hs", h => xxhash64(lit(i), h)))
+      }: _*).as("sig"))
+    val native = staged.select($"doc_id",
+      GraftBridge.column(graft.functions.MinHashSig(
+        GraftBridge.expression($"hs"), 16)).as("sig"))
+    val diffs = composed.as("a").join(native.as("b"), "doc_id")
+      .filter($"a.sig" =!= $"b.sig").count()
+    assert(diffs == 0)
+  }
+
   test("simHash near-identical texts within small hamming distance") {
     val pairs = Dedup.simHashDedupPairs(docs, "text", "doc_id",
         maxHamming = 8)
