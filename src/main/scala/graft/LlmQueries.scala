@@ -163,23 +163,36 @@ object LlmQueries {
           .agg((count(lit(1)) >= 25).as("recall_ok")))
     }),
 
-    // language-ID heuristic (stopword argmax + CJK short-circuit)
+    // language-ID heuristic (stopword argmax + CJK short-circuit);
+    // token array staged once — see langIdStaged scaladoc
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
+        .select(col("doc_id"), col("text"),
+          split(TextAnalysis.normalizeText(col("text")), " ").as("toks"))
+        .select(col("doc_id"),
+          TextAnalysis.langIdStaged(col("toks"), col("text"))
+            .as("lang_id"))
         .orderBy("doc_id")),
 
-    // quality scoring: length/punct/stopword signals
+    // quality scoring: length/punct/stopword signals, each regex run
+    // once in a staging projection and reused across output columns
     "text_quality" -> ((s, dir) => {
       val c = col("text")
       val en = TextAnalysis.langStopwords.toMap.apply("en")
       t(s, dir, "documents").select(col("doc_id"),
-        length(c).as("n_chars_calc"),
-        TextAnalysis.tokenCountWs(c).as("tok_ws"),
-        TextAnalysis.tokenCountBpe(c).as("tok_bpe"),
-        TextAnalysis.punctCount(c).as("punct_cnt"),
-        round(TextAnalysis.stopwordRatio(c, en), 6).as("sw_ratio"),
-        TextAnalysis.qualityScore(c).as("quality"))
+          length(c).as("n_chars_calc"),
+          TextAnalysis.tokenCountWs(c).as("tok_ws"),
+          TextAnalysis.tokenCountBpe(c).as("tok_bpe"),
+          TextAnalysis.punctCount(c).as("punct_cnt"),
+          TextAnalysis.stopwordCount(c, en).as("sw_cnt"))
+        .select(col("doc_id"), col("n_chars_calc"), col("tok_ws"),
+          col("tok_bpe"), col("punct_cnt"),
+          round(when(col("tok_ws") === 0, lit(0.0))
+            .otherwise(col("sw_cnt").cast("double") / col("tok_ws")), 6)
+            .as("sw_ratio"),
+          TextAnalysis.qualityScoreStaged(col("n_chars_calc"),
+            col("punct_cnt"), col("tok_ws"), col("sw_cnt"))
+            .as("quality"))
         .orderBy("doc_id")
     }),
 
