@@ -65,16 +65,22 @@ object Dedup {
                         bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // stage each derived column so downstream expressions reference
-    // attributes, not duplicated subtrees
-    val shingled = df.select(col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol))).as("shingles"))
-    val sigs = shingled
-      .select(col("id"),
-              transform(col("shingles"), s => xxhash64(s)).as("hs"))
+    // hash the shingles ONCE into (id, array<long>) and persist: the
+    // banded self-join and the two verify joins are 4 more scans of
+    // this subtree, and without persistence each would re-run the
+    // normalize/shingle/hash regex chain over the whole corpus — the
+    // same signature-table materialization a production minhash
+    // pipeline does. Jaccard over the distinct hash sets equals the
+    // string-set Jaccard (xxhash64 collisions are ~2^-64) and compares
+    // longs instead of shingle strings.
+    val hashed = df.select(col(idCol).as("id"),
+      transform(array_distinct(wordShingles(col(textCol))),
+        s => xxhash64(s)).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = hashed
       .withColumn("sig", minHashSignature(col("hs"), numHashes))
     // bands carry only (id, band, bh): the shuffle stays narrow — the
-    // wide shingle arrays never ride through the bucket join
+    // shingle-hash arrays never ride through the bucket join
     val banded = sigs.select(col("id"),
       explode(array((0 until bands).map { j =>
         struct(lit(j).as("band"),
@@ -89,12 +95,12 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
-    // verify only candidate pairs: join the shingle sets back by id
+    // verify only candidate pairs: join the hash sets back by id
     candidates
-      .join(shingled.select(col("id").as("id1"),
-        col("shingles").as("sh1")), Seq("id1"))
-      .join(shingled.select(col("id").as("id2"),
-        col("shingles").as("sh2")), Seq("id2"))
+      .join(hashed.select(col("id").as("id1"), col("hs").as("sh1")),
+        Seq("id1"))
+      .join(hashed.select(col("id").as("id2"), col("hs").as("sh2")),
+        Seq("id2"))
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))))

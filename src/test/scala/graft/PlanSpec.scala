@@ -47,11 +47,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup_minhash bucket join carries only narrow band keys") {
     val p = plan("dedup_minhash")
-    // the band-bucket equi-join must not carry the shingle arrays
+    // the band-bucket equi-join must not carry the shingle-hash arrays
     val joins = p.linesIterator.filter(_.contains("SortMergeJoin"))
       .mkString ++ p.linesIterator.filter(_.contains("ShuffledHashJoin"))
       .mkString
-    assert(!joins.contains("shingles"), joins)
+    assert(!joins.contains("hs#") && !joins.contains("shingles"), joins)
   }
 
   test("broadcast_config_join stays map-side (no join operator at all)") {
