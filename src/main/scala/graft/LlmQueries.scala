@@ -110,13 +110,18 @@ object LlmQueries {
           count(when(col("hamming") > 3, 1)).as("hamming_violations"))
     }),
 
-    // n-gram Jaccard similarity over adjacent doc pairs
+    // n-gram Jaccard similarity over adjacent doc pairs; shingle sets
+    // staged before the join so each document is shingled once, not
+    // once per pair side
     "ngram_jaccard" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select("doc_id", "text")
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        array_distinct(TextAnalysis.wordShingles(col("text"))).as("sh"))
       val a = d.alias("a"); val b = d.alias("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-          round(Dedup.ngramJaccard(col("a.text"), col("b.text")), 6)
+          round(size(array_intersect(col("a.sh"), col("b.sh")))
+              .cast("double") /
+            size(array_union(col("a.sh"), col("b.sh"))), 6)
             .as("jaccard"))
         .orderBy("id1")
     }),

@@ -134,6 +134,59 @@ object RptQueries {
         .orderBy("dw_dt", "selector")
     }),
 
+    // the achievement-rate per-grain pair
+    // (m_cocacola_score_achievement_rate.clj:43-64): two queries into
+    // one sink — the base grain plus the bg-all variant that keeps only
+    // the five verbatim Total bottlers and rebinds the bg selector to
+    // the literal "0.2_BGs"; sentinel dw_dt 9999-12-31; 2-level
+    // [:bottler :period] dimension path with 3 metrics.
+    "report_achievement_rate" -> ((s, dir) => {
+      val totals = Seq("China Total / 全国总体", "SBL Total / 全体",
+        "CBL Total / 全体", "BIG Total / 全体", "Zhuhai Total / 全体")
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+            .as("period"),
+          col("r_name").as("bg"),
+          when(col("n_nationkey") < 5,
+            element_at(array(totals.map(lit): _*),
+              col("n_nationkey").cast("int") + 1))
+            .otherwise(col("n_name")).as("bottler"),
+          col("c_mktsegment").as("channel"),
+          col("o_orderpriority").as("item"),
+          col("o_totalprice"), col("o_custkey"))
+      val m = base.groupBy("bg", "bottler", "channel", "item", "period")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+               .cast("decimal(38,2)").cast("string").as("value"),
+             count(lit(1)).cast("string").as("c_total_score"),
+             countDistinct(col("o_custkey")).cast("string").as("c_weight"))
+      def shape(df: DataFrame, selBg: org.apache.spark.sql.Column) =
+        Relational.reportShape(
+          df.withColumn("selector",
+            concat(lit("[\"bg="), selBg, lit("\",\"channel="),
+                   col("channel"), lit("\",\"kpi="), col("item"),
+                   lit("\"]"))),
+          Seq("selector"), Seq("bottler", "period"),
+          Seq("c_total_score" -> col("c_total_score"),
+              "c_weight" -> col("c_weight"),
+              "value" -> col("value")))
+      val g1 = shape(m, col("bg"))
+      val g2 = shape(m.filter(col("bottler").isin(totals: _*)),
+        lit("0.2_BGs"))
+      g1.unionByName(g2)
+        .withColumnRenamed("report", "dimension_metrics")
+        .select(lit("9999-12-31").as("dw_dt"),
+                lit("cocacola").as("project"), lit("score").as("category"),
+                lit("achievement_rate").as("report"), col("selector"),
+                lit("").as("selector_desc"), col("dimension_metrics"))
+        .orderBy("selector")
+    }),
+
     // core_sku shape: per-grain reports UNION-appended to one sink,
     // each shaped through tr-dimension-metrics
     // (m_cocacola_core_sku.clj:44-95)
@@ -270,6 +323,63 @@ object RptQueries {
            CAST(row_number() OVER (ORDER BY revenue ASC, n_name)
              AS INT) AS rank_bottom
          FROM base ORDER BY n_name""",
+    "report_achievement_rate" ->
+      """WITH base AS (
+           SELECT strftime(last_day(CAST(o_orderdate AS DATE)),
+               '%Y-%m-%d') AS period,
+             r_name AS bg,
+             CASE CAST(n_nationkey AS INT)
+                  WHEN 0 THEN 'China Total / 全国总体'
+                  WHEN 1 THEN 'SBL Total / 全体'
+                  WHEN 2 THEN 'CBL Total / 全体'
+                  WHEN 3 THEN 'BIG Total / 全体'
+                  WHEN 4 THEN 'Zhuhai Total / 全体'
+                  ELSE n_name END AS bottler,
+             c_mktsegment AS channel,
+             o_orderpriority AS item,
+             o_totalprice, o_custkey
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         m AS (SELECT bg, bottler, channel, item, period,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS VARCHAR) AS value,
+             CAST(count(*) AS VARCHAR) AS c_total_score,
+             CAST(count(DISTINCT o_custkey) AS VARCHAR) AS c_weight
+           FROM base GROUP BY 1, 2, 3, 4, 5),
+         b1 AS (SELECT bg, channel, item, bottler,
+             '"bottler=' || bottler || '":{' ||
+             string_agg('"period=' || period || '":{"c_total_score":'
+               || c_total_score || ',"c_weight":' || c_weight
+               || ',"value":' || value || '}', ',' ORDER BY period)
+             || '}' AS bnode
+           FROM m GROUP BY bg, channel, item, bottler),
+         g1 AS (SELECT '["bg=' || bg || '","channel=' || channel
+               || '","kpi=' || item || '"]' AS selector,
+             '{' || string_agg(bnode, ',' ORDER BY bottler) || '}'
+               AS dimension_metrics
+           FROM b1 GROUP BY bg, channel, item),
+         b2 AS (SELECT channel, item, bottler,
+             '"bottler=' || bottler || '":{' ||
+             string_agg('"period=' || period || '":{"c_total_score":'
+               || c_total_score || ',"c_weight":' || c_weight
+               || ',"value":' || value || '}', ',' ORDER BY period)
+             || '}' AS bnode
+           FROM m
+           WHERE bottler IN ('China Total / 全国总体', 'SBL Total / 全体',
+             'CBL Total / 全体', 'BIG Total / 全体', 'Zhuhai Total / 全体')
+           GROUP BY channel, item, bottler),
+         g2 AS (SELECT '["bg=0.2_BGs","channel=' || channel
+               || '","kpi=' || item || '"]' AS selector,
+             '{' || string_agg(bnode, ',' ORDER BY bottler) || '}'
+               AS dimension_metrics
+           FROM b2 GROUP BY channel, item),
+         u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+         SELECT '9999-12-31' AS dw_dt, 'cocacola' AS project,
+           'score' AS category, 'achievement_rate' AS report,
+           selector, '' AS selector_desc, dimension_metrics
+         FROM u ORDER BY selector""",
     "report_score_channel" ->
       """WITH base AS (
            SELECT strftime(last_day(CAST(o_orderdate AS DATE)),
