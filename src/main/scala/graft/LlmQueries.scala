@@ -110,6 +110,18 @@ object LlmQueries {
           count(when(col("hamming") > 3, 1)).as("hamming_violations"))
     }),
 
+    // dedup GROUPS: connected components over the exact-recall
+    // (threshold 1.0) minhash pair graph — identical-shingle-set
+    // equality is transitive, so components are the identical-content
+    // classes and the oracle recomputes them relationally; the CC
+    // operator itself handles arbitrary pair graphs
+    "dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.minHashDedupPairs(dupCorpus(s, dir), "text",
+        "doc_id", threshold = 1.0, numHashes = 32, bands = 8)
+      Dedup.connectedComponents(pairs.select("id1", "id2"))
+        .orderBy("id")
+    }),
+
     // n-gram Jaccard similarity over adjacent doc pairs; shingle sets
     // staged before the join so each document is shingled once, not
     // once per pair side
@@ -359,6 +371,16 @@ object LlmQueries {
             FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank"""
     },
+    "dedup_components" ->
+      s"""WITH u AS ($dupCorpusSql),
+         $shingleCte,
+         canon AS (SELECT id, string_agg(g, chr(1) ORDER BY g) AS cs
+                   FROM sd GROUP BY id),
+         comps AS (SELECT cs, min(id) AS comp, count(*) AS n
+                   FROM canon GROUP BY cs)
+         SELECT canon.id AS id, comps.comp AS comp
+         FROM canon JOIN comps USING (cs)
+         WHERE comps.n > 1 ORDER BY id""",
     "ngram_jaccard" ->
       s"""WITH u AS (SELECT doc_id, text FROM documents),
          $shingleCte,

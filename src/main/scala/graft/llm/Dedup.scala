@@ -142,6 +142,51 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
+  /** Connected components over a dup-pair edge list (id1, id2) —
+    * collapses pairwise near-dup matches into dedup GROUPS (the form a
+    * training-data pipeline actually consumes: keep one doc per
+    * component). Iterative min-label propagation: each round every node
+    * takes the min of its own and its neighbors' labels; converges in
+    * O(component diameter) rounds. Each round is one shuffle
+    * (join + groupBy); labels are re-persisted and the previous
+    * iteration unpersisted so lineage and storage stay bounded — the
+    * standard DataFrame CC shape at cluster scale. Returns (id, comp)
+    * where comp = min id of the component; singletons (ids not in any
+    * pair) are not emitted. */
+  def connectedComponents(pairs: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs
+      .select(col("id1").cast("long").as("src"),
+              col("id2").cast("long").as("dst"))
+      .unionByName(pairs.select(col("id2").cast("long").as("src"),
+                                col("id1").cast("long").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist(lvl)
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("comp").as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("comp"))
+        .persist(lvl)
+      changed = next.alias("n")
+        .join(labels.alias("l"), Seq("id"))
+        .filter(col("n.comp") =!= col("l.comp")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** N-gram Jaccard similarity between two text columns (shingle-set
     * intersection over union) — the verify kernel, exposed standalone. */
   def ngramJaccard(a: Column, b: Column): Column = {

@@ -33,6 +33,17 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("connectedComponents collapses chained pairs to the min label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+                    (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("id1", "id2")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
   test("native MinHashSig matches the composed xxhash64 slot-min form " +
        "bit for bit") {
     import org.apache.spark.sql.GraftBridge
