@@ -53,7 +53,7 @@ object CoreQueries {
 
     // §2.1 row 5 — DDL/orchestration: create-if → staged write → publish
     "ddl_table_lifecycle" -> ((s, dir) => {
-      val base = "/root/repo/target/graft_tmp/lifecycle"
+      val base = Tables.tmpDir + "/lifecycle"
       val nation = t(s, dir, "nation")
       TableOps.createTableIf(s, base, nation.schema)
       nation.filter(col("n_regionkey") <= 1)
@@ -67,7 +67,7 @@ object CoreQueries {
     // hfs-seqfile surface)
     "source_csv_json_roundtrip" -> ((s, dir) => {
       import graft.sources.Formats
-      val base = "/root/repo/target/graft_tmp/formats"
+      val base = Tables.tmpDir + "/formats"
       val df = t(s, dir, "customer")
         .select("c_custkey", "c_name", "c_mktsegment")
       Formats.writeCsv(df, base + "/csv")
@@ -84,7 +84,7 @@ object CoreQueries {
     // logical dashed names (trgx.clj:96-108 semantics, offline-safe)
     "source_jdbc_roundtrip" -> ((s, dir) => {
       import graft.sources.Jdbc
-      val url = "jdbc:derby:/root/repo/target/graft_tmp/derbydb;create=true"
+      val url = s"jdbc:derby:${Tables.tmpDir}/derbydb;create=true"
       Jdbc.executeUpdateSilent(url, "DROP TABLE graft_nation")
       Jdbc.createTableIf(url, "graft_nation", Seq(
         "n_nationkey" -> "VARCHAR(20)", "n_name" -> "VARCHAR(64)",

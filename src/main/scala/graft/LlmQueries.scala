@@ -77,15 +77,30 @@ object LlmQueries {
     // are always recalled (j=1 ⇒ identical signatures ⇒ every band
     // matches), as is every identical-shingle-set pair, and no reported
     // pair may fall below the exact-Jaccard threshold.
-    "dedup_minhash_near" -> ((s, dir) =>
-      Dedup.minHashDedupPairs(dupCorpus(s, dir), "text", "doc_id",
-          threshold = 0.8, numHashes = 32, bands = 8)
+    "dedup_minhash_near" -> ((s, dir) => {
+      val corpus = dupCorpus(s, dir)
+      val pairs = Dedup.minHashDedupPairs(corpus, "text", "doc_id",
+        threshold = 0.8, numHashes = 32, bands = 8)
+      // precision re-checked INDEPENDENTLY of the pipeline: Jaccard
+      // recomputed from the string shingle sets, not the hashed-set
+      // path the pipeline verified with — a hashing bug shows up here
+      val sh = corpus.select(col("doc_id"),
+        array_distinct(TextAnalysis.wordShingles(col("text"))).as("sh"))
+      pairs
+        .join(sh.select(col("doc_id").as("id1"), col("sh").as("s1")),
+          Seq("id1"))
+        .join(sh.select(col("doc_id").as("id2"), col("sh").as("s2")),
+          Seq("id2"))
+        .withColumn("jac2",
+          size(array_intersect(col("s1"), col("s2"))).cast("double") /
+            size(array_union(col("s1"), col("s2"))))
         .agg(
           count(when(col("id2") === col("id1") + 1000000L, 1))
             .as("planted_found"),
-          count(when(col("jaccard") >= 1.0, 1)).as("exact_found"),
-          count(when(col("jaccard") < 0.8, 1))
-            .as("precision_violations"))),
+          count(when(col("jac2") >= 1.0, 1)).as("exact_found"),
+          count(when(col("jac2") < 0.8, 1))
+            .as("precision_violations"))
+    }),
 
     // SimHash near-dup. The hamming ∈ [1,3] pair set depends on the
     // hash function, so (as above) the registered output is the
@@ -107,7 +122,12 @@ object LlmQueries {
           count(when(col("id2") === col("id1") + 1000000L, 1))
             .as("planted_found"),
           count(when(col("norm1") === col("norm2"), 1)).as("exact_found"),
-          count(when(col("hamming") > 3, 1)).as("hamming_violations"))
+          // independent invariant: identical token sequences MUST
+          // simhash identically — nonzero hamming on an equal-norm
+          // pair means the fingerprint expression is nondeterministic
+          count(when(col("norm1") === col("norm2") &&
+                     col("hamming") =!= 0, 1))
+            .as("exact_nonzero_hamming"))
     }),
 
     // dedup GROUPS: connected components over the exact-recall
@@ -171,13 +191,15 @@ object LlmQueries {
       val q = e.filter(col("vec_id") < 5)
       val approx = Similarity.ivfTopKKMeans(e, q, "embedding", "vec_id", 10)
       val exact = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", 10)
-        .select("query_id", "corpus_id")
-      approx.agg(
+        .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+      // single left join → single aggregation: the IVF pipeline is
+      // evaluated once, not once per summary branch
+      approx.join(exact, Seq("query_id", "corpus_id"), "left_outer")
+        .agg(
           countDistinct(col("query_id")).as("n_queries"),
           (count(lit(1)) === countDistinct(col("query_id")) * 10)
-            .as("all_k_rows"))
-        .crossJoin(approx.join(exact, Seq("query_id", "corpus_id"))
-          .agg((count(lit(1)) >= 25).as("recall_ok")))
+            .as("all_k_rows"),
+          (count(col("hit")) >= 25).as("recall_ok"))
     }),
 
     // language-ID heuristic (stopword argmax + CJK short-circuit);
@@ -332,7 +354,7 @@ object LlmQueries {
          SELECT (SELECT count(*) FROM documents) AS planted_found,
            (SELECT count(*) FROM n a JOIN n b
               ON a.norm = b.norm AND a.doc_id < b.doc_id) AS exact_found,
-           CAST(0 AS BIGINT) AS hamming_violations""",
+           CAST(0 AS BIGINT) AS exact_nonzero_hamming""",
     "ann_ivf_topk" -> {
       // replicate the deterministic IVF path in SQL: same Rademacher
       // centroids (dims fixed at 64 across all SFs of the driver's

@@ -29,6 +29,12 @@ object Tables {
           org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 
+  /** Scratch directory for queries that materialize intermediate
+    * tables (staged parquet, embedded Derby). Overridable so checkouts
+    * not rooted at /root/repo still run. */
+  def tmpDir: String =
+    sys.env.getOrElse("GRAFT_TMP_DIR", "/root/repo/target/graft_tmp")
+
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -72,7 +72,9 @@ object Dedup {
     // same signature-table materialization a production minhash
     // pipeline does. Jaccard over the distinct hash sets equals the
     // string-set Jaccard (xxhash64 collisions are ~2^-64) and compares
-    // longs instead of shingle strings.
+    // longs instead of shingle strings. The cache entry lives until
+    // LRU eviction or session cleanup — long-lived sessions issuing
+    // many dedup calls should clearCache() between batches.
     val hashed = df.select(col(idCol).as("id"),
       transform(array_distinct(wordShingles(col(textCol))),
         s => xxhash64(s)).as("hs"))
@@ -184,6 +186,11 @@ object Dedup {
       iters += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — raise maxIters for " +
+          "graphs with larger component diameters")
     labels
   }
 

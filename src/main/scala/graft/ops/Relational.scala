@@ -121,7 +121,11 @@ object Relational {
     val idIdx = schema.fieldIndex(idCol)
     val rdd = df.rdd
     val counts = rdd.mapPartitionsWithIndex { (i, it) =>
-      Iterator((i, it.count(r => r.isNullAt(idIdx))))
+      // Long accumulator, not it.count (Int) — partitions can exceed
+      // 2^31 rows at scale and a wrapped count corrupts every offset
+      var n = 0L
+      it.foreach(r => if (r.isNullAt(idIdx)) n += 1)
+      Iterator((i, n))
     }.collect().sortBy(_._1)
     val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
@@ -171,7 +175,10 @@ object Relational {
       .sortWithinPartitions(sortCols: _*)
       .rdd
     val counts = rdd.mapPartitionsWithIndex { (i, it) =>
-      Iterator((i, it.size.toLong))
+      // Long accumulator, not it.size (Int) — see surrogateKeysDistributed
+      var n = 0L
+      it.foreach(_ => n += 1)
+      Iterator((i, n))
     }.collect().sortBy(_._1)
     val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)

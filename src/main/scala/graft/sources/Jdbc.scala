@@ -79,12 +79,20 @@ object Jdbc {
 
   /** create-table-if (trgx.clj:122-127): specs are (physical column,
     * SQL type) pairs. Engines without CREATE TABLE IF NOT EXISTS
-    * (Derby) surface "already exists" as an SQLException, which is
-    * treated as success. */
+    * (Derby) surface "already exists" as an SQLException — ONLY that
+    * condition is treated as success (Derby SQLState X0Y32, Postgres
+    * 42P07); any other DDL failure propagates. */
   def createTableIf(url: String, table: String,
                     specs: Seq[(String, String)]): Unit = {
     val cols = specs.map { case (c, t) => s"$c $t" }.mkString(", ")
-    executeUpdateSilent(url, s"CREATE TABLE $table ($cols)")
+    try executeUpdate(url, s"CREATE TABLE $table ($cols)")
+    catch {
+      case e: java.sql.SQLException
+          if e.getSQLState == "X0Y32" || e.getSQLState == "42P07" ||
+            (e.getMessage != null &&
+              e.getMessage.toLowerCase.contains("already exists")) =>
+        () // table exists — the "if" of create-table-if
+    }
   }
 
   /** detele-report! shape (trgx.clj:118-120): range-delete by date

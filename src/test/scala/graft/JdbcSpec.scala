@@ -10,7 +10,8 @@ import graft.sources.Jdbc
   * against embedded Derby (on the Spark classpath, offline-safe). */
 class JdbcSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
-  private val url = "jdbc:derby:/root/repo/target/graft_tmp/derby_spec;create=true"
+  private val url =
+    s"jdbc:derby:${graft.core.Tables.tmpDir}/derby_spec;create=true"
 
   test("round-trip preserves values through the -/_ all-String tap") {
     import spark.implicits._
