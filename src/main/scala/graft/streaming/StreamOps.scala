@@ -56,12 +56,26 @@ object StreamOps {
       .toDF(keyCol, "cnt", "sum_val")
   }
 
+  /** Streaming ingestion dedup: exact-duplicate suppression on the
+    * content fingerprint, with dedup state BOUNDED by the watermark
+    * horizon (dropDuplicatesWithinWatermark) — the continuous form of
+    * Dedup.exactDedup for an ingest pipeline. Unbounded dropDuplicates
+    * state is the classic streaming-dedup OOM at corpus scale; within-
+    * watermark state holds only the horizon's fingerprints. */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
+                     watermark: String): DataFrame =
+    docs
+      .withColumn("fp", graft.llm.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Run a streaming DataFrame to a named in-memory sink, processing all
     * available input (AvailableNow = the `_rng`-style batch increment),
     * then stop. Returns the completed query for assertions. */
-  def runAvailableNowToMemory(df: DataFrame, name: String): StreamingQuery = {
+  def runAvailableNowToMemory(df: DataFrame, name: String,
+                              mode: String = "complete"): StreamingQuery = {
     val q = df.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())

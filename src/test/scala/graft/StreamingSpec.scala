@@ -33,6 +33,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("streamingDedup suppresses duplicate fingerprints with " +
+       "watermark-bounded state") {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream_dd").toString
+    val batch = Seq(
+      ("2024-01-01 00:10:00", "the same document text"),
+      ("2024-01-01 00:20:00", "THE  SAME document   text"), // normalizes equal
+      ("2024-01-01 00:30:00", "a different document"))
+      .toDF("ts_s", "text")
+      .select(to_timestamp($"ts_s").as("ts"), $"text")
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = StreamOps.readTableStream(spark, dir, batch.schema)
+    val dd = StreamOps.streamingDedup(stream, "ts", "text", "1 hour")
+    StreamOps.runAvailableNowToMemory(dd, "dd_test", mode = "append")
+
+    val n = spark.sql("SELECT count(DISTINCT fp) c, count(*) n FROM dd_test")
+      .as[(Long, Long)].head()
+    assert(n == ((2L, 2L)), "3 inputs, 2 distinct contents -> 2 rows")
+  }
+
   test("etl bookkeeping: reportNextDt resumes from max date") {
     val df = Seq("2016-01-01", "2016-01-05").toDF("dw_dt")
     val (start, end) = graft.etl.TableOps.reportNextDt(df, "dw_dt",
