@@ -22,7 +22,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop cached tables the query persisted so runs stay independent
+      // (accumulated cache + block-manager state was measured to slow
+      // unrelated queries later in the pass)
+      spark.catalog.clearCache()
+      dt
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val cold = sorted.map { case (name, fn) =>
