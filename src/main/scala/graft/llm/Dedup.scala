@@ -164,8 +164,9 @@ object Dedup {
       .unionByName(pairs.select(col("id2").cast("long").as("src"),
                                 col("id1").cast("long").as("dst")))
       .persist(lvl)
-    var labels = edges.select(col("src").as("id")).distinct()
+    var persisted = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).persist(lvl)
+    var labels = persisted
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
@@ -173,16 +174,17 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("comp").as("nbr_comp"))
+      // carry the previous label so convergence is a filter over the
+      // freshly persisted result, not an extra join per round
       val next = labels.join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("comp"))
         .persist(lvl)
-      changed = next.alias("n")
-        .join(labels.alias("l"), Seq("id"))
-        .filter(col("n.comp") =!= col("l.comp")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      persisted.unpersist()
+      persisted = next
+      labels = next.select("id", "comp")
       iters += 1
     }
     edges.unpersist()
