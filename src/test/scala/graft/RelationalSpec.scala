@@ -72,6 +72,41 @@ class RelationalSpec extends AnyFunSuite {
       newIds.last == 9000L + newIds.length)
   }
 
+  test("surrogateKeysOrdered matches the orderCol-window reference " +
+       "sequence") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 500, 1, 8)
+      .select(($"id" * 7 % 501).as("k"), // shuffled unique order col
+        when($"id" % 4 === 0, $"id" + 9000).cast("long").as("dw_id"))
+    val out = Relational.surrogateKeysOrdered(df, "dw_id", "k", 20000L,
+        nPartitions = 8)
+      .select($"k", $"dw_id").as[(Long, Long)].collect().toMap
+    // reference: ids assigned in k order among null-id rows
+    val ref = df
+      .withColumn("dw_id", coalesce($"dw_id",
+        lit(20000L) + org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy($"dw_id".isNull).orderBy($"k"))))
+      .select($"k", $"dw_id").as[(Long, Long)].collect().toMap
+    assert(out == ref)
+  }
+
+  test("globalRowNumber equals a global window row_number, without a " +
+       "single-partition plan") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 1000, 1, 8)
+      .select(($"id" * 13 % 1009).as("v"), $"id".as("tie"))
+    val out = Relational.globalRowNumber(df,
+        Seq($"v".desc, $"tie".asc), "rn", nPartitions = 8)
+      .select($"v", $"tie", $"rn").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ref = df.withColumn("rn",
+        org.apache.spark.sql.functions.row_number()
+          .over(Window.orderBy($"v".desc, $"tie".asc)).cast("long"))
+      .select($"v", $"tie", $"rn").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == ref)
+  }
+
   test("reportShape groups dimension metrics under selectors") {
     val df = Seq(("s1", "d1", 10L), ("s1", "d2", 20L), ("s2", "d1", 5L))
       .toDF("sel", "dim", "m")
