@@ -164,8 +164,13 @@ object Dedup {
       .unionByName(pairs.select(col("id2").cast("long").as("src"),
                                 col("id1").cast("long").as("dst")))
       .persist(lvl)
-    var persisted = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).persist(lvl)
+    // initialization fused with the first propagation round: every
+    // node starts at min(self, neighbors) — for clique-shaped dup
+    // graphs this is already the fixpoint and the loop only verifies
+    var persisted = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("comp"))
+      .select(col("src").as("id"), col("comp"))
+      .persist(lvl)
     var labels = persisted
     var iters = 0
     var changed = 1L
