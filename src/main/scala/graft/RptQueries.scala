@@ -223,14 +223,22 @@ object RptQueries {
           .select("r_name", "n_name").collect()
           .map(r => (r.getString(0), r.getString(1)))
           .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
-      val scores: Map[String, Map[String, String]] =
-        t(s, dir, "customer")
+      val scores: Map[String, Map[String, String]] = {
+        // driver-fetched leaf metrics, bounded by dimension cardinality
+        // (the reference's config-tree pattern, trgx.clj:198-207) —
+        // guard so a mis-grained input fails loudly instead of OOMing
+        // the driver
+        val rows = t(s, dir, "customer")
           .join(broadcast(t(s, dir, "nation")),
                 col("c_nationkey") === col("n_nationkey"))
           .groupBy("n_name").agg(count(lit(1)).as("cnt"))
-          .collect()
-          .map(r => r.getString(0) -> Map("score" -> r.getLong(1).toString))
-          .toMap
+          .limit(100001).collect()
+        require(rows.length <= 100000,
+          "report_tree_kpi: score dimension exceeds the driver-side " +
+            "config-tree bound — this report expects dimension-grain input")
+        rows.map(r =>
+          r.getString(0) -> Map("score" -> r.getLong(1).toString)).toMap
+      }
       val rows = regionNations.toSeq.sortBy(_._1).map { case (region, ns) =>
         val config: Trgx.Tree = Map(region -> TrgxNode(Map.empty,
           ns.map(n => n -> TrgxNode.empty).toMap))
