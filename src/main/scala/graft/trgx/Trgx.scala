@@ -201,6 +201,31 @@ object Trgx {
     walk(t, Vector.empty).toMap
   }
 
+  /** `node->id` (trgx.clj:49): a config node key carries its id in
+    * square brackets (`"name[id]"` → `"id"`); keys without a bracketed
+    * id pass through with a leading `[]` stripped. */
+  private val BracketId = "\\[(\\S+)]".r
+  def nodeId(key: String): String =
+    BracketId.findFirstMatchIn(key).map(_.group(1))
+      .getOrElse(key.replaceFirst("^\\[\\]", ""))
+
+  /** `latest-trgx-merge` (trgx.clj:202-207): the conf tree groups the
+    * root's children one level deep (the reference's `:BRANCH` group
+    * maps); collapse that grouping — the node's new children are the
+    * union of all its group nodes' children, later groups winning key
+    * collisions like Clojure's `merge`. */
+  def collapseGroups(t: Tree, key: String): Tree =
+    t.get(key).fold(t) { n =>
+      val merged = TreeMap(n.children.toSeq: _*).values
+        .foldLeft(Map.empty: Tree)((acc, g) => acc ++ g.children)
+      t.updated(key, n.copy(children = merged))
+    }
+
+  /** `latest-trgx-kpi` (trgx.clj:209-210): one group's subtree under
+    * the root (root → group key → children). */
+  def groupSubtree(t: Tree, key: String, group: String): Tree =
+    getIn(t, Seq(key, group)).map(_.children).getOrElse(Map.empty)
+
   /** `kv->trgx` (trgx.clj:49-55): attach `{id → data}` onto the leaves of
     * a config tree whose leaf keys normalize to those ids. */
   def kvToTrgx(config: Tree, kv: Map[String, Map[String, String]],

@@ -92,6 +92,27 @@ class TrgxSpec extends AnyFunSuite {
     assert(getIn(attached, Seq("KPI", "o1")).get.data("v") == "9")
   }
 
+  test("nodeId extracts bracketed ids; collapseGroups flattens the " +
+       "conf BRANCH level (trgx.clj:49,202-210)") {
+    assert(nodeId("产品铺货率[sku-31]") == "sku-31")
+    assert(nodeId("[]plain") == "plain")
+    assert(nodeId("plain") == "plain")
+    val conf: Tree = Map("全体-Total / 所有渠道" -> TrgxNode(Map.empty, Map(
+      "CODE" -> TrgxNode(Map.empty, Map(
+        "k1[a]" -> TrgxNode.empty, "k2[b]" -> TrgxNode.empty)),
+      "OTHER" -> TrgxNode(Map.empty, Map(
+        "k3[c]" -> TrgxNode.empty)))))
+    val merged = collapseGroups(conf, "全体-Total / 所有渠道")
+    assert(getIn(merged, Seq("全体-Total / 所有渠道")).get.children.keySet
+      == Set("k1[a]", "k2[b]", "k3[c]"))
+    assert(groupSubtree(conf, "全体-Total / 所有渠道", "CODE").keySet
+      == Set("k1[a]", "k2[b]"))
+    // kvToTrgx with the nodeId normalization: data keyed by bare id
+    val attached = kvToTrgx(merged, Map("a" -> Map("v" -> "1")), nodeId)
+    assert(getIn(attached,
+      Seq("全体-Total / 所有渠道", "k1[a]")).get.data("v") == "1")
+  }
+
   test("query supports wildcard, key-list, and [:range a b] path steps") {
     val hits = query(tree, Seq(Range("2016-01-01", "2016-01-31"),
       Wildcard))
