@@ -71,6 +71,44 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("MinHashSig kernel: permutation-invariant and monotone under " +
+       "set union") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def sig(xs: Seq[Long]): Seq[Any] =
+      graft.functions.MinHashSigUtil
+        .compute(new GenericArrayData(xs.toArray), 16)
+        .array.toSeq
+    val hsGen = Gen.nonEmptyListOf(Gen.long).map(_.take(40))
+    check("minhash-perm", Prop.forAll(hsGen) { hs =>
+      sig(hs) == sig(hs.reverse)
+    })
+    check("minhash-mono", Prop.forAll(hsGen, Gen.long) { (hs, extra) =>
+      sig(hs).zip(sig(hs :+ extra)).forall { case (a, b) =>
+        b.asInstanceOf[Long] <= a.asInstanceOf[Long]
+      }
+    })
+  }
+
+  test("SimHash kernel: token-order invariant") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def sh(ts: Seq[String]): Long =
+      graft.functions.SimHash64Util.compute(new GenericArrayData(
+        ts.map(UTF8String.fromString).toArray[Any]))
+    val toksGen = Gen.nonEmptyListOf(keyGen).map(_.take(30))
+    check("simhash-perm", Prop.forAll(toksGen) { ts =>
+      sh(ts) == sh(ts.reverse)
+    })
+  }
+
+  test("Trgx.nodeId: bracketed id wins; plain keys are fixpoints") {
+    check("nodeid", Prop.forAll(keyGen, keyGen) { (name, id) =>
+      Trgx.nodeId(s"$name[$id]") == id &&
+        Trgx.nodeId(id) == id &&
+        Trgx.nodeId(Trgx.nodeId(s"$name[$id]")) == Trgx.nodeId(s"$name[$id]")
+    })
+  }
+
   test("JsonShape.fromRows: insertion-order independent") {
     import graft.functions.JsonShape
     val rowGen = Gen.listOfN(6,
