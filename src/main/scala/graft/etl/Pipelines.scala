@@ -47,6 +47,25 @@ object Pipelines {
     spark.read.parquet(odsPath).count()
   }
 
+  /** EP-1: the report-job `-main` lifecycle over the JDBC report sink
+    * (SURVEY §3; m_cocacola_score_overall.clj:82-86 + trgx.clj:110-116):
+    * resume range = MAX(dw-dt)+1 of this report's rows in the sink →
+    * build the report for that range → append through the all-String
+    * `-`→`_` tap. Returns the range that ran. Unlike the reference's
+    * `(try … (catch Exception _))`, failures propagate. */
+  def runReportJob(spark: SparkSession, url: String, reportTable: String,
+                   reportName: String, defaultStart: String, endDt: String,
+                   build: ((String, String)) => DataFrame): (String, String) = {
+    import graft.sources.Jdbc
+    val existing = Jdbc.readTable(spark, url, reportTable,
+        Seq("dw-dt", "report"))
+      .filter(col("report") === reportName)
+      .select(col("dw-dt").as("dw_dt"))
+    val rng = TableOps.reportNextDt(existing, "dw_dt", defaultStart, endDt)
+    Jdbc.writeTable(build(rng), url, reportTable)
+    rng
+  }
+
   /** mlvar tree build (reference
     * src/bolome/mlvar/d_bolome_user_order.clj:75-141): roll each user's
     * rows into a trgx tree keyed by `pathCols` (the reference nests

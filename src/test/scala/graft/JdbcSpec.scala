@@ -49,6 +49,33 @@ class JdbcSpec extends AnyFunSuite {
     assert(left == Seq(("2024-03-31", "b")))
   }
 
+  test("EP-1 report job over the JDBC sink: resume range, append, " +
+       "re-run picks up after MAX(dw-dt)") {
+    import spark.implicits._
+    Jdbc.executeUpdateSilent(url, "DROP TABLE t_report")
+    Jdbc.createTableIf(url, "t_report", Seq(
+      "dw_dt" -> "VARCHAR(10)", "report" -> "VARCHAR(20)",
+      "payload" -> "VARCHAR(40)"))
+    val allDates = Seq("2024-01-31", "2024-02-29")
+    def build(rng: (String, String)) =
+      allDates.filter(d => d >= rng._1 && d <= rng._2)
+        .map(d => (d, "overall", s"p$d"))
+        .toDF("dw-dt", "report", "payload")
+    val r1 = graft.etl.Pipelines.runReportJob(spark, url, "t_report",
+      "overall", "1970-01-01", "2024-02-01", build)
+    assert(r1 == (("1970-01-01", "2024-02-01")))
+    val r2 = graft.etl.Pipelines.runReportJob(spark, url, "t_report",
+      "overall", "1970-01-01", "2024-12-31", build)
+    assert(r2 == (("2024-02-01", "2024-12-31")),
+      "second run must resume from MAX(dw-dt)+1")
+    val rows = Jdbc.readTable(spark, url, "t_report",
+        Seq("dw-dt", "report", "payload"))
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq.sorted
+    assert(rows == Seq(("2024-01-31", "p2024-01-31"),
+                       ("2024-02-29", "p2024-02-29")),
+      "each date appended exactly once across the two runs")
+  }
+
   test("partitioned read fans out over numPartitions JDBC slices") {
     import spark.implicits._
     Jdbc.executeUpdateSilent(url, "DROP TABLE t_part")
