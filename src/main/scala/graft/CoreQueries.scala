@@ -533,6 +533,27 @@ object CoreQueries {
         GROUP BY n_name ORDER BY n_name""")
     }),
 
+    // §2.9 — native expressions/aggregates on the SQL surface via
+    // FunctionRegistry (graft.sql.GraftFunctions / GraftExtensions).
+    // graft_collect_kv is the oracle-checkable probe; the native
+    // fingerprint functions' SQL↔Column parity is asserted in
+    // ExtensionsSpec (DuckDB can't replicate xxhash64-based kernels).
+    "sql_native_functions" -> ((s, dir) => {
+      graft.sql.GraftFunctions.register(s)
+      Tables.registerViews(s, dir)
+      s.sql("""
+        WITH m AS (SELECT o_orderstatus AS st,
+                 date_format(date_trunc('month', o_orderdate),
+                             'yyyy-MM-dd') AS mo,
+                 count(*) AS cnt
+               FROM orders GROUP BY 1, 2)
+        SELECT st,
+               array_join(transform(array_sort(map_entries(
+                 graft_collect_kv(mo, CAST(cnt AS STRING)))),
+                 e -> concat(e.key, '=', e.value)), ',') AS dt_kv
+        FROM m GROUP BY st ORDER BY st""")
+    }),
+
     // TPC-H Q1 shape — the bench headline aggregate
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
@@ -864,6 +885,14 @@ object CoreQueries {
            AS DECIMAL(38,2)) AS VARCHAR) AS bal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    "sql_native_functions" ->
+      """WITH m AS (SELECT o_orderstatus AS st,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mo,
+             count(*) AS cnt
+           FROM orders GROUP BY 1, 2)
+         SELECT st, string_agg(mo || '=' || cnt, ',' ORDER BY mo)
+           AS dt_kv
+         FROM m GROUP BY st ORDER BY st""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))

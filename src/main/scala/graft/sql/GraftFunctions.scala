@@ -1,0 +1,100 @@
+package graft.sql
+
+import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.agg.{CollectKvAgg, TrDimensionMetricsAgg}
+import graft.functions.{MinHashSig, SimHash64}
+
+/** SQL surface for graft's native Catalyst expressions and aggregates —
+  * the `SparkSessionExtensions` registration layer (SURVEY §2.9).
+  *
+  * Two entry points, same function set:
+  *  - `spark.sql.extensions=graft.sql.GraftExtensions` at session build
+  *    (the standard extension-library path), or
+  *  - `GraftFunctions.register(spark)` on an existing session.
+  *
+  * Registered functions (all prefixed `graft_` to keep clear of
+  * built-ins):
+  *  - `graft_simhash64(tokens)` → BIGINT SimHash over an ARRAY<STRING>
+  *    of tokens (SimHash64.scala)
+  *  - `graft_minhash_sig(hashes, k)` → ARRAY<BIGINT> signature over an
+  *    ARRAY<BIGINT> of shingle hashes; k must be a literal
+  *    (MinHashSig.scala)
+  *  - `graft_collect_kv(k, v)` → MAP<STRING,STRING> last-write-wins
+  *    aggregate (reference trgx.clj:45; NativeAggs.scala)
+  *  - `graft_tr_dimension_metrics(dims, metrics)` → pair-tree JSON
+  *    aggregate (reference trgx.clj:72-79; NativeAggs.scala)
+  */
+object GraftFunctions {
+
+  private def info(name: String, clazz: Class[_], usage: String) =
+    new ExpressionInfo(clazz.getCanonicalName, null, name, usage, "")
+
+  private def arityError(name: String, expected: String,
+                         got: Seq[Expression]): Nothing =
+    throw new IllegalArgumentException(
+      s"$name expects $expected, got ${got.length} argument(s)")
+
+  /** (identifier, info, builder) triples — the exact shape
+    * `SparkSessionExtensions.injectFunction` takes. */
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", classOf[SimHash64],
+        "graft_simhash64(tokens) - 64-bit SimHash over an " +
+          "array<string> of tokens"),
+      {
+        case Seq(e) => SimHash64(e)
+        case other  => arityError("graft_simhash64", "1 argument", other)
+      }),
+    (FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", classOf[MinHashSig],
+        "graft_minhash_sig(hashes, k) - k-slot MinHash signature over " +
+          "an array<bigint> of shingle hashes; k must be an int literal"),
+      {
+        case Seq(e, Literal(k: Int, IntegerType)) => MinHashSig(e, k)
+        case Seq(_, bad) => throw new IllegalArgumentException(
+          "graft_minhash_sig: k must be a foldable INT literal, got " +
+            bad.sql)
+        case other =>
+          arityError("graft_minhash_sig", "2 arguments", other)
+      }),
+    (FunctionIdentifier("graft_collect_kv"),
+      info("graft_collect_kv", classOf[CollectKvAgg],
+        "graft_collect_kv(k, v) - aggregate rows into a " +
+          "map<string,string>, last write per key wins, null keys skipped"),
+      {
+        case Seq(k, v) => CollectKvAgg(k, v)
+        case other     => arityError("graft_collect_kv", "2 arguments", other)
+      }),
+    (FunctionIdentifier("graft_tr_dimension_metrics"),
+      info("graft_tr_dimension_metrics", classOf[TrDimensionMetricsAgg],
+        "graft_tr_dimension_metrics(dims, metrics) - aggregate " +
+          "(array<string> path, map<string,string> metrics) rows into " +
+          "the canonical pair-tree JSON"),
+      {
+        case Seq(d, m) => TrDimensionMetricsAgg(d, m)
+        case other =>
+          arityError("graft_tr_dimension_metrics", "2 arguments", other)
+      }))
+
+  /** Idempotently register every graft function into an existing
+    * session (replaces prior registrations of the same names). */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, inf, builder) =>
+      GraftBridge.registerFunction(spark, id, inf, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point:
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+  * }}} */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(ext.injectFunction)
+}

@@ -10,4 +10,15 @@ object GraftBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Register a function builder into an EXISTING session's registry —
+    * the post-hoc twin of `SparkSessionExtensions.injectFunction` for
+    * sessions built without `spark.sql.extensions`. */
+  def registerFunction(
+      spark: SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(name, info, builder)
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agg.Aggregators
+import graft.sql.GraftFunctions
+
+/** SQL-surface registration of the native expressions/aggregates
+  * (graft.sql.GraftFunctions / GraftExtensions): every SQL-callable form
+  * must be bit-identical to its Column-API twin, and the
+  * `spark.sql.extensions` injection path must resolve the functions in
+  * a freshly-built session. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = { GraftFunctions.register(TestSpark.spark); TestSpark.spark }
+
+  private def fixture(): Unit = {
+    import spark.implicits._
+    Seq(
+      ("a", "the quick brown fox jumps over the lazy dog end"),
+      ("a", "pack my box with five dozen liquor jugs right now"),
+      ("b", "the quick brown fox jumps over the lazy dog end"),
+      ("b", "")
+    ).toDF("grp", "txt").createOrReplaceTempView("ext_docs")
+  }
+
+  test("graft_simhash64 via SQL equals the Column-API SimHash64") {
+    fixture()
+    val viaSql = spark.sql(
+      "SELECT grp, txt, graft_simhash64(split(txt, ' ')) AS h FROM ext_docs")
+    val viaCol = spark.table("ext_docs").withColumn("h",
+      GraftBridge.column(graft.functions.SimHash64(
+        GraftBridge.expression(split(col("txt"), " ")))))
+    assert(viaSql.orderBy("grp", "txt").collect().toSeq ===
+      viaCol.orderBy("grp", "txt").collect().toSeq)
+  }
+
+  test("graft_minhash_sig via SQL equals the Column-API MinHashSig") {
+    fixture()
+    val hashes = transform(split(col("txt"), " "), w => xxhash64(w))
+    val viaCol = spark.table("ext_docs")
+      .select(col("txt"), GraftBridge.column(graft.functions.MinHashSig(
+        GraftBridge.expression(hashes), 8)).as("sig"))
+    val viaSql = spark.sql(
+      """SELECT txt, graft_minhash_sig(
+           transform(split(txt, ' '), w -> xxhash64(w)), 8) AS sig
+         FROM ext_docs""")
+    assert(viaSql.orderBy("txt").collect().toSeq ===
+      viaCol.orderBy("txt").collect().toSeq)
+  }
+
+  test("graft_collect_kv via SQL equals the Column-API aggregate") {
+    fixture()
+    val viaSql = spark.sql(
+      """SELECT grp, graft_collect_kv(txt, CAST(length(txt) AS STRING)) AS m
+         FROM ext_docs GROUP BY grp""")
+    val viaCol = spark.table("ext_docs").groupBy("grp")
+      .agg(Aggregators.collectKv(col("txt"),
+        length(col("txt")).cast("string")).as("m"))
+    assert(viaSql.orderBy("grp").collect().toSeq ===
+      viaCol.orderBy("grp").collect().toSeq)
+  }
+
+  test("graft_tr_dimension_metrics via SQL equals the Column-API aggregate") {
+    fixture()
+    val dims = array(lit("seg"), col("grp"))
+    val mets = map(lit("len"), length(col("txt")).cast("string"))
+    val viaCol = spark.table("ext_docs").groupBy("grp")
+      .agg(Aggregators.trDimensionMetrics(dims, mets).as("j"))
+    val viaSql = spark.sql(
+      """SELECT grp, graft_tr_dimension_metrics(
+           array('seg', grp), map('len', CAST(length(txt) AS STRING))) AS j
+         FROM ext_docs GROUP BY grp""")
+    assert(viaSql.orderBy("grp").collect().toSeq ===
+      viaCol.orderBy("grp").collect().toSeq)
+  }
+
+  test("bad arity and non-literal k are rejected at analysis") {
+    fixture()
+    assertThrows[Exception](spark.sql("SELECT graft_simhash64()").collect())
+    assertThrows[Exception](spark.sql(
+      // k must be a foldable INT literal
+      "SELECT graft_minhash_sig(array(1L), length(txt)) FROM ext_docs")
+      .collect())
+  }
+
+  test("spark.sql.extensions injection registers functions in a new session") {
+    // TestSpark sets spark.sql.extensions=graft.sql.GraftExtensions.
+    // newSession() builds a FRESH SessionState that register() never
+    // touched — the functions can only resolve via the injection path.
+    val fresh = spark.newSession()
+    val h = fresh.sql(
+      "SELECT graft_simhash64(array('a', 'b')) AS h").first().getLong(0)
+    val expected = spark.sql(
+      "SELECT graft_simhash64(array('a', 'b')) AS h").first().getLong(0)
+    assert(h === expected)
+  }
+}
