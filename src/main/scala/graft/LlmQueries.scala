@@ -235,6 +235,13 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition signals: per-row token stats + exploded
+    // bigram counts (shuffles carry (id, bigram, cnt), never text)
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+
     // document fingerprinting: content md5 + rolling min-shingle hash
     "doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -503,6 +510,28 @@ object LlmQueries {
              / 3.0, 6) AS quality
          FROM base ORDER BY doc_id"""
     },
+    "text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS w
+             FROM documents),
+         tok_stats AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tok,
+             len(list_distinct(w)) AS n_tok_distinct FROM toks),
+         bg AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i + 1])) AS bg FROM toks),
+         bg_cnt AS (SELECT doc_id, bg, count(*) AS cnt
+             FROM bg GROUP BY 1, 2),
+         bg_stats AS (SELECT doc_id, sum(cnt) AS total_bg,
+             max(cnt) AS top_bg, count(*) AS distinct_bg
+             FROM bg_cnt GROUP BY 1)
+         SELECT t.doc_id, t.n_tok,
+           round(1.0 - t.n_tok_distinct / CAST(t.n_tok AS DOUBLE), 6)
+             AS dup_token_ratio,
+           round(coalesce(1.0 - b.distinct_bg / CAST(b.total_bg AS DOUBLE),
+             0.0), 6) AS dup_bigram_frac,
+           round(coalesce(b.top_bg / CAST(b.total_bg AS DOUBLE), 0.0), 6)
+             AS top_bigram_frac
+         FROM tok_stats t LEFT JOIN bg_stats b ON t.doc_id = b.doc_id
+         ORDER BY t.doc_id""",
     "doc_fingerprint" ->
       s"""WITH u AS (SELECT doc_id, text FROM documents),
          $shingleCte

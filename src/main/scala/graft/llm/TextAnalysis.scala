@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines (builder
@@ -114,6 +114,54 @@ object TextAnalysis {
                  (a, b) => concat_ws(" ", a, b)),
         slice(w, lit(3), k),
         (ab, cc) => concat_ws(" ", ab, cc)))
+  }
+
+  /** Word bigrams over a STAGED token array — zip of shifted slices,
+    * same O(n) pattern as wordShingles. <2 tokens → empty array. */
+  def wordBigramsStaged(toks: Column): Column = {
+    val k = size(toks) - 1
+    when(k <= 0, array().cast("array<string>")).otherwise(
+      zip_with(slice(toks, lit(1), k), slice(toks, lit(2), k),
+               (a, b) => concat_ws(" ", a, b)))
+  }
+
+  /** Gopher-style repetition signals per document — the standard
+    * training-data repetition filters over a token-stream corpus:
+    *  - `dup_token_ratio`: fraction of token occurrences that repeat an
+    *    earlier token (1 − distinct/total),
+    *  - `dup_bigram_frac`: same at bigram grain,
+    *  - `top_bigram_frac`: fraction of all bigram occurrences taken by
+    *    the single most frequent bigram.
+    *
+    * Plan shape (scale posture): token stats are per-row expressions
+    * (no shuffle); bigram stats explode to narrow `(id, bigram)` rows
+    * with map-side partial counts, then re-aggregate per doc — shuffles
+    * carry counts, never text. Docs with <2 tokens get 0.0 bigram
+    * fractions via the left join. */
+  def repetitionSignals(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val base = df.select(col(idCol),
+      split(normalizeText(col(textCol)), " ").as("toks"))
+    val tokStats = base.select(col(idCol),
+      size(col("toks")).as("n_tok"),
+      size(array_distinct(col("toks"))).as("n_tok_distinct"))
+    val bgStats = base
+      .select(col(idCol), explode(wordBigramsStaged(col("toks"))).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(
+        sum("cnt").as("total_bg"), max("cnt").as("top_bg"),
+        count(lit(1)).as("distinct_bg"))
+    tokStats.join(bgStats, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_tok").cast("int").as("n_tok"),
+        round(lit(1.0) -
+          col("n_tok_distinct").cast("double") / col("n_tok"), 6)
+          .as("dup_token_ratio"),
+        round(coalesce(lit(1.0) -
+          col("distinct_bg").cast("double") / col("total_bg"), lit(0.0)), 6)
+          .as("dup_bigram_frac"),
+        round(coalesce(
+          col("top_bg").cast("double") / col("total_bg"), lit(0.0)), 6)
+          .as("top_bigram_frac"))
   }
 
   /** Exact-content fingerprint: md5 of normalized text. */

@@ -176,4 +176,22 @@ class LlmSpec extends AnyFunSuite {
         "embedding", "vec_id", 3)
     assert(out.count() > 0)
   }
+
+  test("repetitionSignals: hand-computed ratios, short-doc edge") {
+    val docs = Seq(
+      (1L, "a a a a"),            // 4 tokens, 1 distinct; bigrams: "a a"×3
+      (2L, "w x y z"),            // all distinct; 3 distinct bigrams
+      (3L, "p q p q"),            // dup tokens; bigrams p q, q p, p q
+      (4L, "solo")                // 1 token, no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got(0) === ((1L, 4, 0.75, 0.666667, 1.0)))
+    assert(got(1) === ((2L, 4, 0.0, 0.0, 0.333333)))
+    assert(got(2) === ((3L, 4, 0.5, 0.333333, 0.666667)))
+    assert(got(3) === ((4L, 1, 0.0, 0.0, 0.0)))
+  }
 }
