@@ -242,6 +242,27 @@ object LlmQueries {
         "doc_id", "text")
         .orderBy("doc_id")),
 
+    // PII redaction: plant deterministic PII (email/IP/phone derived
+    // from doc_id) into each doc, then redact — proves the masking
+    // patterns, not just identity on PII-free text
+    "text_redact_pii" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.redactPii(concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com at 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 or 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .as("redacted"))
+        .orderBy("doc_id")),
+
+    // deterministic md5-threshold train/test split (stable under
+    // re-runs/growth/repartition; granularity 1/65536)
+    "corpus_split" -> ((s, dir) =>
+      graft.ops.Relational.hashSplit(
+        t(s, dir, "documents").select(col("doc_id")),
+        col("doc_id"), 0.8)
+        .orderBy("doc_id")),
+
     // document fingerprinting: content md5 + rolling min-shingle hash
     "doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -532,6 +553,21 @@ object LlmQueries {
              AS top_bigram_frac
          FROM tok_stats t LEFT JOIN bg_stats b ON t.doc_id = b.doc_id
          ORDER BY t.doc_id""",
+    "text_redact_pii" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(
+           text || ' contact user' || doc_id || '@example.com at 10.0.'
+             || (doc_id % 256) || '.7 or 555-867-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
+    "corpus_split" ->
+      """SELECT doc_id,
+         CASE WHEN substr(md5(doc_id || 'graft'), 1, 4) < 'cccd'
+              THEN 'train' ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
     "doc_fingerprint" ->
       s"""WITH u AS (SELECT doc_id, text FROM documents),
          $shingleCte

@@ -164,6 +164,20 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** PII redaction for training corpora: emails → `<EMAIL>`,
+    * IPv4 addresses → `<IP>`, simple phone forms → `<PHONE>`.
+    * Plain `regexp_replace` chain (codegen'd, no UDF); patterns kept to
+    * the RE2-compatible subset so any SQL engine replays them
+    * identically. Email first — its pattern can contain digits/dots the
+    * narrower patterns would otherwise split. */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>")
+  }
+
   /** Exact-content fingerprint: md5 of normalized text. */
   def fingerprint(c: Column): Column = md5(normalizeText(c))
 

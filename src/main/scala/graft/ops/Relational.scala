@@ -211,6 +211,26 @@ object Relational {
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Deterministic train/test split for corpus pipelines: rows route by
+    * the first 4 hex chars of md5(key ‖ seed) against a driver-computed
+    * threshold, so the assignment is (a) stable under re-runs, data
+    * growth and repartitioning — a given key NEVER migrates between
+    * splits, (b) engine-portable (md5 + string compare, no
+    * engine-specific hash), (c) shuffle-free (pure projection).
+    * `trainFrac` granularity is 1/65536. */
+  def hashSplit(df: DataFrame, keyCol: Column, trainFrac: Double,
+                seed: String = "graft"): DataFrame = {
+    require(trainFrac >= 0.0 && trainFrac <= 1.0,
+      s"trainFrac must be in [0,1], got $trainFrac")
+    val t = math.round(trainFrac * 65536).toInt
+    val splitCol =
+      if (t >= 65536) lit("train") // "%04x" would be 5 chars: compare breaks
+      else when(
+        substring(md5(concat(keyCol.cast("string"), lit(seed))), 1, 4)
+          < lit(f"$t%04x"), lit("train")).otherwise(lit("test"))
+    df.withColumn("split", splitCol)
+  }
+
   /** Report shaping: selectors + tr-dimension-metrics JSON payload —
     * the tail of every report (trgx.clj:72-79). Dimension levels are
     * keyed `header=value` (the reference's `[header value]` pair keys

@@ -177,6 +177,41 @@ class LlmSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("redactPii masks emails, IPv4s and phones, leaves prose alone") {
+    val got = Seq(
+      "mail a.b+c@sub.example.org now",
+      "host 192.168.0.1 port",
+      "call 555-123-4567 today",
+      "version 1.2 of file.txt stays"
+    ).toDF("t").select(TextAnalysis.redactPii($"t").as("r"))
+      .collect().map(_.getString(0))
+    assert(got(0) === "mail <EMAIL> now")
+    assert(got(1) === "host <IP> port")
+    assert(got(2) === "call <PHONE> today")
+    assert(got(3) === "version 1.2 of file.txt stays")
+  }
+
+  test("hashSplit: deterministic, key-stable, near the target fraction") {
+    import graft.ops.Relational
+    val ids = (0L until 2000L).toDF("id")
+    val a = Relational.hashSplit(ids, $"id", 0.8).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Relational.hashSplit(ids.repartition(7), $"id", 0.8).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b) // repartition-invariant
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.75 && frac < 0.85)
+    // growth-invariant: subset keys keep their assignment
+    val sub = Relational.hashSplit((0L until 100L).toDF("id"), $"id", 0.8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub.forall { case (k, v) => a(k) == v })
+    // boundary fractions
+    val all = Relational.hashSplit(ids, $"id", 1.0).collect()
+    assert(all.forall(_.getString(1) == "train"))
+    val none = Relational.hashSplit(ids, $"id", 0.0).collect()
+    assert(none.forall(_.getString(1) == "test"))
+  }
+
   test("repetitionSignals: hand-computed ratios, short-doc edge") {
     val docs = Seq(
       (1L, "a a a a"),            // 4 tokens, 1 distinct; bigrams: "a a"×3
