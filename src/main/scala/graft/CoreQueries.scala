@@ -579,7 +579,18 @@ object CoreQueries {
                .cast("string").as("sum_val"))
         .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
                 col("event_type"), col("cnt"), col("sum_val"))
-        .orderBy("day", "event_type"))
+        .orderBy("day", "event_type")),
+
+    // gap-based sessionization via native session_window (the batch
+    // form of StreamOps.sessionizedAgg; streaming twin in
+    // StreamingSpec). Epoch-micros output dodges strftime dialects.
+    "events_session_agg" -> ((s, dir) =>
+      graft.streaming.StreamOps.sessionizedAgg(
+          t(s, dir, "events"), "ts", "user_id", "30 minutes")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          col("cnt"), col("sum_val").cast("string").as("sum_val"))
+        .orderBy("user_id", "session_start_us"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -910,6 +921,26 @@ object CoreQueries {
          event_type, count(*) AS cnt,
          CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(38,3))
            AS VARCHAR) AS sum_val
-         FROM events GROUP BY 1, 2 ORDER BY day, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "events_session_agg" ->
+      """WITH e AS (SELECT event_id, user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+           FROM events),
+         f AS (SELECT event_id, user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                  OR ts >= prev_ts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+           FROM e),
+         s AS (SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM f)
+         SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           count(*) AS cnt,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(38,3))
+             AS VARCHAR) AS sum_val
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start_us"""
   )
 }

@@ -33,6 +33,22 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col(keyCol), col("cnt"),
               col("sum_val"))
 
+  /** Watermarked session windows per key — gap-based sessionization
+    * (`session_window`: state is bounded by the watermark horizon; a
+    * session closes once the watermark passes its end). Works on batch
+    * frames too (same call, no watermark needed there). */
+  def sessionizedAgg(events: DataFrame, tsCol: String, keyCol: String,
+                     gap: String, watermark: Option[String] = None)
+      : DataFrame = {
+    val in = watermark.fold(events)(events.withWatermark(tsCol, _))
+    in.groupBy(col(keyCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("value").cast("decimal(18,3)")).cast("decimal(38,3)")
+             .as("sum_val"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+              col("cnt"), col("sum_val"))
+  }
+
   /** Stateful per-key running aggregates via mapGroupsWithState — the
     * custom-state upgrade path for incremental pipelines (running event
     * counts + value sums per key, state carried across micro-batches). */

@@ -33,6 +33,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("sessionizedAgg: streaming session windows match the batch form") {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream_sess").toString
+    val batch = Seq(
+      ("2024-01-01 00:00:00", 1L, 1.0),
+      ("2024-01-01 00:10:00", 1L, 2.0), // 10 m gap → same session
+      ("2024-01-01 02:00:00", 1L, 3.0), // > 30 m gap → new session
+      ("2024-01-01 00:05:00", 2L, 4.0))
+      .toDF("ts_s", "user_id", "value")
+      .select(to_timestamp($"ts_s").as("ts"), $"user_id", $"value")
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = StreamOps.readTableStream(spark, dir, batch.schema)
+    val agg = StreamOps.sessionizedAgg(stream, "ts", "user_id",
+      "30 minutes", Some("1 hour"))
+    StreamOps.runAvailableNowToMemory(agg, "sess_test")
+    val streamed = spark.sql(
+      "SELECT user_id, session_start, cnt, CAST(sum_val AS STRING) " +
+      "FROM sess_test ORDER BY user_id, session_start").collect().toSeq
+
+    val batched = StreamOps.sessionizedAgg(batch, "ts", "user_id",
+        "30 minutes")
+      .select($"user_id", $"session_start", $"cnt",
+        $"sum_val".cast("string"))
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(streamed === batched)
+    assert(batched.map(r => (r.getLong(0), r.getLong(2))) ===
+      Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
   test("streamingDedup suppresses duplicate fingerprints with " +
        "watermark-bounded state") {
     val dir = Files.createTempDirectory(
