@@ -242,6 +242,35 @@ object LlmQueries {
         "doc_id", "text")
         .orderBy("doc_id")),
 
+    // flagship training-data cleaning composition: language + quality
+    // + repetition gates + exact-dedup keep-min survivor set, in ONE
+    // pipeline (each signal staged once; one narrow fp shuffle)
+    "corpus_filter" -> ((s, dir) => {
+      val c = col("text")
+      val en = TextAnalysis.langStopwords.toMap.apply("en")
+      val staged = t(s, dir, "documents").select(col("doc_id"), c,
+          split(TextAnalysis.normalizeText(c), " ").as("toks"),
+          length(c).as("n_chars"),
+          TextAnalysis.tokenCountWs(c).as("tok_ws"),
+          TextAnalysis.punctCount(c).as("punct_cnt"),
+          TextAnalysis.stopwordCount(c, en).as("sw_cnt"),
+          TextAnalysis.fingerprint(c).as("fp"))
+        .select(col("doc_id"), col("fp"),
+          TextAnalysis.langIdStaged(col("toks"), col("text")).as("lang"),
+          TextAnalysis.qualityScoreStaged(col("n_chars"),
+            col("punct_cnt"), col("tok_ws"), col("sw_cnt")).as("quality"),
+          round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks")), 6).as("dup_token_ratio"))
+      val keep = staged.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      staged.join(keep, "fp")
+        .filter(col("doc_id") === col("keep_id") &&
+          col("lang") === "en" && col("quality") >= 0.55 &&
+          col("dup_token_ratio") <= 0.55)
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("dup_token_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction: plant deterministic PII (email/IP/phone derived
     // from doc_id) into each doc, then redact — proves the masking
     // patterns, not just identity on PII-free text
@@ -553,6 +582,54 @@ object LlmQueries {
              AS top_bigram_frac
          FROM tok_stats t LEFT JOIN bg_stats b ON t.doc_id = b.doc_id
          ORDER BY t.doc_id""",
+    "corpus_filter" -> {
+      val langs = TextAnalysis.langStopwords
+      val scoreCols = langs.map { case (lang, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($inList))) AS c_$lang"
+      }.mkString(", ")
+      val langCodes = langs.map(_._1)
+      val argmax = langCodes.map { l =>
+        val geAll = langCodes.map(o => s"c_$l >= c_$o").mkString(" AND ")
+        s"WHEN $geAll AND c_$l > 0 THEN '$l'"
+      }.mkString(" ")
+      val en = TextAnalysis.langStopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, text,
+             md5($normSql) AS fp,
+             string_split($normSql, ' ') AS toks,
+             CAST(length(text) AS INT) AS n_chars,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS INT) AS tok_ws,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+               AS INT) AS punct_cnt,
+             regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+           FROM documents),
+         sig AS (SELECT doc_id, fp, toks, n_chars, tok_ws, punct_cnt,
+             has_cjk, $scoreCols,
+             len(list_filter(toks, t -> t IN ($en))) AS sw_cnt
+           FROM base),
+         scored AS (SELECT doc_id, fp,
+             CASE WHEN has_cjk THEN 'zh' $argmax ELSE 'und' END AS lang,
+             round((least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+               + greatest(0.0, 1.0 - (CASE WHEN n_chars = 0 THEN 0.0
+                   ELSE CAST(punct_cnt AS DOUBLE) / n_chars END) * 5.0)
+               + least((CASE WHEN tok_ws = 0 THEN 0.0
+                   ELSE CAST(sw_cnt AS DOUBLE) / tok_ws END) * 4.0, 1.0))
+               / 3.0, 6) AS quality,
+             round(1.0 - len(list_distinct(toks))
+               / CAST(len(toks) AS DOUBLE), 6) AS dup_token_ratio
+           FROM sig),
+         keep AS (SELECT fp, min(doc_id) AS keep_id
+           FROM scored GROUP BY fp)
+         SELECT s.doc_id, s.lang, s.quality, s.dup_token_ratio
+         FROM scored s
+         JOIN keep k ON s.fp = k.fp AND s.doc_id = k.keep_id
+         WHERE s.lang = 'en' AND s.quality >= 0.55
+           AND s.dup_token_ratio <= 0.55
+         ORDER BY s.doc_id"""
+    },
     "text_redact_pii" ->
       """SELECT doc_id,
          regexp_replace(regexp_replace(regexp_replace(
