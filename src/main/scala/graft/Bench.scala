@@ -29,7 +29,11 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
+    // optional comma-separated subset for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val cold = sorted.map { case (name, fn) =>
       val dt = time(name, fn)
       System.err.println(f"[bench] cold $name%-28s $dt%8.2f s")

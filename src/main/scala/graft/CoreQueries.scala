@@ -581,6 +581,35 @@ object CoreQueries {
                 col("event_type"), col("cnt"), col("sum_val"))
         .orderBy("day", "event_type")),
 
+    // approximate aggregates — the 100 TB corpus-stats path (HLL++
+    // distinct, quantile sketch). Self-validating oracle: Spark emits
+    // the exact values plus in-bound booleans for the sketches; DuckDB
+    // replays the exact side and expects TRUE (the sketch error bound
+    // is the contract; exact replication is impossible cross-engine)
+    // NB: keep the distinct aggregate and the imperative sketch
+    // aggregates in SEPARATE aggregations joined on the tiny group key —
+    // mixed in one agg they force a single degenerate SortAggregate
+    // plan (measured 3× slower); split, each lands in its fast operator
+    "approx_stats" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val exact = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+             countDistinct(col("user_id")).as("users_exact"))
+      val sketch = ev.groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.05)
+               .as("users_approx"),
+             percentile_approx(col("value"), lit(0.5), lit(10000))
+               .as("p50_approx"),
+             expr("percentile(value, 0.5)").as("p50_exact"))
+      exact.join(sketch, "event_type")
+        .select(col("event_type"), col("cnt"), col("users_exact"),
+          (abs(col("users_approx") - col("users_exact")).cast("double") /
+            col("users_exact") <= 0.15).as("users_approx_ok"),
+          (abs(col("p50_approx") - col("p50_exact")) <= 1.0)
+            .as("p50_approx_ok"))
+        .orderBy("event_type")
+    }),
+
     // gap-based sessionization via native session_window (the batch
     // form of StreamOps.sessionizedAgg; streaming twin in
     // StreamingSpec). Epoch-micros output dodges strftime dialects.
@@ -922,6 +951,11 @@ object CoreQueries {
          CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(38,3))
            AS VARCHAR) AS sum_val
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "approx_stats" ->
+      """SELECT event_type, count(*) AS cnt,
+         count(DISTINCT user_id) AS users_exact,
+         TRUE AS users_approx_ok, TRUE AS p50_approx_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "events_session_agg" ->
       """WITH e AS (SELECT event_id, user_id, ts, value,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

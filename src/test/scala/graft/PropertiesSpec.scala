@@ -20,7 +20,8 @@ class PropertiesSpec extends AnyFunSuite {
   private val dataGen: Gen[Map[String, String]] =
     Gen.mapOf(Gen.zip(keyGen, Gen.oneOf(
       Gen.alphaNumStr.map(_.take(12)),
-      Gen.const("with \"quotes\" and \\slashes\n"))))
+      Gen.const("with \"quotes\" and \\slashes\n"),
+      Gen.const("ctrl\u0001\u001f and caf\u00e9 \u4e2d\u6587"))))
       .map(_.take(3))
 
   private def nodeGen(depth: Int): Gen[TrgxNode] =
@@ -37,6 +38,12 @@ class PropertiesSpec extends AnyFunSuite {
   test("trgx codec: fromJson ∘ toJson = id (incl. escapes)") {
     check("roundtrip", Prop.forAll(treeGen) { t =>
       Trgx.fromJson(Trgx.toJson(t)) == t
+    })
+  }
+
+  test("trgx toJson writer matches the Jackson tree-model render") {
+    check("jackson-parity", Prop.forAll(treeGen) { t =>
+      Trgx.toJson(t) == Trgx.toJsonJackson(t)
     })
   }
 
