@@ -2,7 +2,8 @@ package graft.sql
 
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Explode, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, OneRowRelation}
 import org.apache.spark.sql.types.IntegerType
 
 import graft.agg.{CollectKvAgg, TrDimensionMetricsAgg}
@@ -81,12 +82,35 @@ object GraftFunctions {
           arityError("graft_tr_dimension_metrics", "2 arguments", other)
       }))
 
+  /** Table functions (§2.9 UDTF surface): `graft_shingles(text)` —
+    * word-3-gram shingles of a string as a one-column table, the
+    * `mapcatfn` generator shape exposed as a SQL table function:
+    * {{{ SELECT col FROM graft_shingles('a b c d') }}} */
+  val tableDescriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", classOf[Generate],
+        "graft_shingles(text) - table of word-3-gram shingles of text"),
+      {
+        case Seq(e) =>
+          val shingles = GraftBridge.eagerExpression(
+            graft.llm.TextAnalysis.wordShingles(GraftBridge.column(e)))
+          Generate(Explode(shingles), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None, generatorOutput = Nil,
+            child = OneRowRelation())
+        case other => arityError("graft_shingles", "1 argument", other)
+      }))
+
   /** Idempotently register every graft function into an existing
     * session (replaces prior registrations of the same names). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     descriptions.foreach { case (id, inf, builder) =>
       GraftBridge.registerFunction(spark, id, inf, builder)
     }
+    tableDescriptions.foreach { case (id, inf, builder) =>
+      GraftBridge.registerTableFunction(spark, id, inf, builder)
+    }
+  }
 }
 
 /** `spark.sql.extensions` entry point:
@@ -95,6 +119,8 @@ object GraftFunctions {
   *   .config("spark.sql.extensions", "graft.sql.GraftExtensions")
   * }}} */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    GraftFunctions.tableDescriptions.foreach(ext.injectTableFunction)
+  }
 }

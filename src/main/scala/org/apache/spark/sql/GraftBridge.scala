@@ -11,6 +11,14 @@ object GraftBridge {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column to a plain catalyst Expression tree (no
+    * deferred ColumnNode wrapper) — required when splicing a
+    * functions._-built Column into a hand-constructed LogicalPlan
+    * (e.g. a table-function Generate), where the analyzer won't
+    * resolve the lazy wrapper. */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Register a function builder into an EXISTING session's registry —
     * the post-hoc twin of `SparkSessionExtensions.injectFunction` for
     * sessions built without `spark.sql.extensions`. */
@@ -21,4 +29,15 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(name, info, builder)
+
+  /** Table-function twin of [[registerFunction]]. */
+  def registerTableFunction(
+      spark: SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+      .registerFunction(name, info, builder)
 }

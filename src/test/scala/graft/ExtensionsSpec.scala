@@ -76,6 +76,21 @@ class ExtensionsSpec extends AnyFunSuite {
       viaCol.orderBy("grp").collect().toSeq)
   }
 
+  test("graft_shingles table function yields word 3-grams") {
+    val got = spark.sql(
+      "SELECT col FROM graft_shingles('a b c d e')")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("a b c", "b c d", "c d e"))
+    // short text → the whole normalized text as one shingle
+    val short = spark.sql("SELECT col FROM graft_shingles('only two')")
+      .collect().map(_.getString(0)).toSeq
+    assert(short === Seq("only two"))
+    // injection path: fresh session resolves it too
+    val fresh = spark.newSession()
+    assert(fresh.sql("SELECT col FROM graft_shingles('x y z w')")
+      .count() === 2)
+  }
+
   test("bad arity and non-literal k are rejected at analysis") {
     fixture()
     assertThrows[Exception](spark.sql("SELECT graft_simhash64()").collect())
