@@ -18,6 +18,31 @@ object RptQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // nested tr-dimension-metrics (m_cocacola_anal_rep_kpis.clj:38-50):
+    // an INNER {period→value} pair-tree JSON is embedded as a metric
+    // value in an OUTER product pivot — aggregate-of-aggregate JSON,
+    // string-escaped at the outer render like the reference's
+    // pair-edn->json does to the inner EDN string
+    "report_nested_kpis" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+                 col("o_orderpriority").as("prio"),
+                 date_format(date_trunc("month", col("o_orderdate")),
+                             "yyyy-MM-dd").as("mo"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("val"))
+      val inner = monthly.groupBy("seg", "prio")
+        .agg(graft.agg.Aggregators.trDimensionMetrics(
+          array(concat_ws("=", lit("period"), col("mo"))),
+          map(lit("value"), col("val"))).as("period_value"))
+        .withColumn("c_sort", substring(col("prio"), 1, 1))
+      Relational.reportShape(inner, Seq("seg"), Seq("prio"),
+          Seq("c_sort" -> col("c_sort"),
+              "period_value" -> col("period_value")))
+        .orderBy("seg")
+    }),
+
     // the flagship score_overall pipeline end-to-end
     // (m_cocacola_score_overall.clj:42-86)
     "report_score_overall" -> ((s, dir) => {
@@ -291,6 +316,22 @@ object RptQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "report_nested_kpis" ->
+      """WITH m AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mo,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS VARCHAR) AS val
+           FROM orders JOIN customer ON c_custkey = o_custkey
+           GROUP BY 1, 2, 3),
+         inner_j AS (SELECT seg, prio,
+             '{' || string_agg('"period=' || mo || '":{"value":' || val
+               || '}', ',' ORDER BY mo) || '}' AS period_value
+           FROM m GROUP BY seg, prio)
+         SELECT seg, '{' || string_agg('"prio=' || prio
+             || '":{"c_sort":' || substr(prio, 1, 1)
+             || ',"period_value":' || to_json(period_value) || '}',
+             ',' ORDER BY prio) || '}' AS report
+         FROM inner_j GROUP BY seg ORDER BY seg""",
     "report_score_overall" ->
       """WITH m AS (SELECT c_mktsegment AS seg,
              strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
