@@ -43,6 +43,28 @@ object RptQueries {
         .orderBy("seg")
     }),
 
+    // deep-dive shape (m_cocacola_gt_score_deep_dive.clj:36-48): the
+    // get-item-json-string payload sits in the dimension KEY position
+    // of tr-dimension-metrics [:item :period] — the key's embedded
+    // quotes/braces must survive the outer pair-edn->json escape
+    "report_deep_dive" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+                 col("o_orderpriority").as("prio"),
+                 date_format(date_trunc("month", col("o_orderdate")),
+                             "yyyy-MM-dd").as("period"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("val"))
+        .withColumn("item",
+          concat(lit("{\"item_name\":\""), col("prio"),
+                 lit("\",\"c_sort\":"), substring(col("prio"), 1, 1),
+                 lit("}")))
+      Relational.reportShape(m, Seq("seg"), Seq("item", "period"),
+          Seq("value" -> col("val")))
+        .orderBy("seg")
+    }),
+
     // the flagship score_overall pipeline end-to-end
     // (m_cocacola_score_overall.clj:42-86)
     "report_score_overall" -> ((s, dir) => {
@@ -332,6 +354,26 @@ object RptQueries {
              || ',"period_value":' || to_json(period_value) || '}',
              ',' ORDER BY prio) || '}' AS report
          FROM inner_j GROUP BY seg ORDER BY seg""",
+    "report_deep_dive" ->
+      """WITH m AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+               AS period,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS VARCHAR) AS val
+           FROM orders JOIN customer ON c_custkey = o_custkey
+           GROUP BY 1, 2, 3),
+         j AS (SELECT seg, period, val,
+             '{"item_name":"' || prio || '","c_sort":'
+               || substr(prio, 1, 1) || '}' AS item_json
+           FROM m),
+         lvl2 AS (SELECT seg, item_json,
+             '{' || string_agg('"period=' || period || '":{"value":'
+               || val || '}', ',' ORDER BY period) || '}' AS periods
+           FROM j GROUP BY seg, item_json)
+         SELECT seg, '{' || string_agg(to_json('item=' || item_json)
+             || ':' || periods, ',' ORDER BY 'item=' || item_json)
+             || '}' AS report
+         FROM lvl2 GROUP BY seg ORDER BY seg""",
     "report_score_overall" ->
       """WITH m AS (SELECT c_mktsegment AS seg,
              strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
