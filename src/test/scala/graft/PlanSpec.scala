@@ -15,6 +15,21 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(q)(spark, dir)
       .queryExecution.executedPlan.toString
 
+  /** Flatten a physical plan INCLUDING the interior of AQE wrappers —
+    * AdaptiveSparkPlanExec is a leaf node, so a plain `collect` sees
+    * nothing beneath it and node-level assertions become vacuous. */
+  private def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.initialPlan)
+      case _ => p.children.flatMap(nodes)
+    })
+  }
+
+  private def allNodes(q: String) =
+    nodes(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan)
+
   test("source_parquet_scan pushes the filter into the parquet scan") {
     val p = plan("source_parquet_scan")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), " +
@@ -59,11 +74,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(500))
   }
 
+  test("approx_stats never falls back to SortAggregate (the mixed " +
+       "distinct+imperative degenerate plan)") {
+    val p = plan("approx_stats")
+    assert(!p.contains("SortAggregate"), p.take(1500))
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+  }
+
+  test("corpus_filter is single-pass: one fp shuffle + ordering sort, " +
+       "one scan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ns = allNodes("corpus_filter")
+    val exchanges = ns.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 2, ns.head.toString.take(1500))
+    val scans = ns.filter(_.nodeName.contains("Scan"))
+    assert(scans.size == 1, s"expected 1 scan, got ${scans.size}")
+  }
+
+  test("corpus_split is a pure projection (no shuffle beyond the " +
+       "ordering sort)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val nonRange = allNodes("corpus_split").collect {
+      case e: ShuffleExchangeExec
+          if !e.outputPartitioning.toString.contains("range") => e
+    }
+    assert(nonRange.isEmpty)
+  }
+
+  test("text_repetition shuffles carry counts, never document text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val withText = allNodes("text_repetition").collect {
+      case e: ShuffleExchangeExec
+          if e.child.output.exists(_.name == "text") => e
+    }
+    assert(withText.isEmpty, "a shuffle carries the raw text column")
+  }
+
   test("no registered query plans a single-partition window") {
     import org.apache.spark.sql.execution.window.WindowExec
     for ((name, q) <- SparkEntry.queries) {
-      val physical = q(spark, dir).queryExecution.executedPlan
-      val bad = physical.collect {
+      val bad = nodes(q(spark, dir).queryExecution.executedPlan).collect {
         case w: WindowExec
             if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) =>
           w
