@@ -85,6 +85,29 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** SURVEY §2.10's upgrade path, verbatim: `Trigger.AvailableNow`
+    * micro-batches with the reference's `_rng` table as the manual
+    * commit log. Each batch records its (min dt, max dt, row count)
+    * load range via `TableOps.saveAndLoadRng` — the
+    * `save-and-load-rng-dt!` bookkeeping (trgx.clj:130-164) — then
+    * flows to the caller's sink (parquet append, `Jdbc.writeTable`, …).
+    * Empty batches are skipped, matching the reference's no-op loads. */
+  def availableNowWithRng(df: DataFrame, dtCol: String, rngPath: String)
+                         (write: DataFrame => Unit): StreamingQuery = {
+    val q = df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.etl.TableOps.saveAndLoadRng(batch.sparkSession, batch,
+            dtCol, rngPath)
+          write(batch)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Run a streaming DataFrame to a named in-memory sink, processing all
     * available input (AvailableNow = the `_rng`-style batch increment),
     * then stop. Returns the completed query for assertions. */

@@ -33,6 +33,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("availableNowWithRng: _rng commit log records each batch's range") {
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream_rng")
+    val in = base.resolve("in").toString
+    val sink = base.resolve("sink").toString
+    val rng = base.resolve("rng").toString
+    val batch = Seq(("2024-01-01", 1.0), ("2024-01-03", 2.0),
+        ("2024-01-02", 3.0))
+      .toDF("dt", "v")
+    batch.write.mode("overwrite").parquet(in)
+
+    val stream = StreamOps.readTableStream(spark, in, batch.schema)
+    StreamOps.availableNowWithRng(stream, "dt", rng) { b =>
+      b.write.mode("append").parquet(sink)
+    }
+    assert(spark.read.parquet(sink).count() === 3)
+    val r = spark.read.parquet(rng)
+      .agg(min($"dw_bgn_dt"), max($"dw_end_dt"), sum($"dw_ld_cnt"))
+      .first()
+    assert(r.getString(0) === "2024-01-01")
+    assert(r.getString(1) === "2024-01-03")
+    assert(r.getLong(2) === 3L)
+  }
+
   test("sessionizedAgg: streaming session windows match the batch form") {
     val dir = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "stream_sess").toString
