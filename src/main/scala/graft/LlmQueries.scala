@@ -242,6 +242,20 @@ object LlmQueries {
         "doc_id", "text")
         .orderBy("doc_id")),
 
+    // benchmark decontamination: n-gram containment of a small bench
+    // set (broadcast) inside the train corpus — train side never
+    // shuffles pre-agg. The bench set is planted leakage: every 97th
+    // doc re-issued under a new id, so each has a containment-1.0 hit
+    // at its source (the realistic eval-set-leaked-into-corpus case)
+    "benchmark_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      Dedup.ngramContainment(docs, bench, "text", "doc_id",
+          threshold = 0.5)
+        .orderBy("train_id", "bench_id")
+    }),
+
     // flagship training-data cleaning composition: language + quality
     // + repetition gates + exact-dedup keep-min survivor set, in ONE
     // pipeline (each signal staged once; one narrow fp shuffle)
@@ -592,6 +606,20 @@ object LlmQueries {
              AS top_bigram_frac
          FROM tok_stats t LEFT JOIN bg_stats b ON t.doc_id = b.doc_id
          ORDER BY t.doc_id""",
+    "benchmark_decontaminate" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents),
+         $shingleCte,
+         tr AS (SELECT id AS train_id, g FROM sd),
+         be AS (SELECT id + 5000000 AS bench_id, g FROM sd
+             WHERE id % 97 = 0),
+         bn AS (SELECT bench_id, count(*) AS bench_n FROM be GROUP BY 1),
+         ov AS (SELECT train_id, bench_id, count(*) AS overlap
+             FROM tr JOIN be USING (g) GROUP BY 1, 2)
+         SELECT train_id, bench_id, overlap,
+           round(overlap / CAST(bench_n AS DOUBLE), 6) AS containment
+         FROM ov JOIN bn USING (bench_id)
+         WHERE round(overlap / CAST(bench_n AS DOUBLE), 6) >= 0.5
+         ORDER BY train_id, bench_id""",
     "corpus_filter" -> {
       val langs = TextAnalysis.langStopwords
       val scoreCols = langs.map { case (lang, ws) =>

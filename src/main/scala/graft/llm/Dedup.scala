@@ -201,6 +201,40 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: n-gram containment of each BENCHMARK
+    * document inside TRAIN documents. Returns
+    * (train id, bench id, overlap, containment = overlap / bench
+    * shingle count) for pairs with containment ≥ threshold.
+    *
+    * Scale posture: the benchmark side is small by nature (eval sets
+    * are MBs against a 100 TB corpus), so its exploded shingle table is
+    * BROADCAST — the train corpus is scanned once, never shuffled
+    * pre-aggregation, and the only exchange carries (train id, bench
+    * id, count) partial counts. */
+  def ngramContainment(train: DataFrame, bench: DataFrame,
+                       textCol: String, idCol: String,
+                       threshold: Double = 0.8): DataFrame = {
+    def shingled(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      array_distinct(TextAnalysis.wordShingles(col(textCol))).as("sh"))
+    val benchSh = shingled(bench, "bench_id")
+    val benchSizes = benchSh.select(col("bench_id"),
+      size(col("sh")).as("bench_n"))
+    val benchFlat = benchSh.select(col("bench_id"),
+      explode(col("sh")).as("g"))
+    val trainFlat = shingled(train, "train_id")
+      .select(col("train_id"), explode(col("sh")).as("g"))
+    trainFlat.join(broadcast(benchFlat), "g")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("overlap"))
+      .join(broadcast(benchSizes), "bench_id")
+      .withColumn("containment",
+        round(col("overlap").cast("double") / col("bench_n"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("train_id"), col("bench_id"), col("overlap"),
+        col("containment"))
+  }
+
   /** N-gram Jaccard similarity between two text columns (shingle-set
     * intersection over union) — the verify kernel, exposed standalone. */
   def ngramJaccard(a: Column, b: Column): Column = {

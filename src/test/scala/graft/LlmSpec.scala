@@ -177,6 +177,20 @@ class LlmSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("ngramContainment flags a bench doc contained in a train doc") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally unrelated words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "beta gamma delta epsilon"), // all 2 shingles ⊂ doc 1
+      (200L, "completely disjoint benchmark content"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramContainment(train, bench, "text", "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 100L, 1.0)))
+  }
+
   test("redactPii masks emails, IPv4s and phones, leaves prose alone") {
     val got = Seq(
       "mail a.b+c@sub.example.org now",
