@@ -55,6 +55,27 @@ object TableOps {
     Files.move(Paths.get(staged), t, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Small-file compaction — the 100 TB operational companion to the
+    * incremental append patterns above (every `_rng` micro-increment
+    * appends a few files; after thousands of loads the scan cost is
+    * dominated by file-open overhead). Rewrites the table into
+    * ceil(bytes / targetBytes) files via a shadow dir + atomic swap.
+    * Returns (files before, files after). */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L << 20): (Int, Int) = {
+    def parts(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles()
+        .filter(f => f.getName.startsWith("part-")).toSeq
+    val before = parts(path)
+    val n = math.max(1,
+      math.ceil(before.map(_.length).sum.toDouble / targetBytes).toInt)
+    val staged = path + "__compact"
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(staged)
+    replaceInto(staged, path)
+    (before.size, parts(path).size)
+  }
+
   /** `detele-report!` ranged delete (trgx.clj:118-119): rewrite the table
     * without rows in [startDt, endDt] — parquet has no in-place DELETE,
     * so this is a filtered rewrite through a staged dir. */

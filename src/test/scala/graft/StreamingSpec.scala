@@ -166,6 +166,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(left == Seq(("2016-02-01", 3)))
   }
 
+  test("compact merges append-accumulated small files, data unchanged") {
+    val p = "/root/repo/target/graft_tmp/compact_t"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    // simulate 6 micro-increment appends → ≥6 part files
+    (0 until 6).foreach { i =>
+      Seq((i.toLong, s"batch$i")).toDF("id", "s")
+        .coalesce(1).write.mode("append").parquet(p)
+    }
+    val beforeRows = spark.read.parquet(p).orderBy("id").collect().toSeq
+    val (nBefore, nAfter) =
+      graft.etl.TableOps.compact(spark, p, targetBytes = 1L << 30)
+    assert(nBefore >= 6 && nAfter === 1, s"$nBefore -> $nAfter")
+    assert(spark.read.parquet(p).orderBy("id").collect().toSeq
+      === beforeRows)
+  }
+
   test("etl table lifecycle: create-if / truncate / switch") {
     val base = "/root/repo/target/graft_tmp/spec_lifecycle"
     val live = base + "/live"; val shadow = base + "/shadow"
