@@ -207,6 +207,9 @@ object RptQueries {
           col("c_mktsegment").as("channel"),
           col("o_orderpriority").as("item"),
           col("o_totalprice"), col("o_custkey"))
+      // both grains reshape this aggregate; Catalyst's ReuseExchange
+      // already shares its shuffle between them (persisting it was
+      // measured SLOWER — cache-write overhead for no saved work)
       val m = base.groupBy("bg", "bottler", "channel", "item", "period")
         .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
                .cast("decimal(38,2)").cast("string").as("value"),
