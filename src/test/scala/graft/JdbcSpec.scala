@@ -32,6 +32,32 @@ class JdbcSpec extends AnyFunSuite {
                        ("2024-02-29", "2", "4.25")))
   }
 
+  test("streaming AvailableNow micro-batches land in the JDBC sink " +
+       "with _rng bookkeeping (EP-1's streaming form)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream_jdbc")
+    val in = base.resolve("in").toString
+    val rng = base.resolve("rng").toString
+    Jdbc.executeUpdateSilent(url, "DROP TABLE t_stream")
+    Jdbc.createTableIf(url, "t_stream", Seq(
+      "dw_dt" -> "VARCHAR(10)", "score_val" -> "VARCHAR(20)"))
+    val batch = Seq(("2024-03-01", 1.5), ("2024-03-15", 2.5))
+      .toDF("dw-dt", "score-val")
+    batch.write.parquet(in)
+    val stream = graft.streaming.StreamOps.readTableStream(
+      spark, in, batch.schema)
+    graft.streaming.StreamOps.availableNowWithRng(stream, "dw-dt", rng) {
+      b => Jdbc.writeTable(b, url, "t_stream")
+    }
+    val back = Jdbc.readTable(spark, url, "t_stream",
+      Seq("dw-dt", "score-val"))
+    assert(back.count() === 2)
+    assert(spark.read.parquet(rng).agg(sum($"dw_ld_cnt")).first()
+      .getLong(0) === 2L)
+  }
+
   test("createTableIf is idempotent; deleteRange removes the dated rows") {
     import spark.implicits._
     Jdbc.executeUpdateSilent(url, "DROP TABLE t_del")
