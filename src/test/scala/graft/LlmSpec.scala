@@ -224,6 +224,12 @@ class LlmSpec extends AnyFunSuite {
     assert(all.forall(_.getString(1) == "train"))
     val none = Relational.hashSplit(ids, $"id", 0.0).collect()
     assert(none.forall(_.getString(1) == "test"))
+    // null keys route deterministically to "test" (md5 of null is null)
+    val withNull = Relational.hashSplit(
+      Seq(Some(1L), None).toDF("id"), $"id", 0.8).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        r.getString(1)).toMap
+    assert(withNull(-1L) === "test")
   }
 
   test("repetitionSignals: hand-computed ratios, short-doc edge") {

@@ -116,6 +116,24 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("pairTreeToJson output is always Jackson-parseable JSON") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pathGen = Gen.listOfN(2, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.const("k=\"quoted\" {brace}"),
+      Gen.const("中文=值")))
+    val metricsGen = Gen.mapOf(Gen.zip(keyGen, Gen.oneOf(
+      Gen.const("12.5"), Gen.const("-3"),
+      Gen.const("text \"v\""), Gen.const("{\"nested\":1}")))).map(_.take(3))
+    val rowsGen = Gen.listOfN(4, Gen.zip(pathGen, metricsGen))
+    check("parseable", Prop.forAll(rowsGen) { rows =>
+      val json = graft.functions.JsonShape.pairTreeToJson(
+        graft.functions.JsonShape.fromRows(
+          rows.map { case (p, m) => (p: Seq[String], m.toSeq) }))
+      mapper.readTree(json) != null // throws on invalid JSON
+    })
+  }
+
   test("JsonShape.fromRows: insertion-order independent") {
     import graft.functions.JsonShape
     val rowGen = Gen.listOfN(6,
