@@ -142,6 +142,13 @@ object LlmQueries {
         .orderBy("id")
     }),
 
+    // corpus-scale dedup grouping: exact-collapse → LSH on canonicals
+    // → attach members (bounded buckets, linear output — see Scaladoc)
+    "dedup_groups_full" -> ((s, dir) =>
+      Dedup.dedupGroups(dupCorpus(s, dir), "text", "doc_id",
+          threshold = 1.0, numHashes = 32, bands = 8)
+        .orderBy("id")),
+
     // n-gram Jaccard similarity over adjacent doc pairs; shingle sets
     // staged before the join so each document is shingled once, not
     // once per pair side
@@ -490,6 +497,13 @@ object LlmQueries {
          SELECT canon.id AS id, comps.comp AS comp
          FROM canon JOIN comps USING (cs)
          WHERE comps.n > 1 ORDER BY id""",
+    "dedup_groups_full" ->
+      s"""WITH u AS ($dupCorpusSql),
+         $shingleCte,
+         canon AS (SELECT id, string_agg(g, chr(1) ORDER BY g) AS cs
+                   FROM sd GROUP BY id)
+         SELECT id, min(id) OVER (PARTITION BY cs) AS group_id
+         FROM canon ORDER BY id""",
     "ngram_jaccard" ->
       s"""WITH u AS (SELECT doc_id, text FROM documents),
          $shingleCte,

@@ -201,6 +201,37 @@ object Dedup {
     labels
   }
 
+  /** Corpus-scale dedup GROUPING: collapse exact duplicates first
+    * (fingerprint keep-min), run banded LSH + connected components over
+    * CANONICAL texts only, then attach every member to its canonical's
+    * component. Returns (id, group_id) for every input row.
+    *
+    * Why this composition at 100 TB: identical boilerplate repeated
+    * millions of times would land every copy in the same LSH buckets —
+    * candidate pairs grow QUADRATICALLY in the copy count (measured:
+    * 128 identical replicas → 212× time at 64× data; distinct docs →
+    * 22×). Collapsing exact dups first bounds bucket sizes by content
+    * DIVERSITY, and group output keeps the result linear in corpus
+    * size where an all-pairs report cannot be. */
+  def dedupGroups(df: DataFrame, textCol: String, idCol: String,
+                  threshold: Double = 0.9, numHashes: Int = 32,
+                  bands: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val withFp = df.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("text__"), fingerprint(col(textCol)).as("fp"))
+      .withColumn("cid", min(col("id")).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canonical = withFp.filter(col("id") === col("cid"))
+      .select(col("id"), col("text__"))
+    val pairs = minHashDedupPairs(canonical, "text__", "id",
+      threshold, numHashes, bands)
+    val comp = connectedComponents(pairs.select("id1", "id2"))
+    withFp
+      .join(comp.select(col("id").as("cid"), col("comp")),
+        Seq("cid"), "left_outer")
+      .select(col("id"), coalesce(col("comp"), col("cid")).as("group_id"))
+  }
+
   /** Benchmark decontamination: n-gram containment of each BENCHMARK
     * document inside TRAIN documents. Returns
     * (train id, bench id, overlap, containment = overlap / bench

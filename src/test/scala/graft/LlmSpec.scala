@@ -177,6 +177,23 @@ class LlmSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("dedupGroups: exact members attach through their canonical's " +
+       "near-dup component") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),   // exact dup of 1
+      (7L, "ALPHA  beta gamma delta epsilon zeta"),  // normalizes to 1
+      (3L, "alpha beta gamma delta epsilon theta"),  // near-dup of 1
+      (4L, "completely different text goes right here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupGroups(docs, "text", "doc_id", threshold = 0.5,
+        numHashes = 32, bands = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L && got(7L) === 1L)
+    assert(got(3L) === 1L) // linked via LSH at j≈0.56
+    assert(got(4L) === 4L) // singleton keeps its own id
+  }
+
   test("ngramContainment flags a bench doc contained in a train doc") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
