@@ -58,6 +58,28 @@ class JdbcSpec extends AnyFunSuite {
       .getLong(0) === 2L)
   }
 
+  test("RefCatalog round-trips a reference table through the tap") {
+    import spark.implicits._
+    import graft.types.RefCatalog
+    // the report sink — the table every reference job writes
+    val cols = RefCatalog.tables("ms.report")
+    assert(cols.head == "dw-dt" && cols.last == "dimension-metrics")
+    assert(RefCatalog.schemaOf("ms.report").fields
+      .forall(_.dataType.typeName == "string"))
+    Jdbc.executeUpdateSilent(url, "DROP TABLE ms_report")
+    Jdbc.createTableIf(url, "ms_report",
+      cols.map(c => c.replace('-', '_') -> "VARCHAR(64)"))
+    val row = Seq(("9999-12-31", "cocacola", "score", "overall",
+        "[\"bg=x\"]", "", "{\"m\":1}"))
+      .toDF(cols: _*)
+    Jdbc.writeTable(row, url, "ms_report")
+    val back = RefCatalog.readRef(spark, url, "ms.report", "ms_report")
+    assert(back.columns.toSeq == cols)
+    assert(back.count() === 1)
+    assert(back.select(back.col("dimension-metrics")).first()
+      .getString(0) === "{\"m\":1}")
+  }
+
   test("createTableIf is idempotent; deleteRange removes the dated rows") {
     import spark.implicits._
     Jdbc.executeUpdateSilent(url, "DROP TABLE t_del")
