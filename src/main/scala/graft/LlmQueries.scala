@@ -136,9 +136,16 @@ object LlmQueries {
     // classes and the oracle recomputes them relationally; the CC
     // operator itself handles arbitrary pair graphs
     "dedup_components" -> ((s, dir) => {
-      val pairs = Dedup.minHashDedupPairs(dupCorpus(s, dir), "text",
-        "doc_id", threshold = 1.0, numHashes = 32, bands = 8)
-      Dedup.connectedComponents(pairs.select("id1", "id2"))
+      // via the collapse-first structure (Dedup.dedupGroups): exact
+      // dups never enter the LSH; emit only docs with a real dup
+      // (group size > 1), matching the pair-derived CC output
+      val g = Dedup.dedupGroups(dupCorpus(s, dir), "text", "doc_id",
+        threshold = 1.0, numHashes = 32, bands = 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("group_id")
+      g.withColumn("n", count(lit(1)).over(w))
+        .filter(col("n") > 1)
+        .select(col("id"), col("group_id").as("comp"))
         .orderBy("id")
     }),
 
