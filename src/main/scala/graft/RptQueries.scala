@@ -65,6 +65,26 @@ object RptQueries {
         .orderBy("seg")
     }),
 
+    // gt_rural_bg's totals-row selector, verbatim
+    // (m_cocacola_score_gt_rural_bg.clj:65): the UTF-8 suffix regex
+    // `\S*全体$|\S*全国总体$` picks the aggregate rows by NAME — a
+    // load-bearing business constant, exercised here unanchored-find
+    // style exactly as `re-find` applies it
+    "report_rural_totals_filter" -> ((s, dir) => {
+      val totals = Seq("China Total / 全国总体", "SBL Total / 全体",
+        "CBL Total / 全体", "BIG Total / 全体", "Zhuhai Total / 全体")
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .select(when(col("n_nationkey") < 5,
+            element_at(array(totals.map(lit): _*),
+              col("n_nationkey").cast("int") + 1))
+          .otherwise(col("n_name")).as("bottler"))
+        .filter(col("bottler").rlike("\\S*全体$|\\S*全国总体$"))
+        .groupBy("bottler").agg(count(lit(1)).as("cnt"))
+        .orderBy("bottler")
+    }),
+
     // the flagship score_overall pipeline end-to-end
     // (m_cocacola_score_overall.clj:42-86)
     "report_score_overall" -> ((s, dir) => {
@@ -341,6 +361,18 @@ object RptQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "report_rural_totals_filter" ->
+      """WITH b AS (SELECT CASE CAST(n_nationkey AS INT)
+             WHEN 0 THEN 'China Total / 全国总体'
+             WHEN 1 THEN 'SBL Total / 全体'
+             WHEN 2 THEN 'CBL Total / 全体'
+             WHEN 3 THEN 'BIG Total / 全体'
+             WHEN 4 THEN 'Zhuhai Total / 全体'
+             ELSE n_name END AS bottler
+           FROM customer JOIN nation ON n_nationkey = c_nationkey)
+         SELECT bottler, count(*) AS cnt FROM b
+         WHERE regexp_matches(bottler, '\S*全体$|\S*全国总体$')
+         GROUP BY bottler ORDER BY bottler""",
     "report_nested_kpis" ->
       """WITH m AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio,
              strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mo,
