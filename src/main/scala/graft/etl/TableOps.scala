@@ -64,8 +64,10 @@ object TableOps {
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L << 20): (Int, Int) = {
     def parts(p: String): Seq[java.io.File] =
-      new java.io.File(p).listFiles()
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("part-")).toSeq
+    require(new java.io.File(path).isDirectory,
+      s"compact: no table directory at $path")
     val before = parts(path)
     val n = math.max(1,
       math.ceil(before.map(_.length).sum.toDouble / targetBytes).toInt)

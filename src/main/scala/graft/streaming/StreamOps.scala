@@ -38,13 +38,13 @@ object StreamOps {
     * session closes once the watermark passes its end). Works on batch
     * frames too (same call, no watermark needed there). */
   def sessionizedAgg(events: DataFrame, tsCol: String, keyCol: String,
-                     gap: String, watermark: Option[String] = None)
-      : DataFrame = {
+                     gap: String, watermark: Option[String] = None,
+                     valueCol: String = "value"): DataFrame = {
     val in = watermark.fold(events)(events.withWatermark(tsCol, _))
     in.groupBy(col(keyCol), session_window(col(tsCol), gap).as("w"))
       .agg(count(lit(1)).as("cnt"),
-           sum(col("value").cast("decimal(18,3)")).cast("decimal(38,3)")
-             .as("sum_val"))
+           sum(col(valueCol).cast("decimal(18,3)"))
+             .cast("decimal(38,3)").as("sum_val"))
       .select(col(keyCol), col("w.start").as("session_start"),
               col("cnt"), col("sum_val"))
   }
