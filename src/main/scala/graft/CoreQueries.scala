@@ -79,6 +79,17 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
+    // §2.1 — ORC source/sink round-trip (columnar-store surface beyond
+    // parquet: same predicate-pushdown/column-pruning class)
+    "source_orc_roundtrip" -> ((s, dir) => {
+      import graft.sources.Formats
+      val base = Tables.tmpDir + "/orc"
+      val df = t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+      Formats.writeOrc(df, base)
+      Formats.readOrc(s, base).orderBy("s_suppkey")
+    }),
+
     // §2.1 row 1 (JDBC form) — pg-tap parity: write nation through the
     // all-String `-`→`_` tap into embedded Derby, read it back under
     // logical dashed names (trgx.clj:96-108 semantics, offline-safe)
@@ -643,6 +654,9 @@ object CoreQueries {
       """SELECT c_custkey, c_name, c_mktsegment,
          CAST(2 AS BIGINT) AS n_copies
          FROM customer ORDER BY c_custkey""",
+    "source_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+         ORDER BY s_suppkey""",
     "source_jdbc_roundtrip" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS "n-nationkey",
          CAST(n_name AS VARCHAR) AS "n-name",

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llm.{Corpus, Similarity, TextAnalysis}
+
+/** Corpus-preparation probes (chunking / packing / sampling /
+  * embedding compression) — the training-data operators downstream of
+  * cleaning and dedup. Registered separately from LlmQueries to keep
+  * each registry file at one concern.
+  */
+object CorpusQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** text_quality's exact whitespace-token-count twin. */
+  private val tokWsSql =
+    """CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS INT)"""
+
+  /** langid CASE twin (same generator as LlmQueries text_langid). */
+  private def langCaseSql: (String, String) = {
+    val langs = TextAnalysis.langStopwords
+    val counts = langs.map { case (lang, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($inList))) AS c_$lang"
+    }.mkString(", ")
+    val langCodes = langs.map(_._1)
+    val argmax = langCodes.map { l =>
+      val geAll = langCodes.map(o => s"c_$l >= c_$o").mkString(" AND ")
+      s"WHEN $geAll AND c_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    (counts, s"CASE WHEN has_cjk THEN 'zh' $argmax ELSE 'und' END")
+  }
+
+  /** Per-language sampling rates for the stratified_sample probe:
+    * downsample the dominant language, keep all of the rare one. */
+  private val sampleRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "zh" -> 1.0, "de" -> 0.8, "fr" -> 0.8, "es" -> 0.8,
+    "und" -> 0.25)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // context-window chunking: overlapping 32-token windows, stride 24
+    "doc_chunking" -> ((s, dir) =>
+      Corpus.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // concat-and-chunk packing into 2048-token bins, 8 parallel streams
+    "seq_packing" -> ((s, dir) =>
+      Corpus.packSequences(
+          t(s, dir, "documents").select(col("doc_id"),
+            TextAnalysis.tokenCountWs(col("text")).as("tok")),
+          "doc_id", "tok", budget = 2048, nBuckets = 8)
+        .orderBy("doc_id")),
+
+    // per-language stratified sampling over the langid stratum
+    "stratified_sample" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          split(TextAnalysis.normalizeText(col("text")), " ").as("toks"))
+        .select(col("doc_id"),
+          TextAnalysis.langIdStaged(col("toks"), col("text")).as("lang"))
+      Corpus.stratifiedSample(scored, col("doc_id"), col("lang"),
+          sampleRates.toMap, defaultRate = 0.0)
+        .orderBy("doc_id")
+    }),
+
+    // symmetric int8 embedding quantization + reconstruction error
+    "embedding_quantize" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("scale", Similarity.quantScale(col("v")))
+        .withColumn("codes", Similarity.quantCodes(col("v"), col("scale")))
+        // max_err staged BEFORE the output select: `round(scale).as
+        // ("scale")` would otherwise capture the err expression's
+        // col("scale") via lateral column aliasing — dequantizing with
+        // the ROUNDED scale (observed: 6e-5-level drift vs the oracle)
+        .withColumn("max_err",
+          Similarity.dequantMaxErr(col("v"), col("codes"), col("scale")))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          array_join(transform(col("codes"), c => c.cast("string")), ",")
+            .as("codes_str"),
+          round(col("max_err"), 6).as("max_err"))
+        .orderBy("vec_id")),
+
+    // group centroids: elementwise mean embedding per group — explode →
+    // partial-agg (map-side combine shrinks the shuffle to
+    // groups × dims per partition)
+    "embedding_avg_pool" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select((col("vec_id") % 10).as("grp"),
+          posexplode(transform(col("embedding"), x => x.cast("double"))))
+        .groupBy(col("grp"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("val"))
+        .orderBy("grp", "pos"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "doc_chunking" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+             FROM documents),
+         n AS (SELECT doc_id, ws,
+             CASE WHEN len(ws) <= 32 THEN 1
+                  ELSE CAST(ceil((len(ws) - 32) / 24.0) AS INT) + 1 END
+               AS nc FROM w),
+         c AS (SELECT doc_id, ws,
+             unnest(generate_series(0, nc - 1)) AS i FROM n)
+         SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(list_slice(ws, i * 24 + 1, i * 24 + 32), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(ws, i * 24 + 1, i * 24 + 32)) AS INT)
+             AS n_tokens
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "seq_packing" ->
+      s"""WITH t AS (SELECT doc_id, $tokWsSql AS tok,
+             doc_id % 8 AS bucket FROM documents),
+         o AS (SELECT doc_id, bucket, tok,
+             coalesce(sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off FROM t)
+         SELECT doc_id, bucket,
+           CAST(off // 2048 AS BIGINT) AS bin,
+           CAST(off % 2048 AS BIGINT) AS offset_in_bin,
+           (off % 2048) + tok > 2048 AS crosses_bin
+         FROM o ORDER BY doc_id""",
+    "stratified_sample" -> {
+      val (counts, langCase) = langCaseSql
+      val keepCase = sampleRates.map { case (lang, rate) =>
+        val t = math.round(rate * 65536).toInt
+        val cond =
+          if (t >= 65536) "TRUE"
+          else if (t <= 0) "FALSE"
+          else f"substr(md5(doc_id || 'graft'), 1, 4) < '$t%04x'"
+        s"WHEN lang = '$lang' THEN $cond"
+      }.mkString(" ")
+      s"""WITH base AS (SELECT doc_id,
+             string_split($normSql, ' ') AS toks,
+             regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+           FROM documents),
+         sig AS (SELECT doc_id, has_cjk, $counts FROM base),
+         l AS (SELECT doc_id, $langCase AS lang FROM sig)
+         SELECT doc_id, lang FROM l
+         WHERE CASE $keepCase ELSE FALSE END
+         ORDER BY doc_id"""
+    },
+    "embedding_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+           FROM v),
+         c AS (SELECT vec_id, v, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v,
+                    x -> CAST(floor(x / scale + 0.5) AS INT)) END AS codes
+           FROM s)
+         SELECT vec_id, round(scale, 6) AS scale,
+           array_to_string(list_transform(codes,
+             x -> CAST(x AS VARCHAR)), ',') AS codes_str,
+           round(CASE WHEN scale = 0 THEN 0.0
+             ELSE list_max(list_transform(generate_series(1, len(v)),
+               i -> abs(codes[i] * scale - v[i]))) END, 6) AS max_err
+         FROM c ORDER BY vec_id""",
+    "embedding_avg_pool" ->
+      """WITH x AS (SELECT vec_id % 10 AS grp,
+             CAST(embedding AS DOUBLE[]) AS v,
+             unnest(generate_series(1, len(embedding))) AS i
+           FROM embeddings)
+         SELECT grp, CAST(i - 1 AS INT) AS pos,
+           round(avg(v[i]), 6) AS val
+         FROM x GROUP BY grp, i ORDER BY grp, pos"""
+  )
+}

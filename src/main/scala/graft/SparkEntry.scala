@@ -39,10 +39,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ LlmQueries.queries ++ RptQueries.queries
+    CoreQueries.queries ++ LlmQueries.queries ++ RptQueries.queries ++
+      CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ LlmQueries.oracles ++ RptQueries.oracles
+    CoreQueries.oracles ++ LlmQueries.oracles ++ RptQueries.oracles ++
+      CorpusQueries.oracles
 }

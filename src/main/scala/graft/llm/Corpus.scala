@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for LLM training pipelines: context-window
+  * chunking, concat-and-chunk sequence packing, and stratified sampling.
+  * All three are pure projections or single-window plans — no self-joins,
+  * no driver collects — and every rule is engine-portable (md5 routing,
+  * integer arithmetic) so results are reproducible across re-runs,
+  * repartitioning, and engines.
+  */
+object Corpus {
+
+  /** Split each document into overlapping token-window chunks (the
+    * context-window preprocessing step before tokenized training).
+    *
+    * Chunk i covers tokens [i·stride, i·stride + window); the number of
+    * chunks is ceil((n − window) / stride) + 1 (minimum 1), so the final
+    * chunk always reaches the last token and every token is covered.
+    * Implemented as sequence → transform → posexplode: a pure per-row
+    * projection — no shuffle, scales linearly, and the explode factor is
+    * bounded by n/stride per document.
+    *
+    * Output: (idCol, chunk_idx, chunk_text, n_tokens).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be > 0, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    val toks = split(TextAnalysis.normalizeText(col(textCol)), " ")
+    val staged = df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__nchunks",
+        when(size(col("__toks")) <= window, lit(1))
+          .otherwise(ceil((size(col("__toks")) - window)
+            .cast("double") / stride).cast("int") + 1))
+    staged
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__nchunks") - 1),
+          i => {
+            val piece = slice(col("__toks"), i * stride + 1, lit(window))
+            struct(array_join(piece, " ").as("chunk_text"),
+                   size(piece).as("n_tokens"))
+          })))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        col("col.chunk_text"), col("col.n_tokens"))
+  }
+
+  /** Concat-and-chunk sequence packing: documents are laid end-to-end in
+    * (bucket, id) order and the concatenated token stream is sliced into
+    * fixed `budget`-token bins — the standard packing used to fill
+    * training context windows without padding (document boundaries may
+    * cross bins; `crosses_bin` marks those rows for mask handling).
+    *
+    * The running offset is a window sum PARTITIONED BY a deterministic
+    * `id % nBuckets` bucket, so no single task sees more than 1/nBuckets
+    * of the data — the 100 TB-safe form of the global-cumsum packing
+    * (one bucket = one independent packing stream, exactly how a
+    * multi-writer pipeline shards anyway). Assignment is a pure function
+    * of (id, tokens) — stable under re-runs and repartitioning.
+    *
+    * Output: idCol, bucket, bin, offset_in_bin, crosses_bin.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokCol: String,
+                    budget: Int, nBuckets: Int): DataFrame = {
+    require(budget > 0 && nBuckets > 0)
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("bucket", pmod(col(idCol), lit(nBuckets.toLong)))
+      .withColumn("__off", coalesce(sum(col(tokCol)).over(w), lit(0L)))
+      .select(col(idCol), col("bucket"),
+        floor(col("__off") / budget).as("bin"),
+        pmod(col("__off"), lit(budget.toLong)).as("offset_in_bin"),
+        (pmod(col("__off"), lit(budget.toLong)) + col(tokCol) > budget)
+          .as("crosses_bin"))
+  }
+
+  /** Per-stratum deterministic sampling: a row survives iff the first 4
+    * hex chars of md5(key ‖ seed) fall under its stratum's rate
+    * threshold (granularity 1/65536) — [[graft.ops.Relational.hashSplit]]
+    * routing generalized to a rate per stratum (e.g. downsample English,
+    * keep all of a rare language). Shuffle-free pure filter; a given key
+    * NEVER migrates in or out of the sample as the corpus grows.
+    *
+    * Strata absent from `rates` fall back to `defaultRate`.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: Column, stratumCol: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0,
+                       seed: String = "graft"): DataFrame = {
+    def keepExpr(rate: Double): Column = {
+      require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
+      val t = math.round(rate * 65536).toInt
+      if (t >= 65536) lit(true) // 5-hex-char threshold breaks the compare
+      else if (t <= 0) lit(false)
+      else substring(md5(concat(keyCol.cast("string"), lit(seed))), 1, 4) <
+        lit(f"$t%04x")
+    }
+    val keep = rates.foldLeft(keepExpr(defaultRate)) {
+      case (acc, (stratum, rate)) =>
+        when(stratumCol === stratum, keepExpr(rate)).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+}

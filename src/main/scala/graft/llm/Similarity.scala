@@ -26,6 +26,27 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Symmetric int8 quantization scale for an array<double> vector:
+    * max|x| / 127 (0 for the all-zero vector). */
+  def quantScale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x))) / 127.0
+
+  /** Int8 codes under a staged `scale` attribute: floor(x/scale + 0.5)
+    * — round-half-up on both signs, chosen over round() because its
+    * floor form evaluates identically in every engine. Max element maps
+    * to exactly ±127. */
+  def quantCodes(vec: Column, scale: Column): Column =
+    when(scale === 0.0, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec,
+        x => floor(x / scale + 0.5).cast("int")))
+
+  /** Elementwise max |dequant − x| reconstruction error (≤ scale/2 by
+    * construction — asserted in CorpusSpec). */
+  def dequantMaxErr(vec: Column, codes: Column, scale: Column): Column =
+    when(scale === 0.0, lit(0.0))
+      .otherwise(array_max(zip_with(codes, vec,
+        (c, x) => abs(c.cast("double") * scale - x))))
+
   /** Deterministic Rademacher (±1) hyperplanes from xxhash64-style
     * mixing — row-independent, so callers embed them as literals. */
   def rademacherPlanes(planes: Int, dims: Int): Seq[Seq[Double]] =

@@ -26,6 +26,12 @@ object Formats {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** pg-tap: `spark.read.jdbc` with pushdown; `-`→`_` column rewrite is
     * the caller's `toDF`. */
   def readJdbc(spark: SparkSession, url: String, table: String): DataFrame =

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Corpus, Similarity}
+
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chunkDocuments covers every token with the documented windows") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), // 7 toks, w=3 s=2 → 3 chunks
+      (2L, "a b"),                  // shorter than window → 1 chunk
+      (3L, ""))                     // empty → [""] → 1 chunk
+      .toDF("doc_id", "text")
+    val out = Corpus.chunkDocuments(docs, "doc_id", "text", 3, 2)
+      .orderBy("doc_id", "chunk_idx")
+      .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, "t1 t2 t3", 3), (1L, 1, "t3 t4 t5", 3),
+      (1L, 2, "t5 t6 t7", 3),
+      (2L, 0, "a b", 2),
+      (3L, 0, "", 1)))
+  }
+
+  test("chunkDocuments last chunk reaches the final token at any length") {
+    val docs = (4 to 12).map(n =>
+      (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Corpus.chunkDocuments(docs, "doc_id", "text", 4, 3)
+    val last = chunks.groupBy("doc_id")
+      .agg(max("chunk_idx").as("mi"))
+      .join(chunks, Seq("doc_id"))
+      .filter($"chunk_idx" === $"mi")
+      .select($"doc_id", $"chunk_text").as[(Long, String)].collect()
+    last.foreach { case (n, text) =>
+      assert(text.endsWith(s"w$n"), s"doc $n last chunk: $text")
+    }
+  }
+
+  test("packSequences: bins are budget-sized slices of the token stream") {
+    val docs = Seq((0L, 100), (8L, 200), (16L, 900), (24L, 150),
+                   (1L, 50), (9L, 1100))
+      .toDF("doc_id", "tok")
+    // nBuckets=8: bucket 0 gets ids 0,8,16,24; bucket 1 gets 1,9
+    val out = Corpus.packSequences(docs, "doc_id", "tok",
+        budget = 1024, nBuckets = 8)
+      .select($"doc_id", $"bucket", $"bin", $"offset_in_bin",
+        $"crosses_bin")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(0L) == ((0L, 0L, 0L, false)))    // off 0
+    assert(out(8L) == ((0L, 0L, 100L, false)))  // off 100
+    assert(out(16L) == ((0L, 0L, 300L, true)))  // 300+900 > 1024
+    assert(out(24L) == ((0L, 1L, 176L, false))) // off 1200
+    assert(out(1L) == ((1L, 0L, 0L, false)))
+    assert(out(9L) == ((1L, 0L, 50L, true)))    // 50+1100 > 1024
+  }
+
+  test("stratifiedSample honors per-stratum rates and is deterministic") {
+    val rows = (1L to 2000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "rare")).toDF("id", "lang")
+    val keep = Corpus.stratifiedSample(rows, col("id"), col("lang"),
+      Map("en" -> 0.5, "rare" -> 1.0))
+    val byLang = keep.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(byLang("rare") == 1000L)           // rate 1.0 keeps all
+    assert(byLang("en") > 350 && byLang("en") < 650) // ≈ 500
+    // unknown stratum under defaultRate 0.0 drops everything
+    val dropped = Corpus.stratifiedSample(
+      Seq((1L, "xx")).toDF("id", "lang"), col("id"), col("lang"),
+      Map("en" -> 0.5)).count()
+    assert(dropped == 0L)
+    // determinism + subset-stability: same keys keep membership when
+    // the corpus grows
+    val grown = (1L to 4000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "rare")).toDF("id", "lang")
+    val keptSmall = keep.filter($"lang" === "en")
+      .select("id").as[Long].collect().toSet
+    val keptGrown = Corpus.stratifiedSample(grown, col("id"), col("lang"),
+        Map("en" -> 0.5, "rare" -> 1.0))
+      .filter($"lang" === "en" && $"id" <= 2000)
+      .select("id").as[Long].collect().toSet
+    assert(keptSmall == keptGrown)
+  }
+
+  test("int8 quantization: max code ±127, reconstruction error ≤ scale/2") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
+      (2L, Array(3.0f, 2.0f, -3.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector guard
+      .toDF("vec_id", "embedding")
+    val out = vecs
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("scale", Similarity.quantScale(col("v")))
+      .withColumn("codes", Similarity.quantCodes(col("v"), col("scale")))
+      .withColumn("err",
+        Similarity.dequantMaxErr(col("v"), col("codes"), col("scale")))
+      .select($"vec_id", $"scale", $"codes", $"err")
+      .as[(Long, Double, Seq[Int], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == Seq(64, -127, 32, 16))
+    assert(out(1L)._2 == 1.0 / 127.0)
+    assert(out(2L)._3 == Seq(127, 85, -127, 0))
+    assert(out(3L)._2 == 0.0 && out(3L)._3 == Seq(0, 0, 0, 0) &&
+      out(3L)._4 == 0.0)
+    out.values.foreach { case (id, scale, _, err) =>
+      assert(err <= scale / 2 + 1e-12, s"vec $id err $err > scale/2")
+    }
+  }
+}
