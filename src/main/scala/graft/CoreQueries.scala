@@ -624,6 +624,42 @@ object CoreQueries {
     // gap-based sessionization via native session_window (the batch
     // form of StreamOps.sessionizedAgg; streaming twin in
     // StreamingSpec). Epoch-micros output dodges strftime dialects.
+    // as-of join: each purchase event picks up the latest click value
+    // at-or-before its timestamp per user — union + one keyed window,
+    // no join node (see Relational.asofJoin scaladoc); DuckDB's native
+    // ASOF LEFT JOIN is the oracle
+    "events_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("click_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      Relational.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          col("click_value"))
+        .orderBy("event_id")
+    }),
+
+    // interval join via day-bucketed equi join: events inside each
+    // order's 2-day attention window (same customer) — the theta-join
+    // Spark would plan as a per-key nested loop, kept linear by the
+    // bucket equi key (Relational.rangeJoinBucketed)
+    "events_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val ords = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderdate").as("win_start"),
+        (col("o_orderdate") + expr("INTERVAL 2 DAYS")).as("win_end"))
+      Relational.rangeJoinBucketed(ev, "ts", ords, "win_start", "win_end",
+          keys = Seq("user_id" -> "o_custkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 6).as("sum_val"))
+        .orderBy("o_orderkey")
+    }),
+
     "events_session_agg" -> ((s, dir) =>
       graft.streaming.StreamOps.sessionizedAgg(
           t(s, dir, "events"), "ts", "user_id", "30 minutes")
@@ -657,6 +693,24 @@ object CoreQueries {
     "source_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
          ORDER BY s_suppkey""",
+    "events_asof_join" ->
+      """WITH c AS (SELECT user_id, ts, max(value) AS click_value
+             FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         p AS (SELECT event_id, user_id, ts, value FROM events
+             WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+           c.click_value
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
+    "events_range_join" ->
+      """SELECT o.o_orderkey, count(*) AS n_events,
+           round(sum(e.value), 6) AS sum_val
+         FROM orders o JOIN events e
+           ON e.user_id = o.o_custkey
+          AND e.ts >= o.o_orderdate
+          AND e.ts <= o.o_orderdate + INTERVAL 2 DAY
+         GROUP BY 1 ORDER BY 1""",
     "source_jdbc_roundtrip" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS "n-nationkey",
          CAST(n_name AS VARCHAR) AS "n-name",

@@ -92,6 +92,31 @@ object CorpusQueries {
           round(col("max_err"), 6).as("max_err"))
         .orderBy("vec_id")),
 
+    // TF-IDF top-5 terms per document: explode → (doc, term) counts →
+    // vocab-sized document frequencies joined back BROADCAST (vocab ≪
+    // corpus) → per-doc ranking window. Shuffles carry (doc_id, term,
+    // count), never text. Ranking uses the ROUNDED score so ties are
+    // broken identically in every engine.
+    "text_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count() // bounded driver fetch (corpus row count)
+      val tf = docs.select(col("doc_id"),
+          explode(split(TextAnalysis.normalizeText(col("text")), " "))
+            .as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(dfreq), "term")
+        .withColumn("score", round(col("tf") *
+          (log(lit(nDocs + 1.0) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+          col("df"), col("score"))
+        .orderBy("doc_id", "rnk")
+    }),
+
     // group centroids: elementwise mean embedding per group — explode →
     // partial-agg (map-side combine shrinks the shuffle to
     // groups × dims per partition)
@@ -171,6 +196,21 @@ object CorpusQueries {
              ELSE list_max(list_transform(generate_series(1, len(v)),
                i -> abs(codes[i] * scale - v[i]))) END, 6) AS max_err
          FROM c ORDER BY vec_id""",
+    "text_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id,
+             unnest(string_split($normSql, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             GROUP BY 1, 2),
+         dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+             round(tf.tf * (ln((n.n + 1.0) / (dfr.df + 1.0)) + 1.0), 6)
+               AS score
+           FROM tf JOIN dfr USING (term) CROSS JOIN n),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term) AS INT) AS rnk FROM scored)
+         SELECT doc_id, rnk, term, tf, df, score FROM r
+         WHERE rnk <= 5 ORDER BY doc_id, rnk""",
     "embedding_avg_pool" ->
       """WITH x AS (SELECT vec_id % 10 AS grp,
              CAST(embedding AS DOUBLE[]) AS v,

@@ -90,18 +90,23 @@ object Corpus {
                        rates: Map[String, Double],
                        defaultRate: Double = 0.0,
                        seed: String = "graft"): DataFrame = {
-    def keepExpr(rate: Double): Column = {
+    // "g000" sorts after every 4-hex-char hash ('g' > 'f') — the
+    // rate-1.0 threshold, since "10000" would compare LESS than most
+    // hashes lexicographically. Rate 0 gets "0000": no hash sorts
+    // below it.
+    def hexThreshold(rate: Double): String = {
       require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
       val t = math.round(rate * 65536).toInt
-      if (t >= 65536) lit(true) // 5-hex-char threshold breaks the compare
-      else if (t <= 0) lit(false)
-      else substring(md5(concat(keyCol.cast("string"), lit(seed))), 1, 4) <
-        lit(f"$t%04x")
+      if (t >= 65536) "g000" else f"$t%04x"
     }
-    val keep = rates.foldLeft(keepExpr(defaultRate)) {
-      case (acc, (stratum, rate)) =>
-        when(stratumCol === stratum, keepExpr(rate)).otherwise(acc)
-    }
-    df.filter(keep)
+    // One MAP-literal lookup, not a per-stratum CASE chain: a CASE
+    // referencing stratumCol k times gets the stratum EXPRESSION
+    // inlined k times when the filter pushes through the projection
+    // that computes it (measured 6× query time with a langid stratum)
+    val thrMap = typedLit(rates.map { case (k, v) => k -> hexThreshold(v) })
+    val thr = coalesce(element_at(thrMap, stratumCol),
+      lit(hexThreshold(defaultRate)))
+    df.filter(
+      substring(md5(concat(keyCol.cast("string"), lit(seed))), 1, 4) < thr)
   }
 }

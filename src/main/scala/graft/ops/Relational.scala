@@ -246,4 +246,74 @@ object Relational {
     df.groupBy(selectorCols.map(col): _*)
       .agg(Aggregators.trDimensionMetrics(dims, mmap).as("report"))
   }
+
+  /** As-of join: for each left row, attach `payload` from the most
+    * recent right row with rightTs ≤ leftTs (inclusive) under the same
+    * `keys` — the point-in-time lookup Spark has no native operator for
+    * (trades←quotes, event←latest-config).
+    *
+    * Implemented as union → single window (right rows sort BEFORE left
+    * rows at equal ts via a side tag, then `last(payload, ignoreNulls)`
+    * carries the running value forward): ONE shuffle on `keys`, no join
+    * node at all, and per-key sorted streaming — the plan survives
+    * 100 TB because nothing is ever buffered beyond a key partition
+    * (skewed keys: pre-split upstream). Left rows before any right row
+    * get null payload (left-outer semantics).
+    *
+    * Right rows must be unique per (keys, rightTs) — pre-aggregate
+    * otherwise, or the payload picked among equal-ts rows is
+    * plan-dependent.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               payload: Seq[String]): DataFrame = {
+    val carry = left.columns.filterNot(c =>
+      keys.contains(c) || c == leftTs).toSeq
+    val lU = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        carry.map(col) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+    val rU = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        carry.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lU.unionByName(rU)
+      .select(
+        keys.map(col) ++ Seq(col("__ts"), col("__side")) ++
+          carry.map(col) ++
+          payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+      .withColumnRenamed("__ts", leftTs)
+  }
+
+  /** Interval (range) join: left rows whose `leftTs` falls inside the
+    * right row's [startCol, endCol] window (inclusive), plus optional
+    * (leftKey, rightKey) equi pairs.
+    *
+    * The right side explodes its interval into DAY buckets and the join
+    * runs as an EQUI join on (keys, bucket) with the exact range check
+    * as a post-filter — a theta-join that Spark would otherwise plan as
+    * BroadcastNestedLoop/cartesian per key group. Candidate volume is
+    * bounded by rows-per-day, not rows-per-key (with 15 distinct keys
+    * and 10⁶ rows each, the naive per-key cross product is 10¹² — the
+    * bucketed form stays linear in events-per-day × interval length).
+    * Each left row meets a given right row in exactly one bucket, so no
+    * dedup pass is needed.
+    */
+  def rangeJoinBucketed(left: DataFrame, leftTs: String,
+                        right: DataFrame, startCol: String, endCol: String,
+                        keys: Seq[(String, String)] = Nil): DataFrame = {
+    val l = left.withColumn("__lbucket", to_date(col(leftTs)))
+    val r = right.withColumn("__rbucket",
+      explode(sequence(to_date(col(startCol)), to_date(col(endCol)))))
+    val cond = (keys.map { case (lk, rk) => l(lk) === r(rk) } :+
+      (l("__lbucket") === r("__rbucket")) :+
+      (l(leftTs) >= r(startCol)) :+ (l(leftTs) <= r(endCol)))
+      .reduce(_ && _)
+    l.join(r, cond).drop("__lbucket", "__rbucket")
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Relational
+
+class AsofRangeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at-or-before each left ts") {
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00"), 100.0),
+      (2L, "A", ts("2024-01-01 10:05:00"), 101.0),
+      (3L, "A", ts("2024-01-01 09:00:00"), 99.0), // before any quote
+      (4L, "B", ts("2024-01-01 10:00:00"), 50.0))
+      .toDF("trade_id", "sym", "t", "px")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 09:30:00"), 1.0),
+      ("A", ts("2024-01-01 10:00:00"), 2.0), // tie with trade 1: inclusive
+      ("A", ts("2024-01-01 10:04:00"), 3.0),
+      ("B", ts("2024-01-01 09:59:00"), 9.0))
+      .toDF("sym", "qt", "bid")
+    val out = Relational.asofJoin(trades, quotes, Seq("sym"), "t", "qt",
+        Seq("bid"))
+      .select($"trade_id", $"bid").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(2.0)) // equal ts ⇒ right row included
+    assert(out(2L).contains(3.0))
+    assert(out(3L).isEmpty)       // left-outer: no earlier quote
+    assert(out(4L).contains(9.0))
+  }
+
+  test("asofJoin carries left payload columns through untouched") {
+    val left = Seq((1L, "A", ts("2024-01-01 12:00:00"), "keep-me"))
+      .toDF("id", "k", "t", "note")
+    val right = Seq(("A", ts("2024-01-01 11:00:00"), 7.5))
+      .toDF("k", "rt", "v")
+    val row = Relational.asofJoin(left, right, Seq("k"), "t", "rt",
+      Seq("v")).select($"id", $"k", $"t", $"note", $"v")
+      .as[(Long, String, Timestamp, String, Double)].collect().head
+    assert(row == ((1L, "A", ts("2024-01-01 12:00:00"), "keep-me", 7.5)))
+  }
+
+  test("rangeJoinBucketed matches the naive theta-join exactly") {
+    val events = (0 until 200).map { i =>
+      (i.toLong, (i % 5).toLong,
+        ts(f"2024-03-${1 + i % 20}%02d ${i % 24}%02d:15:00"), i * 1.0)
+    }.toDF("event_id", "uid", "t", "v")
+    // uid 0 events land on days {1,6,11,16}; uid 3 on {4,9,14,19}
+    val windows = Seq(
+      (100L, 0L, ts("2024-03-01 00:00:00"), ts("2024-03-06 23:59:59")),
+      (101L, 3L, ts("2024-03-09 00:00:00"), ts("2024-03-15 00:00:00")),
+      (102L, 9L, ts("2024-03-01 00:00:00"), ts("2024-03-20 00:00:00")))
+      .toDF("win_id", "wuid", "ws", "we")
+    val bucketed = Relational.rangeJoinBucketed(events, "t", windows,
+        "ws", "we", keys = Seq("uid" -> "wuid"))
+      .select($"win_id", $"event_id").as[(Long, Long)].collect().toSet
+    val naive = events.join(windows,
+        $"uid" === $"wuid" && $"t" >= $"ws" && $"t" <= $"we")
+      .select($"win_id", $"event_id").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive)
+    assert(naive.nonEmpty)
+    assert(!naive.exists(_._1 == 102L)) // key with no events
+    // boundary inclusivity on both ends
+    val edge = Relational.rangeJoinBucketed(
+      Seq((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-03 00:00:00")),
+        (3L, ts("2024-01-03 00:00:01"))).toDF("id", "t"),
+      "t",
+      Seq((9L, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")))
+        .toDF("wid", "ws", "we"),
+      "ws", "we")
+      .select($"id").as[Long].collect().toSet
+    assert(edge == Set(1L, 2L))
+  }
+}
