@@ -149,6 +149,21 @@ object LlmQueries {
         .orderBy("id")
     }),
 
+    // incremental dedup: a re-crawled batch (every 3rd doc under a new
+    // id) matched against the standing corpus through its band index —
+    // only the batch is shingled/shuffled, the corpus contributes the
+    // (id, band, bh) index + candidate-id shingle lookups
+    "dedup_incremental" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select("doc_id", "text")
+      val index = Dedup.minHashBandTable(corpus, "text", "doc_id")
+      val shingles = Dedup.hashedShingleTable(corpus, "text", "doc_id")
+      val batch = corpus.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.dedupAgainstIndex(batch, "text", "doc_id", index, shingles,
+          threshold = 1.0, numHashes = 32, bands = 8)
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // corpus-scale dedup grouping: exact-collapse → LSH on canonicals
     // → attach members (bounded buckets, linear output — see Scaladoc)
     "dedup_groups_full" -> ((s, dir) =>
@@ -504,6 +519,16 @@ object LlmQueries {
          SELECT canon.id AS id, comps.comp AS comp
          FROM canon JOIN comps USING (cs)
          WHERE comps.n > 1 ORDER BY id""",
+    "dedup_incremental" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents),
+         $shingleCte,
+         canon AS (SELECT id, string_agg(g, chr(1) ORDER BY g) AS cs
+                   FROM sd GROUP BY id),
+         b AS (SELECT id + 1000000 AS new_id, cs FROM canon
+               WHERE id % 3 = 0)
+         SELECT b.new_id, c.id AS corpus_id, CAST(1.0 AS DOUBLE) AS jaccard
+         FROM b JOIN canon c ON b.cs = c.cs
+         ORDER BY new_id, corpus_id""",
     "dedup_groups_full" ->
       s"""WITH u AS ($dupCorpusSql),
          $shingleCte,

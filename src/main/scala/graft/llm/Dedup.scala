@@ -110,6 +110,85 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Hashed-shingle table (id, hs: array<long>) — the verification-side
+    * artifact a pipeline persists alongside the band index. */
+  def hashedShingleTable(df: DataFrame, textCol: String,
+                         idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      transform(array_distinct(wordShingles(col(textCol))),
+        s => xxhash64(s)).as("hs"))
+
+  /** LSH band table (id, band, bh) for a corpus — bit-identical band
+    * hashes to [[minHashDedupPairs]]'s internal banding, exposed so the
+    * index can be BUILT ONCE, written to a table, and queried by later
+    * batches ([[dedupAgainstIndex]]). */
+  def minHashBandTable(df: DataFrame, textCol: String, idCol: String,
+                       numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    hashedShingleTable(df, textCol, idCol)
+      .select(col("id"), minHashSignature(col("hs"), numHashes).as("sig"))
+      .select(col("id"),
+        explode(array((0 until bands).map { j =>
+          struct(lit(j).as("band"),
+                 xxhash64(concat_ws("_",
+                   slice(col("sig"), j * r + 1, r).cast("array<string>"))
+                 ).as("bh"))
+        }: _*)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bh"))
+  }
+
+  /** Incremental dedup: match a NEW batch against an EXISTING corpus
+    * through its persisted band index — the daily-crawl shape at
+    * 100 TB, where re-running [[minHashDedupPairs]] over corpus ∪ batch
+    * would re-shingle and re-shuffle the full corpus for every
+    * increment.
+    *
+    * Only the batch is shingled here; the corpus contributes (a) the
+    * band `index` (id, band, bh) via an equi-join on (band, bh) and
+    * (b) `corpusShingles` (id, hs) joined BY CANDIDATE ID for the exact
+    * Jaccard verify — both narrow, both prunable, corpus text untouched.
+    * Returns (new_id, corpus_id, jaccard ≥ threshold).
+    *
+    * At threshold 1.0 recall is exact (identical shingle sets share
+    * every band), matching the oracle-checked registration.
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, textCol: String, idCol: String,
+                        index: DataFrame, corpusShingles: DataFrame,
+                        threshold: Double = 0.9, numHashes: Int = 32,
+                        bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val newHashed = hashedShingleTable(newDocs, textCol, idCol)
+      .withColumnRenamed("id", "new_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = newHashed
+      .select(col("new_id"), minHashSignature(col("hs"), numHashes).as("sig"))
+      .select(col("new_id"),
+        explode(array((0 until bands).map { j =>
+          struct(lit(j).as("band"),
+                 xxhash64(concat_ws("_",
+                   slice(col("sig"), j * r + 1, r).cast("array<string>"))
+                 ).as("bh"))
+        }: _*)).as("b"))
+      .select(col("new_id"), col("b.band"), col("b.bh"))
+    val candidates = newBands
+      .join(index.select(col("id").as("corpus_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select("new_id", "corpus_id")
+      .dropDuplicates("new_id", "corpus_id")
+    candidates
+      .join(newHashed, Seq("new_id"))
+      .join(corpusShingles.select(col("id").as("corpus_id"),
+        col("hs").as("hs2")), Seq("corpus_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("hs"), col("hs2"))).cast("double") /
+          size(array_union(col("hs"), col("hs2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 64-bit SimHash over whitespace tokens (weighted bit-vote of
     * per-token hashes) via the native codegen'd Catalyst expression —
     * no ScalaUDF serde on the fingerprinting hot path. Near-dup

@@ -33,6 +33,32 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dedupAgainstIndex equals the cross-pairs of a full re-run") {
+    val corpus = docs
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river"),
+      (102L, "the quick brown fox jumps over the lazy cat near the river"),
+      (103L, "brand new never seen before content entirely"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minHashBandTable(corpus, "text", "doc_id",
+      numHashes = 32, bands = 16)
+    val shingles = Dedup.hashedShingleTable(corpus, "text", "doc_id")
+    val inc = Dedup.dedupAgainstIndex(batch, "text", "doc_id",
+        index, shingles, threshold = 0.5, numHashes = 32, bands = 16)
+      .select($"new_id", $"corpus_id", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // reference: full minhash over corpus ∪ batch, restricted to
+    // (corpus, batch) cross pairs
+    val full = Dedup.minHashDedupPairs(corpus.unionByName(batch),
+        "text", "doc_id", threshold = 0.5, numHashes = 32, bands = 16)
+      .filter($"id2" >= 101L && $"id1" < 101L)
+      .select($"id2", $"id1", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full)
+    assert(inc.exists(p => p._1 == 101L && p._2 == 1L && p._3 == 1.0))
+    assert(!inc.exists(_._1 == 103L)) // novel content matches nothing
+  }
+
   test("connectedComponents collapses chained pairs to the min label") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
                     (20L, 21L), (21L, 22L), (22L, 23L))
