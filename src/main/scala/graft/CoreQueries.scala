@@ -660,6 +660,21 @@ object CoreQueries {
         .orderBy("o_orderkey")
     }),
 
+    // semi-structured extraction: parse the JSON props payload with an
+    // explicit schema (from_json — no schema inference pass over the
+    // data) and aggregate on the extracted field
+    "events_props_extract" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), schema).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(avg(col("k")), 6).as("avg_k"))
+        .orderBy("event_type")
+    }),
+
     "events_session_agg" -> ((s, dir) =>
       graft.streaming.StreamOps.sessionizedAgg(
           t(s, dir, "events"), "ts", "user_id", "30 minutes")
@@ -703,6 +718,11 @@ object CoreQueries {
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
+    "events_props_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6)
+             AS avg_k
+         FROM events GROUP BY 1 ORDER BY 1""",
     "events_range_join" ->
       """SELECT o.o_orderkey, count(*) AS n_events,
            round(sum(e.value), 6) AS sum_val

@@ -124,6 +124,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("events_asof_join plans zero join operators (union + window)") {
+    val p = plan("events_asof_join")
+    assert(!p.contains("Join"), p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "asof should shuffle once for the window (plus the right-side " +
+        "pre-aggregation), not per side:\n" + p.take(800))
+  }
+
+  test("events_range_join is an equi join on bucket keys, not a " +
+       "nested-loop theta join") {
+    val p = plan("events_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("doc_chunking is a pure projection: no exchange below the " +
+       "output sort") {
+    val p = plan("doc_chunking")
+    assert("Exchange".r.findAllIn(p).size == 1, // the orderBy range part
+      p.take(800))
+  }
+
+  test("text_tfidf broadcasts the document-frequency side") {
+    val p = plan("text_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("bucketed tables co-locate the merge join: zero exchanges") {
     import spark.implicits._
     // disable auto-broadcast so the join must co-locate or shuffle
