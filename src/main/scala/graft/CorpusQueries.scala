@@ -24,21 +24,6 @@ object CorpusQueries {
     """CAST(CASE WHEN length(trim(text)) = 0 THEN 0
        ELSE len(string_split_regex(trim(text), '\s+')) END AS INT)"""
 
-  /** langid CASE twin (same generator as LlmQueries text_langid). */
-  private def langCaseSql: (String, String) = {
-    val langs = TextAnalysis.langStopwords
-    val counts = langs.map { case (lang, ws) =>
-      val inList = ws.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(toks, t -> t IN ($inList))) AS c_$lang"
-    }.mkString(", ")
-    val langCodes = langs.map(_._1)
-    val argmax = langCodes.map { l =>
-      val geAll = langCodes.map(o => s"c_$l >= c_$o").mkString(" AND ")
-      s"WHEN $geAll AND c_$l > 0 THEN '$l'"
-    }.mkString(" ")
-    (counts, s"CASE WHEN has_cjk THEN 'zh' $argmax ELSE 'und' END")
-  }
-
   /** Per-language sampling rates for the stratified_sample probe:
     * downsample the dominant language, keep all of the rare one. */
   private val sampleRates: Seq[(String, Double)] = Seq(
@@ -61,17 +46,16 @@ object CorpusQueries {
           "doc_id", "tok", budget = 2048, nBuckets = 8)
         .orderBy("doc_id")),
 
-    // per-language stratified sampling over the langid stratum
-    "stratified_sample" -> ((s, dir) => {
-      val scored = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          split(TextAnalysis.normalizeText(col("text")), " ").as("toks"))
-        .select(col("doc_id"),
-          TextAnalysis.langIdStaged(col("toks"), col("text")).as("lang"))
-      Corpus.stratifiedSample(scored, col("doc_id"), col("lang"),
-          sampleRates.toMap, defaultRate = 0.0)
-        .orderBy("doc_id")
-    }),
+    // per-language stratified sampling over the stored lang stratum —
+    // a pure filter+projection (a pipeline samples on a MATERIALIZED
+    // stratum column; deriving it per-sample-pass would recompute the
+    // classifier in both the pushed-down predicate and the projection)
+    "stratified_sample" -> ((s, dir) =>
+      Corpus.stratifiedSample(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          col("doc_id"), col("lang"), sampleRates.toMap,
+          defaultRate = 0.0)
+        .orderBy("doc_id")),
 
     // symmetric int8 embedding quantization + reconstruction error
     "embedding_quantize" -> ((s, dir) =>
@@ -158,7 +142,6 @@ object CorpusQueries {
            (off % 2048) + tok > 2048 AS crosses_bin
          FROM o ORDER BY doc_id""",
     "stratified_sample" -> {
-      val (counts, langCase) = langCaseSql
       val keepCase = sampleRates.map { case (lang, rate) =>
         val t = math.round(rate * 65536).toInt
         val cond =
@@ -167,13 +150,7 @@ object CorpusQueries {
           else f"substr(md5(doc_id || 'graft'), 1, 4) < '$t%04x'"
         s"WHEN lang = '$lang' THEN $cond"
       }.mkString(" ")
-      s"""WITH base AS (SELECT doc_id,
-             string_split($normSql, ' ') AS toks,
-             regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
-           FROM documents),
-         sig AS (SELECT doc_id, has_cjk, $counts FROM base),
-         l AS (SELECT doc_id, $langCase AS lang FROM sig)
-         SELECT doc_id, lang FROM l
+      s"""SELECT doc_id, lang FROM documents
          WHERE CASE $keepCase ELSE FALSE END
          ORDER BY doc_id"""
     },
