@@ -111,21 +111,24 @@ object LlmQueries {
     "dedup_simhash" -> ((s, dir) => {
       val pairs = Dedup.simHashDedupPairs(dupCorpus(s, dir), "text",
         "doc_id", maxHamming = 3)
-      val norm = dupCorpus(s, dir).select(col("doc_id"),
-        TextAnalysis.normalizeText(col("text")).as("norm"))
+      // equal-norm tested via the md5 content fingerprint: the summary
+      // joins then shuffle 16-byte digests instead of document text
+      // (exactly the oracle's identical-normalized-text relation)
+      val fp = dupCorpus(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
       pairs
-        .join(norm.select(col("doc_id").as("id1"),
-          col("norm").as("norm1")), Seq("id1"))
-        .join(norm.select(col("doc_id").as("id2"),
-          col("norm").as("norm2")), Seq("id2"))
+        .join(fp.select(col("doc_id").as("id1"),
+          col("fp").as("fp1")), Seq("id1"))
+        .join(fp.select(col("doc_id").as("id2"),
+          col("fp").as("fp2")), Seq("id2"))
         .agg(
           count(when(col("id2") === col("id1") + 1000000L, 1))
             .as("planted_found"),
-          count(when(col("norm1") === col("norm2"), 1)).as("exact_found"),
+          count(when(col("fp1") === col("fp2"), 1)).as("exact_found"),
           // independent invariant: identical token sequences MUST
           // simhash identically — nonzero hamming on an equal-norm
           // pair means the fingerprint expression is nondeterministic
-          count(when(col("norm1") === col("norm2") &&
+          count(when(col("fp1") === col("fp2") &&
                      col("hamming") =!= 0, 1))
             .as("exact_nonzero_hamming"))
     }),

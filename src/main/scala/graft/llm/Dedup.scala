@@ -324,9 +324,15 @@ object Dedup {
   def ngramContainment(train: DataFrame, bench: DataFrame,
                        textCol: String, idCol: String,
                        threshold: Double = 0.8): DataFrame = {
+    // shingles join on xxhash64'd longs, not strings — same pairs
+    // (a false hit needs a cross-document collision among one bench
+    // doc's shingles: ~2⁻⁶⁴ per pair), long equality beats string
+    // equality in both the broadcast hash table and the probe
     def shingled(df: DataFrame, as: String) = df.select(
       col(idCol).as(as),
-      array_distinct(TextAnalysis.wordShingles(col(textCol))).as("sh"))
+      array_distinct(transform(
+        array_distinct(TextAnalysis.wordShingles(col(textCol))),
+        g => xxhash64(g))).as("sh"))
     val benchSh = shingled(bench, "bench_id")
     val benchSizes = benchSh.select(col("bench_id"),
       size(col("sh")).as("bench_n"))
