@@ -30,7 +30,10 @@ object Corpus {
     require(window > 0, s"window must be > 0, got $window")
     require(stride > 0 && stride <= window,
       s"stride must be in [1, window], got $stride")
-    val toks = split(TextAnalysis.normalizeText(col(textCol)), " ")
+    // null text behaves like empty text (one empty chunk), not a null
+    // row silently dropped by size(null) = -1 arithmetic
+    val toks = split(TextAnalysis.normalizeText(
+      coalesce(col(textCol), lit(""))), " ")
     val staged = df.select(col(idCol), toks.as("__toks"))
       .withColumn("__nchunks",
         when(size(col("__toks")) <= window, lit(1))

@@ -85,6 +85,65 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Continuous-ingest NEAR-dup suppression against a persisted LSH
+    * index: each micro-batch (a) collapses its own exact dups
+    * (keep-min fingerprint), (b) matches survivors against the standing
+    * corpus through the band-index tables
+    * ([[graft.llm.Dedup.dedupAgainstIndex]]), and (c) appends the
+    * genuinely novel docs to the corpus table while extending the band
+    * index + shingle tables with their entries — the next batch dedups
+    * against them automatically.
+    *
+    * Contrast with [[streamingDedup]]: that form's dedup state lives in
+    * executor memory bounded by the watermark horizon; this form's
+    * state lives in TABLES, so the horizon is the whole corpus — the
+    * shape a 100 TB ingest actually runs (each batch shuffles only
+    * itself; the corpus contributes index equi-joins). Batches run
+    * sequentially (foreachBatch), so appends are read-consistent for
+    * the next batch; delivery is at-least-once on restart, and replayed
+    * batches re-collapse via their exact fingerprints. */
+  def continuousDedupIngest(docs: DataFrame, textCol: String,
+                            idCol: String, corpusPath: String,
+                            indexPath: String, shinglePath: String,
+                            threshold: Double = 1.0, numHashes: Int = 32,
+                            bands: Int = 8): StreamingQuery = {
+    import graft.llm.Dedup
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          // (a) within-batch exact collapse, keep-min id
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+          val collapsed = batch
+            .withColumn("fp",
+              graft.llm.TextAnalysis.fingerprint(col(textCol)))
+            .withColumn("__keep", min(col(idCol)).over(w))
+            .filter(col(idCol) === col("__keep"))
+            .drop("fp", "__keep")
+          // (b) match against the standing index (empty on first batch)
+          val novel = if (new java.io.File(indexPath).exists()) {
+            val index = s.read.parquet(indexPath)
+            val shingles = s.read.parquet(shinglePath)
+            val dups = Dedup.dedupAgainstIndex(collapsed, textCol, idCol,
+                index, shingles, threshold, numHashes, bands)
+              .select(col("new_id")).distinct()
+            collapsed.join(dups,
+              collapsed(idCol) === dups("new_id"), "left_anti")
+          } else collapsed
+          // (c) append survivors + their index entries
+          novel.write.mode("append").parquet(corpusPath)
+          Dedup.minHashBandTable(novel, textCol, idCol, numHashes, bands)
+            .write.mode("append").parquet(indexPath)
+          Dedup.hashedShingleTable(novel, textCol, idCol)
+            .write.mode("append").parquet(shinglePath)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** SURVEY §2.10's upgrade path, verbatim: `Trigger.AvailableNow`
     * micro-batches with the reference's `_rng` table as the manual
     * commit log. Each batch records its (min dt, max dt, row count)

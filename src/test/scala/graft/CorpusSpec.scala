@@ -13,7 +13,8 @@ class CorpusSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7"), // 7 toks, w=3 s=2 → 3 chunks
       (2L, "a b"),                  // shorter than window → 1 chunk
-      (3L, ""))                     // empty → [""] → 1 chunk
+      (3L, ""),                     // empty → [""] → 1 chunk
+      (4L, null))                   // null behaves like empty
       .toDF("doc_id", "text")
     val out = Corpus.chunkDocuments(docs, "doc_id", "text", 3, 2)
       .orderBy("doc_id", "chunk_idx")
@@ -23,7 +24,8 @@ class CorpusSpec extends AnyFunSuite {
       (1L, 0, "t1 t2 t3", 3), (1L, 1, "t3 t4 t5", 3),
       (1L, 2, "t5 t6 t7", 3),
       (2L, 0, "a b", 2),
-      (3L, 0, "", 1)))
+      (3L, 0, "", 1),
+      (4L, 0, "", 1)))
   }
 
   test("chunkDocuments last chunk reaches the final token at any length") {

@@ -108,6 +108,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == ((2L, 2L)), "3 inputs, 2 distinct contents -> 2 rows")
   }
 
+  test("continuousDedupIngest: batches dedup against the growing " +
+       "table-backed index") {
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "cdi").toString
+    val corpus = s"$base/corpus"; val idx = s"$base/index"
+    val sh = s"$base/shingles"; val in = s"$base/in"
+    // seed: batch 1 lands alone (no index yet)
+    Seq((1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "completely unrelated seed content about spark engines"))
+      .toDF("doc_id", "text").write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    StreamOps.continuousDedupIngest(
+      StreamOps.readTableStream(spark, in, schema),
+      "text", "doc_id", corpus, idx, sh)
+    assert(spark.read.parquet(corpus).count() == 2)
+    // batch 2: an exact dup of doc 1, an internal dup pair, a novel doc
+    Seq((10L, "the quick brown fox jumps over the lazy dog tonight"),
+        (11L, "twin content issued twice inside one batch today"),
+        (12L, "twin content issued twice inside one batch today"),
+        (13L, "genuinely new material never before seen anywhere"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    StreamOps.continuousDedupIngest(
+      StreamOps.readTableStream(spark, in, schema),
+      "text", "doc_id", corpus, idx, sh)
+    // NB: without a checkpoint the second run replays docs 1-2 too —
+    // they self-suppress against the index, proving replay safety
+    val ids = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 11L, 13L),
+      s"10 (corpus dup) and 12 (intra-batch dup) must be suppressed: $ids")
+    // the index grew with the survivors
+    assert(spark.read.parquet(idx).select("id").distinct().count() == 4)
+  }
+
   test("etl bookkeeping: reportNextDt resumes from max date") {
     val df = Seq("2016-01-01", "2016-01-05").toDF("dw_dt")
     val (start, end) = graft.etl.TableOps.reportNextDt(df, "dw_dt",
