@@ -47,6 +47,34 @@ class AsofRangeSpec extends AnyFunSuite {
     assert(row == ((1L, "A", ts("2024-01-01 12:00:00"), "keep-me", 7.5)))
   }
 
+  test("asofJoin matches the naive max-earlier-row reference on " +
+       "seeded random data") {
+    val rnd = new scala.util.Random(42)
+    val left = (0 until 400).map(i => (i.toLong, (rnd.nextInt(6)).toString,
+      ts(f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:00:00")))
+      .toDF("lid", "k", "t")
+    // unique (k, rt): one quote per (key, hour) slot
+    val right = (0 until 300).map { i =>
+      (i % 6, 1 + (i / 6) % 28, (i / 168) % 24)
+    }.distinct.filter(_ => rnd.nextBoolean()).map { case (k, d, h) =>
+      (k.toString, ts(f"2024-01-$d%02d $h%02d:00:00"), rnd.nextDouble())
+    }.toDF("k", "rt", "v")
+    val asof = Relational.asofJoin(left, right, Seq("k"), "t", "rt",
+        Seq("v"))
+      .select($"lid", $"v").as[(Long, Option[Double])].collect().toMap
+    // naive reference: max rt ≤ t per left row via theta join + groupBy
+    // (rt ≤ t inside the join condition so matchless lids keep a null)
+    val naive = left.join(right,
+        left("k") === right("k") && right("rt") <= left("t"), "left_outer")
+      .groupBy("lid")
+      .agg(max_by(right("v"), right("rt")).as("v"))
+      .select($"lid", $"v").as[(Long, Option[Double])].collect().toMap
+    assert(asof.keySet == naive.keySet)
+    naive.foreach { case (lid, v) =>
+      assert(asof(lid) == v, s"lid $lid: asof ${asof(lid)} vs naive $v")
+    }
+  }
+
   test("rangeJoinBucketed matches the naive theta-join exactly") {
     val events = (0 until 200).map { i =>
       (i.toLong, (i % 5).toLong,
