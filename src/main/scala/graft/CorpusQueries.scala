@@ -101,6 +101,28 @@ object CorpusQueries {
         .orderBy("doc_id", "rnk")
     }),
 
+    // centroid-distance outlier flagging: each vector scored against
+    // its group's mean embedding (the curation pass that drops
+    // off-cluster samples). Centroids are tiny (groups × dims) and
+    // BROADCAST back — the corpus joins without shuffling. The outlier
+    // predicate tests the ROUNDED cosine so the boolean is
+    // engine-portable.
+    "embedding_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        (col("vec_id") % 10).as("grp"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val cent = e.select(col("grp"), posexplode(col("v")))
+        .groupBy("grp", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("grp")
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("m")))), p => p.getField("m")).as("cv"))
+      e.join(broadcast(cent), Seq("grp"))
+        .select(col("vec_id"), col("grp"),
+          round(Similarity.cosine(col("v"), col("cv")), 4).as("cos"))
+        .withColumn("is_outlier", col("cos") < 0.1)
+        .orderBy("vec_id")
+    }),
+
     // group centroids: elementwise mean embedding per group — explode →
     // partial-agg (map-side combine shrinks the shuffle to
     // groups × dims per partition)
@@ -188,6 +210,19 @@ object CorpusQueries {
              ORDER BY score DESC, term) AS INT) AS rnk FROM scored)
          SELECT doc_id, rnk, term, tf, df, score FROM r
          WHERE rnk <= 5 ORDER BY doc_id, rnk""",
+    "embedding_outliers" ->
+      """WITH x AS (SELECT vec_id % 10 AS grp,
+             CAST(embedding AS DOUBLE[]) AS v,
+             unnest(generate_series(1, len(embedding))) AS i
+           FROM embeddings),
+         c AS (SELECT grp, i, avg(v[i]) AS m FROM x GROUP BY 1, 2),
+         cent AS (SELECT grp, list(m ORDER BY i) AS cv FROM c GROUP BY 1),
+         s AS (SELECT e.vec_id, e.vec_id % 10 AS grp,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               cent.cv), 4) AS cos
+           FROM embeddings e JOIN cent ON e.vec_id % 10 = cent.grp)
+         SELECT vec_id, grp, cos, cos < 0.1 AS is_outlier FROM s
+         ORDER BY vec_id""",
     "embedding_avg_pool" ->
       """WITH x AS (SELECT vec_id % 10 AS grp,
              CAST(embedding AS DOUBLE[]) AS v,
