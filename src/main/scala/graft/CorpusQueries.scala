@@ -101,6 +101,25 @@ object CorpusQueries {
         .orderBy("doc_id", "rnk")
     }),
 
+    // unigram-LM quality scoring (the CCNet/perplexity-filter shape,
+    // with the LM trained ON the corpus): per-doc mean negative
+    // log-probability under corpus unigram frequencies. The frequency
+    // table is vocab-sized and BROADCAST; the corpus-sized token stream
+    // never shuffles for the join — one (doc_id) aggregation after it.
+    "text_unigram_logprob" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        explode(split(TextAnalysis.normalizeText(col("text")), " "))
+          .as("tok"))
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = uni.agg(sum(col("cnt"))).first().getLong(0)
+      toks.join(broadcast(uni), Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(avg(-log(col("cnt").cast("double") / lit(total.toDouble))),
+            4).as("nll"))
+        .orderBy("doc_id")
+    }),
+
     // centroid-distance outlier flagging: each vector scored against
     // its group's mean embedding (the curation pass that drops
     // off-cluster samples). Centroids are tiny (groups × dims) and
@@ -210,6 +229,15 @@ object CorpusQueries {
              ORDER BY score DESC, term) AS INT) AS rnk FROM scored)
          SELECT doc_id, rnk, term, tf, df, score FROM r
          WHERE rnk <= 5 ORDER BY doc_id, rnk""",
+    "text_unigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id,
+             unnest(string_split($normSql, ' ')) AS tok FROM documents),
+         uni AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS total FROM uni)
+         SELECT t.doc_id, count(*) AS n_tok,
+           round(avg(-ln(uni.cnt / CAST(tot.total AS DOUBLE))), 4) AS nll
+         FROM toks t JOIN uni USING (tok) CROSS JOIN tot
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     "embedding_outliers" ->
       """WITH x AS (SELECT vec_id % 10 AS grp,
              CAST(embedding AS DOUBLE[]) AS v,
