@@ -202,6 +202,24 @@ object LlmQueries {
           threshold = 0.95, planes = 16)
         .orderBy("id1", "id2")),
 
+    // SemDeDup-style cluster-then-dedup: nearest-cell assignment +
+    // within-cell cosine keep-min. The probe plants near-dup copies
+    // (vec_id + 1,000,000, first component bumped by 0.5 → cosine
+    // 0.86–0.93 vs the source, while genuine pairwise cosine tops out
+    // at 0.51) so threshold 0.85 separates them cleanly. Rademacher
+    // cells keep the whole path a pure function of the data → full
+    // DuckDB replication.
+    "semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val planted = e.select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + 0.5),
+               slice(col("v"), 2, 63)).as("v"))
+      Dedup.semanticDedup(e.unionByName(planted), "v", "vec_id",
+          Similarity.rademacherPlanes(8, 64), threshold = 0.85)
+        .orderBy("id")
+    }),
+
     // brute-force cosine top-k ANN baseline
     "embedding_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -570,6 +588,36 @@ object LlmQueries {
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                CAST(b.embedding AS DOUBLE[])) >= 0.95
          ORDER BY id1, id2""",
+    "semantic_dedup" -> {
+      // same deterministic Rademacher cells as ann_ivf_topk (dims fixed
+      // at 64 across all SFs), same (dot DESC, cell DESC) tie-break
+      val cents = Similarity.rademacherPlanes(8, 64).zipWithIndex
+        .map { case (p, i) =>
+          s"($i, [${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
+        }.mkString(",\n           ")
+      s"""WITH cents(cell, w) AS (VALUES $cents),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         u AS (SELECT * FROM e
+               UNION ALL
+               SELECT vec_id + 1000000, list_concat([v[1] + 0.5], v[2:])
+               FROM e),
+         cd AS (SELECT vec_id, v, cell, list_dot_product(v, w) AS d
+                FROM u CROSS JOIN cents),
+         cc AS (SELECT vec_id, v, cell FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d DESC, cell DESC) AS rn FROM cd)
+                WHERE rn = 1),
+         rm AS (SELECT b.vec_id AS id, min(a.vec_id) AS removed_by
+                FROM cc a JOIN cc b ON a.cell = b.cell
+                  AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.v, b.v) >= 0.85
+                GROUP BY b.vec_id)
+         SELECT cc.vec_id AS id, CAST(cc.cell AS INT) AS cell,
+           rm.removed_by IS NULL AS keep, rm.removed_by AS removed_by
+         FROM cc LEFT JOIN rm ON cc.vec_id = rm.id
+         ORDER BY id"""
+    },
     "embedding_cosine_topk" ->
       """SELECT query_id, corpus_id, rank, cos FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

@@ -360,6 +360,44 @@ object Dedup {
       size(array_union(sa, sb))
   }
 
+  /** SemDeDup-style semantic deduplication over an embedding column:
+    * every vector is assigned to its nearest centroid cell, then any
+    * vector with a smaller-id neighbor at cosine ≥ `threshold` INSIDE
+    * its cell is dropped (keep-min rule — deterministic and
+    * engine-replicable, unlike "keep the one farthest from the
+    * centroid" which ties on float noise).
+    *
+    * Scale shape: pairwise work is confined to cells (n²/k vs n²
+    * global) and the corpus shuffles ONCE on the cell key — the
+    * self-join's two sides share that exchange (ReuseExchange).
+    * Centroids are driver-side literals (`Similarity.kmeansCentroids`
+    * for real use, `rademacherPlanes` for the oracle-replicable probe),
+    * so assignment is a pure projection over the scan. A boilerplate-
+    * heavy cell (skew) splits under AQE skew-join handling; cell count
+    * k is the knob that bounds per-cell pair cardinality at 100 TB.
+    *
+    * Output: (id, cell, keep, removed_by) — removed_by is the smallest
+    * qualifying neighbor id, null for kept rows.
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    cents: Seq[Seq[Double]],
+                    threshold: Double): DataFrame = {
+    val staged = df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .withColumn("cell",
+        Similarity.cellsFor(col("vec"), cents, 1).getItem(0))
+    val a = staged.alias("a"); val b = staged.alias("b")
+    val removed = a.join(b, col("a.cell") === col("b.cell") &&
+        col("a.id") < col("b.id"))
+      .filter(Similarity.cosine(col("a.vec"), col("b.vec")) >= threshold)
+      .groupBy(col("b.id").as("id"))
+      .agg(min(col("a.id")).as("removed_by"))
+    staged.select(col("id"), col("cell"))
+      .join(removed, Seq("id"), "left_outer")
+      .select(col("id"), col("cell"),
+        col("removed_by").isNull.as("keep"), col("removed_by"))
+  }
+
   /** Embedding near-dup pairs: random-hyperplane LSH buckets (sign-bit
     * signature prefix) + cosine verify ≥ threshold. Planes are
     * deterministic Rademacher vectors derived from xxhash64(plane, dim).

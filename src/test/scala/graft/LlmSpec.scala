@@ -131,6 +131,26 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("semanticDedup drops the within-cell near-copy, keeps originals") {
+    // 1↦copy of 0 (same cell, cos=1) → removed_by 0; 2 is the antipode
+    // (different cell, cos=-1 anyway); 3 orthogonal-ish → kept
+    val vecs = Seq(
+      (0L, Array.tabulate(8)(i => i.toDouble + 1)),
+      (1L, Array.tabulate(8)(i => (i.toDouble + 1) * 2)), // scaled copy
+      (2L, Array.tabulate(8)(i => -(i.toDouble) - 1)),
+      (3L, Array.tabulate(8)(i => if (i == 0) 1.0 else -1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "embedding", "vec_id",
+        Similarity.rademacherPlanes(4, 8), threshold = 0.95)
+      .select($"id", $"keep", $"removed_by")
+      .as[(Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) == ((true, None)))
+    assert(out(1L) == ((false, Some(0L))))
+    assert(out(2L) == ((true, None)))
+    assert(out(3L) == ((true, None)))
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       "the cat and the dog is in the house",
