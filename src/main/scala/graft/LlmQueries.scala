@@ -196,6 +196,15 @@ object LlmQueries {
         .orderBy("id1")
     }),
 
+    // passage-level exact dedup: 8-token windows, stride 4, cross-doc
+    // repeats — runs on the GENUINE corpus (the planted borderline
+    // near-dup pairs share long spans, so the result is non-empty at
+    // every SF without a synthetic union)
+    "passage_dedup" -> ((s, dir) =>
+      Dedup.duplicatePassages(t(s, dir, "documents"), "text", "doc_id",
+          window = 8, stride = 4)
+        .orderBy("passage")),
+
     // embedding near-dup via random-hyperplane LSH + cosine verify
     "embedding_dedup" -> ((s, dir) =>
       Dedup.embeddingDedupPairs(dupVectors(s, dir), "embedding", "vec_id",
@@ -577,6 +586,22 @@ object LlmQueries {
          JOIN sizes sa ON sa.id = p.id1
          JOIN sizes sb ON sb.id = p.id2
          ORDER BY p.id1""",
+    "passage_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+             FROM documents),
+         n AS (SELECT doc_id, ws, CASE WHEN len(ws) >= 8
+               THEN (len(ws) - 8) // 4 + 1 ELSE 0 END AS nw FROM w),
+         p AS (SELECT doc_id,
+               array_to_string(list_slice(ws, i * 4 + 1, i * 4 + 8), ' ')
+                 AS passage
+               FROM (SELECT doc_id, ws,
+                     unnest(generate_series(0, CAST(nw - 1 AS INT))) AS i
+                     FROM n)),
+         d AS (SELECT DISTINCT doc_id, passage FROM p)
+         SELECT passage, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+         FROM d GROUP BY passage HAVING count(*) >= 2
+         ORDER BY passage""",
     "embedding_dedup" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings
            UNION ALL SELECT vec_id + 100000, embedding FROM embeddings)

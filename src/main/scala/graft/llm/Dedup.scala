@@ -360,6 +360,52 @@ object Dedup {
       size(array_union(sa, sb))
   }
 
+  /** Cross-document duplicated-passage detection — the passage-level
+    * exact-dedup primitive (the Spark shape of suffix-array span dedup):
+    * slide a `window`-token window with `stride` over each normalized
+    * document, fingerprint every full window, report passages occurring
+    * in ≥ 2 distinct documents.
+    *
+    * Scale shape: per-doc windows are deduped map-side
+    * (`array_distinct` BEFORE explode), and the counting shuffle
+    * carries only (fp: long, id) — the passage TEXT is re-derived by a
+    * second scan and joined to the (small) surviving-fp set, rather
+    * than shuffled at full explode cardinality. Re-scanning beats
+    * shuffling wide strings at 100 TB; the window-vs-Window(min) trade
+    * from PLANS.md doesn't apply because here the wide column is
+    * droppable on the slim branch.
+    *
+    * Output: (passage, n_docs, first_doc).
+    */
+  def duplicatePassages(df: DataFrame, textCol: String, idCol: String,
+                        window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = split(normalizeText(coalesce(col(textCol), lit(""))), " ")
+    val staged = df.select(col(idCol).as("id"), toks.as("__toks"))
+      .withColumn("__nw",
+        when(size(col("__toks")) >= window,
+          floor((size(col("__toks")) - window).cast("double") / stride)
+            .cast("int") + 1).otherwise(lit(0)))
+    // sequence(0, -1) yields [0, -1] (negative step!) — the nw=0 case
+    // must produce an empty array, which explode then drops
+    val passages = staged.select(col("id"),
+        explode(when(col("__nw") > 0,
+          array_distinct(transform(sequence(lit(0), col("__nw") - 1),
+            i => array_join(
+              slice(col("__toks"), i * stride + 1, lit(window)), " "))))
+          .otherwise(array().cast("array<string>"))).as("passage"))
+      .withColumn("fp", xxhash64(col("passage")))
+    val agg = passages.select("fp", "id").groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+    passages.select("fp", "passage").join(agg, Seq("fp"))
+      .groupBy("fp")
+      .agg(min(col("passage")).as("passage"), min(col("n_docs")).as("n_docs"),
+           min(col("first_doc")).as("first_doc"))
+      .select("passage", "n_docs", "first_doc")
+  }
+
   /** SemDeDup-style semantic deduplication over an embedding column:
     * every vector is assigned to its nearest centroid cell, then any
     * vector with a smaller-id neighbor at cosine ≥ `threshold` INSIDE

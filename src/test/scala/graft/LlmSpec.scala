@@ -131,6 +131,23 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("duplicatePassages finds cross-doc windows, skips short docs") {
+    // docs fixture: 1≡2 identical, 3 differs at token 8 ("cat"); with
+    // window=6/stride=2 the first window is shared by all three
+    val out = Dedup.duplicatePassages(docs, "text", "doc_id",
+        window = 6, stride = 2)
+      .select($"passage", $"n_docs", $"first_doc")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("the quick brown fox jumps over") == ((3L, 1L)))
+    // windows touching token 8 split 2 (dog) vs 1 (cat)
+    assert(out("brown fox jumps over the lazy") == ((3L, 1L)))
+    assert(out.keys.forall(_.split(" ").length == 6))
+    // doc 5 (4 tokens < window) contributes nothing: no passage of its
+    // text appears
+    assert(!out.keys.exists(_.contains("unrelated")))
+  }
+
   test("semanticDedup drops the within-cell near-copy, keeps originals") {
     // 1↦copy of 0 (same cell, cos=1) → removed_by 0; 2 is the antipode
     // (different cell, cos=-1 anyway); 3 orthogonal-ish → kept
