@@ -30,6 +30,12 @@ object CorpusQueries {
     "en" -> 0.5, "zh" -> 1.0, "de" -> 0.8, "fr" -> 0.8, "es" -> 0.8,
     "und" -> 0.25)
 
+  /** Target token-mixture weights for the corpus_mix probe (sources are
+    * uniform in the testdata, so src0 binds and the others downsample
+    * toward the 5:3:2 target). */
+  private val mixWeights: Seq[(String, Double)] = Seq(
+    "src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // context-window chunking: overlapping 32-token windows, stride 24
@@ -55,6 +61,15 @@ object CorpusQueries {
           t(s, dir, "documents").select("doc_id", "lang"),
           col("doc_id"), col("lang"), sampleRates.toMap,
           defaultRate = 0.0)
+        .orderBy("doc_id")),
+
+    // domain-weighted mixture resampling: data-derived per-source rates
+    // toward a 5:3:2 token target over src0/src1/src2
+    "corpus_mix" -> ((s, dir) =>
+      Corpus.mixtureSample(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCountWs(col("text")).as("tok")),
+          col("doc_id"), col("source"), col("tok"), mixWeights.toMap)
         .orderBy("doc_id")),
 
     // symmetric int8 embedding quantization + reconstruction error
@@ -194,6 +209,25 @@ object CorpusQueries {
       s"""SELECT doc_id, lang FROM documents
          WHERE CASE $keepCase ELSE FALSE END
          ORDER BY doc_id"""
+    },
+    "corpus_mix" -> {
+      val vals = mixWeights.map { case (src, w) =>
+        s"('$src', CAST($w AS DOUBLE))" // bare 0.5 parses as DECIMAL
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, source, $tokWsSql AS tok
+             FROM documents),
+         w(src, wt) AS (VALUES $vals),
+         tot AS (SELECT source, wt, CAST(sum(tok) AS BIGINT) AS stok
+                 FROM t JOIN w ON t.source = w.src GROUP BY source, wt),
+         nm AS (SELECT min(stok / wt) AS nmax FROM tot),
+         r AS (SELECT source, wt * nmax / stok AS rate
+               FROM tot CROSS JOIN nm)
+         SELECT t.doc_id, t.source, t.tok, round(r.rate, 6) AS rate
+         FROM t JOIN r ON t.source = r.source
+         WHERE r.rate >= 1.0 OR
+           ('0x' || substr(md5(t.doc_id || 'graft'), 1, 4))::INT
+             < CAST(floor(r.rate * 65536) AS INT)
+         ORDER BY t.doc_id"""
     },
     "embedding_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -112,4 +112,46 @@ object Corpus {
     df.filter(
       substring(md5(concat(keyCol.cast("string"), lit(seed))), 1, 4) < thr)
   }
+
+  /** Domain-weighted mixture resampling (training-data mixing): keep a
+    * deterministic subset of each listed source so the KEPT token mass
+    * follows the target `weights`, without upsampling — the feasible
+    * total is N = min over sources of tokens_s / w_s, and source s
+    * samples at rate w_s·N / tokens_s (the binding source keeps
+    * everything; unlisted sources drop entirely).
+    *
+    * Unlike [[stratifiedSample]] the rates are DERIVED FROM THE DATA:
+    * per-source token totals are a tiny aggregate (|sources| rows)
+    * broadcast back onto the corpus — the corpus itself never shuffles,
+    * and selection stays the md5-threshold rule (re-run / growth /
+    * repartition stable given fixed totals). Rate comparison is on the
+    * integer value of the 4-hex-char prefix so the data-dependent
+    * threshold needs no driver-side formatting.
+    *
+    * Output: input columns + round(rate, 6) for the kept rows.
+    */
+  def mixtureSample(df: DataFrame, keyCol: Column, sourceCol: Column,
+                    tokCol: Column, weights: Map[String, Double],
+                    seed: String = "graft"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val wmap = typedLit(weights)
+    val totals = df.filter(sourceCol.isin(weights.keys.toSeq: _*))
+      .groupBy(sourceCol.as("__src"))
+      .agg(sum(tokCol).as("__tok"))
+      .withColumn("__w", element_at(wmap, col("__src")))
+    // N — one-row aggregate of the tiny totals table
+    val nmax = totals.agg(min(col("__tok") / col("__w")).as("__nmax"))
+    val rates = totals.crossJoin(nmax)
+      .select(col("__src"),
+        (col("__w") * col("__nmax") / col("__tok")).as("__rate"))
+    val prefixInt = conv(
+      substring(md5(concat(keyCol.cast("string"), lit(seed))), 1, 4),
+      16, 10).cast("int")
+    df.join(broadcast(rates), sourceCol === col("__src"))
+      .filter(col("__rate") >= 1.0 ||
+        prefixInt < floor(col("__rate") * 65536).cast("int"))
+      .withColumn("rate", round(col("__rate"), 6))
+      .drop("__src", "__rate")
+  }
 }

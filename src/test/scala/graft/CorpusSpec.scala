@@ -89,6 +89,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(keptSmall == keptGrown)
   }
 
+  test("mixtureSample: binding source keeps all, kept mass tracks the " +
+       "target weights, unlisted sources drop") {
+    // a: 1000 docs × 10 tok, w=0.8 → tokens/w = 12500 (binds)
+    // b: 1000 docs × 10 tok, w=0.2 → rate = 0.2·12500/10000 = 0.25
+    val docs = ((0 until 1000).map(i => (i.toLong, "a", 10)) ++
+      (0 until 1000).map(i => (i.toLong + 10000, "b", 10)) ++
+      Seq((99999L, "c", 10))).toDF("id", "src", "tok")
+    val out = Corpus.mixtureSample(docs, col("id"), col("src"),
+        col("tok"), Map("a" -> 0.8, "b" -> 0.2))
+      .select($"id", $"src", $"rate").as[(Long, String, Double)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("a") == 1000)                  // binding: rate 1.0
+    assert(!bySrc.contains("c"))                // unlisted: dropped
+    // b samples at 0.25 via md5 threshold: near the rate, not exact
+    assert(bySrc("b") > 180 && bySrc("b") < 320)
+    assert(out.filter(_._2 == "b").forall(_._3 == 0.25))
+    // determinism: same rows survive on a reshuffled input
+    val again = Corpus.mixtureSample(docs.repartition(7), col("id"),
+        col("src"), col("tok"), Map("a" -> 0.8, "b" -> 0.2))
+      .select($"id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+  }
+
   test("int8 quantization: max code ±127, reconstruction error ≤ scale/2") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
