@@ -278,6 +278,25 @@ object LlmQueries {
             .as("lang_id"))
         .orderBy("doc_id")),
 
+    // Unicode NFC canonicalization (native NormalizeNFC expression):
+    // corpus text plus planted decomposed/compatibility forms — the
+    // changed flag proves the normalizer fires exactly where it should
+    "text_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (2000001L, "cafe\u0301 latte"),          // e + combining acute
+        (2000002L, "\u212bngstr\u00f6m"),        // angstrom sign U+212B
+        (2000003L, "\u1112\u1161\u11ab"),        // decomposed Hangul jamo
+        (2000004L, "plain ascii")).toDF("doc_id", "text")
+      t(s, dir, "documents").select("doc_id", "text")
+        .unionByName(planted)
+        .select(col("doc_id"), col("text"),
+          Dedup.nfcNormalize(col("text")).as("nfc_text"))
+        .select(col("doc_id"), col("nfc_text"),
+          (col("text") =!= col("nfc_text")).as("changed"))
+        .orderBy("doc_id")
+    }),
+
     // quality scoring: length/punct/stopword signals, each regex run
     // once in a staging projection and reused across output columns
     "text_quality" -> ((s, dir) => {
@@ -660,6 +679,18 @@ object LlmQueries {
     "ann_ivf_kmeans" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS all_k_rows,
          TRUE AS recall_ok""",
+    "text_normalize" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (2000001, 'cafe' || chr(769) || ' latte'),
+             (2000002, chr(8491) || 'ngstr' || chr(246) || 'm'),
+             (2000003, chr(4370) || chr(4449) || chr(4523)),
+             (2000004, 'plain ascii')) v(doc_id, text)),
+         n AS (SELECT doc_id, text, nfc_normalize(text) AS nfc_text
+               FROM u)
+         SELECT doc_id, nfc_text, text <> nfc_text AS changed
+         FROM n ORDER BY doc_id""",
     "text_langid" -> {
       val langs = TextAnalysis.langStopwords
       val counts = langs.map { case (lang, ws) =>

@@ -200,6 +200,15 @@ object Dedup {
       GraftBridge.expression(split(normalizeText(textCol), " "))))
   }
 
+  /** Unicode NFC canonicalization (native NormalizeNFC expression) —
+    * run before fingerprinting so composed and decomposed forms of the
+    * same text collide in exact dedup. */
+  def nfcNormalize(textCol: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.NormalizeNFC(
+      GraftBridge.expression(textCol)))
+  }
+
   /** SimHash near-dup pairs via 16-bit-chunk bucket join + Hamming
     * verify (≤ maxHamming). */
   def simHashDedupPairs(df: DataFrame, textCol: String, idCol: String,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, OneRo
 import org.apache.spark.sql.types.IntegerType
 
 import graft.agg.{CollectKvAgg, TrDimensionMetricsAgg}
-import graft.functions.{MinHashSig, SimHash64}
+import graft.functions.{MinHashSig, NormalizeNFC, SimHash64}
 
 /** SQL surface for graft's native Catalyst expressions and aggregates —
   * the `SparkSessionExtensions` registration layer (SURVEY §2.9).
@@ -21,6 +21,8 @@ import graft.functions.{MinHashSig, SimHash64}
   * built-ins):
   *  - `graft_simhash64(tokens)` → BIGINT SimHash over an ARRAY<STRING>
   *    of tokens (SimHash64.scala)
+  *  - `graft_nfc(text)` → STRING Unicode NFC canonicalization
+  *    (NormalizeNFC.scala)
   *  - `graft_minhash_sig(hashes, k)` → ARRAY<BIGINT> signature over an
   *    ARRAY<BIGINT> of shingle hashes; k must be a literal
   *    (MinHashSig.scala)
@@ -50,6 +52,13 @@ object GraftFunctions {
       {
         case Seq(e) => SimHash64(e)
         case other  => arityError("graft_simhash64", "1 argument", other)
+      }),
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", classOf[NormalizeNFC],
+        "graft_nfc(text) - Unicode NFC canonical normalization"),
+      {
+        case Seq(e) => NormalizeNFC(e)
+        case other  => arityError("graft_nfc", "1 argument", other)
       }),
     (FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", classOf[MinHashSig],

@@ -36,6 +36,27 @@ class ExtensionsSpec extends AnyFunSuite {
       viaCol.orderBy("grp", "txt").collect().toSeq)
   }
 
+  test("graft_nfc via SQL equals the Column-API form and composes " +
+       "decomposed sequences") {
+    fixture()
+    import spark.implicits._
+    // explicit escapes: (1) decomposed e + U+0301, (2) U+212B angstrom
+    val odd = Seq((1L, "cafe\u0301"), (2L, "\u212b"), (3L, "plain"),
+      (4L, null.asInstanceOf[String])).toDF("id", "txt")
+    odd.createOrReplaceTempView("ext_nfc")
+    val viaSql = spark.sql(
+      "SELECT id, graft_nfc(txt) AS n FROM ext_nfc")
+    val viaCol = odd.select($"id",
+      graft.llm.Dedup.nfcNormalize($"txt").as("n"))
+    assert(viaSql.orderBy("id").collect().toSeq ===
+      viaCol.orderBy("id").collect().toSeq)
+    val got = viaCol.orderBy("id").as[(Long, Option[String])].collect()
+    assert(got(0)._2.contains("caf\u00e9")) // composes to precomposed e-acute
+    assert(got(1)._2.contains("\u00c5"))    // U+212B -> U+00C5
+    assert(got(2)._2.contains("plain"))      // identity fast path
+    assert(got(3)._2.isEmpty)                // null propagates
+  }
+
   test("graft_minhash_sig via SQL equals the Column-API MinHashSig") {
     fixture()
     val hashes = transform(split(col("txt"), " "), w => xxhash64(w))
