@@ -63,6 +63,13 @@ object CorpusQueries {
           defaultRate = 0.0)
         .orderBy("doc_id")),
 
+    // reproducible shuffle + round-robin sharding: md5 training order,
+    // distributed global row number, balanced shards
+    "corpus_shard" -> ((s, dir) =>
+      Corpus.shuffleShard(t(s, dir, "documents").select("doc_id"),
+          col("doc_id"), nShards = 8)
+        .orderBy("pos")),
+
     // domain-weighted mixture resampling: data-derived per-source rates
     // toward a 5:3:2 token target over src0/src1/src2
     "corpus_mix" -> ((s, dir) =>
@@ -210,6 +217,12 @@ object CorpusQueries {
          WHERE CASE $keepCase ELSE FALSE END
          ORDER BY doc_id"""
     },
+    "corpus_shard" ->
+      """SELECT doc_id, pos, (pos - 1) % 8 AS shard FROM (
+           SELECT doc_id, CAST(row_number() OVER (
+             ORDER BY md5(doc_id || 'graft'), doc_id) AS BIGINT) AS pos
+           FROM documents)
+         ORDER BY pos""",
     "corpus_mix" -> {
       val vals = mixWeights.map { case (src, w) =>
         s"('$src', CAST($w AS DOUBLE))" // bare 0.5 parses as DECIMAL

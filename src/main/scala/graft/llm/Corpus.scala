@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.Relational
+
 /** Corpus-preparation operators for LLM training pipelines: context-window
   * chunking, concat-and-chunk sequence packing, and stratified sampling.
   * All three are pure projections or single-window plans — no self-joins,
@@ -153,5 +155,27 @@ object Corpus {
         prefixInt < floor(col("__rate") * 65536).cast("int"))
       .withColumn("rate", round(col("__rate"), 6))
       .drop("__src", "__rate")
+  }
+
+  /** Reproducible corpus shuffle + round-robin sharding: the global
+    * training order is the md5(key ‖ seed) sort (the deterministic
+    * "shuffle" every epoch/restart must agree on), `pos` its
+    * distributed global row number, and shard = (pos − 1) mod nShards —
+    * shards balanced to within one row, and a shard's rows in pos order
+    * ARE the training order (a writer partitionBy(shard) +
+    * sortWithinPartitions(pos) emits ready-to-stream shards). Built on
+    * [[graft.ops.Relational.globalRowNumber]]: range-repartition +
+    * two-phase offsets, NO single-partition window.
+    *
+    * Output: input columns + (pos: long starting at 1, shard: long).
+    */
+  def shuffleShard(df: DataFrame, keyCol: Column, nShards: Int,
+                   seed: String = "graft"): DataFrame = {
+    require(nShards > 0, s"nShards must be > 0, got $nShards")
+    val staged = df.withColumn("__h",
+      md5(concat(keyCol.cast("string"), lit(seed))))
+    Relational.globalRowNumber(staged, Seq(col("__h"), keyCol), "pos")
+      .withColumn("shard", pmod(col("pos") - 1, lit(nShards.toLong)))
+      .drop("__h")
   }
 }

@@ -89,6 +89,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(keptSmall == keptGrown)
   }
 
+  test("shuffleShard: pos is a permutation, shards balanced within one, " +
+       "order independent of input partitioning") {
+    val ids = (0L until 1000L).toDF("id")
+    val out = Corpus.shuffleShard(ids, col("id"), nShards = 8)
+      .select($"id", $"pos", $"shard").as[(Long, Long, Long)].collect()
+    assert(out.map(_._2).sorted.toSeq == (1L to 1000L))
+    val counts = out.groupBy(_._3).view.mapValues(_.length).values.toSeq
+    assert(counts.max - counts.min <= 1 && counts.size == 8)
+    val again = Corpus.shuffleShard(ids.repartition(13), col("id"), 8)
+      .select($"id", $"pos").as[(Long, Long)].collect().toMap
+    assert(out.forall { case (id, pos, _) => again(id) == pos })
+    // the order is a genuine shuffle, not id order
+    assert(out.sortBy(_._2).map(_._1).take(20).toSeq != (0L until 20L).toSeq)
+  }
+
   test("mixtureSample: binding source keeps all, kept mass tracks the " +
        "target weights, unlisted sources drop") {
     // a: 1000 docs × 10 tok, w=0.8 → tokens/w = 12500 (binds)
