@@ -125,6 +125,74 @@ object TextAnalysis {
                (a, b) => concat_ws(" ", a, b)))
   }
 
+  /** C4/Gopher-style document heuristics — the standard web-corpus
+    * cleaning rules as one pure projection (no shuffle): token shape
+    * (count / mean length / alphabetic ratio / symbol ratio), line
+    * shape (terminal-punctuation, bullet and ellipsis line ratios over
+    * RAW lines — these rules predate whitespace normalization by
+    * design), sentence count, and the C4 content flags (lorem ipsum,
+    * curly brace, javascript). `keep` combines them with the published
+    * thresholds: 50 ≤ words ≤ 100k, 3 ≤ mean word length ≤ 10,
+    * alpha-word ratio ≥ 0.8, symbol ratio ≤ 0.1, bullet lines ≤ 0.9,
+    * ellipsis lines ≤ 0.3, no lorem/curly.
+    *
+    * Token and line arrays are staged in separate projections before
+    * multi-use — lambda bodies are not subexpression-eliminated.
+    */
+  def c4Signals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val raw = coalesce(col(textCol), lit(""))
+    val staged = df.select(col(idCol), raw.as("__raw"),
+        split(normalizeText(raw), " ").as("__toks"),
+        filter(transform(split(raw, "\n"), l => trim(l)),
+          l => length(l) > 0).as("__lines"))
+      .select(col(idCol), col("__raw"), col("__lines"),
+        when(length(col("__raw")) === 0 ||
+             size(col("__toks")) === 0, lit(0))
+          .otherwise(when(col("__toks").getItem(0) === "" &&
+                          size(col("__toks")) === 1, lit(0))
+            .otherwise(size(col("__toks")))).as("n_words"),
+        col("__toks"))
+    val nz = col("n_words") =!= 0
+    val nLines = size(col("__lines"))
+    def lineRatio(pred: Column => Column): Column =
+      when(nLines === 0, lit(0.0))
+        .otherwise(size(filter(col("__lines"), pred)).cast("double") /
+          nLines)
+    staged.select(col(idCol), col("n_words"),
+        round(when(nz, aggregate(transform(col("__toks"),
+              t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+            .cast("double") / col("n_words")).otherwise(lit(0.0)), 6)
+          .as("mean_word_len"),
+        round(when(nz, size(filter(col("__toks"),
+              t => t.rlike("[a-z]"))).cast("double") / col("n_words"))
+            .otherwise(lit(0.0)), 6)
+          .as("alpha_ratio"),
+        round(when(nz,
+            ((length(col("__raw")) -
+              length(regexp_replace(col("__raw"), "#", ""))) +
+             (length(col("__raw")) -
+              length(regexp_replace(col("__raw"), "\u2026", ""))))
+              .cast("double") / col("n_words")).otherwise(lit(0.0)), 6)
+          .as("symbol_ratio"),
+        regexp_count(col("__raw"), lit("[.!?]")).as("sent_marks"),
+        round(lineRatio(l => l.rlike("[.!?\"]$")), 6)
+          .as("term_line_ratio"),
+        round(lineRatio(l => l.rlike("^[-*\u2022]")), 6)
+          .as("bullet_line_ratio"),
+        round(lineRatio(l => l.rlike("(\\.\\.\\.|\u2026)$")), 6)
+          .as("ellipsis_line_ratio"),
+        lower(col("__raw")).contains("lorem ipsum").as("has_lorem"),
+        col("__raw").contains("{").as("has_curly"),
+        lower(col("__raw")).contains("javascript").as("has_js"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("alpha_ratio") >= 0.8 && col("symbol_ratio") <= 0.1 &&
+        col("bullet_line_ratio") <= 0.9 &&
+        col("ellipsis_line_ratio") <= 0.3 &&
+        !col("has_lorem") && !col("has_curly"))
+  }
+
   /** Gopher-style repetition signals per document — the standard
     * training-data repetition filters over a token-stream corpus:
     *  - `dup_token_ratio`: fraction of token occurrences that repeat an

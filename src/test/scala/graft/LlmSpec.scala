@@ -131,6 +131,35 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("c4Signals: hand-computed line/token shapes and content flags") {
+    val fixture = Seq(
+      (1L, "One two three.\n- bullet\nDone!"),
+      (2L, "code { x }"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.c4Signals(fixture, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Int]("n_words") == 6)
+    // lines: "One two three." "." terminal, "- bullet" not, "Done!" "!"
+    assert(r1.getAs[Double]("term_line_ratio") == math.rint(2.0/3*1e6)/1e6
+      || math.abs(r1.getAs[Double]("term_line_ratio") - 0.666667) < 1e-6)
+    assert(r1.getAs[Double]("bullet_line_ratio") > 0.33 &&
+           r1.getAs[Double]("bullet_line_ratio") < 0.34)
+    assert(r1.getAs[Int]("sent_marks") == 2)
+    assert(!r1.getAs[Boolean]("has_curly"))
+    assert(!r1.getAs[Boolean]("keep")) // n_words < 50
+    val r2 = out(1)
+    assert(r2.getAs[Boolean]("has_curly") && !r2.getAs[Boolean]("keep"))
+    // empty + null rows: all-zero signals, kept=false, no NaNs
+    Seq(out(2), out(3)).foreach { r =>
+      assert(r.getAs[Int]("n_words") == 0)
+      assert(r.getAs[Double]("mean_word_len") == 0.0)
+      assert(!r.getAs[Boolean]("keep"))
+    }
+  }
+
   test("duplicatePassages finds cross-doc windows, skips short docs") {
     // docs fixture: 1≡2 identical, 3 differs at token 8 ("cat"); with
     // window=6/stride=2 the first window is shared by all three
