@@ -376,13 +376,13 @@ object Dedup {
     * in ≥ 2 distinct documents.
     *
     * Scale shape: per-doc windows are deduped map-side
-    * (`array_distinct` BEFORE explode), and the counting shuffle
-    * carries only (fp: long, id) — the passage TEXT is re-derived by a
-    * second scan and joined to the (small) surviving-fp set, rather
-    * than shuffled at full explode cardinality. Re-scanning beats
-    * shuffling wide strings at 100 TB; the window-vs-Window(min) trade
-    * from PLANS.md doesn't apply because here the wide column is
-    * droppable on the slim branch.
+    * (`array_distinct` BEFORE explode); the counting shuffle carries
+    * only (fp: long, id); the representative text reduces through
+    * `min(passage)` partial aggregation (repeats collapse per mapper
+    * before the exchange); and because both branches aggregate on fp,
+    * the final join reuses their output partitioning — no third
+    * exchange. Cross-doc duplicated text moves through exactly one
+    * map-side-reduced shuffle.
     *
     * Output: (passage, n_docs, first_doc).
     */
@@ -408,10 +408,9 @@ object Dedup {
     val agg = passages.select("fp", "id").groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
-    passages.select("fp", "passage").join(agg, Seq("fp"))
-      .groupBy("fp")
-      .agg(min(col("passage")).as("passage"), min(col("n_docs")).as("n_docs"),
-           min(col("first_doc")).as("first_doc"))
+    val rep = passages.groupBy("fp")
+      .agg(min(col("passage")).as("passage"))
+    rep.join(agg, Seq("fp"))
       .select("passage", "n_docs", "first_doc")
   }
 

@@ -110,6 +110,45 @@ class PlanSpec extends AnyFunSuite {
     assert(withText.isEmpty, "a shuffle carries the raw text column")
   }
 
+  test("semantic_dedup pairs through a cell equi-join, never a " +
+       "cartesian/nested-loop product") {
+    val ns = allNodes("semantic_dedup")
+    val prod = ns.filter(n => n.nodeName.contains("CartesianProduct") ||
+      n.nodeName.contains("BroadcastNestedLoopJoin"))
+    assert(prod.isEmpty, prod.mkString("\n"))
+  }
+
+  test("passage_dedup: counting shuffle is narrow and the final fp join " +
+       "adds no third exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ns = allNodes("passage_dedup")
+    val exchanges = ns.collect { case e: ShuffleExchangeExec => e }
+    // 1 narrow (fp, id) count shuffle + 1 map-side-reduced (fp,
+    // passage) representative shuffle + the orderBy range exchange —
+    // the rep⋈agg join itself reuses the aggs' fp partitioning
+    val nonRange = exchanges
+      .filter(!_.outputPartitioning.toString.contains("range"))
+    assert(nonRange.size == 2, exchanges.mkString("\n"))
+    val countSide = nonRange.filter(_.child.output.exists(_.name == "id"))
+    assert(countSide.forall(!_.child.output.exists(_.name == "passage")),
+      "the counting shuffle carries passage text")
+  }
+
+  test("corpus_mix joins rates by broadcast: the corpus never shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ns = allNodes("corpus_mix")
+    assert(ns.exists(_.nodeName.contains("BroadcastHashJoin")),
+      ns.head.toString.take(1000))
+    // every shuffle in the plan belongs to the tiny totals/rates branch
+    // (output has no doc_id) or the final orderBy (range partitioning)
+    val corpusShuffles = ns.collect {
+      case e: ShuffleExchangeExec
+          if e.child.output.exists(_.name == "doc_id") &&
+             !e.outputPartitioning.toString.contains("range") => e
+    }
+    assert(corpusShuffles.isEmpty, corpusShuffles.mkString("\n"))
+  }
+
   test("no registered query plans a single-partition window") {
     import org.apache.spark.sql.execution.window.WindowExec
     for ((name, q) <- SparkEntry.queries) {
