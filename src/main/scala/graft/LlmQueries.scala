@@ -337,6 +337,12 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // bigram collocations by PMI: count shuffles carry (token, partial
+    // count) only; min-count filter shrinks the join input
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 5L, topK = 50)),
+
     // Gopher-style repetition signals: per-row token stats + exploded
     // bigram counts (shuffles carry (id, bigram, cnt), never text)
     "text_repetition" -> ((s, dir) =>
@@ -697,6 +703,26 @@ object LlmQueries {
     "ann_ivf_kmeans" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS all_k_rows,
          TRUE AS recall_ok""",
+    "text_collocations" ->
+      s"""WITH w AS (SELECT string_split($normSql, ' ') AS ws
+             FROM documents),
+         uni AS (SELECT unnest(ws) AS tok FROM w),
+         uc AS (SELECT tok, count(*) AS c_w FROM uni GROUP BY tok),
+         bgs AS (SELECT ws[i] || ' ' || ws[i+1] AS bg
+                 FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)),
+         bc AS (SELECT bg, count(*) AS c_bg FROM bgs GROUP BY bg),
+         nu AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_u FROM uc),
+         nb AS (SELECT CAST(sum(c_bg) AS BIGINT) AS n_bg FROM bc),
+         j AS (SELECT bc.bg, bc.c_bg, u1.c_w AS c_w1, u2.c_w AS c_w2
+               FROM bc
+               JOIN uc u1 ON string_split(bc.bg, ' ')[1] = u1.tok
+               JOIN uc u2 ON string_split(bc.bg, ' ')[2] = u2.tok
+               WHERE bc.c_bg >= 5)
+         SELECT bg, CAST(c_bg AS BIGINT) AS c_bg,
+           round(ln(CAST(c_bg AS DOUBLE) * n_u * n_u /
+             (n_bg * c_w1 * c_w2)), 6) AS pmi
+         FROM j CROSS JOIN nu CROSS JOIN nb
+         ORDER BY pmi DESC, bg LIMIT 50""",
     "text_c4_filters" ->
       s"""WITH u AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT * FROM (VALUES

@@ -193,6 +193,45 @@ object TextAnalysis {
         !col("has_lorem") && !col("has_curly"))
   }
 
+  /** Corpus-level bigram collocation extraction by pointwise mutual
+    * information: PMI(w1,w2) = ln(P(w1w2) / (P(w1)·P(w2))) with
+    * probabilities from corpus counts, reported for bigrams seen at
+    * least `minCount` times, top `topK` by (PMI, bigram) — the
+    * classic collocation statistic over a token corpus.
+    *
+    * Scale shape: bigram/unigram shuffles carry (token-string, partial
+    * count) with map-side combine — never doc ids or text; corpus
+    * totals are two one-row aggregates cross-joined as literals-at-
+    * runtime; the min-count filter shrinks the bigram side BEFORE the
+    * two word-key joins against the unigram counts. All-integer count
+    * arithmetic until the final double division keeps the statistic
+    * engine-exact.
+    */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    val toks = df.select(
+      split(normalizeText(col(textCol)), " ").as("__toks"))
+    val uc = toks.select(explode(col("__toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c_w"))
+    val bc = toks.select(explode(wordBigramsStaged(col("__toks"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val nU = uc.agg(sum("c_w").as("n_u"))
+    val nB = bc.agg(sum("c_bg").as("n_bg"))
+    val joined = bc.filter(col("c_bg") >= minCount)
+      .withColumn("__w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("__w2", element_at(split(col("bg"), " "), 2))
+      .join(uc.select(col("tok").as("__w1"), col("c_w").as("c_w1")),
+        Seq("__w1"))
+      .join(uc.select(col("tok").as("__w2"), col("c_w").as("c_w2")),
+        Seq("__w2"))
+      .crossJoin(nU).crossJoin(nB)
+    joined.select(col("bg"), col("c_bg"),
+        round(log(col("c_bg").cast("double") * col("n_u") * col("n_u") /
+          (col("n_bg") * col("c_w1") * col("c_w2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bg"))
+      .limit(topK)
+  }
+
   /** Gopher-style repetition signals per document — the standard
     * training-data repetition filters over a token-stream corpus:
     *  - `dup_token_ratio`: fraction of token occurrences that repeat an

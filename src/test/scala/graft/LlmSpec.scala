@@ -131,6 +131,22 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("collocations: hand-computed PMI, min-count filter, tie order") {
+    // 6×"x y" + 6×"p q" + 1×"rare pair": N_u = 26, N_b = 13;
+    // PMI(x y) = PMI(p q) = ln(6·26·26 / (13·6·6)); "rare pair" (c=1)
+    // falls below minCount
+    val corpus = ((1 to 6).map(i => (i.toLong, "x y")) ++
+      (7 to 12).map(i => (i.toLong, "p q")) ++
+      Seq((13L, "rare pair"))).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.collocations(corpus, "doc_id", "text",
+        minCount = 5L, topK = 10)
+      .as[(String, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq("p q", "x y")) // rare filtered, bg tie order
+    assert(out.forall(_._2 == 6L))
+    val exp = math.rint(math.log(6.0 * 26 * 26 / (13 * 6 * 6)) * 1e6) / 1e6
+    assert(out.forall(r => math.abs(r._3 - exp) < 1e-9))
+  }
+
   test("c4Signals: hand-computed line/token shapes and content flags") {
     val fixture = Seq(
       (1L, "One two three.\n- bullet\nDone!"),
