@@ -436,14 +436,22 @@ object Dedup {
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
                     cents: Seq[Seq[Double]],
                     threshold: Double): DataFrame = {
+    // pair cost is the whole game (n²/k candidate pairs): vectors are
+    // L2-normalized ONCE per row (norm staged as an attribute — a
+    // lambda capturing the norm subtree would recompute it per
+    // element), so each pair is a single native DotProduct loop, not
+    // three interpreted HOF folds (measured 17 s → <1 s at sf0.1)
     val staged = df.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("vec"))
       .withColumn("cell",
         Similarity.cellsFor(col("vec"), cents, 1).getItem(0))
+      .withColumn("__nrm", sqrt(Similarity.fastDot(col("vec"), col("vec"))))
+      .select(col("id"), col("cell"),
+        Similarity.l2NormalizeStaged(col("vec"), col("__nrm")).as("vecn"))
     val a = staged.alias("a"); val b = staged.alias("b")
     val removed = a.join(b, col("a.cell") === col("b.cell") &&
         col("a.id") < col("b.id"))
-      .filter(Similarity.cosine(col("a.vec"), col("b.vec")) >= threshold)
+      .filter(Similarity.fastDot(col("a.vecn"), col("b.vecn")) >= threshold)
       .groupBy(col("b.id").as("id"))
       .agg(min(col("a.id")).as("removed_by"))
     staged.select(col("id"), col("cell"))

@@ -24,6 +24,23 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Native dot product ([[graft.functions.DotProduct]]): one generated
+    * tight loop instead of an interpreted lambda per element — use on
+    * candidate-pair hot paths (millions of pair evaluations). Same
+    * left-fold summation order as the HOF form. */
+  def fastDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.DotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  /** L2-normalized copy of an array<double> column given its
+    * PRE-STAGED norm attribute (zero vector stays zero). `nrm` must be
+    * a plain attribute, not an expression subtree — a lambda capturing
+    * a subtree re-evaluates it per element. */
+  def l2NormalizeStaged(vec: Column, nrm: Column): Column =
+    when(nrm === 0.0, vec).otherwise(transform(vec, x => x / nrm))
+
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
   /** Symmetric int8 quantization scale for an array<double> vector:

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, OneRo
 import org.apache.spark.sql.types.IntegerType
 
 import graft.agg.{CollectKvAgg, TrDimensionMetricsAgg}
-import graft.functions.{MinHashSig, NormalizeNFC, SimHash64}
+import graft.functions.{DotProduct, MinHashSig, NormalizeNFC, SimHash64}
 
 /** SQL surface for graft's native Catalyst expressions and aggregates —
   * the `SparkSessionExtensions` registration layer (SURVEY §2.9).
@@ -23,6 +23,8 @@ import graft.functions.{MinHashSig, NormalizeNFC, SimHash64}
   *    of tokens (SimHash64.scala)
   *  - `graft_nfc(text)` → STRING Unicode NFC canonicalization
   *    (NormalizeNFC.scala)
+  *  - `graft_dot(a, b)` → DOUBLE native dot product over two
+  *    ARRAY<DOUBLE> (DotProduct.scala)
   *  - `graft_minhash_sig(hashes, k)` → ARRAY<BIGINT> signature over an
   *    ARRAY<BIGINT> of shingle hashes; k must be a literal
   *    (MinHashSig.scala)
@@ -59,6 +61,13 @@ object GraftFunctions {
       {
         case Seq(e) => NormalizeNFC(e)
         case other  => arityError("graft_nfc", "1 argument", other)
+      }),
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", classOf[DotProduct],
+        "graft_dot(a, b) - dot product of two array<double> vectors"),
+      {
+        case Seq(a, b) => DotProduct(a, b)
+        case other     => arityError("graft_dot", "2 arguments", other)
       }),
     (FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", classOf[MinHashSig],

@@ -57,6 +57,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got(3)._2.isEmpty)                // null propagates
   }
 
+  test("graft_dot via SQL equals the Column-API fastDot and the HOF " +
+       "cosine numerator") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (2L, Array(0.0, 0.0), Array(1.0, 1.0)))
+      .toDF("id", "a", "b")
+    vecs.createOrReplaceTempView("ext_vecs")
+    val viaSql = spark.sql("SELECT id, graft_dot(a, b) AS d FROM ext_vecs")
+      .orderBy("id").as[(Long, Double)].collect()
+    val viaCol = vecs.select($"id",
+        graft.llm.Similarity.fastDot($"a", $"b").as("d"))
+      .orderBy("id").as[(Long, Double)].collect()
+    val viaHof = vecs.select($"id",
+        aggregate(zip_with($"a", $"b", (p, q) => p * q), lit(0.0),
+          (s, v) => s + v).as("d"))
+      .orderBy("id").as[(Long, Double)].collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaCol.toSeq == viaHof.toSeq) // bit-identical left fold
+    assert(viaCol(0)._2 == 32.0 && viaCol(1)._2 == 0.0)
+  }
+
   test("graft_minhash_sig via SQL equals the Column-API MinHashSig") {
     fixture()
     val hashes = transform(split(col("txt"), " "), w => xxhash64(w))
