@@ -178,4 +178,16 @@ object Corpus {
       .withColumn("shard", pmod(col("pos") - 1, lit(nShards.toLong)))
       .drop("__h")
   }
+
+  /** Materialize [[shuffleShard]] as ready-to-stream training shards:
+    * `path/shard=K/` holds shard K's rows in training (pos) order —
+    * one repartition on the shard key + a within-partition sort, then
+    * a partitioned write (the layout a data loader consumes
+    * sequentially per worker). */
+  def writeShards(df: DataFrame, keyCol: Column, nShards: Int,
+                  path: String, seed: String = "graft"): Unit =
+    shuffleShard(df, keyCol, nShards, seed)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -104,6 +104,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.sortBy(_._2).map(_._1).take(20).toSeq != (0L until 20L).toSeq)
   }
 
+  test("writeShards: shard dirs hold disjoint covering ids in pos order") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "shards").toString
+    val ids = (0L until 400L).toDF("id")
+    Corpus.writeShards(ids, col("id"), nShards = 4, dir)
+    val all = (0 until 4).flatMap { s =>
+      val rows = spark.read.parquet(s"$dir/shard=$s")
+        .select($"id", $"pos").as[(Long, Long)].collect().toSeq
+      // within-file order IS training order
+      assert(rows.map(_._2) == rows.map(_._2).sorted,
+        s"shard $s not in pos order")
+      assert(rows.forall { case (_, pos) => (pos - 1) % 4 == s })
+      rows.map(_._1)
+    }
+    assert(all.size == 400 && all.toSet.size == 400)
+  }
+
   test("mixtureSample: binding source keeps all, kept mass tracks the " +
        "target weights, unlisted sources drop") {
     // a: 1000 docs × 10 tok, w=0.8 → tokens/w = 12500 (binds)

@@ -87,6 +87,27 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("c4Signals cleaning runs unchanged on a document stream") {
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "stream_c4").toString
+    val keeper = (1 to 60).map(i => s"word$i").mkString(" ")
+    val batch = Seq((1L, keeper), (2L, "too short"),
+      (3L, "lorem ipsum " + keeper)).toDF("doc_id", "text")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = StreamOps.readTableStream(spark, dir, batch.schema)
+    val cleaned = graft.llm.TextAnalysis
+      .c4Signals(stream, "doc_id", "text").filter($"keep")
+    StreamOps.runAvailableNowToMemory(cleaned.select($"doc_id"), "c4_test",
+      mode = "append")
+    val streamed = spark.sql("SELECT doc_id FROM c4_test ORDER BY doc_id")
+      .as[Long].collect().toSeq
+    val batched = graft.llm.TextAnalysis.c4Signals(batch, "doc_id", "text")
+      .filter($"keep").select($"doc_id").orderBy("doc_id")
+      .as[Long].collect().toSeq
+    assert(streamed === batched)
+    assert(batched === Seq(1L)) // 2: <50 words; 3: lorem flag
+  }
+
   test("streamingDedup suppresses duplicate fingerprints with " +
        "watermark-bounded state") {
     val dir = Files.createTempDirectory(
