@@ -40,6 +40,45 @@ object LlmQueries {
   private val normSql =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** DuckDB replica of the deterministic IVF path (same Rademacher
+    * centroids — dims fixed at 64 across all SFs —, same (dot DESC,
+    * cell DESC) probe order, same (cos DESC, corpus_id) ranking): the
+    * approximate result is a pure function of the data, so it
+    * oracle-checks exactly. `queryPred` selects the query batch. */
+  private def ivfOracleSql(queryPred: String): String = {
+    val cents = Similarity.rademacherPlanes(8, 64).zipWithIndex
+      .map { case (p, i) =>
+        s"($i, [${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
+      }.mkString(",\n           ")
+    s"""WITH cents(cell, w) AS (VALUES $cents),
+       c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[])
+           AS v FROM embeddings),
+       cd AS (SELECT corpus_id, v, cell, list_dot_product(v, w) AS d
+           FROM c CROSS JOIN cents),
+       cc AS (SELECT corpus_id, v, cell FROM
+           (SELECT *, row_number() OVER (PARTITION BY corpus_id
+              ORDER BY d DESC, cell DESC) AS rn FROM cd)
+           WHERE rn = 1),
+       q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[])
+           AS v FROM embeddings WHERE $queryPred),
+       qd AS (SELECT query_id, v, cell, list_dot_product(v, w) AS d
+           FROM q CROSS JOIN cents),
+       qc AS (SELECT query_id, v, cell FROM
+           (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY d DESC, cell DESC) AS rn FROM qd)
+           WHERE rn <= 2),
+       scored AS (SELECT qc.query_id, cc.corpus_id,
+           list_cosine_similarity(cc.v, qc.v) AS cos
+           FROM cc JOIN qc ON cc.cell = qc.cell
+             AND cc.corpus_id <> qc.query_id)
+       SELECT query_id, corpus_id, rank, round(cos, 4) AS cos FROM
+         (SELECT query_id, corpus_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, corpus_id) AS INT) AS rank, cos
+          FROM scored)
+       WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
   /** word-3-shingle CTE over a (doc_id, text) relation named u. */
   private val shingleCte =
     s"""w AS (SELECT doc_id AS id, $normSql AS norm,
@@ -242,6 +281,20 @@ object LlmQueries {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
           "embedding", "vec_id", 10, nCells = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ANN against the persisted IVF index table (the similarity twin of
+    // dedup_incremental): a NEW query batch probes the standing corpus
+    // through its (cell, corpus_id, cvec) index — the corpus is never
+    // re-assigned
+    "ann_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.rademacherPlanes(8, 64)
+      val index = Similarity.ivfIndexTable(e, "embedding", "vec_id", cents)
+      Similarity.annAgainstIndex(index,
+          e.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+          "embedding", "vec_id", 10, cents, nProbe = 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -544,44 +597,8 @@ object LlmQueries {
            (SELECT count(*) FROM n a JOIN n b
               ON a.norm = b.norm AND a.doc_id < b.doc_id) AS exact_found,
            CAST(0 AS BIGINT) AS exact_nonzero_hamming""",
-    "ann_ivf_topk" -> {
-      // replicate the deterministic IVF path in SQL: same Rademacher
-      // centroids (dims fixed at 64 across all SFs of the driver's
-      // embeddings table), same (dot desc, cell desc) probe order, same
-      // (cos desc, corpus_id) ranking — the approximate result is a pure
-      // function of the data, so it oracle-checks exactly.
-      val cents = Similarity.rademacherPlanes(8, 64).zipWithIndex
-        .map { case (p, i) =>
-          s"($i, [${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
-        }.mkString(",\n           ")
-      s"""WITH cents(cell, w) AS (VALUES $cents),
-         c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[])
-             AS v FROM embeddings),
-         cd AS (SELECT corpus_id, v, cell, list_dot_product(v, w) AS d
-             FROM c CROSS JOIN cents),
-         cc AS (SELECT corpus_id, v, cell FROM
-             (SELECT *, row_number() OVER (PARTITION BY corpus_id
-                ORDER BY d DESC, cell DESC) AS rn FROM cd)
-             WHERE rn = 1),
-         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[])
-             AS v FROM embeddings WHERE vec_id < 5),
-         qd AS (SELECT query_id, v, cell, list_dot_product(v, w) AS d
-             FROM q CROSS JOIN cents),
-         qc AS (SELECT query_id, v, cell FROM
-             (SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY d DESC, cell DESC) AS rn FROM qd)
-             WHERE rn <= 2),
-         scored AS (SELECT qc.query_id, cc.corpus_id,
-             list_cosine_similarity(cc.v, qc.v) AS cos
-             FROM cc JOIN qc ON cc.cell = qc.cell
-               AND cc.corpus_id <> qc.query_id)
-         SELECT query_id, corpus_id, rank, round(cos, 4) AS cos FROM
-           (SELECT query_id, corpus_id,
-              CAST(row_number() OVER (PARTITION BY query_id
-                ORDER BY cos DESC, corpus_id) AS INT) AS rank, cos
-            FROM scored)
-         WHERE rank <= 10 ORDER BY query_id, rank"""
-    },
+    "ann_ivf_topk" -> ivfOracleSql("vec_id < 5"),
+    "ann_incremental" -> ivfOracleSql("vec_id >= 5 AND vec_id < 10"),
     "dedup_components" ->
       s"""WITH u AS ($dupCorpusSql),
          $shingleCte,

@@ -162,21 +162,29 @@ object Similarity {
     cents.map(_.toSeq).toSeq
   }
 
-  /** IVF approximate top-k against explicit centroids: corpus
-    * pre-bucketed by nearest cell; each query probes its `nProbe`
-    * nearest cells. At scale the corpus is hash-partitioned by cell, so
-    * a query touches nProbe/nCells of the data. Approximate — recall
-    * grows with nProbe; exactness is NOT claimed. */
-  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, vecCol: String,
-                  idCol: String, k: Int, cents: Seq[Seq[Double]],
-                  nProbe: Int): DataFrame = {
-    val c = corpus
+  /** The corpus's IVF cell assignment as a standalone
+    * (cell, corpus_id, cvec) table — write it once, probe it from every
+    * query batch. The similarity-search twin of dedup's persisted band
+    * index (`Dedup.minHashBandTable`): at 100 TB the index is written
+    * partitioned by cell, so a probe scans nProbe/nCells of the data
+    * and new query batches never re-assign the corpus. */
+  def ivfIndexTable(corpus: DataFrame, vecCol: String, idCol: String,
+                    cents: Seq[Seq[Double]]): DataFrame =
+    corpus
       .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
       .withColumn("cell", cellsFor(col("cvec"), cents, 1).getItem(0))
+      .select("cell", "corpus_id", "cvec")
+
+  /** Probe a persisted IVF index: each query explodes into its
+    * `nProbe` nearest cells and equi-joins the index's cell key;
+    * ranking is a per-query window over candidates only. */
+  def annAgainstIndex(index: DataFrame, queries: DataFrame,
+                      vecCol: String, idCol: String, k: Int,
+                      cents: Seq[Seq[Double]], nProbe: Int): DataFrame = {
     val q = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
       .withColumn("cell", explode(cellsFor(col("qvec"), cents, nProbe)))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val scored = index.join(broadcast(q), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
               cosine(col("cvec"), col("qvec")).as("cos"))
@@ -187,6 +195,18 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("rank"),
               round(col("cos"), 4).as("cos"))
   }
+
+  /** IVF approximate top-k against explicit centroids: corpus
+    * pre-bucketed by nearest cell; each query probes its `nProbe`
+    * nearest cells. At scale the corpus is hash-partitioned by cell, so
+    * a query touches nProbe/nCells of the data. Approximate — recall
+    * grows with nProbe; exactness is NOT claimed. One-shot composition
+    * of [[ivfIndexTable]] + [[annAgainstIndex]]. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                  idCol: String, k: Int, cents: Seq[Seq[Double]],
+                  nProbe: Int): DataFrame =
+    annAgainstIndex(ivfIndexTable(corpus, vecCol, idCol, cents),
+      queries, vecCol, idCol, k, cents, nProbe)
 
   /** IVF top-k with Rademacher centroids (the oracle-replicable
     * registered path). */

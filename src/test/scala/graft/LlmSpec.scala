@@ -276,6 +276,26 @@ class LlmSpec extends AnyFunSuite {
     assert(r._4 == 64 + ('d'.toInt % 64) * 16)
   }
 
+  test("annAgainstIndex through a parquet round-trip equals the " +
+       "direct IVF path") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 8 + d + 1))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.rademacherPlanes(4, 8)
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ivfidx").toString
+    Similarity.ivfIndexTable(vecs, "embedding", "vec_id", cents)
+      .write.mode("overwrite").parquet(dir)
+    val qs = vecs.filter($"vec_id" < 3)
+    val viaIndex = Similarity.annAgainstIndex(spark.read.parquet(dir),
+        qs, "embedding", "vec_id", 5, cents, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val direct = Similarity.ivfTopKWith(vecs, qs, "embedding", "vec_id",
+        5, cents, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(viaIndex === direct && viaIndex.nonEmpty)
+  }
+
   test("ivfTopK searches only the query's cell (approximate)") {
     val vecs = (0L until 50L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat)))
