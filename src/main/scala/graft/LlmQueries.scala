@@ -268,6 +268,35 @@ object LlmQueries {
         .orderBy("id")
     }),
 
+    // semantic dedup with spherical k-means cells — the production
+    // centroid choice. Cell assignment depends on the (deterministic)
+    // clustering, so the registered output is the validation summary:
+    // structurally no original can be removed (planted ids are larger,
+    // removal needs a smaller-id neighbor), and planted-copy recall
+    // must clear an 80% floor. The bump here is +0.1 (cos ≈ 0.995 —
+    // "nearly identical" semantic dups, the case the operator exists
+    // for); k-means cells are TIGHT, so the +0.5 bump the Rademacher
+    // probe uses crosses cell boundaries for 2/3 of pairs (measured
+    // 32% recall) while +0.1 recovers 96% — boundary-pair misses are
+    // SemDeDup's documented approximation, not a pipeline bug
+    "semantic_dedup_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val planted = e.select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + 0.1),
+               slice(col("v"), 2, 63)).as("v"))
+      val corpus = e.unionByName(planted)
+      val cents = Similarity.kmeansCentroids(corpus, "v", "vec_id", 8)
+      Dedup.semanticDedup(corpus, "v", "vec_id", cents, threshold = 0.85)
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(!col("keep") && col("id") < 1000000L, 1))
+            .as("originals_removed"),
+          (count(when(!col("keep") && col("id") >= 1000000L &&
+                      col("removed_by") === col("id") - 1000000L, 1)) * 10
+            >= count(lit(1)) * 4).as("recall_ok"))
+    }),
+
     // brute-force cosine top-k ANN baseline
     "embedding_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -597,6 +626,10 @@ object LlmQueries {
            (SELECT count(*) FROM n a JOIN n b
               ON a.norm = b.norm AND a.doc_id < b.doc_id) AS exact_found,
            CAST(0 AS BIGINT) AS exact_nonzero_hamming""",
+    "semantic_dedup_kmeans" ->
+      """SELECT CAST(2 * (SELECT count(*) FROM embeddings) AS BIGINT)
+           AS n_total,
+         CAST(0 AS BIGINT) AS originals_removed, TRUE AS recall_ok""",
     "ann_ivf_topk" -> ivfOracleSql("vec_id < 5"),
     "ann_incremental" -> ivfOracleSql("vec_id >= 5 AND vec_id < 10"),
     "dedup_components" ->
