@@ -313,6 +313,15 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // hard-negative mining: per query, top-10 most-similar vectors with
+    // a DIFFERENT label (contrastive-training negatives)
+    "hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 5),
+          "embedding", "vec_id", "label", 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN against the persisted IVF index table (the similarity twin of
     // dedup_incremental): a NEW query batch probes the standing corpus
     // through its (cell, corpus_id, cvec) index — the corpus is never
@@ -626,6 +635,20 @@ object LlmQueries {
            (SELECT count(*) FROM n a JOIN n b
               ON a.norm = b.norm AND a.doc_id < b.doc_id) AS exact_found,
            CAST(0 AS BIGINT) AS exact_nonzero_hamming""",
+    "hard_negatives" ->
+      """SELECT query_id, corpus_id, rank, cos FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                 CAST(c.embedding AS DOUBLE[]),
+                 CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS INT)
+               AS rank,
+             round(CAST(list_cosine_similarity(
+               CAST(c.embedding AS DOUBLE[]),
+               CAST(q.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cos
+           FROM embeddings c, embeddings q
+           WHERE q.vec_id < 5 AND c.label <> q.label)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "semantic_dedup_kmeans" ->
       """SELECT CAST(2 * (SELECT count(*) FROM embeddings) AS BIGINT)
            AS n_total,

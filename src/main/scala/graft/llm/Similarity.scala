@@ -97,6 +97,30 @@ object Similarity {
               round(col("cos"), 4).as("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the `k` most cosine-similar corpus vectors carrying a
+    * DIFFERENT label — the near-miss negatives that actually teach.
+    * Same broadcast-queries / corpus-streamed shape as
+    * [[bruteForceTopK]]; the label inequality filters BEFORE ranking,
+    * so the full k true negatives always return. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                    idCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(labelCol).as("c_label"), asDouble(col(vecCol)).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), asDouble(col(vecCol)).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("c_label") =!= col("q_label"))
+      .select(col("query_id"), col("corpus_id"),
+              cosine(col("cvec"), col("qvec")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+              round(col("cos"), 4).as("cos"))
+  }
+
   /** IVF cell assignment against explicit centroid literals: the
     * `nProbe` nearest by dot product, nearest first. `vec` must be a
     * staged array<double> attribute. */

@@ -276,6 +276,19 @@ class LlmSpec extends AnyFunSuite {
     assert(r._4 == 64 + ('d'.toInt % 64) * 16)
   }
 
+  test("hardNegatives excludes same-label vectors and ranks the rest") {
+    val vecs = Seq(
+      (0L, 0, Array(1.0, 0.0)),
+      (1L, 0, Array(0.99, 0.14)),  // same label: never a negative
+      (2L, 1, Array(0.9, 0.43)),   // different label, most similar
+      (3L, 1, Array(0.0, 1.0)))    // different label, orthogonal
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegatives(vecs, vecs.filter($"vec_id" === 0),
+        "embedding", "vec_id", "label", 2)
+      .select($"corpus_id", $"rank").as[(Long, Int)].collect().toSeq
+    assert(out == Seq((2L, 1), (3L, 2)))
+  }
+
   test("annAgainstIndex through a parquet round-trip equals the " +
        "direct IVF path") {
     val vecs = (0L until 40L).map(i =>
