@@ -322,6 +322,29 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // kNN label purity: embedding-quality diagnostic — per label, the
+    // mean fraction of a query's top-10 neighbors sharing its label
+    // (queries = deterministic vec_id<100 sample; corpus streamed)
+    "embedding_label_purity" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val topk = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 100),
+        "embedding", "vec_id", 10)
+      val lbl = e.select(col("vec_id"), col("label"))
+      // label-level integer counts, not avg-of-per-query doubles: every
+      // query contributes exactly k neighbors, so micro = macro average
+      // and the single exact division is engine-order-safe
+      topk
+        .join(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("q_label")), Seq("query_id"))
+        .join(lbl.select(col("vec_id").as("corpus_id"),
+          col("label").as("c_label")), Seq("corpus_id"))
+        .groupBy(col("q_label").as("label"))
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+             round(count(when(col("c_label") === col("q_label"), 1))
+               .cast("double") / count(lit(1)), 6).as("avg_purity"))
+        .orderBy("label")
+    }),
+
     // ANN against the persisted IVF index table (the similarity twin of
     // dedup_incremental): a NEW query batch probes the standing corpus
     // through its (cell, corpus_id, cvec) index — the corpus is never
@@ -635,6 +658,25 @@ object LlmQueries {
            (SELECT count(*) FROM n a JOIN n b
               ON a.norm = b.norm AND a.doc_id < b.doc_id) AS exact_found,
            CAST(0 AS BIGINT) AS exact_nonzero_hamming""",
+    "embedding_label_purity" ->
+      """WITH topk AS (
+           SELECT query_id, corpus_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+             FROM embeddings c, embeddings q
+             WHERE q.vec_id < 100 AND c.vec_id <> q.vec_id)
+           WHERE rank <= 10)
+         SELECT ql.label AS label,
+           CAST(count(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+           round(CAST(count(CASE WHEN cl.label = ql.label THEN 1 END)
+             AS DOUBLE) / count(*), 6) AS avg_purity
+         FROM topk t
+         JOIN embeddings ql ON ql.vec_id = t.query_id
+         JOIN embeddings cl ON cl.vec_id = t.corpus_id
+         GROUP BY ql.label ORDER BY label""",
     "hard_negatives" ->
       """SELECT query_id, corpus_id, rank, cos FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
