@@ -451,6 +451,15 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // sentence segmentation: posexplode of the RE2-portable split —
+    // pure projection, the unit feeding sentence-level dedup/packing
+    "text_sentences" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          posexplode(TextAnalysis.sentences(col("text"))))
+        .select(col("doc_id"), col("pos").as("sent_idx"),
+          col("col").as("sentence"))
+        .orderBy("doc_id", "sent_idx")),
+
     // bigram collocations by PMI: count shuffles carry (token, partial
     // count) only; min-count filter shrinks the join input
     "text_collocations" -> ((s, dir) =>
@@ -818,6 +827,15 @@ object LlmQueries {
     "ann_ivf_kmeans" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS all_k_rows,
          TRUE AS recall_ok""",
+    "text_sentences" ->
+      """WITH s AS (SELECT doc_id,
+           list_filter(list_transform(
+             string_split_regex(text, '[.!?]+'), x -> trim(x)),
+             x -> len(x) > 0) AS ss FROM documents)
+         SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx, ss[i] AS sentence
+         FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i
+               FROM s)
+         ORDER BY doc_id, sent_idx""",
     "text_collocations" ->
       s"""WITH w AS (SELECT string_split($normSql, ' ') AS ws
              FROM documents),

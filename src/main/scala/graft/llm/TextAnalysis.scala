@@ -125,6 +125,13 @@ object TextAnalysis {
                (a, b) => concat_ws(" ", a, b)))
   }
 
+  /** Sentence segmentation: split on runs of terminal punctuation,
+    * trim, drop empties — the RE2-portable rule (no lookbehind), so the
+    * same split replays in any engine. Returns array<string>. */
+  def sentences(c: Column): Column =
+    filter(transform(split(c, "[.!?]+"), x => trim(x)),
+      x => length(x) > 0)
+
   /** C4/Gopher-style document heuristics — the standard web-corpus
     * cleaning rules as one pure projection (no shuffle): token shape
     * (count / mean length / alphabetic ratio / symbol ratio), line
