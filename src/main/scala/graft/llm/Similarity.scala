@@ -16,13 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<double> columns — pure Catalyst
-    * higher-order functions (zip_with/aggregate), codegen-friendly. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (s, v) => s + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity between two array<double> columns. Each dot is
+    * the native [[graft.functions.DotProduct]] — bit-identical to the
+    * `aggregate(zip_with(_*_))` fold (same i = 0..n−1 summation order,
+    * ExtensionsSpec asserts it) but a generated tight loop instead of
+    * an interpreted lambda per element, which dominates candidate-pair
+    * hot paths (ragged arrays: HOF nulls out, this dots the common
+    * prefix — embedding columns are fixed-width so the cases agree). */
+  def cosine(a: Column, b: Column): Column =
+    fastDot(a, b) / (sqrt(fastDot(a, a)) * sqrt(fastDot(b, b)))
 
   /** Native dot product ([[graft.functions.DotProduct]]): one generated
     * tight loop instead of an interpreted lambda per element — use on
