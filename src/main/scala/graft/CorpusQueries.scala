@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Corpus, Similarity, TextAnalysis}
+import graft.llm.{Corpus, Dedup, Similarity, TextAnalysis}
 
 /** Corpus-preparation probes (chunking / packing / sampling /
   * embedding compression) — the training-data operators downstream of
@@ -36,6 +36,15 @@ object CorpusQueries {
   private val mixWeights: Seq[(String, Double)] = Seq(
     "src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
 
+  /** Mixture for the composed pipeline probe (post-cleaning corpus). */
+  private val pipeWeights: Seq[(String, Double)] = Seq(
+    "src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+
+  private def weightsVals(ws: Seq[(String, Double)]): String =
+    ws.map { case (src, w) =>
+      s"('$src', CAST($w AS DOUBLE))" // bare 0.5 parses as DECIMAL
+    }.mkString(", ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // context-window chunking: overlapping 32-token windows, stride 24
@@ -62,6 +71,29 @@ object CorpusQueries {
           col("doc_id"), col("lang"), sampleRates.toMap,
           defaultRate = 0.0)
         .orderBy("doc_id")),
+
+    // END-TO-END corpus prep: C4 clean → exact-dedup keep-min → domain
+    // mixture → reproducible shard assignment. Every stage is the
+    // registered operator, composed; the oracle replays the WHOLE
+    // chain in DuckDB, so cross-stage contracts (which rows survive
+    // into the rate computation, dedup before mixing, shard over final
+    // survivors) are checked, not just each stage alone
+    "corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keepIds = TextAnalysis.c4Signals(docs, "doc_id", "text")
+        .filter(col("keep")).select("doc_id")
+      val kept = docs.select("doc_id", "text", "source")
+        .join(keepIds, Seq("doc_id"))
+      val canon = Dedup.exactDedup(kept, "text", "doc_id")
+        .select(col("canonical_id").as("doc_id"))
+      val deduped = kept.join(canon, Seq("doc_id"))
+      val withTok = deduped.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCountWs(col("text")).as("tok"))
+      val mixed = Corpus.mixtureSample(withTok, col("doc_id"),
+        col("source"), col("tok"), pipeWeights.toMap)
+      Corpus.shuffleShard(mixed, col("doc_id"), nShards = 4)
+        .orderBy("pos")
+    }),
 
     // reproducible shuffle + round-robin sharding: md5 training order,
     // distributed global row number, balanced shards
@@ -217,6 +249,36 @@ object CorpusQueries {
          WHERE CASE $keepCase ELSE FALSE END
          ORDER BY doc_id"""
     },
+    "corpus_pipeline" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents),
+         ${LlmQueries.c4SigCtes},
+         kept AS (SELECT d.doc_id, d.text, d.source FROM documents d
+                  JOIN (SELECT doc_id FROM sig
+                        WHERE ${LlmQueries.c4KeepPred}) k
+                  ON d.doc_id = k.doc_id),
+         fpt AS (SELECT doc_id, source, text, $normSql AS norm
+                 FROM kept),
+         canon AS (SELECT min(doc_id) AS doc_id FROM fpt GROUP BY norm),
+         ded AS (SELECT f.doc_id, f.source, f.text FROM fpt f
+                 JOIN canon c ON f.doc_id = c.doc_id),
+         t2 AS (SELECT doc_id, source, $tokWsSql AS tok FROM ded),
+         w(src, wt) AS (VALUES ${weightsVals(pipeWeights)}),
+         tot AS (SELECT source, wt, CAST(sum(tok) AS BIGINT) AS stok
+                 FROM t2 JOIN w ON t2.source = w.src GROUP BY source, wt),
+         nm AS (SELECT min(stok / wt) AS nmax FROM tot),
+         r AS (SELECT source, wt * nmax / stok AS rate
+               FROM tot CROSS JOIN nm),
+         mixed AS (SELECT t2.doc_id, t2.source, t2.tok,
+                   round(r.rate, 6) AS rate
+                   FROM t2 JOIN r ON t2.source = r.source
+                   WHERE r.rate >= 1.0 OR
+                     ('0x' || substr(md5(t2.doc_id || 'graft'), 1, 4))::INT
+                       < CAST(floor(r.rate * 65536) AS INT)),
+         posn AS (SELECT *, CAST(row_number() OVER (
+                    ORDER BY md5(doc_id || 'graft'), doc_id) AS BIGINT)
+                    AS pos FROM mixed)
+         SELECT doc_id, source, tok, rate, pos, (pos - 1) % 4 AS shard
+         FROM posn ORDER BY pos""",
     "corpus_shard" ->
       """SELECT doc_id, pos, (pos - 1) % 8 AS shard FROM (
            SELECT doc_id, CAST(row_number() OVER (
@@ -224,12 +286,9 @@ object CorpusQueries {
            FROM documents)
          ORDER BY pos""",
     "corpus_mix" -> {
-      val vals = mixWeights.map { case (src, w) =>
-        s"('$src', CAST($w AS DOUBLE))" // bare 0.5 parses as DECIMAL
-      }.mkString(", ")
       s"""WITH t AS (SELECT doc_id, source, $tokWsSql AS tok
              FROM documents),
-         w(src, wt) AS (VALUES $vals),
+         w(src, wt) AS (VALUES ${weightsVals(mixWeights)}),
          tot AS (SELECT source, wt, CAST(sum(tok) AS BIGINT) AS stok
                  FROM t JOIN w ON t.source = w.src GROUP BY source, wt),
          nm AS (SELECT min(stok / wt) AS nmax FROM tot),

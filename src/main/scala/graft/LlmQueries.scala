@@ -40,6 +40,58 @@ object LlmQueries {
   private val normSql =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** C4-signal CTE chain over a (doc_id, text) relation named u —
+    * yields `sig` with the per-doc heuristics (TextAnalysis.c4Signals
+    * twin). Shared by text_c4_filters and the composed pipeline. */
+  private[graft] val c4SigCtes =
+    s"""base AS (SELECT doc_id, text AS raw,
+           string_split($normSql, ' ') AS toks,
+           list_filter(list_transform(string_split(text, chr(10)),
+             l -> trim(l)), l -> len(l) > 0) AS lines
+         FROM u),
+       st AS (SELECT doc_id, raw, toks, lines,
+           CASE WHEN len(raw) = 0 OR (len(toks) = 1 AND toks[1] = '')
+                THEN 0 ELSE len(toks) END AS n_words FROM base),
+       sig AS (SELECT doc_id,
+         CAST(n_words AS INT) AS n_words,
+         round(CASE WHEN n_words = 0 THEN 0.0
+           ELSE CAST(list_sum(list_transform(toks, t -> len(t)))
+             AS DOUBLE) / n_words END, 6) AS mean_word_len,
+         round(CASE WHEN n_words = 0 THEN 0.0
+           ELSE CAST(len(list_filter(toks,
+             t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / n_words
+           END, 6) AS alpha_ratio,
+         round(CASE WHEN n_words = 0 THEN 0.0
+           ELSE CAST((len(raw) - len(replace(raw, '#', ''))) +
+             (len(raw) - len(replace(raw, chr(8230), ''))) AS DOUBLE)
+             / n_words END, 6) AS symbol_ratio,
+         CAST(len(regexp_extract_all(raw, '[.!?]')) AS INT)
+           AS sent_marks,
+         round(CASE WHEN len(lines) = 0 THEN 0.0
+           ELSE CAST(len(list_filter(lines,
+             l -> regexp_matches(l, '[.!?"]$$'))) AS DOUBLE)
+             / len(lines) END, 6) AS term_line_ratio,
+         round(CASE WHEN len(lines) = 0 THEN 0.0
+           ELSE CAST(len(list_filter(lines, l -> regexp_matches(l,
+             '^[-*' || chr(8226) || ']'))) AS DOUBLE)
+             / len(lines) END, 6) AS bullet_line_ratio,
+         round(CASE WHEN len(lines) = 0 THEN 0.0
+           ELSE CAST(len(list_filter(lines, l -> regexp_matches(l,
+             '(\\.\\.\\.|' || chr(8230) || ')$$'))) AS DOUBLE)
+             / len(lines) END, 6) AS ellipsis_line_ratio,
+         contains(lower(raw), 'lorem ipsum') AS has_lorem,
+         contains(raw, '{') AS has_curly,
+         contains(lower(raw), 'javascript') AS has_js
+         FROM st)"""
+
+  /** The keep decision over `sig` columns (c4Signals twin). */
+  private[graft] val c4KeepPred =
+    """n_words BETWEEN 50 AND 100000
+       AND mean_word_len BETWEEN 3.0 AND 10.0
+       AND alpha_ratio >= 0.8 AND symbol_ratio <= 0.1
+       AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
+       AND NOT has_lorem AND NOT has_curly"""
+
   /** DuckDB replica of the deterministic IVF path (same Rademacher
     * centroids — dims fixed at 64 across all SFs —, same (dot DESC,
     * cell DESC) probe order, same (cos DESC, corpus_id) ranking): the
@@ -866,50 +918,8 @@ object LlmQueries {
                chr(10) || '- item three'),
              (3000004, 'to be continued...' || chr(10) || 'and more' ||
                chr(8230))) v(doc_id, text)),
-         base AS (SELECT doc_id, text AS raw,
-             string_split($normSql, ' ') AS toks,
-             list_filter(list_transform(string_split(text, chr(10)),
-               l -> trim(l)), l -> len(l) > 0) AS lines
-           FROM u),
-         st AS (SELECT doc_id, raw, toks, lines,
-             CASE WHEN len(raw) = 0 OR (len(toks) = 1 AND toks[1] = '')
-                  THEN 0 ELSE len(toks) END AS n_words FROM base),
-         sig AS (SELECT doc_id,
-           CAST(n_words AS INT) AS n_words,
-           round(CASE WHEN n_words = 0 THEN 0.0
-             ELSE CAST(list_sum(list_transform(toks, t -> len(t)))
-               AS DOUBLE) / n_words END, 6) AS mean_word_len,
-           round(CASE WHEN n_words = 0 THEN 0.0
-             ELSE CAST(len(list_filter(toks,
-               t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / n_words
-             END, 6) AS alpha_ratio,
-           round(CASE WHEN n_words = 0 THEN 0.0
-             ELSE CAST((len(raw) - len(replace(raw, '#', ''))) +
-               (len(raw) - len(replace(raw, chr(8230), ''))) AS DOUBLE)
-               / n_words END, 6) AS symbol_ratio,
-           CAST(len(regexp_extract_all(raw, '[.!?]')) AS INT)
-             AS sent_marks,
-           round(CASE WHEN len(lines) = 0 THEN 0.0
-             ELSE CAST(len(list_filter(lines,
-               l -> regexp_matches(l, '[.!?"]$$'))) AS DOUBLE)
-               / len(lines) END, 6) AS term_line_ratio,
-           round(CASE WHEN len(lines) = 0 THEN 0.0
-             ELSE CAST(len(list_filter(lines, l -> regexp_matches(l,
-               '^[-*' || chr(8226) || ']'))) AS DOUBLE)
-               / len(lines) END, 6) AS bullet_line_ratio,
-           round(CASE WHEN len(lines) = 0 THEN 0.0
-             ELSE CAST(len(list_filter(lines, l -> regexp_matches(l,
-               '(\\.\\.\\.|' || chr(8230) || ')$$'))) AS DOUBLE)
-               / len(lines) END, 6) AS ellipsis_line_ratio,
-           contains(lower(raw), 'lorem ipsum') AS has_lorem,
-           contains(raw, '{') AS has_curly,
-           contains(lower(raw), 'javascript') AS has_js
-           FROM st)
-         SELECT *, (n_words BETWEEN 50 AND 100000
-           AND mean_word_len BETWEEN 3.0 AND 10.0
-           AND alpha_ratio >= 0.8 AND symbol_ratio <= 0.1
-           AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
-           AND NOT has_lorem AND NOT has_curly) AS keep
+         $c4SigCtes
+         SELECT *, ($c4KeepPred) AS keep
          FROM sig ORDER BY doc_id""",
     "text_normalize" ->
       """WITH u AS (SELECT doc_id, text FROM documents
