@@ -193,6 +193,31 @@ class LlmSpec extends AnyFunSuite {
     assert(!out.keys.exists(_.contains("unrelated")))
   }
 
+  test("duplicatePassages equals a naive reference on a random corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val corpus = (0 until 40).map { i =>
+      val n = rnd.nextInt(15)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val (window, stride) = (3, 2)
+    val naive = corpus.flatMap { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val nw = if (toks.length >= window)
+        (toks.length - window) / stride + 1 else 0
+      (0 until nw)
+        .map(i => toks.slice(i * stride, i * stride + window).mkString(" "))
+        .distinct.map(p => (p, id))
+    }.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).min))
+      .filter(_._2._1 >= 2)
+      .toMap.map { case (p, (n, f)) => (p, n, f) }.toSet
+    val got = Dedup.duplicatePassages(corpus.toDF("doc_id", "text"),
+        "text", "doc_id", window, stride)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == naive && naive.nonEmpty)
+  }
+
   test("semanticDedup drops the within-cell near-copy, keeps originals") {
     // 1↦copy of 0 (same cell, cos=1) → removed_by 0; 2 is the antipode
     // (different cell, cos=-1 anyway); 3 orthogonal-ish → kept
