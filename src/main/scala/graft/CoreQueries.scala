@@ -627,6 +627,19 @@ object CoreQueries {
     // as-of join: each purchase event picks up the latest click value
     // at-or-before its timestamp per user — union + one keyed window,
     // no join node (see Relational.asofJoin scaladoc); DuckDB's native
+    // ordered funnel view→click→purchase: per-stage conditional min
+    // aggregates over (user, ts) slim projections — no per-user event
+    // sort, no mapGroups state
+    "events_funnel" -> ((s, dir) =>
+      Relational.funnel(Tables.events(s, dir), "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          unix_micros(col("ts_1")).as("t1_us"),
+          unix_micros(col("ts_2")).as("t2_us"),
+          unix_micros(col("ts_3")).as("t3_us"),
+          col("ts_3").isNotNull.as("completed"))
+        .orderBy("user_id")),
+
     // ASOF LEFT JOIN is the oracle
     "events_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -708,6 +721,23 @@ object CoreQueries {
     "source_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
          ORDER BY s_suppkey""",
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+             JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.ts1
+             GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+             JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.ts2
+             GROUP BY e.user_id)
+         SELECT s1.user_id, epoch_us(s1.ts1) AS t1_us,
+           epoch_us(s2.ts2) AS t2_us, epoch_us(s3.ts3) AS t3_us,
+           s3.ts3 IS NOT NULL AS completed
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+         LEFT JOIN s3 ON s1.user_id = s3.user_id
+         ORDER BY s1.user_id""",
     "events_asof_join" ->
       """WITH c AS (SELECT user_id, ts, max(value) AS click_value
              FROM events WHERE event_type = 'click' GROUP BY 1, 2),

@@ -194,6 +194,36 @@ object Relational {
         nullable = false)))
   }
 
+  /** Ordered-funnel completion per key: stage 1 completes at its
+    * earliest event; stage n at its earliest event STRICTLY AFTER
+    * stage n−1's completion. One row per key that entered the funnel,
+    * with per-stage completion timestamps (null = never reached).
+    *
+    * Scale shape: each stage is a conditional min-aggregate over a
+    * (key, ts) slim projection joined to the previous stage's one-row-
+    * per-key table — shuffles carry key+timestamp only, no per-key
+    * event sorting, no mapGroups state. N stages = N narrow
+    * aggregates; AQE collapses the per-stage joins to broadcasts when
+    * the funnel head is selective. */
+  def funnel(events: DataFrame, keyCol: String, typeCol: String,
+             tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val slim = events.select(col(keyCol).as("__k"),
+      col(typeCol).as("__t"), col(tsCol).as("__ts"))
+    var acc = slim.filter(col("__t") === stages.head)
+      .groupBy("__k").agg(min(col("__ts")).as("ts_1"))
+    for ((st, i) <- stages.tail.zipWithIndex) {
+      val n = i + 2
+      val prev = s"ts_${n - 1}"
+      val stageMin = slim.filter(col("__t") === st)
+        .join(acc.select(col("__k"), col(prev)), Seq("__k"))
+        .filter(col("__ts") > col(prev))
+        .groupBy("__k").agg(min(col("__ts")).as(s"ts_$n"))
+      acc = acc.join(stageMin, Seq("__k"), "left_outer")
+    }
+    acc.withColumnRenamed("__k", keyCol)
+  }
+
   /** Salted join for skewed keys: when one fact key dominates (a
     * boilerplate document, a mega-customer) a plain shuffle join funnels
     * it into one task. Salting spreads each fact key over `nSalt`

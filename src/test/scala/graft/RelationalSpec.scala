@@ -116,4 +116,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(out("s1") == """{"dim=d1":{"cnt":10},"dim=d2":{"cnt":20}}""")
     assert(out("s2") == """{"dim=d1":{"cnt":5}}""")
   }
+
+  test("funnel: strict-after ordering, incomplete stages stay null") {
+    import spark.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 00:00:$sec%02d")
+    // u1 completes in order; u2 clicked BEFORE viewing (stage 2 null,
+    // purchase therefore unreachable); u3 never purchases; u4 never
+    // enters (no view)
+    val ev = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      (1L, "click", ts(5)), // later click must not shift min
+      (2L, "click", ts(1)), (2L, "view", ts(2)), (2L, "purchase", ts(3)),
+      (3L, "view", ts(1)), (3L, "click", ts(4)),
+      (4L, "click", ts(1)), (4L, "purchase", ts(2)))
+      .toDF("user_id", "event_type", "ts")
+    val out = Relational.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .select($"user_id", $"ts_1", $"ts_2", $"ts_3").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))  // u4 absent
+    val u1 = out(0); val u2 = out(1); val u3 = out(2)
+    assert(u1.getTimestamp(1) == ts(1) && u1.getTimestamp(2) == ts(2) &&
+      u1.getTimestamp(3) == ts(3))
+    assert(u2.getTimestamp(1) == ts(2) && u2.getTimestamp(2) == null &&
+      u2.getTimestamp(3) == null)
+    assert(u3.getTimestamp(2) == ts(4) && u3.getTimestamp(3) == null)
+  }
 }
