@@ -144,6 +144,49 @@ object StreamOps {
     q
   }
 
+  /** Continuous embedding ingest with semantic-dedup suppression — the
+    * embedding twin of [[continuousDedupIngest]]: within-batch keep-min
+    * semantic dedup ([[graft.llm.Dedup.semanticDedup]]), then a
+    * cell-bucketed cosine probe of the STANDING IVF index (same-cell
+    * candidates only — never all-pairs), appending only novel vectors
+    * to the corpus and their (cell, id, vec) entries to the index.
+    * Table-backed state: replay-safe (replayed vectors self-suppress
+    * against their own index entries), corpus-wide horizon. */
+  def continuousSemanticIngest(vecs: DataFrame, vecCol: String,
+      idCol: String, corpusPath: String, indexPath: String,
+      cents: Seq[Seq[Double]],
+      threshold: Double = 0.95): StreamingQuery = {
+    import graft.llm.{Dedup, Similarity}
+    val q = vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val keepIds = Dedup.semanticDedup(batch, vecCol, idCol, cents,
+              threshold)
+            .filter(col("keep")).select(col("id").as(idCol))
+          val kept = batch.join(keepIds, Seq(idCol))
+          val keptIdx = Similarity.ivfIndexTable(kept, vecCol, idCol, cents)
+          val novelIdx = if (new java.io.File(indexPath).exists()) {
+            val standing = s.read.parquet(indexPath)
+              .select(col("cell"), col("cvec").as("__ovec"))
+            val dup = keptIdx.join(standing, Seq("cell"))
+              .filter(Similarity.cosine(col("cvec"), col("__ovec"))
+                >= threshold)
+              .select("corpus_id").distinct()
+            keptIdx.join(dup, Seq("corpus_id"), "left_anti")
+          } else keptIdx
+          batch.join(novelIdx.select(col("corpus_id").as(idCol)),
+              Seq(idCol))
+            .write.mode("append").parquet(corpusPath)
+          novelIdx.write.mode("append").parquet(indexPath)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** SURVEY §2.10's upgrade path, verbatim: `Trigger.AvailableNow`
     * micro-batches with the reference's `_rng` table as the manual
     * commit log. Each batch records its (min dt, max dt, row count)

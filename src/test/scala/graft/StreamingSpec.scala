@@ -163,6 +163,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).select("id").distinct().count() == 4)
   }
 
+  test("continuousSemanticIngest suppresses near-copy vectors against " +
+       "the growing IVF index") {
+    import graft.llm.Similarity
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "csi").toString
+    val corpus = s"$base/corpus"; val idx = s"$base/index"
+    val in = s"$base/in"
+    val cents = Similarity.rademacherPlanes(4, 8)
+    def vec(seed: Int): Array[Double] =
+      Array.tabulate(8)(d => math.sin(seed * 8 + d + 1))
+    // batch 1: three distinct vectors + an in-batch scaled copy of v0
+    Seq((0L, vec(0)), (1L, vec(1)), (2L, vec(2)),
+        (3L, vec(0).map(_ * 2.0)))
+      .toDF("vec_id", "embedding").write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    StreamOps.continuousSemanticIngest(
+      StreamOps.readTableStream(spark, in, schema),
+      "embedding", "vec_id", corpus, idx, cents)
+    assert(spark.read.parquet(corpus).select("vec_id")
+      .as[Long].collect().toSet == Set(0L, 1L, 2L))
+    // batch 2: a scaled copy of v1 (suppressed vs standing index) + new
+    Seq((10L, vec(1).map(_ * 0.5)), (11L, vec(7)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(in)
+    StreamOps.continuousSemanticIngest(
+      StreamOps.readTableStream(spark, in, schema),
+      "embedding", "vec_id", corpus, idx, cents)
+    // replay of batch 1 self-suppresses against its own index entries
+    val ids = spark.read.parquet(corpus)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 1L, 2L, 11L),
+      s"3 (in-batch copy) and 10 (standing near-copy) suppressed: $ids")
+    assert(spark.read.parquet(idx).select("corpus_id").distinct()
+      .count() == 4)
+  }
+
   test("etl bookkeeping: reportNextDt resumes from max date") {
     val df = Seq("2016-01-01", "2016-01-05").toDF("dw_dt")
     val (start, end) = graft.etl.TableOps.reportNextDt(df, "dw_dt",
