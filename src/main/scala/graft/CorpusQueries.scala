@@ -80,10 +80,11 @@ object CorpusQueries {
     // survivors) are checked, not just each stage alone
     "corpus_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val keepIds = TextAnalysis.c4Signals(docs, "doc_id", "text")
-        .filter(col("keep")).select("doc_id")
-      val kept = docs.select("doc_id", "text", "source")
-        .join(keepIds, Seq("doc_id"))
+      // carry= keeps text/source through the signal projection, so the
+      // clean stage is a pushed filter, not a join back on doc_id
+      val kept = TextAnalysis.c4Signals(docs, "doc_id", "text",
+          carry = Seq("text", "source"))
+        .filter(col("keep")).select("doc_id", "text", "source")
       val canon = Dedup.exactDedup(kept, "text", "doc_id")
         .select(col("canonical_id").as("doc_id"))
       val deduped = kept.join(canon, Seq("doc_id"))

@@ -145,27 +145,31 @@ object TextAnalysis {
     *
     * Token and line arrays are staged in separate projections before
     * multi-use — lambda bodies are not subexpression-eliminated.
+    * `carry` columns flow through unchanged, so a cleaning stage can
+    * `.filter(keep)` inline instead of joining survivors back by id.
     */
-  def c4Signals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def c4Signals(df: DataFrame, idCol: String, textCol: String,
+                carry: Seq[String] = Nil): DataFrame = {
     val raw = coalesce(col(textCol), lit(""))
-    val staged = df.select(col(idCol), raw.as("__raw"),
+    val carryCols = carry.filterNot(_ == idCol).map(col)
+    val staged = df.select(Seq(col(idCol), raw.as("__raw"),
         split(normalizeText(raw), " ").as("__toks"),
         filter(transform(split(raw, "\n"), l => trim(l)),
-          l => length(l) > 0).as("__lines"))
-      .select(col(idCol), col("__raw"), col("__lines"),
+          l => length(l) > 0).as("__lines")) ++ carryCols: _*)
+      .select(Seq(col(idCol), col("__raw"), col("__lines"),
         when(length(col("__raw")) === 0 ||
              size(col("__toks")) === 0, lit(0))
           .otherwise(when(col("__toks").getItem(0) === "" &&
                           size(col("__toks")) === 1, lit(0))
             .otherwise(size(col("__toks")))).as("n_words"),
-        col("__toks"))
+        col("__toks")) ++ carryCols: _*)
     val nz = col("n_words") =!= 0
     val nLines = size(col("__lines"))
     def lineRatio(pred: Column => Column): Column =
       when(nLines === 0, lit(0.0))
         .otherwise(size(filter(col("__lines"), pred)).cast("double") /
           nLines)
-    staged.select(col(idCol), col("n_words"),
+    staged.select(Seq(col(idCol), col("n_words"),
         round(when(nz, aggregate(transform(col("__toks"),
               t => length(t).cast("long")), lit(0L), (a, x) => a + x)
             .cast("double") / col("n_words")).otherwise(lit(0.0)), 6)
@@ -191,6 +195,7 @@ object TextAnalysis {
         lower(col("__raw")).contains("lorem ipsum").as("has_lorem"),
         col("__raw").contains("{").as("has_curly"),
         lower(col("__raw")).contains("javascript").as("has_js"))
+        ++ carryCols: _*)
       .withColumn("keep",
         col("n_words").between(50, 100000) &&
         col("mean_word_len").between(3.0, 10.0) &&
