@@ -518,6 +518,16 @@ object LlmQueries {
       TextAnalysis.collocations(t(s, dir, "documents"), "doc_id", "text",
         minCount = 5L, topK = 50)),
 
+    // quality-weighted sampling: keep probability-by-hash equal to the
+    // (deterministic, rounded) quality score — Corpus.rateSample with a
+    // data-computed per-row rate
+    "corpus_quality_sample" -> ((s, dir) => {
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.llm.Corpus.rateSample(staged, col("doc_id"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition signals: per-row token stats + exploded
     // bigram counts (shuffles carry (id, bigram, cnt), never text)
     "text_repetition" -> ((s, dir) =>
@@ -984,6 +994,33 @@ object LlmQueries {
                  ELSE CAST(sw_cnt AS DOUBLE) / tok_ws END) * 4.0, 1.0))
              / 3.0, 6) AS quality
          FROM base ORDER BY doc_id"""
+    },
+    "corpus_quality_sample" -> {
+      val en = TextAnalysis.langStopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id,
+             CAST(length(text) AS INT) AS n_chars,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS INT) AS tok_ws,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+               AS INT) AS punct_cnt,
+             len(list_filter(string_split($normSql, ' '),
+               t -> t IN ($en))) AS sw_cnt
+           FROM documents),
+         q AS (SELECT doc_id,
+           round((least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+             + greatest(0.0, 1.0 - (CASE WHEN n_chars = 0 THEN 0.0
+                 ELSE CAST(punct_cnt AS DOUBLE) / n_chars END) * 5.0)
+             + least((CASE WHEN tok_ws = 0 THEN 0.0
+                 ELSE CAST(sw_cnt AS DOUBLE) / tok_ws END) * 4.0, 1.0))
+             / 3.0, 6) AS quality
+           FROM base)
+         SELECT doc_id, quality FROM q
+         WHERE quality >= 1.0 OR
+           ('0x' || substr(md5(doc_id || 'graft'), 1, 4))::INT
+             < CAST(floor(quality * 65536) AS INT)
+         ORDER BY doc_id"""
     },
     "text_repetition" ->
       s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS w

@@ -147,14 +147,25 @@ object Corpus {
     val rates = totals.crossJoin(nmax)
       .select(col("__src"),
         (col("__w") * col("__nmax") / col("__tok")).as("__rate"))
+    rateSample(df.join(broadcast(rates), sourceCol === col("__src")),
+        keyCol, col("__rate"), seed)
+      .withColumn("rate", round(col("__rate"), 6))
+      .drop("__src", "__rate")
+  }
+
+  /** Per-row hash sampling at an arbitrary rate EXPRESSION:
+    * [[stratifiedSample]] generalized from per-stratum literal rates to
+    * a data-computed rate per row (quality-weighted corpus sampling,
+    * mixture rates, …). Keep iff the integer value of the 4-hex-char
+    * md5(key ‖ seed) prefix < floor(rate·65536), rate ≥ 1 keeps
+    * unconditionally — deterministic in (key, seed): re-runs, corpus
+    * growth, and repartitioning never migrate a row in or out. */
+  def rateSample(df: DataFrame, keyCol: Column, rate: Column,
+                 seed: String = "graft"): DataFrame = {
     val prefixInt = conv(
       substring(md5(concat(keyCol.cast("string"), lit(seed))), 1, 4),
       16, 10).cast("int")
-    df.join(broadcast(rates), sourceCol === col("__src"))
-      .filter(col("__rate") >= 1.0 ||
-        prefixInt < floor(col("__rate") * 65536).cast("int"))
-      .withColumn("rate", round(col("__rate"), 6))
-      .drop("__src", "__rate")
+    df.filter(rate >= 1.0 || prefixInt < floor(rate * 65536).cast("int"))
   }
 
   /** Reproducible corpus shuffle + round-robin sharding: the global
