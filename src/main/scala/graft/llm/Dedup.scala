@@ -476,8 +476,7 @@ object Dedup {
     val staged = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     val sigBits = planeLits.map { w =>
-      val dot = aggregate(zip_with(col("vec"), w, (x, ww) => x * ww),
-                          lit(0.0), (acc, x) => acc + x)
+      val dot = Similarity.fastDot(col("vec"), w)
       when(dot >= 0, lit(1)).otherwise(lit(0)).cast("string")
     }
     val base = staged.withColumn("bucket", concat(sigBits: _*))

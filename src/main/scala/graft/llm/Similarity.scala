@@ -128,9 +128,7 @@ object Similarity {
     * staged array<double> attribute. */
   def cellsFor(vec: Column, cents: Seq[Seq[Double]], nProbe: Int): Column = {
     val dots = cents.zipWithIndex.map { case (c, i) =>
-      struct(aggregate(zip_with(vec, typedlit(c), (x, w) => x * w),
-                       lit(0.0), (s, x) => s + x).as("dot"),
-             lit(i).as("cell"))
+      struct(fastDot(vec, typedlit(c)).as("dot"), lit(i).as("cell"))
     }
     transform(
       slice(reverse(array_sort(array(dots: _*))), lit(1), lit(nProbe)),
