@@ -104,6 +104,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.sortBy(_._2).map(_._1).take(20).toSeq != (0L until 20L).toSeq)
   }
 
+  test("rateSample: monotone in rate (kept sets nest), exact at 0 and 1") {
+    val ids = (0L until 2000L).toDF("id")
+    def kept(r: Double): Set[Long] =
+      Corpus.rateSample(ids, col("id"), lit(r))
+        .select($"id").as[Long].collect().toSet
+    val k3 = kept(0.3); val k6 = kept(0.6)
+    assert(k3.subsetOf(k6))          // raising the rate only ADDS rows
+    assert(kept(0.0).isEmpty && kept(1.0).size == 2000)
+    assert(k3.size > 450 && k3.size < 750) // ~0.3 of 2000
+  }
+
   test("writeShards: shard dirs hold disjoint covering ids in pos order") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "shards").toString
