@@ -621,12 +621,6 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
-    // gap-based sessionization via native session_window (the batch
-    // form of StreamOps.sessionizedAgg; streaming twin in
-    // StreamingSpec). Epoch-micros output dodges strftime dialects.
-    // as-of join: each purchase event picks up the latest click value
-    // at-or-before its timestamp per user — union + one keyed window,
-    // no join node (see Relational.asofJoin scaladoc); DuckDB's native
     // ordered funnel view→click→purchase: per-stage conditional min
     // aggregates over (user, ts) slim projections — no per-user event
     // sort, no mapGroups state
@@ -640,6 +634,9 @@ object CoreQueries {
           col("ts_3").isNotNull.as("completed"))
         .orderBy("user_id")),
 
+    // as-of join: each purchase event picks up the latest click value
+    // at-or-before its timestamp per user — union + one keyed window,
+    // no join node (see Relational.asofJoin scaladoc); DuckDB's native
     // ASOF LEFT JOIN is the oracle
     "events_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -688,6 +685,9 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // gap-based sessionization via native session_window (the batch
+    // form of StreamOps.sessionizedAgg; streaming twin in
+    // StreamingSpec). Epoch-micros output dodges strftime dialects.
     "events_session_agg" -> ((s, dir) =>
       graft.streaming.StreamOps.sessionizedAgg(
           t(s, dir, "events"), "ts", "user_id", "30 minutes")

@@ -915,7 +915,7 @@ object LlmQueries {
                WHERE bc.c_bg >= 5)
          SELECT bg, CAST(c_bg AS BIGINT) AS c_bg,
            round(ln(CAST(c_bg AS DOUBLE) * n_u * n_u /
-             (n_bg * c_w1 * c_w2)), 6) AS pmi
+             (CAST(n_bg AS DOUBLE) * c_w1 * c_w2)), 6) AS pmi
          FROM j CROSS JOIN nu CROSS JOIN nb
          ORDER BY pmi DESC, bg LIMIT 50""",
     "text_c4_filters" ->

@@ -181,11 +181,15 @@ object Corpus {
     * Output: input columns + (pos: long starting at 1, shard: long).
     */
   def shuffleShard(df: DataFrame, keyCol: Column, nShards: Int,
-                   seed: String = "graft"): DataFrame = {
+                   seed: String = "graft",
+                   nPartitions: Int = 32): DataFrame = {
     require(nShards > 0, s"nShards must be > 0, got $nShards")
     val staged = df.withColumn("__h",
       md5(concat(keyCol.cast("string"), lit(seed))))
-    Relational.globalRowNumber(staged, Seq(col("__h"), keyCol), "pos")
+    // nPartitions sizes the range-repartitioned numbering stage — raise
+    // it with the corpus so no task sorts more than ~a few GB
+    Relational.globalRowNumber(staged, Seq(col("__h"), keyCol), "pos",
+        nPartitions)
       .withColumn("shard", pmod(col("pos") - 1, lit(nShards.toLong)))
       .drop("__h")
   }
@@ -196,9 +200,12 @@ object Corpus {
     * a partitioned write (the layout a data loader consumes
     * sequentially per worker). */
   def writeShards(df: DataFrame, keyCol: Column, nShards: Int,
-                  path: String, seed: String = "graft"): Unit =
-    shuffleShard(df, keyCol, nShards, seed)
-      .repartition(nShards, col("shard"))
+                  path: String, seed: String = "graft",
+                  nPartitions: Int = 32): Unit =
+    shuffleShard(df, keyCol, nShards, seed, nPartitions)
+      // RANGE repartition: hash(shard) % n would collide ~1/e of the
+      // writer tasks empty and leave stragglers carrying 2-3 shards
+      .repartitionByRange(nShards, col("shard"), col("pos"))
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

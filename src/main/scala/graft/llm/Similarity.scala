@@ -77,18 +77,22 @@ object Similarity {
       }
     }
 
-  /** Exact brute-force top-k: for each query vector, the k most cosine-
-    * similar corpus vectors (self-match excluded). Queries are broadcast;
-    * ranking is a window partitioned by query id (k small, queries few —
-    * the per-query partitions are the only shuffle). */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-                     idCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"),
-                          asDouble(col(vecCol)).as("cvec"))
-    val q = queries.select(col(idCol).as("query_id"),
-                           asDouble(col(vecCol)).as("qvec"))
+  /** Shared scan-rank kernel for the exact top-k searches: corpus ×
+    * broadcast(queries), candidate-pair predicate, cosine, per-query
+    * rank window over candidates only. `extraCols` lets a caller
+    * carry side columns (labels) into the predicate. */
+  private def scanTopK(corpus: DataFrame, queries: DataFrame,
+                       vecCol: String, idCol: String, k: Int,
+                       extraCols: Seq[(String, String)],
+                       pairPred: Column): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id") +:
+      asDouble(col(vecCol)).as("cvec") +:
+      extraCols.map { case (src, as) => col(src).as(s"c_$as") }: _*)
+    val q = queries.select(col(idCol).as("query_id") +:
+      asDouble(col(vecCol)).as("qvec") +:
+      extraCols.map { case (src, as) => col(src).as(s"q_$as") }: _*)
     val scored = c.crossJoin(broadcast(q))
-      .filter(col("corpus_id") =!= col("query_id"))
+      .filter(pairPred)
       .select(col("query_id"), col("corpus_id"),
               cosine(col("cvec"), col("qvec")).as("cos"))
     val w = Window.partitionBy("query_id")
@@ -99,6 +103,15 @@ object Similarity {
               round(col("cos"), 4).as("cos"))
   }
 
+  /** Exact brute-force top-k: for each query vector, the k most cosine-
+    * similar corpus vectors (self-match excluded). Queries are broadcast;
+    * ranking is a window partitioned by query id (k small, queries few —
+    * the per-query partitions are the only shuffle). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                     idCol: String, k: Int): DataFrame =
+    scanTopK(corpus, queries, vecCol, idCol, k, Nil,
+      col("corpus_id") =!= col("query_id"))
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the `k` most cosine-similar corpus vectors carrying a
     * DIFFERENT label — the near-miss negatives that actually teach.
@@ -106,22 +119,9 @@ object Similarity {
     * [[bruteForceTopK]]; the label inequality filters BEFORE ranking,
     * so the full k true negatives always return. */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
-                    idCol: String, labelCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"),
-      col(labelCol).as("c_label"), asDouble(col(vecCol)).as("cvec"))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(labelCol).as("q_label"), asDouble(col(vecCol)).as("qvec"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("c_label") =!= col("q_label"))
-      .select(col("query_id"), col("corpus_id"),
-              cosine(col("cvec"), col("qvec")).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("rank"),
-              round(col("cos"), 4).as("cos"))
-  }
+                    idCol: String, labelCol: String, k: Int): DataFrame =
+    scanTopK(corpus, queries, vecCol, idCol, k,
+      Seq(labelCol -> "label"), col("c_label") =!= col("q_label"))
 
   /** IVF cell assignment against explicit centroid literals: the
     * `nProbe` nearest by dot product, nearest first. `vec` must be a

@@ -215,9 +215,10 @@ object TextAnalysis {
     * count) with map-side combine — never doc ids or text; corpus
     * totals are two one-row aggregates cross-joined as literals-at-
     * runtime; the min-count filter shrinks the bigram side BEFORE the
-    * two word-key joins against the unigram counts. All-integer count
-    * arithmetic until the final double division keeps the statistic
-    * engine-exact.
+    * two word-key joins against the unigram counts. The PMI products
+    * run in double from the first multiplication (identical op order in
+    * every engine ⇒ still exact parity; the all-int64 form would
+    * overflow at web-corpus counts).
     */
   def collocations(df: DataFrame, idCol: String, textCol: String,
                    minCount: Long = 5L, topK: Int = 50): DataFrame = {
@@ -237,9 +238,12 @@ object TextAnalysis {
       .join(uc.select(col("tok").as("__w2"), col("c_w").as("c_w2")),
         Seq("__w2"))
       .crossJoin(nU).crossJoin(nB)
+    // denominator in double from the first product: the all-long form
+    // overflows int64 at web scale (n_bg ~ 1e11 × two 1e9 counts)
     joined.select(col("bg"), col("c_bg"),
         round(log(col("c_bg").cast("double") * col("n_u") * col("n_u") /
-          (col("n_bg") * col("c_w1") * col("c_w2"))), 6).as("pmi"))
+          (col("n_bg").cast("double") * col("c_w1") * col("c_w2"))), 6)
+          .as("pmi"))
       .orderBy(col("pmi").desc, col("bg"))
       .limit(topK)
   }

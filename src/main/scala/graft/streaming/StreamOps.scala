@@ -165,15 +165,34 @@ object StreamOps {
               threshold)
             .filter(col("keep")).select(col("id").as(idCol))
           val kept = batch.join(keepIds, Seq(idCol))
-          val keptIdx = Similarity.ivfIndexTable(kept, vecCol, idCol, cents)
+          // the index stores L2-NORMALIZED vectors: the probe is then a
+          // single fastDot per candidate pair (no per-pair norm
+          // recomputation), and a zero vector dots to 0 instead of the
+          // NaN that ratio-form cosine yields — Spark orders NaN above
+          // every number, so one zero entry would otherwise suppress
+          // its whole cell forever
+          val keptIdx = Similarity
+            .ivfIndexTable(kept, vecCol, idCol, cents)
+            .withColumn("__nrm",
+              sqrt(Similarity.fastDot(col("cvec"), col("cvec"))))
+            .select(col("cell"), col("corpus_id"),
+              Similarity.l2NormalizeStaged(col("cvec"), col("__nrm"))
+                .as("cvec"))
           val novelIdx = if (new java.io.File(indexPath).exists()) {
             val standing = s.read.parquet(indexPath)
-              .select(col("cell"), col("cvec").as("__ovec"))
-            val dup = keptIdx.join(standing, Seq("cell"))
-              .filter(Similarity.cosine(col("cvec"), col("__ovec"))
+            // replay safety for ALL vectors (including degenerate zero
+            // ones, which never cosine-match): an id already indexed is
+            // never re-appended
+            val freshIdx = keptIdx.join(
+              standing.select(col("corpus_id")), Seq("corpus_id"),
+              "left_anti")
+            val dup = freshIdx.join(
+                standing.select(col("cell"), col("cvec").as("__ovec")),
+                Seq("cell"))
+              .filter(Similarity.fastDot(col("cvec"), col("__ovec"))
                 >= threshold)
               .select("corpus_id").distinct()
-            keptIdx.join(dup, Seq("corpus_id"), "left_anti")
+            freshIdx.join(dup, Seq("corpus_id"), "left_anti")
           } else keptIdx
           batch.join(novelIdx.select(col("corpus_id").as(idCol)),
               Seq(idCol))
