@@ -296,6 +296,14 @@ object LlmQueries {
           window = 8, stride = 4)
         .orderBy("passage")),
 
+    // sentence-level boilerplate detection: cross-doc repeated
+    // normalized sentences through the same two-phase fp kernel —
+    // over dupCorpus (the genuine corpus repeats token windows but no
+    // FULL sentence, so the planted copies make the probe non-empty)
+    "sentence_dedup" -> ((s, dir) =>
+      Dedup.duplicateSentences(dupCorpus(s, dir), "text", "doc_id")
+        .orderBy("sentence")),
+
     // embedding near-dup via random-hyperplane LSH + cosine verify
     "embedding_dedup" -> ((s, dir) =>
       Dedup.embeddingDedupPairs(dupVectors(s, dir), "embedding", "vec_id",
@@ -815,6 +823,19 @@ object LlmQueries {
          JOIN sizes sa ON sa.id = p.id1
          JOIN sizes sb ON sb.id = p.id2
          ORDER BY p.id1""",
+    "sentence_dedup" ->
+      s"""WITH u AS ($dupCorpusSql),
+         sl AS (SELECT doc_id, list_distinct(list_transform(
+           list_filter(list_transform(
+             string_split_regex(text, '[.!?]+'), x -> trim(x)),
+             x -> len(x) > 0),
+           x -> trim(regexp_replace(lower(x), '\\s+', ' ', 'g')))) AS ss
+           FROM u),
+         d AS (SELECT doc_id, unnest(ss) AS s FROM sl)
+         SELECT s AS sentence, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+         FROM d GROUP BY s HAVING count(*) >= 2
+         ORDER BY sentence""",
     "passage_dedup" ->
       s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
              FROM documents),

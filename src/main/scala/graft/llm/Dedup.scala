@@ -398,21 +398,45 @@ object Dedup {
             .cast("int") + 1).otherwise(lit(0)))
     // sequence(0, -1) yields [0, -1] (negative step!) — the nw=0 case
     // must produce an empty array, which explode then drops
-    val passages = staged.select(col("id"),
-        explode(when(col("__nw") > 0,
+    crossDocDuplicates(
+      staged.select(col("id"),
+        when(col("__nw") > 0,
           array_distinct(transform(sequence(lit(0), col("__nw") - 1),
             i => array_join(
               slice(col("__toks"), i * stride + 1, lit(window)), " "))))
-          .otherwise(array().cast("array<string>"))).as("passage"))
-      .withColumn("fp", xxhash64(col("passage")))
-    val agg = passages.select("fp", "id").groupBy("fp")
+          .otherwise(array().cast("array<string>")).as("units")),
+      "passage")
+  }
+
+  /** Two-phase cross-document duplicate-unit kernel over an (id,
+    * units: array<string>) relation (units already distinct per doc):
+    * count shuffle carries (xxhash64 fp, id) only; representative text
+    * reduces through min() partial aggregation; the final join reuses
+    * both branches' fp partitioning. Shared by [[duplicatePassages]]
+    * and [[duplicateSentences]]. Output: (outCol, n_docs, first_doc).
+    */
+  def crossDocDuplicates(idUnits: DataFrame, outCol: String): DataFrame = {
+    val units = idUnits.select(col("id"), explode(col("units")).as("u"))
+      .withColumn("fp", xxhash64(col("u")))
+    val agg = units.select("fp", "id").groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
-    val rep = passages.groupBy("fp")
-      .agg(min(col("passage")).as("passage"))
+    val rep = units.groupBy("fp").agg(min(col("u")).as(outCol))
     rep.join(agg, Seq("fp"))
-      .select("passage", "n_docs", "first_doc")
+      .select(outCol, "n_docs", "first_doc")
   }
+
+  /** Cross-document duplicated SENTENCES (boilerplate detection at the
+    * sentence grain): normalized sentences deduped per doc map-side,
+    * then the [[crossDocDuplicates]] kernel. */
+  def duplicateSentences(df: DataFrame, textCol: String,
+                         idCol: String): DataFrame =
+    crossDocDuplicates(
+      df.select(col(idCol).as("id"),
+        array_distinct(transform(
+          TextAnalysis.sentences(coalesce(col(textCol), lit(""))),
+          s => TextAnalysis.normalizeText(s))).as("units")),
+      "sentence")
 
   /** SemDeDup-style semantic deduplication over an embedding column:
     * every vector is assigned to its nearest centroid cell, then any
