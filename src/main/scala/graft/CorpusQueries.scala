@@ -90,9 +90,18 @@ object CorpusQueries {
       val deduped = kept.join(canon, Seq("doc_id"))
       val withTok = deduped.select(col("doc_id"), col("source"),
         TextAnalysis.tokenCountWs(col("text")).as("tok"))
+      // materialize the survivors before sharding, exactly as the
+      // reference's tier layering does between stages: globalRowNumber
+      // drives THREE passes over its input (range-boundary sampling,
+      // count, map) — run against the live chain each pass recomputes
+      // clean+dedup+mix AND the composed plan's codegen (measured
+      // 14 s cold / 6.6 s warm; through the table boundary 6 s / 3 s)
       val mixed = Corpus.mixtureSample(withTok, col("doc_id"),
         col("source"), col("tok"), pipeWeights.toMap)
-      Corpus.shuffleShard(mixed, col("doc_id"), nShards = 4)
+      val boundary = Tables.tmpDir + "/corpus_pipeline_mixed"
+      mixed.write.mode("overwrite").parquet(boundary)
+      Corpus.shuffleShard(s.read.parquet(boundary), col("doc_id"),
+          nShards = 4)
         .orderBy("pos")
     }),
 

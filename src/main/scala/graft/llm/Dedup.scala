@@ -400,24 +400,27 @@ object Dedup {
     // must produce an empty array, which explode then drops
     crossDocDuplicates(
       staged.select(col("id"),
-        when(col("__nw") > 0,
+        explode(when(col("__nw") > 0,
           array_distinct(transform(sequence(lit(0), col("__nw") - 1),
             i => array_join(
               slice(col("__toks"), i * stride + 1, lit(window)), " "))))
-          .otherwise(array().cast("array<string>")).as("units")),
+          .otherwise(array().cast("array<string>"))).as("u")),
       "passage")
   }
 
-  /** Two-phase cross-document duplicate-unit kernel over an (id,
-    * units: array<string>) relation (units already distinct per doc):
-    * count shuffle carries (xxhash64 fp, id) only; representative text
-    * reduces through min() partial aggregation; the final join reuses
-    * both branches' fp partitioning. Shared by [[duplicatePassages]]
-    * and [[duplicateSentences]]. Output: (outCol, n_docs, first_doc).
+  /** Two-phase cross-document duplicate-unit kernel over an EXPLODED
+    * (id, u: string) relation (units already distinct per doc; keep
+    * the unit-array expression INSIDE the caller's explode argument —
+    * staging the array in its own projection gets the expensive
+    * window-building expression duplicated into both consumer branches
+    * twice over, measured 3× query time): count shuffle carries
+    * (xxhash64 fp, id) only; representative text reduces through min()
+    * partial aggregation; the final join reuses both branches' fp
+    * partitioning. Shared by [[duplicatePassages]] and
+    * [[duplicateSentences]]. Output: (outCol, n_docs, first_doc).
     */
-  def crossDocDuplicates(idUnits: DataFrame, outCol: String): DataFrame = {
-    val units = idUnits.select(col("id"), explode(col("units")).as("u"))
-      .withColumn("fp", xxhash64(col("u")))
+  def crossDocDuplicates(idUnit: DataFrame, outCol: String): DataFrame = {
+    val units = idUnit.withColumn("fp", xxhash64(col("u")))
     val agg = units.select("fp", "id").groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
@@ -433,9 +436,9 @@ object Dedup {
                          idCol: String): DataFrame =
     crossDocDuplicates(
       df.select(col(idCol).as("id"),
-        array_distinct(transform(
+        explode(array_distinct(transform(
           TextAnalysis.sentences(coalesce(col(textCol), lit(""))),
-          s => TextAnalysis.normalizeText(s))).as("units")),
+          s => TextAnalysis.normalizeText(s)))).as("u")),
       "sentence")
 
   /** SemDeDup-style semantic deduplication over an embedding column:
