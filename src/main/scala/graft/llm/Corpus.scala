@@ -203,9 +203,12 @@ object Corpus {
                   path: String, seed: String = "graft",
                   nPartitions: Int = 32): Unit =
     shuffleShard(df, keyCol, nShards, seed, nPartitions)
-      // RANGE repartition: hash(shard) % n would collide ~1/e of the
-      // writer tasks empty and leave stragglers carrying 2-3 shards
-      .repartitionByRange(nShards, col("shard"), col("pos"))
+      // RANGE repartition on the shard key ALONE: equal keys always
+      // land in one task, so each shard=K dir gets exactly ONE file
+      // whose row order is the training order (adding pos as a range
+      // key would let a sampled boundary split a shard across two
+      // files; hashing would collide ~1/e of the writer tasks empty)
+      .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

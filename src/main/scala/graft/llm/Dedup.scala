@@ -468,13 +468,13 @@ object Dedup {
     // lambda capturing the norm subtree would recompute it per
     // element), so each pair is a single native DotProduct loop, not
     // three interpreted HOF folds (measured 17 s → <1 s at sf0.1)
-    val staged = df.select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("vec"))
-      .withColumn("cell",
-        Similarity.cellsFor(col("vec"), cents, 1).getItem(0))
-      .withColumn("__nrm", sqrt(Similarity.fastDot(col("vec"), col("vec"))))
-      .select(col("id"), col("cell"),
-        Similarity.l2NormalizeStaged(col("vec"), col("__nrm")).as("vecn"))
+    val staged = Similarity.withUnitVec(
+        df.select(col(idCol).as("id"),
+            transform(col(vecCol), x => x.cast("double")).as("vec"))
+          .withColumn("cell",
+            Similarity.cellsFor(col("vec"), cents, 1).getItem(0)),
+        "vec", "vecn")
+      .select("id", "cell", "vecn")
     val a = staged.alias("a"); val b = staged.alias("b")
     val removed = a.join(b, col("a.cell") === col("b.cell") &&
         col("a.id") < col("b.id"))

@@ -43,6 +43,15 @@ object Similarity {
   def l2NormalizeStaged(vec: Column, nrm: Column): Column =
     when(nrm === 0.0, vec).otherwise(transform(vec, x => x / nrm))
 
+  /** DataFrame transform staging the norm correctly (see
+    * [[l2NormalizeStaged]]): adds `outCol` = vec/‖vec‖, drops the
+    * scratch norm. The one place the staging idiom lives. */
+  def withUnitVec(df: DataFrame, vecCol: String,
+                  outCol: String): DataFrame =
+    df.withColumn("__nrm", sqrt(fastDot(col(vecCol), col(vecCol))))
+      .withColumn(outCol, l2NormalizeStaged(col(vecCol), col("__nrm")))
+      .drop("__nrm")
+
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
   /** Symmetric int8 quantization scale for an array<double> vector:

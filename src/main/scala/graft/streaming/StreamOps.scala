@@ -171,13 +171,14 @@ object StreamOps {
           // NaN that ratio-form cosine yields — Spark orders NaN above
           // every number, so one zero entry would otherwise suppress
           // its whole cell forever
+          // NB: this index stores NORMALIZED cvec — a private format of
+          // this ingest loop, not interchangeable with the raw-vector
+          // tables ivfIndexTable writes for annAgainstIndex
           val keptIdx = Similarity
-            .ivfIndexTable(kept, vecCol, idCol, cents)
-            .withColumn("__nrm",
-              sqrt(Similarity.fastDot(col("cvec"), col("cvec"))))
+            .withUnitVec(Similarity.ivfIndexTable(kept, vecCol, idCol,
+              cents), "cvec", "__cvecn")
             .select(col("cell"), col("corpus_id"),
-              Similarity.l2NormalizeStaged(col("cvec"), col("__nrm"))
-                .as("cvec"))
+              col("__cvecn").as("cvec"))
           val novelIdx = if (new java.io.File(indexPath).exists()) {
             val standing = s.read.parquet(indexPath)
             // replay safety for ALL vectors (including degenerate zero
