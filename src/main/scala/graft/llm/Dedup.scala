@@ -453,9 +453,11 @@ object Dedup {
     * self-join's two sides share that exchange (ReuseExchange).
     * Centroids are driver-side literals (`Similarity.kmeansCentroids`
     * for real use, `rademacherPlanes` for the oracle-replicable probe),
-    * so assignment is a pure projection over the scan. A boilerplate-
-    * heavy cell (skew) splits under AQE skew-join handling; cell count
-    * k is the knob that bounds per-cell pair cardinality at 100 TB.
+    * so assignment is a pure projection over the scan. Hot cells: the
+    * pair join feeds an aggregation, so AQE only splits a skewed cell
+    * when `spark.sql.adaptive.forceOptimizeSkewedJoin=true` (verified —
+    * see PLANS.md); the conf-free lever is cell count k, which bounds
+    * per-cell pair cardinality by design.
     *
     * Output: (id, cell, keep, removed_by) — removed_by is the smallest
     * qualifying neighbor id, null for kept rows.
