@@ -621,6 +621,12 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // weekly cohort retention triangle anchored at the corpus start
+    "events_retention" -> ((s, dir) =>
+      Relational.cohortRetention(Tables.events(s, dir), "user_id", "ts",
+          "2024-01-01", periodDays = 7)
+        .orderBy("cohort", "week_offset")),
+
     // ordered funnel view→click→purchase: per-stage conditional min
     // aggregates over (user, ts) slim projections — no per-user event
     // sort, no mapGroups state
@@ -721,6 +727,16 @@ object CoreQueries {
     "source_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
          ORDER BY s_suppkey""",
+    "events_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS k,
+           CAST(floor(CAST(date_diff('day', DATE '2024-01-01',
+             CAST(ts AS DATE)) AS DOUBLE) / 7) AS INT) AS wk
+           FROM events),
+         c AS (SELECT k, min(wk) AS cohort FROM a GROUP BY k)
+         SELECT c.cohort, a.wk - c.cohort AS week_offset,
+           CAST(count(DISTINCT a.k) AS BIGINT) AS n_users
+         FROM a JOIN c ON a.k = c.k
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS ts1 FROM events
              WHERE event_type = 'view' GROUP BY user_id),

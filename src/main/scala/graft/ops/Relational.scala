@@ -224,6 +224,29 @@ object Relational {
     acc.withColumnRenamed("__k", keyCol)
   }
 
+  /** Cohort retention: keys bucketed into `periodDays`-day periods
+    * since `anchorDate`; a key's cohort is its FIRST active period and
+    * each (cohort, period − cohort) cell counts the distinct keys
+    * still active — the classic retention triangle.
+    *
+    * Scale shape: activity collapses to distinct (key, period) first
+    * (narrow shuffle), the cohort table is one agg on the key, and the
+    * join is key-partitioned — no event-grain data survives past the
+    * first distinct. */
+  def cohortRetention(events: DataFrame, keyCol: String, tsCol: String,
+                      anchorDate: String,
+                      periodDays: Int = 7): DataFrame = {
+    require(periodDays > 0, s"periodDays must be > 0, got $periodDays")
+    val wk = floor(datediff(to_date(col(tsCol)), to_date(lit(anchorDate)))
+      .cast("double") / periodDays).cast("int")
+    val activity = events.select(col(keyCol).as("k"), wk.as("wk"))
+      .distinct()
+    val cohorts = activity.groupBy("k").agg(min("wk").as("cohort"))
+    activity.join(cohorts, Seq("k"))
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+      .agg(countDistinct("k").as("n_users"))
+  }
+
   /** Salted join for skewed keys: when one fact key dominates (a
     * boilerplate document, a mega-customer) a plain shuffle join funnels
     * it into one task. Salting spreads each fact key over `nSalt`

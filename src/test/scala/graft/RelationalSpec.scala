@@ -143,4 +143,22 @@ class RelationalSpec extends AnyFunSuite {
       u2.getTimestamp(3) == null)
     assert(u3.getTimestamp(2) == ts(4) && u3.getTimestamp(3) == null)
   }
+
+  test("cohortRetention: staggered cohorts, churn, re-activation") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${day}%02d 12:00:00")
+    // u1: cohort wk0, active wk0+wk1; u2: cohort wk0 only;
+    // u3: cohort wk1, skips wk2, returns wk3 (gap must not re-cohort)
+    val ev = Seq(
+      (1L, ts(2)), (1L, ts(9)),
+      (2L, ts(3)),
+      (3L, ts(10)), (3L, ts(24)))
+      .toDF("user_id", "ts")
+    val out = Relational.cohortRetention(ev, "user_id", "ts",
+        "2024-01-01", periodDays = 7)
+      .orderBy("cohort", "week_offset")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(out == Seq((0, 0, 2L), (0, 1, 1L), (1, 0, 1L), (1, 2, 1L)))
+  }
 }
