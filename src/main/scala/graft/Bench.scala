@@ -48,7 +48,17 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = cold.map(_._2).sum
     val totalWarm = warm.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"sf":"$sfDir"}"""
+    println(line)
+    // the driver preserves only a short stdout tail (round 3 lost the
+    // per-query cold map to truncation) — mirror the full JSON into the
+    // repo so rounds stay diffable
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")),
+      line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LOCAL write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

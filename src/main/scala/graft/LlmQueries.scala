@@ -419,16 +419,20 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF with spherical k-means centroids: better-balanced cells lift
-    // recall@10 from ~34% (Rademacher) to 60% at nProbe=2/8 on this
-    // corpus. Recall depends on the (deterministic) clustering, so the
-    // registered output is the validation summary: every query returns
-    // exactly k rows and recall vs the exact top-10 clears the 50%
-    // floor (measured 30/50 at sf0.001/0.01/0.1).
+    // IVF with spherical k-means centroids (md5-spread sample +
+    // farthest-first init — Similarity.kmeansCentroids scaladoc).
+    // Recall on THIS corpus is probe-fraction-bound (the synthetic
+    // embeddings cluster weakly), so the fair claim is k-means vs
+    // Rademacher at EQUAL nProbe: at 3/8 cells probed, recall@10 is
+    // 60/60/72% (sf0.001/0.01/0.1) vs 42/54/52% for Rademacher planes;
+    // at 2/8, 50/52/56% vs 32/38/34%. Registered output is the
+    // validation summary: every query returns exactly k rows and
+    // recall clears the 56% floor (measured 30/30/36 of 50).
     "ann_ivf_kmeans" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
-      val approx = Similarity.ivfTopKKMeans(e, q, "embedding", "vec_id", 10)
+      val approx = Similarity.ivfTopKKMeans(e, q, "embedding", "vec_id",
+        10, nProbe = 3)
       val exact = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", 10)
         .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
       // single left join → single aggregation: the IVF pipeline is
@@ -438,7 +442,7 @@ object LlmQueries {
           countDistinct(col("query_id")).as("n_queries"),
           (count(lit(1)) === countDistinct(col("query_id")) * 10)
             .as("all_k_rows"),
-          (count(col("hit")) >= 25).as("recall_ok"))
+          (count(col("hit")) >= 28).as("recall_ok"))
     }),
 
     // language-ID heuristic (stopword argmax + CJK short-circuit);

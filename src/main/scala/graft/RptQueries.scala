@@ -16,6 +16,50 @@ object RptQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** The KPI config tree behind the opportunity/details reports —
+    * driver-side, like the reference's conf.trgx_cocacola fetch
+    * (trgx.clj:198-210 latest-trgx-kpi). Node keys carry their join id
+    * in square brackets (`node->id`, trgx.clj:49); display text
+    * deliberately differs from the score rows' code-item strings so the
+    * tests prove the attach matches on the BRACKETED ID, not the label.
+    * (cat, code, configKey) rows; two category roots. */
+  private val kpiCats: Seq[(String, String, String)] = Seq(
+    ("0_distribution", "1", "[1]Urgent KPI"),
+    ("0_distribution", "2", "[2]High KPI"),
+    ("1_execution", "3", "[3]Medium KPI"),
+    ("1_execution", "4", "[4]Unspecified KPI"),
+    ("1_execution", "5", "[5]Low KPI"))
+
+  private lazy val kpiConfigTree: graft.trgx.Trgx.Tree =
+    kpiCats.groupBy(_._1).view.mapValues(ls =>
+      graft.trgx.TrgxNode(Map.empty,
+        ls.map(l => l._3 -> graft.trgx.TrgxNode.empty).toMap)).toMap
+
+  /** Shared synthetic score fact for the opportunity/details reports:
+    * the reference reads model.d_cocacola_score (dw_dt, bg, bottler,
+    * code, item, value, *_sort); here the same grain is derived from the
+    * star schema. The *selector* carries the SORT columns, not the
+    * display names — a reference quirk both compositions preserve
+    * (m_cocacola_score_opportunity.clj:66). */
+  private def scoreFact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("dw_dt"),
+        col("r_name").as("bg"),
+        col("n_name").as("bottler"),
+        concat(lit("0."), (col("r_regionkey") + 1).cast("string"),
+               lit("_"), col("r_name")).as("bg_sort"),
+        concat(col("n_nationkey").cast("string"), lit("_"), col("n_name"))
+          .as("bottler_sort"),
+        substring(col("o_orderpriority"), 1, 1).as("code"),
+        col("o_orderpriority").as("item"),
+        col("o_totalprice"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // nested tr-dimension-metrics (m_cocacola_anal_rep_kpis.clj:38-50):
@@ -317,6 +361,120 @@ object RptQueries {
       rows.toDF("r_name", "kpi_tree")
     }),
 
+    // the opportunity report composition, end-to-end
+    // (m_cocacola_score_opportunity.clj:54-67): sliding scores per
+    // (bg, bottler, code-item) → vars->kv 5-metric leaf map →
+    // collect-kv per code-item → kv->trgx attach onto the KPI config
+    // tree (matching on the bracketed node id, trgx.clj:49-55) →
+    // tr-dimension-metrics [] [:trgx-data] wrap. The [] wrapper
+    // collapses to a single-key object spliced INLINE (the reference
+    // serializes the whole EDN structure once — the tree is never a
+    // pre-rendered string at wrap time).
+    // Scale: one shuffle to score grain, one to selector grain; the
+    // collected kv per selector is config-bounded (≤ #KPIs entries),
+    // and the config tree is driver-side like the reference's conf
+    // fetch — nothing here grows with fact rows.
+    "report_opportunity" -> ((s, dir) => {
+      val m = scoreFact(s, dir)
+        .groupBy("bg", "bottler", "bg_sort", "bottler_sort", "code",
+                 "item", "dw_dt")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("val"))
+      val rng = m.agg(min("dw_dt"), max("dw_dt")).first()
+      val sliding = Relational.slidingScores(m,
+        Seq("bg", "bottler", "bg_sort", "bottler_sort", "code", "item"),
+        "dw_dt", "val", rng.getString(0), rng.getString(1))
+      // vars->kv [:value :max_value :pp_value :last_dec_value
+      // :last_year_same_month_score] — nil entries KEPT (cheshire
+      // renders them as JSON null), unlike the reportShape leaves
+      val leaf = map(
+        lit("value"), col("value"),
+        lit("max_value"), col("max_value").cast("string"),
+        lit("pp_value"), col("prev_mom"),
+        lit("last_dec_value"), col("prev_ytd"),
+        lit("last_year_same_month_score"), col("prev_yoy"))
+      val grouped = sliding
+        .select(col("dt"), col("bg"), col("bottler"), col("bg_sort"),
+          col("bottler_sort"),
+          concat(lit("["), col("code"), lit("]"), col("item"))
+            .as("code_item"),
+          leaf.as("leaf"))
+        .groupBy("dt", "bg", "bottler", "bg_sort", "bottler_sort")
+        .agg(map_from_entries(
+          collect_list(struct(col("code_item"), col("leaf")))).as("kv"))
+      val cfg = kpiConfigTree
+      val attach = udf((kv: Map[String, Map[String, String]]) => {
+        import graft.trgx.Trgx
+        val byId = kv.map { case (k, v) => Trgx.nodeId(k) -> v }
+        Trgx.toJson(Trgx.kvToTrgx(cfg, byId, Trgx.nodeId))
+      })
+      grouped.select(col("dt").as("dw_dt"),
+          lit("cocacola").as("project"), lit("score").as("category"),
+          lit("opportunity").as("report"),
+          concat(lit("[\"period="), col("dt"), lit("\",\"bg="),
+            col("bg_sort"), lit("\",\"bottler="), col("bottler_sort"),
+            lit("\"]")).as("selector"),
+          lit("").as("selector_desc"),
+          concat(lit("{\"trgx-data\":"), attach(col("kv")), lit("}"))
+            .as("dimension_metrics"))
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // the details report composition, end-to-end
+    // (m_cocacola_score_details.clj:35-52): nested
+    // tr-dimension-metrics [:period] [:value] per code-item →
+    // vars->kv [:period_value] → collect-kv → kv->trgx attach →
+    // identity dimension-metrics (no outer tdm wrap), sentinel dw_dt.
+    // The nested pair-tree stays a STRUCTURE until the single final
+    // serialize, so it splices inline under "period_value" (not
+    // escaped as a string). Tree render here is ordered-aggregation
+    // over the broadcast config grid — the Spark-native equivalent of
+    // the reference's driver-side map walk; group sizes are bounded by
+    // config cardinality, not fact rows.
+    "report_details" -> ((s, dir) => {
+      import s.implicits._
+      val m = scoreFact(s, dir)
+        .groupBy("bg", "bottler", "bg_sort", "bottler_sort", "code",
+                 "item", "dw_dt")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("val"))
+        .groupBy("bg", "bottler", "bg_sort", "bottler_sort", "code",
+                 "item")
+        .agg(graft.agg.Aggregators.trDimensionMetrics(
+          array(concat_ws("=", lit("period"), col("dw_dt"))),
+          map(lit("value"), col("val"))).as("pv"))
+      val cfgDf = kpiCats.toDF("cat", "code", "cfg_key")
+      val grid = m.select("bg", "bottler", "bg_sort", "bottler_sort")
+        .distinct()
+        .crossJoin(broadcast(cfgDf))
+      val node = concat(lit("\""), col("cfg_key"), lit("\":{\"DATA\":"),
+        when(col("pv").isNull, lit("{}"))
+          .otherwise(concat(lit("{\"period_value\":"), col("pv"),
+            lit("}"))),
+        lit(",\"CHILDREN\":{}}"))
+      val cats = grid
+        .join(m.select("bg", "bottler", "code", "pv"),
+          Seq("bg", "bottler", "code"), "left")
+        .select(col("bg_sort"), col("bottler_sort"), col("cat"),
+          node.as("node"))
+        .groupBy("bg_sort", "bottler_sort", "cat")
+        .agg(concat(lit("\""), col("cat"),
+          lit("\":{\"DATA\":{},\"CHILDREN\":{"),
+          array_join(array_sort(collect_list(col("node"))), ","),
+          lit("}}")).as("catnode"))
+      cats.groupBy("bg_sort", "bottler_sort")
+        .agg(concat(lit("{"),
+          array_join(array_sort(collect_list(col("catnode"))), ","),
+          lit("}")).as("dimension_metrics"))
+        .select(lit("9999-12-31").as("dw_dt"),
+          lit("cocacola").as("project"), lit("score").as("category"),
+          lit("details").as("report"),
+          concat(lit("[\"bg="), col("bg_sort"), lit("\",\"bottler="),
+            col("bottler_sort"), lit("\"]")).as("selector"),
+          lit("").as("selector_desc"), col("dimension_metrics"))
+        .orderBy("selector")
+    }),
+
     // build-delta debut shape (model/d_bolome_order_show_debut.clj:60-76):
     // collect-set membership flag + sorted pay-date keys + first key +
     // conditional debut date, per entity
@@ -614,6 +772,138 @@ object RptQueries {
              || '"},"CHILDREN":{}}', ',' ORDER BY n_name) ||
            '}}}' AS kpi_tree
          FROM s GROUP BY r_name ORDER BY r_name""",
+    "report_opportunity" ->
+      """WITH base AS (
+           SELECT strftime(last_day(CAST(o_orderdate AS DATE)),
+               '%Y-%m-%d') AS dw_dt,
+             r_name AS bg, n_name AS bottler,
+             '0.' || CAST(r_regionkey + 1 AS VARCHAR) || '_' || r_name
+               AS bg_sort,
+             CAST(n_nationkey AS VARCHAR) || '_' || n_name
+               AS bottler_sort,
+             substr(o_orderpriority, 1, 1) AS code,
+             o_orderpriority AS item, o_totalprice
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         m AS (SELECT bg, bottler, bg_sort, bottler_sort, code, item,
+             dw_dt,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS VARCHAR) AS val
+           FROM base GROUP BY 1, 2, 3, 4, 5, 6, 7),
+         mm AS (SELECT m.*,
+             CAST(max(CAST(val AS DECIMAL(28,3))) OVER (PARTITION BY
+               bg, bottler, code, item) AS VARCHAR) AS max_value
+           FROM m),
+         s AS (SELECT a.dw_dt, a.bg, a.bottler, a.bg_sort,
+             a.bottler_sort, a.code, a.val, a.max_value,
+             mom.val AS pp_value, ytd.val AS last_dec_value,
+             yoy.val AS yoy_value
+           FROM mm a
+           LEFT JOIN m mom ON mom.bg = a.bg AND mom.bottler = a.bottler
+             AND mom.code = a.code AND mom.item = a.item
+             AND mom.dw_dt = strftime(last_day(CAST(a.dw_dt AS DATE)
+               - INTERVAL 1 MONTH), '%Y-%m-%d')
+           LEFT JOIN m ytd ON ytd.bg = a.bg AND ytd.bottler = a.bottler
+             AND ytd.code = a.code AND ytd.item = a.item
+             AND ytd.dw_dt = strftime(last_day(date_trunc('year',
+               CAST(a.dw_dt AS DATE)) - INTERVAL 1 MONTH), '%Y-%m-%d')
+           LEFT JOIN m yoy ON yoy.bg = a.bg AND yoy.bottler = a.bottler
+             AND yoy.code = a.code AND yoy.item = a.item
+             AND yoy.dw_dt = strftime(last_day(CAST(a.dw_dt AS DATE)
+               - INTERVAL 12 MONTH), '%Y-%m-%d')),
+         cfg AS (SELECT * FROM (VALUES
+             ('0_distribution', '1', '[1]Urgent KPI'),
+             ('0_distribution', '2', '[2]High KPI'),
+             ('1_execution', '3', '[3]Medium KPI'),
+             ('1_execution', '4', '[4]Unspecified KPI'),
+             ('1_execution', '5', '[5]Low KPI'))
+           t(cat, code, cfg_key)),
+         sel AS (SELECT DISTINCT dw_dt, bg, bottler, bg_sort,
+             bottler_sort FROM s),
+         leaves AS (SELECT g.dw_dt, g.bg_sort, g.bottler_sort, c.cat,
+             '"' || c.cfg_key || '":{"DATA":' ||
+             CASE WHEN s.val IS NULL THEN '{}'
+               ELSE '{"last_dec_value":'
+                 || coalesce('"' || s.last_dec_value || '"', 'null')
+                 || ',"last_year_same_month_score":'
+                 || coalesce('"' || s.yoy_value || '"', 'null')
+                 || ',"max_value":"' || s.max_value
+                 || '","pp_value":'
+                 || coalesce('"' || s.pp_value || '"', 'null')
+                 || ',"value":"' || s.val || '"}'
+             END || ',"CHILDREN":{}}' AS node
+           FROM sel g CROSS JOIN cfg c
+           LEFT JOIN s ON s.dw_dt = g.dw_dt AND s.bg = g.bg
+             AND s.bottler = g.bottler AND s.code = c.code),
+         cats AS (SELECT dw_dt, bg_sort, bottler_sort, cat,
+             '"' || cat || '":{"DATA":{},"CHILDREN":{'
+             || string_agg(node, ',' ORDER BY node) || '}}' AS catnode
+           FROM leaves GROUP BY 1, 2, 3, 4)
+         SELECT dw_dt, 'cocacola' AS project, 'score' AS category,
+           'opportunity' AS report,
+           '["period=' || dw_dt || '","bg=' || bg_sort || '","bottler='
+             || bottler_sort || '"]' AS selector,
+           '' AS selector_desc,
+           '{"trgx-data":{' || string_agg(catnode, ',' ORDER BY catnode)
+             || '}}' AS dimension_metrics
+         FROM cats GROUP BY dw_dt, bg_sort, bottler_sort
+         ORDER BY dw_dt, selector""",
+    "report_details" ->
+      """WITH base AS (
+           SELECT strftime(last_day(CAST(o_orderdate AS DATE)),
+               '%Y-%m-%d') AS dw_dt,
+             r_name AS bg, n_name AS bottler,
+             '0.' || CAST(r_regionkey + 1 AS VARCHAR) || '_' || r_name
+               AS bg_sort,
+             CAST(n_nationkey AS VARCHAR) || '_' || n_name
+               AS bottler_sort,
+             substr(o_orderpriority, 1, 1) AS code,
+             o_orderpriority AS item, o_totalprice
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         md AS (SELECT bg, bottler, bg_sort, bottler_sort, code, item,
+             dw_dt,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS VARCHAR) AS val
+           FROM base GROUP BY 1, 2, 3, 4, 5, 6, 7),
+         m AS (SELECT bg, bottler, bg_sort, bottler_sort, code, item,
+             '{' || string_agg('"period=' || dw_dt || '":{"value":'
+               || val || '}', ',' ORDER BY dw_dt) || '}' AS pv
+           FROM md GROUP BY 1, 2, 3, 4, 5, 6),
+         cfg AS (SELECT * FROM (VALUES
+             ('0_distribution', '1', '[1]Urgent KPI'),
+             ('0_distribution', '2', '[2]High KPI'),
+             ('1_execution', '3', '[3]Medium KPI'),
+             ('1_execution', '4', '[4]Unspecified KPI'),
+             ('1_execution', '5', '[5]Low KPI'))
+           t(cat, code, cfg_key)),
+         sel AS (SELECT DISTINCT bg, bottler, bg_sort, bottler_sort
+           FROM m),
+         leaves AS (SELECT g.bg_sort, g.bottler_sort, c.cat,
+             '"' || c.cfg_key || '":{"DATA":' ||
+             CASE WHEN m.pv IS NULL THEN '{}'
+               ELSE '{"period_value":' || m.pv || '}' END
+             || ',"CHILDREN":{}}' AS node
+           FROM sel g CROSS JOIN cfg c
+           LEFT JOIN m ON m.bg = g.bg AND m.bottler = g.bottler
+             AND m.code = c.code),
+         cats AS (SELECT bg_sort, bottler_sort, cat,
+             '"' || cat || '":{"DATA":{},"CHILDREN":{'
+             || string_agg(node, ',' ORDER BY node) || '}}' AS catnode
+           FROM leaves GROUP BY 1, 2, 3)
+         SELECT '9999-12-31' AS dw_dt, 'cocacola' AS project,
+           'score' AS category, 'details' AS report,
+           '["bg=' || bg_sort || '","bottler=' || bottler_sort || '"]'
+             AS selector,
+           '' AS selector_desc,
+           '{' || string_agg(catnode, ',' ORDER BY catnode) || '}'
+             AS dimension_metrics
+         FROM cats GROUP BY bg_sort, bottler_sort
+         ORDER BY selector""",
     "model_debut" ->
       """WITH k AS (SELECT o_custkey AS custkey,
              strftime(o_orderdate, '%Y-%m-%d') AS dt, o_orderpriority

@@ -18,6 +18,21 @@ import TextAnalysis._
   */
 object Dedup {
 
+  /** Deterministic staging boundary for multiply-scanned intermediates:
+    * materialize to a parquet table under [[graft.core.Tables.tmpDir]]
+    * and read it back. Unlike `persist()`, the lifetime is owned here —
+    * no cache entry survives the call, so a long-lived session issuing
+    * many dedup batches never accumulates MEMORY_AND_DISK blocks toward
+    * an LRU eviction storm (round-3 advisory). This is also the
+    * production shape at 100 TB: the signature/shingle table is a
+    * write-once artifact, not executor-memory state. */
+  private def staged(df: DataFrame, tag: String): DataFrame = {
+    val path = s"${graft.core.Tables.tmpDir}/stage_${tag}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Exact dedup: hash-groupBy on the normalized-content fingerprint.
     * Returns one row per distinct content: canonical (min) id + dup
     * count. One shuffle, on a 128-bit key — the 100 TB workhorse. */
@@ -65,20 +80,17 @@ object Dedup {
                         bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // hash the shingles ONCE into (id, array<long>) and persist: the
-    // banded self-join and the two verify joins are 4 more scans of
-    // this subtree, and without persistence each would re-run the
-    // normalize/shingle/hash regex chain over the whole corpus — the
-    // same signature-table materialization a production minhash
-    // pipeline does. Jaccard over the distinct hash sets equals the
-    // string-set Jaccard (xxhash64 collisions are ~2^-64) and compares
-    // longs instead of shingle strings. The cache entry lives until
-    // LRU eviction or session cleanup — long-lived sessions issuing
-    // many dedup calls should clearCache() between batches.
-    val hashed = df.select(col(idCol).as("id"),
+    // hash the shingles ONCE into (id, array<long>) and stage to a
+    // parquet boundary: the banded self-join and the two verify joins
+    // are 4 more scans of this subtree, and without the boundary each
+    // would re-run the normalize/shingle/hash regex chain over the
+    // whole corpus — the same signature-table materialization a
+    // production minhash pipeline does. Jaccard over the distinct hash
+    // sets equals the string-set Jaccard (xxhash64 collisions are
+    // ~2^-64) and compares longs instead of shingle strings.
+    val hashed = staged(df.select(col(idCol).as("id"),
       transform(array_distinct(wordShingles(col(textCol))),
-        s => xxhash64(s)).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        s => xxhash64(s)).as("hs")), "minhash_hs")
     val sigs = hashed
       .withColumn("sig", minHashSignature(col("hs"), numHashes))
     // bands carry only (id, band, bh): the shuffle stays narrow — the
@@ -159,9 +171,10 @@ object Dedup {
                         bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val newHashed = hashedShingleTable(newDocs, textCol, idCol)
-      .withColumnRenamed("id", "new_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // batch shingle table staged (scanned by banding AND verify);
+    // boundary, not persist — lifetime owned here, no cache residue
+    val newHashed = staged(hashedShingleTable(newDocs, textCol, idCol)
+      .withColumnRenamed("id", "new_id"), "incr_hs")
     val newBands = newHashed
       .select(col("new_id"), minHashSignature(col("hs"), numHashes).as("sig"))
       .select(col("new_id"),
@@ -281,12 +294,20 @@ object Dedup {
       iters += 1
     }
     edges.unpersist()
-    if (changed > 0)
+    if (changed > 0) {
+      persisted.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still changing) — raise maxIters for " +
           "graphs with larger component diameters")
-    labels
+    }
+    // the loop owns its per-round persists (each round unpersists its
+    // predecessor); the FINAL labels leave through a staging boundary
+    // so the result neither drags the full iterative lineage nor leaves
+    // a cache entry behind
+    val out = staged(labels, "cc_labels")
+    persisted.unpersist()
+    out
   }
 
   /** Corpus-scale dedup GROUPING: collapse exact duplicates first
@@ -305,10 +326,9 @@ object Dedup {
                   threshold: Double = 0.9, numHashes: Int = 32,
                   bands: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val withFp = df.select(col(idCol).cast("long").as("id"),
+    val withFp = staged(df.select(col(idCol).cast("long").as("id"),
         col(textCol).as("text__"), fingerprint(col(textCol)).as("fp"))
-      .withColumn("cid", min(col("id")).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("cid", min(col("id")).over(w)), "groups_fp")
     val canonical = withFp.filter(col("id") === col("cid"))
       .select(col("id"), col("text__"))
     val pairs = minHashDedupPairs(canonical, "text__", "id",

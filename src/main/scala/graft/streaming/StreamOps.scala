@@ -15,6 +15,14 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamOps {
 
+  /** Path existence via the Hadoop FileSystem API — correct for any
+    * supported scheme (hdfs://, s3a://, file:…), where a
+    * `java.io.File` probe only ever worked for local paths. */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Streaming read of a parquet table directory. */
   def readTableStream(spark: SparkSession, path: String,
                       schema: StructType): DataFrame =
@@ -100,8 +108,19 @@ object StreamOps {
     * shape a 100 TB ingest actually runs (each batch shuffles only
     * itself; the corpus contributes index equi-joins). Batches run
     * sequentially (foreachBatch), so appends are read-consistent for
-    * the next batch; delivery is at-least-once on restart, and replayed
-    * batches re-collapse via their exact fingerprints. */
+    * the next batch.
+    *
+    * Replay safety (foreachBatch is at-least-once): every append is
+    * GUARDED by an id anti-join against the table it extends, and the
+    * near-dup filter ignores a doc's own index entry
+    * (`corpus_id != new_id`). A replayed batch therefore re-derives the
+    * same survivor set and every append is a no-op — no duplicates AND
+    * no loss regardless of where the previous attempt died. (Ordering
+    * alone can't give this: corpus-first duplicates on replay,
+    * index-first drops docs whose corpus append never happened.) The
+    * guard is an id-projected scan of each table per batch — at 100 TB
+    * the ids ride from parquet column pruning, or a real deployment
+    * swaps the guard for a transactional table format. */
   def continuousDedupIngest(docs: DataFrame, textCol: String,
                             idCol: String, corpusPath: String,
                             indexPath: String, shinglePath: String,
@@ -120,22 +139,34 @@ object StreamOps {
             .withColumn("__keep", min(col(idCol)).over(w))
             .filter(col(idCol) === col("__keep"))
             .drop("fp", "__keep")
-          // (b) match against the standing index (empty on first batch)
-          val novel = if (new java.io.File(indexPath).exists()) {
+          // (b) match against the standing index (empty on first
+          // batch); a replayed doc's own entry never suppresses it
+          val novel = if (pathExists(s, indexPath)) {
             val index = s.read.parquet(indexPath)
             val shingles = s.read.parquet(shinglePath)
             val dups = Dedup.dedupAgainstIndex(collapsed, textCol, idCol,
                 index, shingles, threshold, numHashes, bands)
+              .filter(col("corpus_id") =!= col("new_id"))
               .select(col("new_id")).distinct()
             collapsed.join(dups,
               collapsed(idCol) === dups("new_id"), "left_anti")
           } else collapsed
-          // (c) append survivors + their index entries
-          novel.write.mode("append").parquet(corpusPath)
-          Dedup.minHashBandTable(novel, textCol, idCol, numHashes, bands)
-            .write.mode("append").parquet(indexPath)
-          Dedup.hashedShingleTable(novel, textCol, idCol)
-            .write.mode("append").parquet(shinglePath)
+          // (c) guarded appends: survivors + their index entries, each
+          // anti-joined on id against the target table first so a
+          // replayed batch re-appends nothing
+          def guarded(df: DataFrame, path: String, key: String): Unit = {
+            val fresh =
+              if (pathExists(s, path))
+                df.join(s.read.parquet(path).select(col(key)).distinct(),
+                  Seq(key), "left_anti")
+              else df
+            fresh.write.mode("append").parquet(path)
+          }
+          guarded(novel, corpusPath, idCol)
+          guarded(Dedup.minHashBandTable(novel, textCol, idCol,
+            numHashes, bands), indexPath, "id")
+          guarded(Dedup.hashedShingleTable(novel, textCol, idCol),
+            shinglePath, "id")
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -150,8 +181,12 @@ object StreamOps {
     * cell-bucketed cosine probe of the STANDING IVF index (same-cell
     * candidates only — never all-pairs), appending only novel vectors
     * to the corpus and their (cell, id, vec) entries to the index.
-    * Table-backed state: replay-safe (replayed vectors self-suppress
-    * against their own index entries), corpus-wide horizon. */
+    * Table-backed state, corpus-wide horizon. Replay safety follows
+    * [[continuousDedupIngest]]'s guarded-append scheme: the near-dup
+    * probe ignores a vector's own standing entry, and both appends are
+    * id anti-joined against their target table — a replayed batch
+    * re-derives the same survivors and appends nothing, whatever the
+    * previous crash point. */
   def continuousSemanticIngest(vecs: DataFrame, vecCol: String,
       idCol: String, corpusPath: String, indexPath: String,
       cents: Seq[Seq[Double]],
@@ -179,26 +214,33 @@ object StreamOps {
               cents), "cvec", "__cvecn")
             .select(col("cell"), col("corpus_id"),
               col("__cvecn").as("cvec"))
-          val novelIdx = if (new java.io.File(indexPath).exists()) {
+          val novelIdx = if (pathExists(s, indexPath)) {
             val standing = s.read.parquet(indexPath)
-            // replay safety for ALL vectors (including degenerate zero
-            // ones, which never cosine-match): an id already indexed is
-            // never re-appended
-            val freshIdx = keptIdx.join(
-              standing.select(col("corpus_id")), Seq("corpus_id"),
-              "left_anti")
-            val dup = freshIdx.join(
-                standing.select(col("cell"), col("cvec").as("__ovec")),
+            // a replayed vector's own standing entry must not suppress
+            // it (that turns an index-append-then-crash replay into
+            // silent loss) — only OTHER ids' entries count as dups
+            val dup = keptIdx.alias("k").join(
+                standing.select(col("cell"),
+                  col("corpus_id").as("__oid"),
+                  col("cvec").as("__ovec")),
                 Seq("cell"))
-              .filter(Similarity.fastDot(col("cvec"), col("__ovec"))
-                >= threshold)
+              .filter(col("__oid") =!= col("k.corpus_id") &&
+                Similarity.fastDot(col("k.cvec"), col("__ovec"))
+                  >= threshold)
               .select("corpus_id").distinct()
-            freshIdx.join(dup, Seq("corpus_id"), "left_anti")
+            keptIdx.join(dup, Seq("corpus_id"), "left_anti")
           } else keptIdx
-          batch.join(novelIdx.select(col("corpus_id").as(idCol)),
-              Seq(idCol))
-            .write.mode("append").parquet(corpusPath)
-          novelIdx.write.mode("append").parquet(indexPath)
+          def guarded(df: DataFrame, path: String, key: String): Unit = {
+            val fresh =
+              if (pathExists(s, path))
+                df.join(s.read.parquet(path).select(col(key)).distinct(),
+                  Seq(key), "left_anti")
+              else df
+            fresh.write.mode("append").parquet(path)
+          }
+          guarded(batch.join(novelIdx.select(col("corpus_id").as(idCol)),
+            Seq(idCol)), corpusPath, idCol)
+          guarded(novelIdx, indexPath, "corpus_id")
         }
       }
       .trigger(Trigger.AvailableNow())

@@ -432,4 +432,23 @@ class LlmSpec extends AnyFunSuite {
     assert(got(2) === ((3L, 4, 0.5, 0.333333, 0.666667)))
     assert(got(3) === ((4L, 1, 0.0, 0.0, 0.0)))
   }
+
+  test("dedup operators own their cache lifetime: no persisted RDDs " +
+      "survive a call (round-3 advisory)") {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    Dedup.minHashDedupPairs(docs, "text", "doc_id",
+      threshold = 0.5, numHashes = 32, bands = 16).collect()
+    Dedup.dedupGroups(docs, "text", "doc_id",
+      threshold = 0.5, numHashes = 32, bands = 16).collect()
+    val index = Dedup.minHashBandTable(docs, "text", "doc_id",
+      numHashes = 32, bands = 16)
+    val sh = Dedup.hashedShingleTable(docs, "text", "doc_id")
+    Dedup.dedupAgainstIndex(
+      docs.select(($"doc_id" + 100).as("doc_id"), $"text"),
+      "text", "doc_id", index, sh,
+      threshold = 0.5, numHashes = 32, bands = 16).collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "an operator left a persisted RDD behind — cache lifetime must " +
+        "be owned by the operator, not the caller")
+  }
 }
