@@ -469,22 +469,31 @@ object Dedup {
     * centroid" which ties on float noise).
     *
     * Scale shape: pairwise work is confined to cells (n²/k vs n²
-    * global) and the corpus shuffles ONCE on the cell key — the
-    * self-join's two sides share that exchange (ReuseExchange).
-    * Centroids are driver-side literals (`Similarity.kmeansCentroids`
-    * for real use, `rademacherPlanes` for the oracle-replicable probe),
-    * so assignment is a pure projection over the scan. Hot cells: the
-    * pair join feeds an aggregation, so AQE only splits a skewed cell
-    * when `spark.sql.adaptive.forceOptimizeSkewedJoin=true` (verified —
-    * see PLANS.md); the conf-free lever is cell count k, which bounds
-    * per-cell pair cardinality by design.
+    * global). Centroids are driver-side literals
+    * (`Similarity.kmeansCentroids` for real use, `rademacherPlanes`
+    * for the oracle-replicable probe), so assignment is a pure
+    * projection over the scan.
+    *
+    * Hot cells are handled CONF-FREE by a pre-salt: a tiny per-cell
+    * count (≤ k rows, broadcast back) splits any cell with more than
+    * `maxCellRows` members into s = ⌈m/maxCellRows⌉ hash sub-buckets,
+    * and the self-join runs per bucket-pair block (bi ≤ bj) — the
+    * triangle cover, each side replicated (s+1)/2× on average WITHIN
+    * the hot cell only. Every block holds ≤ maxCellRows² pairs, so the
+    * largest task is bounded no matter how skewed the cell mix is.
+    * With no hot cells (s = 1 everywhere) the plan degenerates to the
+    * plain one-block-per-cell join. This replaces the round-3 posture
+    * where the only levers were raising k or the global AQE
+    * forceOptimizeSkewedJoin flag (which doesn't engage when the pair
+    * join feeds an aggregation — measured, PLANS.md).
     *
     * Output: (id, cell, keep, removed_by) — removed_by is the smallest
     * qualifying neighbor id, null for kept rows.
     */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
                     cents: Seq[Seq[Double]],
-                    threshold: Double): DataFrame = {
+                    threshold: Double,
+                    maxCellRows: Int = 8192): DataFrame = {
     // pair cost is the whole game (n²/k candidate pairs): vectors are
     // L2-normalized ONCE per row (norm staged as an attribute — a
     // lambda capturing the norm subtree would recompute it per
@@ -497,12 +506,38 @@ object Dedup {
             Similarity.cellsFor(col("vec"), cents, 1).getItem(0)),
         "vec", "vecn")
       .select("id", "cell", "vecn")
-    val a = staged.alias("a"); val b = staged.alias("b")
+    // per-cell sizes: at most cents.length rows — broadcast, no fact
+    // shuffle beyond the count's partial agg
+    val cellSizes = staged.groupBy("cell").agg(count(lit(1)).as("__n"))
+    val bucketed = staged.join(broadcast(cellSizes), Seq("cell"))
+      .withColumn("__s",
+        ceil(col("__n").cast("double") / maxCellRows).cast("int"))
+      .withColumn("__b", pmod(xxhash64(col("id")), col("__s")).cast("int"))
+    // triangle cover of bucket pairs: a row in bucket b sits on side A
+    // for blocks (b, j ≥ b) and on side B for blocks (i ≤ b, b); each
+    // unordered pair meets in exactly one block (same-bucket blocks
+    // additionally id-ordered so a pair isn't seen twice)
+    val aExp = bucketed
+      .withColumn("__bj", explode(sequence(col("__b"), col("__s") - 1)))
+      .select(col("cell"), col("__b").as("__bi"), col("__bj"),
+        col("id"), col("vecn"))
+    val bExp = bucketed
+      .withColumn("__bi", explode(sequence(lit(0), col("__b"))))
+      .select(col("cell"), col("__bi"), col("__b").as("__bj"),
+        col("id"), col("vecn"))
+    val a = aExp.alias("a"); val b = bExp.alias("b")
     val removed = a.join(b, col("a.cell") === col("b.cell") &&
-        col("a.id") < col("b.id"))
+        col("a.__bi") === col("b.__bi") &&
+        col("a.__bj") === col("b.__bj") &&
+        (col("a.__bi") =!= col("a.__bj") || col("a.id") < col("b.id")))
       .filter(Similarity.fastDot(col("a.vecn"), col("b.vecn")) >= threshold)
-      .groupBy(col("b.id").as("id"))
-      .agg(min(col("a.id")).as("removed_by"))
+      // cross-bucket blocks carry the pair in bucket order, not id
+      // order — orient via least/greatest so removed_by stays "smallest
+      // qualifying neighbor id" exactly as the unsalted form
+      .select(least(col("a.id"), col("b.id")).as("lo"),
+              greatest(col("a.id"), col("b.id")).as("hi"))
+      .groupBy(col("hi").as("id"))
+      .agg(min(col("lo")).as("removed_by"))
     staged.select(col("id"), col("cell"))
       .join(removed, Seq("id"), "left_outer")
       .select(col("id"), col("cell"),

@@ -433,6 +433,36 @@ class LlmSpec extends AnyFunSuite {
     assert(got(3) === ((4L, 1, 0.0, 0.0, 0.0)))
   }
 
+  test("semanticDedup pre-salts hot cells: salted output equals the " +
+      "unsalted form on a one-cell-dominated corpus") {
+    import graft.llm.{Dedup, Similarity}
+    // ~2k vectors clustered around one direction (one dominant cell),
+    // the last 500 exact scaled copies of earlier rows (certain
+    // removals at any threshold)
+    val base = Array.tabulate(8)(d => math.sin(d + 1.0))
+    val vecs = (0 until 2000).map { i =>
+      val v =
+        if (i >= 1500)
+          Array.tabulate(8)(d => 2.0 * (base(d) +
+            0.3 * math.sin((i - 1500) * 17.0 + d)))
+        else
+          Array.tabulate(8)(d => base(d) + 0.3 * math.sin(i * 17.0 + d))
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.rademacherPlanes(4, 8)
+    def run(maxCellRows: Int) =
+      Dedup.semanticDedup(vecs, "embedding", "vec_id", cents, 0.995,
+          maxCellRows = maxCellRows)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val salted = run(256) // dominant cell splits into ~8 sub-buckets
+    val plain = run(Int.MaxValue) // degenerate single-block path
+    assert(salted === plain)
+    assert(salted.count(!_._3) >= 500, "planted copies must be removed")
+    assert(salted.exists(_._3), "distinct rows must survive")
+  }
+
   test("dedup operators own their cache lifetime: no persisted RDDs " +
       "survive a call (round-3 advisory)") {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
