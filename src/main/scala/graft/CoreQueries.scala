@@ -592,6 +592,53 @@ object CoreQueries {
                 col("event_type"), col("cnt"), col("sum_val"))
         .orderBy("day", "event_type")),
 
+    // SURVEY §2.10's upgrade path made DRIVER-VISIBLE: a real
+    // Trigger.AvailableNow foreachBatch drive over the events table
+    // with `_rng` bookkeeping (StreamOps.availableNowWithRng — the
+    // reference's save-and-load-rng-dt!, trgx.clj:130-164), registered
+    // so streaming correctness gets a CORRECTNESS row, not only a
+    // spec. The stream appends raw rows to a parquet sink; the
+    // returned frame re-aggregates the sink to day grain and appends
+    // the rng table's load-range summary rows — all deterministic
+    // (saveAndLoadRng records no wall-clock fields), and correct for
+    // any micro-batch split because sink and rng are re-aggregated.
+    "streaming_rng_ingest" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val base = Tables.tmpDir + "/stream_rng_q"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      t(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+                col("value"))
+        .coalesce(4).write.parquet(s"$base/in")
+      val schema = s.read.parquet(s"$base/in").schema
+      StreamOps.availableNowWithRng(
+        StreamOps.readTableStream(s, s"$base/in", schema),
+        "dt", s"$base/rng") { b =>
+        b.write.mode("append").parquet(s"$base/out")
+      }
+      val day = s.read.parquet(s"$base/out")
+        .groupBy("dt")
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("value").cast("decimal(18,3)")).cast("decimal(38,3)")
+               .cast("string").as("sum_val"))
+        .select(col("dt"), col("cnt"), col("sum_val"),
+                lit("day").as("kind"))
+      val rng = s.read.parquet(s"$base/rng")
+      val rngRows = rng
+        .agg(min("dw_bgn_dt").as("start_dt"), max("dw_end_dt").as("end_dt"),
+             sum("dw_ld_cnt").cast("long").as("cnt"))
+        .select(explode(array(
+            struct(col("start_dt").as("dt"), col("cnt"),
+              lit(null).cast("string").as("sum_val"),
+              lit("rng_start").as("kind")),
+            struct(col("end_dt").as("dt"), col("cnt"),
+              lit(null).cast("string").as("sum_val"),
+              lit("rng_end").as("kind")))).as("r"))
+        .select("r.dt", "r.cnt", "r.sum_val", "r.kind")
+      day.unionByName(rngRows).orderBy("kind", "dt")
+    }),
+
     // approximate aggregates — the 100 TB corpus-stats path (HLL++
     // distinct, quantile sketch). Self-validating oracle: Spark emits
     // the exact values plus in-bound booleans for the sketches; DuckDB
@@ -1085,6 +1132,19 @@ object CoreQueries {
          CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(38,3))
            AS VARCHAR) AS sum_val
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "streaming_rng_ingest" ->
+      """WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')
+             AS dt, value FROM events)
+         SELECT dt, count(*) AS cnt,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,3)))
+             AS DECIMAL(38,3)) AS VARCHAR) AS sum_val,
+           'day' AS kind
+         FROM d GROUP BY dt
+         UNION ALL
+         SELECT max(dt), count(*), NULL, 'rng_end' FROM d
+         UNION ALL
+         SELECT min(dt), count(*), NULL, 'rng_start' FROM d
+         ORDER BY kind, dt""",
     "approx_stats" ->
       """SELECT event_type, count(*) AS cnt,
          count(DISTINCT user_id) AS users_exact,

@@ -639,6 +639,19 @@ object LlmQueries {
         .orderBy("media_id")
     }),
 
+    // multimodal: REAL javax.sound.sampled decode over real WAV
+    // payloads — rate/sample-count/mean-amplitude are pure functions of
+    // the id (the PNG pattern), so the oracle predicts the decoded
+    // features without parsing RIFF. n_bytes is dropped like the image
+    // probe (header size is an encoder detail, not a decode output).
+    "multimodal_audio" -> ((s, dir) => {
+      val media = Multimodal.asWavTable(t(s, dir, "documents"), "doc_id")
+      Multimodal.audioFeatures(media)
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+                col("duration_ms"), col("mean_amp"), col("decoded"))
+        .orderBy("media_id")
+    }),
+
     // multimodal: deterministic frame sampling plumbing
     "multimodal_frame_sample" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(t(s, dir, "documents"),
@@ -1160,6 +1173,20 @@ object LlmQueries {
          CAST(16 + (doc_id % 16) AS INT) AS height,
          CAST((doc_id % 256) + ((doc_id * 7 + 13) % 256) AS DOUBLE) / 2
            AS mean_px,
+         TRUE AS decoded
+         FROM documents ORDER BY media_id""",
+    "multimodal_audio" ->
+      """SELECT doc_id AS media_id,
+         CAST(CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+         CAST(800 + (doc_id % 50) * 16 AS BIGINT) AS n_samples,
+         round((800 + (doc_id % 50) * 16) * 1000.0 /
+           (CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 WHEN 2 THEN 22050 ELSE 44100 END), 6) AS duration_ms,
+         CAST((doc_id % 100) * 250 + ((doc_id * 7 + 13) % 100) * 250
+           AS DOUBLE) / 2 AS mean_amp,
          TRUE AS decoded
          FROM documents ORDER BY media_id""",
     "multimodal_frame_sample" ->

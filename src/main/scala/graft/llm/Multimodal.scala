@@ -15,12 +15,13 @@ import org.apache.spark.sql.types._
   * `mapInPandas`: one buffer of rows at a time, so codec/model setup is
   * amortized per batch).
   *
-  * The decode kernel is REAL for images: `javax.imageio` (PNG/BMP/JPEG,
-  * pure JDK — no native deps) reads the payload and extracts
-  * width/height/mean-channel. Payloads ImageIO cannot decode (the
-  * audio/video kinds this container has no codecs for) fall back to a
-  * clearly-marked deterministic stub so the pipeline shape stays
-  * testable end-to-end for every kind.
+  * The decode kernels are REAL for images (`javax.imageio` —
+  * PNG/BMP/JPEG, pure JDK) and audio (`javax.sound.sampled` — WAV PCM,
+  * pure JDK): payloads are parsed and width/height/mean-channel resp.
+  * sample-rate/duration/mean-amplitude extracted. Only VIDEO (no codec
+  * in the JDK or this container) falls back to a clearly-marked
+  * deterministic stub, keeping the pipeline shape testable end-to-end
+  * for every kind.
   */
 object Multimodal {
 
@@ -86,6 +87,120 @@ object Multimodal {
       Row(id, encodePng(id), Row("image", pngWidth(id), pngHeight(id)))
     }
     spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  // ---------- audio (WAV via javax.sound.sampled — pure JDK) ----------
+
+  /** Deterministic synthetic audio parameters, pure functions of the id
+    * (the PNG pattern: the oracle predicts decode output from these
+    * without being able to parse WAV itself). Signal is 16-bit PCM
+    * mono, sign-alternating with amplitude a1 on the first half of the
+    * samples and a2 on the second (count even), so mean |sample| is
+    * exactly (a1+a2)/2. */
+  def wavRate(id: Long): Int =
+    Array(8000, 16000, 22050, 44100)((id % 4).toInt)
+  def wavSamples(id: Long): Int = 800 + (id % 50).toInt * 16
+  def wavAmp1(id: Long): Int = (id % 100).toInt * 250
+  def wavAmp2(id: Long): Int = ((id * 7 + 13) % 100).toInt * 250
+
+  /** Encode the deterministic signal for `id` as real WAV bytes
+    * (canonical 44-byte RIFF header + PCM, lossless → decode recovers
+    * the amplitudes exactly). */
+  def encodeWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val rate = wavRate(id); val n = wavSamples(id)
+    val a1 = wavAmp1(id); val a2 = wavAmp2(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val amp = if (i < n / 2) a1 else a2
+      val s = (if (i % 2 == 0) amp else -amp).toShort
+      pcm(2 * i) = (s & 0xff).toByte // little-endian per the format below
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+      n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Media table with REAL WAV payloads (encoded per-partition on the
+    * executors, like [[asPngTable]]). */
+  def asWavTable(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long")).rdd.map { r =>
+      val id = r.getLong(0)
+      Row(id, encodeWav(id), Row("audio", 0, 0))
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Real audio decode: javax.sound.sampled → (sample rate, sample
+    * count, mean |amplitude| in raw 16-bit units). None when the
+    * payload is not decodable 16-bit mono PCM. */
+  private def decodeAudio(bytes: Array[Byte]): Option[(Int, Long, Double)] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try {
+        import javax.sound.sampled.AudioSystem
+        val ais = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.isBigEndian) None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          if (n == 0) None
+          else {
+            var sum = 0L; var i = 0
+            while (i < n) {
+              val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff))
+              sum += math.abs(s)
+              i += 1
+            }
+            Some((fmt.getSampleRate.toInt, n.toLong, sum.toDouble / n))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  private val audioFeatureSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", DoubleType, nullable = false),
+    StructField("mean_amp", DoubleType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** Batched audio decode/feature-extract — the audio twin of
+    * [[extractFeatures]]: real `javax.sound.sampled` decode, stub
+    * fallback (byte-mean pseudo-features, `decoded=false`) for payloads
+    * that are not 16-bit mono PCM WAV. */
+  def audioFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val (rate, n, mean, real) = decodeAudio(bytes) match {
+            case Some((sr, ns, m)) => (sr, ns, m, true)
+            case None =>
+              val (_, _, m) = decodeStub(bytes); (0, 0L, m, false)
+          }
+          val durMs =
+            if (rate == 0) 0.0
+            else math.round(n * 1000.0 / rate * 1e6) / 1e6
+          Row(id, if (bytes == null) 0 else bytes.length, rate, n,
+            durMs, math.round(mean * 1e6) / 1e6, real)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioFeatureSchema)
   }
 
   /** Real image decode: ImageIO → (width, height, mean over all

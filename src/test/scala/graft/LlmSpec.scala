@@ -433,6 +433,25 @@ class LlmSpec extends AnyFunSuite {
     assert(got(3) === ((4L, 1, 0.0, 0.0, 0.0)))
   }
 
+  test("WAV audio decode recovers rate/samples/amplitude; non-audio " +
+      "payloads fall to the labeled stub") {
+    val ids = Seq(0L, 7L, 123L).toDF("doc_id")
+    val got = Multimodal.audioFeatures(Multimodal.asWavTable(ids, "doc_id"))
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getDouble(5),
+        r.getBoolean(6)))
+    val want = Seq(0L, 7L, 123L).map { id =>
+      (id, Multimodal.wavRate(id), Multimodal.wavSamples(id).toLong,
+        (Multimodal.wavAmp1(id) + Multimodal.wavAmp2(id)) / 2.0, true)
+    }
+    assert(got.toSeq == want)
+    val notAudio = Multimodal.audioFeatures(
+      Multimodal.asMediaTable(docs, "doc_id", "text")
+        .limit(1)).collect()
+    assert(notAudio.forall(!_.getBoolean(6)),
+      "text payloads must take the stub path, flagged decoded=false")
+  }
+
   test("semanticDedup pre-salts hot cells: salted output equals the " +
       "unsalted form on a one-cell-dominated corpus") {
     import graft.llm.{Dedup, Similarity}
