@@ -20,11 +20,34 @@ import org.apache.spark.sql.functions._
   * so a large table fans out over n concurrent connections instead of
   * one executor streaming the whole table; writes ride Spark's
   * per-partition batched inserts.
+  *
+  * TEST BOUNDARY: this module is verified against embedded Derby
+  * (JdbcSpec) — the only JDBC engine in this environment. The
+  * reference tap's target is Postgres over SSL (trgx.clj:81-98); the
+  * Postgres-specific surface — SSL handshake, `stringtype=unspecified`
+  * server-side casts, PG type mapping — is expressed here
+  * ([[pgSslOptions]], the all-String scheme) but NOT exercised against
+  * a live Postgres. Connection `options` forward verbatim to Spark's
+  * JDBC source, so the SSL posture needs no code change to enable.
   */
 object Jdbc {
 
   /** Logical (`-`) → physical (`_`) column rewrite. */
   def physical(name: String): String = name.replace("-", "_")
+
+  /** The reference tap's Postgres SSL connection posture
+    * (trgx.clj:81-98: ssl + sslmode=require + client cert/key/root
+    * paths + unspecified stringtype) as a Spark JDBC option map —
+    * URL-independent, pass as `options` to [[readTable]] /
+    * [[writeTable]]. Option names per the PostgreSQL JDBC driver. */
+  def pgSslOptions(sslMode: String = "require",
+                   sslCert: Option[String] = None,
+                   sslKey: Option[String] = None,
+                   sslRootCert: Option[String] = None): Map[String, String] =
+    Map("ssl" -> "true", "sslmode" -> sslMode,
+        "stringtype" -> "unspecified") ++
+      sslCert.map("sslcert" -> _) ++ sslKey.map("sslkey" -> _) ++
+      sslRootCert.map("sslrootcert" -> _)
 
   /** Optional parallel-read spec: (physical column, lower, upper,
     * numPartitions). */
@@ -36,8 +59,10 @@ object Jdbc {
     * name — the all-String scheme of the reference tap. */
   def readTable(spark: SparkSession, url: String, table: String,
                 header: Seq[String],
-                partition: Option[PartitionSpec] = None): DataFrame = {
+                partition: Option[PartitionSpec] = None,
+                options: Map[String, String] = Map.empty): DataFrame = {
     val base = spark.read.format("jdbc")
+      .options(options)
       .option("url", url)
       .option("dbtable", table)
     val reader = partition.fold(base) { p =>
@@ -53,10 +78,12 @@ object Jdbc {
 
   /** Append `df` to `table`: logical `-` names rewritten to physical
     * `_`, every column cast to String. */
-  def writeTable(df: DataFrame, url: String, table: String): Unit =
+  def writeTable(df: DataFrame, url: String, table: String,
+                 options: Map[String, String] = Map.empty): Unit =
     df.select(df.columns.map(c =>
         df.col(c).cast("string").as(physical(c))): _*)
       .write.format("jdbc")
+      .options(options)
       .option("url", url)
       .option("dbtable", table)
       .mode("append")
@@ -96,12 +123,24 @@ object Jdbc {
   }
 
   /** detele-report! shape (trgx.clj:118-120): range-delete by date
-    * column plus fixed selector predicates. */
+    * column plus fixed selector predicates.
+    *
+    * `table`/`dtCol`/`extraWhere` are TRUSTED identifiers/fragments
+    * from job config (the reference interpolates them identically);
+    * the date BOUNDS are data and bind through a PreparedStatement, so
+    * a quote in a date value cannot break or repurpose the statement. */
   def deleteRange(url: String, table: String, dtCol: String,
                   startDt: String, endDt: String,
                   extraWhere: Option[String] = None): Int = {
     val extra = extraWhere.map(w => s"$w AND ").getOrElse("")
-    executeUpdate(url,
-      s"DELETE FROM $table WHERE $extra$dtCol BETWEEN '$startDt' AND '$endDt'")
+    val conn = DriverManager.getConnection(url)
+    try {
+      val ps = conn.prepareStatement(
+        s"DELETE FROM $table WHERE $extra$dtCol BETWEEN ? AND ?")
+      try {
+        ps.setString(1, startDt); ps.setString(2, endDt)
+        ps.executeUpdate()
+      } finally ps.close()
+    } finally conn.close()
   }
 }

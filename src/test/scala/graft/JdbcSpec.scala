@@ -124,6 +124,31 @@ class JdbcSpec extends AnyFunSuite {
       "each date appended exactly once across the two runs")
   }
 
+  test("connection options forward to the JDBC source; pgSslOptions " +
+       "builds the reference tap's SSL posture") {
+    import spark.implicits._
+    // a quote in a date BOUND must not break the prepared delete
+    Jdbc.executeUpdateSilent(url, "DROP TABLE t_opt")
+    Jdbc.createTableIf(url, "t_opt", Seq("dw_dt" -> "VARCHAR(12)"))
+    val df = Seq("2024-01-31").toDF("dw-dt")
+    Jdbc.writeTable(df, url, "t_opt",
+      options = Map("batchsize" -> "500", "isolationLevel" -> "NONE"))
+    val back = Jdbc.readTable(spark, url, "t_opt", Seq("dw-dt"),
+      options = Map("fetchsize" -> "7"))
+    assert(back.collect().map(_.getString(0)).toSeq == Seq("2024-01-31"))
+    assert(Jdbc.deleteRange(url, "t_opt", "dw_dt",
+      "9999-01-01' OR '1'='1", "9999-12-31") == 0,
+      "a quote in the bound must bind as a literal (no match), not " +
+        "splice into the statement (which would delete every row)")
+    assert(back.count() == 1)
+    val ssl = Jdbc.pgSslOptions(
+      sslCert = Some("/c.pem"), sslKey = Some("/k.pk8"),
+      sslRootCert = Some("/root.pem"))
+    assert(ssl == Map("ssl" -> "true", "sslmode" -> "require",
+      "stringtype" -> "unspecified", "sslcert" -> "/c.pem",
+      "sslkey" -> "/k.pk8", "sslrootcert" -> "/root.pem"))
+  }
+
   test("partitioned read fans out over numPartitions JDBC slices") {
     import spark.implicits._
     Jdbc.executeUpdateSilent(url, "DROP TABLE t_part")
