@@ -592,6 +592,26 @@ object CoreQueries {
                 col("event_type"), col("cnt"), col("sum_val"))
         .orderBy("day", "event_type")),
 
+    // skew-fixture registration for Relational.saltedJoin (spec'd but
+    // unregistered until round 4): 80% of fact rows share one key, the
+    // dim side is replicated ×nSalt, and the result must equal the
+    // plain join — which the oracle computes directly. At 100 TB this
+    // is the medium-dim case AQE can't fix (skew exists pre-shuffle).
+    "salted_join_skew" -> ((s, dir) => {
+      val fact = t(s, dir, "orders").select(
+        when(col("o_orderkey") % 10 < 8, lit("HOT"))
+          .otherwise(col("o_orderpriority")).as("k"),
+        col("o_totalprice"))
+      val dim = fact.groupBy("k").agg(count(lit(1)).as("dim_cnt"))
+      Relational.saltedJoin(fact, dim, Seq("k"), nSalt = 8)
+        .groupBy("k")
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("o_totalprice").cast("decimal(18,2)"))
+               .cast("decimal(38,2)").cast("string").as("sum_price"),
+             max("dim_cnt").as("dim_cnt"))
+        .orderBy("k")
+    }),
+
     // SURVEY §2.10's upgrade path made DRIVER-VISIBLE: a real
     // Trigger.AvailableNow foreachBatch drive over the events table
     // with `_rng` bookkeeping (StreamOps.availableNowWithRng — the
@@ -1132,6 +1152,16 @@ object CoreQueries {
          CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(38,3))
            AS VARCHAR) AS sum_val
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "salted_join_skew" ->
+      """WITH f AS (SELECT CASE WHEN o_orderkey % 10 < 8 THEN 'HOT'
+             ELSE o_orderpriority END AS k, o_totalprice FROM orders),
+         d AS (SELECT k, count(*) AS dim_cnt FROM f GROUP BY k)
+         SELECT f.k, count(*) AS cnt,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+           max(dim_cnt) AS dim_cnt
+         FROM f JOIN d ON f.k = d.k
+         GROUP BY f.k ORDER BY f.k""",
     "streaming_rng_ingest" ->
       """WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')
              AS dt, value FROM events)

@@ -1,8 +1,6 @@
 package graft.agg
 
-import org.apache.spark.sql.{Column, Encoder}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Custom aggregation functions (SURVEY §2.5).
@@ -10,36 +8,12 @@ import org.apache.spark.sql.functions._
   * All plan as ObjectHashAggregate with **map-side partial aggregation**:
   * the buffer is keyed by group content (bounded by key cardinality), not
   * by row count — the scale-safe shape the round-1 verdict demanded
-  * (never a `collect_list` row buffer on hot groups). The two hottest
-  * (collect-kv, tr-dimension-metrics) are native Catalyst
-  * TypedImperativeAggregates (NativeAggs.scala); collect-kvs stays a
-  * typed `Aggregator` via `functions.udaf`.
+  * (never a `collect_list` row buffer on hot groups). The three group
+  * collectors (collect-kv, collect-kvs, tr-dimension-metrics) are
+  * native Catalyst TypedImperativeAggregates (NativeAggs.scala): raw
+  * InternalRow updates, compact byte-buffer partials, no encoder serde.
   */
 object Aggregators {
-
-  /** `collect-kvs`: multimap `{k → set(v)}` per group
-    * (mlin/d_bolome_user_order.clj:42). Values deduped and sorted so the
-    * output is deterministic across merge orders. */
-  class CollectKvs extends Aggregator[(String, String),
-                                      Map[String, Seq[String]],
-                                      Map[String, Seq[String]]] {
-    def zero: Map[String, Seq[String]] = Map.empty
-    def reduce(b: Map[String, Seq[String]], in: (String, String)) =
-      if (in._1 == null) b
-      else {
-        val cur = b.getOrElse(in._1, Vector.empty)
-        if (cur.contains(in._2)) b else b.updated(in._1, cur :+ in._2)
-      }
-    def merge(a: Map[String, Seq[String]], b: Map[String, Seq[String]]) =
-      b.foldLeft(a) { case (acc, (k, vs)) =>
-        acc.updated(k, (acc.getOrElse(k, Vector.empty) ++ vs).distinct)
-      }
-    def finish(b: Map[String, Seq[String]]) =
-      b.map { case (k, vs) => k -> vs.sorted }
-    def bufferEncoder: Encoder[Map[String, Seq[String]]] =
-      ExpressionEncoder[Map[String, Seq[String]]]()
-    def outputEncoder: Encoder[Map[String, Seq[String]]] = bufferEncoder
-  }
 
   // ---- Column-level entry points -----------------------------------
 
@@ -52,9 +26,16 @@ object Aggregators {
       GraftBridge.expression(v)).toAggregateExpression())
   }
 
-  /** collect_kvs(k, v) → Map[String, Seq[String]] column. */
-  def collectKvs(k: Column, v: Column): Column =
-    udaf(new CollectKvs).apply(k, v)
+  /** collect_kvs(k, v) → Map[String, Array[String]] multimap column —
+    * native TypedImperativeAggregate (NativeAggs.scala): O(1) HashSet
+    * dedup per row where the former typed Aggregator paid a
+    * `Seq.contains` scan (O(V²) on a hot group), values emitted
+    * sorted. */
+  def collectKvs(k: Column, v: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(CollectKvsAgg(GraftBridge.expression(k),
+      GraftBridge.expression(v)).toAggregateExpression())
+  }
 
   /** tr_dimension_metrics(array(dims...), map(metricName, value, ...))
     * → nested-JSON string column — the native TypedImperativeAggregate

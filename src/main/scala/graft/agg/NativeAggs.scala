@@ -108,6 +108,101 @@ case class CollectKvAgg(keyExpr: Expression, valExpr: Expression,
     copy(keyExpr = c(0), valExpr = c(1))
 }
 
+/** `collect-kvs` as a native TypedImperativeAggregate
+  * (mlin/d_bolome_user_order.clj:42 semantics: multimap {k → set(v)},
+  * null keys and null values skipped, values deduped and emitted
+  * sorted so output is deterministic across merge orders).
+  *
+  * Replaces the last `functions.udaf` Aggregator on a registered path:
+  * the typed form's per-row encoder serde plus its `Seq.contains`
+  * linear dedup made a hot group (one key, V distinct values) O(V²);
+  * the HashSet buffer here is O(1) per row and partials ship as one
+  * compact length-prefixed buffer. */
+case class CollectKvsAgg(keyExpr: Expression, valExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[
+    mutable.HashMap[String, mutable.HashSet[String]]]
+  with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(keyExpr, valExpr)
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    MapType(StringType, ArrayType(StringType, containsNull = false))
+  override def prettyName: String = "collect_kvs"
+
+  override def createAggregationBuffer() =
+    mutable.HashMap.empty[String, mutable.HashSet[String]]
+
+  override def update(b: mutable.HashMap[String, mutable.HashSet[String]],
+                      input: InternalRow) = {
+    val k = keyExpr.eval(input)
+    if (k != null) {
+      val v = valExpr.eval(input)
+      if (v != null)
+        b.getOrElseUpdate(k.toString, mutable.HashSet.empty) += v.toString
+    }
+    b
+  }
+
+  override def merge(a: mutable.HashMap[String, mutable.HashSet[String]],
+                     b: mutable.HashMap[String, mutable.HashSet[String]]) = {
+    b.foreach { case (k, vs) =>
+      a.getOrElseUpdate(k, mutable.HashSet.empty) ++= vs
+    }
+    a
+  }
+
+  override def eval(
+      b: mutable.HashMap[String, mutable.HashSet[String]]): Any = {
+    val entries = b.toArray.sortBy(_._1)
+    new ArrayBasedMapData(
+      new GenericArrayData(
+        entries.map(e => UTF8String.fromString(e._1): Any)),
+      new GenericArrayData(entries.map { e =>
+        new GenericArrayData(e._2.toArray.sorted
+          .map(v => UTF8String.fromString(v): Any)): Any
+      }))
+  }
+
+  override def serialize(
+      b: mutable.HashMap[String, mutable.HashSet[String]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.size)
+    b.foreach { case (k, vs) =>
+      AggSerde.writeStr(out, k)
+      out.writeInt(vs.size)
+      vs.foreach(AggSerde.writeStr(out, _))
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]) = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = mutable.HashMap.empty[String, mutable.HashSet[String]]
+    var n = in.readInt()
+    while (n > 0) {
+      val k = AggSerde.readStr(in)
+      var m = in.readInt()
+      val set = mutable.HashSet.empty[String]
+      while (m > 0) { set += AggSerde.readStr(in); m -= 1 }
+      b.update(k, set)
+      n -= 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): CollectKvsAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): CollectKvsAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): CollectKvsAgg =
+    copy(keyExpr = c(0), valExpr = c(1))
+}
+
 /** `tr-dimension-metrics` as a native TypedImperativeAggregate
   * (trgx.clj:72-79): fold (dimension-path, metric-map) rows into the
   * canonical pair-tree JSON. Buffer is `{path → metrics}` keyed by the

@@ -7,7 +7,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Static kernel shared by interpreted eval and generated code. */
 object DotProductUtil {
-  /** Dot product over the common prefix; null elements contribute 0. */
+  /** Dot product over equal-length arrays; null elements contribute 0.
+    * Callers check the length contract (DotProduct returns null on
+    * mismatch); the min() here is belt-and-braces only. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
@@ -28,22 +30,40 @@ object DotProductUtil {
   * (measured 16.2 s → 0.9 s on semantic_dedup at sf0.1). This is one
   * generated static call with a tight primitive loop; the summation
   * order (i = 0..n−1 left fold) is identical to the HOF form, so
-  * values are bit-compatible.
+  * values are bit-compatible on well-formed input.
+  *
+  * CONTRACT at the edges: arrays of UNEQUAL length yield NULL — the
+  * same observable result as the composed form (zip_with null-pads the
+  * shorter side, the products go null, the fold goes null), so a
+  * corrupt ragged vector surfaces as a null score instead of a
+  * silently-truncated prefix dot. Per-element nulls contribute 0 here,
+  * where the HOF form nulls the whole result — the one documented
+  * divergence (embedding columns are non-null-element by construction;
+  * a 0 contribution keeps one bad element from erasing the row).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    DotProductUtil.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else DotProductUtil.dot(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.DotProductUtil.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.DotProductUtil.dot($a, $b);
+      }""")
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): DotProduct = copy(left = l, right = r)

@@ -21,8 +21,8 @@ object Similarity {
     * `aggregate(zip_with(_*_))` fold (same i = 0..n−1 summation order,
     * ExtensionsSpec asserts it) but a generated tight loop instead of
     * an interpreted lambda per element, which dominates candidate-pair
-    * hot paths (ragged arrays: HOF nulls out, this dots the common
-    * prefix — embedding columns are fixed-width so the cases agree). */
+    * hot paths. Ragged arrays yield null, matching the composed form
+    * (the DotProduct scaladoc states the full edge contract). */
   def cosine(a: Column, b: Column): Column =
     fastDot(a, b) / (sqrt(fastDot(a, a)) * sqrt(fastDot(b, b)))
 

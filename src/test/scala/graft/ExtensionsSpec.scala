@@ -76,6 +76,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.toSeq == viaCol.toSeq)
     assert(viaCol.toSeq == viaHof.toSeq) // bit-identical left fold
     assert(viaCol(0)._2 == 32.0 && viaCol(1)._2 == 0.0)
+    // ragged arrays: native and HOF forms agree on NULL (the length
+    // contract in DotProduct's scaladoc), no silent prefix dot
+    val ragged = Seq((1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0)))
+      .toDF("id", "a", "b")
+    val nat = ragged.select(
+      graft.llm.Similarity.fastDot($"a", $"b")).first()
+    val hof = ragged.select(
+      aggregate(zip_with($"a", $"b", (p, q) => p * q), lit(0.0),
+        (s, v) => s + v)).first()
+    assert(nat.isNullAt(0) && hof.isNullAt(0))
   }
 
   test("graft_minhash_sig via SQL equals the Column-API MinHashSig") {
