@@ -498,18 +498,24 @@ object Dedup {
     // L2-normalized ONCE per row (norm staged as an attribute — a
     // lambda capturing the norm subtree would recompute it per
     // element), so each pair is a single native DotProduct loop, not
-    // three interpreted HOF folds (measured 17 s → <1 s at sf0.1)
-    val staged = Similarity.withUnitVec(
+    // three interpreted HOF folds (measured 17 s → <1 s at sf0.1).
+    // The assigned (id, cell, vecn) table goes through the parquet
+    // staging boundary: FOUR consumers scan it (cell counts, both
+    // triangle join sides, the final left join), and without the
+    // boundary each would recompute the k-dot cell assignment over the
+    // whole corpus — materializing the assignment table is also what a
+    // production SemDeDup run does.
+    val assigned = staged(Similarity.withUnitVec(
         df.select(col(idCol).as("id"),
             transform(col(vecCol), x => x.cast("double")).as("vec"))
           .withColumn("cell",
             Similarity.cellsFor(col("vec"), cents, 1).getItem(0)),
         "vec", "vecn")
-      .select("id", "cell", "vecn")
+      .select("id", "cell", "vecn"), "semdedup_cells")
     // per-cell sizes: at most cents.length rows — broadcast, no fact
     // shuffle beyond the count's partial agg
-    val cellSizes = staged.groupBy("cell").agg(count(lit(1)).as("__n"))
-    val bucketed = staged.join(broadcast(cellSizes), Seq("cell"))
+    val cellSizes = assigned.groupBy("cell").agg(count(lit(1)).as("__n"))
+    val bucketed = assigned.join(broadcast(cellSizes), Seq("cell"))
       .withColumn("__s",
         ceil(col("__n").cast("double") / maxCellRows).cast("int"))
       .withColumn("__b", pmod(xxhash64(col("id")), col("__s")).cast("int"))
@@ -538,7 +544,7 @@ object Dedup {
               greatest(col("a.id"), col("b.id")).as("hi"))
       .groupBy(col("hi").as("id"))
       .agg(min(col("lo")).as("removed_by"))
-    staged.select(col("id"), col("cell"))
+    assigned.select(col("id"), col("cell"))
       .join(removed, Seq("id"), "left_outer")
       .select(col("id"), col("cell"),
         col("removed_by").isNull.as("keep"), col("removed_by"))
