@@ -445,6 +445,33 @@ object LlmQueries {
           (count(col("hit")) >= 28).as("recall_ok"))
     }),
 
+    // model-based quality scoring (the fastText/classifier-filter
+    // shape): hashed token features → exact LONG activation sum →
+    // logistic. One pure projection over the scan; the md5-derived
+    // weights stand in for a trained artifact (TextAnalysis.tokenWeight
+    // scaladoc) so the inference plumbing is fully oracle-checked.
+    "text_model_score" -> ((s, dir) => {
+      val toks = filter(
+        split(TextAnalysis.normalizeText(col("text")), " "),
+        t => length(t) > 0)
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          TextAnalysis.linearScoreRaw(col("toks")).as("raw"))
+        .withColumn("score",
+          round(TextAnalysis.logistic(col("raw"), 1000.0), 6))
+        .orderBy("doc_id")
+    }),
+
+    // JL random projection: 64 → 8 dims, long-form output. The
+    // deterministic Rademacher signs are re-generated into the oracle
+    // SQL as literals, so DuckDB replicates the projection exactly.
+    "embedding_project" -> ((s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), "embedding",
+          "vec_id", 8)
+        .orderBy("id", "dim")),
+
     // language-ID heuristic (stopword argmax + CJK short-circuit);
     // token array staged once — see langIdStaged scaladoc
     "text_langid" -> ((s, dir) =>
@@ -909,6 +936,32 @@ object LlmQueries {
            rm.removed_by IS NULL AS keep, rm.removed_by AS removed_by
          FROM cc LEFT JOIN rm ON cc.vec_id = rm.id
          ORDER BY id"""
+    },
+    "text_model_score" ->
+      s"""WITH d AS (SELECT doc_id,
+             list_filter(string_split($normSql, ' '), t -> len(t) > 0)
+               AS toks
+           FROM documents),
+         w AS (SELECT doc_id, len(toks) AS n_toks,
+             CAST(coalesce(list_sum(list_transform(toks, t ->
+               (CAST(concat('0x', substr(md5(t), 1, 6)) AS BIGINT)
+                 % 2001) - 1000)), 0) AS BIGINT) AS raw
+           FROM d)
+         SELECT doc_id, CAST(n_toks AS INT) AS n_toks, raw,
+           round(1.0 / (1.0 + exp(-(CAST(raw AS DOUBLE) / 1000.0))), 6)
+             AS score
+         FROM w ORDER BY doc_id""",
+    "embedding_project" -> {
+      val rows = Similarity.rademacherPlanes(8, 64).zipWithIndex
+        .map { case (p, j) =>
+          s"($j, [${p.map(v => if (v > 0) "1.0" else "-1.0")
+            .mkString(", ")}])"
+        }.mkString(", ")
+      s"""WITH pl AS (SELECT * FROM (VALUES $rows) t(dim, r))
+         SELECT e.vec_id AS id, CAST(pl.dim AS INT) AS dim,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.r)
+             / sqrt(8.0), 4) AS value
+         FROM embeddings e CROSS JOIN pl ORDER BY id, dim"""
     },
     "embedding_cosine_topk" ->
       """SELECT query_id, corpus_id, rank, cos FROM (

@@ -86,6 +86,27 @@ object Similarity {
       }
     }
 
+  /** Johnson–Lindenstrauss random projection to `outDims`:
+    * y_j = Σ_i r_ji·x_i / √outDims with the deterministic Rademacher
+    * signs of [[rademacherPlanes]]. A pure projection — no fit, no
+    * shuffle, signs regenerate identically on any engine — so at
+    * 100 TB it cuts every downstream pair/ANN/dedup cost by
+    * inDims/outDims with JL-bounded distortion before any expensive
+    * operator runs. Output is long-form (id, dim, value) rows, values
+    * rounded to 4 (the embedding-oracle float convention). */
+  def randomProject(df: DataFrame, vecCol: String, idCol: String,
+                    outDims: Int): DataFrame = {
+    val dims = df.select(size(col(vecCol))).first().getInt(0)
+    val planes = rademacherPlanes(outDims, dims)
+    val scale = math.sqrt(outDims.toDouble)
+    df.select(col(idCol).as("id"),
+        posexplode(array(planes.map(p =>
+          round(fastDot(asDouble(col(vecCol)), typedlit(p)) / scale, 4)):
+            _*)))
+      .withColumnRenamed("pos", "dim")
+      .withColumnRenamed("col", "value")
+  }
+
   /** Shared scan-rank kernel for the exact top-k searches: corpus ×
     * broadcast(queries), candidate-pair predicate, cosine, per-query
     * rank window over candidates only. `extraCols` lets a caller

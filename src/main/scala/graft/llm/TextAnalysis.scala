@@ -309,4 +309,32 @@ object TextAnalysis {
     * md5). */
   def rollingFingerprint(c: Column, n: Int = 3): Column =
     array_min(transform(wordShingles(c, n), s => md5(s)))
+
+  // ---------- hashed-feature linear model inference ----------
+
+  /** Integer feature weight for one token: a 24-bit md5 prefix mapped
+    * into [-1000, 1000]. Engine-portable (md5 + mod, no
+    * engine-specific hash) and the INT range keeps per-doc sums in
+    * exact integer space — see [[linearScoreRaw]]. In production the
+    * weights come from a trained artifact (a broadcast `{bucket →
+    * weight}` table); this derivation stands in deterministically so
+    * the inference plumbing is oracle-checkable without shipping a
+    * model. */
+  def tokenWeight(tok: Column): Column =
+    conv(substring(md5(tok), 1, 6), 16, 10).cast("long") % 2001 - 1000
+
+  /** Raw hashed-linear-model activation for a pre-split token array:
+    * Σ tokenWeight(tok), folded in exact LONG space — cross-engine
+    * float summation order can never flip a comparison, the lesson
+    * behind every avg-of-doubles oracle bug. This is the model-based
+    * quality-filter shape (fastText/classifier corpus scoring): one
+    * pure projection over the scan, no shuffle, no UDF. */
+  def linearScoreRaw(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + tokenWeight(t))
+
+  /** Logistic link mapping a raw activation to a (0, 1) quality
+    * score. `scale` is the model's temperature (weight-unit
+    * normalizer for the synthetic [-1000,1000] weights). */
+  def logistic(raw: Column, scale: Double): Column =
+    lit(1.0) / (lit(1.0) + exp(-(raw.cast("double") / lit(scale))))
 }

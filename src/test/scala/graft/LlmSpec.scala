@@ -433,6 +433,51 @@ class LlmSpec extends AnyFunSuite {
     assert(got(3) === ((4L, 1, 0.0, 0.0, 0.0)))
   }
 
+  test("linearScoreRaw folds exactly the per-token weights (long " +
+      "space); logistic maps raw into (0,1) monotonically") {
+    val d = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    val toks = filter(
+      split(TextAnalysis.normalizeText($"text"), " "),
+      t => length(t) > 0)
+    val got = d.select($"doc_id",
+        TextAnalysis.linearScoreRaw(toks).as("raw"),
+        TextAnalysis.logistic(TextAnalysis.linearScoreRaw(toks), 1000.0)
+          .as("score"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // independent computation: explode + groupBy sum of tokenWeight
+    val ref = d.select($"doc_id", explode(toks).as("t"))
+      .select($"doc_id", TextAnalysis.tokenWeight($"t").as("w"))
+      .groupBy("doc_id").agg(sum("w").as("raw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0)._2 == ref(1L) && got(2)._2 == ref(3L))
+    assert(got(1)._2 == 0L && got(1)._3 == 0.5) // empty doc: neutral
+    assert(got.forall(g => g._3 > 0.0 && g._3 < 1.0))
+    val w = got(2)._2
+    assert(got(2)._3 == 1.0 / (1.0 + math.exp(-w / 1000.0)))
+  }
+
+  test("randomProject emits outDims components per vector, each the " +
+      "scaled signed dot of the deterministic planes") {
+    val d = Seq((0L, Array.tabulate(16)(i => (i + 1).toDouble)),
+                (1L, Array.fill(16)(0.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(d, "embedding", "vec_id", 4)
+      .orderBy("id", "dim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(out.length == 8)
+    val planes = Similarity.rademacherPlanes(4, 16)
+    val v = Array.tabulate(16)(i => (i + 1).toDouble)
+    for (j <- 0 until 4) {
+      val want = math.round(
+        planes(j).zip(v).map { case (r, x) => r * x }.sum / 2.0 * 1e4
+      ) / 1e4
+      assert(out(j) == ((0L, j, want)))
+    }
+    assert(out.drop(4).forall(_._3 == 0.0)) // zero vector projects to 0
+  }
+
   test("WAV audio decode recovers rate/samples/amplitude; non-audio " +
       "payloads fall to the labeled stub") {
     val ids = Seq(0L, 7L, 123L).toDF("doc_id")
