@@ -433,7 +433,7 @@ object RptQueries {
     // config cardinality, not fact rows.
     "report_details" -> ((s, dir) => {
       import s.implicits._
-      val m = scoreFact(s, dir)
+      val m0 = scoreFact(s, dir)
         .groupBy("bg", "bottler", "bg_sort", "bottler_sort", "code",
                  "item", "dw_dt")
         .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
@@ -443,6 +443,15 @@ object RptQueries {
         .agg(graft.agg.Aggregators.trDimensionMetrics(
           array(concat_ws("=", lit("period"), col("dw_dt"))),
           map(lit("value"), col("val"))).as("pv"))
+      // report-grain m is tiny; stage it so BOTH consumers (the
+      // selector-universe distinct and the grid join) read the staged
+      // table — without this the selector side re-scans the whole fact
+      // (column-pruned, but still a second 100 TB pass) just to
+      // enumerate (bg, bottler) pairs
+      val mPath = s"${Tables.tmpDir}/rpt_details_m_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      m0.write.mode("overwrite").parquet(mPath)
+      val m = s.read.parquet(mPath)
       val cfgDf = kpiCats.toDF("cat", "code", "cfg_key")
       val grid = m.select("bg", "bottler", "bg_sort", "bottler_sort")
         .distinct()

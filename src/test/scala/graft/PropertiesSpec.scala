@@ -147,4 +147,33 @@ class PropertiesSpec extends AnyFunSuite {
         JsonShape.pairTreeToJson(JsonShape.fromRows(rows.reverse))
     })
   }
+
+  test("semanticDedup's triangle block cover meets every unordered " +
+      "id pair exactly once, for any bucket count and assignment") {
+    // pure-logic replica of the salted self-join in Dedup.semanticDedup:
+    // a row in bucket b joins as side A in blocks (b, j >= b) and as
+    // side B in blocks (i <= b, b); same-bucket blocks additionally
+    // require idA < idB. Every unordered pair must surface exactly once.
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      s <- Gen.choose(1, 6)
+      buckets <- Gen.listOfN(n, Gen.choose(0, s - 1))
+    } yield (s, buckets.zipWithIndex.map { case (b, id) => (id, b) })
+    check("triangleCover", Prop.forAll(gen) { case (s, rows) =>
+      val aSide = rows.flatMap { case (id, b) =>
+        (b until s).map(j => ((b, j), id)) }
+      val bSide = rows.flatMap { case (id, b) =>
+        (0 to b).map(i => ((i, b), id)) }
+      val met = for {
+        (blkA, idA) <- aSide
+        (blkB, idB) <- bSide
+        if blkA == blkB && idA != idB &&
+          (blkA._1 != blkA._2 || idA < idB)
+      } yield (math.min(idA, idB), math.max(idA, idB))
+      val ids = rows.map(_._1)
+      val expected = (for { x <- ids; y <- ids if x < y } yield (x, y)).toSet
+      met.toSet == expected &&
+        met.groupBy(identity).forall(_._2.size == 1)
+    })
+  }
 }
