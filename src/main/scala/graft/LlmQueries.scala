@@ -141,6 +141,23 @@ object LlmQueries {
              ELSE [norm] END) AS g FROM w),
        sd AS (SELECT DISTINCT id, g FROM s)"""
 
+  /** Shared by benchmark_decontaminate and its bloom-prefiltered twin —
+    * the two plans must produce identical rows. */
+  private val decontaminateOracle =
+    s"""WITH u AS (SELECT doc_id, text FROM documents),
+       $shingleCte,
+       tr AS (SELECT id AS train_id, g FROM sd),
+       be AS (SELECT id + 5000000 AS bench_id, g FROM sd
+           WHERE id % 97 = 0),
+       bn AS (SELECT bench_id, count(*) AS bench_n FROM be GROUP BY 1),
+       ov AS (SELECT train_id, bench_id, count(*) AS overlap
+           FROM tr JOIN be USING (g) GROUP BY 1, 2)
+       SELECT train_id, bench_id, overlap,
+         round(overlap / CAST(bench_n AS DOUBLE), 6) AS containment
+       FROM ov JOIN bn USING (bench_id)
+       WHERE round(overlap / CAST(bench_n AS DOUBLE), 6) >= 0.5
+       ORDER BY train_id, bench_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: hash-groupBy on content fingerprint
@@ -584,6 +601,20 @@ object LlmQueries {
       val bench = docs.filter(col("doc_id") % 97 === 0)
         .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
       Dedup.ngramContainment(docs, bench, "text", "doc_id",
+          threshold = 0.5)
+        .orderBy("train_id", "bench_id")
+    }),
+
+    // bloom-prefiltered decontamination: same OUTPUT as
+    // benchmark_decontaminate (bloom = no false negatives; exact join
+    // kills the fpp extras), same oracle — registered separately
+    // because the 100 TB plan differs: a bits-sized blob replaces the
+    // broadcast hash table and non-members drop map-side pre-join
+    "benchmark_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      Dedup.ngramContainmentBloom(docs, bench, "text", "doc_id",
           threshold = 0.5)
         .orderBy("train_id", "bench_id")
     }),
@@ -1135,20 +1166,11 @@ object LlmQueries {
              AS top_bigram_frac
          FROM tok_stats t LEFT JOIN bg_stats b ON t.doc_id = b.doc_id
          ORDER BY t.doc_id""",
-    "benchmark_decontaminate" ->
-      s"""WITH u AS (SELECT doc_id, text FROM documents),
-         $shingleCte,
-         tr AS (SELECT id AS train_id, g FROM sd),
-         be AS (SELECT id + 5000000 AS bench_id, g FROM sd
-             WHERE id % 97 = 0),
-         bn AS (SELECT bench_id, count(*) AS bench_n FROM be GROUP BY 1),
-         ov AS (SELECT train_id, bench_id, count(*) AS overlap
-             FROM tr JOIN be USING (g) GROUP BY 1, 2)
-         SELECT train_id, bench_id, overlap,
-           round(overlap / CAST(bench_n AS DOUBLE), 6) AS containment
-         FROM ov JOIN bn USING (bench_id)
-         WHERE round(overlap / CAST(bench_n AS DOUBLE), 6) >= 0.5
-         ORDER BY train_id, bench_id""",
+    "benchmark_decontaminate" -> decontaminateOracle,
+    // bit-identical result to the exact path (bloom adds no false
+    // negatives and the exact join removes false positives) — the
+    // SAME oracle checks both plans
+    "benchmark_decontaminate_bloom" -> decontaminateOracle,
     "corpus_filter" -> {
       val langs = TextAnalysis.langStopwords
       val scoreCols = langs.map { case (lang, ws) =>

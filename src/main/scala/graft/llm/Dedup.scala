@@ -380,6 +380,60 @@ object Dedup {
         col("containment"))
   }
 
+  /** Bloom-prefiltered benchmark decontamination — identical OUTPUT to
+    * [[ngramContainment]], different scale posture: the bench shingle
+    * hashes aggregate into ONE `bloom_filter_agg` binary (~10 bits per
+    * element vs 16+ bytes per hashed-relation entry, so the blob every
+    * executor receives is ~1-2 orders smaller than the broadcast join
+    * table), and the train side drops non-members map-side BEFORE any
+    * join. Blooms never miss (no false negatives); the fpp fraction of
+    * spurious survivors is killed by the exact equi-join that follows,
+    * so the result is deterministic and shares the exact path's
+    * oracle. */
+  def ngramContainmentBloom(train: DataFrame, bench: DataFrame,
+                            textCol: String, idCol: String,
+                            threshold: Double = 0.8,
+                            expectedItems: Long = 4000000L): DataFrame = {
+    def shingled(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      array_distinct(transform(
+        array_distinct(TextAnalysis.wordShingles(col(textCol))),
+        g => xxhash64(g))).as("sh"))
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val benchSh = shingled(bench, "bench_id")
+    val benchSizes = benchSh.select(col("bench_id"),
+      size(col("sh")).as("bench_n"))
+    val benchFlat = benchSh.select(col("bench_id"),
+      explode(col("sh")).as("g"))
+    // the aggregated bloom is collected to the driver and re-enters the
+    // train scan as a LITERAL — the same artifact shape Spark's own
+    // runtime-filter injection uses (might_contain requires a constant
+    // bloom side), and at scale the bloom IS a driver-sized object by
+    // construction (bits, not entries)
+    val bfBytes = benchFlat.agg(GraftBridge.column(
+        new BloomFilterAggregate(GraftBridge.expression(col("g")),
+          expectedItems).toAggregateExpression()).as("bf"))
+      .first().getAs[Array[Byte]](0)
+    val trainFlat = shingled(train, "train_id")
+      .select(col("train_id"), explode(col("sh")).as("g"))
+      .filter(GraftBridge.column(BloomFilterMightContain(
+        Literal.create(bfBytes,
+          org.apache.spark.sql.types.BinaryType),
+        GraftBridge.expression(col("g")))))
+      .select("train_id", "g")
+    trainFlat.join(broadcast(benchFlat), "g")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("overlap"))
+      .join(broadcast(benchSizes), "bench_id")
+      .withColumn("containment",
+        round(col("overlap").cast("double") / col("bench_n"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("train_id"), col("bench_id"), col("overlap"),
+        col("containment"))
+  }
+
   /** N-gram Jaccard similarity between two text columns (shingle-set
     * intersection over union) — the verify kernel, exposed standalone. */
   def ngramJaccard(a: Column, b: Column): Column = {

@@ -433,6 +433,21 @@ class LlmSpec extends AnyFunSuite {
     assert(got(3) === ((4L, 1, 0.0, 0.0, 0.0)))
   }
 
+  test("bloom-prefiltered decontamination equals the exact path " +
+      "row-for-row (no false negatives; fpp killed by the verify join)") {
+    import org.apache.spark.sql.Row
+    val bench = docs.filter($"doc_id" <= 2)
+      .select(($"doc_id" + 100).as("doc_id"), $"text")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Row] =
+      df.orderBy("train_id", "bench_id").collect().toSet
+    val exact = rows(Dedup.ngramContainment(docs, bench, "text",
+      "doc_id", threshold = 0.3))
+    val bloom = rows(Dedup.ngramContainmentBloom(docs, bench, "text",
+      "doc_id", threshold = 0.3))
+    assert(exact.nonEmpty)
+    assert(bloom == exact)
+  }
+
   test("linearScoreRaw folds exactly the per-token weights (long " +
       "space); logistic maps raw into (0,1) monotonically") {
     val d = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "alpha"))
