@@ -121,6 +121,17 @@ object CorpusQueries {
           col("doc_id"), col("source"), col("tok"), mixWeights.toMap)
         .orderBy("doc_id")),
 
+    // temperature mixture: weights tok^0.5 derived from the data, no
+    // driver-side weight map — rare sources keep proportionally more
+    // (Corpus.temperatureMixture scaladoc for the float-exactness
+    // argument: unnormalized sqrt weights keep every step bit-portable)
+    "corpus_temperature_mix" -> ((s, dir) =>
+      Corpus.temperatureMixture(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCountWs(col("text")).as("tok")),
+          col("doc_id"), col("source"), col("tok"))
+        .orderBy("doc_id")),
+
     // symmetric int8 embedding quantization + reconstruction error
     "embedding_quantize" -> ((s, dir) =>
       t(s, dir, "embeddings")
@@ -311,6 +322,21 @@ object CorpusQueries {
              < CAST(floor(r.rate * 65536) AS INT)
          ORDER BY t.doc_id"""
     },
+    "corpus_temperature_mix" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokWsSql AS tok
+             FROM documents),
+         tot AS (SELECT source, CAST(sum(tok) AS BIGINT) AS stok
+                 FROM t GROUP BY source),
+         u AS (SELECT source, stok, sqrt(stok) AS uu FROM tot),
+         nm AS (SELECT min(stok / uu) AS nmax FROM u),
+         r AS (SELECT source, least(1.0, uu * nmax / stok) AS rate
+               FROM u CROSS JOIN nm)
+         SELECT t.doc_id, t.source, t.tok, round(r.rate, 6) AS rate
+         FROM t JOIN r USING (source)
+         WHERE r.rate >= 1.0 OR
+           ('0x' || substr(md5(t.doc_id || 'graft'), 1, 4))::INT
+             < CAST(floor(r.rate * 65536) AS INT)
+         ORDER BY t.doc_id""",
     "embedding_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),

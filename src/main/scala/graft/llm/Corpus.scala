@@ -153,6 +153,41 @@ object Corpus {
       .drop("__src", "__rate")
   }
 
+  /** Temperature-scaled mixture resampling (the multilingual/domain
+    * α-sampling rule): target weights derive FROM THE DATA as
+    * tokens_s^α — α < 1 upweights rare sources relative to their
+    * natural share, α = 1 keeps natural proportions. Weights enter the
+    * rate formula UNNORMALIZED — rates are invariant under scaling all
+    * weights (N = min tok/w shrinks as w grows), which removes the one
+    * non-reproducible float op a normalizer would need (a cross-engine
+    * sum of doubles has no defined order). At the default α = 0.5 the
+    * weight is `sqrt`, correctly rounded in IEEE-754, so every step
+    * (sqrt, divide, min, multiply) is bit-identical in any engine;
+    * other α use `pow`, which may differ by an ulp across libm
+    * implementations (fine for sampling, stated for oracle work).
+    * Selection is the md5-threshold rule of [[rateSample]] — re-runs,
+    * growth, and repartitioning never migrate a row. Output: kept rows
+    * + round(rate, 6). */
+  def temperatureMixture(df: DataFrame, keyCol: Column,
+                         sourceCol: Column, tokCol: Column,
+                         alpha: Double = 0.5,
+                         seed: String = "graft"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    def u(c: Column): Column = if (alpha == 0.5) sqrt(c) else pow(c, alpha)
+    val totals = df.groupBy(sourceCol.as("__src"))
+      .agg(sum(tokCol).as("__tok"))
+      .withColumn("__u", u(col("__tok")))
+    val nmax = totals.agg(min(col("__tok") / col("__u")).as("__nmax"))
+    val rates = totals.crossJoin(nmax)
+      .select(col("__src"),
+        least(lit(1.0), col("__u") * col("__nmax") / col("__tok"))
+          .as("__rate"))
+    rateSample(df.join(broadcast(rates), sourceCol === col("__src")),
+        keyCol, col("__rate"), seed)
+      .withColumn("rate", round(col("__rate"), 6))
+      .drop("__src", "__rate")
+  }
+
   /** Per-row hash sampling at an arbitrary rate EXPRESSION:
     * [[stratifiedSample]] generalized from per-stratum literal rates to
     * a data-computed rate per row (quality-weighted corpus sampling,

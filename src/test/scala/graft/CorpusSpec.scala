@@ -155,6 +155,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == out.map(_._1).toSet)
   }
 
+  test("temperatureMixture: sqrt weights keep the smallest source " +
+       "whole, larger sources downsample; alpha=1 is the identity mix") {
+    // a: 40000 tok, b: 10000 tok, c: 2500 tok → u = 200/100/50;
+    // tok/u = 200/100/50 → nmax = 50 (c binds, rate 1);
+    // rate_b = 100·50/10000 = 0.5; rate_a = 200·50/40000 = 0.25
+    val docs = ((0 until 4000).map(i => (i.toLong, "a", 10)) ++
+      (0 until 1000).map(i => (i.toLong + 10000, "b", 10)) ++
+      (0 until 250).map(i => (i.toLong + 20000, "c", 10)))
+      .toDF("id", "src", "tok")
+    val out = Corpus.temperatureMixture(docs, col("id"), col("src"),
+        col("tok"))
+      .select($"id", $"src", $"rate").as[(Long, String, Double)].collect()
+    val rates = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    assert(rates("c") == Set(1.0))
+    assert(rates("b") == Set(0.5))
+    assert(rates("a") == Set(0.25))
+    val n = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(n("c") == 250)
+    assert(n("b") > 400 && n("b") < 600)
+    assert(n("a") > 850 && n("a") < 1150)
+    // alpha = 1: weights equal natural shares → every rate is 1.0
+    val nat = Corpus.temperatureMixture(docs, col("id"), col("src"),
+        col("tok"), alpha = 1.0)
+      .select($"rate").as[Double].collect()
+    assert(nat.length == 5250 && nat.forall(_ == 1.0))
+  }
+
   test("int8 quantization: max code ±127, reconstruction error ≤ scale/2") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
