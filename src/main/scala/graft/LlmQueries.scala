@@ -462,6 +462,40 @@ object LlmQueries {
           (count(col("hit")) >= 28).as("recall_ok"))
     }),
 
+    // count-min-sketch heavy hitters: the approximate twin of
+    // text_token_topk for vocabularies too large to exact-count — the
+    // sketch is a fixed-size array regardless of cardinality. Output is
+    // the exact heavy-hitter table plus two CMS guarantees evaluated
+    // against it: estimates never undercount (structural), and
+    // overcount stays within eps·N (holds at the sketch's confidence;
+    // deterministic here given the fixed seed). Oracle replays the
+    // exact side and expects both booleans TRUE — the approx_stats
+    // pattern.
+    "text_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(filter(
+          split(TextAnalysis.normalizeText(col("text")), " "),
+          t => length(t) > 0)).as("tok"))
+      val agg = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val heavy = agg.filter(col("cnt") >= 200)
+        .limit(100001).collect()
+      require(heavy.length <= 100000,
+        "text_heavy_hitters: heavy-hitter set exceeds the driver bound")
+      val stats = toks.agg(count(lit(1)).as("n"),
+        expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("sk")).first()
+      val total = stats.getLong(0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(stats.getAs[Array[Byte]](1)))
+      val slack = math.ceil(0.001 * total).toLong
+      heavy.map { r =>
+        val tok = r.getString(0); val cnt = r.getLong(1)
+        val est = cms.estimateCount(tok)
+        (tok, cnt, est >= cnt, est <= cnt + slack)
+      }.toSeq.sortBy(_._1)
+        .toDF("tok", "cnt", "est_ge_exact", "bound_ok")
+    }),
+
     // model-based quality scoring (the fastText/classifier-filter
     // shape): hashed token features → exact LONG activation sum →
     // logistic. One pure projection over the scan; the md5-derived
@@ -968,6 +1002,14 @@ object LlmQueries {
          FROM cc LEFT JOIN rm ON cc.vec_id = rm.id
          ORDER BY id"""
     },
+    "text_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(list_filter(
+             string_split($normSql, ' '), t -> len(t) > 0)) AS tok
+           FROM documents)
+         SELECT tok, count(*) AS cnt, TRUE AS est_ge_exact,
+           TRUE AS bound_ok
+         FROM toks GROUP BY tok HAVING count(*) >= 200
+         ORDER BY tok""",
     "text_model_score" ->
       s"""WITH d AS (SELECT doc_id,
              list_filter(string_split($normSql, ' '), t -> len(t) > 0)

@@ -249,6 +249,28 @@ object StreamOps {
     q
   }
 
+  /** Watermarked stream-stream interval join: each left event picks up
+    * the right events of the same key whose timestamp falls in
+    * [leftTs − lookback, leftTs + lookahead]. Both sides carry
+    * watermarks and the join condition bounds the time range, so state
+    * on each side is evictable at the watermark horizon — the
+    * stream-stream shape Spark requires for state cleanup (an
+    * unbounded-condition stream join grows state forever). Works
+    * identically on batch frames (watermarks are no-ops there), which
+    * is what the parity spec exploits. Caller disambiguates columns
+    * via the `l`/`r` aliases. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+                          key: String, leftTs: String, rightTs: String,
+                          lookback: String, lookahead: String,
+                          watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND " +
+        s"r.$rightTs >= l.$leftTs - INTERVAL $lookback AND " +
+        s"r.$rightTs <= l.$leftTs + INTERVAL $lookahead"))
+  }
+
   /** SURVEY §2.10's upgrade path, verbatim: `Trigger.AvailableNow`
     * micro-batches with the reference's `_rng` table as the manual
     * commit log. Each batch records its (min dt, max dt, row count)

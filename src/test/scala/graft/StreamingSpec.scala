@@ -198,6 +198,45 @@ class StreamingSpec extends AnyFunSuite {
       .count() == 4)
   }
 
+  test("stream-stream interval join equals the batch join " +
+       "(watermark-bounded state on both sides)") {
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ssj")
+    val lDir = base.resolve("l").toString
+    val rDir = base.resolve("r").toString
+    val lRows = Seq(
+      ("u1", "2024-01-01 00:10:00", 1.0),
+      ("u1", "2024-01-01 01:00:00", 2.0),
+      ("u2", "2024-01-01 00:30:00", 3.0))
+      .toDF("user_id", "ts_s", "value")
+      .select($"user_id", to_timestamp($"ts_s").as("lts"), $"value")
+    val rRows = Seq(
+      ("u1", "2024-01-01 00:05:00", "a"),
+      ("u1", "2024-01-01 00:40:00", "b"),
+      ("u2", "2024-01-01 02:00:00", "c"))
+      .toDF("user_id", "ts_s", "tag")
+      .select($"user_id", to_timestamp($"ts_s").as("rts"), $"tag")
+    lRows.write.parquet(lDir); rRows.write.parquet(rDir)
+    def joinOf(l: org.apache.spark.sql.DataFrame,
+               r: org.apache.spark.sql.DataFrame) =
+      StreamOps.intervalJoinStreams(l, r, "user_id", "lts", "rts",
+          lookback = "30 minutes", lookahead = "10 minutes",
+          watermark = "1 hour")
+        .select(col("l.user_id"), col("lts"), col("value"),
+          col("rts"), col("tag"))
+    StreamOps.runAvailableNowToMemory(
+      joinOf(StreamOps.readTableStream(spark, lDir, lRows.schema),
+             StreamOps.readTableStream(spark, rDir, rRows.schema)),
+      "ssj_test", mode = "append")
+    val streamed = spark.sql("SELECT * FROM ssj_test").collect().toSet
+    val batched = joinOf(lRows, rRows).collect().toSet
+    assert(streamed == batched)
+    assert(batched.map(r => (r.getString(0), r.getDouble(2),
+      r.getString(4))) ==
+      Set(("u1", 1.0, "a"), ("u1", 2.0, "b")),
+      "lookback/lookahead must gate exactly these pairs")
+  }
+
   test("etl bookkeeping: reportNextDt resumes from max date") {
     val df = Seq("2016-01-01", "2016-01-05").toDF("dw_dt")
     val (start, end) = graft.etl.TableOps.reportNextDt(df, "dw_dt",
