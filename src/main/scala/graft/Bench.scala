@@ -25,8 +25,10 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // drop cached tables the query persisted so runs stay independent
       // (accumulated cache + block-manager state was measured to slow
-      // unrelated queries later in the pass)
+      // unrelated queries later in the pass); also reap the staging
+      // dirs the query's operators materialized
       spark.catalog.clearCache()
+      graft.core.Tables.clearStaged()
       dt
     }
     // optional comma-separated subset for local iteration

@@ -447,11 +447,8 @@ object RptQueries {
       // selector-universe distinct and the grid join) read the staged
       // table — without this the selector side re-scans the whole fact
       // (column-pruned, but still a second 100 TB pass) just to
-      // enumerate (bg, bottler) pairs
-      val mPath = s"${Tables.tmpDir}/rpt_details_m_" +
-        java.util.UUID.randomUUID().toString.take(8)
-      m0.write.mode("overwrite").parquet(mPath)
-      val m = s.read.parquet(mPath)
+      // enumerate (bg, bottler) pairs. Lifetime owned by Tables.staged.
+      val m = Tables.staged(m0, "rpt_details_m")
       val cfgDf = kpiCats.toDF("cat", "code", "cfg_key")
       val grid = m.select("bg", "bottler", "bg_sort", "bottler_sort")
         .distinct()

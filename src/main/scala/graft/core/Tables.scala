@@ -35,6 +35,68 @@ object Tables {
   def tmpDir: String =
     sys.env.getOrElse("GRAFT_TMP_DIR", "/root/repo/target/graft_tmp")
 
+  // ---------- owned staging boundaries ----------
+
+  private val stagedPaths =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val scopePaths =
+    new ThreadLocal[java.util.ArrayDeque[java.util.ArrayList[String]]] {
+      override def initialValue() = new java.util.ArrayDeque()
+    }
+  @volatile private var hookInstalled = false
+
+  private def deletePath(path: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .delete(p, true)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Deterministic staging boundary for multiply-scanned intermediates:
+    * materialize `df` to a parquet table under [[tmpDir]] and read it
+    * back. Unlike `persist()` no executor-cache entry can outlive the
+    * call; unlike an anonymous temp write the DIRECTORY lifetime is
+    * owned too — every staged path is registered and removed by the
+    * innermost enclosing [[stagedScope]], by [[clearStaged]], or by a
+    * JVM shutdown hook, whichever comes first. Long-running loops that
+    * stage per batch (the streaming ingests) wrap each batch in
+    * `stagedScope` so disk use is bounded by one batch, not the run. */
+  def staged(df: org.apache.spark.sql.DataFrame, tag: String):
+      org.apache.spark.sql.DataFrame = {
+    val path = s"$tmpDir/stage_${tag}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    df.write.mode("overwrite").parquet(path)
+    val scope = scopePaths.get().peek()
+    if (scope != null) scope.add(path) else stagedPaths.add(path)
+    if (!hookInstalled) synchronized {
+      if (!hookInstalled) {
+        Runtime.getRuntime.addShutdownHook(new Thread(() => clearStaged()))
+        hookInstalled = true
+      }
+    }
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Run `f`, then delete every staging dir [[staged]] created inside
+    * it on this thread — the bounded-disk form for per-batch loops.
+    * The staged data must be fully consumed within the scope. */
+  def stagedScope[T](f: => T): T = {
+    val frame = new java.util.ArrayList[String]()
+    scopePaths.get().push(frame)
+    try f
+    finally {
+      scopePaths.get().pop()
+      frame.forEach(deletePath(_))
+    }
+  }
+
+  /** Delete every non-scoped staging dir registered so far (session
+    * cleanup; also the shutdown-hook action). */
+  def clearStaged(): Unit = {
+    var p = stagedPaths.poll()
+    while (p != null) { deletePath(p); p = stagedPaths.poll() }
+  }
+
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

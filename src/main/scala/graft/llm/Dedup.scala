@@ -18,20 +18,14 @@ import TextAnalysis._
   */
 object Dedup {
 
-  /** Deterministic staging boundary for multiply-scanned intermediates:
-    * materialize to a parquet table under [[graft.core.Tables.tmpDir]]
-    * and read it back. Unlike `persist()`, the lifetime is owned here —
-    * no cache entry survives the call, so a long-lived session issuing
-    * many dedup batches never accumulates MEMORY_AND_DISK blocks toward
-    * an LRU eviction storm (round-3 advisory). This is also the
-    * production shape at 100 TB: the signature/shingle table is a
-    * write-once artifact, not executor-memory state. */
-  private def staged(df: DataFrame, tag: String): DataFrame = {
-    val path = s"${graft.core.Tables.tmpDir}/stage_${tag}_" +
-      java.util.UUID.randomUUID().toString.take(8)
-    df.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
-  }
+  /** Staging boundary for multiply-scanned intermediates — see
+    * [[graft.core.Tables.staged]] for the lifetime contract (no cache
+    * entry survives the call, the directory is deleted by the
+    * enclosing `stagedScope`/`clearStaged`/shutdown hook). This is
+    * also the production shape at 100 TB: the signature/shingle table
+    * is a write-once artifact, not executor-memory state. */
+  private def staged(df: DataFrame, tag: String): DataFrame =
+    graft.core.Tables.staged(df, tag)
 
   /** Exact dedup: hash-groupBy on the normalized-content fingerprint.
     * Returns one row per distinct content: canonical (min) id + dup
@@ -353,22 +347,35 @@ object Dedup {
   def ngramContainment(train: DataFrame, bench: DataFrame,
                        textCol: String, idCol: String,
                        threshold: Double = 0.8): DataFrame = {
-    // shingles join on xxhash64'd longs, not strings — same pairs
-    // (a false hit needs a cross-document collision among one bench
-    // doc's shingles: ~2⁻⁶⁴ per pair), long equality beats string
-    // equality in both the broadcast hash table and the probe
-    def shingled(df: DataFrame, as: String) = df.select(
-      col(idCol).as(as),
+    val benchSh = decontShingles(bench, textCol, idCol, "bench_id")
+    containmentTail(
+      decontShingles(train, textCol, idCol, "train_id")
+        .select(col("train_id"), explode(col("sh")).as("g")),
+      benchSh, threshold)
+  }
+
+  /** Hashed-shingle table for the decontamination pair — shingles join
+    * on xxhash64'd longs, not strings: same pairs (a false hit needs a
+    * cross-document collision among one bench doc's shingles, ~2⁻⁶⁴
+    * per pair), long equality beats string equality in both the
+    * broadcast hash table and the probe. Shared by the exact and bloom
+    * paths so their row-identical contract can't drift. */
+  private def decontShingles(df: DataFrame, textCol: String,
+                             idCol: String, as: String): DataFrame =
+    df.select(col(idCol).as(as),
       array_distinct(transform(
         array_distinct(TextAnalysis.wordShingles(col(textCol))),
         g => xxhash64(g))).as("sh"))
-    val benchSh = shingled(bench, "bench_id")
+
+  /** Shared exact-verify tail of both decontamination paths: candidate
+    * (train_id, g) rows vs the broadcast bench shingles → overlap
+    * counts → containment filter. */
+  private def containmentTail(trainFlat: DataFrame, benchSh: DataFrame,
+                              threshold: Double): DataFrame = {
     val benchSizes = benchSh.select(col("bench_id"),
       size(col("sh")).as("bench_n"))
     val benchFlat = benchSh.select(col("bench_id"),
       explode(col("sh")).as("g"))
-    val trainFlat = shingled(train, "train_id")
-      .select(col("train_id"), explode(col("sh")).as("g"))
     trainFlat.join(broadcast(benchFlat), "g")
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("overlap"))
@@ -394,44 +401,27 @@ object Dedup {
                             textCol: String, idCol: String,
                             threshold: Double = 0.8,
                             expectedItems: Long = 4000000L): DataFrame = {
-    def shingled(df: DataFrame, as: String) = df.select(
-      col(idCol).as(as),
-      array_distinct(transform(
-        array_distinct(TextAnalysis.wordShingles(col(textCol))),
-        g => xxhash64(g))).as("sh"))
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val benchSh = shingled(bench, "bench_id")
-    val benchSizes = benchSh.select(col("bench_id"),
-      size(col("sh")).as("bench_n"))
-    val benchFlat = benchSh.select(col("bench_id"),
-      explode(col("sh")).as("g"))
+    val benchSh = decontShingles(bench, textCol, idCol, "bench_id")
     // the aggregated bloom is collected to the driver and re-enters the
     // train scan as a LITERAL — the same artifact shape Spark's own
     // runtime-filter injection uses (might_contain requires a constant
     // bloom side), and at scale the bloom IS a driver-sized object by
     // construction (bits, not entries)
-    val bfBytes = benchFlat.agg(GraftBridge.column(
+    val bfBytes = benchSh.select(explode(col("sh")).as("g"))
+      .agg(GraftBridge.column(
         new BloomFilterAggregate(GraftBridge.expression(col("g")),
           expectedItems).toAggregateExpression()).as("bf"))
       .first().getAs[Array[Byte]](0)
-    val trainFlat = shingled(train, "train_id")
+    val trainFlat = decontShingles(train, textCol, idCol, "train_id")
       .select(col("train_id"), explode(col("sh")).as("g"))
       .filter(GraftBridge.column(BloomFilterMightContain(
         Literal.create(bfBytes,
           org.apache.spark.sql.types.BinaryType),
         GraftBridge.expression(col("g")))))
-      .select("train_id", "g")
-    trainFlat.join(broadcast(benchFlat), "g")
-      .groupBy("train_id", "bench_id")
-      .agg(count(lit(1)).as("overlap"))
-      .join(broadcast(benchSizes), "bench_id")
-      .withColumn("containment",
-        round(col("overlap").cast("double") / col("bench_n"), 6))
-      .filter(col("containment") >= threshold)
-      .select(col("train_id"), col("bench_id"), col("overlap"),
-        col("containment"))
+    containmentTail(trainFlat, benchSh, threshold)
   }
 
   /** N-gram Jaccard similarity between two text columns (shingle-set

@@ -28,6 +28,19 @@ object StreamOps {
                       schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
 
+  /** Append only rows whose `key` is absent from the table at `path` —
+    * the idempotent-replay guard both continuous ingests rely on
+    * (shared so the replay semantics cannot drift between them). */
+  private def guardedAppend(s: SparkSession, df: DataFrame,
+                            path: String, key: String): Unit = {
+    val fresh =
+      if (pathExists(s, path))
+        df.join(s.read.parquet(path).select(col(key)).distinct(),
+          Seq(key), "left_anti")
+      else df
+    fresh.write.mode("append").parquet(path)
+  }
+
   /** Watermarked tumbling-window counts per key — the streaming twin of
     * the `events_windowed_agg` batch query. */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
@@ -129,7 +142,10 @@ object StreamOps {
     import graft.llm.Dedup
     val q = docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+        // stagedScope: the batch's staging boundaries (the shingle
+        // table inside dedupAgainstIndex) are deleted when the batch
+        // completes — disk stays bounded by ONE batch over any run
+        if (!batch.isEmpty) graft.core.Tables.stagedScope {
           val s = batch.sparkSession
           // (a) within-batch exact collapse, keep-min id
           val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
@@ -154,19 +170,11 @@ object StreamOps {
           // (c) guarded appends: survivors + their index entries, each
           // anti-joined on id against the target table first so a
           // replayed batch re-appends nothing
-          def guarded(df: DataFrame, path: String, key: String): Unit = {
-            val fresh =
-              if (pathExists(s, path))
-                df.join(s.read.parquet(path).select(col(key)).distinct(),
-                  Seq(key), "left_anti")
-              else df
-            fresh.write.mode("append").parquet(path)
-          }
-          guarded(novel, corpusPath, idCol)
-          guarded(Dedup.minHashBandTable(novel, textCol, idCol,
+          guardedAppend(s, novel, corpusPath, idCol)
+          guardedAppend(s, Dedup.minHashBandTable(novel, textCol, idCol,
             numHashes, bands), indexPath, "id")
-          guarded(Dedup.hashedShingleTable(novel, textCol, idCol),
-            shinglePath, "id")
+          guardedAppend(s, Dedup.hashedShingleTable(novel, textCol,
+            idCol), shinglePath, "id")
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -194,7 +202,9 @@ object StreamOps {
     import graft.llm.{Dedup, Similarity}
     val q = vecs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+        // per-batch stagedScope (see continuousDedupIngest): the
+        // semanticDedup assignment boundary dies with its batch
+        if (!batch.isEmpty) graft.core.Tables.stagedScope {
           val s = batch.sparkSession
           val keepIds = Dedup.semanticDedup(batch, vecCol, idCol, cents,
               threshold)
@@ -230,17 +240,10 @@ object StreamOps {
               .select("corpus_id").distinct()
             keptIdx.join(dup, Seq("corpus_id"), "left_anti")
           } else keptIdx
-          def guarded(df: DataFrame, path: String, key: String): Unit = {
-            val fresh =
-              if (pathExists(s, path))
-                df.join(s.read.parquet(path).select(col(key)).distinct(),
-                  Seq(key), "left_anti")
-              else df
-            fresh.write.mode("append").parquet(path)
-          }
-          guarded(batch.join(novelIdx.select(col("corpus_id").as(idCol)),
-            Seq(idCol)), corpusPath, idCol)
-          guarded(novelIdx, indexPath, "corpus_id")
+          guardedAppend(s,
+            batch.join(novelIdx.select(col("corpus_id").as(idCol)),
+              Seq(idCol)), corpusPath, idCol)
+          guardedAppend(s, novelIdx, indexPath, "corpus_id")
         }
       }
       .trigger(Trigger.AvailableNow())

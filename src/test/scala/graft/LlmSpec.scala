@@ -542,6 +542,27 @@ class LlmSpec extends AnyFunSuite {
     assert(salted.exists(_._3), "distinct rows must survive")
   }
 
+  test("staging dirs are reaped by stagedScope and clearStaged " +
+      "(no unbounded tmp growth across batches)") {
+    import graft.core.Tables
+    def stageDirs: Set[String] =
+      Option(new java.io.File(Tables.tmpDir).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("stage_")).map(_.getName).toSet
+    Tables.clearStaged()
+    val before = stageDirs
+    Tables.stagedScope {
+      Dedup.minHashDedupPairs(docs, "text", "doc_id",
+        threshold = 0.5, numHashes = 32, bands = 16).collect()
+      assert(stageDirs.size > before.size, "scope must see its dirs")
+    }
+    assert(stageDirs == before, "stagedScope must delete on exit")
+    Dedup.minHashDedupPairs(docs, "text", "doc_id",
+      threshold = 0.5, numHashes = 32, bands = 16).collect()
+    assert(stageDirs.size > before.size)
+    Tables.clearStaged()
+    assert(stageDirs == before, "clearStaged must reap unscoped dirs")
+  }
+
   test("dedup operators own their cache lifetime: no persisted RDDs " +
       "survive a call (round-3 advisory)") {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
