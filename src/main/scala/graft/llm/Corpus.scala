@@ -236,7 +236,7 @@ object Corpus {
     * sequentially per worker). */
   def writeShards(df: DataFrame, keyCol: Column, nShards: Int,
                   path: String, seed: String = "graft",
-                  nPartitions: Int = 32): Unit =
+                  nPartitions: Int = 32): Unit = {
     shuffleShard(df, keyCol, nShards, seed, nPartitions)
       // RANGE repartition on the shard key ALONE: equal keys always
       // land in one task, so each shard=K dir gets exactly ONE file
@@ -246,4 +246,22 @@ object Corpus {
       .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+    // completeness manifest NEXT TO the shards, derived by re-reading
+    // what was actually written (not what was intended): per-shard row
+    // count and pos range. A training job can assert coverage —
+    // Σ n_rows = corpus size, pos ranges partition 1..N — before any
+    // epoch starts instead of discovering a short shard mid-run.
+    val sp = df.sparkSession
+    sp.read.parquet(path)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), min("pos").as("min_pos"),
+           max("pos").as("max_pos"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+  }
+
+  /** Read back a [[writeShards]] manifest. */
+  def shardManifest(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(s"$path/_manifest")
 }

@@ -130,6 +130,18 @@ class CorpusSpec extends AnyFunSuite {
       rows.map(_._1)
     }
     assert(all.size == 400 && all.toSet.size == 400)
+    // the completeness manifest reflects what was WRITTEN: 4 shards of
+    // 100 rows covering pos 1..400, and it hides from plain readers
+    // (underscore dir — a reader of `dir` must still see 400 rows)
+    val man = Corpus.shardManifest(spark, dir)
+      .orderBy("shard")
+      .select($"shard", $"n_rows", $"min_pos", $"max_pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(man.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(man.forall(_._2 == 100L))
+    assert(man.map(m => (m._3, m._4)) ==
+      Seq((1L, 397L), (2L, 398L), (3L, 399L), (4L, 400L)))
+    assert(spark.read.parquet(dir).count() == 400)
   }
 
   test("mixtureSample: binding source keeps all, kept mass tracks the " +
