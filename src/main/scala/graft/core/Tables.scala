@@ -37,26 +37,33 @@ object Tables {
 
   // ---------- owned staging boundaries ----------
 
+  /** A registered staging dir: the path plus the Hadoop conf it was
+    * written with — deletion must resolve the SAME filesystem
+    * (credentials, defaultFS live in spark.hadoop.*; a bare
+    * Configuration would silently no-op on any non-default FS). */
+  private final case class Staged(path: String,
+      conf: org.apache.hadoop.conf.Configuration) {
+    def delete(): Unit =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf).delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   private val stagedPaths =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    new java.util.concurrent.ConcurrentLinkedQueue[Staged]()
   private val scopePaths =
-    new ThreadLocal[java.util.ArrayDeque[java.util.ArrayList[String]]] {
+    new ThreadLocal[java.util.ArrayDeque[java.util.ArrayList[Staged]]] {
       override def initialValue() = new java.util.ArrayDeque()
     }
   @volatile private var hookInstalled = false
-
-  private def deletePath(path: String): Unit =
-    try {
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        .delete(p, true)
-    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Deterministic staging boundary for multiply-scanned intermediates:
     * materialize `df` to a parquet table under [[tmpDir]] and read it
     * back. Unlike `persist()` no executor-cache entry can outlive the
     * call; unlike an anonymous temp write the DIRECTORY lifetime is
-    * owned too — every staged path is registered and removed by the
+    * owned too — every staged path is registered (BEFORE the write, so
+    * a mid-write failure still gets reaped) and removed by the
     * innermost enclosing [[stagedScope]], by [[clearStaged]], or by a
     * JVM shutdown hook, whichever comes first. Long-running loops that
     * stage per batch (the streaming ingests) wrap each batch in
@@ -65,15 +72,17 @@ object Tables {
       org.apache.spark.sql.DataFrame = {
     val path = s"$tmpDir/stage_${tag}_" +
       java.util.UUID.randomUUID().toString.take(8)
-    df.write.mode("overwrite").parquet(path)
+    val entry = Staged(path,
+      df.sparkSession.sessionState.newHadoopConf())
     val scope = scopePaths.get().peek()
-    if (scope != null) scope.add(path) else stagedPaths.add(path)
+    if (scope != null) scope.add(entry) else stagedPaths.add(entry)
     if (!hookInstalled) synchronized {
       if (!hookInstalled) {
         Runtime.getRuntime.addShutdownHook(new Thread(() => clearStaged()))
         hookInstalled = true
       }
     }
+    df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
 
@@ -81,12 +90,12 @@ object Tables {
     * it on this thread — the bounded-disk form for per-batch loops.
     * The staged data must be fully consumed within the scope. */
   def stagedScope[T](f: => T): T = {
-    val frame = new java.util.ArrayList[String]()
+    val frame = new java.util.ArrayList[Staged]()
     scopePaths.get().push(frame)
     try f
     finally {
       scopePaths.get().pop()
-      frame.forEach(deletePath(_))
+      frame.forEach(_.delete())
     }
   }
 
@@ -94,7 +103,7 @@ object Tables {
     * cleanup; also the shutdown-hook action). */
   def clearStaged(): Unit = {
     var p = stagedPaths.poll()
-    while (p != null) { deletePath(p); p = stagedPaths.poll() }
+    while (p != null) { p.delete(); p = stagedPaths.poll() }
   }
 
   val all: Seq[String] = Seq(

@@ -237,7 +237,8 @@ object Corpus {
   def writeShards(df: DataFrame, keyCol: Column, nShards: Int,
                   path: String, seed: String = "graft",
                   nPartitions: Int = 32): Unit = {
-    shuffleShard(df, keyCol, nShards, seed, nPartitions)
+    val sharded = shuffleShard(df, keyCol, nShards, seed, nPartitions)
+    sharded
       // RANGE repartition on the shard key ALONE: equal keys always
       // land in one task, so each shard=K dir gets exactly ONE file
       // whose row order is the training order (adding pos as a range
@@ -250,9 +251,12 @@ object Corpus {
     // what was actually written (not what was intended): per-shard row
     // count and pos range. A training job can assert coverage —
     // Σ n_rows = corpus size, pos ranges partition 1..N — before any
-    // epoch starts instead of discovering a short shard mid-run.
+    // epoch starts instead of discovering a short shard mid-run. The
+    // read-back supplies the known schema explicitly: an EMPTY corpus
+    // writes no parquet files, and schema inference over the bare
+    // _SUCCESS dir would throw where an empty manifest is correct.
     val sp = df.sparkSession
-    sp.read.parquet(path)
+    sp.read.schema(sharded.schema).parquet(path)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_rows"), min("pos").as("min_pos"),
            max("pos").as("max_pos"))

@@ -142,6 +142,12 @@ class CorpusSpec extends AnyFunSuite {
     assert(man.map(m => (m._3, m._4)) ==
       Seq((1L, 397L), (2L, 398L), (3L, 399L), (4L, 400L)))
     assert(spark.read.parquet(dir).count() == 400)
+    // empty corpus: write succeeds and the manifest is empty (the
+    // read-back must not depend on schema inference over zero files)
+    val emptyDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "shards0").toString
+    Corpus.writeShards(ids.filter($"id" < 0L), col("id"), 4, emptyDir)
+    assert(Corpus.shardManifest(spark, emptyDir).count() == 0)
   }
 
   test("mixtureSample: binding source keeps all, kept mass tracks the " +
