@@ -462,6 +462,23 @@ object LlmQueries {
           (count(col("hit")) >= 28).as("recall_ok"))
     }),
 
+    // cross-doc line-dedup rewrite (the C4 cleaning rule): duplicated
+    // trimmed lines keep only their first (doc, idx) occurrence
+    // corpus-wide, blank lines always survive, docs reassemble in
+    // original order. The corpus carries no naturally repeated lines
+    // at test SFs, so clone docs are PLANTED (every 37th doc repeated
+    // under a high id) — the clones must come back stripped to their
+    // blank lines while the originals keep everything.
+    "text_dedup_lines" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.unionByName(
+        docs.filter(col("doc_id") % 37 === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+      Dedup.dedupLinesAcrossDocs(planted, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // count-min-sketch heavy hitters: the approximate twin of
     // text_token_topk for vocabularies too large to exact-count — the
     // sketch is a fixed-size array regardless of cardinality. Output is
@@ -1010,6 +1027,32 @@ object LlmQueries {
          FROM cc LEFT JOIN rm ON cc.vec_id = rm.id
          ORDER BY id"""
     },
+    "text_dedup_lines" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 7000000, text FROM documents
+           WHERE doc_id % 37 = 0),
+         l AS (SELECT doc_id, CAST(i - 1 AS INT) AS idx, ls[i]
+             AS line
+           FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+                 unnest(range(1, len(ls) + 1)) AS i FROM u)),
+         k AS (SELECT doc_id, idx, line,
+             CASE WHEN len(trim(line)) > 0 THEN md5(trim(line)) END
+               AS fp
+           FROM l),
+         r AS (SELECT *, row_number() OVER (PARTITION BY fp
+               ORDER BY doc_id, idx) AS rn FROM k),
+         kept AS (SELECT doc_id, idx, line FROM r
+           WHERE fp IS NULL OR rn = 1),
+         alln AS (SELECT doc_id, count(*) AS n_all FROM l GROUP BY 1),
+         agg AS (SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY idx) AS text,
+             count(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT alln.doc_id, coalesce(a.text, '') AS text,
+           n_all - coalesce(n_kept, 0) AS n_removed
+         FROM alln LEFT JOIN agg a USING (doc_id)
+         ORDER BY alln.doc_id""",
     "text_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest(list_filter(
              string_split($normSql, ' '), t -> len(t) > 0)) AS tok

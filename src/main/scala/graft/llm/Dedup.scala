@@ -493,6 +493,48 @@ object Dedup {
       .select(outCol, "n_docs", "first_doc")
   }
 
+  /** Cross-document line dedup REWRITE (the C4/CCNet cleaning rule
+    * [[crossDocDuplicates]] only *detects*): every line whose trimmed
+    * form repeats anywhere in the corpus keeps exactly its FIRST
+    * occurrence — min (doc, line index) — and disappears from every
+    * other document; blank lines are structural and always kept. Docs
+    * reassemble in original line order.
+    *
+    * Scale shape: one narrow (fp, id, idx) shuffle elects winners, one
+    * fp equi-join marks survivors, one doc-grain shuffle reassembles;
+    * per-group state is bounded by a single document's line count.
+    * Returns (id, text, n_removed).
+    */
+  def dedupLinesAcrossDocs(df: DataFrame, textCol: String,
+                           idCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("idx", "line")))
+      .withColumn("fp",
+        when(length(trim(col("line"))) > 0, xxhash64(trim(col("line")))))
+    val winners = lines.filter(col("fp").isNotNull)
+      .groupBy("fp")
+      .agg(min(struct(col("id"), col("idx"))).as("w"))
+    val kept = lines.join(winners, Seq("fp"), "left_outer")
+      .filter(col("fp").isNull ||
+        (col("w.id") === col("id") && col("w.idx") === col("idx")))
+    val counts = lines.groupBy("id").agg(count(lit(1)).as("__n_all"))
+    val reassembled = kept.groupBy("id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("line")))),
+          _.getField("line")), "\n").as("text"),
+        count(lit(1)).as("__n_kept"))
+    // LEFT join from the full doc universe: a doc whose every line was
+    // removed must come back as an EMPTY doc with its removal count,
+    // not silently vanish (the caller decides what to do with empties)
+    counts.join(reassembled, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"),
+        (col("__n_all") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
   /** Cross-document duplicated SENTENCES (boilerplate detection at the
     * sentence grain): normalized sentences deduped per doc map-side,
     * then the [[crossDocDuplicates]] kernel. */

@@ -433,6 +433,24 @@ class LlmSpec extends AnyFunSuite {
     assert(got(3) === ((4L, 1, 0.0, 0.0, 0.0)))
   }
 
+  test("dedupLinesAcrossDocs keeps first occurrences, blank lines, " +
+      "original order; fully-stripped docs come back empty") {
+    val d = Seq(
+      (1L, "alpha\n\nshared line\nunique one"),
+      (2L, "shared line\n  \nbeta\nshared line"),
+      (3L, "shared line"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLinesAcrossDocs(d, "text", "doc_id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // doc 1 owns "shared line" (first occurrence) and keeps everything
+    assert(out(0) == ((1L, "alpha\n\nshared line\nunique one", 0L)))
+    // doc 2: both copies removed (trimmed dup of doc 1's), blanks stay
+    assert(out(1) == ((2L, "  \nbeta", 2L)))
+    // doc 3: single duplicated line -> empty doc, not a missing row
+    assert(out(2) == ((3L, "", 1L)))
+  }
+
   test("bloom-prefiltered decontamination equals the exact path " +
       "row-for-row (no false negatives; fpp killed by the verify join)") {
     import org.apache.spark.sql.Row
