@@ -1034,7 +1034,8 @@ object LlmQueries {
            WHERE doc_id % 37 = 0),
          l AS (SELECT doc_id, CAST(i - 1 AS INT) AS idx, ls[i]
              AS line
-           FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+           FROM (SELECT doc_id,
+                 string_split(coalesce(text, ''), chr(10)) AS ls,
                  unnest(range(1, len(ls) + 1)) AS i FROM u)),
          k AS (SELECT doc_id, idx, line,
              CASE WHEN len(trim(line)) > 0 THEN md5(trim(line)) END

@@ -519,7 +519,11 @@ object Dedup {
     val kept = lines.join(winners, Seq("fp"), "left_outer")
       .filter(col("fp").isNull ||
         (col("w.id") === col("id") && col("w.idx") === col("idx")))
-    val counts = lines.groupBy("id").agg(count(lit(1)).as("__n_all"))
+    // per-doc line totals come from the UN-exploded input (one row per
+    // doc, no shuffle of per-line rows just to count them)
+    val counts = df.select(col(idCol).as("id"),
+      size(split(coalesce(col(textCol), lit("")), "\n")).cast("long")
+        .as("__n_all"))
     val reassembled = kept.groupBy("id")
       .agg(
         array_join(transform(

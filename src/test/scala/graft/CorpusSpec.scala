@@ -144,8 +144,11 @@ class CorpusSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 400)
     // empty corpus: write succeeds and the manifest is empty (the
     // read-back must not depend on schema inference over zero files)
-    val emptyDir = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "shards0").toString
+    val emptyDir = {
+      val base = java.nio.file.Paths.get(graft.core.Tables.tmpDir)
+      java.nio.file.Files.createDirectories(base)
+      java.nio.file.Files.createTempDirectory(base, "shards0").toString
+    }
     Corpus.writeShards(ids.filter($"id" < 0L), col("id"), 4, emptyDir)
     assert(Corpus.shardManifest(spark, emptyDir).count() == 0)
   }
