@@ -116,8 +116,7 @@ class CorpusSpec extends AnyFunSuite {
   }
 
   test("writeShards: shard dirs hold disjoint covering ids in pos order") {
-    val dir = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "shards").toString
+    val dir = TestSpark.tmpPath("shards").toString
     val ids = (0L until 400L).toDF("id")
     Corpus.writeShards(ids, col("id"), nShards = 4, dir)
     val all = (0 until 4).flatMap { s =>
@@ -144,11 +143,7 @@ class CorpusSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 400)
     // empty corpus: write succeeds and the manifest is empty (the
     // read-back must not depend on schema inference over zero files)
-    val emptyDir = {
-      val base = java.nio.file.Paths.get(graft.core.Tables.tmpDir)
-      java.nio.file.Files.createDirectories(base)
-      java.nio.file.Files.createTempDirectory(base, "shards0").toString
-    }
+    val emptyDir = TestSpark.tmpPath("shards0").toString
     Corpus.writeShards(ids.filter($"id" < 0L), col("id"), 4, emptyDir)
     assert(Corpus.shardManifest(spark, emptyDir).count() == 0)
   }

@@ -36,8 +36,7 @@ class JdbcSpec extends AnyFunSuite {
        "with _rng bookkeeping (EP-1's streaming form)") {
     import spark.implicits._
     import java.nio.file.Files
-    val base = Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "stream_jdbc")
+    val base = TestSpark.tmpPath("stream_jdbc")
     val in = base.resolve("in").toString
     val rng = base.resolve("rng").toString
     Jdbc.executeUpdateSilent(url, "DROP TABLE t_stream")

@@ -320,8 +320,7 @@ class LlmSpec extends AnyFunSuite {
       (i, Array.tabulate(8)(d => math.sin(i * 8 + d + 1))))
       .toDF("vec_id", "embedding")
     val cents = Similarity.rademacherPlanes(4, 8)
-    val dir = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "ivfidx").toString
+    val dir = TestSpark.tmpPath("ivfidx").toString
     Similarity.ivfIndexTable(vecs, "embedding", "vec_id", cents)
       .write.mode("overwrite").parquet(dir)
     val qs = vecs.filter($"vec_id" < 3)

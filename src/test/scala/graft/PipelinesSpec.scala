@@ -10,7 +10,7 @@ class PipelinesSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("odsMerge: upsert preserving ids, new ids continue from max") {
-    val base = "/root/repo/target/graft_tmp/ods_spec"
+    val base = s"${graft.core.Tables.tmpDir}/ods_spec"
     val odsPath = s"$base/ods"; val rngPath = s"$base/rng"
     // start clean
     import java.nio.file.{Files, Paths}
@@ -57,8 +57,8 @@ class PipelinesSpec extends AnyFunSuite {
     // the earliest debut timestamp — then publish via shadow swap.
     import graft.agg.Aggregators
     import java.nio.file.{Files, Paths}
-    val live = "/root/repo/target/graft_tmp/debut/live"
-    val pp = Paths.get("/root/repo/target/graft_tmp/debut")
+    val live = s"${graft.core.Tables.tmpDir}/debut/live"
+    val pp = Paths.get(s"${graft.core.Tables.tmpDir}/debut")
     if (Files.exists(pp))
       Files.walk(pp).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))

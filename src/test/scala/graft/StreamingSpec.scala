@@ -12,8 +12,7 @@ class StreamingSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("windowedCounts over AvailableNow micro-batch matches batch agg") {
-    val dir = Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "stream_in").toString
+    val dir = TestSpark.tmpPath("stream_in").toString
     val batch = Seq(
       ("2024-01-01 00:10:00", "click", 1.0),
       ("2024-01-01 00:20:00", "click", 2.0),
@@ -34,8 +33,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("availableNowWithRng: _rng commit log records each batch's range") {
-    val base = Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "stream_rng")
+    val base = TestSpark.tmpPath("stream_rng")
     val in = base.resolve("in").toString
     val sink = base.resolve("sink").toString
     val rng = base.resolve("rng").toString
@@ -58,8 +56,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("sessionizedAgg: streaming session windows match the batch form") {
-    val dir = Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "stream_sess").toString
+    val dir = TestSpark.tmpPath("stream_sess").toString
     val batch = Seq(
       ("2024-01-01 00:00:00", 1L, 1.0),
       ("2024-01-01 00:10:00", 1L, 2.0), // 10 m gap → same session
@@ -88,8 +85,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("c4Signals cleaning runs unchanged on a document stream") {
-    val dir = Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "stream_c4").toString
+    val dir = TestSpark.tmpPath("stream_c4").toString
     val keeper = (1 to 60).map(i => s"word$i").mkString(" ")
     val batch = Seq((1L, keeper), (2L, "too short"),
       (3L, "lorem ipsum " + keeper)).toDF("doc_id", "text")
@@ -110,8 +106,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streamingDedup suppresses duplicate fingerprints with " +
        "watermark-bounded state") {
-    val dir = Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "stream_dd").toString
+    val dir = TestSpark.tmpPath("stream_dd").toString
     val batch = Seq(
       ("2024-01-01 00:10:00", "the same document text"),
       ("2024-01-01 00:20:00", "THE  SAME document   text"), // normalizes equal
@@ -131,8 +126,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("continuousDedupIngest: batches dedup against the growing " +
        "table-backed index") {
-    val base = Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "cdi").toString
+    val base = TestSpark.tmpPath("cdi").toString
     val corpus = s"$base/corpus"; val idx = s"$base/index"
     val sh = s"$base/shingles"; val in = s"$base/in"
     // seed: batch 1 lands alone (no index yet)
@@ -166,8 +160,7 @@ class StreamingSpec extends AnyFunSuite {
   test("continuousSemanticIngest suppresses near-copy vectors against " +
        "the growing IVF index") {
     import graft.llm.Similarity
-    val base = Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "csi").toString
+    val base = TestSpark.tmpPath("csi").toString
     val corpus = s"$base/corpus"; val idx = s"$base/index"
     val in = s"$base/in"
     val cents = Similarity.rademacherPlanes(4, 8)
@@ -200,8 +193,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stream-stream interval join equals the batch join " +
        "(watermark-bounded state on both sides)") {
-    val base = Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "ssj")
+    val base = TestSpark.tmpPath("ssj")
     val lDir = base.resolve("l").toString
     val rDir = base.resolve("r").toString
     val lRows = Seq(
@@ -249,8 +241,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("statefulRunningCounts carries state via mapGroupsWithState") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val dir = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "state_in").toString
+    val dir = TestSpark.tmpPath("state_in").toString
     val batch = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0))
       .toDF("k", "value")
     batch.write.mode("overwrite").parquet(dir)
@@ -275,7 +266,7 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSeq
     assert(salted == plain)
 
-    val pdir = "/root/repo/target/graft_tmp/part_write"
+    val pdir = s"${graft.core.Tables.tmpDir}/part_write"
     graft.core.Tables.writePartitioned(
       Seq(("2016-01-01", 1), ("2016-02-01", 2)).toDF("dw_dt", "v"),
       pdir, Seq("dw_dt"))
@@ -286,7 +277,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("deleteRange rewrites without the dated rows") {
-    val p = "/root/repo/target/graft_tmp/del_range"
+    val p = s"${graft.core.Tables.tmpDir}/del_range"
     Seq(("2016-01-01", 1), ("2016-01-15", 2), ("2016-02-01", 3))
       .toDF("dw_dt", "v").write.mode("overwrite").parquet(p)
     graft.etl.TableOps.deleteRange(spark, p, "dw_dt",
@@ -296,7 +287,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("compact merges append-accumulated small files, data unchanged") {
-    val p = "/root/repo/target/graft_tmp/compact_t"
+    val p = s"${graft.core.Tables.tmpDir}/compact_t"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
     // simulate 6 micro-increment appends → ≥6 part files
     (0 until 6).foreach { i =>
@@ -312,7 +303,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("etl table lifecycle: create-if / truncate / switch") {
-    val base = "/root/repo/target/graft_tmp/spec_lifecycle"
+    val base = s"${graft.core.Tables.tmpDir}/spec_lifecycle"
     val live = base + "/live"; val shadow = base + "/shadow"
     val s = spark
     import graft.etl.TableOps

@@ -13,9 +13,18 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        "/root/repo/target/spark-warehouse")
+        s"${graft.core.Tables.tmpDir}/spark-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** Scratch dir for a test, under the relocatable [[graft.core.Tables.tmpDir]]
+    * (never a hardcoded checkout path — honors the GRAFT_TMP_DIR
+    * override the production code documents). */
+  def tmpPath(prefix: String): java.nio.file.Path = {
+    val base = java.nio.file.Paths.get(graft.core.Tables.tmpDir)
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, prefix)
   }
 }
