@@ -534,7 +534,12 @@ object LlmQueries {
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"),
           size(col("toks")).as("n_toks"),
-          TextAnalysis.linearScoreRaw(col("toks")).as("raw"))
+          // null text: the split chain yields a null token array, so
+          // raw must coalesce to 0 (score 0.5) to match the oracle's
+          // coalesce(list_sum(...), 0); n_toks stays NULL both sides
+          // (size(null)=null, len(NULL)=NULL)
+          coalesce(TextAnalysis.linearScoreRaw(col("toks")), lit(0L))
+            .as("raw"))
         .withColumn("score",
           round(TextAnalysis.logistic(col("raw"), 1000.0), 6))
         .orderBy("doc_id")

@@ -71,10 +71,14 @@ case class CollectKvAgg(keyExpr: Expression, valExpr: Expression,
                      b: mutable.HashMap[String, String]) = { a ++= b; a }
 
   override def eval(b: mutable.HashMap[String, String]): Any = {
-    val entries = b.toArray.sortBy(_._1)
+    // sort keys in UTF8String binary (UTF-8 byte) order, not
+    // java.lang.String's UTF-16 code-unit order — the two diverge on
+    // supplementary-plane strings and the DuckDB oracle collates bytes
+    val entries = b.toArray
+      .map { case (k, v) => (UTF8String.fromString(k), v) }
+      .sortBy(_._1)
     new ArrayBasedMapData(
-      new GenericArrayData(
-        entries.map(e => UTF8String.fromString(e._1): Any)),
+      new GenericArrayData(entries.map(_._1: Any)),
       new GenericArrayData(entries.map(e =>
         (if (e._2 == null) null else UTF8String.fromString(e._2)): Any)))
   }
@@ -156,14 +160,20 @@ case class CollectKvsAgg(keyExpr: Expression, valExpr: Expression,
 
   override def eval(
       b: mutable.HashMap[String, mutable.HashSet[String]]): Any = {
-    val entries = b.toArray.sortBy(_._1)
+    // keys AND value arrays sort in UTF8String binary (UTF-8 byte)
+    // order — the value order is observable output, and java.lang
+    // .String's UTF-16 code-unit order diverges from the oracle's byte
+    // collation on supplementary-plane strings
+    val entries = b.toArray
+      .map { case (k, vs) =>
+        (UTF8String.fromString(k),
+         vs.toArray.map(UTF8String.fromString).sorted)
+      }
+      .sortBy(_._1)
     new ArrayBasedMapData(
-      new GenericArrayData(
-        entries.map(e => UTF8String.fromString(e._1): Any)),
-      new GenericArrayData(entries.map { e =>
-        new GenericArrayData(e._2.toArray.sorted
-          .map(v => UTF8String.fromString(v): Any)): Any
-      }))
+      new GenericArrayData(entries.map(_._1: Any)),
+      new GenericArrayData(entries.map(e =>
+        new GenericArrayData(e._2.map(v => v: Any)): Any)))
   }
 
   override def serialize(

@@ -96,7 +96,19 @@ object Similarity {
     * rounded to 4 (the embedding-oracle float convention). */
   def randomProject(df: DataFrame, vecCol: String, idCol: String,
                     outDims: Int): DataFrame = {
-    val dims = df.select(size(col(vecCol))).first().getInt(0)
+    // the projection matrix is sized from ONE probed row and assumes
+    // UNIFORM vector length: a ragged row yields null projection
+    // values (the DotProduct length contract), never a wrong number.
+    // An empty input returns an empty (id, dim, value) frame instead
+    // of throwing on the probe; a null probed vector is a loud error.
+    val probe = df.select(size(col(vecCol)).as("n")).head(1)
+    val dims =
+      if (probe.isEmpty) 0
+      else {
+        require(!probe(0).isNullAt(0),
+          s"randomProject: probed row has a null $vecCol")
+        probe(0).getInt(0)
+      }
     val planes = rademacherPlanes(outDims, dims)
     val scale = math.sqrt(outDims.toDouble)
     df.select(col(idCol).as("id"),

@@ -35,6 +35,16 @@ object Jdbc {
   /** Logical (`-`) → physical (`_`) column rewrite. */
   def physical(name: String): String = name.replace("-", "_")
 
+  /** Identifiers that get interpolated into raw DDL/DML must be plain
+    * (optionally schema-qualified) SQL names — rejecting anything else
+    * turns a misrouted user-derived string into a loud error instead of
+    * an injection path. Quoted/exotic identifiers are out of scope (the
+    * reference's config names are all plain). */
+  private val IdentifierRx = "[A-Za-z_][A-Za-z0-9_$]*(\\.[A-Za-z_][A-Za-z0-9_$]*)*".r
+  private def requireIdentifier(kind: String, name: String): Unit =
+    require(IdentifierRx.matches(name),
+      s"$kind must be a plain SQL identifier, got: $name")
+
   /** The reference tap's Postgres SSL connection posture
     * (trgx.clj:81-98: ssl + sslmode=require + client cert/key/root
     * paths + unspecified stringtype) as a Spark JDBC option map —
@@ -111,6 +121,8 @@ object Jdbc {
     * 42P07); any other DDL failure propagates. */
   def createTableIf(url: String, table: String,
                     specs: Seq[(String, String)]): Unit = {
+    requireIdentifier("table", table)
+    specs.foreach { case (c, _) => requireIdentifier("column", c) }
     val cols = specs.map { case (c, t) => s"$c $t" }.mkString(", ")
     try executeUpdate(url, s"CREATE TABLE $table ($cols)")
     catch {
@@ -125,13 +137,18 @@ object Jdbc {
   /** detele-report! shape (trgx.clj:118-120): range-delete by date
     * column plus fixed selector predicates.
     *
-    * `table`/`dtCol`/`extraWhere` are TRUSTED identifiers/fragments
-    * from job config (the reference interpolates them identically);
-    * the date BOUNDS are data and bind through a PreparedStatement, so
-    * a quote in a date value cannot break or repurpose the statement. */
+    * `table` and `dtCol` are VALIDATED against a plain-identifier
+    * grammar before interpolation (a non-identifier throws, it never
+    * reaches the statement). `extraWhere` remains a TRUSTED SQL
+    * fragment from job config (the reference interpolates its selector
+    * predicates identically) — never pass user-derived content. The
+    * date BOUNDS are data and bind through a PreparedStatement, so a
+    * quote in a date value cannot break or repurpose the statement. */
   def deleteRange(url: String, table: String, dtCol: String,
                   startDt: String, endDt: String,
                   extraWhere: Option[String] = None): Int = {
+    requireIdentifier("table", table)
+    requireIdentifier("dtCol", dtCol)
     val extra = extraWhere.map(w => s"$w AND ").getOrElse("")
     val conn = DriverManager.getConnection(url)
     try {

@@ -126,14 +126,19 @@ object StreamOps {
     * Replay safety (foreachBatch is at-least-once): every append is
     * GUARDED by an id anti-join against the table it extends, and the
     * near-dup filter ignores a doc's own index entry
-    * (`corpus_id != new_id`). A replayed batch therefore re-derives the
-    * same survivor set and every append is a no-op — no duplicates AND
-    * no loss regardless of where the previous attempt died. (Ordering
-    * alone can't give this: corpus-first duplicates on replay,
-    * index-first drops docs whose corpus append never happened.) The
-    * guard is an id-projected scan of each table per batch — at 100 TB
-    * the ids ride from parquet column pruning, or a real deployment
-    * swaps the guard for a transactional table format. */
+    * (`corpus_id != new_id`). Crucially, the index and shingle appends
+    * are derived from corpus MEMBERSHIP ("batch docs now present in the
+    * corpus"), not from the replay's re-derived novel set: a crash
+    * between the index and shingle appends leaves a doc standing in
+    * corpus+index with no shingle rows, and that standing index entry
+    * can suppress the doc (or a within-batch near-twin) from `novel`
+    * on replay — so appends keyed off `novel` would never heal the
+    * missing rows, leaving a corpus doc invisible to future verify
+    * joins. Membership-derived appends write exactly the rows the
+    * corpus implies, whatever the previous crash point. The guards are
+    * id-projected scans of each table per batch — at 100 TB the ids
+    * ride from parquet column pruning, or a real deployment swaps the
+    * guard for a transactional table format. */
   def continuousDedupIngest(docs: DataFrame, textCol: String,
                             idCol: String, corpusPath: String,
                             indexPath: String, shinglePath: String,
@@ -159,7 +164,14 @@ object StreamOps {
           // batch); a replayed doc's own entry never suppresses it
           val novel = if (pathExists(s, indexPath)) {
             val index = s.read.parquet(indexPath)
-            val shingles = s.read.parquet(shinglePath)
+            // a first-batch crash between the index and shingle
+            // appends leaves the index standing with no shingle table
+            // at all — replay must verify against an empty one, not
+            // throw on the missing path
+            val shingles =
+              if (pathExists(s, shinglePath)) s.read.parquet(shinglePath)
+              else Dedup.hashedShingleTable(collapsed.limit(0), textCol,
+                idCol)
             val dups = Dedup.dedupAgainstIndex(collapsed, textCol, idCol,
                 index, shingles, threshold, numHashes, bands)
               .filter(col("corpus_id") =!= col("new_id"))
@@ -167,13 +179,21 @@ object StreamOps {
             collapsed.join(dups,
               collapsed(idCol) === dups("new_id"), "left_anti")
           } else collapsed
-          // (c) guarded appends: survivors + their index entries, each
-          // anti-joined on id against the target table first so a
-          // replayed batch re-appends nothing
+          // (c) guarded corpus append, then HEAL the auxiliary tables
+          // from corpus membership: `novel` is lazy and a replay's
+          // re-derivation can suppress a doc whose first attempt
+          // already appended it (its own or a near-twin's standing
+          // index entry), so index/shingle rows keyed off `novel`
+          // would never land for it — instead append the band/shingle
+          // rows of every batch doc the corpus now holds, anti-joined
+          // on id so established docs contribute nothing
           guardedAppend(s, novel, corpusPath, idCol)
-          guardedAppend(s, Dedup.minHashBandTable(novel, textCol, idCol,
-            numHashes, bands), indexPath, "id")
-          guardedAppend(s, Dedup.hashedShingleTable(novel, textCol,
+          val inCorpus = collapsed.join(
+            s.read.parquet(corpusPath).select(col(idCol)).distinct(),
+            Seq(idCol))
+          guardedAppend(s, Dedup.minHashBandTable(inCorpus, textCol,
+            idCol, numHashes, bands), indexPath, "id")
+          guardedAppend(s, Dedup.hashedShingleTable(inCorpus, textCol,
             idCol), shinglePath, "id")
         }
       }
@@ -194,7 +214,13 @@ object StreamOps {
     * probe ignores a vector's own standing entry, and both appends are
     * id anti-joined against their target table — a replayed batch
     * re-derives the same survivors and appends nothing, whatever the
-    * previous crash point. */
+    * previous crash point. Unlike the minhash ingest, no
+    * membership-heal is needed here: the within-batch collapse
+    * (semanticDedup) applies the SAME cell-bucketed near predicate as
+    * the index probe, so a kept vector has no within-batch near-twin
+    * whose standing entry could suppress it on replay, and with only
+    * two tables a crash between appends leaves the index derivation
+    * identical to the first attempt's. */
   def continuousSemanticIngest(vecs: DataFrame, vecCol: String,
       idCol: String, corpusPath: String, indexPath: String,
       cents: Seq[Seq[Double]],

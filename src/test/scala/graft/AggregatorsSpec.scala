@@ -29,6 +29,23 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(out == Map("k1" -> Seq("a", "b"), "k2" -> Seq("z")))
   }
 
+  test("collectKvs sorts values in UTF-8 byte order, not UTF-16 " +
+       "code-unit order") {
+    // U+1F600 (😀) encodes as F0 9F 98 80 in UTF-8 but as the surrogate
+    // pair D83D DE00 in UTF-16: bytewise it sorts AFTER U+FFFD (EF BF
+    // BD), while Java String order puts it BEFORE — the exact collation
+    // divergence vs the DuckDB oracle
+    val emoji = "😀"; val fffd = "�"
+    assert(emoji.compareTo(fffd) < 0, "sanity: Java order is inverted")
+    val df = Seq(("g", "k", emoji), ("g", "k", fffd), ("g", "k", "z"))
+      .toDF("g", "k", "v")
+    val out = df.groupBy("g")
+      .agg(Aggregators.collectKvs($"k", $"v").as("m"))
+      .as[(String, Map[String, Seq[String]])].head()._2
+    assert(out("k") == Seq("z", fffd, emoji),
+      "values must sort by UTF-8 bytes (z < U+FFFD < U+1F600)")
+  }
+
   test("trDimensionMetrics emits canonical nested pair-tree JSON") {
     val df = Seq(("s", Seq("d1", "x"), Map("m" -> "1")),
                  ("s", Seq("d1", "y"), Map("m" -> "2", "n" -> "3")),

@@ -148,6 +148,24 @@ class JdbcSpec extends AnyFunSuite {
       "sslkey" -> "/k.pk8", "sslrootcert" -> "/root.pem"))
   }
 
+  test("deleteRange/createTableIf reject non-identifier table/column " +
+       "names before any SQL is built") {
+    intercept[IllegalArgumentException] {
+      Jdbc.deleteRange(url, "t_del; DROP TABLE t_del", "dw_dt",
+        "2024-01-01", "2024-01-31")
+    }
+    intercept[IllegalArgumentException] {
+      Jdbc.deleteRange(url, "t_del", "dw_dt OR 1=1",
+        "2024-01-01", "2024-01-31")
+    }
+    intercept[IllegalArgumentException] {
+      Jdbc.createTableIf(url, "x", Seq("a b" -> "VARCHAR(1)"))
+    }
+    // schema-qualified names remain accepted
+    Jdbc.createTableIf(url, "APP.t_qual", Seq("k" -> "BIGINT"))
+    Jdbc.executeUpdateSilent(url, "DROP TABLE APP.t_qual")
+  }
+
   test("partitioned read fans out over numPartitions JDBC slices") {
     import spark.implicits._
     Jdbc.executeUpdateSilent(url, "DROP TABLE t_part")

@@ -510,6 +510,15 @@ class LlmSpec extends AnyFunSuite {
     assert(out.drop(4).forall(_._3 == 0.0)) // zero vector projects to 0
   }
 
+  test("randomProject on an empty input returns an empty frame with " +
+      "the (id, dim, value) schema instead of throwing on the probe") {
+    val d = Seq((0L, Array.tabulate(4)(_.toDouble)))
+      .toDF("vec_id", "embedding").filter(lit(false))
+    val out = Similarity.randomProject(d, "embedding", "vec_id", 4)
+    assert(out.columns.toSeq == Seq("id", "dim", "value"))
+    assert(out.count() == 0)
+  }
+
   test("WAV audio decode recovers rate/samples/amplitude; non-audio " +
       "payloads fall to the labeled stub") {
     val ids = Seq(0L, 7L, 123L).toDF("doc_id")

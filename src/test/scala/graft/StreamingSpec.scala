@@ -157,6 +157,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).select("id").distinct().count() == 4)
   }
 
+  test("continuousDedupIngest replay heals auxiliary tables from corpus " +
+       "membership (crash between index and shingle appends)") {
+    import graft.llm.Dedup
+    val base = TestSpark.tmpPath("cdiheal").toString
+    val corpus = s"$base/corpus"; val idx = s"$base/index"
+    val sh = s"$base/shingles"; val in = s"$base/in"
+    // B is a NEAR dup of A (one extra token, shingle jaccard 8/9): the
+    // within-batch exact collapse keeps both, so with the old
+    // novel-keyed appends a replay lets A's standing index entry
+    // suppress B and B's shingle rows never land
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = tA + " lambda"
+    val batch = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    batch.write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    // simulate the crashed first attempt: corpus + band index hold both
+    // docs, the shingle table holds only A (died mid-append)
+    batch.write.parquet(corpus)
+    Dedup.minHashBandTable(batch, "text", "doc_id").write.parquet(idx)
+    Dedup.hashedShingleTable(batch.filter($"doc_id" === 1L), "text",
+      "doc_id").write.parquet(sh)
+    // replay the batch (threshold 0.5 < 8/9 so B IS near-suppressible)
+    StreamOps.continuousDedupIngest(
+      StreamOps.readTableStream(spark, in, schema),
+      "text", "doc_id", corpus, idx, sh, threshold = 0.5)
+    // survivor set unchanged — no duplicate corpus rows
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(spark.read.parquet(corpus).count() == 2)
+    // the heal wrote B's missing shingle rows from corpus membership
+    assert(spark.read.parquet(sh).select("id")
+      .as[Long].collect().toSet == Set(1L, 2L),
+      "replay must heal B's shingle rows even though B is suppressed " +
+        "from the re-derived novel set")
+    // and a future exact copy of B now verifies against B and is
+    // suppressed instead of ingesting as novel
+    Seq((10L, tB)).toDF("doc_id", "text")
+      .write.mode("append").parquet(in)
+    StreamOps.continuousDedupIngest(
+      StreamOps.readTableStream(spark, in, schema),
+      "text", "doc_id", corpus, idx, sh, threshold = 0.5)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L),
+      "an exact copy of the healed doc must be suppressed")
+  }
+
+  test("continuousDedupIngest replay survives a first-batch crash that " +
+       "left an index but no shingle table") {
+    import graft.llm.Dedup
+    val base = TestSpark.tmpPath("cdinosh").toString
+    val corpus = s"$base/corpus"; val idx = s"$base/index"
+    val sh = s"$base/shingles"; val in = s"$base/in"
+    val batch = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2L, "totally different seed content about engines and planes"))
+      .toDF("doc_id", "text")
+    batch.write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    // crashed first attempt: corpus + index written, shingle table never
+    // created — replay must verify against an empty shingle set, not
+    // throw on the missing path
+    batch.write.parquet(corpus)
+    Dedup.minHashBandTable(batch, "text", "doc_id").write.parquet(idx)
+    StreamOps.continuousDedupIngest(
+      StreamOps.readTableStream(spark, in, schema),
+      "text", "doc_id", corpus, idx, sh, threshold = 0.5)
+    assert(spark.read.parquet(corpus).count() == 2)
+    assert(spark.read.parquet(sh).select("id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("continuousSemanticIngest suppresses near-copy vectors against " +
        "the growing IVF index") {
     import graft.llm.Similarity
