@@ -774,7 +774,31 @@ object LlmQueries {
         .orderBy("media_id")
     }),
 
-    // multimodal: deterministic frame sampling plumbing
+    // multimodal: REAL Y4M (YUV4MPEG2) container parse over real video
+    // payloads — geometry, frame count, frame rate and per-frame luma
+    // are pure functions of the id (the PNG/WAV pattern), so the
+    // oracle predicts the decoded features without a demuxer
+    "multimodal_video" -> ((s, dir) => {
+      val media = Multimodal.asY4mTable(t(s, dir, "documents"), "doc_id")
+      Multimodal.videoFeatures(media)
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), col("duration_ms"), col("mean_y"),
+          col("decoded"))
+        .orderBy("media_id")
+    }),
+
+    // frame sampling driven by the REAL parsed Y4M frame count
+    // (stride 2 over 3..8-frame clips exercises several indices per
+    // clip; contrast multimodal_frame_sample, which exercises the
+    // size-derived stub path for payloads no demuxer can read)
+    "multimodal_video_frames" -> ((s, dir) => {
+      val media = Multimodal.asY4mTable(t(s, dir, "documents"), "doc_id")
+      Multimodal.sampleFrames(media, stride = 2)
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // multimodal: frame-sampling plumbing over OPAQUE (non-Y4M)
+    // payloads — exercises the labeled size-derived stub count
     "multimodal_frame_sample" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(t(s, dir, "documents"),
         "doc_id", "text")
@@ -1363,6 +1387,27 @@ object LlmQueries {
            AS DOUBLE) / 2 AS mean_amp,
          TRUE AS decoded
          FROM documents ORDER BY media_id""",
+    "multimodal_video" ->
+      """WITH v AS (SELECT doc_id, CAST(3 + (doc_id % 6) AS INT)
+           AS n_frames FROM documents)
+         SELECT doc_id AS media_id,
+         CAST(16 + 2 * (doc_id % 8) AS INT) AS width,
+         CAST(16 + 2 * (doc_id % 12) AS INT) AS height,
+         n_frames,
+         round(n_frames * 1000.0 / 25, 6) AS duration_ms,
+         round(CAST(list_sum(list_transform(
+             range(0, CAST(n_frames AS BIGINT)),
+             k -> (doc_id * 31 + k * 17) % 256)) AS DOUBLE) / n_frames,
+           6) AS mean_y,
+         TRUE AS decoded
+         FROM v ORDER BY media_id""",
+    "multimodal_video_frames" ->
+      """WITH v AS (SELECT doc_id, CAST(3 + (doc_id % 6) AS INT)
+           AS n_frames FROM documents)
+         SELECT doc_id AS media_id,
+         CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx,
+         n_frames
+         FROM v ORDER BY media_id, frame_idx""",
     "multimodal_frame_sample" ->
       """SELECT doc_id AS media_id,
          CAST(unnest(range(0, CAST(floor(octet_length(CAST(text AS BLOB))

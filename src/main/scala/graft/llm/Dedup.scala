@@ -503,7 +503,12 @@ object Dedup {
     * Scale shape: one narrow (fp, id, idx) shuffle elects winners, one
     * fp equi-join marks survivors, one doc-grain shuffle reassembles;
     * per-group state is bounded by a single document's line count.
-    * Returns (id, text, n_removed).
+    * That bound is the operator's CONTRACT: reassembly collects one
+    * doc's surviving (idx, line) pairs into a single task's buffer, so
+    * the largest task is sized by the largest single document — a
+    * pathological multi-GB document must be pre-split upstream (the
+    * chunking operator) before this runs; no corpus-size term enters
+    * any task's memory. Returns (id, text, n_removed).
     */
   def dedupLinesAcrossDocs(df: DataFrame, textCol: String,
                            idCol: String): DataFrame = {

@@ -16,12 +16,14 @@ import org.apache.spark.sql.types._
   * amortized per batch).
   *
   * The decode kernels are REAL for images (`javax.imageio` —
-  * PNG/BMP/JPEG, pure JDK) and audio (`javax.sound.sampled` — WAV PCM,
-  * pure JDK): payloads are parsed and width/height/mean-channel resp.
-  * sample-rate/duration/mean-amplitude extracted. Only VIDEO (no codec
-  * in the JDK or this container) falls back to a clearly-marked
-  * deterministic stub, keeping the pipeline shape testable end-to-end
-  * for every kind.
+  * PNG/BMP/JPEG, pure JDK), audio (`javax.sound.sampled` — WAV PCM,
+  * pure JDK) and video (YUV4MPEG2/Y4M — plain-text header + raw
+  * frames, parsed here directly): payloads are parsed and
+  * width/height/mean-channel resp. sample-rate/duration/mean-amplitude
+  * resp. geometry/frame-count/mean-luma extracted. Only payloads no
+  * pure-JDK parser can read (compressed video containers, exotic
+  * codecs) fall back to a clearly-marked deterministic stub, keeping
+  * the pipeline shape testable end-to-end for every kind.
   */
 object Multimodal {
 
@@ -203,6 +205,150 @@ object Multimodal {
     spark.createDataFrame(rdd, audioFeatureSchema)
   }
 
+  // ---------- video (Y4M / YUV4MPEG2 — plain-text header + raw
+  // frames, parseable with no codec, pure JDK) ----------
+
+  /** Deterministic synthetic video parameters, pure functions of the id
+    * (the PNG/WAV pattern: the oracle predicts decode output without a
+    * demuxer). Geometry is even-sided (4:2:0 chroma needs it); each
+    * frame k is a constant-luma field y4mLuma(id, k), so the mean luma
+    * over the clip is exactly avg_k(y4mLuma). Frame rate fixed 25:1. */
+  def y4mWidth(id: Long): Int = 16 + 2 * (id % 8).toInt
+  def y4mHeight(id: Long): Int = 16 + 2 * (id % 12).toInt
+  def y4mFrames(id: Long): Int = 3 + (id % 6).toInt
+  def y4mLuma(id: Long, k: Int): Int = ((id * 31 + k * 17) % 256).toInt
+
+  /** Encode the deterministic clip for `id` as real Y4M bytes:
+    * `YUV4MPEG2 W.. H.. F25:1 Ip A1:1 C420jpeg\n` then per frame a
+    * `FRAME\n` marker + planar 4:2:0 payload (constant-Y plane, neutral
+    * 128 chroma). Lossless by construction → decode recovers the
+    * per-frame luma exactly. */
+  def encodeY4m(id: Long): Array[Byte] = {
+    val w = y4mWidth(id); val h = y4mHeight(id); val n = y4mFrames(id)
+    val out = new ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+      .getBytes("US-ASCII"))
+    val chroma = new Array[Byte]((w / 2) * (h / 2))
+    java.util.Arrays.fill(chroma, 128.toByte)
+    var k = 0
+    while (k < n) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      val y = new Array[Byte](w * h)
+      java.util.Arrays.fill(y, y4mLuma(id, k).toByte)
+      out.write(y)
+      out.write(chroma) // U
+      out.write(chroma) // V
+      k += 1
+    }
+    out.toByteArray
+  }
+
+  /** Media table with REAL Y4M payloads (encoded per-partition on the
+    * executors, like [[asPngTable]]/[[asWavTable]]). */
+  def asY4mTable(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol).cast("long")).rdd.map { r =>
+      val id = r.getLong(0)
+      Row(id, encodeY4m(id), Row("video", y4mWidth(id), y4mHeight(id)))
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Real Y4M parse: stream header + FRAME markers, size each frame
+    * from the declared colorspace, accumulate the luma plane. Returns
+    * (width, height, n_frames, fps_num, fps_den, mean luma) or None
+    * when the payload is not well-formed YUV4MPEG2 (truncated frame,
+    * bad header, unknown chroma layout). */
+  private def decodeY4m(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int, Double)] =
+    if (bytes == null || bytes.length < 10 ||
+        !new String(bytes, 0, 9, "US-ASCII").equals("YUV4MPEG2"))
+      None
+    else
+      try {
+        val nl = bytes.indexOf('\n'.toByte)
+        if (nl < 0) return None
+        val header = new String(bytes, 0, nl, "US-ASCII").split(" ")
+        var w = -1; var h = -1; var fn = 25; var fd = 1
+        var cs = "C420jpeg" // spec default is 4:2:0
+        header.drop(1).foreach { tok =>
+          if (tok.nonEmpty) tok.head match {
+            case 'W' => w = tok.tail.toInt
+            case 'H' => h = tok.tail.toInt
+            case 'F' =>
+              val p = tok.tail.split(":"); fn = p(0).toInt; fd = p(1).toInt
+            case 'C' => cs = tok
+            case _   => () // I/A/X params don't affect sizing
+          }
+        }
+        if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+        val frameSize =
+          if (cs.startsWith("C420")) w * h + 2 * ((w / 2) * (h / 2))
+          else if (cs.startsWith("C422")) w * h + 2 * ((w / 2) * h)
+          else if (cs.startsWith("C444")) 3 * w * h
+          else if (cs == "Cmono") w * h
+          else return None
+        var pos = nl + 1
+        var frames = 0
+        var lumaSum = 0L
+        while (pos < bytes.length) {
+          // FRAME marker line (may carry parameters before the \n)
+          if (pos + 5 > bytes.length ||
+              !new String(bytes, pos, 5, "US-ASCII").equals("FRAME"))
+            return None
+          var eol = pos + 5
+          while (eol < bytes.length && bytes(eol) != '\n'.toByte) eol += 1
+          if (eol >= bytes.length) return None
+          pos = eol + 1
+          if (pos + frameSize > bytes.length) return None // truncated
+          var i = 0
+          while (i < w * h) { lumaSum += bytes(pos + i) & 0xff; i += 1 }
+          pos += frameSize
+          frames += 1
+        }
+        if (frames == 0) None
+        else Some((w, h, frames, fn, fd,
+          lumaSum.toDouble / (frames.toLong * w * h)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  private val videoFeatureSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("duration_ms", DoubleType, nullable = false),
+    StructField("mean_y", DoubleType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** Batched video decode/feature-extract — the video twin of
+    * [[extractFeatures]]/[[audioFeatures]]: real Y4M container parse
+    * (geometry, frame count, frame rate, mean luma), stub fallback
+    * (byte-mean pseudo-features, `decoded=false`) for payloads that
+    * are not well-formed YUV4MPEG2 — compressed containers (MP4 etc.)
+    * have no JDK demuxer and land on the stub BY DESIGN. */
+  def videoFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val (w, h, n, durMs, mean, real) = decodeY4m(bytes) match {
+            case Some((w, h, n, fn, fd, m)) =>
+              (w, h, n, n * 1000.0 * fd / fn, m, true)
+            case None =>
+              val (w, h, m) = decodeStub(bytes); (w, h, 0, 0.0, m, false)
+          }
+          Row(id, if (bytes == null) 0 else bytes.length, w, h, n,
+            math.round(durMs * 1e6) / 1e6,
+            math.round(mean * 1e6) / 1e6, real)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, videoFeatureSchema)
+  }
+
   /** Real image decode: ImageIO → (width, height, mean over all
     * channels of all pixels). None when the payload is not a decodable
     * image. */
@@ -275,14 +421,35 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
-  /** Deterministic frame sampling for video-kind payloads: every
-    * `stride`-th frame index up to a stubbed frame count derived from
-    * payload size (plumbing for a real demuxer). */
-  def sampleFrames(media: DataFrame, stride: Int = 10): DataFrame =
-    media
-      .withColumn("n_frames", (length(col("payload")) / 16 + 1).cast("int"))
+  /** Deterministic frame sampling: every `stride`-th frame index up to
+    * the clip's frame count. The count is REAL for Y4M payloads (the
+    * [[videoFeatures]] container parse); payloads no demuxer can read
+    * fall back to the size-derived stub count (`len/16 + 1` — loudly a
+    * stub, kept so the sampling plumbing stays end-to-end testable for
+    * opaque codecs). A null payload yields no rows (null count →
+    * sequence → explode drops the row), matching the old column form. */
+  def sampleFrames(media: DataFrame, stride: Int = 10): DataFrame = {
+    val spark = media.sparkSession
+    val countSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = true)))
+    val counted = spark.createDataFrame(
+      media.select("media_id", "payload").rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val n: Any =
+            if (bytes == null) null
+            else decodeY4m(bytes) match {
+              case Some((_, _, frames, _, _, _)) => frames
+              case None => bytes.length / 16 + 1 // labeled stub count
+            }
+          Row(id, n)
+        }
+      }, countSchema)
+    counted
       .withColumn("frame_idx",
-        explode(sequence(lit(0), col("n_frames") - 1,
-                         lit(stride))))
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select(col("media_id"), col("frame_idx"), col("n_frames"))
+  }
 }

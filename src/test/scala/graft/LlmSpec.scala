@@ -450,6 +450,24 @@ class LlmSpec extends AnyFunSuite {
     assert(out(2) == ((3L, "", 1L)))
   }
 
+  test("dedupLinesAcrossDocs reassembles a pathologically long doc " +
+      "correctly in ONE bounded task (max-doc-size contract)") {
+    // one 50k-line doc among small docs: reassembly state is that
+    // doc's surviving lines in a single group — the documented bound.
+    // Lines are all distinct so every one survives; the doc must come
+    // back byte-identical, in order, in one pass.
+    val big = (0 until 50000).map(i => s"line $i payload").mkString("\n")
+    val d = Seq((1L, big), (2L, "line 42 payload\nsmall doc"),
+        (3L, "another small doc")).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesAcrossDocs(d, "text", "doc_id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) == ((1L, big, 0L)), "big doc must reassemble intact")
+    assert(out(1) == ((2L, "small doc", 1L)),
+      "doc 2 loses its copy of the big doc's line 42")
+    assert(out(2) == ((3L, "another small doc", 0L)))
+  }
+
   test("bloom-prefiltered decontamination equals the exact path " +
       "row-for-row (no false negatives; fpp killed by the verify join)") {
     import org.apache.spark.sql.Row
@@ -517,6 +535,39 @@ class LlmSpec extends AnyFunSuite {
     val out = Similarity.randomProject(d, "embedding", "vec_id", 4)
     assert(out.columns.toSeq == Seq("id", "dim", "value"))
     assert(out.count() == 0)
+  }
+
+  test("Y4M video decode recovers geometry/frames/mean-luma; non-video " +
+      "payloads fall to the labeled stub") {
+    val ids = Seq(0L, 7L, 123L).toDF("doc_id")
+    val got = Multimodal.videoFeatures(Multimodal.asY4mTable(ids, "doc_id"))
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getDouble(5), r.getDouble(6), r.getBoolean(7)))
+    val want = Seq(0L, 7L, 123L).map { id =>
+      val n = Multimodal.y4mFrames(id)
+      val meanY = (0 until n).map(Multimodal.y4mLuma(id, _)).sum.toDouble / n
+      (id, Multimodal.y4mWidth(id), Multimodal.y4mHeight(id), n,
+        n * 40.0, math.round(meanY * 1e6) / 1e6, true)
+    }
+    assert(got.toSeq == want)
+    // a non-Y4M payload (UTF-8 text bytes) lands on the stub path
+    val stub = Multimodal.videoFeatures(
+      Multimodal.asMediaTable(Seq((1L, "not a video")).toDF("id", "t"),
+        "id", "t")).head()
+    assert(!stub.getBoolean(7) && stub.getInt(4) == 0)
+  }
+
+  test("sampleFrames drives frame_idx from the PARSED Y4M frame count, " +
+      "not the size stub") {
+    val ids = Seq(5L).toDF("doc_id") // y4mFrames(5) = 3 + 5%6 = 8
+    val got = Multimodal.sampleFrames(
+        Multimodal.asY4mTable(ids, "doc_id"), stride = 3)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == Seq((0, 8), (3, 8), (6, 8)),
+      "8 parsed frames, stride 3 -> indices 0/3/6; the size stub would " +
+        "report hundreds of frames")
   }
 
   test("WAV audio decode recovers rate/samples/amplitude; non-audio " +
