@@ -41,16 +41,46 @@ object Bench {
       System.err.println(f"[bench] cold $name%-28s $dt%8.2f s")
       name -> dt
     }
-    val warm = sorted.map { case (name, fn) =>
-      val dt = time(name, fn)
-      System.err.println(f"[bench] warm $name%-28s $dt%8.2f s")
-      name -> dt
+    // a SINGLE warm pass is not a trustworthy per-query signal: the
+    // round-4 artifact had six queries reporting warm > cold (GC /
+    // codegen-cache interference), poisoning round-over-round
+    // comparison. Median of ≥3 back-to-back passes per query is robust
+    // to one outlier pass; all passes land in the artifact so the
+    // spread itself is inspectable.
+    val warmPasses =
+      sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt
+    val warmRuns = sorted.map { case (name, fn) =>
+      val ds = (1 to warmPasses).map { i =>
+        val dt = time(name, fn)
+        System.err.println(f"[bench] warm#$i $name%-26s $dt%8.2f s")
+        dt
+      }
+      name -> ds
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val warm = warmRuns.map { case (n, ds) => n -> median(ds) }
+    val warmMin = warmRuns.map { case (n, ds) => n -> ds.min }
+    // flag residual anomalies loudly instead of leaving them to the
+    // next round's diff: a MEDIAN warm slower than 1.2x cold is a real
+    // signal (plan re-derivation cost or a caching assumption), not
+    // single-pass noise
+    cold.zip(warm).foreach { case ((n, c), (_, w)) =>
+      if (w > 1.2 * c)
+        System.err.println(f"[bench] WARN warm median > 1.2x cold: $n ($c%.2f cold, $w%.2f warm)")
     }
     def js(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jsArr(rs: Seq[(String, Seq[Double])]): String =
+      rs.map { case (k, vs) =>
+        "\"" + k + "\":" + vs.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val total = cold.map(_._2).sum
     val totalWarm = warm.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"total_warm":$totalWarm,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"total_warm":$totalWarm,"sf":"$sfDir"}"""
     println(line)
     // the driver preserves only a short stdout tail (round 3 lost the
     // per-query cold map to truncation) — mirror the full JSON into the

@@ -402,6 +402,12 @@ object RptQueries {
         .groupBy("dt", "bg", "bottler", "bg_sort", "bottler_sort")
         .agg(map_from_entries(
           collect_list(struct(col("code_item"), col("leaf")))).as("kv"))
+      // cfg is a DRIVER-HELD config tree riding the UDF closure — the
+      // intended contract (the reference fetches report config on the
+      // driver too, m_cocacola_score_opportunity.clj:54). It is
+      // config-bounded (KBs) and Spark ships closures to executors via
+      // the broadcast mechanism already; rewriting this into a join
+      // would shuffle the fact rows for nothing.
       val cfg = kpiConfigTree
       val attach = udf((kv: Map[String, Map[String, String]]) => {
         import graft.trgx.Trgx

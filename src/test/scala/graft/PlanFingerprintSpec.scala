@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape fingerprints for every registered query, pinned
+  * to the checked-in `PLANFP.json`.
+  *
+  * Wall-clock noise can hide a plan regression (a lost broadcast, a new
+  * exchange) for a whole round; node-type COUNTS cannot. This spec
+  * recomputes each query's fingerprint at sf0.001 and fails on any
+  * drift, naming the query and the counter that moved. Intentional plan
+  * changes re-pin with `GRAFT_REGEN_PLANFP=1 sbt "testOnly
+  * graft.PlanFingerprintSpec"` and the git diff of PLANFP.json becomes
+  * the review artifact.
+  *
+  * Counted categories (chosen to be data-scale-independent and to make
+  * every scale-relevant regression visible): parquet/RDD scans; shuffle
+  * exchanges split hash/range/single; broadcast exchanges; each join
+  * strategy; each aggregate strategy; windows, sorts, generates.
+  */
+class PlanFingerprintSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val fpPath =
+    Paths.get(sys.env.getOrElse("GRAFT_PLANFP", "PLANFP.json"))
+
+  /** Flatten including AQE interiors (see PlanSpec.nodes). */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.initialPlan)
+      case _ => p.children.flatMap(nodes)
+    })
+  }
+
+  private val counterKeys = Seq("scan", "exchange_hash", "exchange_range",
+    "exchange_single", "broadcast_exchange", "join_broadcast_hash",
+    "join_sort_merge", "join_shuffled_hash", "join_nested_loop",
+    "join_cartesian", "agg_hash", "agg_object", "agg_sort", "window",
+    "sort", "generate")
+
+  private def fingerprint(plan: SparkPlan): Map[String, Int] = {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val ns = nodes(plan)
+    def n(pred: SparkPlan => Boolean) = ns.count(pred)
+    Map(
+      "scan" -> n(_.nodeName.contains("Scan")),
+      "exchange_hash" -> n {
+        case e: ShuffleExchangeExec =>
+          e.outputPartitioning.toString.contains("hashpartitioning")
+        case _ => false
+      },
+      "exchange_range" -> n {
+        case e: ShuffleExchangeExec =>
+          e.outputPartitioning.toString.contains("rangepartitioning")
+        case _ => false
+      },
+      "exchange_single" -> n {
+        case e: ShuffleExchangeExec =>
+          val s = e.outputPartitioning.toString
+          !s.contains("hashpartitioning") && !s.contains("rangepartitioning")
+        case _ => false
+      },
+      "broadcast_exchange" -> n(_.isInstanceOf[BroadcastExchangeExec]),
+      "join_broadcast_hash" -> n(_.nodeName.contains("BroadcastHashJoin")),
+      "join_sort_merge" -> n(_.nodeName.contains("SortMergeJoin")),
+      "join_shuffled_hash" -> n(_.nodeName.contains("ShuffledHashJoin")),
+      "join_nested_loop" -> n(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      "join_cartesian" -> n(_.nodeName.contains("CartesianProduct")),
+      "agg_hash" -> n(p => p.nodeName.contains("HashAggregate") &&
+        !p.nodeName.contains("ObjectHashAggregate")),
+      "agg_object" -> n(_.nodeName.contains("ObjectHashAggregate")),
+      "agg_sort" -> n(_.nodeName.contains("SortAggregate")),
+      "window" -> n(_.nodeName.contains("Window")),
+      "sort" -> n(_.nodeName == "Sort"),
+      "generate" -> n(_.nodeName.contains("Generate")))
+  }
+
+  private def canonical(fps: Seq[(String, Map[String, Int])]): String =
+    fps.sortBy(_._1).map { case (q, fp) =>
+      val inner = counterKeys.filter(k => fp.getOrElse(k, 0) > 0)
+        .map(k => "\"" + k + "\":" + fp(k)).mkString(",")
+      "\"" + q + "\":{" + inner + "}"
+    }.mkString("{\n", ",\n", "\n}\n")
+
+  test("every registered query's plan shape matches PLANFP.json") {
+    // streaming_rng_ingest executes a streaming job at CONSTRUCTION and
+    // returns a plain scan of its sink — its plan shape lives in
+    // StreamingSpec, not here
+    val fps = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1 != "streaming_rng_ingest")
+      .map { case (name, q) =>
+        name -> fingerprint(q(spark, dir).queryExecution.executedPlan)
+      }
+    val current = canonical(fps)
+    if (sys.env.contains("GRAFT_REGEN_PLANFP")) {
+      Files.writeString(fpPath, current)
+      info(s"regenerated $fpPath — review the git diff")
+    } else {
+      assert(Files.exists(fpPath),
+        s"$fpPath missing — regenerate with GRAFT_REGEN_PLANFP=1")
+      val expected = Files.readString(fpPath)
+      val exp = expected.linesIterator.toSeq
+      val cur = current.linesIterator.toSeq
+      val diffs = cur.zipAll(exp, "<missing>", "<missing>")
+        .filter { case (c, e) => c != e }
+      assert(diffs.isEmpty,
+        "plan fingerprints drifted (a lost broadcast / new exchange is " +
+          "a scale regression; if intentional, re-pin with " +
+          "GRAFT_REGEN_PLANFP=1 and review the diff):\n" +
+          diffs.take(20).map { case (c, e) => s"now: $c\nwas: $e" }
+            .mkString("\n"))
+    }
+  }
+}
