@@ -49,6 +49,10 @@ object Bench {
     // spread itself is inspectable.
     val warmPasses =
       sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt
+    // fail fast on a bad pass count: discovering it AFTER the cold
+    // pass would throw away every timing already collected
+    require(warmPasses >= 1,
+      s"SPARK_GRAFT_WARM_PASSES must be >= 1, got $warmPasses")
     val warmRuns = sorted.map { case (name, fn) =>
       val ds = (1 to warmPasses).map { i =>
         val dt = time(name, fn)

@@ -261,6 +261,14 @@ object Multimodal {
     * bad header, unknown chroma layout). */
   private def decodeY4m(
       bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int, Double)] =
+    parseY4m(bytes, sumLuma = true)
+
+  /** Container walk shared by [[decodeY4m]] (full luma accumulation)
+    * and [[sampleFrames]] (frame COUNT only — `sumLuma = false` skips
+    * the per-pixel loop, so a metadata-only caller pays O(frames)
+    * frame-header hops instead of O(payload bytes); mean is 0 then). */
+  private def parseY4m(bytes: Array[Byte],
+      sumLuma: Boolean): Option[(Int, Int, Int, Int, Int, Double)] =
     if (bytes == null || bytes.length < 10 ||
         !new String(bytes, 0, 9, "US-ASCII").equals("YUV4MPEG2"))
       None
@@ -301,8 +309,10 @@ object Multimodal {
           if (eol >= bytes.length) return None
           pos = eol + 1
           if (pos + frameSize > bytes.length) return None // truncated
-          var i = 0
-          while (i < w * h) { lumaSum += bytes(pos + i) & 0xff; i += 1 }
+          if (sumLuma) {
+            var i = 0
+            while (i < w * h) { lumaSum += bytes(pos + i) & 0xff; i += 1 }
+          }
           pos += frameSize
           frames += 1
         }
@@ -440,7 +450,7 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           val n: Any =
             if (bytes == null) null
-            else decodeY4m(bytes) match {
+            else parseY4m(bytes, sumLuma = false) match {
               case Some((_, _, frames, _, _, _)) => frames
               case None => bytes.length / 16 + 1 // labeled stub count
             }

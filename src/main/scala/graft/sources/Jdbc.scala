@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   * per-partition batched inserts.
   *
   * TEST BOUNDARY: this module is verified against embedded Derby
-  * (JdbcSpec) — the only JDBC engine in this environment. The
+  * (JdbcSpec) — the only JDBC engine in this environment. (A Postgres
+  * SERVER exists in the sandbox, but no pgjdbc driver jar is on disk
+  * and the environment has no egress to fetch one, so the JVM cannot
+  * speak to it — checked, not assumed.) The
   * reference tap's target is Postgres over SSL (trgx.clj:81-98); the
   * Postgres-specific surface — SSL handshake, `stringtype=unspecified`
   * server-side casts, PG type mapping — is expressed here
@@ -89,7 +92,10 @@ object Jdbc {
   /** Append `df` to `table`: logical `-` names rewritten to physical
     * `_`, every column cast to String. */
   def writeTable(df: DataFrame, url: String, table: String,
-                 options: Map[String, String] = Map.empty): Unit =
+                 options: Map[String, String] = Map.empty): Unit = {
+    // same guard as deleteRange/createTableIf: Spark's JDBC writer
+    // interpolates this name into its generated INSERT statement
+    requireIdentifier("table", table)
     df.select(df.columns.map(c =>
         df.col(c).cast("string").as(physical(c))): _*)
       .write.format("jdbc")
@@ -98,6 +104,7 @@ object Jdbc {
       .option("dbtable", table)
       .mode("append")
       .save()
+  }
 
   /** Raw DDL/DML on the tap connection (trgx.clj:110 executeUpdate). */
   def executeUpdate(url: String, sql: String): Int = {

@@ -27,15 +27,6 @@ class PlanFingerprintSpec extends AnyFunSuite {
   private val fpPath =
     Paths.get(sys.env.getOrElse("GRAFT_PLANFP", "PLANFP.json"))
 
-  /** Flatten including AQE interiors (see PlanSpec.nodes). */
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    p +: (p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.initialPlan)
-      case _ => p.children.flatMap(nodes)
-    })
-  }
-
   private val counterKeys = Seq("scan", "exchange_hash", "exchange_range",
     "exchange_single", "broadcast_exchange", "join_broadcast_hash",
     "join_sort_merge", "join_shuffled_hash", "join_nested_loop",
@@ -44,7 +35,7 @@ class PlanFingerprintSpec extends AnyFunSuite {
 
   private def fingerprint(plan: SparkPlan): Map[String, Int] = {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
-    val ns = nodes(plan)
+    val ns = TestSpark.planNodes(plan)
     def n(pred: SparkPlan => Boolean) = ns.count(pred)
     Map(
       "scan" -> n(_.nodeName.contains("Scan")),

@@ -15,17 +15,10 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(q)(spark, dir)
       .queryExecution.executedPlan.toString
 
-  /** Flatten a physical plan INCLUDING the interior of AQE wrappers —
-    * AdaptiveSparkPlanExec is a leaf node, so a plain `collect` sees
-    * nothing beneath it and node-level assertions become vacuous. */
+  /** AQE-aware plan flattener, shared via [[TestSpark.planNodes]]. */
   private def nodes(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    p +: (p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.initialPlan)
-      case _ => p.children.flatMap(nodes)
-    })
-  }
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    TestSpark.planNodes(p)
 
   private def allNodes(q: String) =
     nodes(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan)

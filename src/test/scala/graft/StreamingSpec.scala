@@ -191,16 +191,20 @@ class StreamingSpec extends AnyFunSuite {
       .as[Long].collect().toSet == Set(1L, 2L),
       "replay must heal B's shingle rows even though B is suppressed " +
         "from the re-derived novel set")
-    // and a future exact copy of B now verifies against B and is
-    // suppressed instead of ingesting as novel
-    Seq((10L, tB)).toDF("doc_id", "text")
-      .write.mode("append").parquet(in)
+    // and a future exact copy of B is suppressed BY THE HEALED SHINGLE
+    // ROWS specifically: it arrives ALONE (own input dir, so the
+    // within-batch exact collapse cannot save the assertion) at
+    // threshold 0.95, above jaccard(tB, tA) = 8/9 — A's pre-existing
+    // shingles cannot suppress it, only B's healed ones (jaccard 1.0)
+    val in2 = s"$base/in2"
+    Seq((10L, tB)).toDF("doc_id", "text").write.parquet(in2)
     StreamOps.continuousDedupIngest(
-      StreamOps.readTableStream(spark, in, schema),
-      "text", "doc_id", corpus, idx, sh, threshold = 0.5)
+      StreamOps.readTableStream(spark, in2, schema),
+      "text", "doc_id", corpus, idx, sh, threshold = 0.95)
     assert(spark.read.parquet(corpus).select("doc_id")
       .as[Long].collect().toSet == Set(1L, 2L),
-      "an exact copy of the healed doc must be suppressed")
+      "an exact copy of the healed doc must be suppressed via the " +
+        "healed shingle verify, not the exact collapse")
   }
 
   test("continuousDedupIngest replay survives a first-batch crash that " +

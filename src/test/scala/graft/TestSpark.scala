@@ -27,4 +27,18 @@ object TestSpark {
     java.nio.file.Files.createDirectories(base)
     java.nio.file.Files.createTempDirectory(base, prefix)
   }
+
+  /** Flatten a physical plan INCLUDING the interior of AQE wrappers —
+    * AdaptiveSparkPlanExec is a leaf node, so a plain `collect` sees
+    * nothing beneath it and node-level assertions become vacuous.
+    * Shared by PlanSpec and PlanFingerprintSpec so the traversal
+    * cannot drift between them. */
+  def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => planNodes(a.initialPlan)
+      case _ => p.children.flatMap(planNodes)
+    })
+  }
 }
