@@ -654,8 +654,9 @@ object Dedup {
                           planes: Int = 16): DataFrame = {
     // deterministic Rademacher hyperplanes, materialized driver-side as
     // literals (they are row-independent; recomputing them per row via
-    // hash expressions bloats the plan and the inner loop)
-    val dims = df.select(size(col(vecCol))).first().getInt(0)
+    // hash expressions bloats the plan and the inner loop); empty-safe
+    // dims probe (Similarity.probeDims)
+    val dims = Similarity.probeDims(df, vecCol)
     val planeLits = Similarity.rademacherPlanes(planes, dims)
       .map(p => typedlit(p))
     val staged = df.select(col(idCol).as("id"),

@@ -94,21 +94,26 @@ object Similarity {
     * inDims/outDims with JL-bounded distortion before any expensive
     * operator runs. Output is long-form (id, dim, value) rows, values
     * rounded to 4 (the embedding-oracle float convention). */
+  /** Probe ONE row for the embedding dimensionality — shared by every
+    * operator that sizes a driver-side plane/centroid set from its
+    * input. Uniform vector length is ASSUMED (a ragged row downstream
+    * yields null values via the DotProduct length contract, never a
+    * wrong number); an empty frame probes as 0 dims so callers build a
+    * valid empty-output plan instead of throwing NoSuchElementException;
+    * a null probed vector is a loud error. */
+  private[llm] def probeDims(df: DataFrame, vecCol: String): Int = {
+    val probe = df.select(size(col(vecCol)).as("n")).head(1)
+    if (probe.isEmpty) 0
+    else {
+      require(!probe(0).isNullAt(0),
+        s"probed row has a null $vecCol")
+      probe(0).getInt(0)
+    }
+  }
+
   def randomProject(df: DataFrame, vecCol: String, idCol: String,
                     outDims: Int): DataFrame = {
-    // the projection matrix is sized from ONE probed row and assumes
-    // UNIFORM vector length: a ragged row yields null projection
-    // values (the DotProduct length contract), never a wrong number.
-    // An empty input returns an empty (id, dim, value) frame instead
-    // of throwing on the probe; a null probed vector is a loud error.
-    val probe = df.select(size(col(vecCol)).as("n")).head(1)
-    val dims =
-      if (probe.isEmpty) 0
-      else {
-        require(!probe(0).isNullAt(0),
-          s"randomProject: probed row has a null $vecCol")
-        probe(0).getInt(0)
-      }
+    val dims = probeDims(df, vecCol)
     val planes = rademacherPlanes(outDims, dims)
     val scale = math.sqrt(outDims.toDouble)
     df.select(col(idCol).as("id"),
@@ -311,7 +316,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
               idCol: String, k: Int, nCells: Int = 8,
               nProbe: Int = 2): DataFrame = {
-    val dims = corpus.select(size(col(vecCol))).first().getInt(0)
+    val dims = probeDims(corpus, vecCol)
     ivfTopKWith(corpus, queries, vecCol, idCol, k,
       rademacherPlanes(nCells, dims), nProbe)
   }

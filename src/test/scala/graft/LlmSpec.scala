@@ -537,6 +537,18 @@ class LlmSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("ivfTopK and embeddingDedupPairs return empty frames with the " +
+      "right schema on empty input (shared probeDims guard)") {
+    val empty = Seq((0L, Array.tabulate(4)(_.toDouble)))
+      .toDF("vec_id", "embedding").filter(lit(false))
+    val ann = Similarity.ivfTopK(empty, empty, "embedding", "vec_id",
+      k = 3)
+    assert(ann.count() == 0)
+    val pairs = Dedup.embeddingDedupPairs(empty, "embedding", "vec_id")
+    assert(pairs.columns.toSeq == Seq("id1", "id2", "cos"))
+    assert(pairs.count() == 0)
+  }
+
   test("Y4M video decode recovers geometry/frames/mean-luma; non-video " +
       "payloads fall to the labeled stub") {
     val ids = Seq(0L, 7L, 123L).toDF("doc_id")
@@ -556,6 +568,44 @@ class LlmSpec extends AnyFunSuite {
       Multimodal.asMediaTable(Seq((1L, "not a video")).toDF("id", "t"),
         "id", "t")).head()
     assert(!stub.getBoolean(7) && stub.getInt(4) == 0)
+  }
+
+  test("Y4M parser sizes C444/C422/Cmono layouts correctly; a " +
+      "truncated payload falls to the stub, never wrong data") {
+    import org.apache.spark.sql.Row
+    def clip(cs: String, w: Int, h: Int, lumas: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$w H$h F30:1 Ip A1:1 $cs\n"
+        .getBytes("US-ASCII"))
+      val chroma = cs match {
+        case "C444"  => 2 * w * h
+        case "C422"  => 2 * ((w / 2) * h)
+        case "Cmono" => 0
+        case _       => 2 * ((w / 2) * (h / 2))
+      }
+      lumas.foreach { c =>
+        out.write("FRAME\n".getBytes("US-ASCII"))
+        out.write(Array.fill(w * h)(c.toByte))
+        out.write(Array.fill(chroma)(128.toByte))
+      }
+      out.toByteArray
+    }
+    val payloads = Seq("C444", "C422", "Cmono")
+      .map(cs => clip(cs, 4, 2, Seq(10, 20))) :+
+      clip("C420jpeg", 4, 2, Seq(30)).dropRight(1) // truncated frame
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(payloads.zipWithIndex.map {
+        case (p, i) => Row(i.toLong, p, Row("video", 0, 0))
+      }), Multimodal.mediaSchema)
+    val got = Multimodal.videoFeatures(media).orderBy("media_id")
+      .collect()
+    for (i <- 0 until 3)
+      assert((got(i).getInt(2), got(i).getInt(3), got(i).getInt(4),
+        got(i).getDouble(6), got(i).getBoolean(7))
+        == ((4, 2, 2, 15.0, true)),
+        s"variant ${Seq("C444", "C422", "Cmono")(i)} mis-sized")
+    assert(!got(3).getBoolean(7),
+      "a truncated payload must land on the stub path")
   }
 
   test("sampleFrames drives frame_idx from the PARSED Y4M frame count, " +
