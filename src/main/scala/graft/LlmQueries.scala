@@ -275,6 +275,59 @@ object LlmQueries {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // driver-visible CORRECTNESS row for the NEAR-dup streaming ingest
+    // (StreamOps.continuousDedupIngest) — the streaming_rng_ingest
+    // pattern: two AvailableNow batches into table-backed
+    // corpus/index/shingle state. Batch 1 carries each doc plus an
+    // exact in-batch copy (+3M ids — the keep-min collapse drops
+    // them); batch 2 carries an exact copy of every standing doc
+    // (+1M — suppressed through the band index + shingle verify) and a
+    // nonsense-suffixed variant (+2M — novel at threshold 1.0). The
+    // full-outer join exposes the auxiliary-table invariant the
+    // replay-heal guarantees (every corpus doc has index AND shingle
+    // rows, and no orphans) as oracle-checked booleans.
+    "streaming_dedup_ingest" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val base = graft.core.Tables.tmpDir + "/stream_dedup_q"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          length(trim(col("text"))) > 0 && col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      d.unionByName(d.select((col("doc_id") + 3000000L).as("doc_id"),
+          col("text")))
+        .coalesce(4).write.parquet(s"$base/in1")
+      d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(d.select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zq xv qj")).as("text")))
+        .coalesce(4).write.parquet(s"$base/in2")
+      val schema = s.read.parquet(s"$base/in1").schema
+      StreamOps.continuousDedupIngest(
+        StreamOps.readTableStream(s, s"$base/in1", schema),
+        "text", "doc_id",
+        s"$base/corpus", s"$base/index", s"$base/shingles")
+      StreamOps.continuousDedupIngest(
+        StreamOps.readTableStream(s, s"$base/in2", schema),
+        "text", "doc_id",
+        s"$base/corpus", s"$base/index", s"$base/shingles")
+      val corpus = s.read.parquet(s"$base/corpus")
+        .select("doc_id").withColumn("in_corpus", lit(true))
+      val idxIds = s.read.parquet(s"$base/index")
+        .select(col("id").as("doc_id")).distinct()
+        .withColumn("in_index", lit(true))
+      val shIds = s.read.parquet(s"$base/shingles")
+        .select(col("id").as("doc_id")).distinct()
+        .withColumn("in_shingles", lit(true))
+      corpus.join(idxIds, Seq("doc_id"), "full_outer")
+        .join(shIds, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("in_corpus"), lit(false)).as("in_corpus"),
+          coalesce(col("in_index"), lit(false)).as("in_index"),
+          coalesce(col("in_shingles"), lit(false)).as("in_shingles"))
+        .orderBy("doc_id")
+    }),
+
     // corpus-scale dedup grouping: exact-collapse → LSH on canonicals
     // → attach members (bounded buckets, linear output — see Scaladoc)
     "dedup_groups_full" -> ((s, dir) =>
@@ -959,6 +1012,16 @@ object LlmQueries {
          SELECT b.new_id, c.id AS corpus_id, CAST(1.0 AS DOUBLE) AS jaccard
          FROM b JOIN canon c ON b.cs = c.cs
          ORDER BY new_id, corpus_id""",
+    "streaming_dedup_ingest" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+             WHERE text IS NOT NULL AND length(trim(text)) > 0
+               AND doc_id % 5 = 0),
+         k AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY text)
+         SELECT doc_id, TRUE AS in_corpus, TRUE AS in_index,
+           TRUE AS in_shingles
+         FROM (SELECT doc_id FROM k
+               UNION ALL SELECT doc_id + 2000000 FROM k) u
+         ORDER BY doc_id""",
     "dedup_groups_full" ->
       s"""WITH u AS ($dupCorpusSql),
          $shingleCte,

@@ -78,11 +78,13 @@ class PlanFingerprintSpec extends AnyFunSuite {
     }.mkString("{\n", ",\n", "\n}\n")
 
   test("every registered query's plan shape matches PLANFP.json") {
-    // streaming_rng_ingest executes a streaming job at CONSTRUCTION and
-    // returns a plain scan of its sink — its plan shape lives in
-    // StreamingSpec, not here
+    // the streaming registrations execute a streaming job at
+    // CONSTRUCTION and return plain scans of their sink tables — their
+    // plan shapes live in StreamingSpec, not here
+    val streamingConstructed =
+      Set("streaming_rng_ingest", "streaming_dedup_ingest")
     val fps = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(_._1 != "streaming_rng_ingest")
+      .filter(q => !streamingConstructed(q._1))
       .map { case (name, q) =>
         name -> fingerprint(q(spark, dir).queryExecution.executedPlan)
       }
