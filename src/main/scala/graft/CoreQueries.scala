@@ -625,8 +625,7 @@ object CoreQueries {
     "streaming_rng_ingest" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val base = Tables.tmpDir + "/stream_rng_q"
-      val p = new org.apache.hadoop.fs.Path(base)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      StreamOps.deletePath(s, base)
       t(s, dir, "events")
         .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"),
                 col("value"))

@@ -289,12 +289,23 @@ object LlmQueries {
     "streaming_dedup_ingest" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val base = graft.core.Tables.tmpDir + "/stream_dedup_q"
-      val p = new org.apache.hadoop.fs.Path(base)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      StreamOps.deletePath(s, base)
       val d = t(s, dir, "documents")
         .filter(col("text").isNotNull &&
           length(trim(col("text"))) > 0 && col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text"))
+      val empty = d.select(col("doc_id"), lit(true).as("in_corpus"),
+        lit(true).as("in_index"), lit(true).as("in_shingles")).limit(0)
+      val probe = d.agg(max("doc_id")).first()
+      // no qualifying docs: every batch is empty, the ingest writes no
+      // tables, and reading the never-created paths would throw — the
+      // correct result is an empty frame (oracle agrees)
+      if (probe.isNullAt(0)) empty else {
+      // the synthetic +1M/+2M/+3M ids must not collide with real ones:
+      // a collision silently drops a novel doc via the id anti-join
+      require(probe.getLong(0) < 1000000L,
+        "streaming_dedup_ingest: documents doc_id reaches the " +
+          "synthetic +1M id band; raise the offsets")
       d.unionByName(d.select((col("doc_id") + 3000000L).as("doc_id"),
           col("text")))
         .coalesce(4).write.parquet(s"$base/in1")
@@ -326,6 +337,7 @@ object LlmQueries {
           coalesce(col("in_index"), lit(false)).as("in_index"),
           coalesce(col("in_shingles"), lit(false)).as("in_shingles"))
         .orderBy("doc_id")
+      }
     }),
 
     // corpus-scale dedup grouping: exact-collapse → LSH on canonicals
@@ -1012,15 +1024,30 @@ object LlmQueries {
          SELECT b.new_id, c.id AS corpus_id, CAST(1.0 AS DOUBLE) AS jaccard
          FROM b JOIN canon c ON b.cs = c.cs
          ORDER BY new_id, corpus_id""",
+    // engine-faithful twin: the within-batch collapse groups by
+    // NORMALIZED text (fingerprint = md5(normalizeText)), and
+    // cross-batch suppression at threshold 1.0 is exact SHINGLE-SET
+    // equality — both replicated below ($normSql grouping + the shared
+    // shingle/canon CTEs), so the oracle stays right even if testdata
+    // ever gains case-/whitespace-only near-twins or set-equal texts
     "streaming_dedup_ingest" ->
-      """WITH d AS (SELECT doc_id, text FROM documents
+      s"""WITH d AS (SELECT doc_id, $normSql AS nt FROM documents
              WHERE text IS NOT NULL AND length(trim(text)) > 0
                AND doc_id % 5 = 0),
-         k AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY text)
+         k1 AS (SELECT min(doc_id) AS doc_id, nt FROM d GROUP BY nt),
+         u AS (SELECT doc_id, nt AS text FROM k1
+               UNION ALL
+               SELECT doc_id + 2000000, nt || ' zq xv qj' FROM k1),
+         $shingleCte,
+         canon AS (SELECT id, string_agg(g, chr(1) ORDER BY g) AS cs
+                   FROM sd GROUP BY id)
          SELECT doc_id, TRUE AS in_corpus, TRUE AS in_index,
            TRUE AS in_shingles
-         FROM (SELECT doc_id FROM k
-               UNION ALL SELECT doc_id + 2000000 FROM k) u
+         FROM (SELECT doc_id FROM k1
+               UNION ALL
+               SELECT c2.id AS doc_id FROM canon c2
+               WHERE c2.id >= 2000000 AND c2.cs NOT IN
+                 (SELECT cs FROM canon WHERE id < 2000000)) t
          ORDER BY doc_id""",
     "dedup_groups_full" ->
       s"""WITH u AS ($dupCorpusSql),

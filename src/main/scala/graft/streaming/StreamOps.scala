@@ -23,6 +23,15 @@ object StreamOps {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Recursive path delete via the Hadoop FileSystem API (scheme-
+    * correct like [[pathExists]]; no-op when absent) — the fresh-state
+    * scaffolding the streaming correctness registrations share. */
+  def deletePath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+  }
+
   /** Streaming read of a parquet table directory. */
   def readTableStream(spark: SparkSession, path: String,
                       schema: StructType): DataFrame =
