@@ -340,6 +340,66 @@ object LlmQueries {
       }
     }),
 
+    // driver-visible CORRECTNESS row for the continuous SEMANTIC
+    // ingest (StreamOps.continuousSemanticIngest) — completes the
+    // streaming trilogy (rng bookkeeping, minhash near-dup, embedding
+    // near-dup). Batch 1: each vector plus a ×2-scaled copy (+3M —
+    // same cell, cosine 1, within-batch keep-min drops it); batch 2: a
+    // ×0.5 copy of every original (+1M — suppressed through the
+    // standing IVF index) and a first-component +0.5 bump (+2M — the
+    // semantic_dedup probe geometry, cos ≈ 0.5-0.77 < the 0.85
+    // threshold). Each call processes its 4 input files as ONE
+    // micro-batch (AvailableNow, no maxFilesPerTrigger), so the oracle
+    // replicates exact single-batch semantics: within-batch removal by
+    // ANY smaller-id same-cell neighbor (survivor or not), then index
+    // suppression of the survivors — full cell + cosine replication.
+    "streaming_semantic_ingest" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val base = graft.core.Tables.tmpDir + "/stream_sem_q"
+      StreamOps.deletePath(s, base)
+      val cents = Similarity.rademacherPlanes(8, 64)
+      val e = t(s, dir, "embeddings")
+        .filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val empty = e.select(col("vec_id"), lit(true).as("in_corpus"),
+        lit(true).as("in_index")).limit(0)
+      val probe = e.agg(max("vec_id")).first()
+      if (probe.isNullAt(0)) empty else {
+      require(probe.getLong(0) < 1000000L,
+        "streaming_semantic_ingest: embeddings vec_id reaches the " +
+          "synthetic +1M id band; raise the offsets")
+      e.unionByName(e.select((col("vec_id") + 3000000L).as("vec_id"),
+          transform(col("v"), x => x * 2.0).as("v")))
+        .coalesce(4).write.parquet(s"$base/in1")
+      e.select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x * 0.5).as("v"))
+        .unionByName(e.select((col("vec_id") + 2000000L).as("vec_id"),
+          concat(array(element_at(col("v"), 1) + 0.5),
+                 slice(col("v"), 2, 63)).as("v")))
+        .coalesce(4).write.parquet(s"$base/in2")
+      val schema = s.read.parquet(s"$base/in1").schema
+      StreamOps.continuousSemanticIngest(
+        StreamOps.readTableStream(s, s"$base/in1", schema),
+        "v", "vec_id", s"$base/corpus", s"$base/index", cents,
+        threshold = 0.85)
+      StreamOps.continuousSemanticIngest(
+        StreamOps.readTableStream(s, s"$base/in2", schema),
+        "v", "vec_id", s"$base/corpus", s"$base/index", cents,
+        threshold = 0.85)
+      val corpus = s.read.parquet(s"$base/corpus")
+        .select("vec_id").withColumn("in_corpus", lit(true))
+      val idxIds = s.read.parquet(s"$base/index")
+        .select(col("corpus_id").as("vec_id")).distinct()
+        .withColumn("in_index", lit(true))
+      corpus.join(idxIds, Seq("vec_id"), "full_outer")
+        .select(col("vec_id"),
+          coalesce(col("in_corpus"), lit(false)).as("in_corpus"),
+          coalesce(col("in_index"), lit(false)).as("in_index"))
+        .orderBy("vec_id")
+      }
+    }),
+
     // corpus-scale dedup grouping: exact-collapse → LSH on canonicals
     // → attach members (bounded buckets, linear output — see Scaladoc)
     "dedup_groups_full" -> ((s, dir) =>
@@ -1049,6 +1109,54 @@ object LlmQueries {
                WHERE c2.id >= 2000000 AND c2.cs NOT IN
                  (SELECT cs FROM canon WHERE id < 2000000)) t
          ORDER BY doc_id""",
+    "streaming_semantic_ingest" -> {
+      // same deterministic Rademacher cells and (dot DESC, cell DESC)
+      // tie-break as semantic_dedup; within-batch removal counts
+      // non-survivor neighbors (the semanticDedup rule), index
+      // suppression only standing survivors
+      val cents = Similarity.rademacherPlanes(8, 64).zipWithIndex
+        .map { case (p, i) =>
+          s"($i, [${p.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
+        }.mkString(",\n           ")
+      s"""WITH cents(cell, w) AS (VALUES $cents),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 5 = 0),
+         av AS (SELECT * FROM e
+                UNION ALL
+                SELECT vec_id + 3000000, list_transform(v, x -> x * 2)
+                FROM e
+                UNION ALL
+                SELECT vec_id + 1000000, list_transform(v, x -> x * 0.5)
+                FROM e
+                UNION ALL
+                SELECT vec_id + 2000000, list_concat([v[1] + 0.5], v[2:])
+                FROM e),
+         cd AS (SELECT vec_id, v, cell, list_dot_product(v, w) AS d
+                FROM av CROSS JOIN cents),
+         cc AS (SELECT vec_id, v, cell FROM
+                (SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d DESC, cell DESC) AS rn FROM cd)
+                WHERE rn = 1),
+         c1 AS (SELECT * FROM cc
+                WHERE vec_id < 1000000 OR vec_id >= 3000000),
+         c2 AS (SELECT * FROM cc
+                WHERE vec_id >= 1000000 AND vec_id < 3000000),
+         s1 AS (SELECT * FROM c1 x WHERE NOT EXISTS
+                (SELECT 1 FROM c1 a WHERE a.cell = x.cell
+                   AND a.vec_id < x.vec_id
+                   AND list_cosine_similarity(a.v, x.v) >= 0.85)),
+         k2 AS (SELECT * FROM c2 x WHERE NOT EXISTS
+                (SELECT 1 FROM c2 a WHERE a.cell = x.cell
+                   AND a.vec_id < x.vec_id
+                   AND list_cosine_similarity(a.v, x.v) >= 0.85)),
+         n2 AS (SELECT * FROM k2 x WHERE NOT EXISTS
+                (SELECT 1 FROM s1 WHERE s1.cell = x.cell
+                   AND list_cosine_similarity(s1.v, x.v) >= 0.85))
+         SELECT vec_id, TRUE AS in_corpus, TRUE AS in_index
+         FROM (SELECT vec_id FROM s1
+               UNION ALL SELECT vec_id FROM n2) t
+         ORDER BY vec_id"""
+    },
     "dedup_groups_full" ->
       s"""WITH u AS ($dupCorpusSql),
          $shingleCte,

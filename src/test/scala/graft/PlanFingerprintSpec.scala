@@ -82,7 +82,8 @@ class PlanFingerprintSpec extends AnyFunSuite {
     // CONSTRUCTION and return plain scans of their sink tables — their
     // plan shapes live in StreamingSpec, not here
     val streamingConstructed =
-      Set("streaming_rng_ingest", "streaming_dedup_ingest")
+      Set("streaming_rng_ingest", "streaming_dedup_ingest",
+        "streaming_semantic_ingest")
     val fps = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => !streamingConstructed(q._1))
       .map { case (name, q) =>
