@@ -36,23 +36,24 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val cold = sorted.map { case (name, fn) =>
-      val dt = time(name, fn)
-      System.err.println(f"[bench] cold $name%-28s $dt%8.2f s")
-      name -> dt
-    }
     // a SINGLE warm pass is not a trustworthy per-query signal: the
     // round-4 artifact had six queries reporting warm > cold (GC /
     // codegen-cache interference), poisoning round-over-round
     // comparison. Median of ≥3 back-to-back passes per query is robust
     // to one outlier pass; all passes land in the artifact so the
     // spread itself is inspectable.
+    //
+    // Parsed + validated BEFORE the cold pass runs: discovering a bad
+    // pass count after ~2.5 min of cold timings would discard them all.
     val warmPasses =
       sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt
-    // fail fast on a bad pass count: discovering it AFTER the cold
-    // pass would throw away every timing already collected
     require(warmPasses >= 1,
       s"SPARK_GRAFT_WARM_PASSES must be >= 1, got $warmPasses")
+    val cold = sorted.map { case (name, fn) =>
+      val dt = time(name, fn)
+      System.err.println(f"[bench] cold $name%-28s $dt%8.2f s")
+      name -> dt
+    }
     val warmRuns = sorted.map { case (name, fn) =>
       val ds = (1 to warmPasses).map { i =>
         val dt = time(name, fn)

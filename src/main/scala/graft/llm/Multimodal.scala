@@ -178,28 +178,27 @@ object Multimodal {
     StructField("mean_amp", DoubleType, nullable = false),
     StructField("decoded", BooleanType, nullable = false)))
 
-  /** Batched audio decode/feature-extract — the audio twin of
+  /** Audio decode/feature-extract — the audio twin of
     * [[extractFeatures]]: real `javax.sound.sampled` decode, stub
     * fallback (byte-mean pseudo-features, `decoded=false`) for payloads
-    * that are not 16-bit mono PCM WAV. */
-  def audioFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    * that are not 16-bit mono PCM WAV. Unbatched for the same reason as
+    * [[videoFeatures]]: stateless decode, large payload rows. */
+  def audioFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          val (rate, n, mean, real) = decodeAudio(bytes) match {
-            case Some((sr, ns, m)) => (sr, ns, m, true)
-            case None =>
-              val (_, _, m) = decodeStub(bytes); (0, 0L, m, false)
-          }
-          val durMs =
-            if (rate == 0) 0.0
-            else math.round(n * 1000.0 / rate * 1e6) / 1e6
-          Row(id, if (bytes == null) 0 else bytes.length, rate, n,
-            durMs, math.round(mean * 1e6) / 1e6, real)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (rate, n, mean, real) = decodeAudio(bytes) match {
+          case Some((sr, ns, m)) => (sr, ns, m, true)
+          case None =>
+            val (_, _, m) = decodeStub(bytes); (0, 0L, m, false)
         }
+        val durMs =
+          if (rate == 0) 0.0
+          else math.round(n * 1000.0 / rate * 1e6) / 1e6
+        Row(id, if (bytes == null) 0 else bytes.length, rate, n,
+          durMs, math.round(mean * 1e6) / 1e6, real)
       }
     }
     spark.createDataFrame(rdd, audioFeatureSchema)
@@ -331,29 +330,32 @@ object Multimodal {
     StructField("mean_y", DoubleType, nullable = false),
     StructField("decoded", BooleanType, nullable = false)))
 
-  /** Batched video decode/feature-extract — the video twin of
+  /** Video decode/feature-extract — the video twin of
     * [[extractFeatures]]/[[audioFeatures]]: real Y4M container parse
     * (geometry, frame count, frame rate, mean luma), stub fallback
     * (byte-mean pseudo-features, `decoded=false`) for payloads that
     * are not well-formed YUV4MPEG2 — compressed containers (MP4 etc.)
-    * have no JDK demuxer and land on the stub BY DESIGN. */
-  def videoFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    * have no JDK demuxer and land on the stub BY DESIGN.
+    *
+    * Deliberately UNbatched (plain iterator map): the parse is
+    * stateless, and video payloads are the largest rows in the system
+    * (w·h·1.5·frames bytes each) — buffering a 64-row group would hold
+    * 64 full clips live per task for no amortization benefit. */
+  def videoFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          val (w, h, n, durMs, mean, real) = decodeY4m(bytes) match {
-            case Some((w, h, n, fn, fd, m)) =>
-              (w, h, n, n * 1000.0 * fd / fn, m, true)
-            case None =>
-              val (w, h, m) = decodeStub(bytes); (w, h, 0, 0.0, m, false)
-          }
-          Row(id, if (bytes == null) 0 else bytes.length, w, h, n,
-            math.round(durMs * 1e6) / 1e6,
-            math.round(mean * 1e6) / 1e6, real)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h, n, durMs, mean, real) = decodeY4m(bytes) match {
+          case Some((w, h, n, fn, fd, m)) =>
+            (w, h, n, n * 1000.0 * fd / fn, m, true)
+          case None =>
+            val (w, h, m) = decodeStub(bytes); (w, h, 0, 0.0, m, false)
         }
+        Row(id, if (bytes == null) 0 else bytes.length, w, h, n,
+          math.round(durMs * 1e6) / 1e6,
+          math.round(mean * 1e6) / 1e6, real)
       }
     }
     spark.createDataFrame(rdd, videoFeatureSchema)

@@ -48,6 +48,17 @@ object Jdbc {
     require(IdentifierRx.matches(name),
       s"$kind must be a plain SQL identifier, got: $name")
 
+  /** Column TYPE strings interpolate into CREATE TABLE just like the
+    * names do, so they get the same loud-error treatment: word(s) plus
+    * an optional numeric precision/scale suffix — `VARCHAR(10)`,
+    * `DECIMAL(10,2)`, `DOUBLE PRECISION`, `TIMESTAMP WITH TIME ZONE`.
+    * Anything with quotes/semicolons/subexpressions is rejected. */
+  private val TypeRx =
+    "[A-Za-z][A-Za-z0-9_]*( +[A-Za-z][A-Za-z0-9_]*)*( *\\( *\\d+( *, *\\d+)? *\\))?".r
+  private def requireSqlType(tpe: String): Unit =
+    require(TypeRx.matches(tpe),
+      s"column type must be a plain SQL type, got: $tpe")
+
   /** The reference tap's Postgres SSL connection posture
     * (trgx.clj:81-98: ssl + sslmode=require + client cert/key/root
     * paths + unspecified stringtype) as a Spark JDBC option map —
@@ -129,7 +140,9 @@ object Jdbc {
   def createTableIf(url: String, table: String,
                     specs: Seq[(String, String)]): Unit = {
     requireIdentifier("table", table)
-    specs.foreach { case (c, _) => requireIdentifier("column", c) }
+    specs.foreach { case (c, t) =>
+      requireIdentifier("column", c); requireSqlType(t)
+    }
     val cols = specs.map { case (c, t) => s"$c $t" }.mkString(", ")
     try executeUpdate(url, s"CREATE TABLE $table ($cols)")
     catch {

@@ -161,8 +161,16 @@ class JdbcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Jdbc.createTableIf(url, "x", Seq("a b" -> "VARCHAR(1)"))
     }
-    // schema-qualified names remain accepted
-    Jdbc.createTableIf(url, "APP.t_qual", Seq("k" -> "BIGINT"))
+    // the TYPE half of the spec tuple is guarded the same way
+    intercept[IllegalArgumentException] {
+      Jdbc.createTableIf(url, "x",
+        Seq("c" -> "VARCHAR(1)); DROP TABLE reports;--"))
+    }
+    // schema-qualified names and multi-word/parameterized types remain
+    // accepted
+    Jdbc.createTableIf(url, "APP.t_qual",
+      Seq("k" -> "BIGINT", "p" -> "DECIMAL(10,2)",
+          "d" -> "DOUBLE PRECISION"))
     Jdbc.executeUpdateSilent(url, "DROP TABLE APP.t_qual")
   }
 
