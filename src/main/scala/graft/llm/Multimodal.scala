@@ -11,9 +11,13 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns + typed metadata, with decode/feature-extract implemented as
-  * *batched* partition-local transforms (the Scala analogue of
-  * `mapInPandas`: one buffer of rows at a time, so codec/model setup is
-  * amortized per batch).
+  * partition-local transforms. [[extractFeatures]] keeps the *batched*
+  * shape (the Scala analogue of `mapInPandas`: one buffer of rows at a
+  * time, the slot where codec/model setup would be amortized per
+  * batch); [[audioFeatures]]/[[videoFeatures]] are deliberately
+  * unbatched — their decode is stateless and their payloads are the
+  * largest rows in the system, so a row group would buffer 64 full
+  * clips per task for no amortization benefit.
   *
   * The decode kernels are REAL for images (`javax.imageio` —
   * PNG/BMP/JPEG, pure JDK), audio (`javax.sound.sampled` — WAV PCM,

@@ -49,12 +49,16 @@ object Jdbc {
       s"$kind must be a plain SQL identifier, got: $name")
 
   /** Column TYPE strings interpolate into CREATE TABLE just like the
-    * names do, so they get the same loud-error treatment: word(s) plus
-    * an optional numeric precision/scale suffix — `VARCHAR(10)`,
-    * `DECIMAL(10,2)`, `DOUBLE PRECISION`, `TIMESTAMP WITH TIME ZONE`.
-    * Anything with quotes/semicolons/subexpressions is rejected. */
+    * names do, so they get the same loud-error treatment: a word, an
+    * optional numeric precision/scale group (`2M`-style size suffixes
+    * allowed), then optional trailing words — `VARCHAR(10)`,
+    * `DECIMAL(10,2)`, `DOUBLE PRECISION`, `TIMESTAMP(3) WITH TIME
+    * ZONE`, `CHAR(8) FOR BIT DATA`, `BLOB(2M)`, `VARCHAR(10) NOT
+    * NULL`. Anything with quotes/semicolons/subexpressions is
+    * rejected. */
   private val TypeRx =
-    "[A-Za-z][A-Za-z0-9_]*( +[A-Za-z][A-Za-z0-9_]*)*( *\\( *\\d+( *, *\\d+)? *\\))?".r
+    ("[A-Za-z][A-Za-z0-9_]*( *\\( *\\d+[KMG]? *(, *\\d+ *)?\\))?" +
+     "( +[A-Za-z][A-Za-z0-9_]*)*").r
   private def requireSqlType(tpe: String): Unit =
     require(TypeRx.matches(tpe),
       s"column type must be a plain SQL type, got: $tpe")

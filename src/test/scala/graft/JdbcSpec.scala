@@ -167,10 +167,12 @@ class JdbcSpec extends AnyFunSuite {
         Seq("c" -> "VARCHAR(1)); DROP TABLE reports;--"))
     }
     // schema-qualified names and multi-word/parameterized types remain
-    // accepted
+    // accepted — including words AFTER the precision group (Derby's
+    // CHAR(8) FOR BIT DATA / BLOB(2M), constraint suffixes)
     Jdbc.createTableIf(url, "APP.t_qual",
       Seq("k" -> "BIGINT", "p" -> "DECIMAL(10,2)",
-          "d" -> "DOUBLE PRECISION"))
+          "d" -> "DOUBLE PRECISION", "b" -> "CHAR(8) FOR BIT DATA",
+          "l" -> "BLOB(2M)", "n" -> "VARCHAR(10) NOT NULL"))
     Jdbc.executeUpdateSilent(url, "DROP TABLE APP.t_qual")
   }
 
