@@ -46,7 +46,10 @@ object CoreQueries {
 
     // §2.1 row 4 — driver-side config source (latest-trgx-root shape)
     "config_source" -> ((s, dir) => {
-      val k = t(s, dir, "region").agg(min("r_regionkey")).first().getInt(0)
+      // min() over an empty table yields one NULL row — guard like
+      // every other driver-side probe (the twice-judged .first() class)
+      val kr = t(s, dir, "region").agg(min("r_regionkey")).first()
+      val k = if (kr.isNullAt(0)) Int.MinValue else kr.getInt(0)
       t(s, dir, "nation").filter(col("n_regionkey") === k)
         .select("n_nationkey", "n_name").orderBy("n_nationkey")
     }),

@@ -186,7 +186,16 @@ object CorpusQueries {
         explode(split(TextAnalysis.normalizeText(col("text")), " "))
           .as("tok"))
       val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val total = uni.agg(sum(col("cnt"))).first().getLong(0)
+      // sum() over an empty vocab yields one NULL row — guard like
+      // every other driver-side probe; total=0 leaves the (empty)
+      // output frame empty either way
+      val totRow = uni.agg(sum(col("cnt"))).first()
+      val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+      // avg of per-token double logs is summation-order-sensitive in
+      // principle; accepted here because round(...,4) gives ~5e-5 of
+      // slack vs ~1e-13 of cross-engine drift (a flip needs the true
+      // value within 1e-13 of a rounding boundary) — the general
+      // avg-of-doubles ban targets round(...,6)+ output columns
       toks.join(broadcast(uni), Seq("tok"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"),

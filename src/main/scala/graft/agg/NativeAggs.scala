@@ -39,8 +39,10 @@ private[agg] object AggSerde {
   * Aggregator form it replaces, but updates read the input row directly
   * (no tuple encoder per row) and partials ship as a compact
   * length-prefixed byte buffer (no ExpressionEncoder serde per
-  * partial) — the SURVEY §7 100 TB candidate. Output keys are sorted so
-  * the map bytes are deterministic across merge orders. */
+  * partial) — the SURVEY §7 100 TB candidate. Output keys are sorted
+  * and duplicate keys resolve by a commutative rule (see `resolve`) so
+  * the map bytes — keys AND values — are deterministic across merge
+  * orders. */
 case class CollectKvAgg(keyExpr: Expression, valExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
@@ -57,18 +59,41 @@ case class CollectKvAgg(keyExpr: Expression, valExpr: Expression,
   override def createAggregationBuffer(): mutable.HashMap[String, String] =
     mutable.HashMap.empty
 
+  // Duplicate-key resolution must be associative, commutative and
+  // idempotent or the surviving VALUE depends on partition/merge order
+  // (the scheduler), breaking this aggregate's determinism claim: keep
+  // the UTF-8-binary-max value, non-null beating null. Registered
+  // callers have unique keys per group, so this only pins down the
+  // contract for future callers; the reference's last-wins (Clojure
+  // `into {}`) has no defined "last" in a distributed fold anyway.
+  private def resolve(a: String, b: String): String =
+    if (a == null) b
+    else if (b == null) a
+    else if (UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) >= 0) a
+    else b
+
+  private def put(b: mutable.HashMap[String, String],
+                  k: String, v: String): Unit =
+    b.get(k) match {
+      case Some(prev) => b.update(k, resolve(prev, v))
+      case None       => b.update(k, v)
+    }
+
   override def update(b: mutable.HashMap[String, String],
                       input: InternalRow): mutable.HashMap[String, String] = {
     val k = keyExpr.eval(input)
     if (k != null) {
       val v = valExpr.eval(input)
-      b.update(k.toString, if (v == null) null else v.toString)
+      put(b, k.toString, if (v == null) null else v.toString)
     }
     b
   }
 
   override def merge(a: mutable.HashMap[String, String],
-                     b: mutable.HashMap[String, String]) = { a ++= b; a }
+                     b: mutable.HashMap[String, String]) = {
+    b.foreach { case (k, v) => put(a, k, v) }
+    a
+  }
 
   override def eval(b: mutable.HashMap[String, String]): Any = {
     // sort keys in UTF8String binary (UTF-8 byte) order, not

@@ -10,10 +10,15 @@ import scala.collection.immutable.TreeMap
   * object fields (reference src/common/trgx.clj:78-79 `pair-edn->json`,
   * built by `tr-dimension-metrics` trgx.clj:72-77).
   *
-  * Key order is canonicalized to sorted-ascending so the emitted JSON is
-  * deterministic across partitions/engines (SURVEY §7 "What's hard").
+  * Key order is canonicalized to sorted-ascending in UTF-8 byte order
+  * ([[Utf8Order]] — NOT Java's UTF-16 code-unit order, which diverges
+  * on supplementary-plane keys while the DuckDB oracle collates bytes)
+  * so the emitted JSON is deterministic across partitions/engines
+  * (SURVEY §7 "What's hard").
   */
 object JsonShape {
+
+  private implicit val keyOrd: Ordering[String] = Utf8Order.ordering
 
   sealed trait PairTree
   /** Branch: dimension value → subtree. */

@@ -58,6 +58,20 @@ object Dedup {
       GraftBridge.expression(shingleHashes), numHashes))
   }
 
+  /** The LSH banding expression: explode to one (band index, xxhash64
+    * of the band's signature slice) struct per band. ONE definition on
+    * purpose — bit-identical band hashes across call sites are the
+    * contract that lets [[dedupAgainstIndex]] probe
+    * [[minHashBandTable]] output built by an earlier batch; any fork of
+    * the construction (band count, salt, slice bounds) would silently
+    * break cross-batch index compatibility. */
+  private def bandStructs(sig: Column, bands: Int, r: Int): Column =
+    explode(array((0 until bands).map { j =>
+      struct(lit(j).as("band"),
+             xxhash64(concat_ws("_",
+               slice(sig, j * r + 1, r).cast("array<string>"))).as("bh"))
+    }: _*))
+
   /** MinHash-LSH near-dup pairs.
     *
     * Pipeline: shingle → minhash(numHashes) → split signature into
@@ -90,12 +104,7 @@ object Dedup {
     // bands carry only (id, band, bh): the shuffle stays narrow — the
     // shingle-hash arrays never ride through the bucket join
     val banded = sigs.select(col("id"),
-      explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"),
-               xxhash64(concat_ws("_",
-                 slice(col("sig"), j * r + 1, r).cast("array<string>"))
-               ).as("bh"))
-      }: _*)).as("bucket"))
+      bandStructs(col("sig"), bands, r).as("bucket"))
       .select(col("id"), col("bucket.band"), col("bucket.bh"))
     val a = banded.alias("a"); val b = banded.alias("b")
     val candidates = a.join(b,
@@ -134,13 +143,7 @@ object Dedup {
     val r = numHashes / bands
     hashedShingleTable(df, textCol, idCol)
       .select(col("id"), minHashSignature(col("hs"), numHashes).as("sig"))
-      .select(col("id"),
-        explode(array((0 until bands).map { j =>
-          struct(lit(j).as("band"),
-                 xxhash64(concat_ws("_",
-                   slice(col("sig"), j * r + 1, r).cast("array<string>"))
-                 ).as("bh"))
-        }: _*)).as("b"))
+      .select(col("id"), bandStructs(col("sig"), bands, r).as("b"))
       .select(col("id"), col("b.band"), col("b.bh"))
   }
 
@@ -171,13 +174,7 @@ object Dedup {
       .withColumnRenamed("id", "new_id"), "incr_hs")
     val newBands = newHashed
       .select(col("new_id"), minHashSignature(col("hs"), numHashes).as("sig"))
-      .select(col("new_id"),
-        explode(array((0 until bands).map { j =>
-          struct(lit(j).as("band"),
-                 xxhash64(concat_ws("_",
-                   slice(col("sig"), j * r + 1, r).cast("array<string>"))
-                 ).as("bh"))
-        }: _*)).as("b"))
+      .select(col("new_id"), bandStructs(col("sig"), bands, r).as("b"))
       .select(col("new_id"), col("b.band"), col("b.bh"))
     val candidates = newBands
       .join(index.select(col("id").as("corpus_id"), col("band"), col("bh")),

@@ -22,9 +22,19 @@ object Similarity {
     * ExtensionsSpec asserts it) but a generated tight loop instead of
     * an interpreted lambda per element, which dominates candidate-pair
     * hot paths. Ragged arrays yield null, matching the composed form
-    * (the DotProduct scaladoc states the full edge contract). */
-  def cosine(a: Column, b: Column): Column =
-    fastDot(a, b) / (sqrt(fastDot(a, a)) * sqrt(fastDot(b, b)))
+    * (the DotProduct scaladoc states the full edge contract).
+    *
+    * A ZERO vector yields null, not the ratio form's 0/0 = NaN: Spark
+    * (and DuckDB) order NaN above every number, so one all-zero corpus
+    * embedding would otherwise take rank 1 in every top-k and suppress
+    * whole cells in semantic dedup (the streaming ingest guards this
+    * explicitly; the guard belongs in the shared kernel). Nulls sort
+    * LAST under desc in both engines, so a zero vector simply never
+    * ranks. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(fastDot(a, a)) * sqrt(fastDot(b, b))
+    when(denom > 0.0, fastDot(a, b) / denom)
+  }
 
   /** Native dot product ([[graft.functions.DotProduct]]): one generated
     * tight loop instead of an interpreted lambda per element — use on

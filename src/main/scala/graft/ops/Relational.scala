@@ -102,10 +102,13 @@ object Relational {
     val w = Window.partitionBy(partitionCol, col(idCol).isNull)
       .orderBy(col(orderCol))
     df.withColumn("__prt", partitionCol)
-      .withColumn("__rk", row_number().over(w))
+      // row_number() is IntegerType: widen BEFORE the stride multiply
+      // or (rk-1)*nPartitions wraps at 2^31/nPartitions rows per window
+      // partition and silently emits duplicate/negative ids
+      .withColumn("__rk", row_number().over(w).cast("long"))
       .withColumn(idCol,
         coalesce(col(idCol),
-          lit(maxExisting) + (col("__rk") - 1) * nPartitions
+          lit(maxExisting) + (col("__rk") - 1) * nPartitions.toLong
             + col("__prt") + 1))
       .drop("__prt", "__rk")
   }

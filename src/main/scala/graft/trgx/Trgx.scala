@@ -30,6 +30,13 @@ object Trgx {
     * map may hold one or many roots). */
   type Tree = Map[String, TrgxNode]
 
+  // every observable key ordering below (canonical JSON, pathSeq walk,
+  // child merges) sorts in UTF-8 byte order, matching the DuckDB
+  // oracle's byte collation — NOT Java's UTF-16 code-unit order, which
+  // diverges on supplementary-plane keys (see graft.functions.Utf8Order)
+  private implicit val keyOrd: Ordering[String] =
+    graft.functions.Utf8Order.ordering
+
   private val mapper = new ObjectMapper()
   private val nf = JsonNodeFactory.instance
 

@@ -46,6 +46,21 @@ class AggregatorsSpec extends AnyFunSuite {
       "values must sort by UTF-8 bytes (z < U+FFFD < U+1F600)")
   }
 
+  test("collectKv resolves duplicate keys deterministically " +
+       "(UTF-8-binary max, partition-order-independent)") {
+    val rows = Seq(("g", "k", "a"), ("g", "k", "c"), ("g", "k", "b"),
+                   ("g", "k2", "x"))
+    // same data, opposite row order, different partitioning — the
+    // surviving VALUE must be identical (merge order must not matter)
+    val outs = Seq(rows, rows.reverse).map { rs =>
+      rs.toDF("g", "k", "v").repartition(3).groupBy("g")
+        .agg(Aggregators.collectKv($"k", $"v").as("m"))
+        .as[(String, Map[String, String])].head()._2
+    }
+    assert(outs.head == Map("k" -> "c", "k2" -> "x"))
+    assert(outs(0) == outs(1), "duplicate-key winner depends on order")
+  }
+
   test("trDimensionMetrics emits canonical nested pair-tree JSON") {
     val df = Seq(("s", Seq("d1", "x"), Map("m" -> "1")),
                  ("s", Seq("d1", "y"), Map("m" -> "2", "n" -> "3")),

@@ -125,6 +125,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(pairTreeToJson(t) == """{"d=1":{"e=2":{"a":"x","m":1.5}}}""")
   }
 
+  test("pairTreeToJson sorts keys in UTF-8 byte order, not UTF-16 " +
+       "code-unit order") {
+    import JsonShape._
+    // U+1F600 (surrogate pair D83D DE00) sorts BEFORE U+FFFD in Java
+    // String order but AFTER in UTF-8 bytes — the DuckDB collation
+    val emoji = "😀"; val fffd = "�"
+    assert(emoji.compareTo(fffd) < 0, "sanity: Java order is inverted")
+    val t = Branch(emoji -> Leaf("m" -> "1"), fffd -> Leaf("m" -> "2"),
+                   "z" -> Leaf("m" -> "3"))
+    assert(pairTreeToJson(t) ==
+      s"""{"z":{"m":3},"$fffd":{"m":2},"$emoji":{"m":1}}""",
+      "branch keys must collate by UTF-8 bytes (z < U+FFFD < U+1F600)")
+    assert(flatJson(emoji -> "1", fffd -> "2", "z" -> "3") ==
+      s"""{"z":"3","$fffd":"2","$emoji":"1"}""")
+  }
+
   test("fromRows builds sorted nested tree, last write wins") {
     import JsonShape._
     val t = fromRows(Seq(

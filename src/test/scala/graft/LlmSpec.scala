@@ -119,6 +119,23 @@ class LlmSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1, 2L -> 2))
   }
 
+  test("a zero corpus vector never ranks: cosine is null, not NaN") {
+    // ratio-form cosine gives 0/0 = NaN for a zero vector, and both
+    // Spark and DuckDB order NaN ABOVE every number — one all-zero
+    // embedding would take rank 1 in every query's top-k. The guarded
+    // kernel yields null (sorts last under desc) instead.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),   // zero vector
+      (3L, Array(0.5f, 0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs,
+        vecs.filter($"vec_id" === 0), "embedding", "vec_id", 2)
+      .select($"corpus_id", $"rank").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 1, 3L -> 2),
+      "the zero vector must not displace genuine neighbors")
+  }
+
   test("embeddingDedupPairs finds exact-copy vectors through LSH") {
     val vecs = Seq(
       (0L, Array.tabulate(8)(i => i.toFloat + 1)),

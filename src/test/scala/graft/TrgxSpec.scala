@@ -18,6 +18,25 @@ class TrgxSpec extends AnyFunSuite {
     assert(fromJson(toJson(tree)) == tree)
   }
 
+  test("toJson canonical key order is UTF-8 bytes, not UTF-16 units") {
+    // U+1F600 (surrogate pair) sorts before U+FFFD in Java String
+    // order but after in UTF-8 bytes — the DuckDB oracle's collation
+    val emoji = "😀"; val fffd = "�"
+    assert(emoji.compareTo(fffd) < 0, "sanity: Java order is inverted")
+    val t: Tree = Map(
+      emoji -> TrgxNode(Map(emoji -> "1", fffd -> "2", "z" -> "3"),
+        Map.empty),
+      fffd -> TrgxNode(Map.empty, Map.empty),
+      "z" -> TrgxNode(Map.empty, Map.empty))
+    val js = toJson(t)
+    assert(js.indexOf("\"z\"") < js.indexOf(s""""$fffd"""") &&
+           js.indexOf(s""""$fffd"""") < js.indexOf(s""""$emoji""""),
+      s"keys must collate by UTF-8 bytes: $js")
+    assert(js == toJsonJackson(t),
+      "StringBuilder writer must stay byte-identical to the Jackson form")
+    assert(fromJson(js) == t)
+  }
+
   test("codec round-trip holds for seeded random trees (property)") {
     val rnd = new scala.util.Random(42)
     def gen(depth: Int): TrgxNode = TrgxNode(
