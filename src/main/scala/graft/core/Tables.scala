@@ -70,8 +70,13 @@ object Tables {
     * `stagedScope` so disk use is bounded by one batch, not the run. */
   def staged(df: org.apache.spark.sql.DataFrame, tag: String):
       org.apache.spark.sql.DataFrame = {
+    // full 122-bit UUID, not a truncated prefix: tmpDir is shared by
+    // every session/JVM on the box, and a suffix collision would mean
+    // one session's mode("overwrite") silently replacing another's
+    // LIVE staged intermediate (wrong results, then a
+    // FileNotFoundException when the first scope exits and deletes it)
     val path = s"$tmpDir/stage_${tag}_" +
-      java.util.UUID.randomUUID().toString.take(8)
+      java.util.UUID.randomUUID().toString
     val entry = Staged(path,
       df.sparkSession.sessionState.newHadoopConf())
     val scope = scopePaths.get().peek()
@@ -122,16 +127,30 @@ object Tables {
   def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String,
                     bucketCol: String, nBuckets: Int): Unit = {
     val spark = df.sparkSession
+    // the name is interpolated into SQL and mapped to a warehouse
+    // directory below — require a PLAIN unqualified identifier (a
+    // qualified db.tbl name lives at <warehouse>/<db>.db/tbl, which the
+    // single-segment location mapping would get wrong)
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"writeBucketed: table must be a plain unqualified identifier, " +
+        s"got: $table")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // with an in-memory catalog a previous JVM's table dir can survive
-    // without metadata; clear it so CREATE doesn't trip on the location
+    // without metadata; clear it so CREATE doesn't trip on the
+    // location. LOCAL warehouses only — on a remote scheme the NIO
+    // probe would silently no-op and miss the stale dir anyway; there
+    // the catalog is a real metastore and this failure class is gone
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
-    val loc = java.nio.file.Paths.get(warehouse, table.toLowerCase)
-    if (java.nio.file.Files.exists(loc))
-      java.nio.file.Files.walk(loc)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
+    if (!warehouse.contains("://")) {
+      val loc = java.nio.file.Paths.get(warehouse, table.toLowerCase)
+      if (java.nio.file.Files.exists(loc)) {
+        val walk = java.nio.file.Files.walk(loc)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+        finally walk.close()
+      }
+    }
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)

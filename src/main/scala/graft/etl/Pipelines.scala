@@ -23,6 +23,11 @@ object Pipelines {
                naturalKey: Seq[String], valueCols: Seq[String],
                idCol: String, orderCol: String, dtCol: String,
                rngPath: String): Long = {
+    // 0. heal a crashed previous publish FIRST: with the ods path
+    // missing and the last build at __replaced, createTableIf would
+    // otherwise re-create an EMPTY ods and the merge would silently
+    // lose all history + reissue surrogate ids from 1
+    TableOps.restoreInterrupted(odsPath)
     // 1. load-range bookkeeping (save-and-load-rng-dt!)
     TableOps.saveAndLoadRng(spark, stg, dtCol, rngPath)
     // 2. current ods (create if first load)
@@ -52,7 +57,17 @@ object Pipelines {
     * resume range = MAX(dw-dt)+1 of this report's rows in the sink →
     * build the report for that range → append through the all-String
     * `-`→`_` tap. Returns the range that ran. Unlike the reference's
-    * `(try … (catch Exception _))`, failures propagate. */
+    * `(try … (catch Exception _))`, failures propagate.
+    *
+    * Crash boundary (the reference's too — same MAX+1 resume over the
+    * same non-transactional multi-statement append): a crash MID-append
+    * commits some partitions' rows, inflating MAX(dw-dt), so the next
+    * run resumes past dates whose rows only partially landed. MAX+1
+    * cannot distinguish that state without an intent log the reference
+    * doesn't keep; the recovery procedure is [[graft.sources.Jdbc
+    * .deleteRange]] over the suspect range (the reference's
+    * `detele-report!` exists for exactly this) followed by a rerun.
+    * Exactly-once needs a transactional sink. */
   def runReportJob(spark: SparkSession, url: String, reportTable: String,
                    reportName: String, defaultStart: String, endDt: String,
                    build: ((String, String)) => DataFrame): (String, String) = {

@@ -17,42 +17,110 @@ import org.apache.spark.sql.types.StructType
   */
 object TableOps {
 
+  /** This module's warehouse abstraction is a LOCAL parquet directory
+    * tree (the sandbox posture of the reference's Postgres warehouse):
+    * its mutators rename/delete through `java.nio`, which silently
+    * treats a scheme'd URI (`hdfs://…`, `s3a://…`, `file:/…`) as a
+    * nonexistent relative path — on such a path `createTableIf` would
+    * CLOBBER an existing remote table with an empty one instead of
+    * noticing it. Reject scheme'd paths loudly; a distributed
+    * deployment routes these operations through a transactional table
+    * format, not filesystem renames. */
+  private def requireLocalPath(op: String, path: String): Unit =
+    require(!path.contains("://") && !path.startsWith("file:"),
+      s"$op operates on local paths only (java.nio rename/delete " +
+        s"semantics); got scheme'd URI: $path")
+
   private def rm(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+    if (Files.exists(p)) {
+      // Files.walk streams hold open directory handles — close them
+      // even when a delete throws mid-traversal (these run per publish
+      // in long-lived loops; leaked FDs accumulate toward EMFILE)
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
 
   /** `create-table-if` (trgx.clj:121-127): materialize an empty table
     * with the given schema if absent. */
-  def createTableIf(spark: SparkSession, path: String, schema: StructType): Unit =
+  def createTableIf(spark: SparkSession, path: String, schema: StructType): Unit = {
+    requireLocalPath("createTableIf", path)
     if (!Files.exists(Paths.get(path)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                             schema)
         .write.mode("overwrite").parquet(path)
+  }
 
   /** `truncate-tab` (mlin/d_bolome_user_order.clj:52-53). */
   def truncateTab(spark: SparkSession, path: String): Unit = {
+    requireLocalPath("truncateTab", path)
+    restoreInterrupted(path)
     val schema = spark.read.parquet(path).schema
     rm(Paths.get(path))
     createTableIf(spark, path, schema)
   }
 
-  /** `switch-tab` (mlin/d_bolome_user_order.clj:59-62): 3-way atomic-ish
-    * rename swap: live ↔ shadow via a tmp name. */
+  /** `switch-tab` (mlin/d_bolome_user_order.clj:59-62): 3-way rename
+    * swap, live ↔ shadow via a tmp name. Each rename is atomic but the
+    * TRIPLE is not: a crash between moves leaves the live path empty
+    * with the data intact at `<live>__swap_tmp` — that leftover is
+    * detected here and refused loudly (recover by moving it back)
+    * rather than silently swapping a half-published state. Concurrent
+    * readers during the swap window can observe a missing live path;
+    * single-writer, reader-quiesced publishing is the contract
+    * (matching the reference's serial job scheduler). */
   def switchTab(live: String, shadow: String): Unit = {
+    requireLocalPath("switchTab", live)
+    requireLocalPath("switchTab", shadow)
     val l = Paths.get(live); val s = Paths.get(shadow)
     val tmp = Paths.get(live + "__swap_tmp")
+    require(!Files.exists(tmp),
+      s"switchTab: leftover $tmp from an interrupted swap — move it " +
+        s"back to $live (or remove it if $live was re-published) first")
     Files.move(l, tmp, StandardCopyOption.ATOMIC_MOVE)
     Files.move(s, l, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, s, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Recover a table whose last [[replaceInto]] crashed between the
+    * move-aside and the move-in (target path missing, previous build
+    * sitting at `<path>__replaced`): restore the previous build so
+    * readers see the last published state instead of an absent table —
+    * which `createTableIf` would silently re-create EMPTY, losing all
+    * history. Callers that read a replaceInto-published table before
+    * rebuilding it run this first; no-op when the table is intact. */
+  def restoreInterrupted(path: String): Unit = {
+    requireLocalPath("restoreInterrupted", path)
+    val t = Paths.get(path)
+    val old = Paths.get(path + "__replaced")
+    if (!Files.exists(t) && Files.exists(old))
+      Files.move(old, t, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** `replace-into-ods` (trgx.clj:188-193): publish a staged build over
-    * the target (DROP + RENAME equivalent). */
+    * the target (DROP + RENAME equivalent).
+    *
+    * Move-aside ordering, NOT delete-then-move: the previous table is
+    * renamed to `<target>__replaced` before the staged build moves in,
+    * so no crash point leaves the data deleted with nothing published —
+    * every intermediate state has the old table (at `target` or
+    * `__replaced`), the new one (at `staged` or `target`), or both on
+    * disk. Entry first heals a crashed predecessor
+    * ([[restoreInterrupted]]), then reaps completed-publish residue
+    * (`__replaced` alongside an intact target — the delete is the last
+    * step). */
   def replaceInto(staged: String, target: String): Unit = {
+    requireLocalPath("replaceInto", staged)
+    requireLocalPath("replaceInto", target)
+    restoreInterrupted(target)
     val t = Paths.get(target)
-    rm(t)
+    val old = Paths.get(target + "__replaced")
+    rm(old)
+    val hadTarget = Files.exists(t)
+    if (hadTarget) Files.move(t, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(staged), t, StandardCopyOption.ATOMIC_MOVE)
+    if (hadTarget) rm(old)
   }
 
   /** Small-file compaction — the 100 TB operational companion to the
@@ -63,6 +131,8 @@ object TableOps {
     * Returns (files before, files after). */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L << 20): (Int, Int) = {
+    requireLocalPath("compact", path)
+    restoreInterrupted(path)
     def parts(p: String): Seq[java.io.File] =
       Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("part-")).toSeq
@@ -83,6 +153,8 @@ object TableOps {
     * so this is a filtered rewrite through a staged dir. */
   def deleteRange(spark: SparkSession, path: String, dtCol: String,
                   startDt: String, endDt: String): Unit = {
+    requireLocalPath("deleteRange", path)
+    restoreInterrupted(path)
     val staged = path + "__staged"
     spark.read.parquet(path)
       .filter(!col(dtCol).between(startDt, endDt))
@@ -122,6 +194,8 @@ object TableOps {
   def deltaShadowSwitch(spark: SparkSession, livePath: String,
                         delta: DataFrame,
                         mergeFn: (DataFrame, DataFrame) => DataFrame): Unit = {
+    requireLocalPath("deltaShadowSwitch", livePath)
+    restoreInterrupted(livePath)
     val current = spark.read.parquet(livePath)
     val shadow = livePath + "__shadow"
     mergeFn(delta, current).write.mode("overwrite").parquet(shadow)

@@ -39,7 +39,14 @@ object StreamOps {
 
   /** Append only rows whose `key` is absent from the table at `path` —
     * the idempotent-replay guard both continuous ingests rely on
-    * (shared so the replay semantics cannot drift between them). */
+    * (shared so the replay semantics cannot drift between them).
+    *
+    * SINGLE-WRITER contract (the same one Spark's own checkpointed
+    * sinks carry): the guard is check-then-act with no lock, so it is
+    * idempotent against sequential replays of one query, NOT against
+    * two queries ingesting into the same table concurrently — those
+    * can both pass the anti-join and append duplicate keys. One
+    * ingest query owns a corpus/index/shingle path set. */
   private def guardedAppend(s: SparkSession, df: DataFrame,
                             path: String, key: String): Unit = {
     val fresh =
@@ -161,14 +168,19 @@ object StreamOps {
         // completes — disk stays bounded by ONE batch over any run
         if (!batch.isEmpty) graft.core.Tables.stagedScope {
           val s = batch.sparkSession
-          // (a) within-batch exact collapse, keep-min id
+          // (a) within-batch exact collapse, keep-min id — STAGED:
+          // the collapsed batch feeds four separate actions below (the
+          // index probe, the corpus append, and both membership heals);
+          // without the boundary each would re-read the batch files and
+          // re-run the fingerprint window. The scope already wrapping
+          // this block reaps the staging dir at batch end.
           val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-          val collapsed = batch
+          val collapsed = graft.core.Tables.staged(batch
             .withColumn("fp",
               graft.llm.TextAnalysis.fingerprint(col(textCol)))
             .withColumn("__keep", min(col(idCol)).over(w))
             .filter(col(idCol) === col("__keep"))
-            .drop("fp", "__keep")
+            .drop("fp", "__keep"), "ingest_collapsed")
           // (b) match against the standing index (empty on first
           // batch); a replayed doc's own entry never suppresses it
           val novel = if (pathExists(s, indexPath)) {
@@ -311,22 +323,37 @@ object StreamOps {
 
   /** SURVEY §2.10's upgrade path, verbatim: `Trigger.AvailableNow`
     * micro-batches with the reference's `_rng` table as the manual
-    * commit log. Each batch records its (min dt, max dt, row count)
-    * load range via `TableOps.saveAndLoadRng` — the
-    * `save-and-load-rng-dt!` bookkeeping (trgx.clj:130-164) — then
-    * flows to the caller's sink (parquet append, `Jdbc.writeTable`, …).
-    * Empty batches are skipped, matching the reference's no-op loads. */
-  def availableNowWithRng(df: DataFrame, dtCol: String, rngPath: String)
+    * commit log. Each batch flows to the caller's sink (parquet
+    * append, `Jdbc.writeTable`, …), THEN records its (min dt, max dt,
+    * row count) load range via `TableOps.saveAndLoadRng` — the
+    * `save-and-load-rng-dt!` bookkeeping (trgx.clj:130-164). The order
+    * matters: a commit-log row must attest a COMPLETED load. Sink
+    * first, a crash between the two replays the batch (at-least-once,
+    * like every foreachBatch sink without a transactional target);
+    * log first, the same crash records a load that never happened and
+    * any rng-driven resume skips that range forever — duplication is
+    * recoverable, silent loss is not.
+    *
+    * `checkpoint`: pass a checkpointLocation so RESTARTS of the same
+    * source resume after the last committed batch instead of
+    * reprocessing all input (without one, every run is a full replay
+    * and a non-idempotent `write` double-appends). Empty batches are
+    * skipped, matching the reference's no-op loads. */
+  def availableNowWithRng(df: DataFrame, dtCol: String, rngPath: String,
+                          checkpoint: Option[String] = None)
                          (write: DataFrame => Unit): StreamingQuery = {
-    val q = df.writeStream
+    val writer = df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          write(batch)
           graft.etl.TableOps.saveAndLoadRng(batch.sparkSession, batch,
             dtCol, rngPath)
-          write(batch)
+          ()
         }
       }
       .trigger(Trigger.AvailableNow())
+    val q = checkpoint
+      .fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
     q.awaitTermination()
     q

@@ -55,6 +55,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getLong(2) === 3L)
   }
 
+  test("availableNowWithRng with a checkpoint: a restart resumes after " +
+       "the committed batch instead of replaying all input") {
+    val base = TestSpark.tmpPath("stream_rng_ckpt")
+    val in = base.resolve("in").toString
+    val sink = base.resolve("sink").toString
+    val rng = base.resolve("rng").toString
+    val ckpt = base.resolve("ckpt").toString
+    val batch = Seq(("2024-02-01", 1.0)).toDF("dt", "v")
+    batch.write.mode("overwrite").parquet(in)
+    def run(): Unit = StreamOps.availableNowWithRng(
+        StreamOps.readTableStream(spark, in, batch.schema), "dt", rng,
+        checkpoint = Some(ckpt)) { b =>
+      b.write.mode("append").parquet(sink)
+    }
+    run()
+    run() // same checkpoint: no new input → nothing re-appended
+    assert(spark.read.parquet(sink).count() === 1,
+      "a checkpointed restart must not replay the committed batch")
+    assert(spark.read.parquet(rng).count() === 1)
+    // new input after the restart IS picked up
+    Seq(("2024-02-02", 2.0)).toDF("dt", "v")
+      .write.mode("append").parquet(in)
+    run()
+    assert(spark.read.parquet(sink).count() === 2)
+  }
+
   test("sessionizedAgg: streaming session windows match the batch form") {
     val dir = TestSpark.tmpPath("stream_sess").toString
     val batch = Seq(
@@ -389,5 +415,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.read.parquet(shadow).as[(Int, String)].head() == ((1, "a")))
     TableOps.truncateTab(s, live)
     assert(s.read.parquet(live).count() == 0)
+  }
+
+  test("replaceInto crash recovery: no crash point loses the table, " +
+       "and readers restore an interrupted publish") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.etl.TableOps
+    val s = spark
+    val base = TestSpark.tmpPath("replace_crash").toString
+    val tgt = base + "/tbl"
+    Seq((1, "old")).toDF("k", "v").write.mode("overwrite").parquet(tgt)
+    // simulate a publish that crashed between move-aside and move-in:
+    // target gone, previous build at __replaced
+    Files.move(Paths.get(tgt), Paths.get(tgt + "__replaced"),
+      StandardCopyOption.ATOMIC_MOVE)
+    TableOps.restoreInterrupted(tgt)
+    assert(s.read.parquet(tgt).as[(Int, String)].head() == ((1, "old")),
+      "the last published build must be restored, not recreated empty")
+    // a normal publish then reaps completed-publish residue
+    val staged = base + "/staged"
+    Seq((2, "new")).toDF("k", "v").write.mode("overwrite").parquet(staged)
+    TableOps.replaceInto(staged, tgt)
+    assert(s.read.parquet(tgt).as[(Int, String)].head() == ((2, "new")))
+    assert(!Files.exists(Paths.get(tgt + "__replaced")),
+      "publish residue must be reaped")
+  }
+
+  test("nio table ops reject scheme'd URIs loudly instead of " +
+       "silently misrouting them") {
+    import graft.etl.TableOps
+    intercept[IllegalArgumentException] {
+      TableOps.createTableIf(spark, "hdfs://nn/warehouse/t",
+        new org.apache.spark.sql.types.StructType())
+    }
+    intercept[IllegalArgumentException] {
+      TableOps.replaceInto("file:/tmp/a", "file:/tmp/b")
+    }
+  }
+
+  test("switchTab refuses a leftover swap-tmp from an interrupted swap") {
+    import java.nio.file.{Files, Paths}
+    import graft.etl.TableOps
+    val base = TestSpark.tmpPath("swap_leftover").toString
+    val live = base + "/live"; val shadow = base + "/shadow"
+    Seq((1, "a")).toDF("k", "v").write.mode("overwrite").parquet(live)
+    Seq((2, "b")).toDF("k", "v").write.mode("overwrite").parquet(shadow)
+    Files.createDirectories(Paths.get(live + "__swap_tmp"))
+    intercept[IllegalArgumentException] {
+      TableOps.switchTab(live, shadow)
+    }
   }
 }
