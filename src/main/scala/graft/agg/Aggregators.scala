@@ -49,11 +49,12 @@ object Aggregators {
 
   /** `str-max` / `str-min` (trgx.clj:63-69): lexicographic extremes
     * skipping null and the "null" sentinel — built-ins suffice once the
-    * sentinel is normalized. */
+    * sentinel is normalized (ONE normalization, `convertNull`, so the
+    * sentinel contract cannot drift between call sites). */
   def strMax(c: Column): Column =
-    max(when(lower(c) === "null", lit(null)).otherwise(c))
+    max(graft.functions.Functions.convertNull(c))
   def strMin(c: Column): Column =
-    min(when(lower(c) === "null", lit(null)).otherwise(c))
+    min(graft.functions.Functions.convertNull(c))
 
   /** `merge-with union` of two map-of-array columns (snapshot self-join
     * merge, model/d_bolome_order_show_debut.clj:89) — pure Catalyst

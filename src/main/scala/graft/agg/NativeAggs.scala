@@ -245,7 +245,11 @@ case class CollectKvsAgg(keyExpr: Expression, valExpr: Expression,
   * combine map-side and the shuffle carries one compact byte buffer per
   * group — same plan shape as the Aggregator form, minus the per-partial
   * encoder serde. Null metric values are dropped (Clojure nil pairs
-  * vanish on JSON render); last write wins per path. */
+  * vanish on JSON render); a row whose dimension PATH contains null is
+  * skipped entirely (a null cannot render as a JSON key); rows sharing
+  * a path merge their metric maps with the same commutative per-key
+  * resolution as [[CollectKvAgg]], so the emitted JSON is independent
+  * of partition/merge order. */
 case class TrDimensionMetricsAgg(dimsExpr: Expression,
     metricsExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
@@ -264,12 +268,36 @@ case class TrDimensionMetricsAgg(dimsExpr: Expression,
   override def createAggregationBuffer() =
     mutable.HashMap.empty[Seq[String], Map[String, String]]
 
+  // per-metric-key conflict resolution shared by update and merge —
+  // commutative/idempotent (UTF-8-binary max, like CollectKvAgg), so
+  // the surviving value cannot depend on partition/merge order
+  private def mergeMetrics(a: Map[String, String],
+                           b: Map[String, String]): Map[String, String] =
+    b.foldLeft(a) { case (acc, (k, v)) =>
+      acc.get(k) match {
+        case Some(prev)
+            if UTF8String.fromString(prev)
+              .compareTo(UTF8String.fromString(v)) >= 0 => acc
+        case _ => acc.updated(k, v)
+      }
+    }
+
+  private def putPath(b: mutable.HashMap[Seq[String], Map[String, String]],
+                      path: Seq[String],
+                      metrics: Map[String, String]): Unit =
+    b.update(path, b.get(path) match {
+      case Some(prev) => mergeMetrics(prev, metrics)
+      case None       => metrics
+    })
+
   override def update(b: mutable.HashMap[Seq[String], Map[String, String]],
                       input: InternalRow) = {
     val d = dimsExpr.eval(input).asInstanceOf[ArrayData]
-    if (d != null) {
+    // a path containing null is skipped: null cannot render as a JSON
+    // key, and JsonShape would NPE on it at eval time
+    if (d != null && (0 until d.numElements()).forall(!d.isNullAt(_))) {
       val path = (0 until d.numElements()).map(i =>
-        if (d.isNullAt(i)) null else d.getUTF8String(i).toString)
+        d.getUTF8String(i).toString)
       val m = metricsExpr.eval(input).asInstanceOf[MapData]
       val metrics =
         if (m == null) Map.empty[String, String]
@@ -281,14 +309,15 @@ case class TrDimensionMetricsAgg(dimsExpr: Expression,
               vs.getUTF8String(i).toString)
           }.toMap
         }
-      b.update(path, metrics)
+      putPath(b, path, metrics)
     }
     b
   }
 
   override def merge(a: mutable.HashMap[Seq[String], Map[String, String]],
                      b: mutable.HashMap[Seq[String], Map[String, String]]) = {
-    a ++= b; a
+    b.foreach { case (p, m) => putPath(a, p, m) }
+    a
   }
 
   override def eval(

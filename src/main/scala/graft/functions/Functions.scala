@@ -180,19 +180,28 @@ object Functions {
 
   /** `mk-dts`: array of daily date strings in [start, end] (trgx.clj:37-39).
     * Distributed: `sequence` is a codegen'd Catalyst expression — no
-    * driver-built list (cf. VERDICT round-1 plan audit). */
+    * driver-built list (cf. VERDICT round-1 plan audit). An inverted
+    * range yields an EMPTY array (the reference's take-while-over-
+    * iterate semantics), not the IllegalArgumentException Spark's
+    * `sequence` throws for start > end with a positive step. */
   def mkDts(start: Column, end: Column): Column =
-    transform(sequence(d(start), d(end), expr("interval 1 day")), fmt(_))
+    when(d(start) <= d(end),
+      transform(sequence(d(start), d(end), expr("interval 1 day")),
+        fmt(_)))
+      .otherwise(array().cast("array<string>"))
 
   /** `mk-month-dts`: array of month-end date strings with month-end in
-    * [start, end] (trgx.clj:41-43). */
-  def mkMonthDts(start: Column, end: Column): Column =
-    filter(
-      transform(
-        sequence(trunc(d(start), "MM"), trunc(d(end), "MM"),
-                 expr("interval 1 month")),
-        m => fmt(last_day(m))),
-      me => me >= start && me <= end)
+    * [start, end] (trgx.clj:41-43). Empty on an inverted range, like
+    * [[mkDts]]. */
+  def mkMonthDts(start: Column, end: Column): Column = {
+    val ms = trunc(d(start), "MM"); val me = trunc(d(end), "MM")
+    when(ms <= me,
+      filter(
+        transform(sequence(ms, me, expr("interval 1 month")),
+          m => fmt(last_day(m))),
+        x => x >= start && x <= end))
+      .otherwise(array().cast("array<string>"))
+  }
 
   // ---- map/array helpers (trgx.clj:46-60)
 

@@ -48,13 +48,20 @@ object JsonShape {
     sb.toString
   }
 
-  private val NumericRe = "^-?\\d+(\\.\\d+)?$".r
+  // RFC 8259 number grammar (integer part `0 | [1-9]…`): a
+  // leading-zero string like "007" must stay QUOTED — emitting it bare
+  // is invalid JSON that strict parsers reject (cheshire could never
+  // have produced it from an EDN number)
+  private val NumericRe = "^-?(0|[1-9]\\d*)(\\.\\d+)?$".r
 
   /** Render a scalar as JSON: numeric strings stay numbers (the
     * reference's metric values are EDN numbers → unquoted in cheshire's
-    * output), everything else is a quoted string. */
+    * output), everything else is a quoted string; null renders as JSON
+    * null. */
   def jsonScalar(v: String): String =
-    if (v != null && NumericRe.matches(v)) v else "\"" + esc(v) + "\""
+    if (v == null) "null"
+    else if (NumericRe.matches(v)) v
+    else "\"" + esc(v) + "\""
 
   /** `pair-edn->json` on the dimension-metrics tree (trgx.clj:78-79):
     * branch keys are already `header=value` strings (built by
@@ -77,18 +84,37 @@ object JsonShape {
     pairs.map { case (k, v) => "\"" + esc(s"$k=$v") + "\"" }
       .mkString("[", ",", "]")
 
-  /** Build a PairTree from rows of (dimension-path, metrics). Last write
-    * wins per path, matching Clojure `assoc-in` merge order. */
+  /** Build a PairTree from rows of (dimension-path, metrics). Last
+    * write wins per identical path, matching Clojure `assoc-in` merge
+    * order. MIXED GRAIN — one path a proper prefix of another in the
+    * same group — is refused loudly: the ADT has no node that is both
+    * a metrics leaf and a branch, so the silent alternative would drop
+    * whichever side inserted first with the survivor depending on
+    * iteration order. */
   def fromRows(rows: Iterable[(Seq[String], Seq[(String, String)])]): PairTree = {
     if (rows.isEmpty) return Branch()
     def insert(t: PairTree, path: Seq[String],
                metrics: Seq[(String, String)]): PairTree =
       path match {
-        case Nil => Leaf(TreeMap(metrics: _*))
+        case Nil => t match {
+          case b: Branch if b.children.nonEmpty =>
+            throw new IllegalArgumentException(
+              "tr-dimension-metrics: dimension path is a proper prefix " +
+                s"of another path in the same group (children: " +
+                s"${b.children.keys.mkString(", ")}) — mixed grain " +
+                "cannot render as one pair-tree")
+          case _ => Leaf(TreeMap(metrics: _*))
+        }
         case h +: rest =>
           val br = t match {
             case b: Branch => b
-            case _         => Branch()
+            case l: Leaf if l.metrics.nonEmpty =>
+              throw new IllegalArgumentException(
+                "tr-dimension-metrics: dimension path extends another " +
+                  s"path in the same group that already carries metrics " +
+                  s"(at segment '$h') — mixed grain cannot render as " +
+                  "one pair-tree")
+            case _ => Branch()
           }
           val child = br.children.getOrElse(h, Branch(TreeMap.empty[String, PairTree]))
           Branch(br.children.updated(h, insert(child, rest, metrics)))

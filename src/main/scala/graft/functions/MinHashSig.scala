@@ -11,8 +11,14 @@ object MinHashSigUtil {
     * minima. Slot i re-hashes the base hash with seed chain
     * XXH64(h, XXH64(i, 42)) — bit-identical to Spark's
     * `xxhash64(lit(i), h)`, so signatures match the composed-expression
-    * form this kernel replaces. Empty input → all-null signature
-    * (array_min-of-empty parity). */
+    * form this kernel replaces, INCLUDING null elements: Spark's hash
+    * expressions skip a null child, leaving the accumulated seed
+    * (XXH64.hashInt(i, 42)) as that element's hash, so a null
+    * contributes the seed itself as a candidate minimum — it is not a
+    * skipped element. (Shingle pipelines never produce null hashes;
+    * the case is reachable through the registered `graft_minhash_sig`
+    * SQL function on arbitrary arrays.) Empty input → all-null
+    * signature (array_min-of-empty parity). */
   def compute(hashes: ArrayData, numHashes: Int): ArrayData = {
     val n = hashes.numElements()
     if (n == 0)
@@ -21,11 +27,15 @@ object MinHashSigUtil {
     var i = 0
     while (i < numHashes) { seeds(i) = XXH64.hashInt(i, 42L); i += 1 }
     val out = Array.fill(numHashes)(Long.MaxValue)
-    var sawValue = false
     var j = 0
     while (j < n) {
-      if (!hashes.isNullAt(j)) {
-        sawValue = true
+      if (hashes.isNullAt(j)) {
+        i = 0
+        while (i < numHashes) {
+          if (seeds(i) < out(i)) out(i) = seeds(i)
+          i += 1
+        }
+      } else {
         val h = hashes.getLong(j)
         i = 0
         while (i < numHashes) {
@@ -36,8 +46,7 @@ object MinHashSigUtil {
       }
       j += 1
     }
-    if (!sawValue) new GenericArrayData(new Array[Any](numHashes))
-    else new GenericArrayData(out)
+    new GenericArrayData(out)
   }
 }
 

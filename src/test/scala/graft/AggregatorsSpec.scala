@@ -61,6 +61,23 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(outs(0) == outs(1), "duplicate-key winner depends on order")
   }
 
+  test("trDimensionMetrics: null-bearing paths are skipped, shared " +
+       "paths merge metrics order-independently") {
+    val rows = Seq(
+      (1, Seq("seg=A"), Map("v" -> "1")),
+      (1, Seq("seg=A"), Map("v" -> "2", "w" -> "9")),  // same path
+      (1, Seq[String](null), Map("x" -> "3")))         // null path key
+    // opposite input order must yield byte-identical JSON
+    val outs = Seq(rows, rows.reverse).map(_
+      .toDF("g", "dims", "mets")
+      .repartition(3).groupBy("g")
+      .agg(Aggregators.trDimensionMetrics($"dims", $"mets").as("j"))
+      .select("j").as[String].head())
+    assert(outs(0) == """{"seg=A":{"v":2,"w":9}}""",
+      "binary-max per metric key; the null-path row must vanish")
+    assert(outs(0) == outs(1))
+  }
+
   test("trDimensionMetrics emits canonical nested pair-tree JSON") {
     val df = Seq(("s", Seq("d1", "x"), Map("m" -> "1")),
                  ("s", Seq("d1", "y"), Map("m" -> "2", "n" -> "3")),

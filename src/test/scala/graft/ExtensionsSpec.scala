@@ -102,6 +102,27 @@ class ExtensionsSpec extends AnyFunSuite {
       viaCol.orderBy("txt").collect().toSeq)
   }
 
+  test("minhash_sig matches the composed array_min form on arrays " +
+       "WITH null elements (seed-as-candidate parity)") {
+    fixture()
+    // Spark's xxhash64 skips a null child, leaving the seed itself as
+    // that element's hash — a null contributes a candidate minimum,
+    // not a skipped element; the kernel must agree bit-for-bit
+    val k = 8
+    val hs = expr("array(xxhash64('a'), CAST(NULL AS BIGINT), " +
+      "xxhash64('b'))")
+    val composed = array((0 until k).map(i =>
+      array_min(transform(hs, h => xxhash64(lit(i), h)))): _*)
+    val rows = spark.range(1)
+      .select(GraftBridge.column(graft.functions.MinHashSig(
+        GraftBridge.expression(hs), k)).as("native"),
+        composed.as("composed"))
+      .selectExpr("native = composed AS eq")
+      .collect()
+    assert(rows.head.getBoolean(0),
+      "native kernel must equal the composed form on null elements")
+  }
+
   test("graft_collect_kv via SQL equals the Column-API aggregate") {
     fixture()
     val viaSql = spark.sql(

@@ -141,6 +141,41 @@ class FunctionsSpec extends AnyFunSuite {
       s"""{"z":"3","$fffd":"2","$emoji":"1"}""")
   }
 
+  test("jsonScalar: RFC 8259 numbers only — leading zeros stay quoted, " +
+       "null renders as JSON null") {
+    import JsonShape._
+    assert(jsonScalar("007") == "\"007\"")
+    assert(jsonScalar("00.5") == "\"00.5\"")
+    assert(jsonScalar("0") == "0")
+    assert(jsonScalar("-0.25") == "-0.25")
+    assert(jsonScalar("10.50") == "10.50")
+    assert(jsonScalar(null) == "null")
+  }
+
+  test("fromRows refuses mixed grain (one path a prefix of another) " +
+       "instead of silently dropping metrics") {
+    import JsonShape._
+    intercept[IllegalArgumentException] {
+      fromRows(Seq((Seq("a"), Seq("m" -> "1")),
+                   (Seq("a", "b"), Seq("m" -> "2"))))
+    }
+    intercept[IllegalArgumentException] {
+      fromRows(Seq((Seq("a", "b"), Seq("m" -> "2")),
+                   (Seq("a"), Seq("m" -> "1"))))
+    }
+  }
+
+  test("mkDts/mkMonthDts yield an EMPTY array on an inverted range " +
+       "(reference take-while semantics), not an exception") {
+    val out = spark.range(1).select(
+      mkDts(lit("2024-01-02"), lit("2024-01-01")).as("d"),
+      mkMonthDts(lit("2024-03-15"), lit("2024-01-15")).as("m"),
+      mkDts(lit("2024-01-01"), lit("2024-01-02")).as("ok"))
+      .as[(Seq[String], Seq[String], Seq[String])].head()
+    assert(out._1 == Seq.empty && out._2 == Seq.empty)
+    assert(out._3 == Seq("2024-01-01", "2024-01-02"))
+  }
+
   test("fromRows builds sorted nested tree, last write wins") {
     import JsonShape._
     val t = fromRows(Seq(
