@@ -260,6 +260,13 @@ object Relational {
     * Produces exactly the plain-join result (inner/left on `keys`). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                  nSalt: Int, joinType: String = "inner"): DataFrame = {
+    // right/full joins would surface the ×nSalt dim replication as
+    // duplicate unmatched-dim rows — refuse instead of silently
+    // diverging from the plain-join result the contract promises
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin preserves plain-join semantics only for inner/left " +
+        s"join types (dim side is replicated x$nSalt), got: $joinType")
     val salted = fact.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(nSalt.toLong)))
     val replicated = dim.withColumn("__salt",
@@ -325,6 +332,12 @@ object Relational {
                payload: Seq[String]): DataFrame = {
     val carry = left.columns.filterNot(c =>
       keys.contains(c) || c == leftTs).toSeq
+    // a payload name that also exists on the left would appear twice in
+    // the union schema (carry + null-cast payload slot) and every
+    // downstream reference would be ambiguous — refuse loudly
+    require(carry.intersect(payload).isEmpty,
+      s"asofJoin payload columns collide with left columns: " +
+        s"${carry.intersect(payload).mkString(", ")} — rename one side")
     val lU = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
         carry.map(col) ++

@@ -325,7 +325,12 @@ object Trgx {
       case Key(x)       => k == x
       case Keys(ks)     => ks.contains(k)
       case Wildcard     => true
-      case Range(a, b)  => k >= a && k <= b
+      // UTF-8 byte order like every other key ordering in this file —
+      // plain String >=/<= is UTF-16 code-unit order, which diverges
+      // on supplementary-plane keys (date keys are ASCII, where the
+      // two agree, but the contract is the file-wide collation)
+      case Range(a, b)  =>
+        keyOrd.compare(k, a) >= 0 && keyOrd.compare(k, b) <= 0
     }
     def walk(m: Tree, prefix: Vector[String],
              rest: Seq[PathStep]): Seq[(Seq[String], TrgxNode)] =

@@ -47,6 +47,18 @@ class AsofRangeSpec extends AnyFunSuite {
     assert(row == ((1L, "A", ts("2024-01-01 12:00:00"), "keep-me", 7.5)))
   }
 
+  test("asofJoin refuses a payload name that collides with a left " +
+       "column (would build an ambiguous union schema)") {
+    val left = Seq((1L, "A", ts("2024-01-01 12:00:00"), 0.0))
+      .toDF("id", "k", "t", "v")
+    val right = Seq(("A", ts("2024-01-01 11:00:00"), 7.5))
+      .toDF("k", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      Relational.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("asofJoin matches the naive max-earlier-row reference on " +
        "seeded random data") {
     val rnd = new scala.util.Random(42)

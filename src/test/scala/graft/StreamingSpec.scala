@@ -366,6 +366,11 @@ class StreamingSpec extends AnyFunSuite {
     val plain = fact.join(dim, Seq("k")).orderBy("k", "v")
       .collect().toSeq
     assert(salted == plain)
+    // right/full joins would expose the ×nSalt dim replication —
+    // refused loudly instead of silently diverging from plain join
+    intercept[IllegalArgumentException] {
+      Relational.saltedJoin(fact, dim, Seq("k"), 4, "full_outer")
+    }
 
     val pdir = s"${graft.core.Tables.tmpDir}/part_write"
     graft.core.Tables.writePartitioned(

@@ -132,6 +132,22 @@ class TrgxSpec extends AnyFunSuite {
       Seq("全体-Total / 所有渠道", "k1[a]")).get.data("v") == "1")
   }
 
+  test("query Range step compares keys in UTF-8 byte order, matching " +
+       "the file-wide collation") {
+    // U+1F600 (surrogate pair) < U+FFFD in Java UTF-16 order but
+    // > in UTF-8 bytes: a Range spanning [U+FFFD, U+1F600] must
+    // include BOTH keys, which plain String >=/<= would not
+    val emoji = "😀"; val fffd = "�"
+    assert(emoji.compareTo(fffd) < 0, "sanity: Java order is inverted")
+    val t: Tree = Map(
+      emoji -> TrgxNode(Map("v" -> "1"), Map.empty),
+      fffd -> TrgxNode(Map("v" -> "2"), Map.empty),
+      "z" -> TrgxNode(Map("v" -> "3"), Map.empty))
+    val hits = query(t, Seq(Range(fffd, emoji)))
+    assert(hits.map(_._1.last) == Seq(fffd, emoji),
+      "range must span [U+FFFD, U+1F600] in UTF-8 order, 'z' excluded")
+  }
+
   test("query supports wildcard, key-list, and [:range a b] path steps") {
     val hits = query(tree, Seq(Range("2016-01-01", "2016-01-31"),
       Wildcard))
