@@ -727,22 +727,27 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
-    // interval join via day-bucketed equi join: events inside each
-    // order's 2-day attention window (same customer) — the theta-join
-    // Spark would plan as a per-key nested loop, kept linear by the
-    // bucket equi key (Relational.rangeJoinBucketed)
+    // interval join via day-bucketed equi join: each purchase event
+    // attributes the same user's clicks inside its trailing 2-hour
+    // window — the theta-join Spark would plan as a per-key nested
+    // loop, kept linear by the bucket equi key
+    // (Relational.rangeJoinBucketed). Windows that start the previous
+    // day (~7% at sf0.01) exercise the multi-bucket explode path.
     "events_range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      val ords = t(s, dir, "orders").select(col("o_orderkey"),
-        col("o_custkey"), col("o_orderdate").as("win_start"),
-        (col("o_orderdate") + expr("INTERVAL 2 DAYS")).as("win_end"))
-      Relational.rangeJoinBucketed(ev, "ts", ords, "win_start", "win_end",
-          keys = Seq("user_id" -> "o_custkey"))
-        .groupBy("o_orderkey")
-        .agg(count(lit(1)).as("n_events"),
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      val wins = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"),
+          (col("ts") - expr("INTERVAL 2 HOURS")).as("win_start"),
+          col("ts").as("win_end"))
+      Relational.rangeJoinBucketed(clicks, "ts", wins, "win_start",
+          "win_end", keys = Seq("user_id" -> "p_user"))
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks"),
           round(sum(col("value")), 6).as("sum_val"))
-        .orderBy("o_orderkey")
+        .orderBy("purchase_id")
     }),
 
     // semi-structured extraction: parse the JSON props payload with an
@@ -839,12 +844,16 @@ object CoreQueries {
              AS avg_k
          FROM events GROUP BY 1 ORDER BY 1""",
     "events_range_join" ->
-      """SELECT o.o_orderkey, count(*) AS n_events,
-           round(sum(e.value), 6) AS sum_val
-         FROM orders o JOIN events e
-           ON e.user_id = o.o_custkey
-          AND e.ts >= o.o_orderdate
-          AND e.ts <= o.o_orderdate + INTERVAL 2 DAY
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+                ts - INTERVAL 2 HOUR AS win_start, ts AS win_end
+              FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, ts, value FROM events
+              WHERE event_type = 'click')
+         SELECT p.purchase_id, count(*) AS n_clicks,
+           round(sum(c.value), 6) AS sum_val
+         FROM p JOIN c
+           ON c.user_id = p.user_id
+          AND c.ts >= p.win_start AND c.ts <= p.win_end
          GROUP BY 1 ORDER BY 1""",
     "source_jdbc_roundtrip" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS "n-nationkey",
