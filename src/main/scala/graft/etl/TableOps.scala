@@ -138,6 +138,19 @@ object TableOps {
         .filter(f => f.getName.startsWith("part-")).toSeq
     require(new java.io.File(path).isDirectory,
       s"compact: no table directory at $path")
+    // a Hive-partitioned layout (col=value subdirs) would be FLATTENED
+    // by the plain read→repartition→write below — the partition dirs
+    // become ordinary columns in unpartitioned output files, and the
+    // top-level size probe sees 0 bytes so everything collapses into
+    // one file. Refuse loudly; partitioned tables compact per-partition
+    // (run compact on each leaf dir) or through a table format.
+    val partDirs = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+    require(partDirs.isEmpty,
+      s"compact: $path is Hive-partitioned (${partDirs.head.getName}, " +
+        s"…) — a flat rewrite would drop the partition layout; " +
+        s"compact each partition directory instead")
     val before = parts(path)
     val n = math.max(1,
       math.ceil(before.map(_.length).sum.toDouble / targetBytes).toInt)
@@ -150,14 +163,19 @@ object TableOps {
 
   /** `detele-report!` ranged delete (trgx.clj:118-119): rewrite the table
     * without rows in [startDt, endDt] — parquet has no in-place DELETE,
-    * so this is a filtered rewrite through a staged dir. */
+    * so this is a filtered rewrite through a staged dir. Null-dt rows
+    * SURVIVE: `DELETE WHERE dt BETWEEN a AND b` never matches NULL, and
+    * the JDBC twin ([[graft.sources.Jdbc.deleteRange]]) inherits that
+    * from SQL — a bare `!between` here would instead drop them (NOT
+    * NULL = NULL filters the row), silently diverging between the two
+    * warehouse backends. */
   def deleteRange(spark: SparkSession, path: String, dtCol: String,
                   startDt: String, endDt: String): Unit = {
     requireLocalPath("deleteRange", path)
     restoreInterrupted(path)
     val staged = path + "__staged"
     spark.read.parquet(path)
-      .filter(!col(dtCol).between(startDt, endDt))
+      .filter(col(dtCol).isNull || !col(dtCol).between(startDt, endDt))
       .write.mode("overwrite").parquet(staged)
     replaceInto(staged, path)
   }

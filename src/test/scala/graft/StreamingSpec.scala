@@ -392,6 +392,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(left == Seq(("2016-02-01", 3)))
   }
 
+  test("deleteRange keeps null-dt rows (SQL DELETE ... BETWEEN never " +
+       "matches NULL; the JDBC twin inherits that)") {
+    val p = s"${graft.core.Tables.tmpDir}/del_range_null"
+    Seq((Option("2016-01-15"), 1), (None: Option[String], 2),
+        (Option("2016-02-01"), 3))
+      .toDF("dw_dt", "v").write.mode("overwrite").parquet(p)
+    graft.etl.TableOps.deleteRange(spark, p, "dw_dt",
+      "2016-01-01", "2016-01-31")
+    val left = spark.read.parquet(p).select("v")
+      .as[Int].collect().toSeq.sorted
+    assert(left == Seq(2, 3), "the null-dt row must survive the delete")
+  }
+
   test("compact merges append-accumulated small files, data unchanged") {
     val p = s"${graft.core.Tables.tmpDir}/compact_t"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
@@ -406,6 +419,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(nBefore >= 6 && nAfter === 1, s"$nBefore -> $nAfter")
     assert(spark.read.parquet(p).orderBy("id").collect().toSeq
       === beforeRows)
+  }
+
+  test("compact refuses a Hive-partitioned layout instead of " +
+       "flattening it") {
+    val p = s"${graft.core.Tables.tmpDir}/compact_part"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .write.partitionBy("k").parquet(p)
+    val e = intercept[IllegalArgumentException] {
+      graft.etl.TableOps.compact(spark, p)
+    }
+    assert(e.getMessage.contains("partition"))
   }
 
   test("etl table lifecycle: create-if / truncate / switch") {
