@@ -241,7 +241,8 @@ object CorpusQueries {
   val oracles: Map[String, String] = Map(
     "doc_chunking" ->
       s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
-             FROM documents),
+             FROM (SELECT doc_id, coalesce(text, '') AS text
+                   FROM documents)),
          n AS (SELECT doc_id, ws,
              CASE WHEN len(ws) <= 32 THEN 1
                   ELSE CAST(ceil((len(ws) - 32) / 24.0) AS INT) + 1 END

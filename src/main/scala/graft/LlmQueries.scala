@@ -20,15 +20,23 @@ object LlmQueries {
 
   /** documents ∪ exact copy with doc_id + 1,000,000. */
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select("doc_id", "text")
+    // null text ≡ empty text (the library-wide convention, cf.
+    // chunkDocuments/c4Signals): a null-text doc would otherwise be
+    // unmatchable by every normalized-text relation — no shingles, no
+    // fingerprint, SQL equality never matching NULL — so its planted
+    // copy silently vanishes from planted-recall counts on both the
+    // LSH and the oracle side, and differently on each
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      coalesce(col("text"), lit("")).as("text"))
     d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
                            col("text")))
   }
 
   /** SQL twin of dupCorpus. */
   private val dupCorpusSql =
-    """SELECT doc_id, text FROM documents
-       UNION ALL SELECT doc_id + 1000000, text FROM documents"""
+    """SELECT doc_id, coalesce(text, '') AS text FROM documents
+       UNION ALL
+       SELECT doc_id + 1000000, coalesce(text, '') AS text FROM documents"""
 
   /** embeddings ∪ exact copy with vec_id + 100,000. */
   private def dupVectors(s: SparkSession, dir: String): DataFrame = {
@@ -415,9 +423,14 @@ object LlmQueries {
       // values (a collision would need two distinct shingles of one
       // pair hashing equal: ~10⁻¹³ at this corpus), 1.5× faster
       // (long compares vs string compares in the set ops)
+      // null text ≡ empty text on BOTH sides: a null norm has no
+      // shingles in Spark (null array) but one NULL g row in the
+      // DuckDB CTE — the pair scores null vs 0.0. Coalescing makes a
+      // null doc shingle as [''] like an empty doc, same both engines.
       val d = t(s, dir, "documents").select(col("doc_id"),
         array_distinct(transform(
-          array_distinct(TextAnalysis.wordShingles(col("text"))),
+          array_distinct(TextAnalysis.wordShingles(
+            coalesce(col("text"), lit("")))),
           g => xxhash64(g))).as("sh"))
       val a = d.alias("a"); val b = d.alias("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
@@ -1165,7 +1178,8 @@ object LlmQueries {
          SELECT id, min(id) OVER (PARTITION BY cs) AS group_id
          FROM canon ORDER BY id""",
     "ngram_jaccard" ->
-      s"""WITH u AS (SELECT doc_id, text FROM documents),
+      s"""WITH u AS (SELECT doc_id, coalesce(text, '') AS text
+                     FROM documents),
          $shingleCte,
          pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
                    FROM documents a JOIN documents b
@@ -1362,7 +1376,8 @@ object LlmQueries {
          FROM j CROSS JOIN nu CROSS JOIN nb
          ORDER BY pmi DESC, bg LIMIT 50""",
     "text_c4_filters" ->
-      s"""WITH u AS (SELECT doc_id, text FROM documents
+      s"""WITH u AS (SELECT doc_id, coalesce(text, '') AS text
+           FROM documents
            UNION ALL SELECT * FROM (VALUES
              (3000001, 'lorem ipsum dolor sit amet' || chr(10) ||
                'this is filler.'),
@@ -1398,7 +1413,9 @@ object LlmQueries {
         s"WHEN $geAll AND c_$l > 0 THEN '$l'"
       }.mkString(" ")
       s"""WITH toks AS (SELECT doc_id,
-             unnest(string_split($normSql, ' ')) AS tok FROM documents),
+             unnest(string_split($normSql, ' ')) AS tok
+           FROM (SELECT doc_id, coalesce(text, '') AS text
+                 FROM documents)),
          cnt AS (SELECT doc_id, $counts FROM toks GROUP BY doc_id),
          cjk AS (SELECT doc_id,
              regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
@@ -1608,9 +1625,9 @@ object LlmQueries {
          FROM v ORDER BY media_id, frame_idx""",
     "multimodal_frame_sample" ->
       """SELECT doc_id AS media_id,
-         CAST(unnest(range(0, CAST(floor(octet_length(CAST(text AS BLOB))
+         CAST(unnest(range(0, CAST(floor(octet_length(encode(text))
            / 16) AS INT) + 1, 10)) AS INT) AS frame_idx,
-         CAST(floor(octet_length(CAST(text AS BLOB)) / 16) + 1 AS INT)
+         CAST(floor(octet_length(encode(text)) / 16) + 1 AS INT)
            AS n_frames
          FROM documents ORDER BY media_id, frame_idx""",
     "trgx_tree_ops" ->
