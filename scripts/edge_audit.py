@@ -21,8 +21,49 @@ import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 SRC = Path("/root/testdata/sf0.001")
+
+
+def augment_events(outdir: Path) -> None:
+    """Plant degenerate events rows. events.parquet is TIMESTAMP(NANOS),
+    which DuckDB COPY would silently rewrite to micros (breaking the
+    engine's nanos-aware reader), so augment via pyarrow instead.
+
+    Planted event_ids start at 9000 (real sf0.001 ids are 0-999; stays
+    under the streaming queries' require(max<1M) synthetic-offset guard).
+    """
+    base = pq.read_table(SRC / "events.parquet")
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (9000, "2024-01-02T03:04:05.123456789", 9000, "click", 1.5, None),
+        (9001, "2024-01-02T04:04:05.000000001", 9000, "click", 2.5, "{not json"),
+        (9002, "2024-01-03T05:00:00.999999999", 9001, "purchase", 3.0, '{"k": "oops"}'),
+        (9003, "2024-01-03T06:00:00.000000000", None, "view", 4.0, '{"k": 5}'),
+        (9004, "2024-01-04T07:00:00.500000000", 9002, "error", None, '{"k": null}'),
+        (9005, "2024-01-04T08:00:00.250000000", 9002, None, 5.0, "{}"),
+        (9006, None, 9003, "click", 6.0, '{"k": 7}'),
+    ]
+    extra = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [np.datetime64(r[1], "ns") if r[1] else None
+                 for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    merged = pa.concat_tables([base.select(extra.column_names), extra])
+    pq.write_table(merged, outdir / "events.parquet",
+                   coerce_timestamps=None)
+    print(f"built {outdir}/events.parquet: {merged.num_rows} events "
+          f"(7 planted edge rows, ts stays {merged.schema.field('ts').type})")
 
 
 def build(outdir: Path) -> None:
@@ -54,4 +95,5 @@ def build(outdir: Path) -> None:
 if __name__ == "__main__":
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("/tmp/sfnull")
     build(out)
+    augment_events(out)
     print("now run Verify + check.py against it (see module docstring)")

@@ -681,8 +681,11 @@ object CoreQueries {
              percentile_approx(col("value"), lit(0.5), lit(10000))
                .as("p50_approx"),
              expr("percentile(value, 0.5)").as("p50_exact"))
-      exact.join(sketch, "event_type")
-        .select(col("event_type"), col("cnt"), col("users_exact"),
+      // null-safe join key: a null event_type group must survive the
+      // exact⊕sketch recombination (a plain equi-join would silently
+      // drop it — found by the edge-row audit)
+      exact.join(sketch, exact("event_type") <=> sketch("event_type"))
+        .select(exact("event_type"), col("cnt"), col("users_exact"),
           (abs(col("users_approx") - col("users_exact")).cast("double") /
             col("users_exact") <= 0.15).as("users_approx_ok"),
           (abs(col("p50_approx") - col("p50_exact")) <= 1.0)
@@ -810,7 +813,7 @@ object CoreQueries {
          SELECT c.cohort, a.wk - c.cohort AS week_offset,
            CAST(count(DISTINCT a.k) AS BIGINT) AS n_users
          FROM a JOIN c ON a.k = c.k
-         GROUP BY 1, 2 ORDER BY 1, 2""",
+         GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
     "events_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS ts1 FROM events
              WHERE event_type = 'view' GROUP BY user_id),
@@ -827,7 +830,7 @@ object CoreQueries {
            s3.ts3 IS NOT NULL AS completed
          FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
          LEFT JOIN s3 ON s1.user_id = s3.user_id
-         ORDER BY s1.user_id""",
+         ORDER BY s1.user_id NULLS FIRST""",
     "events_asof_join" ->
       """WITH c AS (SELECT user_id, ts, max(value) AS click_value
              FROM events WHERE event_type = 'click' GROUP BY 1, 2),
@@ -840,9 +843,10 @@ object CoreQueries {
          ORDER BY p.event_id""",
     "events_props_extract" ->
       """SELECT event_type, count(*) AS cnt,
-           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6)
+           round(avg(TRY_CAST(CASE WHEN json_valid(props)
+               THEN json_extract_string(props, '$.k') END AS INT)), 6)
              AS avg_k
-         FROM events GROUP BY 1 ORDER BY 1""",
+         FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""",
     "events_range_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id,
                 ts - INTERVAL 2 HOUR AS win_start, ts AS win_end
@@ -1162,7 +1166,8 @@ object CoreQueries {
          event_type, count(*) AS cnt,
          CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(38,3))
            AS VARCHAR) AS sum_val
-         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+         FROM events WHERE ts IS NOT NULL
+         GROUP BY 1, 2 ORDER BY day, event_type NULLS FIRST""",
     "salted_join_skew" ->
       """WITH f AS (SELECT CASE WHEN o_orderkey % 10 < 8 THEN 'HOT'
              ELSE o_orderpriority END AS k, o_totalprice FROM orders),
@@ -1185,17 +1190,18 @@ object CoreQueries {
          SELECT max(dt), count(*), NULL, 'rng_end' FROM d
          UNION ALL
          SELECT min(dt), count(*), NULL, 'rng_start' FROM d
-         ORDER BY kind, dt""",
+         ORDER BY kind, dt NULLS FIRST""",
     "approx_stats" ->
       """SELECT event_type, count(*) AS cnt,
          count(DISTINCT user_id) AS users_exact,
          TRUE AS users_approx_ok, TRUE AS p50_approx_ok
-         FROM events GROUP BY event_type ORDER BY event_type""",
+         FROM events GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
     "events_session_agg" ->
       """WITH e AS (SELECT event_id, user_id, ts, value,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_ts
-           FROM events),
+           FROM events WHERE ts IS NOT NULL),
          f AS (SELECT event_id, user_id, ts, value,
              CASE WHEN prev_ts IS NULL
                   OR ts >= prev_ts + INTERVAL 30 MINUTE
@@ -1210,6 +1216,6 @@ object CoreQueries {
            CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(38,3))
              AS VARCHAR) AS sum_val
          FROM s GROUP BY user_id, sid
-         ORDER BY user_id, session_start_us"""
+         ORDER BY user_id NULLS FIRST, session_start_us"""
   )
 }

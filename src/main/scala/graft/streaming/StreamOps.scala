@@ -74,6 +74,11 @@ object StreamOps {
     * (`session_window`: state is bounded by the watermark horizon; a
     * session closes once the watermark passes its end). Works on batch
     * frames too (same call, no watermark needed there). */
+  /** Contract: rows with a null `tsCol` are DROPPED — Spark's
+    * `session_window` (like `window`) is an event-time generator and
+    * emits nothing for null event times; an unplaceable event has no
+    * session. Oracles over nullable-ts data must filter `ts IS NOT
+    * NULL` to match (edge-row audit convention). */
   def sessionizedAgg(events: DataFrame, tsCol: String, keyCol: String,
                      gap: String, watermark: Option[String] = None,
                      valueCol: String = "value"): DataFrame = {
