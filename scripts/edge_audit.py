@@ -46,6 +46,14 @@ def augment_events(outdir: Path) -> None:
         (9004, "2024-01-04T07:00:00.500000000", 9002, "error", None, '{"k": null}'),
         (9005, "2024-01-04T08:00:00.250000000", 9002, None, 5.0, "{}"),
         (9006, None, 9003, "click", 6.0, '{"k": 7}'),
+        # non-finite metric values: Spark's decimal cast maps NaN/Inf
+        # to null (non-ANSI), so fixed-decimal aggregates exclude
+        # them; oracles mirror with isfinite(). user 9004 has no
+        # purchases so the asof/range time-join probes stay put.
+        (9007, "2024-01-05T01:00:00.000000000", 9004, "error",
+         float("nan"), '{"k": 1}'),
+        (9008, "2024-01-05T02:00:00.000000000", 9004, "click",
+         float("inf"), '{"k": 2}'),
     ]
     extra = pa.table(
         {
@@ -63,7 +71,7 @@ def augment_events(outdir: Path) -> None:
     pq.write_table(merged, outdir / "events.parquet",
                    coerce_timestamps=None)
     print(f"built {outdir}/events.parquet: {merged.num_rows} events "
-          f"(7 planted edge rows, ts stays {merged.schema.field('ts').type})")
+          f"(9 planted edge rows, ts stays {merged.schema.field('ts').type})")
 
 
 def build(outdir: Path) -> None:

@@ -584,7 +584,11 @@ object CoreQueries {
 
     // Structured-streaming-shaped windowed aggregation (batch-equivalent
     // of streaming/StreamOps.windowedCounts; tumbling 1-day event-time
-    // windows)
+    // windows). Two edge contracts shared by every fixed-decimal value
+    // aggregate here: null-ts rows are dropped (window() emits nothing
+    // for a null event time) and non-finite values are excluded (the
+    // non-ANSI decimal cast maps NaN/Inf to null); oracles mirror with
+    // `WHERE ts IS NOT NULL` / `isfinite(value)`.
     "events_windowed_agg" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
@@ -1164,7 +1168,7 @@ object CoreQueries {
     "events_windowed_agg" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
          event_type, count(*) AS cnt,
-         CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(38,3))
+         CAST(CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,3))) AS DECIMAL(38,3))
            AS VARCHAR) AS sum_val
          FROM events WHERE ts IS NOT NULL
          GROUP BY 1, 2 ORDER BY day, event_type NULLS FIRST""",
@@ -1182,7 +1186,7 @@ object CoreQueries {
       """WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d')
              AS dt, value FROM events)
          SELECT dt, count(*) AS cnt,
-           CAST(CAST(sum(CAST(value AS DECIMAL(18,3)))
+           CAST(CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,3)))
              AS DECIMAL(38,3)) AS VARCHAR) AS sum_val,
            'day' AS kind
          FROM d GROUP BY dt
@@ -1213,7 +1217,7 @@ object CoreQueries {
            FROM f)
          SELECT user_id, epoch_us(min(ts)) AS session_start_us,
            count(*) AS cnt,
-           CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DECIMAL(38,3))
+           CAST(CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,3))) AS DECIMAL(38,3))
              AS VARCHAR) AS sum_val
          FROM s GROUP BY user_id, sid
          ORDER BY user_id NULLS FIRST, session_start_us"""
