@@ -89,9 +89,14 @@ object Bench {
     println(line)
     // the driver preserves only a short stdout tail (round 3 lost the
     // per-query cold map to truncation) — mirror the full JSON into the
-    // repo so rounds stay diffable
+    // repo so rounds stay diffable. A SPARK_GRAFT_ONLY-filtered run
+    // goes to a sibling file: a 3-query iteration must never clobber
+    // the full-suite artifact (it silently did once).
+    val outDefault =
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) "/root/repo/BENCH_PARTIAL.json"
+      else "/root/repo/BENCH_LOCAL.json"
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")),
+      sys.env.getOrElse("GRAFT_BENCH_OUT", outDefault)),
       line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_LOCAL write failed: ${e.getMessage}")
