@@ -687,9 +687,13 @@ object CoreQueries {
              expr("percentile(value, 0.5)").as("p50_exact"))
       // null-safe join key: a null event_type group must survive the
       // exact⊕sketch recombination (a plain equi-join would silently
-      // drop it — found by the edge-row audit)
-      exact.join(sketch, exact("event_type") <=> sketch("event_type"))
-        .select(exact("event_type"), col("cnt"), col("users_exact"),
+      // drop it — found by the edge-row audit). The sketch side's key
+      // is renamed first: both frames descend from `ev`, and a
+      // same-name <=> across a self-join leans on Spark's dataset-id
+      // disambiguation (it works but warns "trivially true predicate")
+      exact.join(sketch.withColumnRenamed("event_type", "et_s"),
+          col("event_type") <=> col("et_s"))
+        .select(col("event_type"), col("cnt"), col("users_exact"),
           (abs(col("users_approx") - col("users_exact")).cast("double") /
             col("users_exact") <= 0.15).as("users_approx_ok"),
           (abs(col("p50_approx") - col("p50_exact")) <= 1.0)

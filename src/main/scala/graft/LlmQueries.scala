@@ -459,6 +459,17 @@ object LlmQueries {
       Dedup.duplicateSentences(dupCorpus(s, dir), "text", "doc_id")
         .orderBy("sentence")),
 
+    // exact substring duplicate SPANS (Lee et al. 2021): stride-1
+    // k-token windows, within+cross-doc occurrence counting, per-doc
+    // gaps-and-islands merge into maximal spans with token offsets —
+    // the cut/rewrite-ready form (passage_dedup above is the
+    // strided DETECTION listing). Genuine corpus: the generator's
+    // shared boilerplate repeats 8-token windows naturally at every SF
+    "substring_dedup" -> ((s, dir) =>
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "text", "doc_id",
+          k = 8)
+        .orderBy("doc_id", "span_start")),
+
     // embedding near-dup via random-hyperplane LSH + cosine verify
     "embedding_dedup" -> ((s, dir) =>
       Dedup.embeddingDedupPairs(dupVectors(s, dir), "embedding", "vec_id",
@@ -1227,6 +1238,27 @@ object LlmQueries {
            min(doc_id) AS first_doc
          FROM d GROUP BY passage HAVING count(*) >= 2
          ORDER BY passage""",
+    "substring_dedup" ->
+      s"""WITH u AS (SELECT doc_id, coalesce(text, '') AS text
+             FROM documents),
+         t AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+             FROM u),
+         w AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+               array_to_string(toks[i:i+7], ' ') AS win
+             FROM t, LATERAL unnest(range(1, len(toks) - 8 + 2)) AS r(i)
+             WHERE len(toks) >= 8),
+         d AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1),
+         p AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)),
+         b AS (SELECT doc_id, pos, CASE WHEN
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+               OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                 + 8 THEN 1 ELSE 0 END AS brk FROM p),
+         s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+         SELECT doc_id, min(pos) AS span_start,
+           max(pos) + 7 AS span_end, count(*) AS n_windows
+         FROM s GROUP BY doc_id, sid
+         ORDER BY doc_id, span_start""",
     "embedding_dedup" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings
            UNION ALL SELECT vec_id + 100000, embedding FROM embeddings)

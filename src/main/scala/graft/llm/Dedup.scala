@@ -541,6 +541,71 @@ object Dedup {
           .as("n_removed"))
   }
 
+  /** Exact substring duplicate-SPAN detection at the k-token-window
+    * grain — the scalable fingerprint form of suffix-array exact
+    * substring dedup (Lee et al. 2021, arXiv:2107.06499; the pass
+    * C4/MassiveText-style pipelines run after doc-level near-dedup).
+    * Every k-token window of the normalized text is keyed; windows
+    * occurring more than once in the corpus (within- OR cross-
+    * document) mark their start positions; per document, overlapping-
+    * or-adjacent marked windows merge into maximal spans
+    * (gaps-and-islands: a new span starts when the next marked
+    * position exceeds previous + k). Returns one row per span —
+    * (doc_id, span_start, span_end, n_windows), closed-interval token
+    * offsets into the normalized tokenization, the form a downstream
+    * cut/rewrite consumes.
+    *
+    * Scale shape: the window relation is a narrow (key, doc, pos)
+    * explode. The registered path keys by the window STRING (k·token
+    * bytes — DuckDB-replicable); `byFingerprint = true` keys by
+    * xxhash64(window) for 8-byte shuffle keys at corpus scale — the
+    * standard approximation of the paper's exact suffix array (a
+    * 64-bit collision falsely marks a window at ~n²/2⁶⁵ odds).
+    * Duplicate election is one groupBy on the key feeding the mark
+    * equi-join (the [[crossDocDuplicates]] shape); the span merge is
+    * one per-doc window whose state is bounded by a single document's
+    * window count — the same max-doc-size contract as
+    * [[dedupLinesAcrossDocs]] (pre-split pathological documents with
+    * the chunking operator first). */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 8,
+                      byFingerprint: Boolean = false): DataFrame = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    val toks = split(TextAnalysis.normalizeText(
+      coalesce(col(textCol), lit(""))), " ")
+    val docs = df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+    // one k-token window per element, built from the STAGED token
+    // array (the array evaluates once; each window is one slice) —
+    // element i (0-based posexplode pos) starts at token i
+    val winArr = transform(
+      sequence(lit(1), size(col("toks")) - (k - 1)),
+      i => concat_ws(" ", slice(col("toks"), i, lit(k))))
+    val wins = docs
+      .select(col("doc_id"), posexplode(winArr).as(Seq("pos", "win")))
+      .withColumn("key",
+        if (byFingerprint) xxhash64(col("win")) else col("win"))
+      .select("doc_id", "pos", "key")
+    val dups = wins.groupBy("key").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+    val marked = wins.join(dups, Seq("key")).select("doc_id", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val islands = marked
+      .withColumn("brk",
+        when(col("pos") >
+          coalesce(lag(col("pos"), 1).over(w), lit(Int.MinValue / 2))
+            + k, 1)
+        .otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    islands.groupBy(col("doc_id"), col("sid"))
+      .agg(min(col("pos")).as("span_start"),
+           (max(col("pos")) + (k - 1)).as("span_end"),
+           count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
   /** Cross-document duplicated SENTENCES (boilerplate detection at the
     * sentence grain): normalized sentences deduped per doc map-side,
     * then the [[crossDocDuplicates]] kernel. */

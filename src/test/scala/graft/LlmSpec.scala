@@ -235,6 +235,58 @@ class LlmSpec extends AnyFunSuite {
     assert(got == naive && naive.nonEmpty)
   }
 
+  test("duplicatedSpans merges windows into per-doc islands with offsets") {
+    // doc 1 repeats "a b c d e" around a 3-token separator: marked
+    // positions {0,1} and {8,9} must merge into TWO spans (gap 8 >
+    // 1+k); doc 3 shares the same 5-gram once → one span; doc 2 is
+    // all-unique → no rows. Doubled whitespace in doc 3 exercises the
+    // normalize step (positions are offsets into the NORMALIZED
+    // tokenization).
+    val docs = Seq(
+      (1L, "a b c d e x y z a b c d e"),
+      (2L, "p q r s t u v w"),
+      (3L, "m  a b c\nd e n")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "text", "doc_id", k = 4)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(got == Set((1L, 0, 4, 2L), (1L, 8, 12, 2L), (3L, 1, 5, 2L)))
+    // 64-bit-fingerprint keying is plan-width optimization, not a
+    // semantics change
+    val fp = Dedup.duplicatedSpans(docs, "text", "doc_id", k = 4,
+        byFingerprint = true)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(fp == got)
+  }
+
+  test("duplicatedSpans equals a naive reference on a random corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc")
+    val corpus = (0 until 30).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val k = 3
+    val wins = corpus.flatMap { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      (0 to toks.length - k).map(p => (toks.slice(p, p + k).mkString(" "), id, p))
+    }
+    val occ = wins.groupBy(_._1).view.mapValues(_.size).toMap
+    val naive = wins.filter(w => occ(w._1) > 1)
+      .groupBy(_._2).flatMap { case (id, ws) =>
+        val ps = ws.map(_._3).sorted
+        // gaps-and-islands: split where the next position exceeds prev+k
+        val islands = ps.foldLeft(List.empty[List[Int]]) {
+          case (Nil, p)                            => List(List(p))
+          case (cur :: done, p) if p <= cur.head + k => (p :: cur) :: done
+          case (acc, p)                            => List(p) :: acc
+        }
+        islands.map(is => (id, is.min, is.max + k - 1, is.size.toLong))
+      }.toSet
+    val got = Dedup.duplicatedSpans(corpus.toDF("doc_id", "text"),
+        "text", "doc_id", k)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(got == naive && naive.nonEmpty)
+  }
+
   test("semanticDedup drops the within-cell near-copy, keeps originals") {
     // 1↦copy of 0 (same cell, cos=1) → removed_by 0; 2 is the antipode
     // (different cell, cos=-1 anyway); 3 orthogonal-ish → kept
