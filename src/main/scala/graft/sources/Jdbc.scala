@@ -21,17 +21,20 @@ import org.apache.spark.sql.functions._
   * one executor streaming the whole table; writes ride Spark's
   * per-partition batched inserts.
   *
-  * TEST BOUNDARY: this module is verified against embedded Derby
-  * (JdbcSpec) — the only JDBC engine in this environment. (A Postgres
-  * SERVER exists in the sandbox, but no pgjdbc driver jar is on disk
-  * and the environment has no egress to fetch one, so the JVM cannot
-  * speak to it — checked, not assumed.) The
-  * reference tap's target is Postgres over SSL (trgx.clj:81-98); the
-  * Postgres-specific surface — SSL handshake, `stringtype=unspecified`
-  * server-side casts, PG type mapping — is expressed here
-  * ([[pgSslOptions]], the all-String scheme) but NOT exercised against
-  * a live Postgres. Connection `options` forward verbatim to Spark's
-  * JDBC source, so the SSL posture needs no code change to enable.
+  * TEST BOUNDARY: the JDBC transport is verified against embedded
+  * Derby (JdbcSpec) — the only JDBC engine the JVM can reach here (a
+  * Postgres 15 SERVER exists in the sandbox, but no pgjdbc driver jar
+  * is on disk and the environment has no egress to fetch one —
+  * checked, not assumed). The SQL this module EMITS, however, is
+  * verified against that live PostgreSQL out-of-JVM: PgSmokeSpec
+  * boots a throwaway cluster and runs [[createTableSql]] /
+  * [[deleteRangeSql]] (PREPAREd) plus the all-String insert posture
+  * through psql, pinning the reference DDL grammar
+  * (CHAR/TEXT/NUMERIC(18,3)), the 42P07 duplicate-table state
+  * [[createTableIf]] relies on, and server-side string→typed casts.
+  * Still unexercised: the pgjdbc driver itself — SSL handshake and
+  * driver-level type mapping ([[pgSslOptions]] forwards verbatim to
+  * Spark's JDBC source, so enabling SSL needs no code change).
   */
 object Jdbc {
 
@@ -136,6 +139,19 @@ object Jdbc {
     try { executeUpdate(url, sql); true }
     catch { case _: java.sql.SQLException => false }
 
+  /** The exact CREATE TABLE text [[createTableIf]] executes, after
+    * identifier/type validation — exposed so the statement grammar can
+    * be verified against engines the JVM cannot reach (PgSmokeSpec runs
+    * this string on a live PostgreSQL via psql). */
+  def createTableSql(table: String, specs: Seq[(String, String)]): String = {
+    requireIdentifier("table", table)
+    specs.foreach { case (c, t) =>
+      requireIdentifier("column", c); requireSqlType(t)
+    }
+    val cols = specs.map { case (c, t) => s"$c $t" }.mkString(", ")
+    s"CREATE TABLE $table ($cols)"
+  }
+
   /** create-table-if (trgx.clj:122-127): specs are (physical column,
     * SQL type) pairs. Engines without CREATE TABLE IF NOT EXISTS
     * (Derby) surface "already exists" as an SQLException — ONLY that
@@ -143,12 +159,7 @@ object Jdbc {
     * 42P07); any other DDL failure propagates. */
   def createTableIf(url: String, table: String,
                     specs: Seq[(String, String)]): Unit = {
-    requireIdentifier("table", table)
-    specs.foreach { case (c, t) =>
-      requireIdentifier("column", c); requireSqlType(t)
-    }
-    val cols = specs.map { case (c, t) => s"$c $t" }.mkString(", ")
-    try executeUpdate(url, s"CREATE TABLE $table ($cols)")
+    try executeUpdate(url, createTableSql(table, specs))
     catch {
       case e: java.sql.SQLException
           if e.getSQLState == "X0Y32" || e.getSQLState == "42P07" ||
@@ -168,16 +179,26 @@ object Jdbc {
     * predicates identically) — never pass user-derived content. The
     * date BOUNDS are data and bind through a PreparedStatement, so a
     * quote in a date value cannot break or repurpose the statement. */
-  def deleteRange(url: String, table: String, dtCol: String,
-                  startDt: String, endDt: String,
-                  extraWhere: Option[String] = None): Int = {
+  /** The exact parameterized DELETE text [[deleteRange]] prepares
+    * (bounds as `?` placeholders), after identifier validation —
+    * exposed for the same out-of-JVM grammar verification as
+    * [[createTableSql]] (PgSmokeSpec PREPAREs it, `?`→`$n`, on live
+    * PostgreSQL). */
+  def deleteRangeSql(table: String, dtCol: String,
+                     extraWhere: Option[String] = None): String = {
     requireIdentifier("table", table)
     requireIdentifier("dtCol", dtCol)
     val extra = extraWhere.map(w => s"$w AND ").getOrElse("")
+    s"DELETE FROM $table WHERE $extra$dtCol BETWEEN ? AND ?"
+  }
+
+  def deleteRange(url: String, table: String, dtCol: String,
+                  startDt: String, endDt: String,
+                  extraWhere: Option[String] = None): Int = {
+    val sql = deleteRangeSql(table, dtCol, extraWhere)
     val conn = DriverManager.getConnection(url)
     try {
-      val ps = conn.prepareStatement(
-        s"DELETE FROM $table WHERE $extra$dtCol BETWEEN ? AND ?")
+      val ps = conn.prepareStatement(sql)
       try {
         ps.setString(1, startDt); ps.setString(2, endDt)
         ps.executeUpdate()
