@@ -470,6 +470,15 @@ object LlmQueries {
           k = 8)
         .orderBy("doc_id", "span_start")),
 
+    // the cut pass over the same spans (Lee et al. "all but one
+    // occurrence"): globally-first occurrence per window key survives,
+    // every other covered token position is cut unless a keeper window
+    // also covers it; rewritten docs over the normalized tokenization
+    "substring_dedup_rewrite" -> ((s, dir) =>
+      Dedup.cutDuplicatedSpans(t(s, dir, "documents"), "text", "doc_id",
+          k = 8)
+        .orderBy("doc_id")),
+
     // embedding near-dup via random-hyperplane LSH + cosine verify
     "embedding_dedup" -> ((s, dir) =>
       Dedup.embeddingDedupPairs(dupVectors(s, dir), "embedding", "vec_id",
@@ -1259,6 +1268,43 @@ object LlmQueries {
            max(pos) + 7 AS span_end, count(*) AS n_windows
          FROM s GROUP BY doc_id, sid
          ORDER BY doc_id, span_start""",
+    "substring_dedup_rewrite" ->
+      s"""WITH u AS (SELECT doc_id, coalesce(text, '') AS text
+             FROM documents),
+         t AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+             FROM u),
+         w AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+               array_to_string(toks[i:i+7], ' ') AS win
+             FROM t, LATERAL unnest(range(1, len(toks) - 8 + 2)) AS r(i)
+             WHERE len(toks) >= 8),
+         m AS (SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY win) AS occ,
+               row_number() OVER (PARTITION BY win
+                 ORDER BY doc_id, pos) AS rn
+             FROM w),
+         cutp AS (SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS tp
+             FROM m, LATERAL unnest(range(0, 8)) AS r(j)
+             WHERE occ > 1 AND rn > 1),
+         keepp AS (SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS tp
+             FROM m, LATERAL unnest(range(0, 8)) AS r(j)
+             WHERE occ > 1 AND rn = 1),
+         cut AS (SELECT doc_id, tp FROM cutp x WHERE NOT EXISTS
+             (SELECT 1 FROM keepp y
+              WHERE y.doc_id = x.doc_id AND y.tp = x.tp)),
+         tok AS (SELECT doc_id, CAST(i - 1 AS INT) AS tp, toks[i] AS tok
+             FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS r(i)),
+         kept AS (SELECT doc_id, tp, tok FROM tok x WHERE NOT EXISTS
+             (SELECT 1 FROM cut y
+              WHERE y.doc_id = x.doc_id AND y.tp = x.tp)),
+         r AS (SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY tp) AS clean_text,
+               count(*) AS n_kept
+             FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           CAST(len(t.toks) AS INT) AS n_tokens,
+           len(t.toks) - coalesce(r.n_kept, 0) AS n_cut
+         FROM t LEFT JOIN r ON t.doc_id = r.doc_id
+         ORDER BY t.doc_id""",
     "embedding_dedup" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings
            UNION ALL SELECT vec_id + 100000, embedding FROM embeddings)

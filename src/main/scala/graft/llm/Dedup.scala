@@ -606,6 +606,82 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "n_windows")
   }
 
+  /** Exact substring duplicate-span REWRITE — the cut pass that
+    * consumes what [[duplicatedSpans]] detects (Lee et al. 2021's
+    * "remove all but one occurrence of each duplicated substring",
+    * at the same k-token-window grain). Election is deterministic:
+    * for every window key occurring more than once, the globally
+    * first occurrence by (doc_id, pos) is the KEEPER; every other
+    * occurrence is a cut window. A token position is cut iff some cut
+    * window covers it and no keeper window does (keeper coverage wins,
+    * so the one elected occurrence of overlapping duplicated runs
+    * survives intact). Output is the rewritten document over the
+    * NORMALIZED tokenization — the stream the detection keys on, and
+    * the form the paper's pipeline rewrites — as
+    * (doc_id, clean_text, n_tokens, n_cut); documents shorter than k
+    * tokens pass through unchanged, a fully-duplicated non-keeper doc
+    * comes back EMPTY with its cut count rather than vanishing.
+    *
+    * Scale shape: keeper election is ONE shuffle on the window key
+    * (count + row_number share the partition); every duplicated window
+    * then explodes into k narrow (doc_id, tp, keeper-flag) rows and
+    * the keeper veto is a single `max(keeper)` aggregate per position
+    * — one pass over the election output, no self-anti-join (a
+    * two-branch formulation would recompute the whole election chain
+    * per branch); the token cut is a left-anti equi-join.
+    * Reassembly is one per-doc group bounded by a single document's
+    * token count — the [[dedupLinesAcrossDocs]] max-doc-size contract
+    * (pre-split pathological documents with the chunking operator
+    * first). `byFingerprint = true` keys election by xxhash64(window)
+    * for 8-byte shuffle keys at corpus scale, same contract as
+    * [[duplicatedSpans]]. */
+  def cutDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 8,
+                         byFingerprint: Boolean = false): DataFrame = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    val toks = split(TextAnalysis.normalizeText(
+      coalesce(col(textCol), lit(""))), " ")
+    val docs = df.select(col(idCol).as("doc_id"), toks.as("toks"))
+    val winArr = transform(
+      sequence(lit(1), size(col("toks")) - (k - 1)),
+      i => concat_ws(" ", slice(col("toks"), i, lit(k))))
+    val wins = docs.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(winArr).as(Seq("pos", "win")))
+      .withColumn("key",
+        if (byFingerprint) xxhash64(col("win")) else col("win"))
+      .select("doc_id", "pos", "key")
+    val byKey = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    val marked = wins
+      .withColumn("occ", count(lit(1)).over(byKey))
+      .withColumn("rn",
+        row_number().over(byKey.orderBy("doc_id", "pos")))
+      .filter(col("occ") > 1)
+    val cut = marked
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"),
+        (col("rn") === 1).as("keeper"))
+      .groupBy("doc_id", "tp")
+      .agg(max(col("keeper")).as("__any_keeper"))
+      .filter(!col("__any_keeper"))
+      .select("doc_id", "tp")
+    val kept = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("tp", "tok")))
+      .join(cut, Seq("doc_id", "tp"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          _.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("__n_kept"))
+    docs.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens").cast("long") -
+          coalesce(col("__n_kept"), lit(0L))).as("n_cut"))
+  }
+
   /** Cross-document duplicated SENTENCES (boilerplate detection at the
     * sentence grain): normalized sentences deduped per doc map-side,
     * then the [[crossDocDuplicates]] kernel. */

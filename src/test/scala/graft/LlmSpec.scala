@@ -287,6 +287,69 @@ class LlmSpec extends AnyFunSuite {
     assert(got == naive && naive.nonEmpty)
   }
 
+  test("cutDuplicatedSpans keeps the first occurrence, cuts the rest, " +
+       "passes short docs through") {
+    val run = (1 to 8).map(i => s"t$i").mkString(" ")
+    val wrun = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run u1 u2"),   // global keeper of the t-run
+      (2L, s"$run v1 v2"),   // non-keeper: prefix cut, tail survives
+      (3L, s"$wrun $wrun"),  // within-doc repeat: 2nd occurrence cut
+      (4L, "short doc")      // < k tokens: untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.cutDuplicatedSpans(docs, "text", "doc_id", k = 8)
+      .as[(Long, String, Int, Long)].collect().toSet
+    assert(got == Set(
+      (1L, s"$run u1 u2", 10, 0L),
+      (2L, "v1 v2", 10, 8L),
+      (3L, wrun, 16, 8L),
+      (4L, "short doc", 2, 0L)))
+    val fp = Dedup.cutDuplicatedSpans(docs, "text", "doc_id", k = 8,
+        byFingerprint = true)
+      .as[(Long, String, Int, Long)].collect().toSet
+    assert(fp == got)
+  }
+
+  test("cutDuplicatedSpans equals a naive reference on a random corpus") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc")
+    val corpus = (0 until 30).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val k = 3
+    // split(normalized, " ") keeps one empty token for an empty doc —
+    // the naive tokenization mirrors that
+    def toks(text: String): Array[String] =
+      if (text.isEmpty) Array("") else text.split(" ")
+    val wins = corpus.flatMap { case (id, text) =>
+      val ts = toks(text)
+      if (ts.length < k) Nil
+      else (0 to ts.length - k)
+        .map(p => (ts.slice(p, p + k).mkString(" "), id, p))
+    }
+    val occ = wins.groupBy(_._1).view.mapValues(_.size).toMap
+    val dups = wins.filter(w => occ(w._1) > 1)
+    val keeper = dups.groupBy(_._1).view
+      .mapValues(ws => ws.map(w => (w._2, w._3)).min).toMap
+    def cover(ws: Seq[(String, Long, Int)]): Set[(Long, Int)] =
+      ws.flatMap { case (_, id, p) => (p until p + k).map((id, _)) }.toSet
+    val cutSet =
+      cover(dups.filter(w => keeper(w._1) != ((w._2, w._3)))) --
+      cover(dups.filter(w => keeper(w._1) == ((w._2, w._3))))
+    val naive = corpus.map { case (id, text) =>
+      val ts = toks(text)
+      val keptToks = ts.zipWithIndex
+        .filterNot { case (_, i) => cutSet((id, i)) }.map(_._1)
+      (id, keptToks.mkString(" "), ts.length,
+        (ts.length - keptToks.length).toLong)
+    }.toSet
+    val got = Dedup.cutDuplicatedSpans(corpus.toDF("doc_id", "text"),
+        "text", "doc_id", k)
+      .as[(Long, String, Int, Long)].collect().toSet
+    assert(got == naive && naive.exists(_._4 > 0))
+  }
+
   test("semanticDedup drops the within-cell near-copy, keeps originals") {
     // 1↦copy of 0 (same cell, cos=1) → removed_by 0; 2 is the antipode
     // (different cell, cos=-1 anyway); 3 orthogonal-ish → kept
