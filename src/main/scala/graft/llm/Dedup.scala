@@ -622,19 +622,42 @@ object Dedup {
     * tokens pass through unchanged, a fully-duplicated non-keeper doc
     * comes back EMPTY with its cut count rather than vanishing.
     *
-    * Scale shape: keeper election is ONE shuffle on the window key
-    * (count + row_number share the partition); every duplicated window
-    * then explodes into k narrow (doc_id, tp, keeper-flag) rows and
-    * the keeper veto is a single `max(keeper)` aggregate per position
-    * — one pass over the election output, no self-anti-join (a
-    * two-branch formulation would recompute the whole election chain
-    * per branch); the token cut is a left-anti equi-join.
-    * Reassembly is one per-doc group bounded by a single document's
-    * token count — the [[dedupLinesAcrossDocs]] max-doc-size contract
-    * (pre-split pathological documents with the chunking operator
-    * first). `byFingerprint = true` keys election by xxhash64(window)
-    * for 8-byte shuffle keys at corpus scale, same contract as
-    * [[duplicatedSpans]]. */
+    * Scale shape: the (doc_id, pos, key) window table is computed ONCE
+    * behind a staged parquet boundary (tokenize + window-explode is
+    * the expensive CPU; election and mark-join both consume it — an
+    * unstaged self-join recomputes that pipeline per branch). Keeper
+    * election is a codegen HashAggregate — `count` plus the
+    * (doc_id, pos) pair packed order-isomorphically into ONE
+    * decimal(38,0) so `min` stays in the fast hash path (min(struct)
+    * plans as SortAggregate, re-sorting the full window table on both
+    * aggregation sides) — with map-side partial aggregation collapsing
+    * duplicate windows before the wire. The mark-join back to the
+    * window table is an equi-join whose buffered side holds ONE row
+    * per duplicated key, so a corpus-scale hot window (boilerplate
+    * 8-grams occurring 10^8 times) streams through sort-merge instead
+    * of buffering one WindowExec partition — the reason election is
+    * not a window function. Marked windows then aggregate into one
+    * compact per-doc list of SIGNED INTS (pos+1 keeper, -(pos+1) cut;
+    * a struct(pos, keeper) encoding was measured GC-bound — boxed
+    * rows in the collect_list merge dominated the whole operator),
+    * join the token arrays 1:1, and a linear difference-array sweep
+    * (O(tokens + windows) per doc, one invocation per doc) applies
+    * the keeper veto and reassembles the text — the document's text
+    * bytes cross the network exactly once, as an array. Measured at a
+    * 16×-verbatim sf0.1 corpus (local[32], min of 3): 8-12 s vs ~90 s
+    * for a position-exploded formulation (coverage explode ×k,
+    * per-position veto aggregate, token anti-join, collect+sort
+    * reassembly — every token shuffled as its own row, twice), and
+    * near-linear vs the 2.5 s 1× run. The sweep is a Scala UDF:
+    * per-DOC invocation outside any hot per-row loop, with interval
+    * arithmetic no built-in expresses linearly (an
+    * `exists`-over-windows HOF is O(tokens·windows) per doc) — the
+    * SURVEY §2.8 carve-out. Per-doc state is bounded by a single
+    * document's token count, the [[dedupLinesAcrossDocs]]
+    * max-doc-size contract (pre-split pathological documents with the
+    * chunking operator first). `byFingerprint = true` keys election
+    * by xxhash64(window) for 8-byte shuffle keys at corpus scale,
+    * same contract as [[duplicatedSpans]]. */
   def cutDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
                          k: Int = 8,
                          byFingerprint: Boolean = false): DataFrame = {
@@ -645,41 +668,66 @@ object Dedup {
     val winArr = transform(
       sequence(lit(1), size(col("toks")) - (k - 1)),
       i => concat_ws(" ", slice(col("toks"), i, lit(k))))
-    val wins = docs.filter(size(col("toks")) >= k)
+    val wins = staged(docs.filter(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(winArr).as(Seq("pos", "win")))
       .withColumn("key",
         if (byFingerprint) xxhash64(col("win")) else col("win"))
-      .select("doc_id", "pos", "key")
-    val byKey = org.apache.spark.sql.expressions.Window.partitionBy("key")
-    val marked = wins
-      .withColumn("occ", count(lit(1)).over(byKey))
-      .withColumn("rn",
-        row_number().over(byKey.orderBy("doc_id", "pos")))
+      .select("doc_id", "pos", "key"), "cutspans")
+    // (doc_id, pos) election pair packed into one decimal(38,0):
+    // doc_id·2^32 + pos is order-isomorphic to the lexicographic pair
+    // for 0 <= pos < 2^32 (any doc_id sign), and min(decimal) runs in
+    // codegen HashAggregate — min(struct(..)) plans as SortAggregate,
+    // which re-SORTS the full window table on both aggregation sides
+    val ew = col("doc_id").cast("decimal(38,0)") *
+      lit(4294967296L) + col("pos")
+    val keepers = wins.groupBy("key")
+      .agg(count(lit(1)).as("occ"), min(ew).as("kw"))
       .filter(col("occ") > 1)
-    val cut = marked
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"),
-        (col("rn") === 1).as("keeper"))
-      .groupBy("doc_id", "tp")
-      .agg(max(col("keeper")).as("__any_keeper"))
-      .filter(!col("__any_keeper"))
-      .select("doc_id", "tp")
-    val kept = docs
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("tp", "tok")))
-      .join(cut, Seq("doc_id", "tp"), "left_anti")
+      .select("key", "kw")
+    // each marked window is ONE signed int — pos+1 for the keeper
+    // occurrence, -(pos+1) for a cut occurrence — so the per-doc
+    // collect and the sweep stay on primitive ints (a struct(pos,
+    // keeper) encoding was measured GC-bound: millions of boxed
+    // Row/struct objects in the collect_list merge and the UDF input)
+    val winLists = wins.join(keepers, Seq("key"))
       .groupBy("doc_id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("tp"), col("tok")))),
-          _.getField("tok")), " ").as("clean_text"),
-        count(lit(1)).as("__n_kept"))
-    docs.select(col("doc_id"), size(col("toks")).as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left_outer")
+      .agg(collect_list(
+        when(ew === col("kw"), col("pos") + 1)
+          .otherwise(-(col("pos") + 1))).as("__wins"))
+    // difference-array sweep: +1/-1 at each window's edges, token i is
+    // cut iff covered by a cut window and by no keeper window
+    val sweep = udf { (ts: Seq[String], ws: Seq[Int]) =>
+      val n = ts.length
+      if (ws == null || ws.isEmpty) (ts.mkString(" "), n, 0L)
+      else {
+        val cutD = new Array[Int](n + 1)
+        val keepD = new Array[Int](n + 1)
+        ws.foreach { w =>
+          val d = if (w > 0) keepD else cutD
+          val p = math.abs(w) - 1
+          d(p) += 1; d(p + k) -= 1
+        }
+        val sb = new StringBuilder
+        var c = 0; var kd = 0; var cut = 0L; var first = true; var i = 0
+        while (i < n) {
+          c += cutD(i); kd += keepD(i)
+          if (c > 0 && kd == 0) cut += 1
+          else {
+            if (!first) sb.append(' ')
+            sb.append(ts(i)); first = false
+          }
+          i += 1
+        }
+        (sb.toString, n, cut)
+      }
+    }
+    docs.join(winLists, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_tokens"),
-        (col("n_tokens").cast("long") -
-          coalesce(col("__n_kept"), lit(0L))).as("n_cut"))
+        sweep(col("toks"), col("__wins")).as("__r"))
+      .select(col("doc_id"),
+        col("__r._1").as("clean_text"),
+        col("__r._2").as("n_tokens"),
+        col("__r._3").as("n_cut"))
   }
 
   /** Cross-document duplicated SENTENCES (boilerplate detection at the
