@@ -47,14 +47,30 @@ object Aggregators {
   }
 
 
+  /** Raw native string extremes — ObjectHashAggregate instead of the
+    * SortAggregate the built-in Min/Max force on StringType (which
+    * full-sorts the input on both aggregation sides just to keep one
+    * extreme per group; see NativeAggs.StrExtremumAgg). Same binary
+    * UTF-8 ordering and null-skipping as the built-ins. */
+  def strMaxRaw(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(StrExtremumAgg(GraftBridge.expression(c),
+      isMax = true).toAggregateExpression())
+  }
+  def strMinRaw(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(StrExtremumAgg(GraftBridge.expression(c),
+      isMax = false).toAggregateExpression())
+  }
+
   /** `str-max` / `str-min` (trgx.clj:63-69): lexicographic extremes
-    * skipping null and the "null" sentinel — built-ins suffice once the
-    * sentinel is normalized (ONE normalization, `convertNull`, so the
+    * skipping null and the "null" sentinel — the native extremum over
+    * the normalized column (ONE normalization, `convertNull`, so the
     * sentinel contract cannot drift between call sites). */
   def strMax(c: Column): Column =
-    max(graft.functions.Functions.convertNull(c))
+    strMaxRaw(graft.functions.Functions.convertNull(c))
   def strMin(c: Column): Column =
-    min(graft.functions.Functions.convertNull(c))
+    strMinRaw(graft.functions.Functions.convertNull(c))
 
   /** `merge-with union` of two map-of-array columns (snapshot self-join
     * merge, model/d_bolome_order_show_debut.clj:89) — pure Catalyst

@@ -238,6 +238,88 @@ case class CollectKvsAgg(keyExpr: Expression, valExpr: Expression,
     copy(keyExpr = c(0), valExpr = c(1))
 }
 
+/** String min/max as a native TypedImperativeAggregate.
+  *
+  * Spark's built-in `Min`/`Max` over StringType cannot use
+  * HashAggregateExec (a string is not a mutable aggregation-buffer
+  * field), so every `groupBy(k).agg(min(strCol))` plans as
+  * SortAggregate — a full per-partition SORT of the input on BOTH the
+  * partial and final sides. At corpus scale that is a sort of every
+  * row just to keep one extreme per group. This form plans as
+  * ObjectHashAggregate: hash-keyed groups, one retained UTF8String per
+  * group, partials shipped as the raw bytes. Comparison is
+  * UTF8String.compare — binary UTF-8 byte order, identical to the
+  * built-in Min/Max string ordering and to DuckDB's default collation
+  * (the [[CollectKvsAgg]] contract). Nulls are skipped like the
+  * built-ins; an all-null group evaluates to null. The retained value
+  * is `clone()`d on update: the input UTF8String aliases the reused
+  * unsafe-row buffer and would be silently overwritten by the next
+  * row otherwise. */
+case class StrExtremumAgg(child: Expression, isMax: Boolean,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[StrExtremumAgg.Buf]
+  with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = if (isMax) "str_max" else "str_min"
+
+  override def createAggregationBuffer(): StrExtremumAgg.Buf =
+    new StrExtremumAgg.Buf
+
+  private def better(cur: UTF8String, cand: UTF8String): Boolean =
+    if (cur == null) true
+    else if (isMax) cand.compareTo(cur) > 0
+    else cand.compareTo(cur) < 0
+
+  override def update(b: StrExtremumAgg.Buf, row: InternalRow):
+      StrExtremumAgg.Buf = {
+    val v = child.eval(row).asInstanceOf[UTF8String]
+    if (v != null && better(b.v, v)) b.v = v.clone()
+    b
+  }
+
+  override def merge(a: StrExtremumAgg.Buf, b: StrExtremumAgg.Buf):
+      StrExtremumAgg.Buf = {
+    if (b.v != null && better(a.v, b.v)) a.v = b.v
+    a
+  }
+
+  override def eval(b: StrExtremumAgg.Buf): Any = b.v
+
+  override def serialize(b: StrExtremumAgg.Buf): Array[Byte] =
+    if (b.v == null) Array.emptyByteArray
+    else {
+      val s = b.v.getBytes
+      val out = new Array[Byte](s.length + 1)
+      out(0) = 1
+      System.arraycopy(s, 0, out, 1, s.length)
+      out
+    }
+
+  override def deserialize(bytes: Array[Byte]): StrExtremumAgg.Buf = {
+    val b = new StrExtremumAgg.Buf
+    if (bytes.nonEmpty)
+      b.v = UTF8String.fromBytes(bytes, 1, bytes.length - 1)
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): StrExtremumAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): StrExtremumAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): StrExtremumAgg = copy(child = c(0))
+}
+
+object StrExtremumAgg {
+  /** Mutable single-value holder; null = no non-null input seen. */
+  final class Buf { var v: UTF8String = null }
+}
+
 /** `tr-dimension-metrics` as a native TypedImperativeAggregate
   * (trgx.clj:72-79): fold (dimension-path, metric-map) rows into the
   * canonical pair-tree JSON. Buffer is `{path → metrics}` keyed by the

@@ -482,11 +482,16 @@ object Dedup {
     */
   def crossDocDuplicates(idUnit: DataFrame, outCol: String): DataFrame = {
     val units = idUnit.withColumn("fp", xxhash64(col("u")))
-    val agg = units.select("fp", "id").groupBy("fp")
-      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("first_doc"))
+    // ONE groupBy for count, first-doc AND the representative unit
+    // string: the built-in min(string) would force SortAggregate
+    // (full per-partition sort of every unit, both aggregation
+    // sides) and historically lived in a second groupBy + re-join;
+    // the native extremum keeps the whole thing a single
+    // ObjectHashAggregate pass over the units
+    units.groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("first_doc"),
+           graft.agg.Aggregators.strMinRaw(col("u")).as(outCol))
       .filter(col("n_docs") >= 2)
-    val rep = units.groupBy("fp").agg(min(col("u")).as(outCol))
-    rep.join(agg, Seq("fp"))
       .select(outCol, "n_docs", "first_doc")
   }
 
@@ -505,22 +510,36 @@ object Dedup {
     * the largest task is sized by the largest single document — a
     * pathological multi-GB document must be pre-split upstream (the
     * chunking operator) before this runs; no corpus-size term enters
-    * any task's memory. Returns (id, text, n_removed).
+    * any task's memory. Requires a NUMERIC id column (the keeper
+    * election packs (id, idx) into one decimal so it stays in codegen
+    * HashAggregate — see the in-body note). Returns
+    * (id, text, n_removed).
     */
   def dedupLinesAcrossDocs(df: DataFrame, textCol: String,
                            idCol: String): DataFrame = {
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$idCol must be a numeric id column (packed keeper election), " +
+        s"got ${df.schema(idCol).dataType}")
     val lines = df
       .select(col(idCol).as("id"),
         posexplode(split(coalesce(col(textCol), lit("")), "\n"))
           .as(Seq("idx", "line")))
       .withColumn("fp",
         when(length(trim(col("line"))) > 0, xxhash64(trim(col("line")))))
+    // (id, idx) keeper pair packed into one decimal(38,0) —
+    // order-isomorphic to the lexicographic pair (0 <= idx < 2^32) and
+    // min(decimal) stays in codegen HashAggregate, where min(struct)
+    // plans SortAggregate: a full per-partition sort of every line in
+    // the corpus on both aggregation sides (requires a numeric id,
+    // checked in the caller-facing require below)
+    val ew = col("id").cast("decimal(38,0)") * lit(4294967296L) +
+      col("idx")
     val winners = lines.filter(col("fp").isNotNull)
       .groupBy("fp")
-      .agg(min(struct(col("id"), col("idx"))).as("w"))
+      .agg(min(ew).as("w"))
     val kept = lines.join(winners, Seq("fp"), "left_outer")
-      .filter(col("fp").isNull ||
-        (col("w.id") === col("id") && col("w.idx") === col("idx")))
+      .filter(col("fp").isNull || ew === col("w"))
     // per-doc line totals come from the UN-exploded input (one row per
     // doc, no shuffle of per-line rows just to count them)
     val counts = df.select(col(idCol).as("id"),
@@ -662,6 +681,10 @@ object Dedup {
                          k: Int = 8,
                          byFingerprint: Boolean = false): DataFrame = {
     require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$idCol must be a numeric id column (packed keeper election), " +
+        s"got ${df.schema(idCol).dataType}")
     val toks = split(TextAnalysis.normalizeText(
       coalesce(col(textCol), lit(""))), " ")
     val docs = df.select(col(idCol).as("doc_id"), toks.as("toks"))

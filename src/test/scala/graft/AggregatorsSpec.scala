@@ -111,6 +111,35 @@ class AggregatorsSpec extends AnyFunSuite {
     assert((out._2, out._3) == ("b", "a"))
   }
 
+  test("native strMaxRaw/strMinRaw match built-in min/max bit-for-bit " +
+      "and plan ObjectHashAggregate, not SortAggregate") {
+    val rnd = new scala.util.Random(7)
+    // nulls, empties, ASCII, CJK and a supplementary-plane codepoint
+    // (UTF-8 byte order vs UTF-16 code-unit order diverge there)
+    val pool = Seq(null, "", "a", "ab", "z", "中文",
+      new String(Character.toChars(0x1F600)), "�", "0", "~")
+    val rows = (1 to 400).map(i =>
+      (s"g${i % 13}", pool(rnd.nextInt(pool.size))))
+    val df = rows.toDF("g", "v").repartition(7)
+    val got = df.groupBy("g")
+      .agg(Aggregators.strMaxRaw($"v").as("mx"),
+           Aggregators.strMinRaw($"v").as("mn"))
+    val want = df.groupBy("g")
+      .agg(max($"v").as("mx"), min($"v").as("mn"))
+    assert(got.orderBy("g").collect().toSeq ==
+      want.orderBy("g").collect().toSeq)
+    // all-null group evaluates to null like the built-ins
+    val allNull = Seq(("g", null: String), ("g", null: String))
+      .toDF("g", "v")
+      .groupBy("g").agg(Aggregators.strMaxRaw($"v").as("mx"))
+      .as[(String, Option[String])].head()
+    assert(allNull._2.isEmpty)
+    val nodes = TestSpark.planNodes(
+      got.queryExecution.executedPlan).map(_.nodeName)
+    assert(nodes.exists(_.contains("ObjectHashAggregate")), nodes)
+    assert(!nodes.exists(_.contains("SortAggregate")), nodes)
+  }
+
   test("mapSetUnion merges map-of-set columns (merge-with union)") {
     val df = Seq((Map("a" -> Seq("1"), "b" -> Seq("2")),
                   Map("a" -> Seq("3", "1"), "c" -> Seq("4"))))

@@ -111,20 +111,23 @@ class PlanSpec extends AnyFunSuite {
     assert(prod.isEmpty, prod.mkString("\n"))
   }
 
-  test("passage_dedup: counting shuffle is narrow and the final fp join " +
-       "adds no third exchange") {
+  test("passage_dedup: ONE fp shuffle (count + first-doc + native " +
+       "representative in a single ObjectHashAggregate), no join, no " +
+       "SortAggregate") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val ns = allNodes("passage_dedup")
     val exchanges = ns.collect { case e: ShuffleExchangeExec => e }
-    // 1 narrow (fp, id) count shuffle + 1 map-side-reduced (fp,
-    // passage) representative shuffle + the orderBy range exchange —
-    // the rep⋈agg join itself reuses the aggs' fp partitioning
+    // one (fp, id, u) aggregation shuffle — map-side partials collapse
+    // duplicate units before the wire — plus the orderBy range
+    // exchange; the historical second groupBy + rep⋈agg join is gone
+    // (native str_min rides the same ObjectHashAggregate)
     val nonRange = exchanges
       .filter(!_.outputPartitioning.toString.contains("range"))
-    assert(nonRange.size == 2, exchanges.mkString("\n"))
-    val countSide = nonRange.filter(_.child.output.exists(_.name == "id"))
-    assert(countSide.forall(!_.child.output.exists(_.name == "passage")),
-      "the counting shuffle carries passage text")
+    assert(nonRange.size == 1, exchanges.mkString("\n"))
+    assert(!ns.exists(_.nodeName.contains("Join")),
+      "the single-aggregate shape needs no join")
+    assert(!ns.exists(_.nodeName.contains("SortAggregate")),
+      "min(string)/min(struct) must not force SortAggregate")
   }
 
   test("corpus_mix joins rates by broadcast: the corpus never shuffles") {
