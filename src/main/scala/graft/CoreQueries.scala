@@ -564,7 +564,9 @@ object CoreQueries {
         SELECT st,
                array_join(transform(array_sort(map_entries(
                  graft_collect_kv(mo, CAST(cnt AS STRING)))),
-                 e -> concat(e.key, '=', e.value)), ',') AS dt_kv
+                 e -> concat(e.key, '=', e.value)), ',') AS dt_kv,
+               graft_str_min(mo) AS mn_mo,
+               graft_str_max(mo) AS mx_mo
         FROM m GROUP BY st ORDER BY st""")
     }),
 
@@ -1155,7 +1157,8 @@ object CoreQueries {
              count(*) AS cnt
            FROM orders GROUP BY 1, 2)
          SELECT st, string_agg(mo || '=' || cnt, ',' ORDER BY mo)
-           AS dt_kv
+           AS dt_kv,
+           min(mo) AS mn_mo, max(mo) AS mx_mo
          FROM m GROUP BY st ORDER BY st""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

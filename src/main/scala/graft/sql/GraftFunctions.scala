@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Explode, Expression, Expressio
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, OneRowRelation}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.agg.{CollectKvAgg, TrDimensionMetricsAgg}
+import graft.agg.{CollectKvAgg, StrExtremumAgg, TrDimensionMetricsAgg}
 import graft.functions.{DotProduct, MinHashSig, NormalizeNFC, SimHash64}
 
 /** SQL surface for graft's native Catalyst expressions and aggregates —
@@ -32,6 +32,10 @@ import graft.functions.{DotProduct, MinHashSig, NormalizeNFC, SimHash64}
   *    aggregate (reference trgx.clj:45; NativeAggs.scala)
   *  - `graft_tr_dimension_metrics(dims, metrics)` → pair-tree JSON
   *    aggregate (reference trgx.clj:72-79; NativeAggs.scala)
+  *  - `graft_str_max(s)` / `graft_str_min(s)` → STRING extremum
+  *    aggregates that plan as ObjectHashAggregate instead of the
+  *    SortAggregate built-in min/max force on strings
+  *    (NativeAggs.scala)
   */
 object GraftFunctions {
 
@@ -98,6 +102,22 @@ object GraftFunctions {
         case Seq(d, m) => TrDimensionMetricsAgg(d, m)
         case other =>
           arityError("graft_tr_dimension_metrics", "2 arguments", other)
+      }),
+    (FunctionIdentifier("graft_str_max"),
+      info("graft_str_max", classOf[StrExtremumAgg],
+        "graft_str_max(s) - string maximum aggregate in binary UTF-8 " +
+          "order; ObjectHashAggregate, no per-partition sort"),
+      {
+        case Seq(e) => StrExtremumAgg(e, isMax = true)
+        case other  => arityError("graft_str_max", "1 argument", other)
+      }),
+    (FunctionIdentifier("graft_str_min"),
+      info("graft_str_min", classOf[StrExtremumAgg],
+        "graft_str_min(s) - string minimum aggregate in binary UTF-8 " +
+          "order; ObjectHashAggregate, no per-partition sort"),
+      {
+        case Seq(e) => StrExtremumAgg(e, isMax = false)
+        case other  => arityError("graft_str_min", "1 argument", other)
       }))
 
   /** Table functions (§2.9 UDTF surface): `graft_shingles(text)` —

@@ -135,6 +135,23 @@ class ExtensionsSpec extends AnyFunSuite {
       viaCol.orderBy("grp").collect().toSeq)
   }
 
+  test("graft_str_max/graft_str_min via SQL equal the Column-API " +
+      "raw extrema and the built-in max/min") {
+    fixture()
+    val viaSql = spark.sql(
+      """SELECT grp, graft_str_max(txt) AS mx, graft_str_min(txt) AS mn
+         FROM ext_docs GROUP BY grp""")
+    val viaCol = spark.table("ext_docs").groupBy("grp")
+      .agg(Aggregators.strMaxRaw(col("txt")).as("mx"),
+           Aggregators.strMinRaw(col("txt")).as("mn"))
+    val builtin = spark.table("ext_docs").groupBy("grp")
+      .agg(max(col("txt")).as("mx"), min(col("txt")).as("mn"))
+    assert(viaSql.orderBy("grp").collect().toSeq ===
+      viaCol.orderBy("grp").collect().toSeq)
+    assert(viaSql.orderBy("grp").collect().toSeq ===
+      builtin.orderBy("grp").collect().toSeq)
+  }
+
   test("graft_tr_dimension_metrics via SQL equals the Column-API aggregate") {
     fixture()
     val dims = array(lit("seg"), col("grp"))
