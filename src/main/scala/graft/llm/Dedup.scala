@@ -18,6 +18,21 @@ import TextAnalysis._
   */
 object Dedup {
 
+  /** The packed keeper elections (cut-pass, line dedup) encode
+    * (id, position) as id·2^32 + position in one decimal(38,0); the id
+    * must be an INTEGRAL type — a fractional id (double, scaled
+    * decimal) would silently truncate under the decimal cast and
+    * collapse distinct ids onto one packed key, corrupting the
+    * election rather than failing. */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+      s"$idCol must be an integral id column (packed keeper " +
+        s"election), got $dt")
+  }
+
   /** Staging boundary for multiply-scanned intermediates — see
     * [[graft.core.Tables.staged]] for the lifetime contract (no cache
     * entry survives the call, the directory is deleted by the
@@ -517,10 +532,7 @@ object Dedup {
     */
   def dedupLinesAcrossDocs(df: DataFrame, textCol: String,
                            idCol: String): DataFrame = {
-    require(df.schema(idCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"$idCol must be a numeric id column (packed keeper election), " +
-        s"got ${df.schema(idCol).dataType}")
+    requireIntegralId(df, idCol)
     val lines = df
       .select(col(idCol).as("id"),
         posexplode(split(coalesce(col(textCol), lit("")), "\n"))
@@ -681,10 +693,7 @@ object Dedup {
                          k: Int = 8,
                          byFingerprint: Boolean = false): DataFrame = {
     require(k >= 2, s"window size must be >= 2 tokens, got $k")
-    require(df.schema(idCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"$idCol must be a numeric id column (packed keeper election), " +
-        s"got ${df.schema(idCol).dataType}")
+    requireIntegralId(df, idCol)
     val toks = split(TextAnalysis.normalizeText(
       coalesce(col(textCol), lit(""))), " ")
     val docs = df.select(col(idCol).as("doc_id"), toks.as("toks"))
