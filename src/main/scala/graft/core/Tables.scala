@@ -16,17 +16,35 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and convert to microsecond
-    * timestamps (day/second-grain queries are unaffected). */
+  /** events.parquet's `ts` physical encoding has varied across testdata
+    * generations — TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects outright) and plain timestamp[us] have both been observed —
+    * so adapt to whatever the footer says instead of assuming one:
+    *   - LongType: the legacy nanosAsLong escape hatch fired, so the file
+    *     was nanos; convert epoch-nanos → microsecond timestamps
+    *     (day/second-grain queries are unaffected by the truncation).
+    *   - TimestampType: already the session type; pass through.
+    *   - TimestampNTZType (timestamp[us], isAdjustedToUTC=false): cast to
+    *     the session TimestampType. All harness sessions run with
+    *     spark.sql.session.timeZone=UTC, so the cast is a value identity
+    *     and stays hash-compatible with the DuckDB oracle's naive read. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(nanosKey).contains("true"))
       spark.conf.set(nanosKey, "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.parquet ts has unsupported type $other " +
+          "(expected int64-nanos, timestamp, or timestamp_ntz)")
+    }
   }
 
   /** Scratch directory for queries that materialize intermediate
