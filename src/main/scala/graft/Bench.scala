@@ -16,12 +16,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+    // A failing query must be visibly RED in the artifact, not a phantom
+    // sub-second timing row (round 6: twelve analysis-time failures
+    // benched as ~0.05 s and the totals silently included them). Failed
+    // queries land in `failed`, are excluded from every timing map, and
+    // None propagates so warm passes skip them.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    def time(name: String, fn: (SparkSession, String) => DataFrame)
+        : Option[Double] = {
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          failed.getOrElseUpdate(name,
+            s"${e.getClass.getName}: ${e.getMessage}".take(400))
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop cached tables the query persisted so runs stay independent
       // (accumulated cache + block-manager state was measured to slow
@@ -29,7 +40,7 @@ object Bench {
       // dirs the query's operators materialized
       spark.catalog.clearCache()
       graft.core.Tables.clearStaged()
-      dt
+      if (ok) Some(dt) else None
     }
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -49,19 +60,25 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt
     require(warmPasses >= 1,
       s"SPARK_GRAFT_WARM_PASSES must be >= 1, got $warmPasses")
-    val cold = sorted.map { case (name, fn) =>
-      val dt = time(name, fn)
-      System.err.println(f"[bench] cold $name%-28s $dt%8.2f s")
-      name -> dt
-    }
-    val warmRuns = sorted.map { case (name, fn) =>
-      val ds = (1 to warmPasses).map { i =>
-        val dt = time(name, fn)
-        System.err.println(f"[bench] warm#$i $name%-26s $dt%8.2f s")
-        dt
+    val cold = sorted.flatMap { case (name, fn) =>
+      time(name, fn).map { dt =>
+        System.err.println(f"[bench] cold $name%-28s $dt%8.2f s")
+        name -> dt
       }
-      name -> ds
     }
+    val warmRuns = sorted
+      .filter { case (name, _) => !failed.contains(name) }
+      .flatMap { case (name, fn) =>
+        val ds = (1 to warmPasses).flatMap { i =>
+          time(name, fn).map { dt =>
+            System.err.println(f"[bench] warm#$i $name%-26s $dt%8.2f s")
+            dt
+          }
+        }
+        // a query that failed mid-warm is dropped from timing entirely
+        // (it is already recorded in `failed`)
+        if (ds.size == warmPasses) Some(name -> ds) else None
+      }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
@@ -69,13 +86,23 @@ object Bench {
     }
     val warm = warmRuns.map { case (n, ds) => n -> median(ds) }
     val warmMin = warmRuns.map { case (n, ds) => n -> ds.min }
+    // per-query noise indicator: max/min over the warm passes. r5 vs r6
+    // moved 37% in total warm on byte-identical code, so the artifact
+    // itself must carry enough spread data to tell noise from
+    // regression without diffing raw passes across rounds.
+    val warmSpread = warmRuns.map { case (n, ds) =>
+      n -> (if (ds.min > 0) ds.max / ds.min else 1.0)
+    }
     // flag residual anomalies loudly instead of leaving them to the
     // next round's diff: a MEDIAN warm slower than 1.2x cold is a real
     // signal (plan re-derivation cost or a caching assumption), not
     // single-pass noise
-    cold.zip(warm).foreach { case ((n, c), (_, w)) =>
-      if (w > 1.2 * c)
-        System.err.println(f"[bench] WARN warm median > 1.2x cold: $n ($c%.2f cold, $w%.2f warm)")
+    val warmByName = warm.toMap
+    cold.foreach { case (n, c) =>
+      warmByName.get(n).foreach { w =>
+        if (w > 1.2 * c)
+          System.err.println(f"[bench] WARN warm median > 1.2x cold: $n ($c%.2f cold, $w%.2f warm)")
+      }
     }
     def js(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -85,7 +112,21 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = cold.map(_._2).sum
     val totalWarm = warm.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"total_warm":$totalWarm,"sf":"$sfDir"}"""
+    def jsStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val failedJson = failed
+      .map { case (k, v) => s"${jsStr(k)}:${jsStr(v)}" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"warm_spread":${js(warmSpread)},"failed":$failedJson,"total_warm":$totalWarm,"sf":"$sfDir"}"""
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[bench] ${failed.size} queries FAILED (excluded from timings): " +
+          failed.keys.mkString(", "))
     println(line)
     // the driver preserves only a short stdout tail (round 3 lost the
     // per-query cold map to truncation) — mirror the full JSON into the

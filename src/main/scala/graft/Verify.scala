@@ -21,11 +21,21 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Failures must be LOUD in the artifact, not just stderr: in round 6
+    // twelve queries threw at analysis time and the only artifact signal
+    // was their ABSENCE from CORRECTNESS (the driver records no row for a
+    // query with no parquet dump). verify_errors.json makes a failing
+    // query impossible to miss next to oracle_sql.json.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // first line(s) only — a full Spark stack trace per failure would
+        // bloat the artifact without adding diagnostic value
+        val msg = s"${e.getClass.getName}: ${e.getMessage}".take(400)
+        errors(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
       }
       // reap per-query staging dirs so a full-gate run stays bounded
       graft.core.Tables.clearStaged()
@@ -45,6 +55,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // summary stays on stderr; rc stays 0 so the driver still records
+    // the queries that DID pass (a nonzero rc could void the whole run)
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size}/${selected.size} queries FAILED: " +
+          errors.keys.mkString(", "))
     spark.stop()
   }
 }
