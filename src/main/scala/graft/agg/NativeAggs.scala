@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.types._
@@ -254,12 +254,20 @@ case class CollectKvsAgg(keyExpr: Expression, valExpr: Expression,
   * built-ins; an all-null group evaluates to null. The retained value
   * is `clone()`d on update: the input UTF8String aliases the reused
   * unsafe-row buffer and would be silently overwritten by the next
-  * row otherwise. */
+  * row otherwise.
+  *
+  * Input typing is [[ExpectsInputTypes]], deliberately NOT
+  * ImplicitCastInputTypes: with the implicit cast, `graft_str_max` over
+  * a numeric column would silently coerce and return the LEXICOGRAPHIC
+  * extremum ('9' > '10') — a wrong answer masquerading as a result.
+  * A non-string argument now fails at analysis time; callers who want
+  * lexicographic semantics over numbers can say so with an explicit
+  * cast. */
 case class StrExtremumAgg(child: Expression, isMax: Boolean,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[StrExtremumAgg.Buf]
-  with ImplicitCastInputTypes {
+  with ExpectsInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes: Seq[DataType] = Seq(StringType)

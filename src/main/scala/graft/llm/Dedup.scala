@@ -18,19 +18,27 @@ import TextAnalysis._
   */
 object Dedup {
 
-  /** The packed keeper elections (cut-pass, line dedup) encode
-    * (id, position) as id·2^32 + position in one decimal(38,0); the id
-    * must be an INTEGRAL type — a fractional id (double, scaled
-    * decimal) would silently truncate under the decimal cast and
-    * collapse distinct ids onto one packed key, corrupting the
-    * election rather than failing. */
-  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+  /** Keeper-election key for the cut-pass / line-dedup winners.
+    *
+    * INTEGRAL ids take the fast path: (id, position) packed as
+    * id·2^32 + position in one decimal(38,0) — order-isomorphic to the
+    * lexicographic pair for 0 <= position < 2^32, and `min(decimal)`
+    * stays in codegen HashAggregate. Any other id type (string, uuid,
+    * fractional/scaled decimal — where the decimal cast would silently
+    * truncate and collapse distinct ids onto one packed key) falls back
+    * to `min(struct(id, position))`: same lexicographic election,
+    * correct for every orderable type, at the cost of SortAggregate.
+    * The round-4 contract (string/decimal-keyed corpora dedup fine) is
+    * restored; integral-keyed corpora — the common case at scale —
+    * keep the measured hash-path plan. */
+  private def electionKey(df: DataFrame, idCol: String,
+      id: Column, pos: Column): Column = {
     import org.apache.spark.sql.types._
-    val dt = df.schema(idCol).dataType
-    require(dt == ByteType || dt == ShortType || dt == IntegerType ||
-        dt == LongType,
-      s"$idCol must be an integral id column (packed keeper " +
-        s"election), got $dt")
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        id.cast("decimal(38,0)") * lit(4294967296L) + pos
+      case _ => struct(id, pos)
+    }
   }
 
   /** Staging boundary for multiply-scanned intermediates — see
@@ -525,28 +533,23 @@ object Dedup {
     * the largest task is sized by the largest single document — a
     * pathological multi-GB document must be pre-split upstream (the
     * chunking operator) before this runs; no corpus-size term enters
-    * any task's memory. Requires a NUMERIC id column (the keeper
-    * election packs (id, idx) into one decimal so it stays in codegen
-    * HashAggregate — see the in-body note). Returns
+    * any task's memory. Any orderable id type works: integral ids get
+    * the packed-decimal codegen-HashAggregate election, everything
+    * else the struct fallback — see [[electionKey]]. Returns
     * (id, text, n_removed).
     */
   def dedupLinesAcrossDocs(df: DataFrame, textCol: String,
                            idCol: String): DataFrame = {
-    requireIntegralId(df, idCol)
     val lines = df
       .select(col(idCol).as("id"),
         posexplode(split(coalesce(col(textCol), lit("")), "\n"))
           .as(Seq("idx", "line")))
       .withColumn("fp",
         when(length(trim(col("line"))) > 0, xxhash64(trim(col("line")))))
-    // (id, idx) keeper pair packed into one decimal(38,0) —
-    // order-isomorphic to the lexicographic pair (0 <= idx < 2^32) and
-    // min(decimal) stays in codegen HashAggregate, where min(struct)
-    // plans SortAggregate: a full per-partition sort of every line in
-    // the corpus on both aggregation sides (requires a numeric id,
-    // checked in the caller-facing require below)
-    val ew = col("id").cast("decimal(38,0)") * lit(4294967296L) +
-      col("idx")
+    // (id, idx) keeper pair — packed decimal for integral ids (codegen
+    // HashAggregate), struct fallback for any other id type; see
+    // [[electionKey]]
+    val ew = electionKey(df, idCol, col("id"), col("idx"))
     val winners = lines.filter(col("fp").isNotNull)
       .groupBy("fp")
       .agg(min(ew).as("w"))
@@ -693,7 +696,6 @@ object Dedup {
                          k: Int = 8,
                          byFingerprint: Boolean = false): DataFrame = {
     require(k >= 2, s"window size must be >= 2 tokens, got $k")
-    requireIntegralId(df, idCol)
     val toks = split(TextAnalysis.normalizeText(
       coalesce(col(textCol), lit(""))), " ")
     val docs = df.select(col(idCol).as("doc_id"), toks.as("toks"))
@@ -705,13 +707,10 @@ object Dedup {
       .withColumn("key",
         if (byFingerprint) xxhash64(col("win")) else col("win"))
       .select("doc_id", "pos", "key"), "cutspans")
-    // (doc_id, pos) election pair packed into one decimal(38,0):
-    // doc_id·2^32 + pos is order-isomorphic to the lexicographic pair
-    // for 0 <= pos < 2^32 (any doc_id sign), and min(decimal) runs in
-    // codegen HashAggregate — min(struct(..)) plans as SortAggregate,
-    // which re-SORTS the full window table on both aggregation sides
-    val ew = col("doc_id").cast("decimal(38,0)") *
-      lit(4294967296L) + col("pos")
+    // (doc_id, pos) election pair — packed decimal for integral ids
+    // (codegen HashAggregate), struct fallback otherwise; see
+    // [[electionKey]]
+    val ew = electionKey(df, idCol, col("doc_id"), col("pos"))
     val keepers = wins.groupBy("key")
       .agg(count(lit(1)).as("occ"), min(ew).as("kw"))
       .filter(col("occ") > 1)

@@ -152,6 +152,26 @@ class ExtensionsSpec extends AnyFunSuite {
       builtin.orderBy("grp").collect().toSeq)
   }
 
+  test("graft_str_max over a numeric column fails at analysis time " +
+      "instead of silently returning the lexicographic extremum") {
+    fixture()
+    // '9' > '10' lexicographically — an implicit numeric→string cast
+    // here would be a silently-wrong answer, so the contract is to
+    // reject non-string input outright (ExpectsInputTypes, round-7).
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_str_max(length(txt)) FROM ext_docs").collect()
+    }
+    assert(e.getMessage.contains("DATATYPE_MISMATCH") ||
+      e.getMessage.toLowerCase.contains("type"))
+    // the explicit-cast spelling stays available for callers who do
+    // want lexicographic semantics over numbers
+    val explicitCast = spark.sql(
+      """SELECT graft_str_max(CAST(length(txt) AS STRING)) AS mx
+         FROM ext_docs""").collect().head.getString(0)
+    assert(explicitCast != null)
+  }
+
   test("graft_tr_dimension_metrics via SQL equals the Column-API aggregate") {
     fixture()
     val dims = array(lit("seg"), col("grp"))

@@ -310,6 +310,29 @@ class LlmSpec extends AnyFunSuite {
     assert(fp == got)
   }
 
+  test("cutDuplicatedSpans and dedupLinesAcrossDocs accept STRING doc " +
+       "ids (struct-election fallback, round-4 contract)") {
+    val run = (1 to 8).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      ("d1", s"$run u1 u2"),  // keeper of the t-run ("d1" < "d2")
+      ("d2", s"$run v1 v2"),  // non-keeper: prefix cut
+      ("d4", "short doc")     // < k tokens: untouched
+    ).toDF("doc_id", "text")
+    val cut = Dedup.cutDuplicatedSpans(docs, "text", "doc_id", k = 8)
+      .as[(String, String, Int, Long)].collect().toSet
+    assert(cut == Set(
+      ("d1", s"$run u1 u2", 10, 0L),
+      ("d2", "v1 v2", 10, 8L),
+      ("d4", "short doc", 2, 0L)))
+    val lined = Seq(
+      ("a", "x\ny\nz"),
+      ("b", "y\nq")  // "y" already kept by doc "a" (earlier id)
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesAcrossDocs(lined, "text", "doc_id")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("a", "x\ny\nz", 0L), ("b", "q", 1L)))
+  }
+
   test("cutDuplicatedSpans equals a naive reference on a random corpus") {
     val rnd = new scala.util.Random(11)
     val vocab = Vector("aa", "bb", "cc")

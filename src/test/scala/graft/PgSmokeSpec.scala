@@ -105,12 +105,28 @@ class PgSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "report" -> "TEXT", "rank_no" -> "INT",
     "score_val" -> "NUMERIC(18,3)")
 
+  /** Per-test fixture: (re)create graft_smoke from scratch, optionally
+    * populated. Every test calls this instead of inheriting a previous
+    * test's table — so `-z` single-test runs and mid-suite failures
+    * can't cascade (round-6 advice). */
+  private def freshSmoke(populated: Boolean): Unit = {
+    val stmts = Seq("DROP TABLE IF EXISTS graft_smoke",
+      Jdbc.createTableSql("graft_smoke", reportSpecs)) ++
+      (if (populated) Seq(
+        "INSERT INTO graft_smoke VALUES " +
+          "('2024-01-31','2024-01-31T09:00:00+0800','a','1','3.500')," +
+          "('2024-02-29','2024-02-29T09:00:00+0800','a','2','4.250')," +
+          "(NULL,'2024-03-01T09:00:00+0800','b','3','0.125')")
+      else Nil)
+    val (rc, out) = psql(stmts: _*)
+    assert(rc == 0, s"smoke fixture setup failed: $out")
+  }
+
   test("reference DDL executes; duplicate CREATE raises 42P07 " +
        "(createTableIf's PG already-exists state)") {
     assume(ready, whyNot)
+    freshSmoke(populated = false)
     val ddl = Jdbc.createTableSql("graft_smoke", reportSpecs)
-    val (rc1, out1) = psql(ddl)
-    assert(rc1 == 0, s"reference DDL rejected by PG: $out1")
     val (rc2, out2) = psql(ddl)
     assert(rc2 != 0, "duplicate CREATE TABLE must fail")
     assert(out2.contains("42P07"),
@@ -122,12 +138,7 @@ class PgSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assume(ready, whyNot)
     // every value a quoted string — INT, NUMERIC and CHAR targets all
     // coerce server-side, like unspecified-type driver parameters
-    val (rc, _) = psql(
-      "INSERT INTO graft_smoke VALUES " +
-        "('2024-01-31','2024-01-31T09:00:00+0800','a','1','3.500')," +
-        "('2024-02-29','2024-02-29T09:00:00+0800','a','2','4.250')," +
-        "(NULL,'2024-03-01T09:00:00+0800','b','3','0.125')")
-    assert(rc == 0)
+    freshSmoke(populated = true)
     val (rcQ, outQ) = psql(
       "SELECT sum(score_val), max(rank_no) FROM graft_smoke")
     assert(rcQ == 0)
@@ -138,12 +149,15 @@ class PgSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("deleteRangeSql PREPAREs and executes on PG; null-dt rows " +
        "survive BETWEEN (TableOps.deleteRange's cross-backend contract)") {
     assume(ready, whyNot)
+    freshSmoke(populated = true)
     // ?→$n is exactly the translation the PG wire protocol sees from
     // a driver-prepared statement
     val parts = Jdbc.deleteRangeSql("graft_smoke", "dw_dt",
       Some("report = 'a'")).split("\\?", -1)
     val numbered = parts.head + parts.tail.zipWithIndex
       .map { case (p, i) => s"$$${i + 1}$p" }.mkString
+    // DEALLOCATE-by-recreate: the prepared name is session-scoped and
+    // each psql() call is its own session, so no collision is possible
     val (rc, out) = psql(
       s"PREPARE graft_del AS $numbered",
       "EXECUTE graft_del('2024-01-01','2024-01-31')",
@@ -159,12 +173,15 @@ class PgSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assume(ready, whyNot)
     val schemas = RefCatalog.tables.keys.map(_.split("\\.")(0)).toSeq
       .distinct.sorted
+    // drop-cascade first: CREATE TABLE below is deliberately the plain
+    // (non-IF-EXISTS) form the engine emits, so a rerun would 42P07
+    val drops = schemas.map(s => s"DROP SCHEMA IF EXISTS $s CASCADE")
     val ddls = schemas.map(s => s"CREATE SCHEMA IF NOT EXISTS $s") ++
       RefCatalog.tables.toSeq.sortBy(_._1).map { case (tab, cols) =>
         Jdbc.createTableSql(Jdbc.physical(tab),
           cols.map(c => Jdbc.physical(c) -> "TEXT"))
       }
-    val (rc, out) = psql(ddls: _*)
+    val (rc, out) = psql(drops ++ ddls: _*)
     assert(rc == 0,
       s"a catalog table's DDL was rejected by live PG: $out")
     val (rcQ, outQ) = psql(
