@@ -74,6 +74,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p.take(1500))
   }
 
+  test("integral-id keeper elections (cut-pass, line dedup) stay in " +
+       "HashAggregate — the struct fallback must not leak onto the " +
+       "hot path") {
+    // electionKey branches on the id type: testdata doc_id is LongType,
+    // so both queries must plan the packed-decimal min in codegen
+    // HashAggregate; min(struct) would plan SortAggregate — a full
+    // per-partition sort of the window/line table on BOTH aggregation
+    // sides (the round-5 measured regression this shape was moved off)
+    for (q <- Seq("substring_dedup_rewrite", "text_dedup_lines")) {
+      val p = plan(q)
+      assert(!p.contains("SortAggregate"),
+        s"$q keeper election fell back to SortAggregate:\n${p.take(1500)}")
+    }
+  }
+
   test("corpus_filter is single-pass: one fp shuffle + ordering sort, " +
        "one scan") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
