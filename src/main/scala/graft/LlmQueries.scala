@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.trgx.Trgx
 
 /** LLM training-data pipeline probes (builder-brief north star):
@@ -998,6 +998,25 @@ object LlmQueries {
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok")).limit(50)),
 
+    // real learned-merge BPE subword tokenization (Bpe.scala): train a
+    // 200-merge vocab on the corpus's own word-frequency table, encode
+    // every document distributed over DISTINCT words. The oracle
+    // independently recomputes n_words and n_chars (the word-explosion
+    // pipeline's exact sufficient statistics) and pins three
+    // distributed-wide properties: every word >= 1 subword token,
+    // tokens never exceed characters, and every word's tokens
+    // concatenate back to the word (lossless round-trip).
+    "bpe_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", nMerges = 200)
+      Bpe.encodeStats(docs, "text", "doc_id", merges)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_chars"),
+          (col("n_bpe_tokens") >= col("n_words")).as("ge_words_ok"),
+          (col("n_bpe_tokens") <= col("n_chars")).as("le_chars_ok"),
+          col("roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
+
     // trgx shift-cut: the full mlvar pipeline — build date-keyed order
     // trees (JSON TEXT storage boundary), then windowed feature sums
     "trgx_shift_cut" -> ((s, dir) => {
@@ -1719,6 +1738,16 @@ object LlmQueries {
              trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
              AS tok FROM documents)
          GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50""",
+    "bpe_tokenize" ->
+      """SELECT doc_id,
+           CASE WHEN nrm = '' THEN 0
+                ELSE len(string_split(nrm, ' ')) END AS n_words,
+           CAST(length(replace(nrm, ' ', '')) AS BIGINT) AS n_chars,
+           true AS ge_words_ok, true AS le_chars_ok,
+           true AS roundtrip_ok
+         FROM (SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
+             '\s+', ' ', 'g')) AS nrm FROM documents)
+         ORDER BY doc_id""",
     "trgx_shift_cut" ->
       """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS asof
            FROM orders),

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("learnMerges is deterministic with lexicographic tie-breaks") {
+    // "aaab"×3: pair (a,a) occurs 2×/word → count 6 beats (a,b) count 3.
+    // Round 2: (aa,a) and (a,b) tie at 3 → lexicographic ("a","b") wins.
+    val merges = Bpe.learnMerges(Seq("aaab" -> 3L), nMerges = 5)
+    assert(merges.take(2) == Seq(("a", "a"), ("a", "b")))
+    // exhaustion: once every word is a single symbol, learning stops
+    // early instead of padding to nMerges
+    val tiny = Bpe.learnMerges(Seq("ab" -> 1L), nMerges = 5)
+    assert(tiny == Seq(("a", "b")))
+  }
+
+  test("encodeWord replays merge ranks lowest-first and round-trips") {
+    val ranks = Seq(("a", "a"), ("a", "b")).zipWithIndex.toMap
+    assert(Bpe.encodeWord("aaab", ranks).toSeq == Seq("aa", "ab"))
+    // unseen word decomposes to chars merged only where ranks apply
+    assert(Bpe.encodeWord("baab", ranks).toSeq == Seq("b", "aa", "b"))
+    assert(Bpe.encodeWord("", ranks).isEmpty)
+    // pathological word: single opaque token, round-trip preserved
+    val long = "x" * 1000
+    assert(Bpe.encodeWord(long, ranks).toSeq == Seq(long))
+  }
+
+  test("encodeWord round-trips on random words under corpus-trained merges") {
+    val rnd = new scala.util.Random(7)
+    val vocabChars = "abcde"
+    val corpus = (0 until 200).map { _ =>
+      (0 until (1 + rnd.nextInt(10)))
+        .map(_ => vocabChars(rnd.nextInt(vocabChars.length))).mkString
+    }
+    val freqs = corpus.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+    val ranks = Bpe.learnMerges(freqs, nMerges = 50).zipWithIndex.toMap
+    corpus.distinct.foreach { w =>
+      val toks = Bpe.encodeWord(w, ranks)
+      assert(toks.mkString("") == w, s"round-trip failed for $w")
+      assert(toks.nonEmpty && toks.length <= w.length)
+    }
+  }
+
+  test("encodeStats counts words/chars/tokens per doc; empty docs survive") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the the the"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", nMerges = 20, maxWords = 100)
+    val got = Bpe.encodeStats(df, "text", "doc_id", merges)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .sortBy(_._1).toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 6 && byId(1L)._3 == 17) // 6 words, 17 chars
+    assert(byId(2L)._2 == 3 && byId(2L)._3 == 9)
+    assert(byId(3L) == ((3L, 0L, 0L, 0L, true)))
+    assert(byId(4L) == ((4L, 0L, 0L, 0L, true)))
+    got.foreach { case (id, nw, nc, nb, rt) =>
+      assert(rt, s"doc $id failed round-trip")
+      assert(nb >= nw && nb <= nc || nw == 0, s"doc $id token bounds")
+    }
+    // "the" is the most frequent word → trained to a single token
+    val ranks = merges.zipWithIndex.toMap
+    assert(Bpe.encodeWord("the", ranks).length == 1)
+  }
+}
