@@ -78,6 +78,23 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("packed-decimal election key is order-isomorphic to the " +
+       "(id, pos) pair, any id sign (Dedup.electionKey fast path)") {
+    // the keeper elections rely on id·2^32 + pos in decimal(38,0)
+    // ordering exactly like lexicographic (id, pos) for 0 <= pos < 2^32
+    val pack = (id: Long, pos: Int) =>
+      BigDecimal(id) * BigDecimal(4294967296L) + BigDecimal(pos)
+    val idGen = Gen.chooseNum(Long.MinValue / 8589934592L,
+      Long.MaxValue / 8589934592L)  // keeps packed inside decimal(38,0)
+    val posGen = Gen.chooseNum(0, Int.MaxValue)
+    check("electionPack", Prop.forAll(idGen, posGen, idGen, posGen) {
+      (id1, p1, id2, p2) =>
+        val pairCmp = if (id1 != id2) id1 < id2 else p1 < p2
+        val packCmp = pack(id1, p1) < pack(id2, p2)
+        (id1, p1) == (id2, p2) || pairCmp == packCmp
+    })
+  }
+
   test("MinHashSig kernel: permutation-invariant and monotone under " +
        "set union") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
