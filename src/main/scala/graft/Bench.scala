@@ -13,6 +13,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC is the correctness precondition Tables.events' NTZ cast
+      // documents — without it the events bench queries would time a
+      // DIFFERENT workload (zone-shifted timestamps) than Verify gates
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -110,19 +114,18 @@ object Bench {
       rs.map { case (k, vs) =>
         "\"" + k + "\":" + vs.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-    val total = cold.map(_._2).sum
+    // a query that ran cold but failed during a warm pass landed in
+    // `failed` AFTER its cold row was recorded — drop it here so the
+    // `failed` keys are disjoint from every timing map and the totals
+    // exclude it (the artifact contract)
+    val coldOk = cold.filter { case (n, _) => !failed.contains(n) }
+    val total = coldOk.map(_._2).sum
     val totalWarm = warm.map(_._2).sum
-    def jsStr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
     val failedJson = failed
-      .map { case (k, v) => s"${jsStr(k)}:${jsStr(v)}" }
+      .map { case (k, v) =>
+        s"${graft.core.Json.quote(k)}:${graft.core.Json.quote(v)}" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"warm_spread":${js(warmSpread)},"failed":$failedJson,"total_warm":$totalWarm,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(coldOk)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"warm_spread":${js(warmSpread)},"failed":$failedJson,"total_warm":$totalWarm,"sf":"$sfDir"}"""
     if (failed.nonEmpty)
       System.err.println(
         s"[bench] ${failed.size} queries FAILED (excluded from timings): " +

@@ -42,6 +42,22 @@ object Bpe {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
   }
 
+  /** Seed symbols for a word: one symbol per Unicode CODE POINT, not
+    * per UTF-16 char — `length()`/`length(w)` in both Spark and DuckDB
+    * count code points, and the oracle's tokens<=chars bound only holds
+    * if a non-BMP character (emoji, rare CJK) seeds ONE symbol, not a
+    * surrogate pair of two. */
+  private def seedSymbols(word: String): Array[String] = {
+    val out = mutable.ArrayBuilder.make[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Classic BPE merge learning: `nMerges` rounds of "merge the most
     * frequent adjacent symbol pair" over the (bounded) word-frequency
     * table. Fully deterministic: ties break on the lexicographically
@@ -54,7 +70,7 @@ object Bpe {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     var vocab: Array[(Array[String], Long)] =
       wordFreqs.map { case (w, f) =>
-        (w.map(_.toString).toArray, f)
+        (seedSymbols(w), f)
       }.toArray
     val merges = Seq.newBuilder[(String, String)]
     var i = 0
@@ -111,7 +127,7 @@ object Bpe {
       maxWordLen: Int = 512): Array[String] = {
     if (word.isEmpty) return Array.empty
     if (word.length > maxWordLen) return Array(word)
-    var syms: Array[String] = word.map(_.toString).toArray
+    var syms: Array[String] = seedSymbols(word)
     var continue = true
     while (continue && syms.length > 1) {
       var bestRank = Int.MaxValue
@@ -143,12 +159,16 @@ object Bpe {
       val toks = encodeWord(w, ranks)
       (toks.length, toks.mkString("") == w)
     }
-    val words = df
+    // staged: the corpus-wide explode + (id, w) aggregate feeds BOTH the
+    // distinct-word encode branch and the per-doc join-back — Spark
+    // does not dedupe shared subplans, so without the boundary the
+    // most expensive stage of the query would run twice
+    val words = graft.core.Tables.staged(df
       .select(col(idCol).as("id"),
         explode(split(TextAnalysis.normalizeText(
           coalesce(col(textCol), lit(""))), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .groupBy("id", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("id", "w").agg(count(lit(1)).as("cnt")), "bpewords")
     // the encode UDF touches DISTINCT words only — vocabulary-sized
     // work; AQE picks broadcast vs shuffle for the join back
     val wordStats = words.select("w").distinct()

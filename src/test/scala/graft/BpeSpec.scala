@@ -46,6 +46,22 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("non-BMP characters seed ONE symbol per code point, keeping " +
+       "the tokens<=chars oracle bound") {
+    val emoji = new String(Character.toChars(0x1F600)) // surrogate pair
+    // a lone word of one emoji must be 1 token, not 2 lone surrogates
+    assert(Bpe.encodeWord(emoji, Map.empty).toSeq == Seq(emoji))
+    assert(Bpe.encodeWord(emoji + "ab", Map.empty).toSeq ==
+      Seq(emoji, "a", "b"))
+    // distributed bound: n_bpe_tokens <= n_chars where n_chars is
+    // Spark length() CODE POINTS — the exact invariant the oracle pins
+    val df = Seq((1L, s"$emoji $emoji$emoji word")).toDF("doc_id", "text")
+    val got = Bpe.encodeStats(df, "text", "doc_id", Seq.empty)
+      .as[(Long, Long, Long, Long, Boolean)].collect().head
+    assert(got == ((1L, 3L, 7L, 7L, true)),
+      s"3 words, 7 code points, 7 char tokens, round-trip; got $got")
+  }
+
   test("encodeStats counts words/chars/tokens per doc; empty docs survive") {
     val df = Seq(
       (1L, "the cat sat on the mat"),
