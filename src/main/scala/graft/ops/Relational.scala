@@ -101,7 +101,17 @@ object Relational {
     // advances per *new* row (trgx.clj:181-186)
     val w = Window.partitionBy(partitionCol, col(idCol).isNull)
       .orderBy(col(orderCol))
-    df.withColumn("__prt", partitionCol)
+    // a partition value outside [0, nPartitions) would silently collide
+    // ids across strides (prt=nPartitions lands on the next rank's
+    // slot) — fail loudly per row instead
+    val guarded = when(
+      partitionCol.isNull || partitionCol < 0 ||
+        partitionCol >= nPartitions,
+      raise_error(concat(
+        lit(s"surrogateKeys: partitionCol out of [0, $nPartitions): "),
+        partitionCol.cast("string"))).cast("long"))
+      .otherwise(partitionCol.cast("long"))
+    df.withColumn("__prt", guarded)
       // row_number() is IntegerType: widen BEFORE the stride multiply
       // or (rk-1)*nPartitions wraps at 2^31/nPartitions rows per window
       // partition and silently emits duplicate/negative ids
@@ -120,9 +130,15 @@ object Relational {
   def surrogateKeysDistributed(df: DataFrame, idCol: String,
                                maxExisting: Long): DataFrame = {
     val spark = df.sparkSession
-    val schema = df.schema
+    // widen existing ids up front: the output schema declares LongType,
+    // and a pre-existing java.lang.Integer passing through the `else r`
+    // branch below would fail createDataFrame's runtime conversion
+    // (the window-form surrogateKeys coerces via SQL; this path must
+    // match it)
+    val widened = df.withColumn(idCol, col(idCol).cast("long"))
+    val schema = widened.schema
     val idIdx = schema.fieldIndex(idCol)
-    val rdd = df.rdd
+    val rdd = widened.rdd
     val counts = rdd.mapPartitionsWithIndex { (i, it) =>
       // Long accumulator, not it.count (Int) — partitions can exceed
       // 2^31 rows at scale and a wrapped count corrupts every offset
@@ -242,7 +258,12 @@ object Relational {
     require(periodDays > 0, s"periodDays must be > 0, got $periodDays")
     val wk = floor(datediff(to_date(col(tsCol)), to_date(lit(anchorDate)))
       .cast("double") / periodDays).cast("int")
+    // unplaceable events (null/unparseable timestamp → null wk) are
+    // dropped, matching sessionizedAgg's null-event-time convention —
+    // they'd otherwise mint phantom (cohort, null) cells or a
+    // (null, null) cohort for keys with only null timestamps
     val activity = events.select(col(keyCol).as("k"), wk.as("wk"))
+      .filter(col("wk").isNotNull)
       .distinct()
     val cohorts = activity.groupBy("k").agg(min("wk").as("cohort"))
     activity.join(cohorts, Seq("k"))
@@ -316,12 +337,22 @@ object Relational {
     * (trades←quotes, event←latest-config).
     *
     * Implemented as union → single window (right rows sort BEFORE left
-    * rows at equal ts via a side tag, then `last(payload, ignoreNulls)`
-    * carries the running value forward): ONE shuffle on `keys`, no join
-    * node at all, and per-key sorted streaming — the plan survives
-    * 100 TB because nothing is ever buffered beyond a key partition
-    * (skewed keys: pre-split upstream). Left rows before any right row
-    * get null payload (left-outer semantics).
+    * rows at equal ts via a side tag, then the running value carries
+    * forward via `last(ignoreNulls)` over ONE struct of all payload
+    * columns): ONE shuffle on `keys`, no join node at all, and per-key
+    * sorted streaming — the plan survives 100 TB because nothing is
+    * ever buffered beyond a key partition (skewed keys: pre-split
+    * upstream). Left rows before any right row get null payload
+    * (left-outer semantics).
+    *
+    * The payload rides in a single STRUCT (non-null for every right
+    * row, even when its fields are null) rather than per-column
+    * `last(ignoreNulls)` calls: per-column carries would skip a
+    * legitimate null payload VALUE — returning the stale previous row —
+    * and could tear fields from DIFFERENT right rows into one output
+    * row when a multi-column payload has nulls. The struct makes the
+    * as-of row selection atomic: you get exactly that row's fields,
+    * nulls included.
     *
     * Right rows must be unique per (keys, rightTs) — pre-aggregate
     * otherwise, or the payload picked among equal-ts rows is
@@ -333,19 +364,21 @@ object Relational {
     val carry = left.columns.filterNot(c =>
       keys.contains(c) || c == leftTs).toSeq
     // a payload name that also exists on the left would appear twice in
-    // the union schema (carry + null-cast payload slot) and every
-    // downstream reference would be ambiguous — refuse loudly
+    // the union schema (carry + payload slot) and every downstream
+    // reference would be ambiguous — refuse loudly
     require(carry.intersect(payload).isEmpty,
       s"asofJoin payload columns collide with left columns: " +
         s"${carry.intersect(payload).mkString(", ")} — rename one side")
+    val payType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p)))
     val lU = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
         carry.map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+        Seq(lit(null).cast(payType).as("__pay")): _*)
     val rU = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
         carry.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+        Seq(struct(payload.map(col): _*).as("__pay")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -353,9 +386,11 @@ object Relational {
       .select(
         keys.map(col) ++ Seq(col("__ts"), col("__side")) ++
           carry.map(col) ++
-          payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+          Seq(last(col("__pay"), ignoreNulls = true).over(w).as("__pay")): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(
+        keys.map(col) ++ Seq(col("__ts")) ++ carry.map(col) ++
+          payload.map(p => col("__pay").getField(p).as(p)): _*)
       .withColumnRenamed("__ts", leftTs)
   }
 

@@ -58,14 +58,17 @@ object StreamOps {
   }
 
   /** Watermarked tumbling-window counts per key — the streaming twin of
-    * the `events_windowed_agg` batch query. */
+    * the `events_windowed_agg` batch query. `valueCol` parameterized
+    * like its sibling [[sessionizedAgg]] (a hardcoded "value" made the
+    * function unusable on renamed inputs). */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
-                     windowLen: String, watermark: String): DataFrame =
+                     windowLen: String, watermark: String,
+                     valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
       .agg(count(lit(1)).as("cnt"),
-           sum(col("value").cast("decimal(18,3)")).cast("decimal(38,3)")
+           sum(col(valueCol).cast("decimal(18,3)")).cast("decimal(38,3)")
              .as("sum_val"))
       .select(col("w.start").as("window_start"), col(keyCol), col("cnt"),
               col("sum_val"))
@@ -93,23 +96,31 @@ object StreamOps {
 
   /** Stateful per-key running aggregates via mapGroupsWithState — the
     * custom-state upgrade path for incremental pipelines (running event
-    * counts + value sums per key, state carried across micro-batches). */
+    * counts + value sums per key, state carried across micro-batches).
+    * Rows whose value is null or uncastable are DROPPED (try_cast; the
+    * tuple encoder cannot hold a null primitive, and one bad row must
+    * not kill the whole streaming query), matching the null-event
+    * conventions of the other ops here. */
   def statefulRunningCounts(events: DataFrame, keyCol: String,
                             valueCol: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState}
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+    events.select(col(keyCol).cast("string"),
+        expr(s"try_cast(`$valueCol` AS double)").as("__v"))
+      .filter(col("__v").isNotNull)
       .as[(String, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Double), (String, Long, Double)](
         GroupStateTimeout.NoTimeout()) {
         case (key, rows, state: GroupState[(Long, Double)]) =>
-          val (c0, s0) = state.getOption.getOrElse((0L, 0.0))
-          val batch = rows.toSeq
-          val next = (c0 + batch.size, s0 + batch.map(_._2).sum)
-          state.update(next)
-          (key, next._1, next._2)
+          // single streaming pass over the iterator — a hot key's
+          // micro-batch must never be materialized in memory at once
+          var c = state.getOption.map(_._1).getOrElse(0L)
+          var sm = state.getOption.map(_._2).getOrElse(0.0)
+          rows.foreach { r => c += 1; sm += r._2 }
+          state.update((c, sm))
+          (key, c, sm)
       }
       .toDF(keyCol, "cnt", "sum_val")
   }
@@ -180,12 +191,18 @@ object StreamOps {
           // re-run the fingerprint window. The scope already wrapping
           // this block reaps the staging dir at batch end.
           val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+          // dropDuplicates(id) LAST: at-least-once sources can deliver
+          // the same doc twice WITHIN one batch — both copies pass the
+          // keep-min-id filter (same id), and guardedAppend's anti-join
+          // only checks the persisted table, so without this the corpus
+          // gains a permanent duplicate row no later batch can remove
           val collapsed = graft.core.Tables.staged(batch
             .withColumn("fp",
               graft.llm.TextAnalysis.fingerprint(col(textCol)))
             .withColumn("__keep", min(col(idCol)).over(w))
             .filter(col(idCol) === col("__keep"))
-            .drop("fp", "__keep"), "ingest_collapsed")
+            .drop("fp", "__keep")
+            .dropDuplicates(idCol), "ingest_collapsed")
           // (b) match against the standing index (empty on first
           // batch); a replayed doc's own entry never suppresses it
           val novel = if (pathExists(s, indexPath)) {
@@ -258,10 +275,14 @@ object StreamOps {
         // semanticDedup assignment boundary dies with its batch
         if (!batch.isEmpty) graft.core.Tables.stagedScope {
           val s = batch.sparkSession
-          val keepIds = Dedup.semanticDedup(batch, vecCol, idCol, cents,
+          // de-dupe ids up front: an at-least-once redelivery inside one
+          // batch would otherwise MULTIPLY through the keepIds/novelIdx
+          // joins below and append duplicate corpus rows
+          val b = batch.dropDuplicates(idCol)
+          val keepIds = Dedup.semanticDedup(b, vecCol, idCol, cents,
               threshold)
             .filter(col("keep")).select(col("id").as(idCol))
-          val kept = batch.join(keepIds, Seq(idCol))
+          val kept = b.join(keepIds, Seq(idCol))
           // the index stores L2-NORMALIZED vectors: the probe is then a
           // single fastDot per candidate pair (no per-pair norm
           // recomputation), and a zero vector dots to 0 instead of the
@@ -293,7 +314,7 @@ object StreamOps {
             keptIdx.join(dup, Seq("corpus_id"), "left_anti")
           } else keptIdx
           guardedAppend(s,
-            batch.join(novelIdx.select(col("corpus_id").as(idCol)),
+            b.join(novelIdx.select(col("corpus_id").as(idCol)),
               Seq(idCol)), corpusPath, idCol)
           guardedAppend(s, novelIdx, indexPath, "corpus_id")
         }
@@ -320,10 +341,12 @@ object StreamOps {
                           watermark: String): DataFrame = {
     val l = left.withWatermark(leftTs, watermark).alias("l")
     val r = right.withWatermark(rightTs, watermark).alias("r")
+    // backtick-quoted: hyphenated names (this codebase's own dw-dt
+    // convention) would otherwise parse as subtraction
     l.join(r, expr(
-      s"l.$key = r.$key AND " +
-        s"r.$rightTs >= l.$leftTs - INTERVAL $lookback AND " +
-        s"r.$rightTs <= l.$leftTs + INTERVAL $lookahead"))
+      s"l.`$key` = r.`$key` AND " +
+        s"r.`$rightTs` >= l.`$leftTs` - INTERVAL $lookback AND " +
+        s"r.`$rightTs` <= l.`$leftTs` + INTERVAL $lookahead"))
   }
 
   /** SURVEY §2.10's upgrade path, verbatim: `Trigger.AvailableNow`
@@ -349,12 +372,19 @@ object StreamOps {
                          (write: DataFrame => Unit): StreamingQuery = {
     val writer = df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          write(batch)
-          graft.etl.TableOps.saveAndLoadRng(batch.sparkSession, batch,
-            dtCol, rngPath)
-          ()
-        }
+        // persist: the batch feeds THREE actions (emptiness probe,
+        // caller's sink write, rng min/max/count) — unpersisted, each
+        // re-reads and re-decodes the batch's source files
+        val cached = batch.persist()
+        try {
+          if (!cached.isEmpty) {
+            write(cached)
+            graft.etl.TableOps.saveAndLoadRng(cached.sparkSession, cached,
+              dtCol, rngPath)
+            ()
+          }
+        } finally { cached.unpersist(); () }
+        ()
       }
       .trigger(Trigger.AvailableNow())
     val q = checkpoint

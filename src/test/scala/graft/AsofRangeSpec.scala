@@ -36,6 +36,34 @@ class AsofRangeSpec extends AnyFunSuite {
     assert(out(4L).contains(9.0))
   }
 
+  test("asofJoin returns the as-of ROW's payload even when it is null, " +
+       "and never tears fields across right rows") {
+    // the as-of row (t=2) has p1 set but p2 null: per-column
+    // last(ignoreNulls) carries would return the STALE t=1 p2 ("old2"),
+    // fabricating a (p1, p2) pair that exists on no right row — the
+    // struct carry must return exactly (new1, null)
+    val left = Seq(("k", ts("2024-01-01 03:00:00"))).toDF("k", "t")
+    val right = Seq(
+      ("k", ts("2024-01-01 01:00:00"), "old1", "old2"),
+      ("k", ts("2024-01-01 02:00:00"), "new1", null.asInstanceOf[String]))
+      .toDF("k", "rt", "p1", "p2")
+    val out = Relational.asofJoin(left, right, Seq("k"), "t", "rt",
+        Seq("p1", "p2"))
+      .select($"p1", $"p2").as[(Option[String], Option[String])]
+      .collect().head
+    assert(out == ((Some("new1"), None)),
+      s"expected the t=2 row's exact fields incl. its null, got $out")
+    // all-null payload on the as-of row: still that row, not the older one
+    val right2 = Seq(
+      ("k", ts("2024-01-01 01:00:00"), "old1"),
+      ("k", ts("2024-01-01 02:00:00"), null.asInstanceOf[String]))
+      .toDF("k", "rt", "p1")
+    val out2 = Relational.asofJoin(left, right2, Seq("k"), "t", "rt",
+        Seq("p1"))
+      .select($"p1").as[Option[String]].collect().head
+    assert(out2.isEmpty, s"expected the as-of row's null p1, got $out2")
+  }
+
   test("asofJoin carries left payload columns through untouched") {
     val left = Seq((1L, "A", ts("2024-01-01 12:00:00"), "keep-me"))
       .toDF("id", "k", "t", "note")
