@@ -240,9 +240,12 @@ object CorpusQueries {
 
   val oracles: Map[String, String] = Map(
     "doc_chunking" ->
-      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
-             FROM (SELECT doc_id, coalesce(text, '') AS text
-                   FROM documents)),
+      s"""WITH w AS (SELECT doc_id,
+             CASE WHEN len(ws0) = 1 AND ws0[1] = ''
+                  THEN CAST([] AS VARCHAR[]) ELSE ws0 END AS ws
+             FROM (SELECT doc_id, string_split($normSql, ' ') AS ws0
+                   FROM (SELECT doc_id, coalesce(text, '') AS text
+                         FROM documents))),
          n AS (SELECT doc_id, ws,
              CASE WHEN len(ws) <= 32 THEN 1
                   ELSE CAST(ceil((len(ws) - 32) / 24.0) AS INT) + 1 END

@@ -70,8 +70,8 @@ object LlmQueries {
              t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / n_words
            END, 6) AS alpha_ratio,
          round(CASE WHEN n_words = 0 THEN 0.0
-           ELSE CAST((len(raw) - len(replace(raw, '#', ''))) +
-             (len(raw) - len(replace(raw, chr(8230), ''))) AS DOUBLE)
+           ELSE CAST(len(regexp_extract_all(raw,
+             '#|' || chr(8230) || '|\\.\\.\\.')) AS DOUBLE)
              / n_words END, 6) AS symbol_ratio,
          CAST(len(regexp_extract_all(raw, '[.!?]')) AS INT)
            AS sent_marks,
@@ -1534,8 +1534,8 @@ object LlmQueries {
                   ELSE len(string_split_regex(trim(text), '\\s+')) END
                AS INT) AS tok_ws,
              CAST(len(regexp_extract_all(text,
-               '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS tok_bpe,
-             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+               '[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS INT) AS tok_bpe,
+             CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))
                AS INT) AS punct_cnt,
              len(list_filter(string_split($normSql, ' '),
                t -> t IN ($en))) AS sw_cnt
@@ -1560,7 +1560,7 @@ object LlmQueries {
              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(string_split_regex(trim(text), '\\s+')) END
                AS INT) AS tok_ws,
-             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+             CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))
                AS INT) AS punct_cnt,
              len(list_filter(string_split($normSql, ' '),
                t -> t IN ($en))) AS sw_cnt
@@ -1626,7 +1626,7 @@ object LlmQueries {
              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(string_split_regex(trim(text), '\\s+')) END
                AS INT) AS tok_ws,
-             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+             CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))
                AS INT) AS punct_cnt,
              regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
            FROM documents),

@@ -33,9 +33,14 @@ object Corpus {
     require(stride > 0 && stride <= window,
       s"stride must be in [1, window], got $stride")
     // null text behaves like empty text (one empty chunk), not a null
-    // row silently dropped by size(null) = -1 arithmetic
-    val toks = split(TextAnalysis.normalizeText(
+    // row silently dropped by size(null) = -1 arithmetic. The empty
+    // doc's chunk reports n_tokens = 0, matching tokenCountWs('') = 0 —
+    // split('', ' ') yields [''], whose phantom token would otherwise
+    // leak into packSequences bin offsets and defeat n_tokens>0 filters
+    val rawToks = split(TextAnalysis.normalizeText(
       coalesce(col(textCol), lit(""))), " ")
+    val toks = when(size(rawToks) === 1 && rawToks.getItem(0) === "",
+      array().cast("array<string>")).otherwise(rawToks)
     val staged = df.select(col(idCol), toks.as("__toks"))
       .withColumn("__nchunks",
         when(size(col("__toks")) <= window, lit(1))
@@ -138,9 +143,13 @@ object Corpus {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be non-empty and positive")
     val wmap = typedLit(weights)
+    // a listed source whose rows sum to ZERO tokens contributes no
+    // token mass: drop it from both N and the rates (it would divide
+    // by zero under ANSI and poison N = min(tok/w) to 0 for everyone)
     val totals = df.filter(sourceCol.isin(weights.keys.toSeq: _*))
       .groupBy(sourceCol.as("__src"))
       .agg(sum(tokCol).as("__tok"))
+      .filter(col("__tok") > 0)
       .withColumn("__w", element_at(wmap, col("__src")))
     // N — one-row aggregate of the tiny totals table
     val nmax = totals.agg(min(col("__tok") / col("__w")).as("__nmax"))
@@ -174,8 +183,11 @@ object Corpus {
                          seed: String = "graft"): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
     def u(c: Column): Column = if (alpha == 0.5) sqrt(c) else pow(c, alpha)
+    // zero-token sources drop (see mixtureSample): 0/u(0) would divide
+    // by zero under ANSI and zero out N for every other source
     val totals = df.groupBy(sourceCol.as("__src"))
       .agg(sum(tokCol).as("__tok"))
+      .filter(col("__tok") > 0)
       .withColumn("__u", u(col("__tok")))
     val nmax = totals.agg(min(col("__tok") / col("__u")).as("__nmax"))
     val rates = totals.crossJoin(nmax)

@@ -126,10 +126,14 @@ object Similarity {
     val dims = probeDims(df, vecCol)
     val planes = rademacherPlanes(outDims, dims)
     val scale = math.sqrt(outDims.toDouble)
-    df.select(col(idCol).as("id"),
+    // the cast array is staged as its own attribute: inlined, every one
+    // of the outDims fastDot children would re-materialize the
+    // transform/cast copy of the embedding (outDims redundant array
+    // copies per row) — same idiom as scanTopK/ivfIndexTable
+    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+      .select(col("id"),
         posexplode(array(planes.map(p =>
-          round(fastDot(asDouble(col(vecCol)), typedlit(p)) / scale, 4)):
-            _*)))
+          round(fastDot(col("__v"), typedlit(p)) / scale, 4)): _*)))
       .withColumnRenamed("pos", "dim")
       .withColumnRenamed("col", "value")
   }
@@ -226,11 +230,19 @@ object Similarity {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
+    // null/empty embeddings are excluded BEFORE sampling (one null row
+    // in the md5-ordered head used to NPE the whole centroid fit);
+    // ragged lengths get a loud error instead of an
+    // ArrayIndexOutOfBounds deep in the dot loops
     val sample = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(sampleN)
       .select(asDouble(col(vecCol)))
       .collect().map(r => normalize(r.getSeq[Double](0).toArray))
     require(sample.length >= k, s"sample ${sample.length} < k $k")
+    require(sample.forall(_.length == sample.head.length),
+      s"kmeansCentroids: ragged embedding lengths in sample " +
+        s"(${sample.map(_.length).distinct.sorted.mkString(",")})")
     // farthest-first (deterministic k-means++-style) init: greedily
     // seed each next centroid at the sample point least similar to any
     // chosen one. Strided init off a sorted sample was measured 8-16

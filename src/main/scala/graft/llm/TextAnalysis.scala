@@ -21,14 +21,20 @@ object TextAnalysis {
     when(length(trim(c)) === 0, lit(0))
       .otherwise(size(split(trim(c), "\\s+")))
 
-  /** BPE-ish token count: alnum runs + individual punctuation marks —
-    * a cheap deterministic proxy for subword token counts. */
+  /** BPE-ish token count: letter/digit runs + individual punctuation
+    * marks — a cheap deterministic proxy for subword token counts.
+    * Unicode-aware (\p{L}\p{N}, identical classes in Java regex and
+    * RE2): accented words and CJK count as text — the ASCII-only class
+    * scored every umlaut and hanzi as punctuation, wrecking
+    * quality/punct ratios for the non-English corpora this module's
+    * own langId supports. */
   def tokenCountBpe(c: Column): Column =
-    regexp_count(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+    regexp_count(c, lit("[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"))
 
-  /** Punctuation/symbol character count and ratio. */
+  /** Punctuation/symbol character count and ratio (Unicode-aware — see
+    * [[tokenCountBpe]]). */
   def punctCount(c: Column): Column =
-    regexp_count(c, lit("[^A-Za-z0-9\\s]"))
+    regexp_count(c, lit("[^\\p{L}\\p{N}\\s]"))
   def punctRatio(c: Column): Column =
     when(length(c) === 0, lit(0.0))
       .otherwise(punctCount(c).cast("double") / length(c))
@@ -58,13 +64,23 @@ object TextAnalysis {
     * eliminated, so an inline split would re-evaluate the normalize +
     * split regex once per language (measured 2.2× slower). */
   def langIdStaged(toks: Column, raw: Column): Column = {
-    val scores = langStopwords.map { case (lang, ws) =>
-      lang -> size(filter(toks, t => t.isInCollection(ws)))
+    // argmax via array_max over (score, -index, lang) structs: each
+    // lambda-bearing score expression appears ONCE as an array element
+    // (evaluated once per row). The previous when-chain inlined the
+    // 5-way greatest tree into every branch condition, and lambda
+    // bodies are excluded from subexpression elimination, so each row
+    // paid ~langs² (~30) token-array scans instead of langs. Struct
+    // ordering is field-by-field, so max = highest score, ties to the
+    // EARLIEST language in list order (-index), matching the previous
+    // foldRight tie-break exactly.
+    val entries = langStopwords.zipWithIndex.map { case ((lang, ws), i) =>
+      struct(
+        size(filter(toks, t => t.isInCollection(ws))).as("s"),
+        lit(-i).as("ni"), lit(lang).as("lang"))
     }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
+    val best = array_max(array(entries: _*))
+    val pick = when(best.getField("s") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
     when(regexp_count(raw, lit("[\\x{4e00}-\\x{9fff}]")) > 0, lit("zh"))
       .otherwise(pick)
   }
@@ -86,7 +102,11 @@ object TextAnalysis {
     val swRatioS = when(tokWs === 0, lit(0.0))
       .otherwise(swCnt.cast("double") / tokWs)
     val swScore = least(swRatioS * 4.0, lit(1.0))
-    round((lenScore + punctScore + swScore) / 3.0, 6)
+    // null text → null score, NOT 0.666: least/greatest absorb nulls
+    // (least(null, 1.0) = 1.0), so without the guard a null document
+    // outranks genuinely low-quality text in every quality filter
+    when(nChars.isNull, lit(null).cast("double"))
+      .otherwise(round((lenScore + punctScore + swScore) / 3.0, 6))
   }
 
   /** Quality score in [0, 1]: length sweet-spot + low punctuation +
@@ -104,16 +124,16 @@ object TextAnalysis {
     * re-evaluate the split-of-normalized-text for every position —
     * ~O(len²) per document. zip_with evaluates each operand once. */
   def wordShingles(c: Column, n: Int = 3): Column = {
-    require(n == 3, "word shingles fixed at n=3 for oracle parity")
+    require(n >= 1 && n <= 16, s"shingle size must be in [1, 16], got $n")
     val norm = normalizeText(c)
     val w = split(norm, " ")
     val k = size(w) - (n - 1)
-    when(k <= 0, array(norm)).otherwise(
-      zip_with(
-        zip_with(slice(w, lit(1), k), slice(w, lit(2), k),
-                 (a, b) => concat_ws(" ", a, b)),
-        slice(w, lit(3), k),
-        (ab, cc) => concat_ws(" ", ab, cc)))
+    // general n by folding shifted slices through zip_with — each slice
+    // evaluates once, same O(len) shape as the original fixed-3 form
+    val joined = (2 to n).foldLeft(slice(w, lit(1), k)) { (acc, i) =>
+      zip_with(acc, slice(w, lit(i), k), (a, b) => concat_ws(" ", a, b))
+    }
+    when(k <= 0, array(norm)).otherwise(joined)
   }
 
   /** Word bigrams over a STAGED token array — zip of shifted slices,
@@ -178,11 +198,12 @@ object TextAnalysis {
               t => t.rlike("[a-z]"))).cast("double") / col("n_words"))
             .otherwise(lit(0.0)), 6)
           .as("alpha_ratio"),
+        // symbols = '#', the Unicode ellipsis, AND ASCII '...' runs
+        // (one per non-overlapping triple) \u2014 the published Gopher
+        // symbol-to-word rule counts both ellipsis spellings;
+        // ellipsis_line_ratio below already did
         round(when(nz,
-            ((length(col("__raw")) -
-              length(regexp_replace(col("__raw"), "#", ""))) +
-             (length(col("__raw")) -
-              length(regexp_replace(col("__raw"), "\u2026", ""))))
+            regexp_count(col("__raw"), lit("#|\u2026|\\.\\.\\."))
               .cast("double") / col("n_words")).otherwise(lit(0.0)), 6)
           .as("symbol_ratio"),
         regexp_count(col("__raw"), lit("[.!?]")).as("sent_marks"),

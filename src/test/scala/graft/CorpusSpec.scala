@@ -13,19 +13,23 @@ class CorpusSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "t1 t2 t3 t4 t5 t6 t7"), // 7 toks, w=3 s=2 → 3 chunks
       (2L, "a b"),                  // shorter than window → 1 chunk
-      (3L, ""),                     // empty → [""] → 1 chunk
+      (3L, ""),                     // empty → one chunk, ZERO tokens
       (4L, null))                   // null behaves like empty
       .toDF("doc_id", "text")
     val out = Corpus.chunkDocuments(docs, "doc_id", "text", 3, 2)
       .orderBy("doc_id", "chunk_idx")
       .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens")
       .as[(Long, Int, String, Int)].collect().toSeq
+    // empty/null docs keep their row (coverage guarantee) but report
+    // n_tokens = 0, consistent with tokenCountWs('') = 0 — the phantom
+    // token from split('', ' ') = [''] previously leaked into
+    // packSequences offsets and defeated n_tokens > 0 filters
     assert(out == Seq(
       (1L, 0, "t1 t2 t3", 3), (1L, 1, "t3 t4 t5", 3),
       (1L, 2, "t5 t6 t7", 3),
       (2L, 0, "a b", 2),
-      (3L, 0, "", 1),
-      (4L, 0, "", 1)))
+      (3L, 0, "", 0),
+      (4L, 0, "", 0)))
   }
 
   test("chunkDocuments last chunk reaches the final token at any length") {
