@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.types._
@@ -256,21 +256,32 @@ case class CollectKvsAgg(keyExpr: Expression, valExpr: Expression,
   * unsafe-row buffer and would be silently overwritten by the next
   * row otherwise.
   *
-  * Input typing is [[ExpectsInputTypes]], deliberately NOT
-  * ImplicitCastInputTypes: with the implicit cast, `graft_str_max` over
+  * Input typing is a direct `checkInputDataTypes` override, deliberately
+  * NOT ImplicitCastInputTypes: with the implicit cast, `graft_str_max` over
   * a numeric column would silently coerce and return the LEXICOGRAPHIC
   * extremum ('9' > '10') — a wrong answer masquerading as a result.
   * A non-string argument now fails at analysis time; callers who want
   * lexicographic semantics over numbers can say so with an explicit
-  * cast. */
+  * cast. NullType stays accepted (a bare NULL literal evaluates to
+  * NULL, matching the built-in max/min), so only genuinely-typed
+  * non-string inputs are rejected. */
 case class StrExtremumAgg(child: Expression, isMax: Boolean,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[StrExtremumAgg.Buf]
-  with ExpectsInputTypes {
+  extends TypedImperativeAggregate[StrExtremumAgg.Buf] {
 
   override def children: Seq[Expression] = Seq(child)
-  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires STRING input, got ${other.catalogString}" +
+          " — cast explicitly if lexicographic semantics over " +
+          "non-strings are intended")
+    }
+  }
   override def nullable: Boolean = true
   override def dataType: DataType = StringType
   override def prettyName: String = if (isMax) "str_max" else "str_min"

@@ -3,7 +3,7 @@ package graft.etl
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -52,13 +52,20 @@ object TableOps {
         .write.mode("overwrite").parquet(path)
   }
 
-  /** `truncate-tab` (mlin/d_bolome_user_order.clj:52-53). */
+  /** `truncate-tab` (mlin/d_bolome_user_order.clj:52-53). Published
+    * through [[replaceInto]]'s move-aside machinery, NOT rm-then-create:
+    * a crash between a raw delete and the re-create would leave the
+    * table absent with no `__replaced` backup — the exact no-window
+    * posture every other mutator in this file maintains. */
   def truncateTab(spark: SparkSession, path: String): Unit = {
     requireLocalPath("truncateTab", path)
     restoreInterrupted(path)
     val schema = spark.read.parquet(path).schema
-    rm(Paths.get(path))
-    createTableIf(spark, path, schema)
+    val stagedPath = path + "__truncate_staged"
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(stagedPath)
+    replaceInto(stagedPath, path)
   }
 
   /** `switch-tab` (mlin/d_bolome_user_order.clj:59-62): 3-way rename
@@ -73,6 +80,12 @@ object TableOps {
   def switchTab(live: String, shadow: String): Unit = {
     requireLocalPath("switchTab", live)
     requireLocalPath("switchTab", shadow)
+    // heal a crashed replaceInto first, like every sibling mutator — a
+    // live path sitting at <live>__replaced would otherwise throw
+    // NoSuchFileException here, and a naive createTableIf+retry
+    // recovery would swap an EMPTY table in over the recoverable build
+    restoreInterrupted(live)
+    restoreInterrupted(shadow)
     val l = Paths.get(live); val s = Paths.get(shadow)
     val tmp = Paths.get(live + "__swap_tmp")
     require(!Files.exists(tmp),
@@ -180,11 +193,29 @@ object TableOps {
     replaceInto(staged, path)
   }
 
+  /** dt column as an ISO yyyy-MM-dd string: STRING passes through
+    * (the reference's CHAR(10) convention), DATE casts to its ISO form,
+    * anything else fails loudly at plan time — Row.getString on a
+    * DateType aggregate used to throw a bare ClassCastException deep in
+    * the resume-range computation. Timestamps must be truncated to a
+    * date upstream (which day a timestamp belongs to is a timezone
+    * decision this bookkeeping must not make silently). */
+  private def dtAsIsoString(df: DataFrame, dtCol: String): Column = {
+    import org.apache.spark.sql.types.{DateType, StringType}
+    df.schema(dtCol).dataType match {
+      case StringType => col(dtCol)
+      case DateType => col(dtCol).cast("string")
+      case t => throw new IllegalArgumentException(
+        s"dt column $dtCol must be STRING or DATE, got $t — cast " +
+          "timestamps to a date (choosing the timezone) upstream")
+    }
+  }
+
   /** `report->next-dt` (trgx.clj:110-116): resume range = MAX(dw_dt)+1
     * day → tomorrow; `defaultStart` when the table is empty. */
   def reportNextDt(df: DataFrame, dtCol: String, defaultStart: String,
                    endDt: String): (String, String) = {
-    val maxDt = df.agg(max(col(dtCol))).first().getString(0)
+    val maxDt = df.agg(max(dtAsIsoString(df, dtCol))).first().getString(0)
     val start =
       if (maxDt == null) defaultStart
       else java.time.LocalDate.parse(maxDt).plusDays(1).toString
@@ -196,7 +227,8 @@ object TableOps {
     * table; returns the recorded range. */
   def saveAndLoadRng(spark: SparkSession, stg: DataFrame, dtCol: String,
                      rngPath: String): (String, String, Long) = {
-    val r = stg.agg(min(col(dtCol)).as("mn"), max(col(dtCol)).as("mx"),
+    val dt = dtAsIsoString(stg, dtCol)
+    val r = stg.agg(min(dt).as("mn"), max(dt).as("mx"),
                     count(lit(1)).as("cnt")).first()
     val (mn, mx, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
     import spark.implicits._

@@ -52,12 +52,25 @@ object Dedup {
 
   /** Exact dedup: hash-groupBy on the normalized-content fingerprint.
     * Returns one row per distinct content: canonical (min) id + dup
-    * count. One shuffle, on a 128-bit key — the 100 TB workhorse. */
+    * count. One shuffle, on a 128-bit key — the 100 TB workhorse.
+    * NULL-text rows are NOT duplicates of each other (their content is
+    * unknown, not identical): each surfaces as its own singleton row
+    * with fp null — the group key falls back to the id, keeping the
+    * single-shuffle shape. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.withColumn("fp", fingerprint(col(textCol)))
-      .groupBy("fp")
+    df.withColumn("__g", coalesce(fingerprint(col(textCol)),
+        concat(lit("null:"), col(idCol).cast("string"))))
+      .groupBy("__g")
       .agg(min(col(idCol)).as("canonical_id"),
            count(lit(1)).as("dup_count"))
+      // fp reconstructed FROM the group key (md5 hex can't contain ':',
+      // so the null-sentinel prefix is unambiguous) — a max(fp) string
+      // aggregate here would force the whole groupBy into SortAggregate,
+      // the exact plan regression PlanFingerprintSpec exists to catch
+      .select(
+        when(col("__g").startsWith("null:"), lit(null).cast("string"))
+          .otherwise(col("__g")).as("fp"),
+        col("canonical_id"), col("dup_count"))
 
   /** Exact duplicate *pairs* (id1 < id2 within a content group) — the
     * shape used by the oracle-checked queries. */
@@ -90,9 +103,17 @@ object Dedup {
     * break cross-batch index compatibility. */
   private def bandStructs(sig: Column, bands: Int, r: Int): Column =
     explode(array((0 until bands).map { j =>
+      // a NULL signature (null/empty text) must band to a NULL hash —
+      // concat_ws SKIPS a null slice, so without the guard every
+      // null-text doc would hash to xxhash64("") and share one bucket
+      // per band: an O(m²) candidate self-join over the m null docs,
+      // defeating the module's never-quadratic contract. Null bh rows
+      // drop out of every equi-join and are filtered from the tables.
       struct(lit(j).as("band"),
-             xxhash64(concat_ws("_",
-               slice(sig, j * r + 1, r).cast("array<string>"))).as("bh"))
+             when(sig.isNull, lit(null).cast("long"))
+               .otherwise(xxhash64(concat_ws("_",
+                 slice(sig, j * r + 1, r).cast("array<string>"))))
+               .as("bh"))
     }: _*))
 
   /** MinHash-LSH near-dup pairs.
@@ -119,9 +140,11 @@ object Dedup {
     // production minhash pipeline does. Jaccard over the distinct hash
     // sets equals the string-set Jaccard (xxhash64 collisions are
     // ~2^-64) and compares longs instead of shingle strings.
-    val hashed = staged(df.select(col(idCol).as("id"),
-      transform(array_distinct(wordShingles(col(textCol))),
-        s => xxhash64(s)).as("hs")), "minhash_hs")
+    // built via hashedShingleTable — ONE definition of the shingle-hash
+    // construction (bit-identical values are the cross-batch index
+    // contract; an inlined copy here drifted once already)
+    val hashed = staged(hashedShingleTable(df, textCol, idCol),
+      "minhash_hs")
     val sigs = hashed
       .withColumn("sig", minHashSignature(col("hs"), numHashes))
     // bands carry only (id, band, bh): the shuffle stays narrow — the
@@ -129,6 +152,7 @@ object Dedup {
     val banded = sigs.select(col("id"),
       bandStructs(col("sig"), bands, r).as("bucket"))
       .select(col("id"), col("bucket.band"), col("bucket.bh"))
+      .filter(col("bh").isNotNull)
     val a = banded.alias("a"); val b = banded.alias("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -168,6 +192,7 @@ object Dedup {
       .select(col("id"), minHashSignature(col("hs"), numHashes).as("sig"))
       .select(col("id"), bandStructs(col("sig"), bands, r).as("b"))
       .select(col("id"), col("b.band"), col("b.bh"))
+      .filter(col("bh").isNotNull)
   }
 
   /** Incremental dedup: match a NEW batch against an EXISTING corpus
@@ -199,6 +224,7 @@ object Dedup {
       .select(col("new_id"), minHashSignature(col("hs"), numHashes).as("sig"))
       .select(col("new_id"), bandStructs(col("sig"), bands, r).as("b"))
       .select(col("new_id"), col("b.band"), col("b.bh"))
+      .filter(col("bh").isNotNull)
     val candidates = newBands
       .join(index.select(col("id").as("corpus_id"), col("band"), col("bh")),
         Seq("band", "bh"))
@@ -268,16 +294,17 @@ object Dedup {
     * (join + groupBy); labels are re-persisted and the previous
     * iteration unpersisted so lineage and storage stay bounded — the
     * standard DataFrame CC shape at cluster scale. Returns (id, comp)
-    * where comp = min id of the component; singletons (ids not in any
-    * pair) are not emitted. */
+    * where comp = min id of the component (the id column's NATIVE
+    * ordering — lexicographic for string/uuid ids; no silent long cast,
+    * which used to null out non-numeric ids and corrupt the whole
+    * result); singletons (ids not in any pair) are not emitted. */
   def connectedComponents(pairs: DataFrame,
                           maxIters: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs
-      .select(col("id1").cast("long").as("src"),
-              col("id2").cast("long").as("dst"))
-      .unionByName(pairs.select(col("id2").cast("long").as("src"),
-                                col("id1").cast("long").as("dst")))
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"),
+                                col("id1").as("dst")))
       .persist(lvl)
     // initialization fused with the first propagation round: every
     // node starts at min(self, neighbors) — for clique-shaped dup
@@ -339,9 +366,15 @@ object Dedup {
   def dedupGroups(df: DataFrame, textCol: String, idCol: String,
                   threshold: Double = 0.9, numHashes: Int = 32,
                   bands: Int = 8): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val withFp = staged(df.select(col(idCol).cast("long").as("id"),
+    // group key falls back to the id for NULL-text rows — they are
+    // singletons, not duplicates of each other (exactDedup convention).
+    // The id keeps its NATIVE type: the previous cast("long") silently
+    // nulled string/uuid ids and degenerated the whole result.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+    val withFp = staged(df.select(col(idCol).as("id"),
         col(textCol).as("text__"), fingerprint(col(textCol)).as("fp"))
+      .withColumn("__g", coalesce(col("fp"),
+        concat(lit("null:"), col("id").cast("string"))))
       .withColumn("cid", min(col("id")).over(w)), "groups_fp")
     val canonical = withFp.filter(col("id") === col("cid"))
       .select(col("id"), col("text__"))

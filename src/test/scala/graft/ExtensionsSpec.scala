@@ -170,6 +170,11 @@ class ExtensionsSpec extends AnyFunSuite {
       """SELECT graft_str_max(CAST(length(txt) AS STRING)) AS mx
          FROM ext_docs""").collect().head.getString(0)
     assert(explicitCast != null)
+    // a bare NULL literal stays accepted and yields NULL, matching the
+    // built-in max/min (only genuinely-typed non-strings are rejected)
+    val nullRes = spark.sql("SELECT graft_str_max(NULL) FROM ext_docs")
+      .collect().head
+    assert(nullRes.isNullAt(0))
   }
 
   test("graft_tr_dimension_metrics via SQL equals the Column-API aggregate") {

@@ -24,6 +24,45 @@ class LlmSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("null-text rows are singletons, never duplicates of each other " +
+       "(exactDedup, dedupGroups), and never band together (LSH)") {
+    val withNulls = docs.unionByName(Seq(
+      (10L, null.asInstanceOf[String]),
+      (11L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    // exactDedup: each null doc is its own singleton row with fp null
+    val ex = Dedup.exactDedup(withNulls, "text", "doc_id")
+      .filter($"fp".isNull)
+      .select($"canonical_id", $"dup_count").as[(Long, Long)]
+      .collect().toSet
+    assert(ex == Set((10L, 1L), (11L, 1L)))
+    // dedupGroups: null docs keep their own group ids
+    val grp = Dedup.dedupGroups(withNulls, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(grp(10L) == 10L && grp(11L) == 11L)
+    // LSH banding: null signatures produce no candidate pairs (the
+    // degenerate xxhash64('') shared bucket would have been m² pairs)
+    val pairs = Dedup.minHashDedupPairs(withNulls, "text", "doc_id",
+        threshold = 0.5, numHashes = 32, bands = 16)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 >= 10L || p._2 >= 10L))
+  }
+
+  test("dedupGroups and connectedComponents accept STRING ids " +
+       "(no silent long cast nulling them out)") {
+    val sdocs = docs.withColumn("doc_id",
+      format_string("doc-%03d", $"doc_id"))
+    val grp = Dedup.dedupGroups(sdocs, "text", "doc_id")
+      .as[(String, String)].collect().toMap
+    assert(grp.size == 5 && grp.values.forall(_ != null))
+    assert(grp("doc-002") == grp("doc-001"),   // exact dup pair
+      s"exact dups must share a group: $grp")
+    val comp = Dedup.connectedComponents(
+      Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id1", "id2"))
+      .as[(String, String)].collect().toMap
+    assert(comp == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("minHashDedupPairs finds near-dups via banded LSH, not all-pairs") {
     val pairs = Dedup.minHashDedupPairs(docs, "text", "doc_id",
         threshold = 0.5, numHashes = 32, bands = 16)

@@ -338,6 +338,18 @@ class StreamingSpec extends AnyFunSuite {
     val empty = Seq.empty[String].toDF("dw_dt")
     assert(graft.etl.TableOps.reportNextDt(empty, "dw_dt",
       "2000-01-01", "x")._1 == "2000-01-01")
+    // DATE-typed dt columns work (ISO cast); timestamps fail loudly
+    // instead of a bare ClassCastException in Row.getString
+    val dated = Seq("2016-01-05").toDF("s")
+      .select(org.apache.spark.sql.functions.to_date($"s").as("dw_dt"))
+    assert(graft.etl.TableOps.reportNextDt(dated, "dw_dt",
+      "2000-01-01", "x")._1 == "2016-01-06")
+    val ts = Seq("2016-01-05 10:00:00").toDF("s")
+      .select($"s".cast("timestamp").as("dw_dt"))
+    val e = intercept[IllegalArgumentException] {
+      graft.etl.TableOps.reportNextDt(ts, "dw_dt", "2000-01-01", "x")
+    }
+    assert(e.getMessage.contains("STRING or DATE"))
   }
 
   test("statefulRunningCounts carries state via mapGroupsWithState") {
