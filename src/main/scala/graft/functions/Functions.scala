@@ -167,6 +167,9 @@ object Functions {
         .toMap
       if (xs.nonEmpty) Some(TrainSpec((yStart, yEnd), xs)) else None
     }
+    // backStep <= 0 would never advance toward dwMin and the toSeq
+    // below would force an infinite iterator — driver hang/OOM
+    require(backStep > 0, s"backStep must be > 0, got $backStep")
     val trainBase = Iterator.iterate(LocalDate.parse(hisMax))(
         _.minusDays(backStep.toLong))
       .map(_.toString).takeWhile(_ >= dwMin)
@@ -185,9 +188,13 @@ object Functions {
     * iterate semantics), not the IllegalArgumentException Spark's
     * `sequence` throws for start > end with a positive step. */
   def mkDts(start: Column, end: Column): Column =
-    when(d(start) <= d(end),
-      transform(sequence(d(start), d(end), expr("interval 1 day")),
-        fmt(_)))
+    // null start/end propagates as NULL ("date unknown"), not an empty
+    // array ("zero days") — d(start) <= d(end) is null-valued then and
+    // would silently fall to the otherwise branch
+    when(d(start).isNull || d(end).isNull, lit(null).cast("array<string>"))
+      .when(d(start) <= d(end),
+        transform(sequence(d(start), d(end), expr("interval 1 day")),
+          fmt(_)))
       .otherwise(array().cast("array<string>"))
 
   /** `mk-month-dts`: array of month-end date strings with month-end in
@@ -195,11 +202,12 @@ object Functions {
     * [[mkDts]]. */
   def mkMonthDts(start: Column, end: Column): Column = {
     val ms = trunc(d(start), "MM"); val me = trunc(d(end), "MM")
-    when(ms <= me,
-      filter(
-        transform(sequence(ms, me, expr("interval 1 month")),
-          m => fmt(last_day(m))),
-        x => x >= start && x <= end))
+    when(ms.isNull || me.isNull, lit(null).cast("array<string>"))
+      .when(ms <= me,
+        filter(
+          transform(sequence(ms, me, expr("interval 1 month")),
+            m => fmt(last_day(m))),
+          x => x >= start && x <= end))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -231,14 +239,21 @@ object Functions {
 
   /** Canonical render of a map column: sorted `k=v` pairs joined by `,`.
     * Deterministic across engines — used wherever map values must be
-    * hash-compared against a SQL oracle. */
+    * hash-compared against a SQL oracle. A NULL value renders as
+    * `k=<null>` rather than vanishing: `concat` is null-intolerant and
+    * `array_join` FILTERS null elements, so without the coalesce two
+    * different maps — map('a'→null,'b'→'1') and map('b'→'1') — would
+    * render identically and hash-compare equal. */
   def mapToCanonicalString(m: Column): Column =
     array_join(
       transform(array_sort(map_entries(m)),
-                e => concat(e.getField("key"), lit("="), e.getField("value"))),
+                e => concat(e.getField("key"), lit("="),
+                  coalesce(e.getField("value"), lit("<null>")))),
       ",")
 
-  /** Canonical render of an array column: sorted, `|`-joined. */
+  /** Canonical render of an array column: sorted, `|`-joined; null
+    * elements render as `<null>` instead of being silently filtered
+    * (array('a', null) must not collide with array('a')). */
   def arrayToCanonicalString(a: Column): Column =
-    array_join(array_sort(a), "|")
+    array_join(array_sort(a), "|", "<null>")
 }

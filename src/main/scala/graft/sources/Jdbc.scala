@@ -188,7 +188,12 @@ object Jdbc {
                      extraWhere: Option[String] = None): String = {
     requireIdentifier("table", table)
     requireIdentifier("dtCol", dtCol)
-    val extra = extraWhere.map(w => s"$w AND ").getOrElse("")
+    // extraWhere is PARENTHESIZED: AND binds tighter than OR, so an
+    // unwrapped disjunctive selector ("store='a' OR store='b'") would
+    // escape the date bounds entirely — DELETE of every store='a' row
+    // in the table regardless of date. Mass data loss from a
+    // legitimate config fragment.
+    val extra = extraWhere.map(w => s"($w) AND ").getOrElse("")
     s"DELETE FROM $table WHERE $extra$dtCol BETWEEN ? AND ?"
   }
 

@@ -243,23 +243,35 @@ object Trgx {
       setNodeIn(acc, np, getIn(t, p).get)
     }
 
-  /** `trgx-split-at` (trgx.clj:246): cut at level n into
-    * (path-prefix, subtree) records. */
-  def splitAt(t: Tree, n: Int): Seq[(Seq[String], Tree)] = {
-    def walk(m: Tree, prefix: Vector[String], left: Int): Seq[(Seq[String], Tree)] =
-      if (left == 0) Seq((prefix, m))
-      else TreeMap(m.toSeq: _*).toSeq.flatMap { case (k, nd) =>
-        walk(nd.children, prefix :+ k, left - 1)
-      }
-    walk(t, Vector.empty, n)
-  }
+  /** Every node path (prefix-closure of the leaf paths), sorted — the
+    * reference's `trgx-path-seq` (trgx.clj:226-227) enumerates EVERY
+    * :DATA-bearing node, not just leaves. */
+  private def nodePaths(t: Tree): Seq[Seq[String]] =
+    pathSeq(t).flatMap(p => (1 to p.length).map(p.take)).distinct
+
+  /** `trgx-split-at` (trgx.clj:246-247), exact reference semantics:
+    * every node path of length ≤ n becomes a (path, {lastKey → node})
+    * record — the subtree keyed by the node's OWN key (the reference's
+    * `{:PATH p :SUBTREE {(last p) node}}`). Records overlap by
+    * construction: a depth-1 node's subtree still contains the depth-2
+    * nodes that also emit their own records; shallow branches are
+    * KEPT (they used to vanish — the previous form walked exactly n
+    * levels and dropped anything shallower). */
+  def splitAt(t: Tree, n: Int): Seq[(Seq[String], Tree)] =
+    nodePaths(t).filter(_.length <= n)
+      .map(p => (p, Map(p.last -> getIn(t, p).get)))
 
   /** `trgx-leaf-trunc` (trgx.clj:265-269): re-home every leaf node at
     * depth `level`+1 — the ancestor path truncated to `level` with the
-    * leaf key appended. */
+    * leaf key appended. Paths already within `level` stay IN PLACE:
+    * the reference truncates the PARENT path (take level of the path
+    * sans leaf), so a shallow leaf never gains a duplicated self-keyed
+    * intermediate node (the unguarded `take(level) :+ last` did
+    * exactly that for p.length ≤ level — same guard as takeLast). */
   def leafTrunc(t: Tree, level: Int): Tree =
     pathSeq(t).foldLeft(Map.empty: Tree) { (acc, p) =>
-      setNodeIn(acc, p.take(level) :+ p.last, getIn(t, p).get)
+      val np = if (p.length > level) p.take(level) :+ p.last else p
+      setNodeIn(acc, np, getIn(t, p).get)
     }
 
   /** `trgx->kv` / `path-trgx->kv` (trgx.clj:271-275): flatten to

@@ -96,6 +96,27 @@ class JdbcSpec extends AnyFunSuite {
     assert(left == Seq(("2024-03-31", "b")))
   }
 
+  test("deleteRange parenthesizes a disjunctive selector: OR cannot " +
+       "escape the date bounds") {
+    import spark.implicits._
+    Jdbc.executeUpdateSilent(url, "DROP TABLE t_del_or")
+    Jdbc.createTableIf(url, "t_del_or",
+      Seq("dw_dt" -> "VARCHAR(10)", "report" -> "VARCHAR(20)"))
+    Jdbc.writeTable(Seq(
+      ("2024-01-31", "a"), ("2024-05-31", "a"),
+      ("2024-01-15", "b"), ("2024-05-15", "c"))
+      .toDF("dw-dt", "report"), url, "t_del_or")
+    // unparenthesized, AND binds tighter than OR and this would delete
+    // EVERY report='a' row regardless of date (the May 'a' row too)
+    Jdbc.deleteRange(url, "t_del_or", "dw_dt", "2024-01-01", "2024-01-31",
+      Some("report = 'a' OR report = 'b'"))
+    val left = Jdbc.readTable(spark, url, "t_del_or",
+        Seq("dw-dt", "report"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(left == Set(("2024-05-31", "a"), ("2024-05-15", "c")),
+      s"the out-of-range 'a' row must survive a disjunctive selector: $left")
+  }
+
   test("EP-1 report job over the JDBC sink: resume range, append, " +
        "re-run picks up after MAX(dw-dt)") {
     import spark.implicits._

@@ -57,13 +57,23 @@ class PgSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def asPg(cmd: String): (Int, String) =
     sh(Seq("su", "-s", "/bin/sh", "postgres", "-c", cmd), dir.toFile)
 
+  private val psqlSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** psql with ON_ERROR_STOP + verbose errors (verbose puts the
     * SQLSTATE in the message, so tests can assert on 42P07). Each
-    * statement in `sqls` runs as its own -c in ONE session. */
+    * statement in `sqls` runs as its own -c in ONE session. Output goes
+    * through a FILE, not the JVM pipe: under full-suite parallel load
+    * the pipe intermittently delivered SIGPIPE to psql (rc 141 with the
+    * statements already executed), flaking the suite. */
   private def psql(sqls: String*): (Int, String) = {
     val cs = sqls.map(s => s"-c ${shQuote(s)}").mkString(" ")
-    asPg(s"psql -X -v ON_ERROR_STOP=1 -v VERBOSITY=verbose " +
-      s"-h $dir -p $port -d postgres -A -t $cs")
+    val outFile = s"$dir/psql_out_${psqlSeq.incrementAndGet()}"
+    val (rc, _) = asPg(s"psql -X -v ON_ERROR_STOP=1 -v VERBOSITY=verbose " +
+      s"-h $dir -p $port -d postgres -A -t $cs > $outFile 2>&1")
+    val out =
+      try new String(Files.readAllBytes(java.nio.file.Paths.get(outFile)))
+      catch { case scala.util.control.NonFatal(_) => "" }
+    (rc, out)
   }
 
   private def shQuote(s: String): String =

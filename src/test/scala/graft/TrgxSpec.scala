@@ -80,10 +80,18 @@ class TrgxSpec extends AnyFunSuite {
     assert(getIn(cut, Seq("a", "b")).isEmpty)
   }
 
-  test("splitAt cuts into (path, subtree) records (trgx.clj:246)") {
+  test("splitAt emits every node path of length <= n, subtree keyed " +
+       "by the node's OWN key (trgx.clj:246-247 exact shape)") {
     val parts = splitAt(tree, 1)
     assert(parts.map(_._1) == Seq(Seq("2016-01-01"), Seq("2016-02-01")))
-    assert(parts.head._2.keySet == Set("o1", "o2"))
+    // the reference's {:PATH p :SUBTREE {(last p) node}} — self-keyed
+    assert(parts.head._2.keySet == Set("2016-01-01"))
+    assert(parts.head._2("2016-01-01").children.keySet == Set("o1", "o2"))
+    // n=2 also emits the leaf records; shallow branches are kept
+    val deep = splitAt(tree, 2)
+    assert(deep.map(_._1).contains(Seq("2016-01-01")))
+    assert(deep.map(_._1).contains(Seq("2016-01-01", "o1")))
+    assert(deep.size == 5)
   }
 
   test("leafTrunc re-homes leaf nodes at the given level (trgx.clj:265)") {
@@ -96,6 +104,11 @@ class TrgxSpec extends AnyFunSuite {
     assert(pathSeq(lt1) == pathSeq(tree))
     assert(getIn(lt1, Seq("2016-01-01", "o2")).get.data("price")
       == "20.00")
+    // level >= depth: paths stay IN PLACE — the reference truncates
+    // the PARENT path, so a shallow leaf never gains a duplicated
+    // self-keyed intermediate (the unguarded take(level):+last did)
+    val lt2 = leafTrunc(tree, 2)
+    assert(pathSeq(lt2) == pathSeq(tree))
   }
 
   test("leafPaths maps leaf keys to full paths (trgx->path)") {
