@@ -33,26 +33,34 @@ object JsonShape {
     def apply(kvs: (String, String)*): Leaf = Leaf(TreeMap(kvs: _*))
   }
 
-  /** JSON string escape (minimal, RFC 8259). */
+  /** JSON string escape — Jackson-compatible, BYTE-IDENTICAL to the
+    * trgx tree renderer's escape table (short escapes incl. \b/\f,
+    * uppercase \u00XX for the rest): one canonical form across both
+    * JSON surfaces, so a key renders the same bytes whichever renderer
+    * emits it (PropertiesSpec pins parity against Jackson itself). */
   def esc(s: String): String = {
     val sb = new StringBuilder(s.length + 8)
     s.foreach {
       case '"'           => sb.append("\\\"")
       case '\\'          => sb.append("\\\\")
+      case '\b'          => sb.append("\\b")
+      case '\f'          => sb.append("\\f")
       case '\n'          => sb.append("\\n")
       case '\r'          => sb.append("\\r")
       case '\t'          => sb.append("\\t")
-      case c if c < ' '  => sb.append(f"\\u${c.toInt}%04x")
+      case c if c < ' '  => sb.append(f"\\u${c.toInt}%04X")
       case c             => sb.append(c)
     }
     sb.toString
   }
 
-  // RFC 8259 number grammar (integer part `0 | [1-9]…`): a
-  // leading-zero string like "007" must stay QUOTED — emitting it bare
-  // is invalid JSON that strict parsers reject (cheshire could never
-  // have produced it from an EDN number)
-  private val NumericRe = "^-?(0|[1-9]\\d*)(\\.\\d+)?$".r
+  // RFC 8259 number grammar incl. the exponent part: a leading-zero
+  // string like "007" must stay QUOTED (emitting it bare is invalid
+  // JSON), but "1.0E-5" — what a Spark double CASTs to — is a valid
+  // JSON number and must emit bare, matching cheshire printing an EDN
+  // double
+  private val NumericRe =
+    "^-?(0|[1-9]\\d*)(\\.\\d+)?([eE][+-]?\\d+)?$".r
 
   /** Render a scalar as JSON: numeric strings stay numbers (the
     * reference's metric values are EDN numbers → unquoted in cheshire's
@@ -108,13 +116,17 @@ object JsonShape {
         case h +: rest =>
           val br = t match {
             case b: Branch => b
-            case l: Leaf if l.metrics.nonEmpty =>
+            // ANY Leaf refuses, even metric-less (an all-null metrics
+            // map aggregates to an empty Leaf): silently widening an
+            // empty Leaf to a Branch made mixed grain insertion-order
+            // dependent — one order rendered, the other threw, and the
+            // aggregate feeds this from hash-map iteration order
+            case _: Leaf =>
               throw new IllegalArgumentException(
                 "tr-dimension-metrics: dimension path extends another " +
-                  s"path in the same group that already carries metrics " +
+                  s"path in the same group that is already a leaf " +
                   s"(at segment '$h') — mixed grain cannot render as " +
                   "one pair-tree")
-            case _ => Branch()
           }
           val child = br.children.getOrElse(h, Branch(TreeMap.empty[String, PairTree]))
           Branch(br.children.updated(h, insert(child, rest, metrics)))

@@ -10,15 +10,25 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Static kernel shared by interpreted eval and generated code. */
 object NormalizeNFCUtil {
   /** Unicode NFC normalization (UAX #15 canonical composition).
-    * Fast path: `Normalizer.isNormalized` is a cheap scan that is true
-    * for virtually all real corpus text (ASCII and CJK are NFC by
-    * construction), so the common case returns the INPUT UTF8String —
-    * zero allocation, no UTF-8→UTF-16→UTF-8 round trip. */
+    * Two fast paths: pure-ASCII bytes (NFC by construction — the
+    * dominant corpus case) are detected by a raw byte scan and return
+    * the INPUT UTF8String with genuinely zero allocation, no UTF-8→
+    * UTF-16 decode at all; non-ASCII text that `Normalizer.isNormalized`
+    * confirms (virtually all real CJK/Latin-1 prose) pays one decode
+    * but no re-encode. Only genuinely decomposed text normalizes. */
   def nfc(s: UTF8String): UTF8String = {
-    val str = s.toString
-    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
-    else UTF8String.fromString(
-      Normalizer.normalize(str, Normalizer.Form.NFC))
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      if ((s.getByte(i) & 0x80) != 0) {
+        val str = s.toString
+        return if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+        else UTF8String.fromString(
+          Normalizer.normalize(str, Normalizer.Form.NFC))
+      }
+      i += 1
+    }
+    s
   }
 }
 

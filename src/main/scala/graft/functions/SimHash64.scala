@@ -18,9 +18,15 @@ object SimHash64Util {
     while (j < n) {
       if (!tokens.isNullAt(j)) {
         val t = tokens.getUTF8String(j).toString
+        // two INDEPENDENT seeds, not hash(t)/hash(t.reverse): a
+        // palindromic token (every single-char token — 'a', digits,
+        // CJK chars) reverses to itself, which made the packed halves
+        // identical and correlated fingerprint bit i with bit i+32,
+        // weakening the pigeonhole-LSH chunk independence the
+        // Hamming<=3 calibration assumes
         val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
-          (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong
-            & 0xffffffffL)
+          (scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+            .toLong & 0xffffffffL)
         var i = 0
         while (i < 64) {
           votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)

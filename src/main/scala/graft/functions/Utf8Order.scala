@@ -17,7 +17,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * is the same comparison for driver/executor Scala collections. */
 object Utf8Order {
   val ordering: Ordering[String] = new Ordering[String] {
-    override def compare(a: String, b: String): Int =
-      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+    // code-point comparison directly on the UTF-16 chars — identical
+    // order to UTF-8 byte comparison (byte order = code-point order)
+    // without allocating and re-encoding two UTF8Strings per compare
+    // (this ordering backs every TreeMap in the report/trgx renderers,
+    // so it runs O(log n) times per key insert per group).
+    // Fast path: chars below the surrogate range compare identically
+    // as code units; only when BOTH sides are at/above 0xD800 do
+    // surrogate semantics matter.
+    override def compare(a: String, b: String): Int = {
+      val la = a.length; val lb = b.length
+      var i = 0
+      while (i < la && i < lb) {
+        val ca = a.charAt(i); val cb = b.charAt(i)
+        if (ca != cb) {
+          if (ca < 0xD800 && cb < 0xD800) return ca - cb
+          val cpa = a.codePointAt(i); val cpb = b.codePointAt(i)
+          if (cpa != cpb) return Integer.compare(cpa, cpb)
+          // equal code points with different chars cannot happen
+          return ca - cb
+        }
+        i += 1
+      }
+      la - lb
+    }
   }
 }

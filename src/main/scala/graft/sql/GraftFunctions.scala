@@ -78,9 +78,17 @@ object GraftFunctions {
         "graft_minhash_sig(hashes, k) - k-slot MinHash signature over " +
           "an array<bigint> of shingle hashes; k must be an int literal"),
       {
-        case Seq(e, Literal(k: Int, IntegerType)) => MinHashSig(e, k)
+        case Seq(e, Literal(k: Int, IntegerType)) =>
+          // validated HERE, not at execution: a negative k would throw
+          // NegativeArraySizeException per row (a task-failure storm)
+          // and k=0 would silently emit empty signatures that LSH
+          // banding buckets into nothing
+          if (k < 1) throw new IllegalArgumentException(
+            s"graft_minhash_sig: k must be >= 1, got $k")
+          MinHashSig(e, k)
         case Seq(_, bad) => throw new IllegalArgumentException(
-          "graft_minhash_sig: k must be a foldable INT literal, got " +
+          "graft_minhash_sig: k must be an INT literal (constant " +
+            "expressions are not folded at resolution time), got " +
             bad.sql)
         case other =>
           arityError("graft_minhash_sig", "2 arguments", other)
@@ -88,7 +96,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_collect_kv"),
       info("graft_collect_kv", classOf[CollectKvAgg],
         "graft_collect_kv(k, v) - aggregate rows into a " +
-          "map<string,string>, last write per key wins, null keys skipped"),
+          "map<string,string>; duplicate keys resolve to the binary-max " +
+          "value (merge-order deterministic, NOT last-write-wins), " +
+          "null keys skipped"),
       {
         case Seq(k, v) => CollectKvAgg(k, v)
         case other     => arityError("graft_collect_kv", "2 arguments", other)

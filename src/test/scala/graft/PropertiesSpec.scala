@@ -78,6 +78,38 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("Utf8Order code-point compare == UTF8String byte compare " +
+       "(incl. supplementary-plane chars)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val charGen = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.const("�"),  // BMP above the surrogate range
+      Gen.const(new String(Character.toChars(0x1F600))), // astral pair
+      Gen.const("中"), Gen.const("é"))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    check("utf8order", Prop.forAll(strGen, strGen) { (a, b) =>
+      val byByte = Integer.signum(
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+      Integer.signum(graft.functions.Utf8Order.ordering.compare(a, b)) ==
+        byByte
+    })
+  }
+
+  test("JsonShape.esc matches Jackson's string rendering byte-for-byte") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val charGen = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.const("\""), Gen.const("\\"), Gen.const("\b"), Gen.const("\f"),
+      Gen.const("\n"), Gen.const("\r"), Gen.const("\t"),
+      Gen.const("\u0001"), Gen.const("\u001f"), Gen.const("中"))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    check("jsonesc", Prop.forAll(strGen) { s =>
+      "\"" + graft.functions.JsonShape.esc(s) + "\"" ==
+        mapper.writeValueAsString(mapper.getNodeFactory.textNode(s))
+    })
+  }
+
   test("packed-decimal election key is order-isomorphic to the " +
        "(id, pos) pair, any id sign (Dedup.electionKey fast path)") {
     // the keeper elections rely on id·2^32 + pos in decimal(38,0)
