@@ -122,11 +122,14 @@ object Bpe {
     * trained). Words longer than `maxWordLen` chars come back as a
     * single token: the loop is O(len²) and a pathological "word" (URL,
     * DNA string, minified JS) would stall a task; one opaque token
-    * keeps the round-trip property and bounds the cost. */
+    * keeps the round-trip property and bounds the cost. The length is
+    * measured in CODE POINTS — the module's symbol grain — so a
+    * ≤512-code-point word of non-BMP chars (emoji, rare CJK) is not
+    * misclassified as pathological by its doubled UTF-16 length. */
   def encodeWord(word: String, ranks: Map[(String, String), Int],
       maxWordLen: Int = 512): Array[String] = {
     if (word.isEmpty) return Array.empty
-    if (word.length > maxWordLen) return Array(word)
+    if (word.codePointCount(0, word.length) > maxWordLen) return Array(word)
     var syms: Array[String] = seedSymbols(word)
     var continue = true
     while (continue && syms.length > 1) {

@@ -59,7 +59,13 @@ object Dedup {
     * single-shuffle shape. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.withColumn("__g", coalesce(fingerprint(col(textCol)),
-        concat(lit("null:"), col(idCol).cast("string"))))
+        concat(lit("null:"), col(idCol).cast("string")),
+        // both text AND id null: a row-unique key keeps each such row
+        // its own singleton (concat over a null id is NULL, which used
+        // to collapse them all into one phantom group). The key is
+        // non-deterministic across runs, but it never leaves the
+        // query: fp is reconstructed as null for every "null:" group.
+        concat(lit("null:#"), monotonically_increasing_id().cast("string"))))
       .groupBy("__g")
       .agg(min(col(idCol)).as("canonical_id"),
            count(lit(1)).as("dup_count"))
@@ -374,7 +380,12 @@ object Dedup {
     val withFp = staged(df.select(col(idCol).as("id"),
         col(textCol).as("text__"), fingerprint(col(textCol)).as("fp"))
       .withColumn("__g", coalesce(col("fp"),
-        concat(lit("null:"), col("id").cast("string"))))
+        concat(lit("null:"), col("id").cast("string")),
+        // (null text, null id) rows: row-unique key so each stays a
+        // singleton instead of collapsing into one phantom group; such
+        // rows surface as (id null, group_id null) — there is nothing
+        // else to identify them by.
+        concat(lit("null:#"), monotonically_increasing_id().cast("string"))))
       .withColumn("cid", min(col("id")).over(w)), "groups_fp")
     val canonical = withFp.filter(col("id") === col("cid"))
       .select(col("id"), col("text__"))

@@ -243,9 +243,17 @@ object Trgx {
       setNodeIn(acc, np, getIn(t, p).get)
     }
 
-  /** Every node path (prefix-closure of the leaf paths), sorted — the
-    * reference's `trgx-path-seq` (trgx.clj:226-227) enumerates EVERY
-    * :DATA-bearing node, not just leaves. */
+  /** Every node path (prefix-closure of the leaf paths), sorted.
+    *
+    * Representation-level deviation from `trgx-path-seq`
+    * (trgx.clj:226-227): the reference enumerates only nodes that
+    * literally carry a `:DATA` key — intermediates created implicitly
+    * by `trgx-assoc-in` have none and are skipped there. A graft
+    * `TrgxNode` ALWAYS carries a `data` map (possibly empty), so the
+    * prefix-closure here can emit records for data-less intermediates
+    * the reference would omit. EDN-faithful enumeration would need an
+    * explicit has-DATA flag per node; graft deliberately treats every
+    * materialized node as enumerable. */
   private def nodePaths(t: Tree): Seq[Seq[String]] =
     pathSeq(t).flatMap(p => (1 to p.length).map(p.take)).distinct
 
@@ -261,17 +269,22 @@ object Trgx {
     nodePaths(t).filter(_.length <= n)
       .map(p => (p, Map(p.last -> getIn(t, p).get)))
 
-  /** `trgx-leaf-trunc` (trgx.clj:265-269): re-home every leaf node at
-    * depth `level`+1 — the ancestor path truncated to `level` with the
-    * leaf key appended. Paths already within `level` stay IN PLACE:
-    * the reference truncates the PARENT path (take level of the path
-    * sans leaf), so a shallow leaf never gains a duplicated self-keyed
-    * intermediate node (the unguarded `take(level) :+ last` did
-    * exactly that for p.length ≤ level — same guard as takeLast). */
+  /** `trgx-leaf-trunc` (trgx.clj:265-269), exact reference semantics:
+    * re-home every leaf node at `(take level full-path) :+ leaf-key`,
+    * where `trgx->path`'s value INCLUDES the leaf key. So unlike
+    * `takeLast` (whose custom take-last guards `(if (last tail) …
+    * header)`), a leaf whose path is already within `level` gains a
+    * duplicated self-keyed tail: `[a b]` at level 2 → `[a b b]`. The
+    * unguarded form below IS the reference behavior.
+    *
+    * Representation-level deviation: the reference indexes leaves by
+    * bare leaf key (`trgx->leaf`/`trgx->path` are maps), so two leaves
+    * sharing a key across branches collapse to whichever wins the
+    * `into {}`; we fold over every distinct leaf PATH, keeping both
+    * unless their truncated paths collide (then last-in-sort wins). */
   def leafTrunc(t: Tree, level: Int): Tree =
     pathSeq(t).foldLeft(Map.empty: Tree) { (acc, p) =>
-      val np = if (p.length > level) p.take(level) :+ p.last else p
-      setNodeIn(acc, np, getIn(t, p).get)
+      setNodeIn(acc, p.take(level) :+ p.last, getIn(t, p).get)
     }
 
   /** `trgx->kv` / `path-trgx->kv` (trgx.clj:271-275): flatten to

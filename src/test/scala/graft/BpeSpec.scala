@@ -62,6 +62,18 @@ class BpeSpec extends AnyFunSuite {
       s"3 words, 7 code points, 7 char tokens, round-trip; got $got")
   }
 
+  test("maxWordLen guard measures CODE POINTS, not UTF-16 units — a " +
+       "long all-emoji word still gets real subword tokens") {
+    val emoji = new String(Character.toChars(0x1F600))
+    // 300 code points = 600 UTF-16 units: within the 512-cp budget,
+    // so it must seed 300 symbols, not return one opaque token
+    val w = emoji * 300
+    assert(w.length == 600)
+    assert(Bpe.encodeWord(w, Map.empty).length == 300)
+    // past the code-point budget it IS one opaque token
+    assert(Bpe.encodeWord(emoji * 513, Map.empty).toSeq == Seq(emoji * 513))
+  }
+
   test("encodeStats counts words/chars/tokens per doc; empty docs survive") {
     val df = Seq(
       (1L, "the cat sat on the mat"),

@@ -47,6 +47,25 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 >= 10L || p._2 >= 10L))
   }
 
+  test("(null text, null id) rows stay distinct singletons — the " +
+       "null-sentinel key must not collapse them into one group") {
+    val nullId = Seq[(java.lang.Long, String)](
+      (null, null), (null, null), (null, null))
+      .toDF("doc_id", "text")
+    val withNulls = docs
+      .withColumn("doc_id", $"doc_id".cast("long")).unionByName(nullId)
+    val ex = Dedup.exactDedup(withNulls, "text", "doc_id")
+    // three separate singleton rows, not one phantom dup_count=3 group
+    val nullRows = ex.filter($"fp".isNull)
+      .select($"dup_count").as[Long].collect()
+    assert(nullRows.length == 3 && nullRows.forall(_ == 1L),
+      s"expected 3 singletons, got ${nullRows.toSeq}")
+    // dedupGroups: the three (null,null) rows each surface (id null,
+    // group_id null) but remain three ROWS — none swallowed
+    val grp = Dedup.dedupGroups(withNulls, "text", "doc_id")
+    assert(grp.count() == withNulls.count())
+  }
+
   test("dedupGroups and connectedComponents accept STRING ids " +
        "(no silent long cast nulling them out)") {
     val sdocs = docs.withColumn("doc_id",

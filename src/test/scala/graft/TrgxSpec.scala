@@ -104,11 +104,15 @@ class TrgxSpec extends AnyFunSuite {
     assert(pathSeq(lt1) == pathSeq(tree))
     assert(getIn(lt1, Seq("2016-01-01", "o2")).get.data("price")
       == "20.00")
-    // level >= depth: paths stay IN PLACE — the reference truncates
-    // the PARENT path, so a shallow leaf never gains a duplicated
-    // self-keyed intermediate (the unguarded take(level):+last did)
+    // level >= depth: reference-exact — trgx->path's value INCLUDES
+    // the leaf key, so take(level) keeps the whole path and the conj
+    // appends a duplicated self-keyed tail: [d, o] -> [d, o, o]
     val lt2 = leafTrunc(tree, 2)
-    assert(pathSeq(lt2) == pathSeq(tree))
+    assert(pathSeq(lt2) == Seq(
+      Seq("2016-01-01", "o1", "o1"), Seq("2016-01-01", "o2", "o2"),
+      Seq("2016-02-01", "o3", "o3")))
+    assert(getIn(lt2, Seq("2016-01-01", "o2", "o2")).get.data("price")
+      == "20.00")
   }
 
   test("leafPaths maps leaf keys to full paths (trgx->path)") {
