@@ -759,7 +759,13 @@ object CoreQueries {
           "win_end", keys = Seq("user_id" -> "p_user"))
         .groupBy("purchase_id")
         .agg(count(lit(1)).as("n_clicks"),
-          round(sum(col("value")), 6).as("sum_val"))
+          // decimal-first sum, VARCHAR-compared (the sessionizedAgg /
+          // windowedCounts convention): round(sum(double), 6) is
+          // summation-order-sensitive across engines — the banned
+          // oracle class. Non-finite values null out in the cast; the
+          // oracle mirrors with its isfinite guard.
+          sum(col("value").cast("decimal(18,3)"))
+            .cast("decimal(38,3)").cast("string").as("sum_val"))
         .orderBy("purchase_id")
     }),
 
@@ -818,7 +824,11 @@ object CoreQueries {
       """WITH a AS (SELECT DISTINCT user_id AS k,
            CAST(floor(CAST(date_diff('day', DATE '2024-01-01',
              CAST(ts AS DATE)) AS DOUBLE) / 7) AS INT) AS wk
-           FROM events),
+           FROM events
+           -- mirror cohortRetention's null-period drop (wk IS NULL ⇔
+           -- ts IS NULL): without this the oracle emits a phantom
+           -- (NULL, NULL) cohort row Spark never produces
+           WHERE ts IS NOT NULL),
          c AS (SELECT k, min(wk) AS cohort FROM a GROUP BY k)
          SELECT c.cohort, a.wk - c.cohort AS week_offset,
            CAST(count(DISTINCT a.k) AS BIGINT) AS n_users
@@ -864,7 +874,9 @@ object CoreQueries {
            c AS (SELECT user_id, ts, value FROM events
               WHERE event_type = 'click')
          SELECT p.purchase_id, count(*) AS n_clicks,
-           round(sum(c.value), 6) AS sum_val
+           CAST(CAST(sum(CAST(CASE WHEN isfinite(c.value) THEN c.value
+             END AS DECIMAL(18,3))) AS DECIMAL(38,3))
+             AS VARCHAR) AS sum_val
          FROM p JOIN c
            ON c.user_id = p.user_id
           AND c.ts >= p.win_start AND c.ts <= p.win_end

@@ -16,13 +16,10 @@ object CorpusQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
-  private val normSql =
-    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-
-  /** text_quality's exact whitespace-token-count twin. */
-  private val tokWsSql =
-    """CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE len(string_split_regex(trim(text), '\s+')) END AS INT)"""
+  // single shared SQL twins (LlmQueries owns the copy) — an inlined
+  // duplicate here drifted-contract risk the round-8 review flagged
+  private val normSql = LlmQueries.normSql
+  private val tokWsSql = LlmQueries.tokWsSql
 
   /** Per-language sampling rates for the stratified_sample probe:
     * downsample the dominant language, keep all of the rare one. */
@@ -98,10 +95,11 @@ object CorpusQueries {
       // 14 s cold / 6.6 s warm; through the table boundary 6 s / 3 s)
       val mixed = Corpus.mixtureSample(withTok, col("doc_id"),
         col("source"), col("tok"), pipeWeights.toMap)
-      val boundary = Tables.tmpDir + "/corpus_pipeline_mixed"
-      mixed.write.mode("overwrite").parquet(boundary)
-      Corpus.shuffleShard(s.read.parquet(boundary), col("doc_id"),
-          nShards = 4)
+      // Tables.staged, not a fixed tmpDir suffix: staged() owns the
+      // collision story (UUID path — concurrent runs can't overwrite
+      // each other's live boundary) and registers the dir for reaping
+      Corpus.shuffleShard(Tables.staged(mixed, "corpus_pipeline_mixed"),
+          col("doc_id"), nShards = 4)
         .orderBy("pos")
     }),
 
@@ -234,7 +232,11 @@ object CorpusQueries {
         .select((col("vec_id") % 10).as("grp"),
           posexplode(transform(col("embedding"), x => x.cast("double"))))
         .groupBy(col("grp"), col("pos"))
-        .agg(round(avg(col("col")), 6).as("val"))
+        // round at 4, not 6: avg-of-doubles partial-merge order differs
+        // across engines (~1e-13 drift); 4 decimals is the in-file
+        // accepted slack (see text_unigram_logprob note) — 6 was the
+        // banned exactly-compared class
+        .agg(round(avg(col("col")), 4).as("val"))
         .orderBy("grp", "pos"))
   )
 
@@ -297,8 +299,11 @@ object CorpusQueries {
                  JOIN canon c ON f.doc_id = c.doc_id),
          t2 AS (SELECT doc_id, source, $tokWsSql AS tok FROM ded),
          w(src, wt) AS (VALUES ${weightsVals(pipeWeights)}),
+         -- HAVING stok > 0 mirrors mixtureSample's zero-token-source
+         -- drop (a zero-mass source must not poison N = min(stok/wt))
          tot AS (SELECT source, wt, CAST(sum(tok) AS BIGINT) AS stok
-                 FROM t2 JOIN w ON t2.source = w.src GROUP BY source, wt),
+                 FROM t2 JOIN w ON t2.source = w.src GROUP BY source, wt
+                 HAVING CAST(sum(tok) AS BIGINT) > 0),
          nm AS (SELECT min(stok / wt) AS nmax FROM tot),
          r AS (SELECT source, wt * nmax / stok AS rate
                FROM tot CROSS JOIN nm),
@@ -323,8 +328,13 @@ object CorpusQueries {
       s"""WITH t AS (SELECT doc_id, source, $tokWsSql AS tok
              FROM documents),
          w(src, wt) AS (VALUES ${weightsVals(mixWeights)}),
+         -- HAVING stok > 0 mirrors mixtureSample's zero-token-source
+         -- drop: without it a zero-mass source drives nmax to 0 (every
+         -- rate 0 → oracle returns no rows while Spark samples the
+         -- other sources normally)
          tot AS (SELECT source, wt, CAST(sum(tok) AS BIGINT) AS stok
-                 FROM t JOIN w ON t.source = w.src GROUP BY source, wt),
+                 FROM t JOIN w ON t.source = w.src GROUP BY source, wt
+                 HAVING CAST(sum(tok) AS BIGINT) > 0),
          nm AS (SELECT min(stok / wt) AS nmax FROM tot),
          r AS (SELECT source, wt * nmax / stok AS rate
                FROM tot CROSS JOIN nm)
@@ -338,8 +348,12 @@ object CorpusQueries {
     "corpus_temperature_mix" ->
       s"""WITH t AS (SELECT doc_id, source, $tokWsSql AS tok
              FROM documents),
+         -- HAVING stok > 0 mirrors temperatureMixture's zero-token
+         -- drop (0/sqrt(0) would otherwise make the rate NaN and
+         -- least(1.0, NaN) keep every row of the zero-mass source)
          tot AS (SELECT source, CAST(sum(tok) AS BIGINT) AS stok
-                 FROM t GROUP BY source),
+                 FROM t GROUP BY source
+                 HAVING CAST(sum(tok) AS BIGINT) > 0),
          u AS (SELECT source, stok, sqrt(stok) AS uu FROM tot),
          nm AS (SELECT min(stok / uu) AS nmax FROM u),
          r AS (SELECT source, least(1.0, uu * nmax / stok) AS rate
@@ -412,7 +426,7 @@ object CorpusQueries {
              unnest(generate_series(1, len(embedding))) AS i
            FROM embeddings)
          SELECT grp, CAST(i - 1 AS INT) AS pos,
-           round(avg(v[i]), 6) AS val
+           round(avg(v[i]), 4) AS val
          FROM x GROUP BY grp, i ORDER BY grp, pos"""
   )
 }

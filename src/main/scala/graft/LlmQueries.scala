@@ -45,8 +45,18 @@ object LlmQueries {
                            col("embedding")))
   }
 
-  private val normSql =
+  /** TextAnalysis.normalizeText's exact SQL twin — the ONE copy every
+    * oracle (here and in CorpusQueries) must reference: an inlined
+    * duplicate drifting from a regex fix is a silent oracle fork. */
+  private[graft] val normSql =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** TextAnalysis.tokenCountWs's exact SQL twin — single shared copy
+    * for the same drift reason (was inlined at three sites here plus
+    * one in CorpusQueries). */
+  private[graft] val tokWsSql =
+    """CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS INT)"""
 
   /** C4-signal CTE chain over a (doc_id, text) relation named u —
     * yields `sig` with the per-doc heuristics (TextAnalysis.c4Signals
@@ -1530,9 +1540,7 @@ object LlmQueries {
         .map(w => s"'$w'").mkString(", ")
       s"""WITH base AS (SELECT doc_id, text,
              CAST(length(text) AS INT) AS n_chars_calc,
-             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END
-               AS INT) AS tok_ws,
+             $tokWsSql AS tok_ws,
              CAST(len(regexp_extract_all(text,
                '[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS INT) AS tok_bpe,
              CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))
@@ -1557,9 +1565,7 @@ object LlmQueries {
         .map(w => s"'$w'").mkString(", ")
       s"""WITH base AS (SELECT doc_id,
              CAST(length(text) AS INT) AS n_chars,
-             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END
-               AS INT) AS tok_ws,
+             $tokWsSql AS tok_ws,
              CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))
                AS INT) AS punct_cnt,
              len(list_filter(string_split($normSql, ' '),
@@ -1623,9 +1629,7 @@ object LlmQueries {
              md5($normSql) AS fp,
              string_split($normSql, ' ') AS toks,
              CAST(length(text) AS INT) AS n_chars,
-             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END
-               AS INT) AS tok_ws,
+             $tokWsSql AS tok_ws,
              CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}\\s]'))
                AS INT) AS punct_cnt,
              regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk

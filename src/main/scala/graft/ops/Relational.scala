@@ -375,10 +375,21 @@ object Relational {
       keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
         carry.map(col) ++
         Seq(lit(null).cast(payType).as("__pay")): _*)
-    val rU = right.select(
-      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        carry.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(struct(payload.map(col): _*).as("__pay")): _*)
+    // SQL ASOF-join semantics: an equality key never matches NULL and a
+    // NULL right timestamp never satisfies l.ts >= r.ts, so such right
+    // rows can match nothing — drop them BEFORE the union. Without
+    // this, window partitioning (which groups NULL keys together and
+    // sorts NULL ts first) would hand a null-keyed left row the
+    // null-keyed right payload, and a null-ts right payload to every
+    // row in its partition — matches SQL's never. Left rows with null
+    // keys/ts still flow through and surface with a null payload
+    // (left-outer semantics).
+    val rU = right
+      .filter((keys :+ rightTs).map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+          carry.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          Seq(struct(payload.map(col): _*).as("__pay")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -64,6 +64,29 @@ class AsofRangeSpec extends AnyFunSuite {
     assert(out2.isEmpty, s"expected the as-of row's null p1, got $out2")
   }
 
+  test("asofJoin follows SQL ASOF semantics on NULLs: null keys never " +
+       "match each other, null right ts matches nothing, null-key left " +
+       "rows survive with null payload") {
+    val trades = Seq(
+      (1L, Some("A"), ts("2024-01-01 10:00:00")),
+      (2L, None,      ts("2024-01-01 10:00:00")), // null key
+      (3L, Some("A"), ts("2024-01-01 10:05:00")))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (Some("A"), Option(ts("2024-01-01 09:30:00")), 1.0),
+      (None,      Option(ts("2024-01-01 09:00:00")), 7.0),  // null key
+      (Some("A"), Option.empty[Timestamp],           8.0))  // null ts
+      .toDF("sym", "qt", "bid")
+    val out = Relational.asofJoin(trades, quotes, Seq("sym"), "t", "qt",
+        Seq("bid"))
+      .select($"trade_id", $"bid").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(1.0)) // NOT 8.0 — null-ts quote matches nothing
+    assert(out(2L).isEmpty)       // NOT 7.0 — null = null is never true
+    assert(out(3L).contains(1.0))
+    assert(out.size == 3)         // left-outer: every left row survives
+  }
+
   test("asofJoin carries left payload columns through untouched") {
     val left = Seq((1L, "A", ts("2024-01-01 12:00:00"), "keep-me"))
       .toDF("id", "k", "t", "note")

@@ -175,6 +175,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == out.map(_._1).toSet)
   }
 
+  test("zero-token sources drop without poisoning the other sources' " +
+       "rates (mixtureSample and temperatureMixture)") {
+    // source z is listed but has zero token mass: it must vanish from
+    // the output while a/b sample exactly as if z were absent
+    val docs = ((0 until 100).map(i => (i.toLong, "a", 10)) ++
+      (0 until 100).map(i => (i.toLong + 1000, "b", 10)) ++
+      Seq((5000L, "z", 0), (5001L, "z", 0))).toDF("id", "src", "tok")
+    val mixed = Corpus.mixtureSample(docs, col("id"), col("src"),
+        col("tok"), Map("a" -> 0.8, "b" -> 0.2, "z" -> 0.5))
+      .select($"id", $"src").as[(Long, String)].collect()
+    assert(!mixed.exists(_._2 == "z"))
+    assert(mixed.count(_._2 == "a") == 100)   // a still binds at rate 1
+    assert(mixed.count(_._2 == "b") > 0)
+    val temp = Corpus.temperatureMixture(docs, col("id"), col("src"),
+        col("tok"))
+      .select($"id", $"src", $"rate").as[(Long, String, Double)].collect()
+    assert(!temp.exists(_._2 == "z"))
+    assert(temp.forall(r => !r._3.isNaN && r._3 > 0))
+  }
+
   test("temperatureMixture: sqrt weights keep the smallest source " +
        "whole, larger sources downsample; alpha=1 is the identity mix") {
     // a: 40000 tok, b: 10000 tok, c: 2500 tok → u = 200/100/50;
