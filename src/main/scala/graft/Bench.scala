@@ -145,6 +145,20 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_LOCAL write failed: ${e.getMessage}")
     }
+    // The driver keeps only the last ~2000 bytes of stdout and parses a
+    // JSON line out of that window. The full line above is ~25 KB, so
+    // its head (the `{"metric"` anchor) never survives the window —
+    // seven rounds of BENCH_r*.json carry `parsed: null`. Emit a
+    // second, SHORT summary line LAST so one complete JSON object is
+    // always inside the window; per-query detail stays in the big line
+    // and BENCH_LOCAL.json. `queries` here is deliberately only the
+    // slowest few (marked by queries_truncated_to) to stay under the
+    // window even if names grow.
+    val slowest = warm.sortBy(-_._2).take(12)
+      .map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
+    val shortLine =
+      s"""{"metric":"total_warm","value":${math.rint(totalWarm * 1000) / 1000},"unit":"sec","queries":${js(slowest)},"queries_n":${warm.size},"queries_truncated_to":${slowest.size},"failed_n":${failed.size},"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    println(shortLine)
     spark.stop()
   }
 }
