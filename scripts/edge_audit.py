@@ -29,14 +29,18 @@ SRC = Path("/root/testdata/sf0.001")
 
 
 def augment_events(outdir: Path) -> None:
-    """Plant degenerate events rows. events.parquet is TIMESTAMP(NANOS),
-    which DuckDB COPY would silently rewrite to micros (breaking the
-    engine's nanos-aware reader), so augment via pyarrow instead.
+    """Plant degenerate events rows. The testdata's ts encoding has
+    varied across generations (TIMESTAMP(NANOS), then timestamp[us] —
+    the round-6 incident), and DuckDB COPY would silently rewrite nanos
+    to micros (breaking encoding-fidelity of the audit), so augment via
+    pyarrow AND mirror whatever unit the source file carries.
 
     Planted event_ids start at 9000 (real sf0.001 ids are 0-999; stays
     under the streaming queries' require(max<1M) synthetic-offset guard).
     """
     base = pq.read_table(SRC / "events.parquet")
+    ts_type = base.schema.field("ts").type  # timestamp[ns] or [us]
+    ts_unit = ts_type.unit
     rows = [
         # (event_id, ts, user_id, event_type, value, props)
         (9000, "2024-01-02T03:04:05.123456789", 9000, "click", 1.5, None),
@@ -59,8 +63,8 @@ def augment_events(outdir: Path) -> None:
         {
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
             "ts": pa.array(
-                [np.datetime64(r[1], "ns") if r[1] else None
-                 for r in rows], pa.timestamp("ns")),
+                [np.datetime64(r[1], ts_unit) if r[1] else None
+                 for r in rows], ts_type),
             "user_id": pa.array([r[2] for r in rows], pa.int64()),
             "event_type": pa.array([r[3] for r in rows], pa.string()),
             "value": pa.array([r[4] for r in rows], pa.float64()),

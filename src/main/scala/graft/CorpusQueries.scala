@@ -237,7 +237,28 @@ object CorpusQueries {
         // accepted slack (see text_unigram_logprob note) — 6 was the
         // banned exactly-compared class
         .agg(round(avg(col("col")), 4).as("val"))
-        .orderBy("grp", "pos"))
+        .orderBy("grp", "pos")),
+
+    // bigram-LM scoring (perplexity-filter shape one order above
+    // text_unigram_logprob): per-doc mean -ln P(w2|w1) under the
+    // corpus's own bigram MLE with history counts — no smoothing
+    // constant to keep in sync across engines
+    "text_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogprob(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // per-doc cross-document duplicate 3-gram fraction — the
+    // redundancy ranking signal upstream of dedup-threshold choice
+    "text_dup_ngram_rate" -> ((s, dir) =>
+      Dedup.dupNgramRate(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
+    // character-entropy (code-point grain) quality profile per doc
+    "text_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropyProfile(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -255,7 +276,8 @@ object CorpusQueries {
          c AS (SELECT doc_id, ws,
              unnest(generate_series(0, nc - 1)) AS i FROM n)
          SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-           array_to_string(list_slice(ws, i * 24 + 1, i * 24 + 32), ' ')
+           coalesce(array_to_string(
+               list_slice(ws, i * 24 + 1, i * 24 + 32), ' '), '')
              AS chunk_text,
            CAST(len(list_slice(ws, i * 24 + 1, i * 24 + 32)) AS INT)
              AS n_tokens
@@ -427,6 +449,45 @@ object CorpusQueries {
            FROM embeddings)
          SELECT grp, CAST(i - 1 AS INT) AS pos,
            round(avg(v[i]), 4) AS val
-         FROM x GROUP BY grp, i ORDER BY grp, pos"""
+         FROM x GROUP BY grp, i ORDER BY grp, pos""",
+    "text_bigram_logprob" ->
+      s"""WITH u AS (SELECT doc_id, coalesce(text, '') AS text
+             FROM documents),
+         w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM u),
+         b AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+               THEN list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i+1])
+               ELSE CAST([] AS VARCHAR[]) END) AS bg FROM w),
+         bc AS (SELECT bg, count(*) AS c12 FROM b GROUP BY 1),
+         hc AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+             FROM b GROUP BY 1)
+         SELECT b.doc_id, count(*) AS n_big,
+           round(avg(-ln(bc.c12 / CAST(hc.c1 AS DOUBLE))), 4) AS nll
+         FROM b JOIN bc USING (bg)
+         JOIN hc ON string_split(b.bg, ' ')[1] = hc.w1
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "text_dup_ngram_rate" ->
+      s"""WITH u AS (SELECT doc_id, coalesce(text, '') AS text
+             FROM documents),
+         ${LlmQueries.shingleCte},
+         dfr AS (SELECT g, count(*) AS nd FROM sd GROUP BY 1)
+         SELECT sd.id AS doc_id, count(*) AS n_gram,
+           count(CASE WHEN dfr.nd >= 2 THEN 1 END) AS n_dup,
+           round(count(CASE WHEN dfr.nd >= 2 THEN 1 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+         FROM sd JOIN dfr USING (g)
+         GROUP BY sd.id ORDER BY doc_id""",
+    "text_char_entropy" ->
+      """WITH u AS (SELECT doc_id, coalesce(text, '') AS text
+             FROM documents),
+         ch AS (SELECT doc_id,
+             unnest(regexp_extract_all(text, '(?s).')) AS c FROM u),
+         cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+           count(*) AS n_unique,
+           round(ln(CAST(sum(cnt) AS DOUBLE)) -
+             sum(cnt * ln(CAST(cnt AS DOUBLE)))
+               / CAST(sum(cnt) AS DOUBLE), 4) AS entropy
+         FROM cc GROUP BY doc_id ORDER BY doc_id"""
   )
 }

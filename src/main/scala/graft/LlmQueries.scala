@@ -149,8 +149,9 @@ object LlmQueries {
        WHERE rank <= 10 ORDER BY query_id, rank"""
   }
 
-  /** word-3-shingle CTE over a (doc_id, text) relation named u. */
-  private val shingleCte =
+  /** word-3-shingle CTE over a (doc_id, text) relation named u —
+    * single shared copy (CorpusQueries' dup-ngram oracle reuses it). */
+  private[graft] val shingleCte =
     s"""w AS (SELECT doc_id AS id, $normSql AS norm,
            string_split($normSql, ' ') AS ws FROM u),
        s AS (SELECT id, unnest(CASE WHEN len(ws) >= 3
@@ -1552,12 +1553,13 @@ object LlmQueries {
            round(CASE WHEN tok_ws = 0 THEN 0.0
                  ELSE CAST(sw_cnt AS DOUBLE) / tok_ws END, 6)
              AS sw_ratio,
+           CASE WHEN n_chars_calc IS NULL THEN NULL ELSE
            round((least(CAST(n_chars_calc AS DOUBLE) / 500.0, 1.0)
              + greatest(0.0, 1.0 - (CASE WHEN n_chars_calc = 0 THEN 0.0
                  ELSE CAST(punct_cnt AS DOUBLE) / n_chars_calc END) * 5.0)
              + least((CASE WHEN tok_ws = 0 THEN 0.0
                  ELSE CAST(sw_cnt AS DOUBLE) / tok_ws END) * 4.0, 1.0))
-             / 3.0, 6) AS quality
+             / 3.0, 6) END AS quality
          FROM base ORDER BY doc_id"""
     },
     "corpus_quality_sample" -> {
@@ -1572,12 +1574,13 @@ object LlmQueries {
                t -> t IN ($en))) AS sw_cnt
            FROM documents),
          q AS (SELECT doc_id,
+           CASE WHEN n_chars IS NULL THEN NULL ELSE
            round((least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
              + greatest(0.0, 1.0 - (CASE WHEN n_chars = 0 THEN 0.0
                  ELSE CAST(punct_cnt AS DOUBLE) / n_chars END) * 5.0)
              + least((CASE WHEN tok_ws = 0 THEN 0.0
                  ELSE CAST(sw_cnt AS DOUBLE) / tok_ws END) * 4.0, 1.0))
-             / 3.0, 6) AS quality
+             / 3.0, 6) END AS quality
            FROM base)
          SELECT doc_id, quality FROM q
          WHERE quality >= 1.0 OR

@@ -488,6 +488,43 @@ object Dedup {
     containmentTail(trainFlat, benchSh, threshold)
   }
 
+  /** Cross-document duplicate n-gram rate — the corpus-redundancy
+    * profile (the per-document view of what substring/passage dedup
+    * acts on): for each document, the fraction of its DISTINCT word
+    * n-grams that also occur in at least one other document.
+    * 1.0 ⇒ the document is fully covered by text seen elsewhere (an
+    * exact or near copy); ~0 ⇒ novel text. The standard curation
+    * signal for ranking documents by redundancy before choosing a
+    * dedup threshold.
+    *
+    * Plan shape: per-doc distinct shingles hash to longs map-side
+    * (xxhash64 — 16-byte shuffle rows, long equality in the count
+    * join; a false dup needs a cross-document collision among one
+    * doc's shingles, ~2⁻⁶⁴ per pair, the [[decontShingles]] argument);
+    * the occurrence count table derives from the same stream with
+    * map-side combine, and the per-doc reduce carries counts only.
+    * Because each doc contributes a shingle at most ONCE, the
+    * occurrence count is the document frequency — `nd ≥ 2` IS the
+    * "appears in another doc" predicate.
+    *
+    * Output: idCol, n_gram, n_dup, dup_rate (exact-int division,
+    * rounded at 6). Empty/null docs shingle as [""] like everywhere
+    * else in this module. */
+  def dupNgramRate(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(array_distinct(transform(
+        array_distinct(wordShingles(coalesce(col(textCol), lit("")), n)),
+        g => xxhash64(g)))).as("__h"))
+    val docFreq = sh.groupBy("__h").agg(count(lit(1)).as("nd"))
+    sh.join(docFreq, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_gram"),
+        count(when(col("nd") >= 2, lit(1))).as("n_dup"))
+      .withColumn("dup_rate",
+        round(col("n_dup").cast("double") / col("n_gram"), 6))
+  }
+
   /** N-gram Jaccard similarity between two text columns (shingle-set
     * intersection over union) — the verify kernel, exposed standalone. */
   def ngramJaccard(a: Column, b: Column): Column = {

@@ -308,6 +308,79 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Bigram-LM document scoring — the CCNet/perplexity-filter shape one
+    * order up from the unigram probe: per-document mean negative
+    * log-probability of its token bigrams under the corpus's own bigram
+    * MLE, P(w2|w1) = c(w1 w2) / c(w1 ·) with c(w1 ·) the HISTORY count
+    * (occurrences of w1 as a bigram head). Every observed bigram has
+    * c ≥ 1, so scoring the training corpus itself needs no smoothing —
+    * and no vocab-size constant that would have to match across
+    * engines.
+    *
+    * Scale shape: the bigram and history tables are vocab-sized
+    * aggregates of the same exploded stream the scoring join consumes —
+    * map-side combine shrinks both shuffles to (term, partial count).
+    * They re-enter as broadcasts at bench scale; at 100 TB the bigram
+    * vocab outgrows a broadcast and the identical plan holds with
+    * shuffle hash joins keyed on the bigram string (salting never
+    * needed — Zipf skew sits in the COUNT tables, which are one row per
+    * key by construction). Docs with < 2 tokens have no bigrams and are
+    * absent from the output (callers left-join if they need every doc).
+    *
+    * Output: idCol, n_big, nll (= mean −ln P, rounded at 4 — the
+    * avg-of-doubles engine-drift slack, see text_unigram_logprob). */
+  def bigramLogprob(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val bg = df.select(col(idCol),
+      explode(wordBigramsStaged(
+        split(normalizeText(coalesce(col(textCol), lit(""))), " ")))
+        .as("bg"))
+    val bgCnt = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val histCnt = bg
+      .groupBy(substring_index(col("bg"), " ", 1).as("__w1"))
+      .agg(count(lit(1)).as("c1"))
+    bg.join(broadcast(bgCnt), Seq("bg"))
+      .withColumn("__w1", substring_index(col("bg"), " ", 1))
+      .join(broadcast(histCnt), Seq("__w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_big"),
+        round(avg(-log(col("c12").cast("double") / col("c1"))), 4)
+          .as("nll"))
+  }
+
+  /** Character-entropy profile per document — the cheap
+    * gibberish/boilerplate signal (low entropy = repetitive junk, high
+    * entropy ≈ random noise; natural text sits in a narrow band):
+    * Shannon entropy in nats over the document's code-point frequency
+    * distribution, H = ln n − (Σ c·ln c)/n.
+    *
+    * Characters are enumerated with `(?s).` (RE2-portable; one match
+    * per CODE POINT in both Java regex and RE2, so astral-plane text
+    * profiles identically in any engine — a UTF-16-unit split would
+    * halve every emoji). Plan shape: explode → two-level aggregate;
+    * map-side combine collapses the (id, char) stream to ≈ doc ×
+    * alphabet rows before the only shuffle, and the per-doc reduce
+    * carries counts, never text. Empty/null docs have no characters
+    * and are absent from the output.
+    *
+    * Output: idCol, n_chars, n_unique, entropy (nats, rounded at 4 —
+    * the Σ c·ln c term is a double sum, same engine-drift slack as
+    * every avg-of-doubles column). */
+  def charEntropyProfile(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(regexp_extract_all(coalesce(col(textCol), lit("")),
+          lit("(?s)."), lit(0))).as("__ch"))
+      .groupBy(col(idCol), col("__ch"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum("cnt").cast("long").as("n_chars"),
+        count(lit(1)).as("n_unique"),
+        round(
+          log(sum("cnt").cast("double")) -
+            sum(col("cnt").cast("double") * log(col("cnt").cast("double")))
+              / sum("cnt").cast("double"), 4).as("entropy"))
+
   /** PII redaction for training corpora: emails → `<EMAIL>`,
     * IPv4 addresses → `<IP>`, simple phone forms → `<PHONE>`.
     * Plain `regexp_replace` chain (codegen'd, no UDF); patterns kept to

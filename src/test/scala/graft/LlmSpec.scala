@@ -645,6 +645,102 @@ class LlmSpec extends AnyFunSuite {
     assert(got(3) === ((4L, 1, 0.0, 0.0, 0.0)))
   }
 
+  test("bigramLogprob: hand-computed MLE with history counts; " +
+      "short/null docs absent") {
+    val docs = Seq(
+      (1L, "a b"),      // bigram "a b"
+      (2L, "a c"),      // bigram "a c"
+      (5L, "a b a b"),  // bigrams "a b","b a","a b"
+      (3L, "solo"),     // no bigrams → absent
+      (4L, null)        // null → absent
+    ).toDF("doc_id", "text")
+    // corpus: c("a b")=3, c("a c")=1, c("b a")=1; histories a:4, b:1
+    val got = TextAnalysis.bigramLogprob(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 0.2877),   // -ln(3/4)
+      (2L, 1L, 1.3863),   // -ln(1/4)
+      (5L, 3L, 0.1918))) // (2·ln(4/3) + ln(1/1)) / 3
+  }
+
+  test("dupNgramRate: cross-doc duplicate shingle fraction; short docs " +
+      "fall back to the whole-text shingle") {
+    val docs = Seq(
+      (1L, "x y z w"),  // shingles "x y z","y z w"
+      (2L, "x y z q"),  // shingles "x y z","y z q"
+      (3L, "hi"),       // <3 tokens → single shingle "hi"
+      (4L, "hi")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupNgramRate(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 1L, 1L, 1.0), (4L, 1L, 1L, 1.0)))
+  }
+
+  test("charEntropyProfile: hand-computed nats at code-point grain " +
+      "(astral chars count once); empty/null docs absent") {
+    val docs = Seq(
+      (1L, "aabb"),           // H = ln 2
+      (2L, "abab"),           // same distribution, same H
+      (3L, "aaaa"),           // single symbol → 0
+      (4L, "😀😀"), // U+1F600 ×2: 2 code points, H=0
+      (5L, ""), (6L, null)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropyProfile(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 4L, 2L, 0.6931), (2L, 4L, 2L, 0.6931),
+      (3L, 4L, 1L, 0.0), (4L, 2L, 1L, 0.0)))
+  }
+
+  test("text-profile invariants hold over a seeded random corpus: " +
+      "entropy ≤ ln(n_unique), dup_rate ∈ [0,1], bigram nll ≥ 0 with " +
+      "n_big = n_tok − 1") {
+    // fixed-seed corpus: bounded vocab forces real cross-doc overlap
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (1L to 100L).map { i =>
+      val n = 2 + rnd.nextInt(20)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val ent = TextAnalysis.charEntropyProfile(docs, "doc_id", "text")
+      .collect()
+    assert(ent.length == 100)
+    ent.foreach { r =>
+      val (n, u, h) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(h >= 0.0 && h <= math.log(u.toDouble) + 1e-9,
+        s"doc ${r.getLong(0)}: H=$h outside [0, ln($u)]")
+      assert(u <= n)
+    }
+
+    val dup = Dedup.dupNgramRate(docs, "text", "doc_id").collect()
+    assert(dup.length == 100)
+    dup.foreach { r =>
+      val (g, d, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d <= g && rate >= 0.0 && rate <= 1.0)
+    }
+
+    val toksByDoc = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val big = TextAnalysis.bigramLogprob(docs, "doc_id", "text")
+      .collect()
+    assert(big.length == 100) // every doc has ≥ 2 tokens
+    big.foreach { r =>
+      assert(r.getLong(1) == toksByDoc(r.getLong(0)) - 1L,
+        s"doc ${r.getLong(0)}: n_big")
+      // MLE probability ≤ 1 ⇒ −ln ≥ 0 (round(4) can't push below −5e-5)
+      assert(r.getDouble(2) >= -5e-5, s"doc ${r.getLong(0)}: nll")
+    }
+  }
+
   test("dedupLinesAcrossDocs keeps first occurrences, blank lines, " +
       "original order; fully-stripped docs come back empty") {
     val d = Seq(
