@@ -44,6 +44,18 @@ object Bench {
       // dirs the query's operators materialized
       spark.catalog.clearCache()
       graft.core.Tables.clearStaged()
+      // Broadcast/shuffle state is only reclaimed when the JVM GCs the
+      // weak refs feeding ContextCleaner (its own periodic GC fires
+      // every 30 min — never, at bench timescales). Left alone, ~560
+      // timed runs accumulate state until a natural GC fires MID-QUERY
+      // and the cleaner's bulk file deletes land in whichever timing
+      // window happens to be open: r6 charged ~13 s of it to
+      // text_langid, r7 put 2 of benchmark_decontaminate's 3 warm
+      // passes at ~25 s vs 2.4 s isolated (warm_spread 8.1 in the
+      // artifact; the 24 s median alone was ~14% of total_warm).
+      // Forcing the collection HERE — between timing windows — makes
+      // the reclaim deterministic and keeps it out of every dt.
+      System.gc()
       if (ok) Some(dt) else None
     }
     // optional comma-separated subset for local iteration

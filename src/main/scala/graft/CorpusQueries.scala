@@ -258,7 +258,23 @@ object CorpusQueries {
     "text_char_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropyProfile(t(s, dir, "documents"),
           "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // DSIR-style importance weighting: target = the lang='en' slice,
+    // raw = the whole corpus (TextAnalysis.dsirImportance scaladoc for
+    // the model, smoothing, and 100 TB plan shape)
+    "dsir_importance" -> ((s, dir) =>
+      TextAnalysis.dsirImportance(t(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id")),
+
+    // token-budget-constrained selection: 2000-token quota per source,
+    // longest-first prefix (Corpus.tokenBudgetSelect scaladoc for the
+    // prefix-not-knapsack semantics and window shape)
+    "corpus_token_budget" -> ((s, dir) =>
+      Corpus.tokenBudgetSelect(t(s, dir, "documents"),
+          "doc_id", "text", "source", 2000L)
+        .orderBy("source", "doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -488,6 +504,37 @@ object CorpusQueries {
            round(ln(CAST(sum(cnt) AS DOUBLE)) -
              sum(cnt * ln(CAST(cnt AS DOUBLE)))
                / CAST(sum(cnt) AS DOUBLE), 4) AS entropy
-         FROM cc GROUP BY doc_id ORDER BY doc_id"""
+         FROM cc GROUP BY doc_id ORDER BY doc_id""",
+    "dsir_importance" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+             unnest(string_split($normSql, ' ')) AS tok FROM documents),
+         raw AS (SELECT tok, count(*) AS rc FROM toks GROUP BY 1),
+         tgt AS (SELECT tok, count(*) AS tc FROM toks
+             WHERE lang = 'en' GROUP BY 1),
+         vocab AS (SELECT r.tok, r.rc, coalesce(t.tc, 0) AS tc
+             FROM raw r LEFT JOIN tgt t USING (tok)),
+         c AS (SELECT count(*) AS v, sum(rc) AS totr, sum(tc) AS tott
+             FROM vocab),
+         s AS (SELECT t.doc_id, count(*) AS n_tok,
+             round(avg(
+               ln((vocab.tc + 1.0) / CAST(c.tott + c.v AS DOUBLE)) -
+               ln((vocab.rc + 1.0) / CAST(c.totr + c.v AS DOUBLE))), 4)
+               AS avg_ln_ratio
+           FROM toks t JOIN vocab USING (tok) CROSS JOIN c
+           GROUP BY t.doc_id)
+         SELECT doc_id, n_tok, avg_ln_ratio,
+           avg_ln_ratio > 0 AS selected
+         FROM s ORDER BY doc_id""",
+    "corpus_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, source,
+             CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok
+             FROM documents),
+         w AS (SELECT doc_id, source, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source
+               ORDER BY n_tok DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+           FROM d)
+         SELECT source, doc_id, n_tok, cum_tok FROM w
+         WHERE cum_tok <= 2000 ORDER BY source, doc_id"""
   )
 }

@@ -280,4 +280,34 @@ object Corpus {
   def shardManifest(spark: org.apache.spark.sql.SparkSession,
                     path: String): DataFrame =
     spark.read.parquet(s"$path/_manifest")
+
+  /** Token-budget-constrained selection: per source, keep the PREFIX of
+    * the longest-first ordering (ties broken by id ascending) whose
+    * running token total stays ≤ `budget` — the "fill each domain's
+    * token quota" step of mixture assembly when the quota is a hard
+    * token count rather than a sampling rate ([[mixtureSample]]'s
+    * regime). Prefix semantics, not knapsack: the first doc that
+    * crosses the budget is dropped AND ends its source's intake (no
+    * skip-and-refill), so the kept set is order-defined and
+    * deterministic.
+    *
+    * Scale shape: token counts are a codegen size(split(...)) — no
+    * explode; ONE window partitioned by source (parallel across
+    * sources, never a global single-partition window). A giant source
+    * serializes only its own per-source sort, the cross-source axis
+    * stays parallel.
+    *
+    * Output: srcCol, idCol, n_tok, cum_tok for the kept rows. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, textCol: String,
+                        srcCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(col("n_tok").desc, col(idCol))
+    df.select(col(idCol), col(srcCol),
+        size(split(TextAnalysis.normalizeText(col(textCol)), " "))
+          .cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= lit(budget))
+      .select(col(srcCol), col(idCol), col("n_tok"), col("cum_tok"))
+  }
 }

@@ -431,4 +431,55 @@ object TextAnalysis {
     * normalizer for the synthetic [-1000,1000] weights). */
   def logistic(raw: Column, scale: Double): Column =
     lit(1.0) / (lit(1.0) + exp(-(raw.cast("double") / lit(scale))))
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per-document mean
+    * log-ratio of a TARGET-domain unigram LM over the RAW-corpus
+    * unigram LM. Rows matching `targetPred` define the target sample;
+    * both LMs are Laplace (+1) smoothed over the JOINT vocabulary, so
+    * tokens absent from the target stay finite instead of -∞.
+    *
+    * Scale shape: both LMs are vocab-sized aggregates of the same
+    * exploded token stream the scoring join consumes (map-side combine
+    * shrinks each shuffle to (token, partial count)); the joint vocab
+    * re-enters as ONE broadcast, so the corpus-sized stream never
+    * shuffles for the join — one (id) aggregation after it. At 100 TB
+    * the vocab outgrows a broadcast and the identical plan holds with a
+    * shuffle hash join on the token (Zipf skew lives in the count
+    * table, one row per key by construction — bigramLogprob note).
+    *
+    * DSIR proper gumbel-top-k samples by weight; the deterministic
+    * stand-in here flags selected = weight > 0 (doc more target-like
+    * than corpus-average), computed on the ROUNDED weight so the
+    * boolean is engine-portable.
+    *
+    * Output: idCol, n_tok, avg_ln_ratio (mean ln(p_t/p_r), rounded at
+    * 4 — the avg-of-doubles engine-drift slack), selected. */
+  def dsirImportance(df: DataFrame, idCol: String, textCol: String,
+                     targetPred: Column): DataFrame = {
+    val toks = df.select(col(idCol), targetPred.as("__tgt"),
+      explode(split(normalizeText(col(textCol)), " ")).as("tok"))
+    val raw = toks.groupBy("tok").agg(count(lit(1)).as("rc"))
+    val tgt = toks.filter(col("__tgt"))
+      .groupBy("tok").agg(count(lit(1)).as("tc"))
+    val vocab = raw.join(tgt, Seq("tok"), "left")
+      .select(col("tok"), col("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+    // three vocab-level scalars (V, token totals) — a bounded driver
+    // fetch of one row (the unigram_logprob convention)
+    val tot = vocab.agg(count(lit(1)), sum(col("rc")), sum(col("tc")))
+      .first()
+    val (v, totR, totT) =
+      if (tot.isNullAt(1)) (0L, 0L, 0L)
+      else (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(
+          log((col("tc") + lit(1L)).cast("double") /
+            lit((totT + v).toDouble)) -
+          log((col("rc") + lit(1L)).cast("double") /
+            lit((totR + v).toDouble))), 4).as("avg_ln_ratio"))
+      .withColumn("selected", col("avg_ln_ratio") > 0d)
+  }
 }

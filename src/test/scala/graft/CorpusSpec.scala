@@ -247,4 +247,60 @@ class CorpusSpec extends AnyFunSuite {
       assert(err <= scale / 2 + 1e-12, s"vec $id err $err > scale/2")
     }
   }
+
+  test("tokenBudgetSelect keeps the longest-first prefix within budget, " +
+      "per source independently") {
+    val docs = Seq(
+      (1L, "a", "w w w w"),    // 4 toks
+      (2L, "a", "x x x"),      // 3 toks
+      (3L, "a", "y y y"),      // 3 toks — tie with doc 2, id breaks it
+      (4L, "a", "z"),          // 1 tok  — would fit after the cut, but
+                               //          prefix semantics end intake
+      (5L, "b", "p p p p p p p p p p"), // 10 toks > budget alone
+      (6L, "b", "q q"))        // 2 toks — still dropped: prefix, not skip
+      .toDF("doc_id", "source", "text")
+    val out = graft.llm.Corpus
+      .tokenBudgetSelect(docs, "doc_id", "text", "source", 7L)
+      .orderBy("source", "doc_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // source a: 4 (cum 4) + 3 (doc 2, cum 7) fit; doc 3 would hit 10 —
+    // dropped, and doc 4's single token is NOT backfilled.
+    // source b: doc 5 alone exceeds 7, so b contributes nothing (doc 6
+    // is behind it in the longest-first order).
+    assert(out == Seq(("a", 1L, 4L, 4L), ("a", 2L, 3L, 7L)))
+  }
+
+  test("dsirImportance: target-heavy docs score positive, off-target " +
+      "negative, and OOV-in-target tokens stay finite") {
+    val docs = Seq(
+      (1L, "en", "alpha alpha beta"),  // pure target vocabulary
+      (2L, "en", "alpha beta beta"),
+      (3L, "zh", "gamma gamma delta"), // disjoint raw-only vocabulary
+      (4L, "zh", "gamma delta delta"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.llm.TextAnalysis
+      .dsirImportance(docs, "doc_id", "text",
+        org.apache.spark.sql.functions.col("lang") === "en")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(out.map(_._2) == Seq(3L, 3L, 3L, 3L))
+    // target tokens: tc = rc (every occurrence is in-target), target
+    // total is half the raw total → ln ratio > 0; raw-only tokens have
+    // tc = 0 → smoothed ln((0+1)/(6+4)) - ln((3+1)/(12+4)) < 0, finite
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 > 0 && byId(1L)._4)
+    assert(byId(2L)._3 > 0 && byId(2L)._4)
+    assert(byId(3L)._3 < 0 && !byId(3L)._4)
+    assert(byId(4L)._3 < 0 && !byId(4L)._4)
+    // exact check on one doc pins the smoothing constants: doc 3 =
+    // mean of ln((tc+1)/(T+V)) - ln((rc+1)/(R+V)) over its 3 tokens,
+    // V=4 joint vocab, T=6 target tokens, R=12 raw tokens
+    val expected3 = {
+      val v = 4.0; val tT = 6.0; val tR = 12.0
+      val g = math.log((0 + 1) / (tT + v)) - math.log((3 + 1) / (tR + v))
+      val d = math.log((0 + 1) / (tT + v)) - math.log((3 + 1) / (tR + v))
+      math.rint((g + g + d) / 3.0 * 1e4) / 1e4
+    }
+    assert(math.abs(byId(3L)._3 - expected3) < 1e-9)
+  }
 }
