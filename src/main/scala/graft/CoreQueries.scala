@@ -527,6 +527,41 @@ object CoreQueries {
         .orderBy("o_orderkey")
     }),
 
+    // URL canonicalization battery (graft.functions.UrlNorm scaladoc
+    // for the rule list): URLs synthesized deterministically from the
+    // documents table so every branch exercises a different rule —
+    // uppercase scheme/host, www prefix, default vs nonstandard ports,
+    // tracking params, fragments. Spark normalizes via parse_url +
+    // array ops; the DuckDB oracle parses with INDEPENDENT regexes, so
+    // the rules are genuinely cross-engine-checked, not mirrored.
+    "url_normalize" -> ((s, dir) => {
+      import graft.functions.UrlNorm
+      val d = col("doc_id")
+      val url = concat(
+        when(d % 3 === 0, lit("HTTP")).otherwise(lit("HTTPS")),
+        lit("://"),
+        when(d % 2 === 0, lit("WWW.")).otherwise(lit("")),
+        upper(col("source")), lit(".Example.COM"),
+        when(d % 3 === 0 && d % 2 === 0, lit(":80"))     // http default
+          .when(d % 3 === 0, lit(":8080"))               // kept
+          .when(d % 5 === 0, lit(":443"))                // https default
+          .otherwise(lit("")),
+        lit("/"), col("lang"), lit("/doc/"), d.cast("string"),
+        when(d % 2 === 1,
+            lit("?utm_source=feed&z=9&ref=home&a=1&gclid=g1"))
+          .when(d % 7 === 0, lit("?b=2&a=1&utm_campaign=x"))
+          .otherwise(lit("")),
+        when(d % 4 === 0, concat(lit("#sec"), d.cast("string")))
+          .otherwise(lit("")))
+      t(s, dir, "documents").select(d, url.as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlNorm.urlNormalize(col("url")).as("url_norm"),
+          UrlNorm.urlHost(col("url")).as("host"),
+          UrlNorm.urlDomain(col("url")).as("domain"),
+          UrlNorm.urlKeptQuery(col("url")).as("kept_query"))
+        .orderBy("doc_id")
+    }),
+
     // §2.10 row 46 — incremental bookkeeping (report->next-dt +
     // save-and-load-rng shape)
     "bookkeeping_next_dt" -> ((s, dir) =>
@@ -1134,6 +1169,61 @@ object CoreQueries {
     "limit_top_n" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "url_normalize" ->
+      raw"""WITH u AS (SELECT doc_id,
+           (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'HTTPS' END)
+           || '://'
+           || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+           || upper(source) || '.Example.COM'
+           || (CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN ':80'
+                    WHEN doc_id % 3 = 0 THEN ':8080'
+                    WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+           || '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)
+           || (CASE WHEN doc_id % 2 = 1
+                    THEN '?utm_source=feed&z=9&ref=home&a=1&gclid=g1'
+                    WHEN doc_id % 7 = 0 THEN '?b=2&a=1&utm_campaign=x'
+                    ELSE '' END)
+           || (CASE WHEN doc_id % 4 = 0
+                    THEN '#sec' || CAST(doc_id AS VARCHAR)
+                    ELSE '' END) AS url
+           FROM documents),
+         p AS (SELECT doc_id, url,
+             lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+             coalesce(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')
+               AS path0,
+             -- DuckDB regexp_extract is NULL on no-match (Spark
+             -- parse_url QUERY is null too, but the Spark side
+             -- coalesces) — normalize to '' here as well
+             coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS query
+           FROM u),
+         h AS (SELECT *,
+             regexp_replace(lower(regexp_replace(auth, ':[0-9]+$$', '')),
+               '^www\.', '') AS host,
+             coalesce(regexp_extract(auth, ':([0-9]+)$$', 1), '')
+               AS port FROM p),
+         k AS (SELECT *,
+             CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443') THEN ''
+                  ELSE ':' || port END AS portsfx,
+             -- array_to_string of an EMPTY list is NULL in DuckDB —
+             -- coalesce to match Spark's array_join('') behavior
+             coalesce(array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               x -> x <> '' AND NOT regexp_matches(x,
+                 '^(utm_[^=]*|ref|fbclid|gclid)='))), '&'), '') AS kq
+           FROM h)
+         SELECT doc_id, url,
+           scheme || '://' || host || portsfx || path ||
+             (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS url_norm,
+           host,
+           regexp_extract(host, '([^.]+\.[^.]+)$$', 1) AS domain,
+           kq AS kept_query
+         FROM k ORDER BY doc_id""",
     "date_functions" ->
       """SELECT o_orderkey, strftime(d, '%Y-%m-%d') AS dt,
          strftime(last_day(d - INTERVAL 1 MONTH), '%Y-%m-%d')

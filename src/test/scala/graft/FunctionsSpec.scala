@@ -190,4 +190,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(JsonShape.kvPairsToJson(Seq("period" -> "2016-01-31",
       "bg" -> "X")) == """["period=2016-01-31","bg=X"]""")
   }
+
+  test("urlNormalize applies each rule: case, www, ports, fragment, " +
+      "tracking params, param sort, empty path") {
+    import graft.functions.UrlNorm._
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/Path/X?z=2&utm_source=a&a=1#frag",
+      "http://news.example.com:8080/",          // nonstandard port kept
+      "http://example.com:80/a",                // http default dropped
+      "https://sub.shop.example.org/p?ref=x&fbclid=f&gclid=g",
+      "https://one.two/",                       // two-label host
+      "HTTP://X.Y/q?b=2&a=10&a=2")              // byte sort: a=10 < a=2
+      .toDF("url")
+    val out = urls.select(
+        urlNormalize($"url"), urlHost($"url"), urlDomain($"url"),
+        urlKeptQuery($"url"))
+      .as[(String, String, String, String)].collect().toSeq
+    assert(out == Seq(
+      ("https://example.com/Path/X?a=1&z=2", "example.com",
+        "example.com", "a=1&z=2"),
+      ("http://news.example.com:8080/", "news.example.com",
+        "example.com", ""),
+      ("http://example.com/a", "example.com", "example.com", ""),
+      ("https://sub.shop.example.org/p", "sub.shop.example.org",
+        "example.org", ""),
+      ("https://one.two/", "one.two", "one.two", ""),
+      ("http://x.y/q?a=10&a=2&b=2", "x.y", "x.y", "a=10&a=2&b=2")))
+  }
 }
