@@ -562,6 +562,41 @@ object CoreQueries {
         .orderBy("doc_id")
     }),
 
+    // URL-keyed dedup THROUGH canonicalization — the purpose of
+    // UrlNorm: syntactic variants of one page (case, www, default
+    // port, tracking params) collide on url_norm and dedup as one.
+    // Two variants per doc that normalize identically; every third doc
+    // gets a genuinely different second page (?page=2 survives the
+    // tracking strip) and stays its own group. Plan: projection →
+    // ONE hash shuffle on the canonical key — exactDedup's shape with
+    // url_norm as the fingerprint. The keeper election is min over a
+    // NUMERIC variant id, not min(url): a string min-buffer forces the
+    // whole groupBy into SortAggregate (the plan regression
+    // PlanFingerprintSpec pins — same reasoning as Dedup's
+    // packed-decimal election).
+    "url_dedup" -> ((s, dir) => {
+      import graft.functions.UrlNorm
+      val idS = col("doc_id").cast("string")
+      val v1 = concat(lit("HTTPS://WWW."), upper(col("source")),
+        lit(".Example.COM:443/"), col("lang"), lit("/doc/"), idS,
+        lit("?utm_source=x&ref=home"))
+      val v2 = concat(lit("https://"), col("source"),
+        lit(".example.com/"), col("lang"), lit("/doc/"), idS,
+        when(col("doc_id") % 3 === 0, lit("?page=2"))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(explode(array(
+          struct((col("doc_id") * 2).as("vid"), v1.as("url")),
+          struct((col("doc_id") * 2 + 1).as("vid"), v2.as("url"))))
+          .as("p"))
+        .select(col("p.vid").as("vid"),
+          UrlNorm.urlNormalize(col("p.url")).as("url_norm"))
+        .groupBy("url_norm")
+        .agg(count(lit(1)).as("dup_count"),
+          min(col("vid")).as("canonical_vid"))
+        .orderBy("url_norm")
+    }),
+
     // §2.10 row 46 — incremental bookkeeping (report->next-dt +
     // save-and-load-rng shape)
     "bookkeeping_next_dt" -> ((s, dir) =>
@@ -830,6 +865,48 @@ object CoreQueries {
           col("cnt"), col("sum_val").cast("string").as("sum_val"))
         .orderBy("user_id", "session_start_us"))
   )
+
+  /** Shared DuckDB URL-parse/normalize CTE chain (independent regex
+    * parsing — deliberately NOT a mirror of UrlNorm's parse_url
+    * expressions). Expects a CTE `u` providing at least `url`; yields
+    * `n` with every `u` column plus scheme/host/kq/url_norm. Plain
+    * (non-interpolated) string so regex `$` anchors stay literal. */
+  private val urlParseCtes: String =
+    """p AS (SELECT u.*,
+             lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+             coalesce(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')
+               AS path0,
+             -- DuckDB regexp_extract is NULL on no-match (Spark
+             -- parse_url QUERY is null too, but the Spark side
+             -- coalesces) — normalize to '' here as well
+             coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS query
+           FROM u),
+         h AS (SELECT *,
+             regexp_replace(lower(regexp_replace(auth, ':[0-9]+$', '')),
+               '^www\.', '') AS host,
+             coalesce(regexp_extract(auth, ':([0-9]+)$', 1), '')
+               AS port FROM p),
+         k AS (SELECT *,
+             CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443') THEN ''
+                  ELSE ':' || port END AS portsfx,
+             -- array_to_string of an EMPTY list is NULL in DuckDB —
+             -- coalesce to match Spark's array_join('') behavior
+             coalesce(array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               x -> x <> '' AND NOT regexp_matches(x,
+                 '^(utm_[^=]*|ref|fbclid|gclid)='))), '&'), '') AS kq
+           FROM h),
+         n AS (SELECT k.*,
+             scheme || '://' || host || portsfx || path ||
+               (CASE WHEN kq = '' THEN '' ELSE '?' || kq END)
+               AS url_norm
+           FROM k)"""
 
   val oracles: Map[String, String] = Map(
     "source_parquet_scan" ->
@@ -1170,7 +1247,7 @@ object CoreQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "url_normalize" ->
-      raw"""WITH u AS (SELECT doc_id,
+      ("""WITH u AS (SELECT doc_id,
            (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'HTTPS' END)
            || '://'
            || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
@@ -1187,43 +1264,28 @@ object CoreQueries {
                     THEN '#sec' || CAST(doc_id AS VARCHAR)
                     ELSE '' END) AS url
            FROM documents),
-         p AS (SELECT doc_id, url,
-             lower(regexp_extract(url,
-               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-             regexp_extract(url,
-               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
-             coalesce(regexp_extract(url,
-               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')
-               AS path0,
-             -- DuckDB regexp_extract is NULL on no-match (Spark
-             -- parse_url QUERY is null too, but the Spark side
-             -- coalesces) — normalize to '' here as well
-             coalesce(regexp_extract(url, '\?([^#]*)', 1), '') AS query
-           FROM u),
-         h AS (SELECT *,
-             regexp_replace(lower(regexp_replace(auth, ':[0-9]+$$', '')),
-               '^www\.', '') AS host,
-             coalesce(regexp_extract(auth, ':([0-9]+)$$', 1), '')
-               AS port FROM p),
-         k AS (SELECT *,
-             CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
-             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-                  OR (scheme = 'https' AND port = '443') THEN ''
-                  ELSE ':' || port END AS portsfx,
-             -- array_to_string of an EMPTY list is NULL in DuckDB —
-             -- coalesce to match Spark's array_join('') behavior
-             coalesce(array_to_string(list_sort(list_filter(
-               string_split(query, '&'),
-               x -> x <> '' AND NOT regexp_matches(x,
-                 '^(utm_[^=]*|ref|fbclid|gclid)='))), '&'), '') AS kq
-           FROM h)
-         SELECT doc_id, url,
-           scheme || '://' || host || portsfx || path ||
-             (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS url_norm,
-           host,
-           regexp_extract(host, '([^.]+\.[^.]+)$$', 1) AS domain,
+         """ + urlParseCtes + """
+         SELECT doc_id, url, url_norm, host,
+           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
            kq AS kept_query
-         FROM k ORDER BY doc_id""",
+         FROM n ORDER BY doc_id"""),
+    "url_dedup" ->
+      ("""WITH v AS (SELECT doc_id, lang, source FROM documents),
+         u AS (SELECT vid, url FROM (
+           SELECT doc_id * 2 AS vid,
+             'HTTPS://WWW.' || upper(source) || '.Example.COM:443/'
+             || lang || '/doc/' || CAST(doc_id AS VARCHAR)
+             || '?utm_source=x&ref=home' AS url FROM v
+           UNION ALL
+           SELECT doc_id * 2 + 1 AS vid,
+             'https://' || source || '.example.com/'
+             || lang || '/doc/' || CAST(doc_id AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '?page=2' ELSE '' END)
+             AS url FROM v)),
+         """ + urlParseCtes + """
+         SELECT url_norm, count(*) AS dup_count,
+           min(vid) AS canonical_vid
+         FROM n GROUP BY url_norm ORDER BY url_norm"""),
     "date_functions" ->
       """SELECT o_orderkey, strftime(d, '%Y-%m-%d') AS dt,
          strftime(last_day(d - INTERVAL 1 MONTH), '%Y-%m-%d')

@@ -274,7 +274,42 @@ object CorpusQueries {
     "corpus_token_budget" -> ((s, dir) =>
       Corpus.tokenBudgetSelect(t(s, dir, "documents"),
           "doc_id", "text", "source", 2000L)
-        .orderBy("source", "doc_id"))
+        .orderBy("source", "doc_id")),
+
+    // the Gopher quality-rule battery (TextAnalysis.gopherRules
+    // scaladoc: Rae et al. 2021 A1.1) — one codegen projection
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per-LANG
+    // head/middle/tail thirds of the unigram-LM score — the split
+    // CCNet publishes per language so one language's score scale never
+    // gates another's. Plan: the text_unigram_logprob shape (vocab
+    // broadcast, one doc agg) + ONE window partitioned by lang (never
+    // a global single-partition window; the doc_id tiebreak makes
+    // ntile deterministic under the 4-decimal nll rounding).
+    "ccnet_perplexity_buckets" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        col("lang"),
+        explode(split(TextAnalysis.normalizeText(col("text")), " "))
+          .as("tok"))
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val totRow = uni.agg(sum(col("cnt"))).first()
+      val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+      val nll = toks.join(broadcast(uni), Seq("tok"))
+        .groupBy("doc_id", "lang")
+        .agg(round(avg(-log(col("cnt").cast("double") /
+          lit(total.toDouble))), 4).as("nll"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("nll"), col("doc_id"))
+      nll.withColumn("b", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("nll"),
+          when(col("b") === 1, "head").when(col("b") === 2, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -535,6 +570,59 @@ object CorpusQueries {
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
            FROM d)
          SELECT source, doc_id, n_tok, cum_tok FROM w
-         WHERE cum_tok <= 2000 ORDER BY source, doc_id"""
+         WHERE cum_tok <= 2000 ORDER BY source, doc_id""",
+    "text_gopher_rules" ->
+      """WITH u AS (SELECT doc_id, coalesce(text, '') AS text
+             FROM documents),
+         w AS (SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '') AS ws FROM u),
+         c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+             CASE WHEN len(ws) > 0 THEN round(
+               CAST(list_sum(list_transform(ws, x -> length(x)))
+                 AS DOUBLE) / len(ws), 6) ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(ws) > 0 THEN round(
+               ((length(text) - length(replace(text, '#', ''))) +
+                CAST((length(text) - length(replace(text, '...', '')))
+                  / 3 AS BIGINT))
+               / CAST(len(ws) AS DOUBLE), 6) ELSE 0.0 END
+               AS symbol_ratio,
+             CASE WHEN len(ws) > 0 THEN round(
+               len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+               / CAST(len(ws) AS DOUBLE), 6) ELSE 0.0 END AS alpha_frac,
+             CAST(len(list_intersect(
+               list_distinct(list_transform(ws, x -> lower(x))),
+               ['the','be','to','of','and','that','have','with']))
+               AS BIGINT) AS n_stop
+           FROM w)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+           alpha_frac, n_stop,
+           n_words >= 50 AND n_words <= 100000 AS r_word_count,
+           mean_word_len >= 3 AND mean_word_len <= 10
+             AS r_mean_word_len,
+           symbol_ratio <= 0.1 AS r_symbol_ratio,
+           alpha_frac >= 0.8 AS r_alpha_words,
+           n_stop >= 2 AS r_stop_words,
+           (n_words >= 50 AND n_words <= 100000) AND
+           (mean_word_len >= 3 AND mean_word_len <= 10) AND
+           symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2
+             AS pass
+         FROM c ORDER BY doc_id""",
+    "ccnet_perplexity_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+             unnest(string_split($normSql, ' ')) AS tok FROM documents),
+         uni AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS total FROM uni),
+         n AS (SELECT t.doc_id, t.lang,
+             round(avg(-ln(uni.cnt / CAST(tot.total AS DOUBLE))), 4)
+               AS nll
+           FROM toks t JOIN uni USING (tok) CROSS JOIN tot
+           GROUP BY 1, 2),
+         b AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+             ORDER BY nll, doc_id) AS bk FROM n)
+         SELECT doc_id, lang, nll,
+           CASE bk WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             ELSE 'tail' END AS ppl_bucket
+         FROM b ORDER BY doc_id"""
   )
 }

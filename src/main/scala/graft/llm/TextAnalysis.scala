@@ -432,6 +432,67 @@ object TextAnalysis {
   def logistic(raw: Column, scale: Double): Column =
     lit(1.0) / (lit(1.0) + exp(-(raw.cast("double") / lit(scale))))
 
+  /** Stop words for the Gopher "contains common English words" rule
+    * (Rae et al. 2021, A1.1 — their exact list). */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher document-quality rule battery (Rae et al. 2021,
+    * Appendix A1.1) — the published filter set between C4's heuristics
+    * and model-based scoring. Every rule is a pure Column expression
+    * over one whitespace tokenization of the RAW text (no normalize
+    * pass: symbol ratios and casing are part of what the rules
+    * measure), so the whole battery is one codegen projection — no
+    * shuffle, no UDF, trivially 100 TB-safe.
+    *
+    * Rules (each emitted as its own flag so downstream mixes can
+    * re-weight rather than hard-drop):
+    *   r_word_count    50 ≤ words ≤ 100 000
+    *   r_mean_word_len 3 ≤ mean word length ≤ 10
+    *   r_symbol_ratio  (# + …-as-"...") / words ≤ 0.1
+    *   r_alpha_words   ≥ 80 % of words contain a letter
+    *   r_stop_words    ≥ 2 distinct words from the Gopher stop list
+    *   pass            conjunction of the five
+    *
+    * (The two line-shape rules — bullet-start and ellipsis-end line
+    * fractions — need a line corpus; they live with the line ops, not
+    * here.) Ratios are ROUNDED at 6 from integer counts — a count
+    * ratio, not an avg-of-doubles, so cross-engine exact. */
+  def gopherRules(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val ws = filter(split(txt, "\\s+"), w => w =!= "")
+    val nW = size(ws)
+    val nChars = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+    val nHash = length(txt) - length(regexp_replace(txt, "#", ""))
+    val nEll = ((length(txt) -
+      length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3)
+      .cast("long")
+    val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]")))
+    val nStop = size(array_intersect(
+      array_distinct(transform(ws, lower _)),
+      array(GopherStops.map(lit): _*)))
+    df.select(col(idCol), nW.cast("long").as("n_words"),
+        when(nW > 0, round(nChars.cast("double") / nW, 6))
+          .otherwise(lit(0d)).as("mean_word_len"),
+        when(nW > 0, round((nHash + nEll).cast("double") / nW, 6))
+          .otherwise(lit(0d)).as("symbol_ratio"),
+        when(nW > 0, round(nAlpha.cast("double") / nW, 6))
+          .otherwise(lit(0d)).as("alpha_frac"),
+        nStop.cast("long").as("n_stop"))
+      .withColumn("r_word_count",
+        col("n_words") >= 50 && col("n_words") <= 100000L)
+      .withColumn("r_mean_word_len",
+        col("mean_word_len") >= 3d && col("mean_word_len") <= 10d)
+      .withColumn("r_symbol_ratio", col("symbol_ratio") <= 0.1)
+      .withColumn("r_alpha_words", col("alpha_frac") >= 0.8)
+      .withColumn("r_stop_words", col("n_stop") >= 2L)
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_word_len") &&
+        col("r_symbol_ratio") && col("r_alpha_words") &&
+        col("r_stop_words"))
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): per-document mean
     * log-ratio of a TARGET-domain unigram LM over the RAW-corpus

@@ -1017,4 +1017,34 @@ class LlmSpec extends AnyFunSuite {
       "an operator left a persisted RDD behind — cache lifetime must " +
         "be owned by the operator, not the caller")
   }
+
+  test("gopherRules: each rule gates on its documented threshold; " +
+      "empty/null text fails closed with zeroed signals") {
+    import graft.llm.TextAnalysis
+    // 50 words incl. >=2 stop words, mean len in [3,10], alphabetic
+    val good = (Seq("the", "with") ++
+      (1 to 48).map(i => s"word$i")).mkString(" ")
+    val docs = Seq(
+      (1L, good),                        // passes all five
+      (2L, "too short to pass"),         // fails word count
+      (3L, good + " " + Seq.fill(10)("# ### ...").mkString(" ")),
+      (4L, ""),                          // fails closed, zero signals
+      (5L, null.asInstanceOf[String]))   // null behaves like empty
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select($"doc_id", $"n_words", $"symbol_ratio", $"r_word_count",
+        $"r_symbol_ratio", $"r_stop_words", $"pass")
+      .as[(Long, Long, Double, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 && byId(1L)._6 && byId(1L)._7, "good doc passes")
+    assert(!byId(2L)._4 && !byId(2L)._7, "short doc fails word count")
+    // doc 3: 10 reps of "# ### ..." add 30 words, 40 '#' chars and 10
+    // '...'-triples → 50 symbol hits over 80 words = 0.625 > 0.1
+    assert(byId(3L)._2 == 80L && byId(3L)._3 == 0.625 && !byId(3L)._5 &&
+      !byId(3L)._7, s"symbol-heavy doc fails: ${byId(3L)}")
+    assert(byId(4L)._2 == 0L && !byId(4L)._7, "empty fails closed")
+    assert(byId(5L)._2 == 0L && !byId(5L)._7, "null fails closed")
+  }
 }
