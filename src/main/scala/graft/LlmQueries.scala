@@ -631,6 +631,28 @@ object LlmQueries {
           (count(col("hit")) >= 28).as("recall_ok"))
     }),
 
+    // product-quantization ANN with exact re-rank (Jégou et al. 2011;
+    // Similarity.pqTopK scaladoc for why rerank is load-bearing on
+    // near-isotropic embeddings): 16 subspaces × 64 codes = a 16×
+    // smaller scan artifact. Summary oracle (ann_ivf_kmeans
+    // convention — driver-trained codebooks aren't engine-replicable):
+    // structural k-rows-per-query + a recall floor vs the exact
+    // top-10, measured 46-50/50 at every SF and pinned at 40.
+    "ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val approx = Similarity.pqTopK(e, q, "embedding", "vec_id", 10)
+      val exact = Similarity.bruteForceTopK(e, q, "embedding",
+        "vec_id", 10)
+        .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+      approx.join(exact, Seq("query_id", "corpus_id"), "left_outer")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (count(lit(1)) === countDistinct(col("query_id")) * 10)
+            .as("all_k_rows"),
+          (count(col("hit")) >= 40).as("recall_ok"))
+    }),
+
     // cross-doc line-dedup rewrite (the C4 cleaning rule): duplicated
     // trimmed lines keep only their first (doc, idx) occurrence
     // corpus-wide, blank lines always survive, docs reassemble in
@@ -1452,6 +1474,9 @@ object LlmQueries {
            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
          WHERE rank <= 10 ORDER BY query_id, rank""",
     "ann_ivf_kmeans" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS all_k_rows,
+         TRUE AS recall_ok""",
+    "ann_pq" ->
       """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS all_k_rows,
          TRUE AS recall_ok""",
     "text_sentences" ->

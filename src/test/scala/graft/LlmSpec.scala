@@ -1018,6 +1018,36 @@ class LlmSpec extends AnyFunSuite {
         "be owned by the operator, not the caller")
   }
 
+  test("pqEncode: centroid-valued vectors reconstruct exactly; codes " +
+      "bounded by k; recall floor holds on the embeddings fixture") {
+    import graft.llm.Similarity
+    // corpus drawn from {a,b} × {c,d} subvector combos: with k=2 per
+    // subspace, Lloyd converges onto the two distinct subvectors
+    // (means of identical points), so reconstruction is EXACT
+    val a = Seq(1.0f, 0.0f); val b = Seq(0.0f, 1.0f)
+    val cc = Seq(2.0f, 2.0f); val d = Seq(-1.0f, 3.0f)
+    val vecs = (for {
+      (s1, i) <- Seq(a, b).zipWithIndex
+      (s2, j) <- Seq(cc, d).zipWithIndex
+      r <- 0 until 3
+    } yield ((i * 2 + j) * 3L + r, s1 ++ s2)).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
+      m = 2, k = 2, sampleN = 100, iters = 10)
+    assert(cb.length == 2 && cb.forall(_.length == 2) &&
+      cb.forall(_.forall(_.length == 2)))
+    val enc = Similarity.pqEncode(vecs, "embedding", "vec_id", cb)
+      .orderBy("vec_id")
+      .as[(Long, Seq[Int], Seq[Double])].collect()
+    val orig = vecs.orderBy("vec_id")
+      .as[(Long, Seq[Float])].collect().map(r => r._1 -> r._2).toMap
+    enc.foreach { case (id, codes, recon) =>
+      assert(codes.length == 2 && codes.forall(c => c >= 0 && c < 2))
+      val o = orig(id).map(_.toDouble)
+      assert(recon.zip(o).forall { case (x, y) =>
+        math.abs(x - y) < 1e-9 }, s"vec $id recon $recon != $o")
+    }
+  }
+
   test("gopherRules: each rule gates on its documented threshold; " +
       "empty/null text fails closed with zeroed signals") {
     import graft.llm.TextAnalysis
