@@ -283,6 +283,34 @@ object CorpusQueries {
           "doc_id", "text")
         .orderBy("doc_id")),
 
+    // the Gopher LINE-shape rules (TextAnalysis.gopherLineRules:
+    // bullet/ellipsis line fractions + the duplicate-line and
+    // duplicate-line-character repetition signals). documents carry no
+    // newlines, so the probe synthesizes a deterministic line
+    // structure SHARED with the oracle (8-token lines, every 4th
+    // bulleted, every 5th ellipsis-terminated, a doubled footer line
+    // on even ids); the RULES are then computed independently per
+    // engine — grouping-based exact dup fractions here vs DuckDB list
+    // ops there.
+    "text_line_rules" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val nl = greatest(
+        ceil(size(ws).cast("double") / 8.0).cast("int"), lit(1))
+      val lines0 = transform(sequence(lit(0), nl - 1),
+        i => array_join(slice(ws, i * 8 + 1, lit(8)), " "))
+      val lines1 = transform(lines0, (l, i) =>
+        when(i % 4 === 1, concat(lit("- "), l))
+          .when(i % 5 === 2, concat(l, lit(" ...")))
+          .otherwise(l))
+      val lines2 = when(col("doc_id") % 2 === 0,
+        concat(lines1, array(lit("ref: x"), lit("ref: x"))))
+        .otherwise(lines1)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), array_join(lines2, "\n").as("text"))
+      TextAnalysis.gopherLineRules(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): per-LANG
     // head/middle/tail thirds of the unigram-LM score — the split
     // CCNet publishes per language so one language's score scale never
@@ -608,6 +636,68 @@ object CorpusQueries {
            symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2
              AS pass
          FROM c ORDER BY doc_id""",
+    "text_line_rules" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(coalesce(text, ''), ' ') AS ws
+             FROM documents),
+         l0 AS (SELECT doc_id, list_transform(
+             range(0, greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1)),
+             i -> array_to_string(
+               list_slice(ws, i * 8 + 1, i * 8 + 8), ' ')) AS ls
+           FROM w),
+         l1 AS (SELECT doc_id, list_transform(ls, (x, i) ->
+             CASE WHEN (i - 1) % 4 = 1 THEN '- ' || x
+                  WHEN (i - 1) % 5 = 2 THEN x || ' ...'
+                  ELSE x END) AS ls FROM l0),
+         l2 AS (SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+               THEN list_concat(ls, ['ref: x', 'ref: x'])
+               ELSE ls END AS ls FROM l1),
+         ln AS (SELECT doc_id, unnest(list_filter(ls, x -> x <> ''))
+             AS line FROM l2),
+         cnt AS (SELECT doc_id, line, count(*) AS c,
+             length(line) AS len,
+             CASE WHEN regexp_matches(line,
+               '^\s*[-*' || chr(8226) || ']') THEN 1 ELSE 0 END
+               AS bullet,
+             CASE WHEN regexp_matches(line,
+               '(\.\.\.|' || chr(8230) || ')\s*$') THEN 1 ELSE 0 END
+               AS ell
+           FROM ln GROUP BY doc_id, line),
+         g AS (SELECT doc_id,
+             sum(CASE WHEN len > 0 THEN c ELSE 0 END) AS n_lines,
+             sum(CASE WHEN c > 1 AND len > 0 THEN c ELSE 0 END)
+               AS n_dup,
+             sum(c * len) AS n_chars,
+             sum(CASE WHEN c > 1 THEN c * len ELSE 0 END)
+               AS n_dup_chars,
+             sum(bullet * c) AS n_bullet,
+             sum(ell * c) AS n_ell
+           FROM cnt GROUP BY doc_id),
+         f AS (SELECT d.doc_id,
+             CAST(coalesce(g.n_lines, 0) AS BIGINT) AS n_lines,
+             CASE WHEN coalesce(g.n_lines, 0) > 0 THEN round(
+               g.n_bullet / CAST(g.n_lines AS DOUBLE), 6)
+               ELSE 0.0 END AS bullet_frac,
+             CASE WHEN coalesce(g.n_lines, 0) > 0 THEN round(
+               g.n_ell / CAST(g.n_lines AS DOUBLE), 6)
+               ELSE 0.0 END AS ellipsis_frac,
+             CASE WHEN coalesce(g.n_lines, 0) > 0 THEN round(
+               g.n_dup / CAST(g.n_lines AS DOUBLE), 6)
+               ELSE 0.0 END AS dup_line_frac,
+             CASE WHEN coalesce(g.n_chars, 0) > 0 THEN round(
+               g.n_dup_chars / CAST(g.n_chars AS DOUBLE), 6)
+               ELSE 0.0 END AS dup_char_frac
+           FROM documents d LEFT JOIN g USING (doc_id))
+         SELECT doc_id, n_lines, bullet_frac, ellipsis_frac,
+           dup_line_frac, dup_char_frac,
+           bullet_frac <= 0.9 AS r_bullet,
+           ellipsis_frac <= 0.3 AS r_ellipsis,
+           dup_line_frac <= 0.3 AS r_dup_lines,
+           dup_char_frac <= 0.2 AS r_dup_chars,
+           bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND
+           dup_line_frac <= 0.3 AND dup_char_frac <= 0.2 AS pass
+         FROM f ORDER BY doc_id""",
     "ccnet_perplexity_buckets" ->
       s"""WITH toks AS (SELECT doc_id, lang,
              unnest(string_split($normSql, ' ')) AS tok FROM documents),

@@ -493,6 +493,73 @@ object TextAnalysis {
         col("r_stop_words"))
   }
 
+  /** The Gopher LINE-shape rules (Rae et al. 2021, A1.1) —
+    * [[gopherRules]]' companion over a line-structured corpus (that
+    * battery's scaladoc defers these here):
+    *   bullet_frac    fraction of lines starting with a bullet
+    *                  ('-', '*', '•')            — rule ≤ 0.90
+    *   ellipsis_frac  fraction of lines ending in '...' or '…'
+    *                                              — rule ≤ 0.30
+    *   dup_line_frac  fraction of lines whose content occurs more
+    *                  than once in the doc (every copy counts — the
+    *                  duplicated content IS the signal)  — ≤ 0.30
+    *   dup_char_frac  fraction of line characters inside such
+    *                  duplicated lines                    — ≤ 0.20
+    *
+    * Scale shape: explode to (id, line) → one (id, line) hash agg
+    * (map-side combine collapses repeats before the shuffle; the
+    * shuffle carries per-doc DISTINCT lines with counts, never the
+    * full text) → one (id) reduce. Ratios are integer-count
+    * divisions rounded at 6 — cross-engine exact. Empty/null docs
+    * surface with zero lines and all-true flags (nothing to object
+    * to), matching the empty-frame behavior of the line-dedup ops. */
+  def gopherLineRules(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val lines = filter(split(coalesce(col(textCol), lit("")), "\n"),
+      l => l =!= "")
+    val perLine = df
+      .select(col(idCol), explode_outer(lines).as("line"))
+      .groupBy(col(idCol), col("line"))
+      .agg(count(lit(1)).as("c"))
+      .select(col(idCol), col("c"),
+        coalesce(length(col("line")), lit(0)).cast("long").as("len"),
+        when(col("line").rlike("^\\s*[-*\u2022]"), 1L).otherwise(0L)
+          .as("bullet"),
+        when(col("line").rlike("(\\.\\.\\.|\u2026)\\s*$"), 1L)
+          .otherwise(0L).as("ell"))
+    perLine.groupBy(col(idCol))
+      .agg(
+        coalesce(sum(when(col("len") > 0, col("c"))), lit(0L))
+          .as("n_lines"),
+        coalesce(sum(when(col("c") > 1 && col("len") > 0, col("c"))),
+          lit(0L)).as("n_dup"),
+        coalesce(sum(col("c") * col("len")), lit(0L)).as("n_chars"),
+        coalesce(sum(when(col("c") > 1, col("c") * col("len"))),
+          lit(0L)).as("n_dup_chars"),
+        coalesce(sum(col("bullet") * col("c")), lit(0L)).as("n_bullet"),
+        coalesce(sum(col("ell") * col("c")), lit(0L)).as("n_ell"))
+      .select(col(idCol), col("n_lines"),
+        when(col("n_lines") > 0,
+          round(col("n_bullet").cast("double") / col("n_lines"), 6))
+          .otherwise(lit(0d)).as("bullet_frac"),
+        when(col("n_lines") > 0,
+          round(col("n_ell").cast("double") / col("n_lines"), 6))
+          .otherwise(lit(0d)).as("ellipsis_frac"),
+        when(col("n_lines") > 0,
+          round(col("n_dup").cast("double") / col("n_lines"), 6))
+          .otherwise(lit(0d)).as("dup_line_frac"),
+        when(col("n_chars") > 0,
+          round(col("n_dup_chars").cast("double") / col("n_chars"), 6))
+          .otherwise(lit(0d)).as("dup_char_frac"))
+      .withColumn("r_bullet", col("bullet_frac") <= 0.9)
+      .withColumn("r_ellipsis", col("ellipsis_frac") <= 0.3)
+      .withColumn("r_dup_lines", col("dup_line_frac") <= 0.3)
+      .withColumn("r_dup_chars", col("dup_char_frac") <= 0.2)
+      .withColumn("pass",
+        col("r_bullet") && col("r_ellipsis") && col("r_dup_lines") &&
+        col("r_dup_chars"))
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): per-document mean
     * log-ratio of a TARGET-domain unigram LM over the RAW-corpus

@@ -1048,6 +1048,32 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("gopherLineRules: dup-line/char fractions count every copy; " +
+      "bullet and ellipsis fractions gate; empty doc passes vacuously") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      // 4 lines, 'dup' twice → dup_line_frac 0.5 (both copies), chars:
+      // dup 2*3=6 of 3+3+10+8=24 → 0.25
+      (1L, "dup\ndup\nunique one\nsolo row"),
+      // 3 lines: 2 bullets (0.667 ≤ 0.9 ok), 1 ellipsis end (0.333 > 0.3)
+      (2L, "- a point\n* another\nit trails ..."),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherLineRules(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select($"doc_id", $"n_lines", $"dup_line_frac", $"dup_char_frac",
+        $"bullet_frac", $"ellipsis_frac", $"pass")
+      .as[(Long, Long, Double, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 4L && out(1L)._3 == 0.5 && out(1L)._4 == 0.25
+      && !out(1L)._7, s"doc1: ${out(1L)}")
+    assert(out(2L)._2 == 3L && out(2L)._5 == 0.666667 &&
+      out(2L)._6 == 0.333333 && !out(2L)._7, s"doc2: ${out(2L)}")
+    assert(out(3L)._2 == 0L && out(3L)._7, "empty passes vacuously")
+    assert(out(4L)._2 == 0L && out(4L)._7, "null passes vacuously")
+  }
+
   test("gopherRules: each rule gates on its documented threshold; " +
       "empty/null text fails closed with zeroed signals") {
     import graft.llm.TextAnalysis
