@@ -437,17 +437,17 @@ object Similarity {
                cb: Seq[Seq[Seq[Double]]]): DataFrame = {
     val m = cb.length
     val subDim = cb.head.head.length
-    val v = asDouble(col(vecCol))
-    val codes = array((0 until m).map { mi =>
-      val sub = slice(v, mi * subDim + 1, subDim)
-      val scored = cb(mi).zipWithIndex.map { case (c, ci) =>
-        val halfNorm = c.map(x => x * x).sum / 2.0
-        struct((fastDot(sub, typedlit(c)) - lit(halfNorm)).as("s"),
-          lit(ci).as("code"))
-      }
-      reverse(array_sort(array(scored: _*))).getItem(0)
-        .getField("code")
-    }: _*)
+    // encoding is the native PqEncodeCodes expression — both composed
+    // forms are pathological at PQ sizes (an m·k struct forest blows
+    // codegen limits; transform-over-literal is an interpreted HOF;
+    // 9 s / 4 s respectively for 2000 rows at m=16, k=64, vs
+    // milliseconds native — see the expression's scaladoc)
+    val flat = cb.flatten.flatten.toArray
+    val codes = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.PqEncodeCodes(
+        org.apache.spark.sql.GraftBridge.expression(
+          asDouble(col(vecCol))),
+        flat, m, cb.head.length, subDim))
     corpus.select(col(idCol), codes.as("codes"))
       // reconstruction: zip the subspace index with its code and look
       // both up in the m × k × subDim codebook literal
