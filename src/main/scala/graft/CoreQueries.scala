@@ -1285,7 +1285,8 @@ object CoreQueries {
          """ + urlParseCtes + """
          SELECT url_norm, count(*) AS dup_count,
            min(vid) AS canonical_vid
-         FROM n GROUP BY url_norm ORDER BY url_norm"""),
+         FROM n GROUP BY url_norm
+         ORDER BY url_norm NULLS FIRST"""),
     "date_functions" ->
       """SELECT o_orderkey, strftime(d, '%Y-%m-%d') AS dt,
          strftime(last_day(d - INTERVAL 1 MONTH), '%Y-%m-%d')

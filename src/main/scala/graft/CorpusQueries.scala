@@ -176,31 +176,14 @@ object CorpusQueries {
 
     // unigram-LM quality scoring (the CCNet/perplexity-filter shape,
     // with the LM trained ON the corpus): per-doc mean negative
-    // log-probability under corpus unigram frequencies. The frequency
-    // table is vocab-sized and BROADCAST; the corpus-sized token stream
-    // never shuffles for the join — one (doc_id) aggregation after it.
-    "text_unigram_logprob" -> ((s, dir) => {
-      val toks = t(s, dir, "documents").select(col("doc_id"),
-        explode(split(TextAnalysis.normalizeText(col("text")), " "))
-          .as("tok"))
-      val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      // sum() over an empty vocab yields one NULL row — guard like
-      // every other driver-side probe; total=0 leaves the (empty)
-      // output frame empty either way
-      val totRow = uni.agg(sum(col("cnt"))).first()
-      val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
-      // avg of per-token double logs is summation-order-sensitive in
-      // principle; accepted here because round(...,4) gives ~5e-5 of
-      // slack vs ~1e-13 of cross-engine drift (a flip needs the true
-      // value within 1e-13 of a rounding boundary) — the general
-      // avg-of-doubles ban targets round(...,6)+ output columns
-      toks.join(broadcast(uni), Seq("tok"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          round(avg(-log(col("cnt").cast("double") / lit(total.toDouble))),
-            4).as("nll"))
-        .orderBy("doc_id")
-    }),
+    // log-probability under corpus unigram frequencies —
+    // TextAnalysis.unigramNll scaladoc for the plan shape, the
+    // empty-vocab guard, and the round-4 drift rationale (one shared
+    // body with ccnet_perplexity_buckets)
+    "text_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramNll(t(s, dir, "documents"), "text",
+          Seq("doc_id"))
+        .orderBy("doc_id")),
 
     // centroid-distance outlier flagging: each vector scored against
     // its group's mean embedding (the curation pass that drops
@@ -291,9 +274,13 @@ object CorpusQueries {
     // bulleted, every 5th ellipsis-terminated, a doubled footer line
     // on even ids); the RULES are then computed independently per
     // engine — grouping-based exact dup fractions here vs DuckDB list
-    // ops there.
+    // ops there. Raw newlines are flattened to spaces BEFORE the line
+    // build: a token carrying its own '\n' would survive the Spark
+    // join-then-resplit as EXTRA lines while the oracle's list path
+    // keeps it as one (the edge-audit '\n\n' doc caught exactly this).
     "text_line_rules" -> ((s, dir) => {
-      val ws = split(col("text"), " ")
+      val ws = split(regexp_replace(coalesce(col("text"), lit("")),
+        "[\\n\\r]", " "), " ")
       val nl = greatest(
         ceil(size(ws).cast("double") / 8.0).cast("int"), lit(1))
       val lines0 = transform(sequence(lit(0), nl - 1),
@@ -319,17 +306,8 @@ object CorpusQueries {
     // a global single-partition window; the doc_id tiebreak makes
     // ntile deterministic under the 4-decimal nll rounding).
     "ccnet_perplexity_buckets" -> ((s, dir) => {
-      val toks = t(s, dir, "documents").select(col("doc_id"),
-        col("lang"),
-        explode(split(TextAnalysis.normalizeText(col("text")), " "))
-          .as("tok"))
-      val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val totRow = uni.agg(sum(col("cnt"))).first()
-      val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
-      val nll = toks.join(broadcast(uni), Seq("tok"))
-        .groupBy("doc_id", "lang")
-        .agg(round(avg(-log(col("cnt").cast("double") /
-          lit(total.toDouble))), 4).as("nll"))
+      val nll = TextAnalysis.unigramNll(t(s, dir, "documents"), "text",
+        Seq("doc_id", "lang")).drop("n_tok")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("nll"), col("doc_id"))
       nll.withColumn("b", ntile(3).over(w))
@@ -598,7 +576,8 @@ object CorpusQueries {
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
            FROM d)
          SELECT source, doc_id, n_tok, cum_tok FROM w
-         WHERE cum_tok <= 2000 ORDER BY source, doc_id""",
+         WHERE cum_tok <= 2000
+         ORDER BY source NULLS FIRST, doc_id""",
     "text_gopher_rules" ->
       """WITH u AS (SELECT doc_id, coalesce(text, '') AS text
              FROM documents),
@@ -638,7 +617,8 @@ object CorpusQueries {
          FROM c ORDER BY doc_id""",
     "text_line_rules" ->
       """WITH w AS (SELECT doc_id,
-             string_split(coalesce(text, ''), ' ') AS ws
+             string_split(replace(replace(coalesce(text, ''),
+               chr(10), ' '), chr(13), ' '), ' ') AS ws
              FROM documents),
          l0 AS (SELECT doc_id, list_transform(
              range(0, greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1)),

@@ -432,6 +432,38 @@ object TextAnalysis {
   def logistic(raw: Column, scale: Double): Column =
     lit(1.0) / (lit(1.0) + exp(-(raw.cast("double") / lit(scale))))
 
+  /** Corpus-unigram-LM negative log-likelihood per key group — the
+    * CCNet/perplexity-filter core shared by `text_unigram_logprob`
+    * and `ccnet_perplexity_buckets` (one body so a change to token
+    * filtering or smoothing can't silently diverge the two probes).
+    * The frequency table is vocab-sized and BROADCAST; the
+    * corpus-sized token stream never shuffles for the join — one
+    * keyCols aggregation after it.
+    *
+    * Notes carried with the body:
+    *  - `sum()` over an empty vocab yields one NULL row — guarded;
+    *    total=0 leaves the (empty) output frame empty either way.
+    *  - avg of per-token double logs is summation-order-sensitive in
+    *    principle; accepted because round(...,4) gives ~5e-5 of slack
+    *    vs ~1e-13 of cross-engine drift (a flip needs the true value
+    *    within 1e-13 of a rounding boundary) — the general
+    *    avg-of-doubles ban targets round(...,6)+ output columns.
+    *
+    * Output: keyCols..., n_tok, nll. */
+  def unigramNll(df: DataFrame, textCol: String,
+                 keyCols: Seq[String]): DataFrame = {
+    val toks = df.select(keyCols.map(col) :+
+      explode(split(normalizeText(col(textCol)), " ")).as("tok"): _*)
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totRow = uni.agg(sum(col("cnt"))).first()
+    val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    toks.join(broadcast(uni), Seq("tok"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(-log(col("cnt").cast("double") /
+          lit(total.toDouble))), 4).as("nll"))
+  }
+
   /** Stop words for the Gopher "contains common English words" rule
     * (Rae et al. 2021, A1.1 — their exact list). */
   private val GopherStops =
