@@ -266,6 +266,17 @@ object CorpusQueries {
           "doc_id", "text")
         .orderBy("doc_id")),
 
+    // PSI distribution drift between two corpus slices (even vs odd
+    // ids as the stand-in snapshots) over the source and lang mixes —
+    // Corpus.distributionDrift scaladoc for the smoothing and the
+    // one-shuffle plan shape
+    "corpus_drift" -> ((s, dir) =>
+      Corpus.distributionDrift(t(s, dir, "documents"),
+          col("doc_id") % 2 === 0,
+          Seq("source" -> col("source"), "lang" -> col("lang")))
+        .orderBy("dim", "key"))
+    ,
+
     // the Gopher LINE-shape rules (TextAnalysis.gopherLineRules:
     // bullet/ellipsis line fractions + the duplicate-line and
     // duplicate-line-character repetition signals). documents carry no
@@ -615,6 +626,27 @@ object CorpusQueries {
            symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2
              AS pass
          FROM c ORDER BY doc_id""",
+    "corpus_drift" ->
+      """WITH u AS (SELECT 'source' AS dim, source AS key, doc_id
+             FROM documents
+           UNION ALL
+           SELECT 'lang' AS dim, lang AS key, doc_id FROM documents),
+         c AS (SELECT dim, key,
+             CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END)
+               AS BIGINT) AS n_a,
+             CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END)
+               AS BIGINT) AS n_b
+           FROM u GROUP BY dim, key),
+         t AS (SELECT dim, sum(n_a) AS ta, sum(n_b) AS tb,
+             count(*) AS k FROM c GROUP BY dim),
+         j AS (SELECT c.dim, c.key, c.n_a, c.n_b,
+             (c.n_a + 1) / CAST(t.ta + t.k AS DOUBLE) AS pa,
+             (c.n_b + 1) / CAST(t.tb + t.k AS DOUBLE) AS pb
+           FROM c JOIN t USING (dim))
+         SELECT dim, key, n_a, n_b,
+           round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+           round((pa - pb) * ln(pa / pb), 6) AS psi_term
+         FROM j ORDER BY dim, key NULLS FIRST""",
     "text_line_rules" ->
       """WITH w AS (SELECT doc_id,
              string_split(replace(replace(coalesce(text, ''),

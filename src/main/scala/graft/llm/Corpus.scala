@@ -281,6 +281,57 @@ object Corpus {
                     path: String): DataFrame =
     spark.read.parquet(s"$path/_manifest")
 
+  /** Population-stability-index distribution drift between two slices
+    * of a corpus — the monitoring step run between crawl snapshots to
+    * catch a source mix or language mix shifting under the pipeline
+    * (PSI is the standard banking/ML-monitoring drift measure; > 0.1
+    * per key is the conventional "investigate" line). Rows with
+    * `inA` true form slice A, the rest slice B; each (dimension,
+    * key) emits its slice shares and its PSI term
+    * (p_a − p_b)·ln(p_a/p_b), Laplace-smoothed by +1 over the
+    * dimension's key count so a key present in only one slice stays
+    * finite. Callers sum psi_term per dimension for the headline
+    * number.
+    *
+    * Scale shape: ONE hash aggregation over (dimension, key) with
+    * conditional counts (map-side combine collapses the corpus to
+    * dims × keys rows before the shuffle); the per-dimension totals
+    * table is dims-sized and broadcast back. The PSI arithmetic is
+    * per-ROW over exact integer counts — no cross-row double
+    * summation, so round(...,6) is engine-exact.
+    *
+    * Output: dim, key (stringified; null keys group as null), n_a,
+    * n_b, p_a, p_b, psi_term. */
+  def distributionDrift(df: DataFrame, inA: Column,
+                        dims: Seq[(String, Column)]): DataFrame = {
+    require(dims.nonEmpty, "distributionDrift needs at least one dim")
+    val rows = df.select(inA.as("__a"),
+        explode(array(dims.map { case (n, c) =>
+          struct(lit(n).as("dim"), c.cast("string").as("key"))
+        }: _*)).as("dk"))
+      .select(col("__a"), col("dk.dim").as("dim"), col("dk.key").as("key"))
+    // counts feeds BOTH the totals aggregate and the output join —
+    // without a staging boundary the physical plan duplicates the
+    // whole corpus-scan subtree (PLANFP showed scan: 2). The staged
+    // table is dims × keys rows, trivially small.
+    val counts = graft.core.Tables.staged(
+      rows.groupBy("dim", "key").agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b")),
+      "drift_counts")
+    val totals = counts.groupBy("dim").agg(
+      sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"),
+      count(lit(1)).as("__k"))
+    val pa = (col("n_a") + lit(1L)).cast("double") /
+      (col("__ta") + col("__k")).cast("double")
+    val pb = (col("n_b") + lit(1L)).cast("double") /
+      (col("__tb") + col("__k")).cast("double")
+    counts.join(broadcast(totals), Seq("dim"))
+      .select(col("dim"), col("key"), col("n_a"), col("n_b"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round((pa - pb) * log(pa / pb), 6).as("psi_term"))
+  }
+
   /** Token-budget-constrained selection: per source, keep the PREFIX of
     * the longest-first ordering (ties broken by id ascending) whose
     * running token total stays ≤ `budget` — the "fill each domain's

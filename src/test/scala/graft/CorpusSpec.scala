@@ -270,6 +270,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Seq(("a", 1L, 4L, 4L), ("a", 2L, 3L, 7L)))
   }
 
+  test("distributionDrift: identical slices score ~0, a one-sided key " +
+      "carries the drift; smoothing keeps absent keys finite") {
+    val docs = Seq(
+      // 'x' balanced 2/2, 'y' balanced 1/1, 'z' only in slice A
+      (0L, "x"), (2L, "x"), (1L, "x"), (3L, "x"),
+      (4L, "y"), (5L, "y"),
+      (6L, "z"), (8L, "z"))
+      .toDF("doc_id", "src")
+    val out = graft.llm.Corpus
+      .distributionDrift(docs, col("doc_id") % 2 === 0,
+        Seq("src" -> col("src")))
+      .orderBy("key")
+      .as[(String, String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._2 -> r).toMap
+    // slice A: x=2, y=1, z=2 (ta=5); slice B: x=2, y=1, z=0 (tb=3); k=3
+    assert(out("x")._3 == 2L && out("x")._4 == 2L)
+    val pax = 3.0 / 8; val pbx = 3.0 / 6
+    assert(out("x")._7 ==
+      math.rint((pax - pbx) * math.log(pax / pbx) * 1e6) / 1e6)
+    // z absent from B: smoothed p_b = 1/6 stays finite, term > 0
+    assert(out("z")._4 == 0L && out("z")._7 > 0 &&
+      !out("z")._7.isInfinite)
+    // y has identical shares only pre-smoothing; smoothed shares
+    // differ slightly, but the term stays tiny (< the x/z terms)
+    assert(math.abs(out("y")._7) < math.abs(out("x")._7))
+  }
+
   test("dsirImportance: target-heavy docs score positive, off-target " +
       "negative, and OOV-in-target tokens stay finite") {
     val docs = Seq(
