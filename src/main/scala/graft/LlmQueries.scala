@@ -952,6 +952,24 @@ object LlmQueries {
         .orderBy("media_id")
     }),
 
+    // the real binaryFile SOURCE path end-to-end: real .png files on
+    // disk → spark.read.format("binaryFile") → id parsed from the
+    // path → the same javax.imageio decode as multimodal_features.
+    // The in-memory media tables stand in for this source everywhere
+    // else; this probe closes the loop (Multimodal.writePngDir
+    // scaladoc for the fixture-vs-production split). Oracle predicts
+    // the decoded geometry/mean as pure functions of the id.
+    "source_binaryfile_media" -> ((s, dir) => {
+      val mediaDir = Multimodal.writePngDir(s, 64)
+      val files = s.read.format("binaryFile").load(mediaDir)
+        .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("long").as("media_id"), col("content").as("payload"))
+      Multimodal.extractFeatures(files)
+        .select(col("media_id"), col("width"), col("height"),
+          col("mean_px"), col("decoded"))
+        .orderBy("media_id")
+    }),
+
     // multimodal: REAL javax.sound.sampled decode over real WAV
     // payloads — rate/sample-count/mean-amplitude are pure functions of
     // the id (the PNG pattern), so the oracle predicts the decoded
@@ -1717,6 +1735,14 @@ object LlmQueries {
            AS mean_px,
          TRUE AS decoded
          FROM documents ORDER BY media_id""",
+    "source_binaryfile_media" ->
+      """SELECT doc_id AS media_id,
+         CAST(16 + 2 * (doc_id % 8) AS INT) AS width,
+         CAST(16 + (doc_id % 16) AS INT) AS height,
+         CAST((doc_id % 256) + ((doc_id * 7 + 13) % 256) AS DOUBLE) / 2
+           AS mean_px,
+         TRUE AS decoded
+         FROM range(64) t(doc_id) ORDER BY media_id""",
     "multimodal_audio" ->
       """SELECT doc_id AS media_id,
          CAST(CASE CAST(doc_id % 4 AS INT)

@@ -109,6 +109,24 @@ object Tables {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Register an arbitrary directory with the staged-path reaper —
+    * same lifetime contract as [[staged]] (innermost scope /
+    * clearStaged / shutdown hook) for non-parquet fixture dirs, e.g.
+    * the binaryFile source probe's media files. Returns the path. */
+  def registerStagedDir(path: String,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    val entry = Staged(path, conf)
+    val scope = scopePaths.get().peek()
+    if (scope != null) scope.add(entry) else stagedPaths.add(entry)
+    if (!hookInstalled) synchronized {
+      if (!hookInstalled) {
+        Runtime.getRuntime.addShutdownHook(new Thread(() => clearStaged()))
+        hookInstalled = true
+      }
+    }
+    path
+  }
+
   /** Run `f`, then delete every staging dir [[staged]] created inside
     * it on this thread — the bounded-disk form for per-batch loops.
     * The staged data must be fully consumed within the scope. */

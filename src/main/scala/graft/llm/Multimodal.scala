@@ -95,6 +95,30 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** Materialize real `<id>.png` files for ids [0, n) under a fresh
+    * reaper-registered temp directory and return the directory — the
+    * fixture side of the `binaryFile` SOURCE probe. The in-memory
+    * media tables above deliberately "stand in" for
+    * `spark.read.format("binaryFile")`; this closes the loop with the
+    * real source format. Driver-side writes: `n` is a fixture bound
+    * (tens of tiny files), not corpus scale — in production the files
+    * already exist on distributed storage and only the read side runs. */
+  def writePngDir(spark: org.apache.spark.sql.SparkSession,
+                  n: Int): String = {
+    require(n <= 4096, s"fixture bound exceeded: $n")
+    val dir = graft.core.Tables.registerStagedDir(
+      graft.core.Tables.tmpDir + "/media_png_" +
+        java.util.UUID.randomUUID().toString,
+      spark.sessionState.newHadoopConf())
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    (0L until n.toLong).foreach { id =>
+      java.nio.file.Files.write(
+        new java.io.File(d, s"$id.png").toPath, encodePng(id))
+    }
+    dir
+  }
+
   // ---------- audio (WAV via javax.sound.sampled — pure JDK) ----------
 
   /** Deterministic synthetic audio parameters, pure functions of the id
