@@ -191,6 +191,49 @@ class FunctionsSpec extends AnyFunSuite {
       "bg" -> "X")) == """["period=2016-01-31","bg=X"]""")
   }
 
+  test("urlNormalize: idempotent and invariant-clean over the full " +
+      "1536-URL grammar (schemes × hosts × ports × paths × queries × " +
+      "fragments)") {
+    import graft.functions.UrlNorm._
+    val urls = for {
+      s <- Seq("http", "HTTP", "https", "HTTPS")
+      h <- Seq("Example.COM", "www.Example.COM", "a.b.example.org",
+        "WWW.X.Y")
+      p <- Seq("", ":80", ":443", ":8080")
+      pa <- Seq("", "/", "/A/b")
+      q <- Seq("", "?utm_source=x", "?b=2&a=1&ref=r",
+        "?z=1&utm_campaign=c&y=2")
+      f <- Seq("", "#f")
+    } yield s"$s://$h$p$pa$q$f"
+    val df = urls.toDF("url")
+      .select($"url", urlNormalize($"url").as("n1"))
+      .select($"url", $"n1", urlNormalize($"n1").as("n2"),
+        urlHost($"n1").as("h"), urlDomain($"n1").as("d"),
+        urlKeptQuery($"n1").as("kq"))
+    val bad = df.filter(
+      $"n1" =!= $"n2" ||                       // idempotence
+      $"n1".contains("#") ||                   // fragment dropped
+      $"kq".rlike("(^|&)(utm_|ref=|fbclid=|gclid=)") || // tracking gone
+      $"h" =!= lower($"h") || $"h".startsWith("www.") || // host rules
+      !$"h".endsWith($"d") ||                  // domain is host suffix
+      // surviving params stay byte-sorted
+      ($"kq" =!= "" && array_join(array_sort(split($"kq", "&")), "&")
+        =!= $"kq") ||
+      // DEFAULT ports dropped (scheme-matched; https://h:80 is
+      // legitimately kept — non-default for https)
+      ($"n1".startsWith("http://") &&
+        $"n1".rlike("://[^/?#]*:80(/|$)")) ||
+      ($"n1".startsWith("https://") &&
+        $"n1".rlike("://[^/?#]*:443(/|$)")) ||
+      // empty path normalized to /
+      !regexp_extract($"n1", "^[a-z]+://[^/?#]*(.*)$", 1)
+        .startsWith("/"))
+    val offenders = bad.limit(5).collect()
+    assert(urls.length == 1536)
+    assert(offenders.isEmpty,
+      offenders.map(_.toString).mkString("\n"))
+  }
+
   test("urlNormalize applies each rule: case, www, ports, fragment, " +
       "tracking params, param sort, empty path") {
     import graft.functions.UrlNorm._

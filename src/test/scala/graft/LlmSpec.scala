@@ -1048,6 +1048,37 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("PqEncodeCodes matches a Scala reference argmin on every vector " +
+      "and recon is exactly the concatenated codebook entries") {
+    import graft.llm.Similarity
+    // deterministic pseudo-random 8-dim vectors (no Random: fixture
+    // must be replayable)
+    val vecs = (0 until 60).map(i => (i.toLong,
+      (0 until 8).map(j => (((i * 31 + j * 17) % 13) - 6).toFloat / 3f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
+      m = 2, k = 4, sampleN = 100, iters = 6)
+    val out = Similarity.pqEncode(vecs, "embedding", "vec_id", cb)
+      .orderBy("vec_id")
+      .as[(Long, Seq[Int], Seq[Double])].collect()
+    val orig = vecs.orderBy("vec_id").as[(Long, Seq[Float])]
+      .collect().map(r => r._1 -> r._2.map(_.toDouble)).toMap
+    def refCode(sub: Seq[Double], mi: Int): Int =
+      cb(mi).zipWithIndex.minBy { case (c, ci) =>
+        (c.zip(sub).map { case (x, y) => (x - y) * (x - y) }.sum, ci)
+      }._2
+    out.foreach { case (id, codes, recon) =>
+      val v = orig(id)
+      (0 until 2).foreach { mi =>
+        val sub = v.slice(mi * 4, mi * 4 + 4)
+        assert(codes(mi) == refCode(sub, mi),
+          s"vec $id subspace $mi: native ${codes(mi)} != reference")
+        assert(recon.slice(mi * 4, mi * 4 + 4) == cb(mi)(codes(mi)),
+          s"vec $id subspace $mi: recon is not the chosen centroid")
+      }
+    }
+  }
+
   test("gopherLineRules: dup-line/char fractions count every copy; " +
       "bullet and ellipsis fractions gate; empty doc passes vacuously") {
     import graft.llm.TextAnalysis
