@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.trgx.Trgx
 
 /** LLM training-data pipeline probes (builder-brief north star):
@@ -356,6 +356,49 @@ object LlmQueries {
           coalesce(col("in_index"), lit(false)).as("in_index"),
           coalesce(col("in_shingles"), lit(false)).as("in_shingles"))
         .orderBy("doc_id")
+      }
+    }),
+
+    // driver-visible CORRECTNESS rows for the continuous DRIFT monitor
+    // (StreamOps.continuousDriftMonitor — the fourth continuous
+    // ingest): even-id docs arrive as batch b1, odd-id docs as b2,
+    // each scored against the full-corpus reference profile. Each
+    // call processes its files as ONE AvailableNow micro-batch
+    // (batchId 0 → partition tags b1_0 / b2_0), so the oracle
+    // replicates exact per-batch PSI: batch keys are always a subset
+    // of the reference here, so a reference-keys grid left-joined
+    // with batch counts reproduces driftVsProfile's full outer.
+    "streaming_drift_ingest" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val base = graft.core.Tables.tmpDir + "/stream_drift_q"
+      StreamOps.deletePath(s, base)
+      val dims = Seq("source" -> col("source"), "lang" -> col("lang"))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"))
+      val empty = d.select(lit("").as("tag"), lit("").as("dim"),
+        lit("").as("key"), lit(0L).as("n_batch"), lit(0L).as("n_ref"),
+        lit(0d).as("p_batch"), lit(0d).as("p_ref"),
+        lit(0d).as("psi_term")).limit(0)
+      // empty corpus: both inputs empty, no batch fires, the drift
+      // dir is never created — the correct result is an empty frame
+      if (d.isEmpty) empty else {
+        d.filter(col("doc_id") % 2 === 0).coalesce(4)
+          .write.parquet(s"$base/in1")
+        d.filter(col("doc_id") % 2 === 1).coalesce(4)
+          .write.parquet(s"$base/in2")
+        val profile = Corpus.dimProfile(d, dims)
+        val schema = s.read.parquet(s"$base/in1").schema
+        StreamOps.continuousDriftMonitor(
+          StreamOps.readTableStream(s, s"$base/in1", schema),
+          dims, profile, s"$base/drift", "b1")
+        StreamOps.continuousDriftMonitor(
+          StreamOps.readTableStream(s, s"$base/in2", schema),
+          dims, profile, s"$base/drift", "b2")
+        s.read.parquet(s"$base/drift")
+          .select(col("tag").cast("string").as("tag"), col("dim"),
+            col("key"), col("n_batch"), col("n_ref"), col("p_batch"),
+            col("p_ref"), col("psi_term"))
+          .orderBy("tag", "dim", "key")
       }
     }),
 
@@ -1212,6 +1255,34 @@ object LlmQueries {
                WHERE c2.id >= 2000000 AND c2.cs NOT IN
                  (SELECT cs FROM canon WHERE id < 2000000)) t
          ORDER BY doc_id""",
+    "streaming_drift_ingest" ->
+      """WITH docs AS (SELECT doc_id, source, lang FROM documents),
+         u AS (SELECT 'source' AS dim, source AS key, doc_id FROM docs
+           UNION ALL
+           SELECT 'lang' AS dim, lang AS key, doc_id FROM docs),
+         ref AS (SELECT dim, key, CAST(count(*) AS BIGINT) AS n_ref
+           FROM u GROUP BY dim, key),
+         b AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'b1_0'
+             ELSE 'b2_0' END AS tag, dim, key FROM u),
+         bc AS (SELECT tag, dim, key, CAST(count(*) AS BIGINT)
+             AS n_batch FROM b GROUP BY tag, dim, key),
+         tags AS (SELECT DISTINCT tag FROM bc),
+         grid AS (SELECT t.tag, r.dim, r.key, r.n_ref
+           FROM tags t CROSS JOIN ref r),
+         j AS (SELECT g.tag, g.dim, g.key,
+             coalesce(bc.n_batch, 0) AS n_batch, g.n_ref
+           FROM grid g LEFT JOIN bc ON bc.tag = g.tag
+             AND bc.dim = g.dim AND bc.key IS NOT DISTINCT FROM g.key),
+         tot AS (SELECT tag, dim, sum(n_batch) AS tb, sum(n_ref) AS tr,
+             count(*) AS k FROM j GROUP BY tag, dim),
+         f AS (SELECT j.tag, j.dim, j.key, j.n_batch, j.n_ref,
+             (j.n_batch + 1) / CAST(tot.tb + tot.k AS DOUBLE) AS pb,
+             (j.n_ref + 1) / CAST(tot.tr + tot.k AS DOUBLE) AS pr
+           FROM j JOIN tot ON j.tag = tot.tag AND j.dim = tot.dim)
+         SELECT tag, dim, key, n_batch, n_ref,
+           round(pb, 6) AS p_batch, round(pr, 6) AS p_ref,
+           round((pb - pr) * ln(pb / pr), 6) AS psi_term
+         FROM f ORDER BY tag, dim, key NULLS FIRST""",
     "streaming_semantic_ingest" -> {
       // same deterministic Rademacher cells and (dot DESC, cell DESC)
       // tie-break as semantic_dedup; within-batch removal counts

@@ -332,6 +332,65 @@ object Corpus {
         round((pa - pb) * log(pa / pb), 6).as("psi_term"))
   }
 
+  /** Dimension-mix profile of a corpus: one (dim, key, n_ref) row per
+    * dimension value — the reference side of [[driftVsProfile]],
+    * computed once from a trusted snapshot. Same single-shuffle shape
+    * as [[distributionDrift]]'s counts. */
+  def dimProfile(df: DataFrame,
+                 dims: Seq[(String, Column)]): DataFrame =
+    df.select(explode(array(dims.map { case (n, c) =>
+        struct(lit(n).as("dim"), c.cast("string").as("key"))
+      }: _*)).as("dk"))
+      .select(col("dk.dim").as("dim"), col("dk.key").as("key"))
+      .groupBy("dim", "key").agg(count(lit(1)).as("n_ref"))
+
+  /** PSI of a batch's dimension mixes against a FIXED reference
+    * profile — the per-batch form of [[distributionDrift]] for
+    * streaming monitors ([[graft.streaming.StreamOps]]
+    * `continuousDriftMonitor`): the profile is computed once via
+    * [[dimProfile]]; every arriving batch is scored against it.
+    * Full-outer NULL-SAFE join on (dim, key) (a null key must meet
+    * its null-key profile row, not fork into two half-rows — plain
+    * equi-join null semantics would, identically in both engines, and
+    * identically wrong); +1 smoothing over the UNION key count keeps
+    * one-sided keys finite. The joined table is dims × keys rows and
+    * crosses a staging boundary before feeding both the totals and
+    * the output (the distributionDrift scan-duplication argument).
+    *
+    * Output: dim, key, n_batch, n_ref, p_batch, p_ref, psi_term. */
+  def driftVsProfile(batch: DataFrame, dims: Seq[(String, Column)],
+                     profile: DataFrame): DataFrame = {
+    require(dims.nonEmpty, "driftVsProfile needs at least one dim")
+    val counts = batch.select(explode(array(dims.map { case (n, c) =>
+        struct(lit(n).as("dim"), c.cast("string").as("key"))
+      }: _*)).as("dk"))
+      .select(col("dk.dim").as("dim"), col("dk.key").as("key"))
+      .groupBy("dim", "key").agg(count(lit(1)).as("n_batch"))
+    val p = profile.select(col("dim").as("__rd"), col("key").as("__rk"),
+      col("n_ref"))
+    val joined = graft.core.Tables.staged(
+      counts.join(p,
+          counts("dim") === col("__rd") && counts("key") <=> col("__rk"),
+          "full_outer")
+        .select(
+          coalesce(counts("dim"), col("__rd")).as("dim"),
+          coalesce(counts("key"), col("__rk")).as("key"),
+          coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref")),
+      "drift_profile_join")
+    val totals = joined.groupBy("dim").agg(
+      sum(col("n_batch")).as("__tb"), sum(col("n_ref")).as("__tr"),
+      count(lit(1)).as("__k"))
+    val pb = (col("n_batch") + lit(1L)).cast("double") /
+      (col("__tb") + col("__k")).cast("double")
+    val pr = (col("n_ref") + lit(1L)).cast("double") /
+      (col("__tr") + col("__k")).cast("double")
+    joined.join(broadcast(totals), Seq("dim"))
+      .select(col("dim"), col("key"), col("n_batch"), col("n_ref"),
+        round(pb, 6).as("p_batch"), round(pr, 6).as("p_ref"),
+        round((pb - pr) * log(pb / pr), 6).as("psi_term"))
+  }
+
   /** Token-budget-constrained selection: per source, keep the PREFIX of
     * the longest-first ordering (ties broken by id ascending) whose
     * running token total stays ≤ `budget` — the "fill each domain's

@@ -349,6 +349,37 @@ object StreamOps {
         s"r.`$rightTs` <= l.`$leftTs` + INTERVAL $lookahead"))
   }
 
+  /** Streaming mix-shift monitor — the fourth continuous ingest: per
+    * micro-batch PSI of the batch's dimension mixes (source, lang, …)
+    * against a FIXED reference profile
+    * ([[graft.llm.Corpus.dimProfile]] of a trusted snapshot), via
+    * [[graft.llm.Corpus.driftVsProfile]]. The drift rows land under
+    * `driftPath/tag=<tag>_<batchId>` with OVERWRITE — an
+    * at-least-once replay of a batch rewrites its own partition
+    * instead of appending duplicate rows (partition-overwrite is this
+    * monitor's replay guard, where the corpus ingests use
+    * guardedAppend: drift rows have no natural key to anti-join on,
+    * but they do have a natural partition). `stagedScope` bounds the
+    * per-batch staging (the dims × keys join inside driftVsProfile)
+    * to one batch. */
+  def continuousDriftMonitor(docs: DataFrame,
+                             dims: Seq[(String, org.apache.spark.sql.Column)],
+                             profile: DataFrame, driftPath: String,
+                             tag: String): StreamingQuery = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) graft.core.Tables.stagedScope {
+          graft.llm.Corpus.driftVsProfile(batch, dims, profile)
+            .write.mode("overwrite")
+            .parquet(s"$driftPath/tag=${tag}_$batchId")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** SURVEY §2.10's upgrade path, verbatim: `Trigger.AvailableNow`
     * micro-batches with the reference's `_rng` table as the manual
     * commit log. Each batch flows to the caller's sink (parquet

@@ -507,4 +507,47 @@ class StreamingSpec extends AnyFunSuite {
       TableOps.switchTab(live, shadow)
     }
   }
+
+  test("continuousDriftMonitor: replay of the same tag overwrites its " +
+      "partition (no duplicate drift rows); PSI rows match the batch " +
+      "counts") {
+    import graft.streaming.StreamOps
+    import graft.llm.Corpus
+    val base = TestSpark.tmpPath("drift_mon").toString
+    val dims = Seq("src" -> col("src"))
+    val ref = Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "b"))
+      .toDF("id", "src")
+    val profile = Corpus.dimProfile(ref, dims)
+    // batch: all-'a' skew vs the balanced reference
+    val batch = Seq((10L, "a"), (11L, "a"), (12L, "a"))
+      .toDF("id", "src")
+    batch.coalesce(1).write.parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    def run(): Unit = StreamOps.continuousDriftMonitor(
+      StreamOps.readTableStream(spark, s"$base/in", schema),
+      dims, profile, s"$base/drift", "t1")
+    run()
+    val first = spark.read.parquet(s"$base/drift")
+      .orderBy("key")
+      .as[(String, String, Long, Long, Double, Double, Double, String)]
+      .collect().toSeq
+    // replay: a fresh query over the same files re-delivers them as
+    // batch 0 under the same tag → the partition is OVERWRITTEN, not
+    // appended to
+    run()
+    val second = spark.read.parquet(s"$base/drift")
+      .orderBy("key")
+      .as[(String, String, Long, Long, Double, Double, Double, String)]
+      .collect().toSeq
+    assert(second == first, "replay must rewrite, not duplicate")
+    val byKey = first.map(r => r._2 -> r).toMap
+    // 'a': batch 3/3 vs ref 2/4; 'b': batch 0 vs ref 2 — smoothed
+    // (+1 over k=2 keys): p_batch(a)=(3+1)/(3+2)=0.8,
+    // p_ref(a)=(2+1)/(4+2)=0.5 → term (0.3)·ln(1.6)
+    assert(byKey("a")._3 == 3L && byKey("a")._4 == 2L)
+    assert(byKey("a")._5 == 0.8 && byKey("a")._6 == 0.5)
+    assert(byKey("a")._7 ==
+      math.rint(0.3 * math.log(0.8 / 0.5) * 1e6) / 1e6)
+    assert(byKey("b")._3 == 0L && byKey("b")._7 > 0)
+  }
 }
