@@ -634,7 +634,11 @@ object CorpusQueries {
          c AS (SELECT dim, key,
              CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END)
                AS BIGINT) AS n_a,
-             CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END)
+             -- NOT (pred), not `% 2 = 1`: Spark's slice B is "inA is
+             -- false", which catches negative-odd ids (-3 % 2 = -1 in
+             -- both engines) that a literal = 1 test would drop; a
+             -- NULL id stays in neither slice either way
+             CAST(count(CASE WHEN NOT (doc_id % 2 = 0) THEN 1 END)
                AS BIGINT) AS n_b
            FROM u GROUP BY dim, key),
          t AS (SELECT dim, sum(n_a) AS ta, sum(n_b) AS tb,

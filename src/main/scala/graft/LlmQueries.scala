@@ -379,9 +379,15 @@ object LlmQueries {
         lit("").as("key"), lit(0L).as("n_batch"), lit(0L).as("n_ref"),
         lit(0d).as("p_batch"), lit(0d).as("p_ref"),
         lit(0d).as("psi_term")).limit(0)
-      // empty corpus: both inputs empty, no batch fires, the drift
-      // dir is never created — the correct result is an empty frame
-      if (d.isEmpty) empty else {
+      // no batchable docs (empty corpus, or every doc_id null /
+      // negative-odd — outside both `% 2 === k` filters): no batch
+      // fires, the drift dir is never created, and reading it would
+      // throw — the correct result is an empty frame. Guard on the
+      // BATCHABLE set, not d.isEmpty: an all-null-id corpus is
+      // non-empty but still creates no drift partition.
+      val batchable = d.filter(col("doc_id") % 2 === 0 ||
+        col("doc_id") % 2 === 1)
+      if (batchable.isEmpty) empty else {
         d.filter(col("doc_id") % 2 === 0).coalesce(4)
           .write.parquet(s"$base/in1")
         d.filter(col("doc_id") % 2 === 1).coalesce(4)
@@ -1262,10 +1268,16 @@ object LlmQueries {
            SELECT 'lang' AS dim, lang AS key, doc_id FROM docs),
          ref AS (SELECT dim, key, CAST(count(*) AS BIGINT) AS n_ref
            FROM u GROUP BY dim, key),
+         -- no ELSE: a null or negative-odd doc_id is in NEITHER Spark
+         -- batch (both `% 2 === k` filters exclude it), so it must tag
+         -- to NULL here and be dropped — an ELSE 'b2_0' silently
+         -- counted such rows into batch 2 on the oracle side only
          b AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'b1_0'
-             ELSE 'b2_0' END AS tag, dim, key FROM u),
+             WHEN doc_id % 2 = 1 THEN 'b2_0' END AS tag, dim, key
+           FROM u),
          bc AS (SELECT tag, dim, key, CAST(count(*) AS BIGINT)
-             AS n_batch FROM b GROUP BY tag, dim, key),
+             AS n_batch FROM b WHERE tag IS NOT NULL
+           GROUP BY tag, dim, key),
          tags AS (SELECT DISTINCT tag FROM bc),
          grid AS (SELECT t.tag, r.dim, r.key, r.n_ref
            FROM tags t CROSS JOIN ref r),

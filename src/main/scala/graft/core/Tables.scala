@@ -95,16 +95,7 @@ object Tables {
     // FileNotFoundException when the first scope exits and deletes it)
     val path = s"$tmpDir/stage_${tag}_" +
       java.util.UUID.randomUUID().toString
-    val entry = Staged(path,
-      df.sparkSession.sessionState.newHadoopConf())
-    val scope = scopePaths.get().peek()
-    if (scope != null) scope.add(entry) else stagedPaths.add(entry)
-    if (!hookInstalled) synchronized {
-      if (!hookInstalled) {
-        Runtime.getRuntime.addShutdownHook(new Thread(() => clearStaged()))
-        hookInstalled = true
-      }
-    }
+    registerStagedDir(path, df.sparkSession.sessionState.newHadoopConf())
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }

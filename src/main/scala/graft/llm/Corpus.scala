@@ -305,11 +305,8 @@ object Corpus {
   def distributionDrift(df: DataFrame, inA: Column,
                         dims: Seq[(String, Column)]): DataFrame = {
     require(dims.nonEmpty, "distributionDrift needs at least one dim")
-    val rows = df.select(inA.as("__a"),
-        explode(array(dims.map { case (n, c) =>
-          struct(lit(n).as("dim"), c.cast("string").as("key"))
-        }: _*)).as("dk"))
-      .select(col("__a"), col("dk.dim").as("dim"), col("dk.key").as("key"))
+    val rows = dimKeyRows(df.withColumn("__a", inA), dims,
+      carry = Seq(col("__a")))
     // counts feeds BOTH the totals aggregate and the output join —
     // without a staging boundary the physical plan duplicates the
     // whole corpus-scan subtree (PLANFP showed scan: 2). The staged
@@ -332,16 +329,25 @@ object Corpus {
         round((pa - pb) * log(pa / pb), 6).as("psi_term"))
   }
 
+  /** One (dim, key) row per input row per dimension — the shared
+    * expansion under [[dimProfile]], [[driftVsProfile]] and
+    * [[distributionDrift]] (one body so the key stringification can't
+    * drift between the join sides). Extra columns pass through. */
+  private def dimKeyRows(df: DataFrame, dims: Seq[(String, Column)],
+                         carry: Seq[Column] = Nil): DataFrame =
+    df.select(carry :+ explode(array(dims.map { case (n, c) =>
+        struct(lit(n).as("dim"), c.cast("string").as("key"))
+      }: _*)).as("dk"): _*)
+      .withColumn("dim", col("dk.dim")).withColumn("key", col("dk.key"))
+      .drop("dk")
+
   /** Dimension-mix profile of a corpus: one (dim, key, n_ref) row per
     * dimension value — the reference side of [[driftVsProfile]],
     * computed once from a trusted snapshot. Same single-shuffle shape
     * as [[distributionDrift]]'s counts. */
   def dimProfile(df: DataFrame,
                  dims: Seq[(String, Column)]): DataFrame =
-    df.select(explode(array(dims.map { case (n, c) =>
-        struct(lit(n).as("dim"), c.cast("string").as("key"))
-      }: _*)).as("dk"))
-      .select(col("dk.dim").as("dim"), col("dk.key").as("key"))
+    dimKeyRows(df, dims)
       .groupBy("dim", "key").agg(count(lit(1)).as("n_ref"))
 
   /** PSI of a batch's dimension mixes against a FIXED reference
@@ -361,11 +367,8 @@ object Corpus {
   def driftVsProfile(batch: DataFrame, dims: Seq[(String, Column)],
                      profile: DataFrame): DataFrame = {
     require(dims.nonEmpty, "driftVsProfile needs at least one dim")
-    val counts = batch.select(explode(array(dims.map { case (n, c) =>
-        struct(lit(n).as("dim"), c.cast("string").as("key"))
-      }: _*)).as("dk"))
-      .select(col("dk.dim").as("dim"), col("dk.key").as("key"))
-      .groupBy("dim", "key").agg(count(lit(1)).as("n_batch"))
+    val counts = dimProfile(batch, dims)
+      .withColumnRenamed("n_ref", "n_batch")
     val p = profile.select(col("dim").as("__rd"), col("key").as("__rk"),
       col("n_ref"))
     val joined = graft.core.Tables.staged(

@@ -106,15 +106,22 @@ object Multimodal {
   def writePngDir(spark: org.apache.spark.sql.SparkSession,
                   n: Int): String = {
     require(n <= 4096, s"fixture bound exceeded: $n")
+    val conf = spark.sessionState.newHadoopConf()
     val dir = graft.core.Tables.registerStagedDir(
       graft.core.Tables.tmpDir + "/media_png_" +
-        java.util.UUID.randomUUID().toString,
-      spark.sessionState.newHadoopConf())
-    val d = new java.io.File(dir)
-    d.mkdirs()
+        java.util.UUID.randomUUID().toString, conf)
+    // write through the Hadoop FileSystem resolved from the SAME conf
+    // the reaper will delete with — java.io.File would silently write
+    // a bogus local 's3a:…' directory whenever GRAFT_TMP_DIR is a
+    // scheme'd path, while the reaper deleted the (never-written)
+    // remote one
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p)
     (0L until n.toLong).foreach { id =>
-      java.nio.file.Files.write(
-        new java.io.File(d, s"$id.png").toPath, encodePng(id))
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(p, s"$id.png"), true)
+      try out.write(encodePng(id)) finally out.close()
     }
     dir
   }

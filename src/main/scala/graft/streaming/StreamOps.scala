@@ -366,10 +366,17 @@ object StreamOps {
                              dims: Seq[(String, org.apache.spark.sql.Column)],
                              profile: DataFrame, driftPath: String,
                              tag: String): StreamingQuery = {
+    // materialize the profile ONCE, outside the batch loop: it is a
+    // lazy plan over the trusted snapshot, and joining it per batch
+    // would re-scan + re-aggregate that snapshot every micro-batch.
+    // Registered in the OUTER staging registry (not a batch's
+    // stagedScope), so it outlives the run and is reaped with the
+    // session.
+    val prof = graft.core.Tables.staged(profile, "drift_ref_profile")
     val q = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) graft.core.Tables.stagedScope {
-          graft.llm.Corpus.driftVsProfile(batch, dims, profile)
+          graft.llm.Corpus.driftVsProfile(batch, dims, prof)
             .write.mode("overwrite")
             .parquet(s"$driftPath/tag=${tag}_$batchId")
         }
