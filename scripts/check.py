@@ -1,9 +1,66 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run each oracle SQL in
 DuckDB over the testdata tables and compare to the parquet dumped by
-graft.Verify (column names sorted, values compared row-by-row)."""
+graft.Verify (column names sorted, values compared row-by-row).
+
+`--selftest` runs the cell comparator against known tricky pairs
+(NaN/NaN, -0.0 vs +0.0, None/None) and exits non-zero on any miss —
+the r8 lesson was that a float `!=` compare is blind to zero sign
+while the driver's byte-hash is not.
+"""
 import sys, json, glob, math
 import duckdb
+
+
+def cell_diff(a, b):
+    """Return None if the two cells hash-compare equal, else a reason.
+    Mirrors the driver's byte-level hash: -0.0 and +0.0 are DIFFERENT
+    (distinct IEEE bit patterns) even though they are `==`."""
+    if a is None and b is None:
+        return None
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) and math.isnan(fb):
+                return None
+            if fa != fb:
+                return f"{a!r} != {b!r}"
+            if fa == 0.0 and math.copysign(1, fa) != math.copysign(1, fb):
+                return f"zero-sign {a!r} vs {b!r}"
+            return None
+        if str(a) != str(b):
+            return f"{a!r} != {b!r}"
+        return None
+    except (TypeError, ValueError):
+        if str(a) != str(b):
+            return f"{a!r} != {b!r}"
+        return None
+
+
+def selftest():
+    cases = [
+        (1.0, 1.0, True),
+        (1.0, 1.0000001, False),
+        (float("nan"), float("nan"), True),
+        (None, None, True),
+        (-0.0, 0.0, False),   # the r8 dsir/avg_pool class
+        (0.0, -0.0, False),
+        (0.0, 0.0, True),
+        (-0.0, -0.0, True),
+        ("a", "a", True),
+        ("a", "b", False),
+    ]
+    bad = [(a, b, want) for a, b, want in cases
+           if (cell_diff(a, b) is None) != want]
+    for a, b, want in bad:
+        print(f"SELFTEST FAIL: cell_diff({a!r}, {b!r}) "
+              f"expected {'equal' if want else 'different'}")
+    print(f"selftest: {len(cases) - len(bad)}/{len(cases)} pass")
+    sys.exit(1 if bad else 0)
+
+
+if "--selftest" in sys.argv:
+    selftest()
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
@@ -45,18 +102,9 @@ for name in sorted(oracle):
     for c in g.columns:
         gv, ev = g[c].tolist(), e_[c].tolist()
         for i, (a, b) in enumerate(zip(gv, ev)):
-            if a is None and b is None: continue
-            try:
-                if isinstance(a, float) or isinstance(b, float):
-                    fa, fb = float(a), float(b)
-                    if math.isnan(fa) and math.isnan(fb): continue
-                    if fa != fb:
-                        bad = f"col {c} row {i}: {a!r} != {b!r}"; break
-                elif str(a) != str(b):
-                    bad = f"col {c} row {i}: {a!r} != {b!r}"; break
-            except (TypeError, ValueError):
-                if str(a) != str(b):
-                    bad = f"col {c} row {i}: {a!r} != {b!r}"; break
+            d = cell_diff(a, b)
+            if d:
+                bad = f"col {c} row {i}: {d}"; break
         if bad: break
     results[name] = bad or "OK"
 

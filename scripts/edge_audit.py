@@ -78,6 +78,44 @@ def augment_events(outdir: Path) -> None:
           f"(9 planted edge rows, ts stays {merged.schema.field('ts').type})")
 
 
+def augment_embeddings(outdir: Path) -> None:
+    """Plant one embedding vector engineered so group 0's per-position
+    mean at position 0 is a TINY NEGATIVE that rounds to zero — DuckDB's
+    round() then emits -0.0 where Spark's BigDecimal round emits +0.0
+    (the r8 dsir_importance / embedding_avg_pool hash-fail class). Any
+    rounded-signed-double oracle column that loses its `+ 0.0` zero-sign
+    guard goes red against this corpus.
+
+    The compensating component is computed from the shipped data: x is
+    the float32 closest to -(sum of group-0 position-0 values), nudged
+    one ulp down if the new sum would land exactly on 0.0. The group sum
+    becomes ~1e-7-magnitude negative, so avg rounds to -0.0 at 4 digits
+    in DuckDB. Summation-order drift across engines is ~1e-16 — five
+    orders below the planted remainder, so the sign is stable.
+    """
+    base = pq.read_table(SRC / "embeddings.parquet")
+    emb = base.column("embedding").to_pylist()
+    ids = base.column("vec_id").to_pylist()
+    s = float(np.sum(np.array(
+        [v[0] for i, v in zip(ids, emb) if i % 10 == 0], dtype=np.float64)))
+    x = np.float32(-s)
+    while s + float(x) >= 0.0:
+        x = np.nextafter(x, np.float32(-np.inf), dtype=np.float32)
+    vec = [float(x)] + [0.01 * ((7 * k) % 13 - 6) for k in range(1, 64)]
+    extra = pa.table({
+        "vec_id": pa.array([610], pa.int64()),
+        "embedding": pa.array([vec], base.schema.field("embedding").type),
+        "label": pa.array([0], pa.int32()),
+    })
+    merged = pa.concat_tables([base.select(extra.column_names), extra])
+    pq.write_table(merged, outdir / "embeddings.parquet")
+    new_sum = s + float(np.float32(vec[0]))
+    assert new_sum < 0 and abs(new_sum) < 1e-4, new_sum
+    print(f"built {outdir}/embeddings.parquet: {merged.num_rows} vectors "
+          f"(grp-0 pos-0 sum now {new_sum:.3e} -> avg rounds to -0.0 "
+          f"in DuckDB unless the oracle zero-sign guard holds)")
+
+
 def build(outdir: Path) -> None:
     outdir.mkdir(parents=True, exist_ok=True)
     for p in SRC.glob("*.parquet"):
@@ -108,4 +146,5 @@ if __name__ == "__main__":
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("/tmp/sfnull")
     build(out)
     augment_events(out)
+    augment_embeddings(out)
     print("now run Verify + check.py against it (see module docstring)")

@@ -977,7 +977,7 @@ object CoreQueries {
       """SELECT event_type, count(*) AS cnt,
            round(avg(TRY_CAST(CASE WHEN json_valid(props)
                THEN json_extract_string(props, '$.k') END AS INT)), 6)
-             AS avg_k
+             + 0.0 AS avg_k
          FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""",
     "events_range_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id,

@@ -313,17 +313,25 @@ object CorpusQueries {
     // head/middle/tail thirds of the unigram-LM score — the split
     // CCNet publishes per language so one language's score scale never
     // gates another's. Plan: the text_unigram_logprob shape (vocab
-    // broadcast, one doc agg) + ONE window partitioned by lang (never
-    // a global single-partition window; the doc_id tiebreak makes
-    // ntile deterministic under the 4-decimal nll rounding).
+    // broadcast, one doc agg), then the TWO-PHASE distributed rank
+    // (Relational.groupedRowNumber) instead of `ntile(3) OVER
+    // (PARTITION BY lang ...)` — the window form funnels each language
+    // through ONE task, and at 100 TB the dominant language (English,
+    // 40-60% of a web corpus) is a single-task sort of most of the
+    // corpus. The range partitioner keys on (lang, nll, doc_id), so
+    // English spans many partitions; ntile(3) is recovered as the pure
+    // projection (rank-1)*3 DIV n_lang (byte-identical bucket
+    // assignment — ntile's boundary for bucket m is ceil(m*n/3), which
+    // is exactly this integer division; the doc_id tiebreak keeps the
+    // order total under the 4-decimal nll rounding).
     "ccnet_perplexity_buckets" -> ((s, dir) => {
       val nll = TextAnalysis.unigramNll(t(s, dir, "documents"), "text",
         Seq("doc_id", "lang")).drop("n_tok")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy(col("nll"), col("doc_id"))
-      nll.withColumn("b", ntile(3).over(w))
+      graft.ops.Relational.groupedRowNumber(nll, Seq("lang"),
+          Seq(col("nll"), col("doc_id")), "__rk", "__n")
+        .withColumn("b", expr("(__rk - 1) * 3 DIV __n"))
         .select(col("doc_id"), col("lang"), col("nll"),
-          when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          when(col("b") === 0, "head").when(col("b") === 1, "middle")
             .otherwise("tail").as("ppl_bucket"))
         .orderBy("doc_id")
     })
@@ -494,7 +502,8 @@ object CorpusQueries {
          uni AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
          tot AS (SELECT sum(cnt) AS total FROM uni)
          SELECT t.doc_id, count(*) AS n_tok,
-           round(avg(-ln(uni.cnt / CAST(tot.total AS DOUBLE))), 4) AS nll
+           round(avg(-ln(uni.cnt / CAST(tot.total AS DOUBLE))), 4) + 0.0
+             AS nll
          FROM toks t JOIN uni USING (tok) CROSS JOIN tot
          GROUP BY t.doc_id ORDER BY t.doc_id""",
     "embedding_outliers" ->
@@ -506,7 +515,7 @@ object CorpusQueries {
          cent AS (SELECT grp, list(m ORDER BY i) AS cv FROM c GROUP BY 1),
          s AS (SELECT e.vec_id, e.vec_id % 10 AS grp,
              round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-               cent.cv), 4) AS cos
+               cent.cv), 4) + 0.0 AS cos
            FROM embeddings e JOIN cent ON e.vec_id % 10 = cent.grp)
          SELECT vec_id, grp, cos, cos < 0.1 AS is_outlier FROM s
          ORDER BY vec_id""",
@@ -516,7 +525,9 @@ object CorpusQueries {
              unnest(generate_series(1, len(embedding))) AS i
            FROM embeddings)
          SELECT grp, CAST(i - 1 AS INT) AS pos,
-           round(avg(v[i]), 4) AS val
+           -- + 0.0 normalizes DuckDB's -0.0 (round keeps the sign of a
+           -- tiny negative rounding to zero; Spark's Round never does)
+           round(avg(v[i]), 4) + 0.0 AS val
          FROM x GROUP BY grp, i ORDER BY grp, pos""",
     "text_bigram_logprob" ->
       s"""WITH u AS (SELECT doc_id, coalesce(text, '') AS text
@@ -530,7 +541,8 @@ object CorpusQueries {
          hc AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
              FROM b GROUP BY 1)
          SELECT b.doc_id, count(*) AS n_big,
-           round(avg(-ln(bc.c12 / CAST(hc.c1 AS DOUBLE))), 4) AS nll
+           round(avg(-ln(bc.c12 / CAST(hc.c1 AS DOUBLE))), 4) + 0.0
+             AS nll
          FROM b JOIN bc USING (bg)
          JOIN hc ON string_split(b.bg, ' ')[1] = hc.w1
          GROUP BY b.doc_id ORDER BY b.doc_id""",
@@ -555,7 +567,7 @@ object CorpusQueries {
            count(*) AS n_unique,
            round(ln(CAST(sum(cnt) AS DOUBLE)) -
              sum(cnt * ln(CAST(cnt AS DOUBLE)))
-               / CAST(sum(cnt) AS DOUBLE), 4) AS entropy
+               / CAST(sum(cnt) AS DOUBLE), 4) + 0.0 AS entropy
          FROM cc GROUP BY doc_id ORDER BY doc_id""",
     "dsir_importance" ->
       s"""WITH toks AS (SELECT doc_id, lang,
@@ -568,10 +580,12 @@ object CorpusQueries {
          c AS (SELECT count(*) AS v, sum(rc) AS totr, sum(tc) AS tott
              FROM vocab),
          s AS (SELECT t.doc_id, count(*) AS n_tok,
+             -- + 0.0 normalizes DuckDB's -0.0 to +0.0 (r8 hash fail:
+             -- doc 327 rounded a tiny negative to -0.0; Spark emits +0.0)
              round(avg(
                ln((vocab.tc + 1.0) / CAST(c.tott + c.v AS DOUBLE)) -
                ln((vocab.rc + 1.0) / CAST(c.totr + c.v AS DOUBLE))), 4)
-               AS avg_ln_ratio
+               + 0.0 AS avg_ln_ratio
            FROM toks t JOIN vocab USING (tok) CROSS JOIN c
            GROUP BY t.doc_id)
          SELECT doc_id, n_tok, avg_ln_ratio,
@@ -649,7 +663,7 @@ object CorpusQueries {
            FROM c JOIN t USING (dim))
          SELECT dim, key, n_a, n_b,
            round(pa, 6) AS p_a, round(pb, 6) AS p_b,
-           round((pa - pb) * ln(pa / pb), 6) AS psi_term
+           round((pa - pb) * ln(pa / pb), 6) + 0.0 AS psi_term
          FROM j ORDER BY dim, key NULLS FIRST""",
     "text_line_rules" ->
       """WITH w AS (SELECT doc_id,
@@ -721,7 +735,7 @@ object CorpusQueries {
          tot AS (SELECT sum(cnt) AS total FROM uni),
          n AS (SELECT t.doc_id, t.lang,
              round(avg(-ln(uni.cnt / CAST(tot.total AS DOUBLE))), 4)
-               AS nll
+               + 0.0 AS nll
            FROM toks t JOIN uni USING (tok) CROSS JOIN tot
            GROUP BY 1, 2),
          b AS (SELECT *, ntile(3) OVER (PARTITION BY lang

@@ -141,7 +141,7 @@ object LlmQueries {
            list_cosine_similarity(cc.v, qc.v) AS cos
            FROM cc JOIN qc ON cc.cell = qc.cell
              AND cc.corpus_id <> qc.query_id)
-       SELECT query_id, corpus_id, rank, round(cos, 4) AS cos FROM
+       SELECT query_id, corpus_id, rank, round(cos, 4) + 0.0 AS cos FROM
          (SELECT query_id, corpus_id,
             CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY cos DESC, corpus_id) AS INT) AS rank, cos
@@ -1206,7 +1206,7 @@ object LlmQueries {
                AS rank,
              round(CAST(list_cosine_similarity(
                CAST(c.embedding AS DOUBLE[]),
-               CAST(q.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cos
+               CAST(q.embedding AS DOUBLE[])) AS DOUBLE), 4) + 0.0 AS cos
            FROM embeddings c, embeddings q
            WHERE q.vec_id < 5 AND c.label <> q.label)
          WHERE rank <= 10 ORDER BY query_id, rank""",
@@ -1293,7 +1293,7 @@ object LlmQueries {
            FROM j JOIN tot ON j.tag = tot.tag AND j.dim = tot.dim)
          SELECT tag, dim, key, n_batch, n_ref,
            round(pb, 6) AS p_batch, round(pr, 6) AS p_ref,
-           round((pb - pr) * ln(pb / pr), 6) AS psi_term
+           round((pb - pr) * ln(pb / pr), 6) + 0.0 AS psi_term
          FROM f ORDER BY tag, dim, key NULLS FIRST""",
     "streaming_semantic_ingest" -> {
       // same deterministic Rademacher cells and (dot DESC, cell DESC)
@@ -1464,7 +1464,7 @@ object LlmQueries {
          SELECT a.vec_id AS id1, b.vec_id AS id2,
            round(CAST(list_cosine_similarity(
              CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-             AS DOUBLE), 6) AS cos
+             AS DOUBLE), 6) + 0.0 AS cos
          FROM u a JOIN u b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                CAST(b.embedding AS DOUBLE[])) >= 0.95
@@ -1557,7 +1557,7 @@ object LlmQueries {
       s"""WITH pl AS (SELECT * FROM (VALUES $rows) t(dim, r))
          SELECT e.vec_id AS id, CAST(pl.dim AS INT) AS dim,
            round(list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.r)
-             / sqrt(8.0), 4) AS value
+             / sqrt(8.0), 4) + 0.0 AS value
          FROM embeddings e CROSS JOIN pl ORDER BY id, dim"""
     },
     "embedding_cosine_topk" ->
@@ -1570,7 +1570,7 @@ object LlmQueries {
                AS rank,
              round(CAST(list_cosine_similarity(
                CAST(c.embedding AS DOUBLE[]),
-               CAST(q.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cos
+               CAST(q.embedding AS DOUBLE[])) AS DOUBLE), 4) + 0.0 AS cos
            FROM embeddings c, embeddings q
            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
          WHERE rank <= 10 ORDER BY query_id, rank""",
@@ -1606,7 +1606,7 @@ object LlmQueries {
                WHERE bc.c_bg >= 5)
          SELECT bg, CAST(c_bg AS BIGINT) AS c_bg,
            round(ln(CAST(c_bg AS DOUBLE) * n_u * n_u /
-             (CAST(n_bg AS DOUBLE) * c_w1 * c_w2)), 6) AS pmi
+             (CAST(n_bg AS DOUBLE) * c_w1 * c_w2)), 6) + 0.0 AS pmi
          FROM j CROSS JOIN nu CROSS JOIN nb
          ORDER BY pmi DESC, bg LIMIT 50""",
     "text_c4_filters" ->

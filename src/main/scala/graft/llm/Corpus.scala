@@ -405,21 +405,24 @@ object Corpus {
     * deterministic.
     *
     * Scale shape: token counts are a codegen size(split(...)) — no
-    * explode; ONE window partitioned by source (parallel across
-    * sources, never a global single-partition window). A giant source
-    * serializes only its own per-source sort, the cross-source axis
-    * stays parallel.
+    * explode; the running total is the TWO-PHASE per-group cumsum
+    * ([[graft.ops.Relational.groupedCumSum]]), NOT `sum() OVER
+    * (PARTITION BY source ORDER BY ...)` — the window form funnels
+    * each source through one task, and at 100 TB one source IS the
+    * corpus (a CommonCrawl-shaped mix is >90% one source): that would
+    * be a single-task sort+scan of ~90 TB. The range partitioner keys
+    * on (source, n_tok DESC, id), so a dominant source spans many
+    * partitions and its prefix offsets come from the driver-side
+    * per-partition subtotals.
     *
     * Output: srcCol, idCol, n_tok, cum_tok for the kept rows. */
   def tokenBudgetSelect(df: DataFrame, idCol: String, textCol: String,
                         srcCol: String, budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(srcCol))
-      .orderBy(col("n_tok").desc, col(idCol))
-    df.select(col(idCol), col(srcCol),
-        size(split(TextAnalysis.normalizeText(col(textCol)), " "))
-          .cast("long").as("n_tok"))
-      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+    val toks = df.select(col(idCol), col(srcCol),
+      size(split(TextAnalysis.normalizeText(col(textCol)), " "))
+        .cast("long").as("n_tok"))
+    graft.ops.Relational.groupedCumSum(toks, Seq(srcCol),
+        Seq(col("n_tok").desc, col(idCol)), "n_tok", "cum_tok")
       .filter(col("cum_tok") <= lit(budget))
       .select(col(srcCol), col(idCol), col("n_tok"), col("cum_tok"))
   }

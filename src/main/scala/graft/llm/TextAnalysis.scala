@@ -474,8 +474,15 @@ object TextAnalysis {
     * and model-based scoring. Every rule is a pure Column expression
     * over one whitespace tokenization of the RAW text (no normalize
     * pass: symbol ratios and casing are part of what the rules
-    * measure), so the whole battery is one codegen projection — no
-    * shuffle, no UDF, trivially 100 TB-safe.
+    * measure) — one map-side projection, no shuffle, no Scala UDF, so
+    * it scales embarrassingly at 100 TB. NOT all of it is
+    * whole-stage-codegen though: the higher-order pieces
+    * (filter/transform/aggregate/array_intersect) are CodegenFallback
+    * (~µs-per-element interpreted lambdas — the PqEncodeCodes lesson).
+    * Bench keeps the battery sub-second at sf0.1 because the per-word
+    * work is tiny; if a profile ever shows the HOF cost dominating,
+    * the port is the PqEncode pattern: one native Expression computing
+    * all per-word counters in a primitive loop.
     *
     * Rules (each emitted as its own flag so downstream mixes can
     * re-weight rather than hard-drop):

@@ -213,6 +213,143 @@ object Relational {
         nullable = false)))
   }
 
+  /** Shared two-phase machinery for [[groupedRowNumber]] and
+    * [[groupedCumSum]] — a per-GROUP prefix (rank / running sum) over a
+    * total order with NO per-group single-task window. `PARTITION BY
+    * grp ORDER BY ...` funnels each group through one task, which at
+    * 100 TB serializes the dominant group (English is 40-60% of a web
+    * corpus; CommonCrawl is >90% of a typical source mix). Here the
+    * range partitioner keys on (groupCols ++ sortCols), so a dominant
+    * group SPANS many partitions — the sort keys extend the range key —
+    * then one counting job computes each partition's per-group weight
+    * subtotal and the driver turns the contiguous runs into
+    * (partition, group) start offsets plus per-group totals. Driver /
+    * broadcast state is O(nGroups + nPartitions) entries (groups are
+    * range-contiguous, so each partition boundary adds at most one
+    * run), never O(rows). Both jobs run over the same shuffled RDD
+    * instance, so the sampled range boundaries are identical (the
+    * globalRowNumber contract).
+    *
+    * `weightCol = None` weighs every row 1 (rank); `Some(c)` weighs by
+    * the LongType column `c` (running sum; null weighs 0). */
+  private def groupedPrefix(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], nPartitions: Int, weightCol: Option[String])
+      : (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+         org.apache.spark.sql.types.StructType, Array[Int],
+         Map[(Int, List[Any]), Long], Map[List[Any], Long]) = {
+    val schema = df.schema
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val wIdx = weightCol.map { c =>
+      require(schema(c).dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"groupedPrefix weight column $c must be LongType")
+      schema.fieldIndex(c)
+    }
+    val keys = groupCols.map(col) ++ sortCols
+    val rdd = df.repartitionByRange(nPartitions, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .rdd
+    val runs = rdd.mapPartitionsWithIndex { (i, it) =>
+      // rows arrive group-contiguous: per-group subtotals are runs —
+      // O(groups-in-partition) output per partition, never O(rows)
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[(List[Any], Long)]
+      var cur: List[Any] = null
+      var sum = 0L
+      var any = false
+      it.foreach { r =>
+        val k = gIdx.map(j => r.get(j)).toList
+        if (!any || k != cur) {
+          if (any) acc += ((cur, sum))
+          cur = k; sum = 0L; any = true
+        }
+        sum += wIdx.map(j => if (r.isNullAt(j)) 0L else r.getLong(j))
+          .getOrElse(1L)
+      }
+      if (any) acc += ((cur, sum))
+      acc.iterator.map { case (k, s) => (i, k, s) }
+    }.collect()
+    val byGroup = runs.groupBy(_._2)
+    val offsets = byGroup.iterator.flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(_._1)
+      val starts = sorted.scanLeft(0L)(_ + _._3).init
+      sorted.zip(starts).map { case ((p, _, _), off) => ((p, g), off) }
+    }.toMap
+    val totals = byGroup.map { case (g, rs) => (g, rs.map(_._3).sum) }
+    (rdd, schema, gIdx, offsets, totals)
+  }
+
+  /** Per-group global row number + group size over a total order —
+    * the scale-safe replacement for `row_number()/ntile() OVER
+    * (PARTITION BY group ORDER BY ...)` when one group can dominate
+    * the corpus (see [[groupedPrefix]] for the plan shape). Appends
+    * LongType `rankCol` (1-based within group, in `sortCols` order)
+    * and `totalCol` (group row count); `ntile(k)` is then the pure
+    * projection `(rank - 1) * k DIV total + 1` — byte-identical to the
+    * window form whenever (groupCols ++ sortCols) is a total order. */
+  def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
+                       sortCols: Seq[Column], rankCol: String,
+                       totalCol: String,
+                       nPartitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val (rdd, schema, gIdx, offsets, totals) =
+      groupedPrefix(df, groupCols, sortCols, nPartitions, None)
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcTot = spark.sparkContext.broadcast(totals)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cur: List[Any] = null
+      var any = false
+      var n = 0L
+      it.map { r =>
+        val k = gIdx.map(j => r.get(j)).toList
+        if (!any || k != cur) {
+          cur = k; any = true; n = bcOff.value((i, k))
+        }
+        n += 1
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ n :+ bcTot.value(k))
+      }
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(
+      schema
+        .add(rankCol, org.apache.spark.sql.types.LongType,
+          nullable = false)
+        .add(totalCol, org.apache.spark.sql.types.LongType,
+          nullable = false)))
+  }
+
+  /** Per-group running sum (inclusive of the current row) over a total
+    * order — the scale-safe replacement for `sum(v) OVER (PARTITION BY
+    * group ORDER BY ... ROWS UNBOUNDED PRECEDING)` (see
+    * [[groupedPrefix]] for why and for the plan shape). `valueCol`
+    * must be LongType; a null value weighs 0. Appends LongType
+    * `outCol`. */
+  def groupedCumSum(df: DataFrame, groupCols: Seq[String],
+                    sortCols: Seq[Column], valueCol: String,
+                    outCol: String, nPartitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val (rdd, schema, gIdx, offsets, _) =
+      groupedPrefix(df, groupCols, sortCols, nPartitions, Some(valueCol))
+    val vIdx = schema.fieldIndex(valueCol)
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cur: List[Any] = null
+      var any = false
+      var n = 0L
+      it.map { r =>
+        val k = gIdx.map(j => r.get(j)).toList
+        if (!any || k != cur) {
+          cur = k; any = true; n = bcOff.value((i, k))
+        }
+        n += (if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ n)
+      }
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(
+      schema.add(outCol, org.apache.spark.sql.types.LongType,
+        nullable = false)))
+  }
+
   /** Ordered-funnel completion per key: stage 1 completes at its
     * earliest event; stage n at its earliest event STRICTLY AFTER
     * stage n−1's completion. One row per key that entered the funnel,

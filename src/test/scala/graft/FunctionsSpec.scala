@@ -260,4 +260,24 @@ class FunctionsSpec extends AnyFunSuite {
       ("https://one.two/", "one.two", "one.two", ""),
       ("http://x.y/q?a=10&a=2&b=2", "x.y", "x.y", "a=10&a=2&b=2")))
   }
+
+  test("round of a tiny negative is POSITIVE zero (signed-zero pin)") {
+    // The r8 oracle-parity incident: DuckDB's round() preserves the
+    // sign of a tiny negative rounding to zero (-0.0), Spark's Round
+    // (BigDecimal path) never emits a signed zero. Oracles therefore
+    // carry a `+ 0.0` guard on every rounded signed-double column;
+    // this pin keeps the engine half of that contract honest — if
+    // Spark ever starts emitting -0.0 here, the guard convention and
+    // scripts/check.py must both be revisited.
+    val vals = Seq(-1e-9, -0.0, 0.0, -4.9e-5)
+      .toDF("x")
+      .select(round($"x", 4).as("r"))
+      .as[Double].collect()
+    vals.foreach { v =>
+      assert(v == 0.0)
+      assert(java.lang.Double.doubleToRawLongBits(v) == 0L,
+        s"Spark round emitted signed zero: bits=${
+          java.lang.Double.doubleToRawLongBits(v)}")
+    }
+  }
 }

@@ -107,6 +107,67 @@ class RelationalSpec extends AnyFunSuite {
     assert(out == ref)
   }
 
+  test("groupedRowNumber equals the per-group window rank/ntile AND " +
+       "spreads a dominant group over many partitions") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed 2-lang fixture: 'en' holds 90% of rows — the window form
+    // would funnel it through one task
+    val df = spark.range(0, 1000, 1, 8)
+      .select(when($"id" % 10 === 9, "zh").otherwise("en").as("lang"),
+        ($"id" * 13 % 1009).as("v"), $"id".as("tie"))
+    val out = Relational.groupedRowNumber(df, Seq("lang"),
+        Seq($"v".asc, $"tie".asc), "rk", "n", nPartitions = 8)
+    val got = out.withColumn("b", expr("(rk - 1) * 3 DIV n + 1"))
+      .select($"lang", $"v", $"tie", $"rk", $"b")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+    val w = Window.partitionBy($"lang").orderBy($"v".asc, $"tie".asc)
+    val ref = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("b", ntile(3).over(w).cast("long"))
+      .select($"lang", $"v", $"tie", $"rk", $"b")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+    assert(got == ref)
+    // the scale property: the dominant group's rows live in >1 of the
+    // range partitions (the sort keys extend the range key, so a giant
+    // group is split — the exact opposite of PARTITION BY lang)
+    val langIdx = df.schema.fieldIndex("lang")
+    val partsWithEn = df
+      .repartitionByRange(8, $"lang", $"v".asc, $"tie".asc)
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.exists(r => r.getString(langIdx) == "en")))
+      }.collect().filter(_._2)
+    assert(partsWithEn.length > 1,
+      s"dominant lang collapsed to ${partsWithEn.length} partition")
+  }
+
+  test("groupedCumSum equals the per-group running-sum window on a " +
+       "90%-one-source fixture") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 800, 1, 8)
+      .select(when($"id" % 10 === 0, "rare").otherwise("cc").as("src"),
+        $"id".as("id"), ($"id" * 7 % 113).as("n_tok"))
+    val out = Relational.groupedCumSum(df, Seq("src"),
+        Seq($"n_tok".desc, $"id".asc), "n_tok", "cum", nPartitions = 8)
+      .select($"src", $"id", $"cum").as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ref = df.withColumn("cum", sum($"n_tok").over(
+        Window.partitionBy($"src").orderBy($"n_tok".desc, $"id".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"src", $"id", $"cum").as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == ref)
+    // null source rows group together (the edge-audit corpus has one)
+    val withNull = spark.range(0, 40, 1, 4)
+      .select(when($"id" % 2 === 0, "s").as("src"), $"id".as("id"),
+        lit(5L).as("n_tok"))
+    val cums = Relational.groupedCumSum(withNull, Seq("src"),
+        Seq($"id".asc), "n_tok", "cum", nPartitions = 4)
+      .filter($"src".isNull).select($"cum").as[Long].collect().sorted
+    assert(cums.toSeq == (1L to 20L).map(_ * 5))
+  }
+
   test("reportShape groups dimension metrics under selectors") {
     val df = Seq(("s1", "d1", 10L), ("s1", "d2", 20L), ("s2", "d1", 5L))
       .toDF("sel", "dim", "m")
