@@ -251,6 +251,14 @@ object CorpusQueries {
           "doc_id", "text", col("lang") === "en")
         .orderBy("doc_id")),
 
+    // DSIR resampling proper: gumbel-top-k by importance weight with a
+    // seeded md5-derived noise source (TextAnalysis.dsirSelect scaladoc
+    // for the Gumbel-max argument and the two-phase global rank)
+    "dsir_select" -> ((s, dir) =>
+      TextAnalysis.dsirSelect(t(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en", k = 100)
+        .orderBy("doc_id")),
+
     // token-budget-constrained selection: 2000-token quota per source,
     // longest-first prefix (Corpus.tokenBudgetSelect scaladoc for the
     // prefix-not-knapsack semantics and window shape)
@@ -591,6 +599,37 @@ object CorpusQueries {
          SELECT doc_id, n_tok, avg_ln_ratio,
            avg_ln_ratio > 0 AS selected
          FROM s ORDER BY doc_id""",
+    "dsir_select" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+             unnest(string_split($normSql, ' ')) AS tok FROM documents),
+         raw AS (SELECT tok, count(*) AS rc FROM toks GROUP BY 1),
+         tgt AS (SELECT tok, count(*) AS tc FROM toks
+             WHERE lang = 'en' GROUP BY 1),
+         vocab AS (SELECT r.tok, r.rc, coalesce(t.tc, 0) AS tc
+             FROM raw r LEFT JOIN tgt t USING (tok)),
+         c AS (SELECT count(*) AS v, sum(rc) AS totr, sum(tc) AS tott
+             FROM vocab),
+         s AS (SELECT t.doc_id, count(*) AS n_tok,
+             round(avg(
+               ln((vocab.tc + 1.0) / CAST(c.tott + c.v AS DOUBLE)) -
+               ln((vocab.rc + 1.0) / CAST(c.totr + c.v AS DOUBLE))), 4)
+               + 0.0 AS avg_ln_ratio
+           FROM toks t JOIN vocab USING (tok) CROSS JOIN c
+           GROUP BY t.doc_id),
+         -- seeded engine-portable gumbel: u from the md5 prefix of
+         -- "id:graft", g = -ln(-ln u); key = SUM of per-token log
+         -- ratios (n_tok * rounded mean) + g, rounded at 4
+         g AS (SELECT doc_id, n_tok, avg_ln_ratio,
+             round(avg_ln_ratio * n_tok - ln(-ln(
+               ((('0x' || substr(md5(doc_id || ':graft'), 1, 8))::BIGINT
+                 + 0.5) / 4294967296.0))), 4) + 0.0 AS gumbel_key
+           FROM s),
+         r AS (SELECT *, row_number()
+             OVER (ORDER BY gumbel_key DESC, doc_id) AS rk FROM g)
+         SELECT doc_id, n_tok, avg_ln_ratio, gumbel_key,
+           rk <= 100 AS dsir_selected,
+           avg_ln_ratio > 0 AS det_selected
+         FROM r ORDER BY doc_id""",
     "corpus_token_budget" ->
       s"""WITH d AS (SELECT doc_id, source,
              CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok

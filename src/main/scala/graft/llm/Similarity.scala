@@ -387,7 +387,9 @@ object Similarity {
       val chosen = new Array[Int](k)
       val bestD = Array.fill(sub.length)(Double.PositiveInfinity)
       chosen(0) = 0
-      for (c <- 1 until k) {
+      var nDistinct = 1
+      var c = 1
+      while (c < k && nDistinct == c) {
         val prev = sub(chosen(c - 1))
         var far = -1; var farD = Double.NegativeInfinity
         var i = 0
@@ -397,9 +399,19 @@ object Similarity {
           if (bestD(i) > farD) { farD = bestD(i); far = i }
           i += 1
         }
-        chosen(c) = far
+        // farD == 0 means every remaining point coincides with an
+        // already-chosen centroid (fewer than k distinct subvectors in
+        // the sample) — the argmax would silently re-pick index 0 and
+        // seed duplicate centroids. Stop selecting instead; the slots
+        // below pad with the first centroid EXPLICITLY. The pads are
+        // inert: encode ties resolve to the lowest code index, so a
+        // padded duplicate is never assigned a point and Lloyd leaves
+        // it untouched (count-0 branch).
+        if (farD > 0.0) { chosen(c) = far; nDistinct += 1 }
+        c += 1
       }
-      var cents = chosen.map(sub(_).clone())
+      var cents = Array.tabulate(k)(j =>
+        sub(chosen(if (j < nDistinct) j else 0)).clone())
       for (_ <- 0 until iters) {
         val sums = Array.fill(k)(new Array[Double](subDim))
         val counts = new Array[Int](k)

@@ -615,10 +615,10 @@ object TextAnalysis {
     * shuffle hash join on the token (Zipf skew lives in the count
     * table, one row per key by construction — bigramLogprob note).
     *
-    * DSIR proper gumbel-top-k samples by weight; the deterministic
-    * stand-in here flags selected = weight > 0 (doc more target-like
-    * than corpus-average), computed on the ROUNDED weight so the
-    * boolean is engine-portable.
+    * The `selected` flag here is the deterministic weight>0 heuristic
+    * (doc more target-like than corpus-average), computed on the
+    * ROUNDED weight so the boolean is engine-portable; the paper's
+    * actual resampling step is [[dsirSelect]].
     *
     * Output: idCol, n_tok, avg_ln_ratio (mean ln(p_t/p_r), rounded at
     * 4 — the avg-of-doubles engine-drift slack), selected. */
@@ -648,5 +648,39 @@ object TextAnalysis {
           log((col("rc") + lit(1L)).cast("double") /
             lit((totR + v).toDouble))), 4).as("avg_ln_ratio"))
       .withColumn("selected", col("avg_ln_ratio") > 0d)
+  }
+
+  /** DSIR selection proper (Xie et al. 2023 §2.3): importance
+    * RESAMPLING realized as gumbel-top-k — taking the top k documents
+    * by `ln w_i + g_i` with g_i ~ Gumbel(0,1) i.i.d. draws a weighted
+    * sample without replacement with P ∝ w_i (the Gumbel-max trick).
+    * The document log-weight is the SUM of per-token log ratios =
+    * n_tok · avg_ln_ratio ([[dsirImportance]]'s rounded mean times an
+    * exact integer, so the product carries no fresh cross-engine
+    * drift). The noise is SEEDED and engine-portable — no engine RNG:
+    * u = (int of the first 8 md5 hex digits of "id:seed" + 0.5) / 2³²
+    * ∈ (0,1) strictly, g = -ln(-ln u). The ranking key rounds at 4
+    * with the id tiebreak so the top-k boundary is engine-stable (the
+    * ccnet ordering convention), and the rank is the two-phase
+    * [[graft.ops.Relational.globalRowNumber]] — a global top-k flag
+    * with no single-partition window at 100 TB. The deterministic
+    * weight>0 flag stays as a secondary column.
+    *
+    * Output: idCol, n_tok, avg_ln_ratio, gumbel_key, dsir_selected
+    * (row is in the resampled top k), det_selected. */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, k: Int,
+                 seed: String = "graft"): DataFrame = {
+    val imp = dsirImportance(df, idCol, textCol, targetPred)
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":" + seed))), 1, 8), 16, 10).cast("long")
+        .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val keyed = imp.withColumn("gumbel_key",
+      round(col("avg_ln_ratio") * col("n_tok") - log(-log(u)), 4))
+    graft.ops.Relational.globalRowNumber(keyed,
+        Seq(col("gumbel_key").desc, col(idCol)), "__rk")
+      .select(col(idCol), col("n_tok"), col("avg_ln_ratio"),
+        col("gumbel_key"), (col("__rk") <= k).as("dsir_selected"),
+        col("selected").as("det_selected"))
   }
 }

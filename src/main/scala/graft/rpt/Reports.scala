@@ -25,6 +25,52 @@ object Reports {
     Relational.reportShape(sliding, groupCols, Seq("dt"), metrics)
   }
 
+  /** The constants-only sliding-report family. The ~27 reference
+    * report jobs not individually registered differ from the covered
+    * shapes ONLY in tap name, dims, selector keys and verbatim filter
+    * constants (SURVEY §2.6: the 5-step sliding pattern "repeats in 18
+    * report files") — e.g. m_cocacola_sku6_bottler.clj:52-74,
+    * m_cocacola_activation_brand.clj:52-70,
+    * m_cocacola_availability_period_trend.clj:60-70. This helper IS
+    * that distance: collect-kv sliding lags over a monthly fact, a
+    * post-sliding row filter, a selector projection, and the
+    * tr-dimension-metrics pair-tree, parameterized by exactly those
+    * constants. Three reference jobs are instantiated through it in
+    * RptQueries (report_sku6_bottler / report_activation_brand /
+    * report_availability_period_trend), each oracle-checked.
+    *
+    * `m`: (groupCols..., dtCol, valCol) monthly fact, valCol a
+    * string-formatted decimal; `rowFilter` applies AFTER sliding (lag
+    * lookups only join within a group, so group-constant filters
+    * commute — the oracles exploit this by filtering early); `derive`
+    * projects the report's selector / dw_dt / dim-value columns over
+    * the sliding output (sliding emits the axis date as `dt`) and MUST
+    * define "selector" and "dw_dt"; `dimCols` nest outermost first. */
+  def slidingSelectorReport(m: DataFrame, groupCols: Seq[String],
+                            dtCol: String, valCol: String,
+                            rowFilter: Column,
+                            derive: Seq[(String, Column)],
+                            dimCols: Seq[String],
+                            metrics: Seq[(String, Column)],
+                            project: String, category: String,
+                            report: String): DataFrame = {
+    // bounded one-row driver fetch for the month axis (the
+    // report_score_overall convention)
+    val rng = m.agg(min(dtCol), max(dtCol)).first()
+    val sliding = Relational.slidingScores(m, groupCols, dtCol, valCol,
+      rng.getString(0), rng.getString(1))
+    val withSel = derive.foldLeft(sliding.filter(rowFilter)) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }
+    Relational.reportShape(withSel, Seq("dw_dt", "selector"),
+        dimCols, metrics)
+      .withColumnRenamed("report", "dimension_metrics")
+      .select(col("dw_dt"), lit(project).as("project"),
+        lit(category).as("category"), lit(report).as("report"),
+        col("selector"), lit("").as("selector_desc"),
+        col("dimension_metrics"))
+  }
+
   /** Share-of-voice with an "Others" remainder row
     * (m_cocacola_sovi_brand.clj:46-48: Others = 100 − Σ brand shares).
     * Shares in integer milli-percent so the remainder is exact at any

@@ -1048,6 +1048,40 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("pqCodebooks: fewer distinct subvectors than k pads explicitly " +
+      "instead of silently re-picking index 0, and encode stays exact") {
+    import graft.llm.Similarity
+    // only TWO distinct subvectors per subspace but k=4: farthest-first
+    // exhausts the distinct points after 2 picks (all remaining bestD
+    // are 0) — the guard must stop there and pad, and the pads must be
+    // inert (ties resolve to the lowest code, Lloyd leaves count-0
+    // slots untouched)
+    val a = Seq(1.0f, 0.0f); val b = Seq(0.0f, 1.0f)
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, (if (i % 2 == 0) a else b) ++ (if (i % 3 == 0) a else b)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
+      m = 2, k = 4, sampleN = 100, iters = 5)
+    assert(cb.length == 2 && cb.forall(_.length == 4))
+    cb.foreach { book =>
+      // the two data subvectors are both present…
+      assert(book.toSet.intersect(
+        Set(Seq(1.0, 0.0), Seq(0.0, 1.0))).size == 2,
+        s"codebook lost a distinct subvector: $book")
+      // …and every entry is one of them (pads are copies, not garbage)
+      assert(book.toSet.subsetOf(Set(Seq(1.0, 0.0), Seq(0.0, 1.0))))
+    }
+    val enc = Similarity.pqEncode(vecs, "embedding", "vec_id", cb)
+      .orderBy("vec_id").as[(Long, Seq[Int], Seq[Double])].collect()
+    val orig = vecs.orderBy("vec_id").as[(Long, Seq[Float])]
+      .collect().map(r => r._1 -> r._2.map(_.toDouble)).toMap
+    enc.foreach { case (id, codes, recon) =>
+      assert(recon == orig(id), s"vec $id: degenerate corpus must " +
+        s"reconstruct exactly, got $recon")
+      assert(codes.forall(c => c >= 0 && c < 4))
+    }
+  }
+
   test("PqEncodeCodes matches a Scala reference argmin on every vector " +
       "and recon is exactly the concatenated codebook entries") {
     import graft.llm.Similarity
