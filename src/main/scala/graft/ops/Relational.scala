@@ -318,6 +318,29 @@ object Relational {
           nullable = false)))
   }
 
+  /** SQL `ntile(k)` recovered from a grouped rank and group size: the
+    * first (n mod k) buckets get ceil(n/k) rows, the rest floor(n/k) —
+    * the exact SQL window semantics, as a pure projection over
+    * [[groupedRowNumber]]'s outputs. For k = 3 this happens to equal
+    * the shorthand `(rank-1)*3 DIV n + 1` (the ccnet projection), but
+    * the shorthand is NOT ntile for general k — n=7, k=5 spreads the
+    * two oversize buckets to positions 1 and 3 where SQL ntile puts
+    * them at 1 and 2 — so any other k must go through here. Double
+    * division is exact for group sizes below 2^52; the q=0 guard keeps
+    * the dead branch finite when n < k (ANSI mode never sees an
+    * integer division). Returns LongType buckets in [1, k]. */
+  def ntileFromRank(rank: Column, total: Column, k: Int): Column = {
+    require(k >= 1, s"ntileFromRank: k must be >= 1, got $k")
+    val kL = lit(k.toLong)
+    val q = floor(total / kL).cast("long")
+    val r = total % kL
+    val cut = r * (q + lit(1L))
+    when(rank <= cut,
+        floor((rank - lit(1L)) / (q + lit(1L))).cast("long") + lit(1L))
+      .otherwise(r + floor((rank - cut - lit(1L)) /
+        when(q === 0L, lit(1L)).otherwise(q)).cast("long") + lit(1L))
+  }
+
   /** Per-group running sum (inclusive of the current row) over a total
     * order — the scale-safe replacement for `sum(v) OVER (PARTITION BY
     * group ORDER BY ... ROWS UNBOUNDED PRECEDING)` (see

@@ -142,6 +142,23 @@ class RelationalSpec extends AnyFunSuite {
       s"dominant lang collapsed to ${partsWithEn.length} partition")
   }
 
+  test("ntileFromRank equals SQL ntile for every k, including the " +
+       "n=7/k=5 case where the DIV shorthand diverges") {
+    import org.apache.spark.sql.expressions.Window
+    for (k <- Seq(1, 2, 3, 4, 5, 8, 16); n <- Seq(1, 2, 3, 6, 7, 15, 100)) {
+      val df = spark.range(0, n, 1, 4)
+        .select(lit("g").as("grp"), $"id".as("v"))
+      val got = Relational.groupedRowNumber(df, Seq("grp"),
+          Seq($"v".asc), "rk", "cnt", nPartitions = 4)
+        .select($"v", Relational.ntileFromRank($"rk", $"cnt", k).as("b"))
+        .as[(Long, Long)].collect().toMap
+      val ref = df.withColumn("b", ntile(k).over(
+          Window.partitionBy($"grp").orderBy($"v".asc)).cast("long"))
+        .select($"v", $"b").as[(Long, Long)].collect().toMap
+      assert(got == ref, s"n=$n k=$k: $got != $ref")
+    }
+  }
+
   test("groupedCumSum equals the per-group running-sum window on a " +
        "90%-one-source fixture") {
     import org.apache.spark.sql.expressions.Window
