@@ -327,19 +327,20 @@ object CorpusQueries {
     // through ONE task, and at 100 TB the dominant language (English,
     // 40-60% of a web corpus) is a single-task sort of most of the
     // corpus. The range partitioner keys on (lang, nll, doc_id), so
-    // English spans many partitions; ntile(3) is recovered as the pure
-    // projection (rank-1)*3 DIV n_lang (byte-identical bucket
-    // assignment — ntile's boundary for bucket m is ceil(m*n/3), which
-    // is exactly this integer division; the doc_id tiebreak keeps the
-    // order total under the 4-decimal nll rounding).
+    // English spans many partitions; ntile(3) is recovered from the
+    // grouped rank via Relational.ntileFromRank (exact SQL ntile
+    // semantics for any k — its scaladoc has the k=3 DIV-shorthand
+    // equivalence and the general-k divergence; the doc_id tiebreak
+    // keeps the order total under the 4-decimal nll rounding).
     "ccnet_perplexity_buckets" -> ((s, dir) => {
       val nll = TextAnalysis.unigramNll(t(s, dir, "documents"), "text",
         Seq("doc_id", "lang")).drop("n_tok")
       graft.ops.Relational.groupedRowNumber(nll, Seq("lang"),
           Seq(col("nll"), col("doc_id")), "__rk", "__n")
-        .withColumn("b", expr("(__rk - 1) * 3 DIV __n"))
+        .withColumn("b",
+          graft.ops.Relational.ntileFromRank(col("__rk"), col("__n"), 3))
         .select(col("doc_id"), col("lang"), col("nll"),
-          when(col("b") === 0, "head").when(col("b") === 1, "middle")
+          when(col("b") === 1, "head").when(col("b") === 2, "middle")
             .otherwise("tail").as("ppl_bucket"))
         .orderBy("doc_id")
     })

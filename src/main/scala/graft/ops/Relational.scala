@@ -231,12 +231,15 @@ object Relational {
     * globalRowNumber contract).
     *
     * `weightCol = None` weighs every row 1 (rank); `Some(c)` weighs by
-    * the LongType column `c` (running sum; null weighs 0). */
+    * the LongType column `c` (running sum; a null weight adds 0, and
+    * the per-(partition, group) NON-NULL weight counts are tracked
+    * alongside so [[groupedCumSum]] can reproduce SQL frame semantics
+    * — `sum() OVER` is NULL until the frame holds a non-null value). */
   private def groupedPrefix(df: DataFrame, groupCols: Seq[String],
       sortCols: Seq[Column], nPartitions: Int, weightCol: Option[String])
       : (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
          org.apache.spark.sql.types.StructType, Array[Int],
-         Map[(Int, List[Any]), Long], Map[List[Any], Long]) = {
+         Map[(Int, List[Any]), (Long, Long)], Map[List[Any], Long]) = {
     val schema = df.schema
     val gIdx = groupCols.map(schema.fieldIndex).toArray
     val wIdx = weightCol.map { c =>
@@ -253,27 +256,36 @@ object Relational {
       // rows arrive group-contiguous: per-group subtotals are runs —
       // O(groups-in-partition) output per partition, never O(rows)
       val acc = scala.collection.mutable.ArrayBuffer
-        .empty[(List[Any], Long)]
+        .empty[(List[Any], Long, Long)]
       var cur: List[Any] = null
       var sum = 0L
+      var nn = 0L
       var any = false
       it.foreach { r =>
         val k = gIdx.map(j => r.get(j)).toList
         if (!any || k != cur) {
-          if (any) acc += ((cur, sum))
-          cur = k; sum = 0L; any = true
+          if (any) acc += ((cur, sum, nn))
+          cur = k; sum = 0L; nn = 0L; any = true
         }
-        sum += wIdx.map(j => if (r.isNullAt(j)) 0L else r.getLong(j))
-          .getOrElse(1L)
+        wIdx match {
+          case Some(j) =>
+            if (!r.isNullAt(j)) { sum += r.getLong(j); nn += 1L }
+          case None => sum += 1L; nn += 1L
+        }
       }
-      if (any) acc += ((cur, sum))
-      acc.iterator.map { case (k, s) => (i, k, s) }
+      if (any) acc += ((cur, sum, nn))
+      acc.iterator.map { case (k, s, n) => (i, k, s, n) }
     }.collect()
     val byGroup = runs.groupBy(_._2)
+    // (partition, group) → (weight prefix, non-null-count prefix):
+    // both the running start offset for this partition's first row of
+    // the group, computed from the earlier partitions' subtotals
     val offsets = byGroup.iterator.flatMap { case (g, rs) =>
       val sorted = rs.sortBy(_._1)
-      val starts = sorted.scanLeft(0L)(_ + _._3).init
-      sorted.zip(starts).map { case ((p, _, _), off) => ((p, g), off) }
+      val starts = sorted.scanLeft((0L, 0L)) { case ((s, n), r) =>
+        (s + r._3, n + r._4)
+      }.init
+      sorted.zip(starts).map { case ((p, _, _, _), off) => ((p, g), off) }
     }.toMap
     val totals = byGroup.map { case (g, rs) => (g, rs.map(_._3).sum) }
     (rdd, schema, gIdx, offsets, totals)
@@ -303,7 +315,14 @@ object Relational {
       it.map { r =>
         val k = gIdx.map(j => r.get(j)).toList
         if (!any || k != cur) {
-          cur = k; any = true; n = bcOff.value((i, k))
+          cur = k; any = true
+          // a missing key means the counting job and this job saw
+          // DIFFERENT partitionings (nondeterministic upstream
+          // recompute after shuffle eviction) — fail loudly rather
+          // than emit silently corrupt ranks
+          n = bcOff.value.getOrElse((i, k), sys.error(
+            s"groupedRowNumber: partition $i saw unrecorded group $k — " +
+              "upstream recomputed nondeterministically"))._1
         }
         n += 1
         org.apache.spark.sql.Row.fromSeq(
@@ -345,8 +364,12 @@ object Relational {
     * order — the scale-safe replacement for `sum(v) OVER (PARTITION BY
     * group ORDER BY ... ROWS UNBOUNDED PRECEDING)` (see
     * [[groupedPrefix]] for why and for the plan shape). `valueCol`
-    * must be LongType; a null value weighs 0. Appends LongType
-    * `outCol`. */
+    * must be LongType. SQL frame semantics EXACTLY, nulls included:
+    * the running sum is NULL until the frame holds at least one
+    * non-null value (an all-null group yields all-NULL sums — the
+    * review-caught case where "null weighs 0" diverged from the
+    * window form), and a null value after that leaves the sum
+    * unchanged. Appends nullable LongType `outCol`. */
   def groupedCumSum(df: DataFrame, groupCols: Seq[String],
                     sortCols: Seq[Column], valueCol: String,
                     outCol: String, nPartitions: Int = 32): DataFrame = {
@@ -359,18 +382,25 @@ object Relational {
       var cur: List[Any] = null
       var any = false
       var n = 0L
+      var nn = 0L
       it.map { r =>
         val k = gIdx.map(j => r.get(j)).toList
         if (!any || k != cur) {
-          cur = k; any = true; n = bcOff.value((i, k))
+          cur = k; any = true
+          // loud failure over silent corruption — see groupedRowNumber
+          val off = bcOff.value.getOrElse((i, k), sys.error(
+            s"groupedCumSum: partition $i saw unrecorded group $k — " +
+              "upstream recomputed nondeterministically"))
+          n = off._1; nn = off._2
         }
-        n += (if (r.isNullAt(vIdx)) 0L else r.getLong(vIdx))
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ n)
+        if (!r.isNullAt(vIdx)) { n += r.getLong(vIdx); nn += 1L }
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ (if (nn == 0L) null else java.lang.Long.valueOf(n)))
       }
     }
     spark.createDataFrame(out, org.apache.spark.sql.types.StructType(
       schema.add(outCol, org.apache.spark.sql.types.LongType,
-        nullable = false)))
+        nullable = true)))
   }
 
   /** Ordered-funnel completion per key: stage 1 completes at its

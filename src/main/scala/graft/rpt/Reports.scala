@@ -40,11 +40,17 @@ object Reports {
     * report_availability_period_trend), each oracle-checked.
     *
     * `m`: (groupCols..., dtCol, valCol) monthly fact, valCol a
-    * string-formatted decimal; `rowFilter` applies AFTER sliding (lag
-    * lookups only join within a group, so group-constant filters
-    * commute — the oracles exploit this by filtering early); `derive`
-    * projects the report's selector / dw_dt / dim-value columns over
-    * the sliding output (sliding emits the axis date as `dt`) and MUST
+    * string-formatted decimal; `rowFilter` must be GROUP-CONSTANT
+    * (reference only groupCols) — the reference files filter after
+    * sliding, but lag lookups only join within a group, so the filter
+    * commutes and is applied BEFORE the collect-kv aggregation here
+    * (no sliding maps built for groups that are then discarded; the
+    * oracles filter early for the same reason). The filtered fact is
+    * STAGED once — the month-axis one-row fetch and the sliding
+    * pipeline would otherwise each recompute the fact's join subtree
+    * (the corpus_drift scan-duplication argument). `derive` projects
+    * the report's selector / dw_dt / dim-value columns over the
+    * sliding output (sliding emits the axis date as `dt`) and MUST
     * define "selector" and "dw_dt"; `dimCols` nest outermost first. */
   def slidingSelectorReport(m: DataFrame, groupCols: Seq[String],
                             dtCol: String, valCol: String,
@@ -54,12 +60,14 @@ object Reports {
                             metrics: Seq[(String, Column)],
                             project: String, category: String,
                             report: String): DataFrame = {
+    val fact = graft.core.Tables.staged(m.filter(rowFilter),
+      s"rpt_$report")
     // bounded one-row driver fetch for the month axis (the
     // report_score_overall convention)
-    val rng = m.agg(min(dtCol), max(dtCol)).first()
-    val sliding = Relational.slidingScores(m, groupCols, dtCol, valCol,
-      rng.getString(0), rng.getString(1))
-    val withSel = derive.foldLeft(sliding.filter(rowFilter)) {
+    val rng = fact.agg(min(dtCol), max(dtCol)).first()
+    val sliding = Relational.slidingScores(fact, groupCols, dtCol,
+      valCol, rng.getString(0), rng.getString(1))
+    val withSel = derive.foldLeft(sliding) {
       case (d, (n, c)) => d.withColumn(n, c)
     }
     Relational.reportShape(withSel, Seq("dw_dt", "selector"),

@@ -174,6 +174,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ccnet's hidden upstream keeps the vocab broadcast (PLANFP " +
+       "cannot see above the two-phase RDD boundary)") {
+    // groupedRowNumber goes through .rdd + createDataFrame, so the
+    // registered ccnet_perplexity_buckets fingerprint collapsed to
+    // {scan, exchange_range, sort} — the real scans/joins/aggs live
+    // ABOVE the ExistingRDD and a regression there (the broadcast
+    // vocab join decaying to a corpus shuffle join) would be invisible
+    // to the PLANFP gate. Pin the upstream plan directly instead.
+    val docs = graft.core.Tables.table(spark, dir, "documents")
+    val nll = graft.llm.TextAnalysis
+      .unigramNll(docs, "text", Seq("doc_id", "lang"))
+    val ns = nodes(nll.queryExecution.executedPlan).map(_.nodeName)
+    assert(ns.exists(_.contains("BroadcastHashJoin")),
+      s"vocab join is no longer broadcast: ${ns.mkString(",")}")
+    assert(!ns.exists(n => n.contains("SortMergeJoin") ||
+      n.contains("ShuffledHashJoin")),
+      s"corpus-sized shuffle join appeared: ${ns.mkString(",")}")
+    assert(!ns.exists(_.contains("Window")),
+      s"window reappeared upstream: ${ns.mkString(",")}")
+  }
+
   test("events_asof_join plans zero join operators (union + window)") {
     val p = plan("events_asof_join")
     assert(!p.contains("Join"), p.take(800))

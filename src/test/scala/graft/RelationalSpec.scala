@@ -183,6 +183,27 @@ class RelationalSpec extends AnyFunSuite {
         Seq($"id".asc), "n_tok", "cum", nPartitions = 4)
       .filter($"src".isNull).select($"cum").as[Long].collect().sorted
     assert(cums.toSeq == (1L to 20L).map(_ * 5))
+    // SQL frame semantics for null VALUES: the running sum is NULL
+    // until the frame holds a non-null weight — so a group whose
+    // weights are ALL null yields all-NULL sums (review-caught: "null
+    // weighs 0" kept such rows where the window form dropped them),
+    // and a trailing null weight carries the previous sum
+    val nullW = Seq(
+      ("a", 1L, Some(3L)), ("a", 2L, None), ("a", 3L, Some(4L)),
+      ("b", 1L, None), ("b", 2L, None))
+      .toDF("src", "id", "w")
+    val got = Relational.groupedCumSum(nullW, Seq("src"),
+        Seq($"id".asc), "w", "cum", nPartitions = 4)
+      .select($"src", $"id", $"cum").as[(String, Long, Option[Long])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val refNull = nullW.withColumn("cum", sum($"w").over(
+        Window.partitionBy($"src").orderBy($"id".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"src", $"id", $"cum").as[(String, Long, Option[Long])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == refNull)
+    assert(got(("b", 1L)).isEmpty && got(("b", 2L)).isEmpty)
+    assert(got(("a", 2L)).contains(3L) && got(("a", 3L)).contains(7L))
   }
 
   test("reportShape groups dimension metrics under selectors") {
