@@ -132,7 +132,13 @@ def build(outdir: Path) -> None:
           (603, chr(128512),    NULL,  'src4', 2),
           (604, E'\n\n',        'en',  NULL,   2),
           (605, E'only line\nonly line\n\nthe a of and to in is that',
-                'en', 'src5', 40)
+                'en', 'src5', 40),
+          -- srcnull holds ONLY this null-text doc: its token count is
+          -- NULL in both engines, so per-source running sums see an
+          -- ALL-NULL frame — SQL sum() OVER stays NULL there and the
+          -- budget filter drops the row; an engine that weighs null
+          -- as 0 keeps it (the r9 groupedCumSum review finding)
+          (606, NULL,           'en',  'srcnull', 0)
         ) t(doc_id, text, lang, source, n_chars)
       ) TO '{outdir}/documents.parquet' (FORMAT PARQUET)
     """)
