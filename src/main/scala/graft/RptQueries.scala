@@ -301,6 +301,181 @@ object RptQueries {
         .orderBy("dw_dt", "selector")
     }),
 
+    // m_cocacola_sku6_bg.clj:61-69 — sku6_bottler's EXACT sibling with
+    // the inverse bottler filter (= ?bottler "Total"): the per-BG
+    // rollup keeps only the Total rows the bottler report drops, and
+    // the dim tree flattens to one level [:bg]
+    "report_sku6_bg" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+      val m = base.select(
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+            .as("dw_dt"),
+          col("r_name").as("bg"),
+          when(col("n_nationkey") % 6 === 0, lit("Total"))
+            .otherwise(col("n_name")).as("bottler"),
+          col("c_mktsegment").as("channel"),
+          ascii(substring(col("c_mktsegment"), 1, 1)).as("channel_sort"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit("6 SKU")).otherwise(lit("ALL SKU")).as("sku_type"),
+          col("o_totalprice"))
+        .groupBy("bg", "bottler", "channel", "channel_sort", "sku_type",
+                 "dw_dt")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("val"))
+      Reports.slidingSelectorReport(m,
+          Seq("bg", "bottler", "channel", "channel_sort", "sku_type"),
+          "dw_dt", "val",
+          rowFilter = col("bottler") === "Total" &&
+            col("sku_type") === "6 SKU",
+          derive = Seq(
+            "selector" -> concat(lit("[\"period="), col("dt"),
+              lit("\",\"channel="), col("channel_sort"), lit("\"]")),
+            "dw_dt" -> col("dt")),
+          dimCols = Seq("bg"),
+          metrics = Seq(
+            "score" -> col("value"),
+            "pp_score" -> col("prev_mom"),
+            "vs_pp_score" -> col("delta_mom"),
+            "last_dec_score" -> col("prev_ytd"),
+            "vs_last_dec_score" -> col("delta_ytd"),
+            "last_year_same_month_score" -> col("prev_yoy"),
+            "vs_last_year_same_month_score" -> col("delta_yoy")),
+          "cocacola", "score", "sku6_bg")
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // m_cocacola_cooler_brand.clj:61-68 — activation_brand's exact
+    // sibling: same market filter, same 4-key selector, dim key
+    // renamed to cooler_type with its own type constants
+    "report_cooler_brand" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+      val m = base.select(
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+            .as("dw_dt"),
+          when(col("n_nationkey") % 5 === 0,
+            concat(lit("China Tier"), (col("n_nationkey") % 3 + 1)
+              .cast("string")))
+            .otherwise(concat(col("n_name"), lit(" Market")))
+            .as("market"),
+          col("r_name").as("bg"),
+          concat(lit("0."), (col("r_regionkey") + 1).cast("string"),
+            lit("_"), col("r_name")).as("bg_sort"),
+          col("n_name").as("bottler"),
+          concat(col("n_nationkey").cast("string"), lit("_"),
+            col("n_name")).as("bottler_sort"),
+          col("c_mktsegment").as("channel"),
+          ascii(substring(col("c_mktsegment"), 1, 1)).as("channel_sort"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit("OPEN_TOP")).otherwise(lit("CLOSED"))
+            .as("cooler_type"),
+          concat(lit("Brand-"), col("o_orderstatus")).as("brand"),
+          col("o_totalprice"))
+        .groupBy("market", "bg", "bg_sort", "bottler", "bottler_sort",
+                 "channel", "channel_sort", "cooler_type", "brand",
+                 "dw_dt")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("val"))
+      Reports.slidingSelectorReport(m,
+          Seq("market", "bg", "bg_sort", "bottler", "bottler_sort",
+              "channel", "channel_sort", "cooler_type", "brand"),
+          "dw_dt", "val",
+          rowFilter = !col("market").rlike("^China Tier\\d"),
+          derive = Seq(
+            "selector" -> concat(lit("[\"period="), col("dt"),
+              lit("\",\"bg="), col("bg_sort"),
+              lit("\",\"bottler="), col("bottler_sort"),
+              lit("\",\"channel="), col("channel_sort"), lit("\"]")),
+            "dw_dt" -> col("dt")),
+          dimCols = Seq("cooler_type", "brand"),
+          metrics = Seq(
+            "score" -> col("value"),
+            "pp_score" -> col("prev_mom"),
+            "vs_pp_score" -> col("delta_mom"),
+            "last_dec_score" -> col("prev_ytd"),
+            "vs_last_dec_score" -> col("delta_ytd"),
+            "last_year_same_month_score" -> col("prev_yoy"),
+            "vs_last_year_same_month_score" -> col("delta_yoy")),
+          "cocacola", "score", "cooler_brand")
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // m_cocacola_sovi_period_trend.clj:68-79 — the availability trend
+    // shape over the SOVI share fact: pinned 9999-12-31 dw_dt, market
+    // filter, (= ?brand "KO") filter, kpi "SOVI", juice_sovi_type =
+    // juice "_" sovi concat, dims [bottler=bottler_sort, period].
+    // The reference's Others-remainder injection (its score-brand
+    // pre-stage, the shareWithOthers pattern) is OUTPUT-DEAD here:
+    // the (= ?brand "KO") filter can only keep original KO rows, and
+    // injecting Others never creates one — elided, documented.
+    "report_sovi_period_trend" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+      val m = base.select(
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+            .as("dw_dt"),
+          when(col("n_nationkey") % 5 === 0,
+            concat(lit("China Tier"), (col("n_nationkey") % 3 + 1)
+              .cast("string")))
+            .otherwise(concat(col("n_name"), lit(" Market")))
+            .as("market"),
+          col("r_name").as("bg"),
+          col("n_name").as("bottler"),
+          concat(col("n_nationkey").cast("string"), lit("_"),
+            col("n_name")).as("bottler_sort"),
+          col("c_mktsegment").as("channel"),
+          ascii(substring(col("c_mktsegment"), 1, 1)).as("channel_sort"),
+          concat(lit("J"), (col("o_orderkey") % 2).cast("string"),
+            lit("_"), col("o_orderstatus")).as("juice_sovi_type"),
+          when(col("o_orderpriority") === "1-URGENT", lit("KO"))
+            .otherwise(concat(lit("Brand-"), col("o_orderstatus")))
+            .as("brand"),
+          col("o_totalprice"))
+        .groupBy("market", "bg", "bottler", "bottler_sort", "channel",
+                 "channel_sort", "juice_sovi_type", "brand", "dw_dt")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("val"))
+      Reports.slidingSelectorReport(m,
+          Seq("market", "bg", "bottler", "bottler_sort", "channel",
+              "channel_sort", "juice_sovi_type", "brand"),
+          "dw_dt", "val",
+          rowFilter = !col("market").rlike("^China Tier\\d") &&
+            col("brand") === "KO",
+          derive = Seq(
+            "selector" -> concat(lit("[\"channel="), col("channel_sort"),
+              lit("\",\"kpi=SOVI\",\"juice_sovi_type="),
+              col("juice_sovi_type"),
+              lit("\",\"bottler="), col("bottler_sort"), lit("\"]")),
+            "period" -> col("dt"),
+            "bottler" -> col("bottler_sort"),
+            "dw_dt" -> lit("9999-12-31")),
+          dimCols = Seq("bottler", "period"),
+          metrics = Seq(
+            "bg" -> col("bg"),
+            "score" -> col("value"),
+            "pp_score" -> col("prev_mom"),
+            "vs_pp_score" -> col("delta_mom"),
+            "last_dec_score" -> col("prev_ytd"),
+            "vs_last_dec_score" -> col("delta_ytd"),
+            "last_year_same_month_score" -> col("prev_yoy"),
+            "vs_last_year_same_month_score" -> col("delta_yoy")),
+          "cocacola", "score", "sovi_period_trend")
+        .orderBy("dw_dt", "selector")
+    }),
+
     // m_cocacola_activation_brand.clj:62-70: (not (re-find
     // #"^China Tier\d" market)), selector [period, bg=bg_sort,
     // bottler=bottler_sort, channel=channel_sort],
@@ -1014,6 +1189,258 @@ object RptQueries {
            '{' || string_agg('"bg=' || bg || '":{' || bnode || '}',
              ',' ORDER BY bg) || '}' AS dimension_metrics
          FROM inner_b GROUP BY dt, selector
+         ORDER BY dw_dt, selector""",
+    "report_sku6_bg" ->
+      """WITH base AS (
+           SELECT strftime(last_day(CAST(o_orderdate AS DATE)),
+               '%Y-%m-%d') AS dt,
+             r_name AS bg,
+             CASE WHEN n_nationkey % 6 = 0 THEN 'Total'
+                  ELSE n_name END AS bottler,
+             c_mktsegment AS channel,
+             ascii(substr(c_mktsegment, 1, 1)) AS channel_sort,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN '6 SKU' ELSE 'ALL SKU' END AS sku_type,
+             o_totalprice
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         m AS (SELECT bg, bottler, channel, channel_sort, sku_type, dt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS val
+           FROM base
+           WHERE bottler = 'Total' AND sku_type = '6 SKU'
+           GROUP BY 1, 2, 3, 4, 5, 6),
+         s AS (SELECT a.dt, a.bg, a.channel_sort,
+             CAST(a.val AS VARCHAR) AS score,
+             CAST(mom.val AS VARCHAR) AS pp_score,
+             CAST(CAST(a.val - mom.val AS DECIMAL(28,3)) AS VARCHAR)
+               AS vs_pp_score,
+             CAST(ytd.val AS VARCHAR) AS last_dec_score,
+             CAST(CAST(a.val - ytd.val AS DECIMAL(28,3)) AS VARCHAR)
+               AS vs_last_dec_score,
+             CAST(yoy.val AS VARCHAR) AS last_year_same_month_score,
+             CAST(CAST(a.val - yoy.val AS DECIMAL(28,3)) AS VARCHAR)
+               AS vs_last_year_same_month_score
+           FROM m a
+           LEFT JOIN m mom ON mom.bg = a.bg AND mom.bottler = a.bottler
+             AND mom.channel = a.channel AND mom.sku_type = a.sku_type
+             AND mom.dt = strftime(last_day(CAST(a.dt AS DATE)
+               - INTERVAL 1 MONTH), '%Y-%m-%d')
+           LEFT JOIN m ytd ON ytd.bg = a.bg AND ytd.bottler = a.bottler
+             AND ytd.channel = a.channel AND ytd.sku_type = a.sku_type
+             AND ytd.dt = strftime(last_day(date_trunc('year',
+               CAST(a.dt AS DATE)) - INTERVAL 1 MONTH), '%Y-%m-%d')
+           LEFT JOIN m yoy ON yoy.bg = a.bg AND yoy.bottler = a.bottler
+             AND yoy.channel = a.channel AND yoy.sku_type = a.sku_type
+             AND yoy.dt = strftime(last_day(CAST(a.dt AS DATE)
+               - INTERVAL 12 MONTH), '%Y-%m-%d')),
+         leafed AS (SELECT dt,
+             '["period=' || dt || '","channel=' || channel_sort
+               || '"]' AS selector,
+             bg,
+             '{' || array_to_string(list_filter([
+                 '"last_dec_score":' || last_dec_score,
+                 '"last_year_same_month_score":'
+                   || last_year_same_month_score,
+                 '"pp_score":' || pp_score,
+                 '"score":' || score,
+                 '"vs_last_dec_score":' || vs_last_dec_score,
+                 '"vs_last_year_same_month_score":'
+                   || vs_last_year_same_month_score,
+                 '"vs_pp_score":' || vs_pp_score],
+               x -> x IS NOT NULL), ',') || '}' AS leaf
+           FROM s)
+         SELECT dt AS dw_dt, 'cocacola' AS project,
+           'score' AS category, 'sku6_bg' AS report, selector,
+           '' AS selector_desc,
+           '{' || string_agg('"bg=' || bg || '":' || leaf,
+             ',' ORDER BY bg) || '}' AS dimension_metrics
+         FROM leafed GROUP BY dt, selector
+         ORDER BY dw_dt, selector""",
+    "report_cooler_brand" ->
+      """WITH base AS (
+           SELECT strftime(last_day(CAST(o_orderdate AS DATE)),
+               '%Y-%m-%d') AS dt,
+             CASE WHEN n_nationkey % 5 = 0
+                  THEN 'China Tier' || CAST(n_nationkey % 3 + 1
+                    AS VARCHAR)
+                  ELSE n_name || ' Market' END AS market,
+             r_name AS bg,
+             '0.' || CAST(r_regionkey + 1 AS VARCHAR) || '_' || r_name
+               AS bg_sort,
+             n_name AS bottler,
+             CAST(n_nationkey AS VARCHAR) || '_' || n_name
+               AS bottler_sort,
+             c_mktsegment AS channel,
+             ascii(substr(c_mktsegment, 1, 1)) AS channel_sort,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'OPEN_TOP' ELSE 'CLOSED' END AS cooler_type,
+             'Brand-' || o_orderstatus AS brand,
+             o_totalprice
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         m AS (SELECT market, bg, bg_sort, bottler, bottler_sort,
+             channel, channel_sort, cooler_type, brand, dt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS val
+           FROM base
+           WHERE NOT regexp_matches(market, '^China Tier\d')
+           GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10),
+         s AS (SELECT a.dt, a.bg_sort, a.bottler_sort, a.channel_sort,
+             a.cooler_type, a.brand,
+             CAST(a.val AS VARCHAR) AS score,
+             CAST(mom.val AS VARCHAR) AS pp_score,
+             CAST(CAST(a.val - mom.val AS DECIMAL(28,3)) AS VARCHAR)
+               AS vs_pp_score,
+             CAST(ytd.val AS VARCHAR) AS last_dec_score,
+             CAST(CAST(a.val - ytd.val AS DECIMAL(28,3)) AS VARCHAR)
+               AS vs_last_dec_score,
+             CAST(yoy.val AS VARCHAR) AS last_year_same_month_score,
+             CAST(CAST(a.val - yoy.val AS DECIMAL(28,3)) AS VARCHAR)
+               AS vs_last_year_same_month_score
+           FROM m a
+           LEFT JOIN m mom ON mom.bottler = a.bottler
+             AND mom.channel = a.channel
+             AND mom.cooler_type = a.cooler_type
+             AND mom.brand = a.brand AND mom.bg = a.bg
+             AND mom.dt = strftime(last_day(CAST(a.dt AS DATE)
+               - INTERVAL 1 MONTH), '%Y-%m-%d')
+           LEFT JOIN m ytd ON ytd.bottler = a.bottler
+             AND ytd.channel = a.channel
+             AND ytd.cooler_type = a.cooler_type
+             AND ytd.brand = a.brand AND ytd.bg = a.bg
+             AND ytd.dt = strftime(last_day(date_trunc('year',
+               CAST(a.dt AS DATE)) - INTERVAL 1 MONTH), '%Y-%m-%d')
+           LEFT JOIN m yoy ON yoy.bottler = a.bottler
+             AND yoy.channel = a.channel
+             AND yoy.cooler_type = a.cooler_type
+             AND yoy.brand = a.brand AND yoy.bg = a.bg
+             AND yoy.dt = strftime(last_day(CAST(a.dt AS DATE)
+               - INTERVAL 12 MONTH), '%Y-%m-%d')),
+         leafed AS (SELECT dt,
+             '["period=' || dt || '","bg=' || bg_sort || '","bottler='
+               || bottler_sort || '","channel=' || channel_sort
+               || '"]' AS selector,
+             cooler_type, brand,
+             '{' || array_to_string(list_filter([
+                 '"last_dec_score":' || last_dec_score,
+                 '"last_year_same_month_score":'
+                   || last_year_same_month_score,
+                 '"pp_score":' || pp_score,
+                 '"score":' || score,
+                 '"vs_last_dec_score":' || vs_last_dec_score,
+                 '"vs_last_year_same_month_score":'
+                   || vs_last_year_same_month_score,
+                 '"vs_pp_score":' || vs_pp_score],
+               x -> x IS NOT NULL), ',') || '}' AS leaf
+           FROM s),
+         inner_b AS (SELECT dt, selector, cooler_type,
+             string_agg('"brand=' || brand || '":' || leaf,
+               ',' ORDER BY brand) AS bnode
+           FROM leafed GROUP BY dt, selector, cooler_type)
+         SELECT dt AS dw_dt, 'cocacola' AS project,
+           'score' AS category, 'cooler_brand' AS report, selector,
+           '' AS selector_desc,
+           '{' || string_agg('"cooler_type=' || cooler_type
+             || '":{' || bnode || '}', ',' ORDER BY cooler_type)
+             || '}' AS dimension_metrics
+         FROM inner_b GROUP BY dt, selector
+         ORDER BY dw_dt, selector""",
+    "report_sovi_period_trend" ->
+      """WITH base AS (
+           SELECT strftime(last_day(CAST(o_orderdate AS DATE)),
+               '%Y-%m-%d') AS dt,
+             CASE WHEN n_nationkey % 5 = 0
+                  THEN 'China Tier' || CAST(n_nationkey % 3 + 1
+                    AS VARCHAR)
+                  ELSE n_name || ' Market' END AS market,
+             r_name AS bg,
+             n_name AS bottler,
+             CAST(n_nationkey AS VARCHAR) || '_' || n_name
+               AS bottler_sort,
+             c_mktsegment AS channel,
+             ascii(substr(c_mktsegment, 1, 1)) AS channel_sort,
+             'J' || CAST(o_orderkey % 2 AS VARCHAR) || '_'
+               || o_orderstatus AS juice_sovi_type,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 'KO'
+                  ELSE 'Brand-' || o_orderstatus END AS brand,
+             o_totalprice
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         m AS (SELECT market, bg, bottler, bottler_sort, channel,
+             channel_sort, juice_sovi_type, brand, dt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS val
+           FROM base
+           WHERE NOT regexp_matches(market, '^China Tier\d')
+             AND brand = 'KO'
+           GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9),
+         s AS (SELECT a.dt, a.bg, a.bottler_sort, a.channel_sort,
+             a.juice_sovi_type,
+             CAST(a.val AS VARCHAR) AS score,
+             CAST(mom.val AS VARCHAR) AS pp_score,
+             CAST(CAST(a.val - mom.val AS DECIMAL(28,3)) AS VARCHAR)
+               AS vs_pp_score,
+             CAST(ytd.val AS VARCHAR) AS last_dec_score,
+             CAST(CAST(a.val - ytd.val AS DECIMAL(28,3)) AS VARCHAR)
+               AS vs_last_dec_score,
+             CAST(yoy.val AS VARCHAR) AS last_year_same_month_score,
+             CAST(CAST(a.val - yoy.val AS DECIMAL(28,3)) AS VARCHAR)
+               AS vs_last_year_same_month_score
+           FROM m a
+           LEFT JOIN m mom ON mom.bottler = a.bottler
+             AND mom.channel = a.channel
+             AND mom.juice_sovi_type = a.juice_sovi_type
+             AND mom.brand = a.brand AND mom.bg = a.bg
+             AND mom.dt = strftime(last_day(CAST(a.dt AS DATE)
+               - INTERVAL 1 MONTH), '%Y-%m-%d')
+           LEFT JOIN m ytd ON ytd.bottler = a.bottler
+             AND ytd.channel = a.channel
+             AND ytd.juice_sovi_type = a.juice_sovi_type
+             AND ytd.brand = a.brand AND ytd.bg = a.bg
+             AND ytd.dt = strftime(last_day(date_trunc('year',
+               CAST(a.dt AS DATE)) - INTERVAL 1 MONTH), '%Y-%m-%d')
+           LEFT JOIN m yoy ON yoy.bottler = a.bottler
+             AND yoy.channel = a.channel
+             AND yoy.juice_sovi_type = a.juice_sovi_type
+             AND yoy.brand = a.brand AND yoy.bg = a.bg
+             AND yoy.dt = strftime(last_day(CAST(a.dt AS DATE)
+               - INTERVAL 12 MONTH), '%Y-%m-%d')),
+         leafed AS (SELECT dt,
+             '["channel=' || channel_sort
+               || '","kpi=SOVI","juice_sovi_type=' || juice_sovi_type
+               || '","bottler=' || bottler_sort || '"]' AS selector,
+             bottler_sort,
+             '{' || array_to_string(list_filter([
+                 '"bg":' || to_json(bg),
+                 '"last_dec_score":' || last_dec_score,
+                 '"last_year_same_month_score":'
+                   || last_year_same_month_score,
+                 '"pp_score":' || pp_score,
+                 '"score":' || score,
+                 '"vs_last_dec_score":' || vs_last_dec_score,
+                 '"vs_last_year_same_month_score":'
+                   || vs_last_year_same_month_score,
+                 '"vs_pp_score":' || vs_pp_score],
+               x -> x IS NOT NULL), ',') || '}' AS leaf
+           FROM s),
+         inner_b AS (SELECT selector, bottler_sort,
+             string_agg('"period=' || dt || '":' || leaf,
+               ',' ORDER BY dt) AS pnode
+           FROM leafed GROUP BY selector, bottler_sort)
+         SELECT '9999-12-31' AS dw_dt, 'cocacola' AS project,
+           'score' AS category, 'sovi_period_trend' AS report,
+           selector, '' AS selector_desc,
+           '{' || string_agg('"bottler=' || bottler_sort || '":{'
+             || pnode || '}', ',' ORDER BY bottler_sort) || '}'
+             AS dimension_metrics
+         FROM inner_b GROUP BY selector
          ORDER BY dw_dt, selector""",
     "report_activation_brand" ->
       """WITH base AS (
