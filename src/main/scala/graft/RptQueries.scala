@@ -179,12 +179,7 @@ object RptQueries {
     // shape is synthesized from the star schema with those constants
     // injected so every filter provably keeps AND drops rows.
     "report_score_channel" -> ((s, dir) => {
-      val base = t(s, dir, "orders")
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")),
-              col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")),
-              col("n_regionkey") === col("r_regionkey"))
+      val base = starFact(s, dir)
       val fact = base.select(
         date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("dw_dt"),
         col("r_name").as("bg"),
@@ -254,12 +249,7 @@ object RptQueries {
     // sku_type == "6 SKU", selector [period, channel=channel_sort],
     // dims [bg, bottler], metrics = 7 sliding + abbr(bottler_sort)
     "report_sku6_bottler" -> ((s, dir) => {
-      val base = t(s, dir, "orders")
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")),
-              col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")),
-              col("n_regionkey") === col("r_regionkey"))
+      val base = starFact(s, dir)
       val m = base.select(
           date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
             .as("dw_dt"),
@@ -306,12 +296,7 @@ object RptQueries {
     // rollup keeps only the Total rows the bottler report drops, and
     // the dim tree flattens to one level [:bg]
     "report_sku6_bg" -> ((s, dir) => {
-      val base = t(s, dir, "orders")
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")),
-              col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")),
-              col("n_regionkey") === col("r_regionkey"))
+      val base = starFact(s, dir)
       val m = base.select(
           date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
             .as("dw_dt"),
@@ -353,12 +338,7 @@ object RptQueries {
     // sibling: same market filter, same 4-key selector, dim key
     // renamed to cooler_type with its own type constants
     "report_cooler_brand" -> ((s, dir) => {
-      val base = t(s, dir, "orders")
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")),
-              col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")),
-              col("n_regionkey") === col("r_regionkey"))
+      val base = starFact(s, dir)
       val m = base.select(
           date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
             .as("dw_dt"),
@@ -418,12 +398,7 @@ object RptQueries {
     // the (= ?brand "KO") filter can only keep original KO rows, and
     // injecting Others never creates one — elided, documented.
     "report_sovi_period_trend" -> ((s, dir) => {
-      val base = t(s, dir, "orders")
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")),
-              col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")),
-              col("n_regionkey") === col("r_regionkey"))
+      val base = starFact(s, dir)
       val m = base.select(
           date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
             .as("dw_dt"),
@@ -481,12 +456,7 @@ object RptQueries {
     // bottler=bottler_sort, channel=channel_sort],
     // dims [activation_type, brand], the 7 sliding metrics
     "report_activation_brand" -> ((s, dir) => {
-      val base = t(s, dir, "orders")
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")),
-              col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")),
-              col("n_regionkey") === col("r_regionkey"))
+      val base = starFact(s, dir)
       val m = base.select(
           date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
             .as("dw_dt"),
@@ -543,12 +513,7 @@ object RptQueries {
     // bottler=bottler_sort], dims [bottler=bottler_sort, period=dt],
     // metrics = bg + the 7 sliding scores
     "report_availability_period_trend" -> ((s, dir) => {
-      val base = t(s, dir, "orders")
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")),
-              col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")),
-              col("n_regionkey") === col("r_regionkey"))
+      val base = starFact(s, dir)
       val m = base.select(
           date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
             .as("dw_dt"),
@@ -598,6 +563,222 @@ object RptQueries {
         .orderBy("dw_dt", "selector")
     }),
 
+    // m_cocacola_skus.clj:61-67: the sku tap with NO row filter —
+    // every (bottler incl. Total, sku_type incl. ALL SKU) row reports;
+    // selector 4-key, one-level [sku_type] dims, abbr carries the
+    // bottler sort
+    "report_skus" -> ((s, dir) => {
+      val m = monthAgg(starFact(s, dir).select(skuFactCols: _*),
+        Seq("bg", "bg_sort", "bottler", "bottler_sort", "channel",
+            "channel_sort", "sku_type"))
+      Reports.slidingSelectorReport(m,
+          Seq("bg", "bg_sort", "bottler", "bottler_sort", "channel",
+              "channel_sort", "sku_type"), "dw_dt", "val",
+          rowFilter = lit(true),
+          derive = Seq(
+            "selector" -> concat(lit("[\"period="), col("dt"),
+              lit("\",\"bg="), col("bg_sort"),
+              lit("\",\"bottler="), col("bottler_sort"),
+              lit("\",\"channel="), col("channel_sort"), lit("\"]")),
+            "dw_dt" -> col("dt")),
+          dimCols = Seq("sku_type"),
+          metrics = slidingMetrics7 :+ ("abbr" -> col("bottler_sort")),
+          "cocacola", "score", "skus")
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // m_cocacola_sku6_period_bg.clj:62-70: pinned 9999-12-31 dw_dt,
+    // the Total+6-SKU filters, the verbatim `button=test` selector
+    // pair, dims [period, bg], abbr = the (constant) Total sort
+    "report_sku6_period_bg" -> ((s, dir) => {
+      val m = monthAgg(starFact(s, dir).select(skuFactCols: _*),
+        Seq("bg", "bottler", "bottler_sort", "channel", "channel_sort",
+            "sku_type"))
+      Reports.slidingSelectorReport(m,
+          Seq("bg", "bottler", "bottler_sort", "channel",
+              "channel_sort", "sku_type"), "dw_dt", "val",
+          rowFilter = col("bottler") === "Total" &&
+            col("sku_type") === "6 SKU",
+          derive = Seq(
+            "selector" -> concat(lit("[\"channel="), col("channel_sort"),
+              lit("\",\"button=test\"]")),
+            "period" -> col("dt"),
+            "dw_dt" -> lit("9999-12-31")),
+          dimCols = Seq("period", "bg"),
+          metrics = slidingMetrics7 :+ ("abbr" -> col("bottler_sort")),
+          "cocacola", "score", "sku6_period_bg")
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // m_cocacola_activation_period_trend.clj:63-72: the trend shape
+    // over the activation tap — KO-brand filter, kpi "ACTIVATION",
+    // activation_type in the selector, dims [bottler=sort, period]
+    "report_activation_period_trend" -> ((s, dir) => {
+      val m = monthAgg(starFact(s, dir).select(marketFactCols ++ Seq(
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit("PURITY")).otherwise(lit("CHARGING"))
+            .as("activation_type"),
+          when(col("o_orderpriority") === "1-URGENT", lit("KO"))
+            .otherwise(concat(lit("Brand-"), col("o_orderstatus")))
+            .as("brand")): _*),
+        sparkMarketKeys ++ Seq("activation_type", "brand"))
+      Reports.slidingSelectorReport(m,
+          sparkMarketKeys ++ Seq("activation_type", "brand"),
+          "dw_dt", "val",
+          rowFilter = !col("market").rlike("^China Tier\\d") &&
+            col("brand") === "KO",
+          derive = Seq(
+            "selector" -> concat(lit("[\"channel="), col("channel_sort"),
+              lit("\",\"kpi=ACTIVATION\",\"activation_type="),
+              col("activation_type"),
+              lit("\",\"bottler="), col("bottler_sort"), lit("\"]")),
+            "period" -> col("dt"),
+            "bottler" -> col("bottler_sort"),
+            "dw_dt" -> lit("9999-12-31")),
+          dimCols = Seq("bottler", "period"),
+          metrics = ("bg" -> col("bg")) +: slidingMetrics7,
+          "cocacola", "score", "activation_period_trend")
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // m_cocacola_cooler_period_trend.clj:63-72: same trend shape over
+    // the cooler tap — kpi "COOLER", cooler_type in the selector
+    "report_cooler_period_trend" -> ((s, dir) => {
+      val m = monthAgg(starFact(s, dir).select(marketFactCols ++ Seq(
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit("OPEN_TOP")).otherwise(lit("CLOSED")).as("cooler_type"),
+          when(col("o_orderpriority") === "1-URGENT", lit("KO"))
+            .otherwise(concat(lit("Brand-"), col("o_orderstatus")))
+            .as("brand")): _*),
+        sparkMarketKeys ++ Seq("cooler_type", "brand"))
+      Reports.slidingSelectorReport(m,
+          sparkMarketKeys ++ Seq("cooler_type", "brand"),
+          "dw_dt", "val",
+          rowFilter = !col("market").rlike("^China Tier\\d") &&
+            col("brand") === "KO",
+          derive = Seq(
+            "selector" -> concat(lit("[\"channel="), col("channel_sort"),
+              lit("\",\"kpi=COOLER\",\"cooler_type="),
+              col("cooler_type"),
+              lit("\",\"bottler="), col("bottler_sort"), lit("\"]")),
+            "period" -> col("dt"),
+            "bottler" -> col("bottler_sort"),
+            "dw_dt" -> lit("9999-12-31")),
+          dimCols = Seq("bottler", "period"),
+          metrics = ("bg" -> col("bg")) +: slidingMetrics7,
+          "cocacola", "score", "cooler_period_trend")
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // m_cocacola_activation_sub_brand.clj:63-70 — report field
+    // "activation_brand_sub" (the reference's own name/file mismatch,
+    // preserved verbatim): brand != "KB" filter, THREE-level dims
+    // [activation_type, activation_type_sub, brand]
+    "report_activation_sub_brand" -> ((s, dir) => {
+      val m = monthAgg(starFact(s, dir).select(marketFactCols ++ Seq(
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit("PURITY")).otherwise(lit("CHARGING"))
+            .as("activation_type"),
+          concat(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+              lit("PURITY")).otherwise(lit("CHARGING")),
+            lit("/"), (col("o_orderkey") % 2).cast("string"))
+            .as("activation_type_sub"),
+          when(col("o_orderstatus") === "F", lit("KB"))
+            .otherwise(concat(lit("Brand-"), col("o_orderstatus")))
+            .as("brand")): _*),
+        sparkMarketKeys ++ Seq("activation_type", "activation_type_sub",
+          "brand"))
+      Reports.slidingSelectorReport(m,
+          sparkMarketKeys ++ Seq("activation_type",
+            "activation_type_sub", "brand"),
+          "dw_dt", "val",
+          rowFilter = !col("market").rlike("^China Tier\\d") &&
+            col("brand") =!= "KB",
+          derive = Seq(
+            "selector" -> concat(lit("[\"period="), col("dt"),
+              lit("\",\"bg="), col("bg_sort"),
+              lit("\",\"bottler="), col("bottler_sort"),
+              lit("\",\"channel="), col("channel_sort"), lit("\"]")),
+            "dw_dt" -> col("dt")),
+          dimCols = Seq("activation_type", "activation_type_sub",
+            "brand"),
+          metrics = slidingMetrics7,
+          "cocacola", "score", "activation_brand_sub")
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // m_cocacola_sovi_period_trend6.clj:64-73: sovi_type == "Total"
+    // filter, selector WITHOUT period [bg, bottler, channel],
+    // FOUR-level dims [period, brand, juice_type, sovi_type]
+    "report_sovi_period_trend6" -> ((s, dir) => {
+      val m = monthAgg(starFact(s, dir).select(marketFactCols ++ Seq(
+          concat(lit("J"), (col("o_orderkey") % 2).cast("string"))
+            .as("juice_type"),
+          when(col("o_orderstatus") === "O", lit("Total"))
+            .otherwise(concat(lit("Sub-"), col("o_orderstatus")))
+            .as("sovi_type"),
+          when(col("o_orderpriority") === "1-URGENT", lit("KO"))
+            .otherwise(concat(lit("Brand-"), col("o_orderstatus")))
+            .as("brand")): _*),
+        sparkMarketKeys ++ Seq("juice_type", "sovi_type", "brand"))
+      Reports.slidingSelectorReport(m,
+          sparkMarketKeys ++ Seq("juice_type", "sovi_type", "brand"),
+          "dw_dt", "val",
+          rowFilter = !col("market").rlike("^China Tier\\d") &&
+            col("sovi_type") === "Total",
+          derive = Seq(
+            "selector" -> concat(lit("[\"bg="), col("bg_sort"),
+              lit("\",\"bottler="), col("bottler_sort"),
+              lit("\",\"channel="), col("channel_sort"), lit("\"]")),
+            "period" -> col("dt"),
+            "dw_dt" -> lit("9999-12-31")),
+          dimCols = Seq("period", "brand", "juice_type", "sovi_type"),
+          metrics = slidingMetrics7,
+          "cocacola", "score", "sovi_period_trend6")
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // m_cocacola_availability_brand.clj:62-69: 2-level [sku,
+    // sku_detail] dims whose leaves ALSO carry the group's brand and
+    // order attributes as metrics (both group-constant tap columns)
+    "report_availability_brand" -> ((s, dir) => {
+      val m = monthAgg(starFact(s, dir).select(marketFactCols ++ Seq(
+          concat(lit("S"), (col("o_orderkey") % 3).cast("string"))
+            .as("sku"),
+          col("o_orderstatus").as("sku_detail"),
+          when(col("o_orderkey") % 3 === 0, lit("KO"))
+            .otherwise(concat(lit("B"),
+              (col("o_orderkey") % 3).cast("string"))).as("brand"),
+          ascii(substring(col("o_orderstatus"), 1, 1)).as("n_ord")): _*),
+        sparkMarketKeys ++ Seq("sku", "sku_detail", "brand", "n_ord"))
+      Reports.slidingSelectorReport(m,
+          sparkMarketKeys ++ Seq("sku", "sku_detail", "brand", "n_ord"),
+          "dw_dt", "val",
+          rowFilter = !col("market").rlike("^China Tier\\d"),
+          derive = Seq(
+            "selector" -> concat(lit("[\"period="), col("dt"),
+              lit("\",\"bg="), col("bg_sort"),
+              lit("\",\"bottler="), col("bottler_sort"),
+              lit("\",\"channel="), col("channel_sort"), lit("\"]")),
+            "dw_dt" -> col("dt")),
+          dimCols = Seq("sku", "sku_detail"),
+          metrics = slidingMetrics7 ++ Seq("brand" -> col("brand"),
+            "order" -> col("n_ord")),
+          "cocacola", "score", "availability_brand")
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // m_cocacola_score_by_bg.clj:35-42 / m_cocacola_score_tier.clj:
+    // 35-42 — NOT sliding: a straight pivot of the score tap (pinned
+    // dw_dt, (not !code) filter, [bg, bottler, period] dims with ONE
+    // score metric); the two files are byte-twins except the report
+    // name and the selector's second key (kpi vs facts)
+    "report_by_bg" -> ((s, dir) =>
+      scorePivotReport(s, dir, "kpi", "report_by_bg")),
+    "report_bottler_tier" -> ((s, dir) =>
+      scorePivotReport(s, dir, "facts", "by_bottler_tier")),
+
     // the achievement-rate per-grain pair
     // (m_cocacola_score_achievement_rate.clj:43-64): two queries into
     // one sink — the base grain plus the bg-all variant that keeps only
@@ -607,12 +788,7 @@ object RptQueries {
     "report_achievement_rate" -> ((s, dir) => {
       val totals = Seq("China Total / 全国总体", "SBL Total / 全体",
         "CBL Total / 全体", "BIG Total / 全体", "Zhuhai Total / 全体")
-      val base = t(s, dir, "orders")
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")),
-              col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")),
-              col("n_regionkey") === col("r_regionkey"))
+      val base = starFact(s, dir)
         .select(
           date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
             .as("period"),
@@ -883,6 +1059,299 @@ object RptQueries {
     })
   )
 
+  /** Spark-side shared star join for the sliding-family facts (every
+    * report in the family synthesizes its score tap from the same
+    * 4-table join, then differs only in derived columns). */
+  private def starFact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+
+  /** Spark-side twins of [[skuBaseCols]] / [[marketBaseCols]] plus the
+    * month-grain aggregation every sliding report starts from. */
+  private def skuFactCols: Seq[org.apache.spark.sql.Column] = Seq(
+    date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("dw_dt"),
+    col("r_name").as("bg"),
+    concat(lit("0."), (col("r_regionkey") + 1).cast("string"),
+      lit("_"), col("r_name")).as("bg_sort"),
+    when(col("n_nationkey") % 6 === 0, lit("Total"))
+      .otherwise(col("n_name")).as("bottler"),
+    when(col("n_nationkey") % 6 === 0, lit("99_Total"))
+      .otherwise(concat(col("n_nationkey").cast("string"), lit("_"),
+        col("n_name"))).as("bottler_sort"),
+    col("c_mktsegment").as("channel"),
+    ascii(substring(col("c_mktsegment"), 1, 1)).as("channel_sort"),
+    when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+      lit("6 SKU")).otherwise(lit("ALL SKU")).as("sku_type"),
+    col("o_totalprice"))
+
+  private def marketFactCols: Seq[org.apache.spark.sql.Column] = Seq(
+    date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("dw_dt"),
+    when(col("n_nationkey") % 5 === 0,
+      concat(lit("China Tier"), (col("n_nationkey") % 3 + 1)
+        .cast("string")))
+      .otherwise(concat(col("n_name"), lit(" Market"))).as("market"),
+    col("r_name").as("bg"),
+    concat(lit("0."), (col("r_regionkey") + 1).cast("string"),
+      lit("_"), col("r_name")).as("bg_sort"),
+    col("n_name").as("bottler"),
+    concat(col("n_nationkey").cast("string"), lit("_"), col("n_name"))
+      .as("bottler_sort"),
+    col("c_mktsegment").as("channel"),
+    ascii(substring(col("c_mktsegment"), 1, 1)).as("channel_sort"),
+    col("o_totalprice"))
+
+  private def monthAgg(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy((keys :+ "dw_dt").map(col): _*)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)").cast("string").as("val"))
+
+  private val slidingMetrics7: Seq[(String, org.apache.spark.sql.Column)] =
+    Seq(
+      "score" -> col("value"),
+      "pp_score" -> col("prev_mom"),
+      "vs_pp_score" -> col("delta_mom"),
+      "last_dec_score" -> col("prev_ytd"),
+      "vs_last_dec_score" -> col("delta_ytd"),
+      "last_year_same_month_score" -> col("prev_yoy"),
+      "vs_last_year_same_month_score" -> col("delta_yoy"))
+
+  private val sparkMarketKeys = Seq("market", "bg", "bg_sort", "bottler",
+    "bottler_sort", "channel", "channel_sort")
+
+  /** The score-tap straight pivot shared by report_by_bg /
+    * report_bottler_tier (m_cocacola_score_by_bg.clj:35-42 and
+    * m_cocacola_score_tier.clj:35-42 are byte-twins except report name
+    * and the selector's second key): pinned dw_dt, (not !code), dims
+    * [bg=bg_sort, bottler=bottler_sort, period], ONE score metric —
+    * no sliding. The synthesized tap aggregates to one row per
+    * (channel, kpi, bg, bottler, month) so the pair-tree write is
+    * deterministic (the reference tap relies on grain uniqueness). */
+  private def scorePivotReport(s: SparkSession, dir: String,
+      selKey: String, report: String): DataFrame = {
+    val m = starFact(s, dir)
+      .select(
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("dt"),
+        concat(lit("0."), (col("r_regionkey") + 1).cast("string"),
+          lit("_"), col("r_name")).as("bg_sort"),
+        concat(col("n_nationkey").cast("string"), lit("_"),
+          col("n_name")).as("bottler_sort"),
+        ascii(substring(col("c_mktsegment"), 1, 1)).as("channel_sort"),
+        substring(col("o_orderpriority"), 1, 1).as("kpi_sort"),
+        when(col("o_orderkey") % 10 === 0, lit("X"))
+          .otherwise(lit(null).cast("string")).as("code"),
+        col("o_totalprice"))
+      .filter(col("code").isNull)
+      .groupBy("bg_sort", "bottler_sort", "channel_sort", "kpi_sort",
+               "dt")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)").cast("string").as("val"))
+    val withSel = m
+      .withColumn("selector",
+        concat(lit("[\"channel="), col("channel_sort"),
+          lit("\",\"" + selKey + "="), col("kpi_sort"), lit("\"]")))
+      .withColumn("dw_dt", lit("9999-12-31"))
+      .withColumn("bg", col("bg_sort"))
+      .withColumn("bottler", col("bottler_sort"))
+      .withColumn("period", col("dt"))
+    Relational.reportShape(withSel, Seq("dw_dt", "selector"),
+        Seq("bg", "bottler", "period"), Seq("score" -> col("val")))
+      .withColumnRenamed("report", "dimension_metrics")
+      .select(col("dw_dt"), lit("cocacola").as("project"),
+        lit("score").as("category"), lit(report).as("report"),
+        col("selector"), lit("").as("selector_desc"),
+        col("dimension_metrics"))
+      .orderBy("dw_dt", "selector")
+  }
+
+  /** DuckDB oracle GENERATOR for the sliding-family reports — one
+    * template for what was becoming a per-report ~80-line SQL clone
+    * (the first six variants shipped as clones; this is their
+    * refactor). Shape: star-join fact synthesis (`baseCols`) → m
+    * (grouped month fact, `where` filter — group-constant, so it
+    * commutes with sliding) → s (the 3 lag self-joins: prev month end,
+    * prev Dec end, same month last year) → leaf JSON (metric names
+    * ALPHABETICAL, null entries dropped — the trDimensionMetrics
+    * contract) → one string_agg per dim level, innermost first, keys
+    * ordered by their VARCHAR rendering (Spark sorts pair-tree keys in
+    * UTF-8 byte order).
+    *
+    * `mKeys` are m's group cols (dt is implicit); `dims` are
+    * (key, value-SQL-over-s) outermost first; `metrics` are
+    * (name, value-SQL-over-s) — wrap string-valued metrics in
+    * to_json(...); `pinnedDwDt` pins the output dw_dt (trend reports)
+    * vs None = the axis month; `extraMAggs` appends extra aggregate
+    * columns to m (e.g. a count the report emits as a metric). */
+  private def slidingOracleSql(report: String, baseCols: String,
+      mKeys: Seq[String], where: String, selectorSql: String,
+      dims: Seq[(String, String)], metrics: Seq[(String, String)],
+      pinnedDwDt: Option[String] = None,
+      extraMAggs: String = ""): String = {
+    val lagJoin = (a: String, dtExpr: String) =>
+      s"""LEFT JOIN m $a ON ${
+        mKeys.map(k => s"$a.$k = a.$k").mkString("\n             AND ")}
+             AND $a.dt = $dtExpr"""
+    val metricList = metrics.sortBy(_._1).map { case (n, e) =>
+      s"""'"$n":' || $e"""
+    }.mkString(",\n                 ")
+    val dimAliases = dims.zipWithIndex.map { case ((_, v), i) =>
+      s"$v AS __d$i"
+    }.mkString(", ")
+    val grpCols = if (pinnedDwDt.isEmpty) "dt, selector" else "selector"
+    // one aggregation level per dim, innermost (last) first; the child
+    // of level i is the braced node of level i+1, or the leaf itself
+    val k = dims.length
+    val levels = (k - 1) to 1 by -1
+    val aggCtes = levels.map { i =>
+      val child = if (i == k - 1) "leaf" else "'{' || node || '}'"
+      val carried = (0 until i).map(j => s"__d$j").mkString(", ")
+      val carriedSel = if (carried.isEmpty) "" else s"$carried,"
+      s"""n$i AS (SELECT $grpCols, $carriedSel
+             string_agg('"${dims(i)._1}=' || __d$i || '":' || $child,
+               ',' ORDER BY CAST(__d$i AS VARCHAR)) AS node
+           FROM ${if (i == k - 1) "leafed" else s"n${i + 1}"}
+           GROUP BY $grpCols${if (carried.isEmpty) "" else s", $carried"})"""
+    }.mkString(",\n         ")
+    val topChild = if (k == 1) "leaf" else "'{' || node || '}'"
+    val topFrom = if (k == 1) "leafed" else "n1"
+    val dwDtOut = pinnedDwDt.map(d => s"'$d'").getOrElse("dt")
+    s"""WITH base AS (
+           SELECT $baseCols
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         m AS (SELECT ${mKeys.mkString(", ")}, dt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS val$extraMAggs
+           FROM base
+           WHERE $where
+           GROUP BY ${(1 to mKeys.length + 1).mkString(", ")}),
+         s AS (SELECT a.*,
+             CAST(a.val AS VARCHAR) AS score,
+             CAST(mom.val AS VARCHAR) AS pp_score,
+             CAST(CAST(a.val - mom.val AS DECIMAL(28,3)) AS VARCHAR)
+               AS vs_pp_score,
+             CAST(ytd.val AS VARCHAR) AS last_dec_score,
+             CAST(CAST(a.val - ytd.val AS DECIMAL(28,3)) AS VARCHAR)
+               AS vs_last_dec_score,
+             CAST(yoy.val AS VARCHAR) AS last_year_same_month_score,
+             CAST(CAST(a.val - yoy.val AS DECIMAL(28,3)) AS VARCHAR)
+               AS vs_last_year_same_month_score
+           FROM m a
+           ${lagJoin("mom",
+             """strftime(last_day(CAST(a.dt AS DATE)
+               - INTERVAL 1 MONTH), '%Y-%m-%d')""")}
+           ${lagJoin("ytd",
+             """strftime(last_day(date_trunc('year',
+               CAST(a.dt AS DATE)) - INTERVAL 1 MONTH), '%Y-%m-%d')""")}
+           ${lagJoin("yoy",
+             """strftime(last_day(CAST(a.dt AS DATE)
+               - INTERVAL 12 MONTH), '%Y-%m-%d')""")}),
+         leafed AS (SELECT dt, $selectorSql AS selector, $dimAliases,
+             '{' || array_to_string(list_filter([
+                 $metricList],
+               x -> x IS NOT NULL), ',') || '}' AS leaf
+           FROM s)${if (aggCtes.isEmpty) "" else s",\n         $aggCtes"}
+         SELECT $dwDtOut AS dw_dt, 'cocacola' AS project,
+           'score' AS category, '$report' AS report, selector,
+           '' AS selector_desc,
+           '{' || string_agg('"${dims.head._1}=' || __d0 || '":'
+             || $topChild, ',' ORDER BY CAST(__d0 AS VARCHAR)) || '}'
+             AS dimension_metrics
+         FROM $topFrom GROUP BY $grpCols
+         ORDER BY dw_dt, selector"""
+  }
+
+  /** Oracle twin of [[scorePivotReport]] — reuses the sliding
+    * generator with a single `score` metric (the lag joins are
+    * computed and unused; output-identical). */
+  private def scorePivotOracleSql(selKey: String,
+      report: String): String =
+    slidingOracleSql(report,
+      """strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS dt,
+             '0.' || CAST(r_regionkey + 1 AS VARCHAR) || '_' || r_name
+               AS bg_sort,
+             CAST(n_nationkey AS VARCHAR) || '_' || n_name
+               AS bottler_sort,
+             ascii(substr(c_mktsegment, 1, 1)) AS channel_sort,
+             substr(o_orderpriority, 1, 1) AS kpi_sort,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'X' END AS code,
+             o_totalprice""",
+      mKeys = Seq("bg_sort", "bottler_sort", "channel_sort",
+        "kpi_sort"),
+      where = "code IS NULL",
+      selectorSql = s"""'["channel=' || channel_sort || '","$selKey='
+               || kpi_sort || '"]'""",
+      dims = Seq("bg" -> "bg_sort", "bottler" -> "bottler_sort",
+        "period" -> "dt"),
+      metrics = Seq("score" -> "score"),
+      pinnedDwDt = Some("9999-12-31"))
+
+  /** The seven lag metrics every sliding report emits, by their s-CTE
+    * column names. */
+  private val lag7: Seq[(String, String)] = Seq(
+    "score" -> "score", "pp_score" -> "pp_score",
+    "vs_pp_score" -> "vs_pp_score", "last_dec_score" -> "last_dec_score",
+    "vs_last_dec_score" -> "vs_last_dec_score",
+    "last_year_same_month_score" -> "last_year_same_month_score",
+    "vs_last_year_same_month_score" -> "vs_last_year_same_month_score")
+
+  /** Shared oracle-side fact synthesis for the sku-tap family
+    * (model.d_cocacola_sku: sku6_bottler / sku6_bg / sku6_period_bg /
+    * skus). */
+  private val skuBaseCols =
+    """strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS dt,
+             r_name AS bg,
+             '0.' || CAST(r_regionkey + 1 AS VARCHAR) || '_' || r_name
+               AS bg_sort,
+             CASE WHEN n_nationkey % 6 = 0 THEN 'Total'
+                  ELSE n_name END AS bottler,
+             CASE WHEN n_nationkey % 6 = 0 THEN '99_Total'
+                  ELSE CAST(n_nationkey AS VARCHAR) || '_' || n_name
+                  END AS bottler_sort,
+             c_mktsegment AS channel,
+             ascii(substr(c_mktsegment, 1, 1)) AS channel_sort,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN '6 SKU' ELSE 'ALL SKU' END AS sku_type,
+             o_totalprice"""
+
+  /** Shared oracle-side columns for the market-keyed taps (activation /
+    * cooler / availability / sovi summaries): the ^China Tier\d market
+    * synthesis plus the geo/channel sorts; each report appends its own
+    * type/brand columns. */
+  private val marketBaseCols =
+    """strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS dt,
+             CASE WHEN n_nationkey % 5 = 0
+                  THEN 'China Tier' || CAST(n_nationkey % 3 + 1
+                    AS VARCHAR)
+                  ELSE n_name || ' Market' END AS market,
+             r_name AS bg,
+             '0.' || CAST(r_regionkey + 1 AS VARCHAR) || '_' || r_name
+               AS bg_sort,
+             n_name AS bottler,
+             CAST(n_nationkey AS VARCHAR) || '_' || n_name
+               AS bottler_sort,
+             c_mktsegment AS channel,
+             ascii(substr(c_mktsegment, 1, 1)) AS channel_sort,
+             o_totalprice"""
+
+  private val marketKeys = Seq("market", "bg", "bg_sort", "bottler",
+    "bottler_sort", "channel", "channel_sort")
+
+  private val marketWhere = """NOT regexp_matches(market, '^China Tier\d')"""
+
+  private val selector4Key =
+    """'["period=' || dt || '","bg=' || bg_sort || '","bottler='
+               || bottler_sort || '","channel=' || channel_sort || '"]'"""
+
+  private val selectorPeriodChannel =
+    """'["period=' || dt || '","channel=' || channel_sort || '"]'"""
+
   val oracles: Map[String, String] = Map(
     "report_rural_totals_filter" ->
       """WITH b AS (SELECT CASE CAST(n_nationkey AS INT)
@@ -1111,514 +1580,174 @@ object RptQueries {
              ',' ORDER BY channel) || '}' AS dimension_metrics
          FROM leafed GROUP BY dw_dt, selector
          ORDER BY dw_dt, selector""",
-    "report_sku6_bottler" ->
-      """WITH base AS (
-           SELECT strftime(last_day(CAST(o_orderdate AS DATE)),
-               '%Y-%m-%d') AS dt,
-             r_name AS bg,
-             CASE WHEN n_nationkey % 6 = 0 THEN 'Total'
-                  ELSE n_name END AS bottler,
-             CASE WHEN n_nationkey % 6 = 0 THEN '99_Total'
-                  ELSE CAST(n_nationkey AS VARCHAR) || '_' || n_name
-                  END AS bottler_sort,
-             c_mktsegment AS channel,
-             ascii(substr(c_mktsegment, 1, 1)) AS channel_sort,
-             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                  THEN '6 SKU' ELSE 'ALL SKU' END AS sku_type,
-             o_totalprice
-           FROM orders
-           JOIN customer ON o_custkey = c_custkey
-           JOIN nation ON c_nationkey = n_nationkey
-           JOIN region ON n_regionkey = r_regionkey),
-         m AS (SELECT bg, bottler, bottler_sort, channel, channel_sort,
-             sku_type, dt,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-               AS DECIMAL(38,2)) AS val
-           FROM base
-           WHERE bottler <> 'Total' AND sku_type = '6 SKU'
-           GROUP BY 1, 2, 3, 4, 5, 6, 7),
-         s AS (SELECT a.dt, a.bg, a.bottler, a.bottler_sort,
-             a.channel_sort,
-             CAST(a.val AS VARCHAR) AS score,
-             CAST(mom.val AS VARCHAR) AS pp_score,
-             CAST(CAST(a.val - mom.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_pp_score,
-             CAST(ytd.val AS VARCHAR) AS last_dec_score,
-             CAST(CAST(a.val - ytd.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_last_dec_score,
-             CAST(yoy.val AS VARCHAR) AS last_year_same_month_score,
-             CAST(CAST(a.val - yoy.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_last_year_same_month_score
-           FROM m a
-           LEFT JOIN m mom ON mom.bg = a.bg AND mom.bottler = a.bottler
-             AND mom.channel = a.channel AND mom.sku_type = a.sku_type
-             AND mom.dt = strftime(last_day(CAST(a.dt AS DATE)
-               - INTERVAL 1 MONTH), '%Y-%m-%d')
-           LEFT JOIN m ytd ON ytd.bg = a.bg AND ytd.bottler = a.bottler
-             AND ytd.channel = a.channel AND ytd.sku_type = a.sku_type
-             AND ytd.dt = strftime(last_day(date_trunc('year',
-               CAST(a.dt AS DATE)) - INTERVAL 1 MONTH), '%Y-%m-%d')
-           LEFT JOIN m yoy ON yoy.bg = a.bg AND yoy.bottler = a.bottler
-             AND yoy.channel = a.channel AND yoy.sku_type = a.sku_type
-             AND yoy.dt = strftime(last_day(CAST(a.dt AS DATE)
-               - INTERVAL 12 MONTH), '%Y-%m-%d')),
-         leafed AS (SELECT dt,
-             '["period=' || dt || '","channel=' || channel_sort
-               || '"]' AS selector,
-             bg, bottler,
-             '{' || array_to_string(list_filter([
-                 '"abbr":' || to_json(bottler_sort),
-                 '"last_dec_score":' || last_dec_score,
-                 '"last_year_same_month_score":'
-                   || last_year_same_month_score,
-                 '"pp_score":' || pp_score,
-                 '"score":' || score,
-                 '"vs_last_dec_score":' || vs_last_dec_score,
-                 '"vs_last_year_same_month_score":'
-                   || vs_last_year_same_month_score,
-                 '"vs_pp_score":' || vs_pp_score],
-               x -> x IS NOT NULL), ',') || '}' AS leaf
-           FROM s),
-         inner_b AS (SELECT dt, selector, bg,
-             string_agg('"bottler=' || bottler || '":' || leaf,
-               ',' ORDER BY bottler) AS bnode
-           FROM leafed GROUP BY dt, selector, bg)
-         SELECT dt AS dw_dt, 'cocacola' AS project,
-           'score' AS category, 'sku6_bottler' AS report, selector,
-           '' AS selector_desc,
-           '{' || string_agg('"bg=' || bg || '":{' || bnode || '}',
-             ',' ORDER BY bg) || '}' AS dimension_metrics
-         FROM inner_b GROUP BY dt, selector
-         ORDER BY dw_dt, selector""",
-    "report_sku6_bg" ->
-      """WITH base AS (
-           SELECT strftime(last_day(CAST(o_orderdate AS DATE)),
-               '%Y-%m-%d') AS dt,
-             r_name AS bg,
-             CASE WHEN n_nationkey % 6 = 0 THEN 'Total'
-                  ELSE n_name END AS bottler,
-             c_mktsegment AS channel,
-             ascii(substr(c_mktsegment, 1, 1)) AS channel_sort,
-             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                  THEN '6 SKU' ELSE 'ALL SKU' END AS sku_type,
-             o_totalprice
-           FROM orders
-           JOIN customer ON o_custkey = c_custkey
-           JOIN nation ON c_nationkey = n_nationkey
-           JOIN region ON n_regionkey = r_regionkey),
-         m AS (SELECT bg, bottler, channel, channel_sort, sku_type, dt,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-               AS DECIMAL(38,2)) AS val
-           FROM base
-           WHERE bottler = 'Total' AND sku_type = '6 SKU'
-           GROUP BY 1, 2, 3, 4, 5, 6),
-         s AS (SELECT a.dt, a.bg, a.channel_sort,
-             CAST(a.val AS VARCHAR) AS score,
-             CAST(mom.val AS VARCHAR) AS pp_score,
-             CAST(CAST(a.val - mom.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_pp_score,
-             CAST(ytd.val AS VARCHAR) AS last_dec_score,
-             CAST(CAST(a.val - ytd.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_last_dec_score,
-             CAST(yoy.val AS VARCHAR) AS last_year_same_month_score,
-             CAST(CAST(a.val - yoy.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_last_year_same_month_score
-           FROM m a
-           LEFT JOIN m mom ON mom.bg = a.bg AND mom.bottler = a.bottler
-             AND mom.channel = a.channel AND mom.sku_type = a.sku_type
-             AND mom.dt = strftime(last_day(CAST(a.dt AS DATE)
-               - INTERVAL 1 MONTH), '%Y-%m-%d')
-           LEFT JOIN m ytd ON ytd.bg = a.bg AND ytd.bottler = a.bottler
-             AND ytd.channel = a.channel AND ytd.sku_type = a.sku_type
-             AND ytd.dt = strftime(last_day(date_trunc('year',
-               CAST(a.dt AS DATE)) - INTERVAL 1 MONTH), '%Y-%m-%d')
-           LEFT JOIN m yoy ON yoy.bg = a.bg AND yoy.bottler = a.bottler
-             AND yoy.channel = a.channel AND yoy.sku_type = a.sku_type
-             AND yoy.dt = strftime(last_day(CAST(a.dt AS DATE)
-               - INTERVAL 12 MONTH), '%Y-%m-%d')),
-         leafed AS (SELECT dt,
-             '["period=' || dt || '","channel=' || channel_sort
-               || '"]' AS selector,
-             bg,
-             '{' || array_to_string(list_filter([
-                 '"last_dec_score":' || last_dec_score,
-                 '"last_year_same_month_score":'
-                   || last_year_same_month_score,
-                 '"pp_score":' || pp_score,
-                 '"score":' || score,
-                 '"vs_last_dec_score":' || vs_last_dec_score,
-                 '"vs_last_year_same_month_score":'
-                   || vs_last_year_same_month_score,
-                 '"vs_pp_score":' || vs_pp_score],
-               x -> x IS NOT NULL), ',') || '}' AS leaf
-           FROM s)
-         SELECT dt AS dw_dt, 'cocacola' AS project,
-           'score' AS category, 'sku6_bg' AS report, selector,
-           '' AS selector_desc,
-           '{' || string_agg('"bg=' || bg || '":' || leaf,
-             ',' ORDER BY bg) || '}' AS dimension_metrics
-         FROM leafed GROUP BY dt, selector
-         ORDER BY dw_dt, selector""",
-    "report_cooler_brand" ->
-      """WITH base AS (
-           SELECT strftime(last_day(CAST(o_orderdate AS DATE)),
-               '%Y-%m-%d') AS dt,
-             CASE WHEN n_nationkey % 5 = 0
-                  THEN 'China Tier' || CAST(n_nationkey % 3 + 1
-                    AS VARCHAR)
-                  ELSE n_name || ' Market' END AS market,
-             r_name AS bg,
-             '0.' || CAST(r_regionkey + 1 AS VARCHAR) || '_' || r_name
-               AS bg_sort,
-             n_name AS bottler,
-             CAST(n_nationkey AS VARCHAR) || '_' || n_name
-               AS bottler_sort,
-             c_mktsegment AS channel,
-             ascii(substr(c_mktsegment, 1, 1)) AS channel_sort,
+    "report_sku6_bottler" -> slidingOracleSql("sku6_bottler",
+      skuBaseCols,
+      mKeys = Seq("bg", "bottler", "bottler_sort", "channel",
+        "channel_sort", "sku_type"),
+      where = "bottler <> 'Total' AND sku_type = '6 SKU'",
+      selectorSql = selectorPeriodChannel,
+      dims = Seq("bg" -> "bg", "bottler" -> "bottler"),
+      metrics = lag7 :+ ("abbr" -> "to_json(bottler_sort)")),
+    "report_sku6_bg" -> slidingOracleSql("sku6_bg",
+      skuBaseCols,
+      mKeys = Seq("bg", "bottler", "bottler_sort", "channel",
+        "channel_sort", "sku_type"),
+      where = "bottler = 'Total' AND sku_type = '6 SKU'",
+      selectorSql = selectorPeriodChannel,
+      dims = Seq("bg" -> "bg"),
+      metrics = lag7),
+    "report_cooler_brand" -> slidingOracleSql("cooler_brand",
+      marketBaseCols + """,
              CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                   THEN 'OPEN_TOP' ELSE 'CLOSED' END AS cooler_type,
-             'Brand-' || o_orderstatus AS brand,
-             o_totalprice
-           FROM orders
-           JOIN customer ON o_custkey = c_custkey
-           JOIN nation ON c_nationkey = n_nationkey
-           JOIN region ON n_regionkey = r_regionkey),
-         m AS (SELECT market, bg, bg_sort, bottler, bottler_sort,
-             channel, channel_sort, cooler_type, brand, dt,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-               AS DECIMAL(38,2)) AS val
-           FROM base
-           WHERE NOT regexp_matches(market, '^China Tier\d')
-           GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10),
-         s AS (SELECT a.dt, a.bg_sort, a.bottler_sort, a.channel_sort,
-             a.cooler_type, a.brand,
-             CAST(a.val AS VARCHAR) AS score,
-             CAST(mom.val AS VARCHAR) AS pp_score,
-             CAST(CAST(a.val - mom.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_pp_score,
-             CAST(ytd.val AS VARCHAR) AS last_dec_score,
-             CAST(CAST(a.val - ytd.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_last_dec_score,
-             CAST(yoy.val AS VARCHAR) AS last_year_same_month_score,
-             CAST(CAST(a.val - yoy.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_last_year_same_month_score
-           FROM m a
-           LEFT JOIN m mom ON mom.bottler = a.bottler
-             AND mom.channel = a.channel
-             AND mom.cooler_type = a.cooler_type
-             AND mom.brand = a.brand AND mom.bg = a.bg
-             AND mom.dt = strftime(last_day(CAST(a.dt AS DATE)
-               - INTERVAL 1 MONTH), '%Y-%m-%d')
-           LEFT JOIN m ytd ON ytd.bottler = a.bottler
-             AND ytd.channel = a.channel
-             AND ytd.cooler_type = a.cooler_type
-             AND ytd.brand = a.brand AND ytd.bg = a.bg
-             AND ytd.dt = strftime(last_day(date_trunc('year',
-               CAST(a.dt AS DATE)) - INTERVAL 1 MONTH), '%Y-%m-%d')
-           LEFT JOIN m yoy ON yoy.bottler = a.bottler
-             AND yoy.channel = a.channel
-             AND yoy.cooler_type = a.cooler_type
-             AND yoy.brand = a.brand AND yoy.bg = a.bg
-             AND yoy.dt = strftime(last_day(CAST(a.dt AS DATE)
-               - INTERVAL 12 MONTH), '%Y-%m-%d')),
-         leafed AS (SELECT dt,
-             '["period=' || dt || '","bg=' || bg_sort || '","bottler='
-               || bottler_sort || '","channel=' || channel_sort
-               || '"]' AS selector,
-             cooler_type, brand,
-             '{' || array_to_string(list_filter([
-                 '"last_dec_score":' || last_dec_score,
-                 '"last_year_same_month_score":'
-                   || last_year_same_month_score,
-                 '"pp_score":' || pp_score,
-                 '"score":' || score,
-                 '"vs_last_dec_score":' || vs_last_dec_score,
-                 '"vs_last_year_same_month_score":'
-                   || vs_last_year_same_month_score,
-                 '"vs_pp_score":' || vs_pp_score],
-               x -> x IS NOT NULL), ',') || '}' AS leaf
-           FROM s),
-         inner_b AS (SELECT dt, selector, cooler_type,
-             string_agg('"brand=' || brand || '":' || leaf,
-               ',' ORDER BY brand) AS bnode
-           FROM leafed GROUP BY dt, selector, cooler_type)
-         SELECT dt AS dw_dt, 'cocacola' AS project,
-           'score' AS category, 'cooler_brand' AS report, selector,
-           '' AS selector_desc,
-           '{' || string_agg('"cooler_type=' || cooler_type
-             || '":{' || bnode || '}', ',' ORDER BY cooler_type)
-             || '}' AS dimension_metrics
-         FROM inner_b GROUP BY dt, selector
-         ORDER BY dw_dt, selector""",
-    "report_sovi_period_trend" ->
-      """WITH base AS (
-           SELECT strftime(last_day(CAST(o_orderdate AS DATE)),
-               '%Y-%m-%d') AS dt,
-             CASE WHEN n_nationkey % 5 = 0
-                  THEN 'China Tier' || CAST(n_nationkey % 3 + 1
-                    AS VARCHAR)
-                  ELSE n_name || ' Market' END AS market,
-             r_name AS bg,
-             n_name AS bottler,
-             CAST(n_nationkey AS VARCHAR) || '_' || n_name
-               AS bottler_sort,
-             c_mktsegment AS channel,
-             ascii(substr(c_mktsegment, 1, 1)) AS channel_sort,
+             'Brand-' || o_orderstatus AS brand""",
+      mKeys = marketKeys ++ Seq("cooler_type", "brand"),
+      where = marketWhere,
+      selectorSql = selector4Key,
+      dims = Seq("cooler_type" -> "cooler_type", "brand" -> "brand"),
+      metrics = lag7),
+    "report_sovi_period_trend" -> slidingOracleSql("sovi_period_trend",
+      marketBaseCols + """,
              'J' || CAST(o_orderkey % 2 AS VARCHAR) || '_'
                || o_orderstatus AS juice_sovi_type,
              CASE WHEN o_orderpriority = '1-URGENT' THEN 'KO'
-                  ELSE 'Brand-' || o_orderstatus END AS brand,
-             o_totalprice
-           FROM orders
-           JOIN customer ON o_custkey = c_custkey
-           JOIN nation ON c_nationkey = n_nationkey
-           JOIN region ON n_regionkey = r_regionkey),
-         m AS (SELECT market, bg, bottler, bottler_sort, channel,
-             channel_sort, juice_sovi_type, brand, dt,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-               AS DECIMAL(38,2)) AS val
-           FROM base
-           WHERE NOT regexp_matches(market, '^China Tier\d')
-             AND brand = 'KO'
-           GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9),
-         s AS (SELECT a.dt, a.bg, a.bottler_sort, a.channel_sort,
-             a.juice_sovi_type,
-             CAST(a.val AS VARCHAR) AS score,
-             CAST(mom.val AS VARCHAR) AS pp_score,
-             CAST(CAST(a.val - mom.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_pp_score,
-             CAST(ytd.val AS VARCHAR) AS last_dec_score,
-             CAST(CAST(a.val - ytd.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_last_dec_score,
-             CAST(yoy.val AS VARCHAR) AS last_year_same_month_score,
-             CAST(CAST(a.val - yoy.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_last_year_same_month_score
-           FROM m a
-           LEFT JOIN m mom ON mom.bottler = a.bottler
-             AND mom.channel = a.channel
-             AND mom.juice_sovi_type = a.juice_sovi_type
-             AND mom.brand = a.brand AND mom.bg = a.bg
-             AND mom.dt = strftime(last_day(CAST(a.dt AS DATE)
-               - INTERVAL 1 MONTH), '%Y-%m-%d')
-           LEFT JOIN m ytd ON ytd.bottler = a.bottler
-             AND ytd.channel = a.channel
-             AND ytd.juice_sovi_type = a.juice_sovi_type
-             AND ytd.brand = a.brand AND ytd.bg = a.bg
-             AND ytd.dt = strftime(last_day(date_trunc('year',
-               CAST(a.dt AS DATE)) - INTERVAL 1 MONTH), '%Y-%m-%d')
-           LEFT JOIN m yoy ON yoy.bottler = a.bottler
-             AND yoy.channel = a.channel
-             AND yoy.juice_sovi_type = a.juice_sovi_type
-             AND yoy.brand = a.brand AND yoy.bg = a.bg
-             AND yoy.dt = strftime(last_day(CAST(a.dt AS DATE)
-               - INTERVAL 12 MONTH), '%Y-%m-%d')),
-         leafed AS (SELECT dt,
-             '["channel=' || channel_sort
+                  ELSE 'Brand-' || o_orderstatus END AS brand""",
+      mKeys = marketKeys ++ Seq("juice_sovi_type", "brand"),
+      where = marketWhere + " AND brand = 'KO'",
+      selectorSql = """'["channel=' || channel_sort
                || '","kpi=SOVI","juice_sovi_type=' || juice_sovi_type
-               || '","bottler=' || bottler_sort || '"]' AS selector,
-             bottler_sort,
-             '{' || array_to_string(list_filter([
-                 '"bg":' || to_json(bg),
-                 '"last_dec_score":' || last_dec_score,
-                 '"last_year_same_month_score":'
-                   || last_year_same_month_score,
-                 '"pp_score":' || pp_score,
-                 '"score":' || score,
-                 '"vs_last_dec_score":' || vs_last_dec_score,
-                 '"vs_last_year_same_month_score":'
-                   || vs_last_year_same_month_score,
-                 '"vs_pp_score":' || vs_pp_score],
-               x -> x IS NOT NULL), ',') || '}' AS leaf
-           FROM s),
-         inner_b AS (SELECT selector, bottler_sort,
-             string_agg('"period=' || dt || '":' || leaf,
-               ',' ORDER BY dt) AS pnode
-           FROM leafed GROUP BY selector, bottler_sort)
-         SELECT '9999-12-31' AS dw_dt, 'cocacola' AS project,
-           'score' AS category, 'sovi_period_trend' AS report,
-           selector, '' AS selector_desc,
-           '{' || string_agg('"bottler=' || bottler_sort || '":{'
-             || pnode || '}', ',' ORDER BY bottler_sort) || '}'
-             AS dimension_metrics
-         FROM inner_b GROUP BY selector
-         ORDER BY dw_dt, selector""",
-    "report_activation_brand" ->
-      """WITH base AS (
-           SELECT strftime(last_day(CAST(o_orderdate AS DATE)),
-               '%Y-%m-%d') AS dt,
-             CASE WHEN n_nationkey % 5 = 0
-                  THEN 'China Tier' || CAST(n_nationkey % 3 + 1
-                    AS VARCHAR)
-                  ELSE n_name || ' Market' END AS market,
-             r_name AS bg,
-             '0.' || CAST(r_regionkey + 1 AS VARCHAR) || '_' || r_name
-               AS bg_sort,
-             n_name AS bottler,
-             CAST(n_nationkey AS VARCHAR) || '_' || n_name
-               AS bottler_sort,
-             c_mktsegment AS channel,
-             ascii(substr(c_mktsegment, 1, 1)) AS channel_sort,
+               || '","bottler=' || bottler_sort || '"]'""",
+      dims = Seq("bottler" -> "bottler_sort", "period" -> "dt"),
+      metrics = ("bg" -> "to_json(bg)") +: lag7,
+      pinnedDwDt = Some("9999-12-31")),
+    "report_skus" -> slidingOracleSql("skus",
+      skuBaseCols,
+      mKeys = Seq("bg", "bg_sort", "bottler", "bottler_sort", "channel",
+        "channel_sort", "sku_type"),
+      where = "TRUE",
+      selectorSql = selector4Key,
+      dims = Seq("sku_type" -> "sku_type"),
+      metrics = lag7 :+ ("abbr" -> "to_json(bottler_sort)")),
+    "report_sku6_period_bg" -> slidingOracleSql("sku6_period_bg",
+      skuBaseCols,
+      mKeys = Seq("bg", "bottler", "bottler_sort", "channel",
+        "channel_sort", "sku_type"),
+      where = "bottler = 'Total' AND sku_type = '6 SKU'",
+      selectorSql =
+        """'["channel=' || channel_sort || '","button=test"]'""",
+      dims = Seq("period" -> "dt", "bg" -> "bg"),
+      metrics = lag7 :+ ("abbr" -> "to_json(bottler_sort)"),
+      pinnedDwDt = Some("9999-12-31")),
+    "report_activation_period_trend" ->
+      slidingOracleSql("activation_period_trend",
+        marketBaseCols + """,
              CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                   THEN 'PURITY' ELSE 'CHARGING' END AS activation_type,
-             'Brand-' || o_orderstatus AS brand,
-             o_totalprice
-           FROM orders
-           JOIN customer ON o_custkey = c_custkey
-           JOIN nation ON c_nationkey = n_nationkey
-           JOIN region ON n_regionkey = r_regionkey),
-         m AS (SELECT market, bg, bg_sort, bottler, bottler_sort,
-             channel, channel_sort, activation_type, brand, dt,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-               AS DECIMAL(38,2)) AS val
-           FROM base
-           WHERE NOT regexp_matches(market, '^China Tier\d')
-           GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10),
-         s AS (SELECT a.dt, a.bg_sort, a.bottler_sort, a.channel_sort,
-             a.activation_type, a.brand,
-             CAST(a.val AS VARCHAR) AS score,
-             CAST(mom.val AS VARCHAR) AS pp_score,
-             CAST(CAST(a.val - mom.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_pp_score,
-             CAST(ytd.val AS VARCHAR) AS last_dec_score,
-             CAST(CAST(a.val - ytd.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_last_dec_score,
-             CAST(yoy.val AS VARCHAR) AS last_year_same_month_score,
-             CAST(CAST(a.val - yoy.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_last_year_same_month_score
-           FROM m a
-           LEFT JOIN m mom ON mom.bottler = a.bottler
-             AND mom.channel = a.channel
-             AND mom.activation_type = a.activation_type
-             AND mom.brand = a.brand AND mom.bg = a.bg
-             AND mom.dt = strftime(last_day(CAST(a.dt AS DATE)
-               - INTERVAL 1 MONTH), '%Y-%m-%d')
-           LEFT JOIN m ytd ON ytd.bottler = a.bottler
-             AND ytd.channel = a.channel
-             AND ytd.activation_type = a.activation_type
-             AND ytd.brand = a.brand AND ytd.bg = a.bg
-             AND ytd.dt = strftime(last_day(date_trunc('year',
-               CAST(a.dt AS DATE)) - INTERVAL 1 MONTH), '%Y-%m-%d')
-           LEFT JOIN m yoy ON yoy.bottler = a.bottler
-             AND yoy.channel = a.channel
-             AND yoy.activation_type = a.activation_type
-             AND yoy.brand = a.brand AND yoy.bg = a.bg
-             AND yoy.dt = strftime(last_day(CAST(a.dt AS DATE)
-               - INTERVAL 12 MONTH), '%Y-%m-%d')),
-         leafed AS (SELECT dt,
-             '["period=' || dt || '","bg=' || bg_sort || '","bottler='
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 'KO'
+                  ELSE 'Brand-' || o_orderstatus END AS brand""",
+        mKeys = marketKeys ++ Seq("activation_type", "brand"),
+        where = marketWhere + " AND brand = 'KO'",
+        selectorSql = """'["channel=' || channel_sort
+               || '","kpi=ACTIVATION","activation_type='
+               || activation_type
+               || '","bottler=' || bottler_sort || '"]'""",
+        dims = Seq("bottler" -> "bottler_sort", "period" -> "dt"),
+        metrics = ("bg" -> "to_json(bg)") +: lag7,
+        pinnedDwDt = Some("9999-12-31")),
+    "report_cooler_period_trend" ->
+      slidingOracleSql("cooler_period_trend",
+        marketBaseCols + """,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'OPEN_TOP' ELSE 'CLOSED' END AS cooler_type,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 'KO'
+                  ELSE 'Brand-' || o_orderstatus END AS brand""",
+        mKeys = marketKeys ++ Seq("cooler_type", "brand"),
+        where = marketWhere + " AND brand = 'KO'",
+        selectorSql = """'["channel=' || channel_sort
+               || '","kpi=COOLER","cooler_type=' || cooler_type
+               || '","bottler=' || bottler_sort || '"]'""",
+        dims = Seq("bottler" -> "bottler_sort", "period" -> "dt"),
+        metrics = ("bg" -> "to_json(bg)") +: lag7,
+        pinnedDwDt = Some("9999-12-31")),
+    "report_activation_sub_brand" ->
+      slidingOracleSql("activation_brand_sub",
+        marketBaseCols + """,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'PURITY' ELSE 'CHARGING' END AS activation_type,
+             (CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'PURITY' ELSE 'CHARGING' END) || '/'
+               || CAST(o_orderkey % 2 AS VARCHAR)
+               AS activation_type_sub,
+             CASE WHEN o_orderstatus = 'F' THEN 'KB'
+                  ELSE 'Brand-' || o_orderstatus END AS brand""",
+        mKeys = marketKeys ++ Seq("activation_type",
+          "activation_type_sub", "brand"),
+        where = marketWhere + " AND brand <> 'KB'",
+        selectorSql = selector4Key,
+        dims = Seq("activation_type" -> "activation_type",
+          "activation_type_sub" -> "activation_type_sub",
+          "brand" -> "brand"),
+        metrics = lag7),
+    "report_sovi_period_trend6" ->
+      slidingOracleSql("sovi_period_trend6",
+        marketBaseCols + """,
+             'J' || CAST(o_orderkey % 2 AS VARCHAR) AS juice_type,
+             CASE WHEN o_orderstatus = 'O' THEN 'Total'
+                  ELSE 'Sub-' || o_orderstatus END AS sovi_type,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 'KO'
+                  ELSE 'Brand-' || o_orderstatus END AS brand""",
+        mKeys = marketKeys ++ Seq("juice_type", "sovi_type", "brand"),
+        where = marketWhere + " AND sovi_type = 'Total'",
+        selectorSql = """'["bg=' || bg_sort || '","bottler='
                || bottler_sort || '","channel=' || channel_sort
-               || '"]' AS selector,
-             activation_type, brand,
-             '{' || array_to_string(list_filter([
-                 '"last_dec_score":' || last_dec_score,
-                 '"last_year_same_month_score":'
-                   || last_year_same_month_score,
-                 '"pp_score":' || pp_score,
-                 '"score":' || score,
-                 '"vs_last_dec_score":' || vs_last_dec_score,
-                 '"vs_last_year_same_month_score":'
-                   || vs_last_year_same_month_score,
-                 '"vs_pp_score":' || vs_pp_score],
-               x -> x IS NOT NULL), ',') || '}' AS leaf
-           FROM s),
-         inner_b AS (SELECT dt, selector, activation_type,
-             string_agg('"brand=' || brand || '":' || leaf,
-               ',' ORDER BY brand) AS bnode
-           FROM leafed GROUP BY dt, selector, activation_type)
-         SELECT dt AS dw_dt, 'cocacola' AS project,
-           'score' AS category, 'activation_brand' AS report, selector,
-           '' AS selector_desc,
-           '{' || string_agg('"activation_type=' || activation_type
-             || '":{' || bnode || '}', ',' ORDER BY activation_type)
-             || '}' AS dimension_metrics
-         FROM inner_b GROUP BY dt, selector
-         ORDER BY dw_dt, selector""",
+               || '"]'""",
+        dims = Seq("period" -> "dt", "brand" -> "brand",
+          "juice_type" -> "juice_type", "sovi_type" -> "sovi_type"),
+        metrics = lag7,
+        pinnedDwDt = Some("9999-12-31")),
+    "report_availability_brand" ->
+      slidingOracleSql("availability_brand",
+        marketBaseCols + """,
+             'S' || CAST(o_orderkey % 3 AS VARCHAR) AS sku,
+             o_orderstatus AS sku_detail,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'KO'
+                  ELSE 'B' || CAST(o_orderkey % 3 AS VARCHAR)
+                  END AS brand,
+             ascii(substr(o_orderstatus, 1, 1)) AS n_ord""",
+        mKeys = marketKeys ++ Seq("sku", "sku_detail", "brand",
+          "n_ord"),
+        where = marketWhere,
+        selectorSql = selector4Key,
+        dims = Seq("sku" -> "sku", "sku_detail" -> "sku_detail"),
+        metrics = lag7 ++ Seq("brand" -> "to_json(brand)",
+          "order" -> "n_ord")),
+    "report_by_bg" -> scorePivotOracleSql("kpi", "report_by_bg"),
+    "report_bottler_tier" ->
+      scorePivotOracleSql("facts", "by_bottler_tier"),
+    "report_activation_brand" -> slidingOracleSql("activation_brand",
+      marketBaseCols + """,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'PURITY' ELSE 'CHARGING' END AS activation_type,
+             'Brand-' || o_orderstatus AS brand""",
+      mKeys = marketKeys ++ Seq("activation_type", "brand"),
+      where = marketWhere,
+      selectorSql = selector4Key,
+      dims = Seq("activation_type" -> "activation_type",
+        "brand" -> "brand"),
+      metrics = lag7),
     "report_availability_period_trend" ->
-      """WITH base AS (
-           SELECT strftime(last_day(CAST(o_orderdate AS DATE)),
-               '%Y-%m-%d') AS dt,
-             CASE WHEN n_nationkey % 5 = 0
-                  THEN 'China Tier' || CAST(n_nationkey % 3 + 1
-                    AS VARCHAR)
-                  ELSE n_name || ' Market' END AS market,
-             r_name AS bg,
-             n_name AS bottler,
-             CAST(n_nationkey AS VARCHAR) || '_' || n_name
-               AS bottler_sort,
-             c_mktsegment AS channel,
-             ascii(substr(c_mktsegment, 1, 1)) AS channel_sort,
+      slidingOracleSql("availability_period_trend",
+        marketBaseCols + """,
              'S' || CAST(o_orderkey % 3 AS VARCHAR) || '_'
-               || o_orderstatus AS sku_type,
-             o_totalprice
-           FROM orders
-           JOIN customer ON o_custkey = c_custkey
-           JOIN nation ON c_nationkey = n_nationkey
-           JOIN region ON n_regionkey = r_regionkey),
-         m AS (SELECT market, bg, bottler, bottler_sort, channel,
-             channel_sort, sku_type, dt,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-               AS DECIMAL(38,2)) AS val
-           FROM base
-           WHERE NOT regexp_matches(market, '^China Tier\d')
-           GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
-         s AS (SELECT a.dt, a.bg, a.bottler_sort, a.channel_sort,
-             a.sku_type,
-             CAST(a.val AS VARCHAR) AS score,
-             CAST(mom.val AS VARCHAR) AS pp_score,
-             CAST(CAST(a.val - mom.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_pp_score,
-             CAST(ytd.val AS VARCHAR) AS last_dec_score,
-             CAST(CAST(a.val - ytd.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_last_dec_score,
-             CAST(yoy.val AS VARCHAR) AS last_year_same_month_score,
-             CAST(CAST(a.val - yoy.val AS DECIMAL(28,3)) AS VARCHAR)
-               AS vs_last_year_same_month_score
-           FROM m a
-           LEFT JOIN m mom ON mom.bottler = a.bottler
-             AND mom.channel = a.channel AND mom.sku_type = a.sku_type
-             AND mom.bg = a.bg
-             AND mom.dt = strftime(last_day(CAST(a.dt AS DATE)
-               - INTERVAL 1 MONTH), '%Y-%m-%d')
-           LEFT JOIN m ytd ON ytd.bottler = a.bottler
-             AND ytd.channel = a.channel AND ytd.sku_type = a.sku_type
-             AND ytd.bg = a.bg
-             AND ytd.dt = strftime(last_day(date_trunc('year',
-               CAST(a.dt AS DATE)) - INTERVAL 1 MONTH), '%Y-%m-%d')
-           LEFT JOIN m yoy ON yoy.bottler = a.bottler
-             AND yoy.channel = a.channel AND yoy.sku_type = a.sku_type
-             AND yoy.bg = a.bg
-             AND yoy.dt = strftime(last_day(CAST(a.dt AS DATE)
-               - INTERVAL 12 MONTH), '%Y-%m-%d')),
-         leafed AS (SELECT dt,
-             '["channel=' || channel_sort
+               || o_orderstatus AS sku_type""",
+        mKeys = marketKeys :+ "sku_type",
+        where = marketWhere,
+        selectorSql = """'["channel=' || channel_sort
                || '","kpi=AVAILABILITY","sku_type=' || sku_type
-               || '","bottler=' || bottler_sort || '"]' AS selector,
-             bottler_sort,
-             '{' || array_to_string(list_filter([
-                 '"bg":' || to_json(bg),
-                 '"last_dec_score":' || last_dec_score,
-                 '"last_year_same_month_score":'
-                   || last_year_same_month_score,
-                 '"pp_score":' || pp_score,
-                 '"score":' || score,
-                 '"vs_last_dec_score":' || vs_last_dec_score,
-                 '"vs_last_year_same_month_score":'
-                   || vs_last_year_same_month_score,
-                 '"vs_pp_score":' || vs_pp_score],
-               x -> x IS NOT NULL), ',') || '}' AS leaf
-           FROM s),
-         inner_b AS (SELECT selector, bottler_sort,
-             string_agg('"period=' || dt || '":' || leaf,
-               ',' ORDER BY dt) AS pnode
-           FROM leafed GROUP BY selector, bottler_sort)
-         SELECT '9999-12-31' AS dw_dt, 'cocacola' AS project,
-           'score' AS category, 'availability_period_trend' AS report,
-           selector, '' AS selector_desc,
-           '{' || string_agg('"bottler=' || bottler_sort || '":{'
-             || pnode || '}', ',' ORDER BY bottler_sort) || '}'
-             AS dimension_metrics
-         FROM inner_b GROUP BY selector
-         ORDER BY dw_dt, selector""",
+               || '","bottler=' || bottler_sort || '"]'""",
+        dims = Seq("bottler" -> "bottler_sort", "period" -> "dt"),
+        metrics = ("bg" -> "to_json(bg)") +: lag7,
+        pinnedDwDt = Some("9999-12-31")),
     "report_core_sku" ->
       """WITH cn AS (SELECT c_mktsegment AS seg, n_name, r_name
            FROM customer
