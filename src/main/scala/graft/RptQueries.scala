@@ -779,6 +779,186 @@ object RptQueries {
     "report_bottler_tier" -> ((s, dir) =>
       scorePivotReport(s, dir, "facts", "by_bottler_tier")),
 
+    // m_cocacola_score_kpi.clj:59-71: the score tap sliced to the
+    // Total / 所有渠道 channel, 全体 kpi EXCLUDED, the three bottler
+    // exclusion regexes; dims [kpi]. The filters are row predicates of
+    // the synthesized tap and apply pre-aggregation (the oracle's m
+    // WHERE), exactly as report_score_channel established.
+    "report_score_kpi" -> ((s, dir) => {
+      val m = monthAgg(starFact(s, dir).select(scoreTapFactCols: _*)
+          .filter(col("code").isNull &&
+            col("channel") === "Total / 所有渠道" &&
+            col("kpi") =!= "全体" && bottlerKept),
+        scoreTapKeys)
+      Reports.slidingSelectorReport(m, scoreTapKeys, "dw_dt", "val",
+          rowFilter = lit(true),
+          derive = Seq(
+            "selector" -> concat(lit("[\"period="), col("dt"),
+              lit("\",\"bg="), col("bg_sort"),
+              lit("\",\"bottler="), col("bottler_sort"), lit("\"]")),
+            "dw_dt" -> col("dt")),
+          dimCols = Seq("kpi"),
+          metrics = slidingMetrics7,
+          "cocacola", "score", "kpi")
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // m_cocacola_score_kpi_bg.clj:59-70: kpi sibling WITHOUT the 全体
+    // exclusion, two-level [kpi, bottler=sort] dims, selector drops bg
+    "report_score_kpi_bg" -> ((s, dir) => {
+      val m = monthAgg(starFact(s, dir).select(scoreTapFactCols: _*)
+          .filter(col("code").isNull &&
+            col("channel") === "Total / 所有渠道" && bottlerKept),
+        scoreTapKeys)
+      Reports.slidingSelectorReport(m, scoreTapKeys, "dw_dt", "val",
+          rowFilter = lit(true),
+          derive = Seq(
+            "selector" -> concat(lit("[\"period="), col("dt"),
+              lit("\",\"bottler="), col("bottler_sort"), lit("\"]")),
+            "bottler" -> col("bottler_sort"),
+            "dw_dt" -> col("dt")),
+          dimCols = Seq("kpi", "bottler"),
+          metrics = slidingMetrics7,
+          "cocacola", "score", "kpi_bg")
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // m_cocacola_score_channel_bg.clj:59-70: the ^全体$ kpi slice
+    // across ALL channels, dims [channel, bottler=sort]
+    "report_score_channel_bg" -> ((s, dir) => {
+      val m = monthAgg(starFact(s, dir).select(scoreTapFactCols: _*)
+          .filter(col("code").isNull &&
+            col("kpi").rlike("^全体$") && bottlerKept),
+        scoreTapKeys)
+      Reports.slidingSelectorReport(m, scoreTapKeys, "dw_dt", "val",
+          rowFilter = lit(true),
+          derive = Seq(
+            "selector" -> concat(lit("[\"period="), col("dt"),
+              lit("\",\"bottler="), col("bottler_sort"), lit("\"]")),
+            "bottler" -> col("bottler_sort"),
+            "dw_dt" -> col("dt")),
+          dimCols = Seq("channel", "bottler"),
+          metrics = slidingMetrics7,
+          "cocacola", "score", "channel_bg")
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // m_cocacola_score_gt_rural.clj:62-70 — report field "GT_Rural"
+    // (verbatim capitalization): the rural score tap with the
+    // 全体/全国总体 totals-row EXCLUSION (the exact complement of
+    // report_rural_totals_filter's keep set — Cascalog's nil-to-?var
+    // mapfn drops the tuple), `button=test` selector, abbr metric
+    "report_score_gt_rural" -> ((s, dir) => {
+      val m = monthAgg(starFact(s, dir).select(
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+            .as("dw_dt"),
+          col("r_name").as("bg"),
+          when(col("n_nationkey") < 5,
+            element_at(array(Seq("China Total / 全国总体",
+              "SBL Total / 全体", "CBL Total / 全体", "BIG Total / 全体",
+              "Zhuhai Total / 全体").map(lit): _*),
+              col("n_nationkey").cast("int") + 1))
+            .otherwise(col("n_name")).as("bottler"),
+          concat(lit("A_"), col("n_nationkey").cast("string"))
+            .as("abbr"),
+          col("o_totalprice"))
+          .filter(!col("bottler").rlike("\\S*全体$") &&
+            !col("bottler").rlike("\\S*全国总体$")),
+        Seq("bg", "bottler", "abbr"))
+      Reports.slidingSelectorReport(m, Seq("bg", "bottler", "abbr"),
+          "dw_dt", "val",
+          rowFilter = lit(true),
+          derive = Seq(
+            "selector" -> concat(lit("[\"period="), col("dt"),
+              lit("\",\"button=test\"]")),
+            "dw_dt" -> col("dt")),
+          dimCols = Seq("bg", "bottler"),
+          metrics = ("abbr" -> col("abbr")) +: slidingMetrics7,
+          "cocacola", "score", "GT_Rural")
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // m_cocacola_score_gt_rural_period_bg.clj:62-70 — "GT_Rural_
+    // period_bg": the rural trend slice that KEEPS only the totals
+    // rows gt_rural excludes (the inverse suffix regex, a keep-filter
+    // this time), pinned dw_dt, dims [period, bg], channel-value
+    // selector. The synthesized tap aggregates the per-bg totals rows
+    // to one row per (bg, channel, month) so the pair-tree write is
+    // deterministic (a bg can hold several totals bottlers here).
+    "report_score_gt_rural_period_bg" -> ((s, dir) => {
+      val m = monthAgg(starFact(s, dir).select(
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+            .as("dw_dt"),
+          col("r_name").as("bg"),
+          when(col("n_nationkey") < 5,
+            element_at(array(Seq("China Total / 全国总体",
+              "SBL Total / 全体", "CBL Total / 全体", "BIG Total / 全体",
+              "Zhuhai Total / 全体").map(lit): _*),
+              col("n_nationkey").cast("int") + 1))
+            .otherwise(col("n_name")).as("bottler"),
+          col("c_mktsegment").as("channel"),
+          col("o_totalprice"))
+          .filter(col("bottler").rlike("\\S*全体$|\\S*全国总体$")),
+        Seq("bg", "channel"))
+      Reports.slidingSelectorReport(m, Seq("bg", "channel"),
+          "dw_dt", "val",
+          rowFilter = lit(true),
+          derive = Seq(
+            "selector" -> concat(lit("[\"channel="), col("channel"),
+              lit("\",\"button=test\"]")),
+            "period" -> col("dt"),
+            "dw_dt" -> lit("9999-12-31")),
+          dimCols = Seq("period", "bg"),
+          metrics = slidingMetrics7,
+          "cocacola", "score", "GT_Rural_period_bg")
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // gt_score_deep_dive_with_ko / without_ko — two TABLES, one
+    // pipeline (deepDiveKoReport scaladoc)
+    "report_deep_dive_with_ko" -> ((s, dir) =>
+      deepDiveKoReport(s, dir, "gt_score_deep_dive_with_ko",
+        withKo = true)),
+    "report_deep_dive_without_ko" -> ((s, dir) =>
+      deepDiveKoReport(s, dir, "gt_score_deep_dive_without_ko",
+        withKo = false)),
+
+    // m_cocacola_availability_rural.clj:55-62 — report field
+    // "Availability_Rural" (verbatim): no filters, THREE-level dims
+    // [product_group, product=item, channel]
+    "report_availability_rural" -> ((s, dir) => {
+      val m = monthAgg(starFact(s, dir).select(
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+            .as("dw_dt"),
+          col("r_name").as("bg"),
+          concat(lit("0."), (col("r_regionkey") + 1).cast("string"),
+            lit("_"), col("r_name")).as("bg_sort"),
+          col("n_name").as("bottler"),
+          concat(col("n_nationkey").cast("string"), lit("_"),
+            col("n_name")).as("bottler_sort"),
+          col("c_mktsegment").as("channel"),
+          concat(lit("PG"), (col("o_orderkey") % 2).cast("string"))
+            .as("product_group"),
+          concat(lit("P-"), col("o_orderpriority")).as("item"),
+          col("o_totalprice")),
+        Seq("bg", "bg_sort", "bottler", "bottler_sort", "channel",
+            "product_group", "item"))
+      Reports.slidingSelectorReport(m,
+          Seq("bg", "bg_sort", "bottler", "bottler_sort", "channel",
+              "product_group", "item"), "dw_dt", "val",
+          rowFilter = lit(true),
+          derive = Seq(
+            "selector" -> concat(lit("[\"period="), col("dt"),
+              lit("\",\"bg="), col("bg_sort"),
+              lit("\",\"bottler="), col("bottler_sort"), lit("\"]")),
+            "product" -> col("item"),
+            "dw_dt" -> col("dt")),
+          dimCols = Seq("product_group", "product", "channel"),
+          metrics = slidingMetrics7,
+          "cocacola", "score", "Availability_Rural")
+        .orderBy("dw_dt", "selector")
+    }),
+
     // the achievement-rate per-grain pair
     // (m_cocacola_score_achievement_rate.clj:43-64): two queries into
     // one sink — the base grain plus the bg-all variant that keeps only
@@ -1122,6 +1302,127 @@ object RptQueries {
   private val sparkMarketKeys = Seq("market", "bg", "bg_sort", "bottler",
     "bottler_sort", "channel", "channel_sort")
 
+  /** Spark twin of [[scoreTapCols]] — the model.d_cocacola_score tap
+    * synthesis with report_score_channel's verbatim constants (the
+    * 区域/辽宁/Tier bottler classes, the Total / 所有渠道 channel, the
+    * four code-item strings). `kpi` is item's split-first with the
+    * 产品铺货率→产品铺货 remap, written directly from the priority
+    * (equivalent on the four synthesized items). */
+  private def scoreTapFactCols: Seq[org.apache.spark.sql.Column] = Seq(
+    date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("dw_dt"),
+    col("r_name").as("bg"),
+    concat(lit("0."), (col("r_regionkey") + 1).cast("string"),
+      lit("_"), col("r_name")).as("bg_sort"),
+    when(col("n_nationkey") % 7 === 0, concat(col("n_name"), lit("区域")))
+      .when(col("n_nationkey") % 7 === 1,
+        concat(col("n_name"), lit("辽宁")))
+      .when(col("n_nationkey") % 7 === 2,
+        concat(lit("Tier"), (col("n_nationkey") % 3 + 1).cast("string")))
+      .otherwise(col("n_name")).as("bottler"),
+    concat(col("n_nationkey").cast("string"), lit("_"), col("n_name"))
+      .as("bottler_sort"),
+    when(col("c_mktsegment") === "MACHINERY", lit("Total / 所有渠道"))
+      .otherwise(col("c_mktsegment")).as("channel"),
+    when(col("o_orderkey") % 10 === 0, lit("X"))
+      .otherwise(lit(null).cast("string")).as("code"),
+    when(col("o_orderpriority") === "1-URGENT", lit("单品分销"))
+      .when(col("o_orderpriority") === "2-HIGH", lit("产品铺货"))
+      .when(col("o_orderpriority") === "3-MEDIUM", lit("全体"))
+      .otherwise(lit("冰柜纯净度")).as("kpi"),
+    col("o_totalprice"))
+
+  private val scoreTapKeys =
+    Seq("bg", "bg_sort", "bottler", "bottler_sort", "channel", "kpi")
+
+  private def bottlerKept = !col("bottler").rlike("\\S*区域$") &&
+    !col("bottler").rlike("\\S*辽宁$") && !col("bottler").rlike("Tier\\d")
+
+  /** The gt_score_deep_dive tap twins (m_cocacola_gt_score_deep_dive_
+    * with_ko.clj:39-46 / without_ko.clj:39-46 — byte-identical
+    * pipelines over two different TABLES; the synthesized without_ko
+    * tap drops the 1-URGENT item class to model the narrower table):
+    * a straight pivot with the item's get-item-json-string payload as
+    * the dim KEY (escaped by pairTreeToJson), dims [item, period],
+    * one `value` metric, pinned dw_dt, selector [bg, bottler] sorts.
+    * A NULL p_item renders as "" — the reference's (str nil) quirk. */
+  private def deepDiveKoReport(s: SparkSession, dir: String,
+      report: String, withKo: Boolean): DataFrame = {
+    val base = starFact(s, dir)
+      .select(
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+          .as("dt"),
+        concat(lit("0."), (col("r_regionkey") + 1).cast("string"),
+          lit("_"), col("r_name")).as("bg_sort"),
+        concat(col("n_nationkey").cast("string"), lit("_"),
+          col("n_name")).as("bottler_sort"),
+        col("o_orderpriority").as("item"),
+        when(col("o_orderstatus") === "O", lit(null).cast("string"))
+          .otherwise(concat(lit("P-"), col("o_orderstatus")))
+          .as("p_item"),
+        substring(col("o_orderpriority"), 1, 1).as("item_order"),
+        ascii(substring(col("o_orderstatus"), 1, 1)).as("item_weight"),
+        length(col("o_orderpriority")).as("total_score"),
+        col("o_totalprice"))
+      .filter(if (withKo) lit(true) else col("item") =!= "1-URGENT")
+    val m = base
+      .groupBy("bg_sort", "bottler_sort", "item", "p_item",
+        "item_order", "item_weight", "total_score", "dt")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)").cast("string").as("val"))
+    val withSel = m
+      .withColumn("item_json",
+        concat(lit("{\"item_name\":\""), col("item"),
+          lit("\",\"p_item\":\""), coalesce(col("p_item"), lit("")),
+          lit("\",\"c_sort\":"), col("item_order"),
+          lit(",\"c_weight\":"), col("item_weight"),
+          lit(",\"c_total_score\":"), col("total_score"), lit("}")))
+      .withColumn("item", col("item_json"))
+      .withColumn("selector", concat(lit("[\"bg="), col("bg_sort"),
+        lit("\",\"bottler="), col("bottler_sort"), lit("\"]")))
+      .withColumn("dw_dt", lit("9999-12-31"))
+      .withColumn("period", col("dt"))
+    Relational.reportShape(withSel, Seq("dw_dt", "selector"),
+        Seq("item", "period"), Seq("value" -> col("val")))
+      .withColumnRenamed("report", "dimension_metrics")
+      .select(col("dw_dt"), lit("cocacola").as("project"),
+        lit("score").as("category"), lit(report).as("report"),
+        col("selector"), lit("").as("selector_desc"),
+        col("dimension_metrics"))
+      .orderBy("dw_dt", "selector")
+  }
+
+  /** Oracle twin of [[deepDiveKoReport]]. */
+  private def deepDiveKoOracleSql(report: String,
+      withKo: Boolean): String =
+    slidingOracleSql(report,
+      """strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS dt,
+             '0.' || CAST(r_regionkey + 1 AS VARCHAR) || '_' || r_name
+               AS bg_sort,
+             CAST(n_nationkey AS VARCHAR) || '_' || n_name
+               AS bottler_sort,
+             o_orderpriority AS item,
+             CASE WHEN o_orderstatus = 'O' THEN NULL
+                  ELSE 'P-' || o_orderstatus END AS p_item,
+             substr(o_orderpriority, 1, 1) AS item_order,
+             ascii(substr(o_orderstatus, 1, 1)) AS item_weight,
+             length(o_orderpriority) AS total_score,
+             o_totalprice""",
+      mKeys = Seq("bg_sort", "bottler_sort", "item", "p_item",
+        "item_order", "item_weight", "total_score"),
+      where = if (withKo) "TRUE" else "item <> '1-URGENT'",
+      selectorSql = """'["bg=' || bg_sort || '","bottler='
+               || bottler_sort || '"]'""",
+      dims = Seq(
+        "item" -> """('{"item_name":"' || item || '","p_item":"'
+               || coalesce(p_item, '') || '","c_sort":' || item_order
+               || ',"c_weight":' || item_weight
+               || ',"c_total_score":' || total_score || '}')""",
+        "period" -> "dt"),
+      metrics = Seq("value" -> "score"),
+      pinnedDwDt = Some("9999-12-31"),
+      escapeDims = Set("item"))
+
   /** The score-tap straight pivot shared by report_by_bg /
     * report_bottler_tier (m_cocacola_score_by_bg.clj:35-42 and
     * m_cocacola_score_tier.clj:35-42 are byte-twins except report name
@@ -1184,12 +1485,17 @@ object RptQueries {
     * (name, value-SQL-over-s) — wrap string-valued metrics in
     * to_json(...); `pinnedDwDt` pins the output dw_dt (trend reports)
     * vs None = the axis month; `extraMAggs` appends extra aggregate
-    * columns to m (e.g. a count the report emits as a metric). */
+    * columns to m (e.g. a count the report emits as a metric);
+    * `escapeDims` names dim keys whose VALUES contain JSON (the
+    * deep-dive item payload) — their rendered key goes through
+    * to_json, exactly as pairTreeToJson escapes it, while the sort
+    * stays on the raw key string. */
   private def slidingOracleSql(report: String, baseCols: String,
       mKeys: Seq[String], where: String, selectorSql: String,
       dims: Seq[(String, String)], metrics: Seq[(String, String)],
       pinnedDwDt: Option[String] = None,
-      extraMAggs: String = ""): String = {
+      extraMAggs: String = "",
+      escapeDims: Set[String] = Set.empty): String = {
     val lagJoin = (a: String, dtExpr: String) =>
       s"""LEFT JOIN m $a ON ${
         mKeys.map(k => s"$a.$k = a.$k").mkString("\n             AND ")}
@@ -1204,13 +1510,17 @@ object RptQueries {
     // one aggregation level per dim, innermost (last) first; the child
     // of level i is the braced node of level i+1, or the leaf itself
     val k = dims.length
+    def keyedChild(i: Int, child: String): String =
+      if (escapeDims.contains(dims(i)._1))
+        s"""to_json('${dims(i)._1}=' || __d$i) || ':' || $child"""
+      else s"""'"${dims(i)._1}=' || __d$i || '":' || $child"""
     val levels = (k - 1) to 1 by -1
     val aggCtes = levels.map { i =>
       val child = if (i == k - 1) "leaf" else "'{' || node || '}'"
       val carried = (0 until i).map(j => s"__d$j").mkString(", ")
       val carriedSel = if (carried.isEmpty) "" else s"$carried,"
       s"""n$i AS (SELECT $grpCols, $carriedSel
-             string_agg('"${dims(i)._1}=' || __d$i || '":' || $child,
+             string_agg(${keyedChild(i, child)},
                ',' ORDER BY CAST(__d$i AS VARCHAR)) AS node
            FROM ${if (i == k - 1) "leafed" else s"n${i + 1}"}
            GROUP BY $grpCols${if (carried.isEmpty) "" else s", $carried"})"""
@@ -1259,8 +1569,8 @@ object RptQueries {
          SELECT $dwDtOut AS dw_dt, 'cocacola' AS project,
            'score' AS category, '$report' AS report, selector,
            '' AS selector_desc,
-           '{' || string_agg('"${dims.head._1}=' || __d0 || '":'
-             || $topChild, ',' ORDER BY CAST(__d0 AS VARCHAR)) || '}'
+           '{' || string_agg(${keyedChild(0, topChild)},
+             ',' ORDER BY CAST(__d0 AS VARCHAR)) || '}'
              AS dimension_metrics
          FROM $topFrom GROUP BY $grpCols
          ORDER BY dw_dt, selector"""
@@ -1351,6 +1661,37 @@ object RptQueries {
 
   private val selectorPeriodChannel =
     """'["period=' || dt || '","channel=' || channel_sort || '"]'"""
+
+  /** Oracle twin of [[scoreTapFactCols]]. */
+  private val scoreTapCols =
+    """strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS dt,
+             r_name AS bg,
+             '0.' || CAST(r_regionkey + 1 AS VARCHAR) || '_' || r_name
+               AS bg_sort,
+             CASE WHEN n_nationkey % 7 = 0 THEN n_name || '区域'
+                  WHEN n_nationkey % 7 = 1 THEN n_name || '辽宁'
+                  WHEN n_nationkey % 7 = 2
+                    THEN 'Tier' || CAST(n_nationkey % 3 + 1 AS VARCHAR)
+                  ELSE n_name END AS bottler,
+             CAST(n_nationkey AS VARCHAR) || '_' || n_name
+               AS bottler_sort,
+             CASE WHEN c_mktsegment = 'MACHINERY' THEN 'Total / 所有渠道'
+                  ELSE c_mktsegment END AS channel,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'X' END AS code,
+             CASE o_orderpriority
+                  WHEN '1-URGENT' THEN '单品分销'
+                  WHEN '2-HIGH' THEN '产品铺货'
+                  WHEN '3-MEDIUM' THEN '全体'
+                  ELSE '冰柜纯净度' END AS kpi,
+             o_totalprice"""
+
+  private val scoreTapOracleKeys =
+    Seq("bg", "bg_sort", "bottler", "bottler_sort", "channel", "kpi")
+
+  private val bottlerKeptSql =
+    """NOT regexp_matches(bottler, '\S*区域$')
+             AND NOT regexp_matches(bottler, '\S*辽宁$')
+             AND NOT regexp_matches(bottler, 'Tier\d')"""
 
   val oracles: Map[String, String] = Map(
     "report_rural_totals_filter" ->
@@ -1724,6 +2065,99 @@ object RptQueries {
     "report_by_bg" -> scorePivotOracleSql("kpi", "report_by_bg"),
     "report_bottler_tier" ->
       scorePivotOracleSql("facts", "by_bottler_tier"),
+    "report_score_kpi" -> slidingOracleSql("kpi",
+      scoreTapCols,
+      mKeys = scoreTapOracleKeys,
+      where = s"""code IS NULL AND channel = 'Total / 所有渠道'
+             AND kpi <> '全体' AND $bottlerKeptSql""",
+      selectorSql = """'["period=' || dt || '","bg=' || bg_sort
+               || '","bottler=' || bottler_sort || '"]'""",
+      dims = Seq("kpi" -> "kpi"),
+      metrics = lag7),
+    "report_score_kpi_bg" -> slidingOracleSql("kpi_bg",
+      scoreTapCols,
+      mKeys = scoreTapOracleKeys,
+      where = s"""code IS NULL AND channel = 'Total / 所有渠道'
+             AND $bottlerKeptSql""",
+      selectorSql = """'["period=' || dt || '","bottler='
+               || bottler_sort || '"]'""",
+      dims = Seq("kpi" -> "kpi", "bottler" -> "bottler_sort"),
+      metrics = lag7),
+    "report_score_channel_bg" -> slidingOracleSql("channel_bg",
+      scoreTapCols,
+      mKeys = scoreTapOracleKeys,
+      where = s"""code IS NULL AND regexp_matches(kpi, '^全体$$')
+             AND $bottlerKeptSql""",
+      selectorSql = """'["period=' || dt || '","bottler='
+               || bottler_sort || '"]'""",
+      dims = Seq("channel" -> "channel", "bottler" -> "bottler_sort"),
+      metrics = lag7),
+    "report_score_gt_rural" -> slidingOracleSql("GT_Rural",
+      """strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS dt,
+             r_name AS bg,
+             CASE CAST(n_nationkey AS INT)
+                  WHEN 0 THEN 'China Total / 全国总体'
+                  WHEN 1 THEN 'SBL Total / 全体'
+                  WHEN 2 THEN 'CBL Total / 全体'
+                  WHEN 3 THEN 'BIG Total / 全体'
+                  WHEN 4 THEN 'Zhuhai Total / 全体'
+                  ELSE n_name END AS bottler,
+             'A_' || CAST(n_nationkey AS VARCHAR) AS abbr,
+             o_totalprice""",
+      mKeys = Seq("bg", "bottler", "abbr"),
+      where = """NOT regexp_matches(bottler, '\S*全体$')
+             AND NOT regexp_matches(bottler, '\S*全国总体$')""",
+      selectorSql = """'["period=' || dt || '","button=test"]'""",
+      dims = Seq("bg" -> "bg", "bottler" -> "bottler"),
+      metrics = ("abbr" -> "to_json(abbr)") +: lag7),
+    "report_score_gt_rural_period_bg" ->
+      slidingOracleSql("GT_Rural_period_bg",
+        """strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS dt,
+             r_name AS bg,
+             CASE CAST(n_nationkey AS INT)
+                  WHEN 0 THEN 'China Total / 全国总体'
+                  WHEN 1 THEN 'SBL Total / 全体'
+                  WHEN 2 THEN 'CBL Total / 全体'
+                  WHEN 3 THEN 'BIG Total / 全体'
+                  WHEN 4 THEN 'Zhuhai Total / 全体'
+                  ELSE n_name END AS bottler,
+             c_mktsegment AS channel,
+             o_totalprice""",
+        mKeys = Seq("bg", "channel"),
+        where = """regexp_matches(bottler, '\S*全体$|\S*全国总体$')""",
+        selectorSql =
+          """'["channel=' || channel || '","button=test"]'""",
+        dims = Seq("period" -> "dt", "bg" -> "bg"),
+        metrics = lag7,
+        pinnedDwDt = Some("9999-12-31")),
+    "report_deep_dive_with_ko" ->
+      deepDiveKoOracleSql("gt_score_deep_dive_with_ko", withKo = true),
+    "report_deep_dive_without_ko" ->
+      deepDiveKoOracleSql("gt_score_deep_dive_without_ko",
+        withKo = false),
+    "report_availability_rural" -> slidingOracleSql("Availability_Rural",
+      """strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS dt,
+             r_name AS bg,
+             '0.' || CAST(r_regionkey + 1 AS VARCHAR) || '_' || r_name
+               AS bg_sort,
+             n_name AS bottler,
+             CAST(n_nationkey AS VARCHAR) || '_' || n_name
+               AS bottler_sort,
+             c_mktsegment AS channel,
+             'PG' || CAST(o_orderkey % 2 AS VARCHAR) AS product_group,
+             'P-' || o_orderpriority AS item,
+             o_totalprice""",
+      mKeys = Seq("bg", "bg_sort", "bottler", "bottler_sort", "channel",
+        "product_group", "item"),
+      where = "TRUE",
+      selectorSql = """'["period=' || dt || '","bg=' || bg_sort
+               || '","bottler=' || bottler_sort || '"]'""",
+      dims = Seq("product_group" -> "product_group",
+        "product" -> "item", "channel" -> "channel"),
+      metrics = lag7),
     "report_activation_brand" -> slidingOracleSql("activation_brand",
       marketBaseCols + """,
              CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
