@@ -914,6 +914,134 @@ object RptQueries {
         .orderBy("dw_dt", "selector")
     }),
 
+    // m_cocacola_score_period.clj:59-95 — the trgx composition
+    // (kv->trgx attach → take-last 3 → split-at 4 → PATH/SUBTREE →
+    // pad 4 "TOTAL"): its net effect is the periodPathConfig node-id
+    // lookup (the tree ops themselves are pinned by trgx_tree_ops /
+    // report_opportunity); then the verbatim path filters, the
+    // 全体-Total kpi split-first remap, dims [bottler=sort, period],
+    // the 7-metric leaf incl. the config's c_total_score/c_weight and
+    // the group's numeric max_value, pinned dw_dt
+    "report_score_period" -> ((s, dir) => {
+      val joined = periodSliding(s, dir)
+        .withColumn("selector",
+          concat(lit("[\"channel="), col("cfg_channel"),
+            lit("\",\"kpi="), col("kpis"),
+            lit("\",\"metrics="), col("cfg_metrics"),
+            lit("\",\"bottler="), col("bottler_sort"), lit("\"]")))
+        .withColumn("dw_dt", lit("9999-12-31"))
+        .withColumn("period", col("dt"))
+        .withColumn("bottler", col("bottler_sort"))
+      Relational.reportShape(joined, Seq("dw_dt", "selector"),
+          Seq("bottler", "period"), periodMetrics)
+        .withColumnRenamed("report", "dimension_metrics")
+        .select(col("dw_dt"), lit("cocacola").as("project"),
+          lit("score").as("category"), lit("period").as("report"),
+          col("selector"), lit("").as("selector_desc"),
+          col("dimension_metrics"))
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // m_cocacola_score_period_months.clj:71-105 — same composition,
+    // selector [bg, bottler, channel, kpi, metrics], dims
+    // [year=substr(dt,1,4), period]
+    "report_score_period_months" -> ((s, dir) => {
+      val joined = periodSliding(s, dir)
+        .withColumn("selector",
+          concat(lit("[\"bg="), col("bg_sort"),
+            lit("\",\"bottler="), col("bottler_sort"),
+            lit("\",\"channel="), col("cfg_channel"),
+            lit("\",\"kpi="), col("kpis"),
+            lit("\",\"metrics="), col("cfg_metrics"), lit("\"]")))
+        .withColumn("dw_dt", lit("9999-12-31"))
+        .withColumn("year", substring(col("dt"), 1, 4))
+        .withColumn("period", col("dt"))
+      Relational.reportShape(joined, Seq("dw_dt", "selector"),
+          Seq("year", "period"), periodMetrics)
+        .withColumnRenamed("report", "dimension_metrics")
+        .select(col("dw_dt"), lit("cocacola").as("project"),
+          lit("score").as("category"),
+          lit("period_months").as("report"),
+          col("selector"), lit("").as("selector_desc"),
+          col("dimension_metrics"))
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // m_cocacola_score_bottler_ranking.clj:63-85 — same composition,
+    // NOT pinned (dw_dt = the axis month), dims [bg=bg_sort,
+    // bottler=NAME], metrics drop the yoy lag and add abbr
+    "report_score_bottler_ranking" -> ((s, dir) => {
+      val joined = periodSliding(s, dir)
+        .withColumn("selector",
+          concat(lit("[\"period="), col("dt"),
+            lit("\",\"channel="), col("cfg_channel"),
+            lit("\",\"kpi="), col("kpis"),
+            lit("\",\"metrics="), col("cfg_metrics"), lit("\"]")))
+        .withColumn("dw_dt", col("dt"))
+        .withColumn("bg", col("bg_sort"))
+      Relational.reportShape(joined, Seq("dw_dt", "selector"),
+          Seq("bg", "bottler"),
+          Seq("c_total_score" -> col("c_total_score"),
+            "c_weight" -> col("c_weight"),
+            "value" -> col("value"),
+            "pp_value" -> col("prev_mom"),
+            "last_dec_value" -> col("prev_ytd"),
+            "abbr" -> col("bottler_sort")))
+        .withColumnRenamed("report", "dimension_metrics")
+        .select(col("dw_dt"), lit("cocacola").as("project"),
+          lit("score").as("category"),
+          lit("bottler_ranking").as("report"),
+          col("selector"), lit("").as("selector_desc"),
+          col("dimension_metrics"))
+        .orderBy("dw_dt", "selector")
+    }),
+
+    // m_cocacola_score_channel_metrics_opportunity.clj:65-78 — the
+    // latest-trgx-kpi composition (leaf-trunc 1 → (channel, metrics)
+    // paths, nullable abbreviation in the node DATA, the verbatim
+    // hyphenated `last-dec-value` metric key), dims [metrics],
+    // selector [period, bg, bottler]
+    "report_channel_metrics_opportunity" -> ((s, dir) => {
+      val m = scoreFact(s, dir)
+        .groupBy("bg", "bottler", "bg_sort", "bottler_sort", "code",
+                 "item", "dw_dt")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("val"))
+      val rng = m.agg(min("dw_dt"), max("dw_dt")).first()
+      val sliding = Relational.slidingScores(m, periodMKeys, "dw_dt",
+        "val", rng.getString(0), rng.getString(1))
+      val cfg = {
+        import s.implicits._
+        cmPathConfig.map(r => (r._1, r._2, r._3, r._4.orNull, r._5,
+            r._6))
+          .toDF("code", "cm_channel", "cm_metrics", "abbreviation",
+            "c_total_score", "c_weight")
+      }
+      val joined = sliding.join(broadcast(cfg), Seq("code"))
+        .withColumn("selector",
+          concat(lit("[\"period="), col("dt"),
+            lit("\",\"bg="), col("bg_sort"),
+            lit("\",\"bottler="), col("bottler_sort"), lit("\"]")))
+        .withColumn("dw_dt", col("dt"))
+        .withColumn("metrics", col("cm_metrics"))
+      Relational.reportShape(joined, Seq("dw_dt", "selector"),
+          Seq("metrics"),
+          Seq("channel" -> col("cm_channel"),
+            "c_total_score" -> col("c_total_score"),
+            "c_weight" -> col("c_weight"),
+            "abbreviation" -> col("abbreviation"),
+            "value" -> col("value"),
+            "pp_value" -> col("prev_mom"),
+            "last-dec-value" -> col("prev_ytd")))
+        .withColumnRenamed("report", "dimension_metrics")
+        .select(col("dw_dt"), lit("cocacola").as("project"),
+          lit("score").as("category"),
+          lit("channel_metrics_opportunity").as("report"),
+          col("selector"), lit("").as("selector_desc"),
+          col("dimension_metrics"))
+        .orderBy("dw_dt", "selector")
+    }),
+
     // gt_score_deep_dive_with_ko / without_ko — two TABLES, one
     // pipeline (deepDiveKoReport scaladoc)
     "report_deep_dive_with_ko" -> ((s, dir) =>
@@ -1337,6 +1465,136 @@ object RptQueries {
   private def bottlerKept = !col("bottler").rlike("\\S*区域$") &&
     !col("bottler").rlike("\\S*辽宁$") && !col("bottler").rlike("Tier\\d")
 
+  /** Driver-held KPI-path config for the trgx-composition reports
+    * (m_cocacola_score_period.clj:66-74 and siblings): the reference
+    * attaches the score kv to conf.trgx_cocacola (kv->trgx), takes the
+    * last 3 levels, splits at depth 4, and reads each node's PATH back
+    * as (channel, kpi, metrics) with `pad 4 "TOTAL"` plus the config's
+    * own c_total_score/c_weight DATA — a tree round-trip whose net
+    * effect is THIS node-id lookup. Rows cover every filter the
+    * reports must prove: a Total-channel kpi the 全体-Total
+    * split-first remap rewrites, one kpi from the verbatim five-entry
+    * exclusion set, a depth-3 node whose metrics slot pads to
+    * "TOTAL" (kept), and a depth-1 node whose channel pads to
+    * "TOTAL" (dropped). */
+  private val periodPathConfig
+      : Seq[(String, String, String, String, Int, Int)] = Seq(
+    ("1", "全体-Total / 所有渠道", "单品分销-整体", "WTD", 100, 10),
+    ("2", "全体-Total / 所有渠道", "全体-HMKT / 大卖场", "WTD", 90, 9),
+    ("3", "全体-MT / 现代渠道", "冰柜纯净度-纯净度", "MTD", 60, 6),
+    ("4", "全体-MT / 现代渠道", "产品铺货率-整体", "TOTAL", 40, 4),
+    ("5", "TOTAL", "TOTAL", "TOTAL", 0, 0))
+
+  /** The verbatim kpi exclusion set (m_cocacola_score_period.clj:70). */
+  private val periodKpiExclude = Seq("全体-HMKT / 大卖场",
+    "全体-SMKT / 超市", "全体-GT / 传统食杂",
+    "全体-E&D M/H / 中高档餐饮", "全体-E&D Trad / 传统餐饮")
+
+  private val periodCfgValuesSql = periodPathConfig.map { case (c, ch, k, mt, ts, w) =>
+    s"('$c', '$ch', '$k', '$mt', $ts, $w)"
+  }.mkString(",\n             ")
+
+  private val periodKpiExcludeSql =
+    periodKpiExclude.map(k => s"'$k'").mkString(", ")
+
+  /** Oracle base for the score_period family — [[scoreFact]]'s twin. */
+  private val periodBaseCols =
+    """strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS dt,
+             r_name AS bg,
+             n_name AS bottler,
+             '0.' || CAST(r_regionkey + 1 AS VARCHAR) || '_' || r_name
+               AS bg_sort,
+             CAST(n_nationkey AS VARCHAR) || '_' || n_name
+               AS bottler_sort,
+             substr(o_orderpriority, 1, 1) AS code,
+             o_orderpriority AS item,
+             o_totalprice"""
+
+  private val periodMKeys =
+    Seq("bg", "bottler", "bg_sort", "bottler_sort", "code", "item")
+
+  /** The shared post-m CTEs: the config VALUES table and the per-group
+    * numeric max (slidingScores' max_value twin, DECIMAL(28,3)
+    * rendering). */
+  private val periodPostMCtes =
+    s"""cfg(code, cfg_channel, cfg_kpi, cfg_metrics,
+             c_total_score, c_weight) AS (VALUES
+             $periodCfgValuesSql),
+         mx AS (SELECT bg, bottler, bg_sort, bottler_sort, code, item,
+             CAST(CAST(max(val) AS DECIMAL(28,3)) AS VARCHAR) AS mval
+           FROM m GROUP BY 1, 2, 3, 4, 5, 6)"""
+
+  private val periodSJoins =
+    """JOIN cfg ON cfg.code = a.code
+           JOIN mx ON mx.bg = a.bg AND mx.bottler = a.bottler
+             AND mx.code = a.code AND mx.item = a.item"""
+
+  private val periodSExtraCols = """
+             cfg.cfg_channel, cfg.cfg_kpi, cfg.cfg_metrics,
+             cfg.c_total_score, cfg.c_weight, mx.mval AS max_value,
+             CASE WHEN cfg.cfg_channel = '全体-Total / 所有渠道'
+                  THEN string_split(cfg.cfg_kpi, '-')[1]
+                  ELSE cfg.cfg_kpi END AS kpis,"""
+
+  private val periodSWhere =
+    s"cfg_channel <> 'TOTAL' AND cfg_kpi NOT IN ($periodKpiExcludeSql)"
+
+  /** Spark side of the score_period composition: sliding over the
+    * score fact, the broadcast config-path lookup standing in for the
+    * kv->trgx round-trip (the tree ops themselves are covered by
+    * trgx_tree_ops / report_opportunity), the verbatim path filters,
+    * and the [bottler=sort, period] pair-tree. */
+  private def periodSliding(s: SparkSession, dir: String): DataFrame = {
+    val m = scoreFact(s, dir)
+      .groupBy("bg", "bottler", "bg_sort", "bottler_sort", "code",
+               "item", "dw_dt")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)").cast("string").as("val"))
+    val rng = m.agg(min("dw_dt"), max("dw_dt")).first()
+    val sliding = Relational.slidingScores(m, periodMKeys, "dw_dt",
+      "val", rng.getString(0), rng.getString(1))
+    val cfg = {
+      import s.implicits._
+      periodPathConfig.toDF("code", "cfg_channel", "cfg_kpi",
+        "cfg_metrics", "c_total_score", "c_weight")
+    }
+    sliding.join(broadcast(cfg), Seq("code"))
+      .filter(col("cfg_channel") =!= "TOTAL" &&
+        !col("cfg_kpi").isin(periodKpiExclude: _*))
+      .withColumn("kpis",
+        when(col("cfg_channel") === "全体-Total / 所有渠道",
+          element_at(split(col("cfg_kpi"), "-"), 1))
+          .otherwise(col("cfg_kpi")))
+  }
+
+  private val periodMetrics: Seq[(String, org.apache.spark.sql.Column)] =
+    Seq(
+      "c_total_score" -> col("c_total_score"),
+      "c_weight" -> col("c_weight"),
+      "value" -> col("value"),
+      "max_value" -> col("max_value").cast("string"),
+      "pp_value" -> col("prev_mom"),
+      "last_dec_value" -> col("prev_ytd"),
+      "last_year_same_month_score" -> col("prev_yoy"))
+
+  /** channel_metrics_opportunity's OWN config (latest-trgx-kpi,
+    * leaf-trunc 1 → 2-level (channel, metrics) paths; the node DATA
+    * carries a nullable abbreviation). Metrics labels are unique per
+    * node — two nodes sharing a label would collide in the one-level
+    * [metrics] pair-tree. */
+  private val cmPathConfig
+      : Seq[(String, String, String, Option[String], Int, Int)] = Seq(
+    ("1", "全体-Total / 所有渠道", "M1", Some("AB1"), 100, 10),
+    ("2", "全体-HMKT / 大卖场", "M2", Some("AB2"), 90, 9),
+    ("3", "全体-MT / 现代渠道", "M3", None, 60, 6),
+    ("4", "全体-GT / 传统食杂", "M4", Some("AB4"), 40, 4),
+    ("5", "全体-E&D", "M5", Some("AB5"), 20, 2))
+
+  private val cmCfgValuesSql = cmPathConfig.map {
+    case (c, ch, mt, ab, ts, w) =>
+      s"('$c', '$ch', '$mt', ${ab.map(a => s"'$a'").getOrElse("NULL")}, $ts, $w)"
+  }.mkString(",\n             ")
+
   /** The gt_score_deep_dive tap twins (m_cocacola_gt_score_deep_dive_
     * with_ko.clj:39-46 / without_ko.clj:39-46 — byte-identical
     * pipelines over two different TABLES; the synthesized without_ko
@@ -1489,13 +1747,24 @@ object RptQueries {
     * `escapeDims` names dim keys whose VALUES contain JSON (the
     * deep-dive item payload) — their rendered key goes through
     * to_json, exactly as pairTreeToJson escapes it, while the sort
-    * stays on the raw key string. */
+    * stays on the raw key string.
+    *
+    * The trgx-composition reports additionally thread a driver-held
+    * config through the pipeline: `postMCtes` appends CTEs after m
+    * (a config VALUES table, a per-group max), `sJoins`/`sExtraCols`
+    * extend the lag-join stage with those lookups, and `sWhere`
+    * filters the joined rows (the reference's post-attach path
+    * filters) before the leaf render. */
   private def slidingOracleSql(report: String, baseCols: String,
       mKeys: Seq[String], where: String, selectorSql: String,
       dims: Seq[(String, String)], metrics: Seq[(String, String)],
       pinnedDwDt: Option[String] = None,
       extraMAggs: String = "",
-      escapeDims: Set[String] = Set.empty): String = {
+      escapeDims: Set[String] = Set.empty,
+      postMCtes: String = "",
+      sJoins: String = "",
+      sExtraCols: String = "",
+      sWhere: String = "TRUE"): String = {
     val lagJoin = (a: String, dtExpr: String) =>
       s"""LEFT JOIN m $a ON ${
         mKeys.map(k => s"$a.$k = a.$k").mkString("\n             AND ")}
@@ -1539,8 +1808,9 @@ object RptQueries {
                AS DECIMAL(38,2)) AS val$extraMAggs
            FROM base
            WHERE $where
-           GROUP BY ${(1 to mKeys.length + 1).mkString(", ")}),
-         s AS (SELECT a.*,
+           GROUP BY ${(1 to mKeys.length + 1).mkString(", ")})${
+             if (postMCtes.isEmpty) "" else s",\n         $postMCtes"},
+         s AS (SELECT a.*,$sExtraCols
              CAST(a.val AS VARCHAR) AS score,
              CAST(mom.val AS VARCHAR) AS pp_score,
              CAST(CAST(a.val - mom.val AS DECIMAL(28,3)) AS VARCHAR)
@@ -1560,12 +1830,14 @@ object RptQueries {
                CAST(a.dt AS DATE)) - INTERVAL 1 MONTH), '%Y-%m-%d')""")}
            ${lagJoin("yoy",
              """strftime(last_day(CAST(a.dt AS DATE)
-               - INTERVAL 12 MONTH), '%Y-%m-%d')""")}),
+               - INTERVAL 12 MONTH), '%Y-%m-%d')""")}
+           $sJoins),
          leafed AS (SELECT dt, $selectorSql AS selector, $dimAliases,
              '{' || array_to_string(list_filter([
                  $metricList],
                x -> x IS NOT NULL), ',') || '}' AS leaf
-           FROM s)${if (aggCtes.isEmpty) "" else s",\n         $aggCtes"}
+           FROM s WHERE $sWhere)${
+             if (aggCtes.isEmpty) "" else s",\n         $aggCtes"}
          SELECT $dwDtOut AS dw_dt, 'cocacola' AS project,
            'score' AS category, '$report' AS report, selector,
            '' AS selector_desc,
@@ -2132,6 +2404,81 @@ object RptQueries {
         dims = Seq("period" -> "dt", "bg" -> "bg"),
         metrics = lag7,
         pinnedDwDt = Some("9999-12-31")),
+    "report_score_period" -> slidingOracleSql("period",
+      periodBaseCols,
+      mKeys = periodMKeys,
+      where = "TRUE",
+      selectorSql = """'["channel=' || cfg_channel || '","kpi='
+               || kpis || '","metrics=' || cfg_metrics
+               || '","bottler=' || bottler_sort || '"]'""",
+      dims = Seq("bottler" -> "bottler_sort", "period" -> "dt"),
+      metrics = Seq("c_total_score" -> "c_total_score",
+        "c_weight" -> "c_weight", "value" -> "score",
+        "max_value" -> "max_value", "pp_value" -> "pp_score",
+        "last_dec_value" -> "last_dec_score",
+        "last_year_same_month_score" -> "last_year_same_month_score"),
+      pinnedDwDt = Some("9999-12-31"),
+      postMCtes = periodPostMCtes,
+      sJoins = periodSJoins,
+      sExtraCols = periodSExtraCols,
+      sWhere = periodSWhere),
+    "report_score_period_months" -> slidingOracleSql("period_months",
+      periodBaseCols,
+      mKeys = periodMKeys,
+      where = "TRUE",
+      selectorSql = """'["bg=' || bg_sort || '","bottler='
+               || bottler_sort || '","channel=' || cfg_channel
+               || '","kpi=' || kpis || '","metrics=' || cfg_metrics
+               || '"]'""",
+      dims = Seq("year" -> "substr(dt, 1, 4)", "period" -> "dt"),
+      metrics = Seq("c_total_score" -> "c_total_score",
+        "c_weight" -> "c_weight", "value" -> "score",
+        "max_value" -> "max_value", "pp_value" -> "pp_score",
+        "last_dec_value" -> "last_dec_score",
+        "last_year_same_month_score" -> "last_year_same_month_score"),
+      pinnedDwDt = Some("9999-12-31"),
+      postMCtes = periodPostMCtes,
+      sJoins = periodSJoins,
+      sExtraCols = periodSExtraCols,
+      sWhere = periodSWhere),
+    "report_score_bottler_ranking" -> slidingOracleSql("bottler_ranking",
+      periodBaseCols,
+      mKeys = periodMKeys,
+      where = "TRUE",
+      selectorSql = """'["period=' || dt || '","channel='
+               || cfg_channel || '","kpi=' || kpis || '","metrics='
+               || cfg_metrics || '"]'""",
+      dims = Seq("bg" -> "bg_sort", "bottler" -> "bottler"),
+      metrics = Seq("abbr" -> "to_json(bottler_sort)",
+        "c_total_score" -> "c_total_score", "c_weight" -> "c_weight",
+        "value" -> "score", "pp_value" -> "pp_score",
+        "last_dec_value" -> "last_dec_score"),
+      postMCtes = periodPostMCtes,
+      sJoins = periodSJoins,
+      sExtraCols = periodSExtraCols,
+      sWhere = periodSWhere),
+    "report_channel_metrics_opportunity" ->
+      slidingOracleSql("channel_metrics_opportunity",
+        periodBaseCols,
+        mKeys = periodMKeys,
+        where = "TRUE",
+        selectorSql = """'["period=' || dt || '","bg=' || bg_sort
+               || '","bottler=' || bottler_sort || '"]'""",
+        dims = Seq("metrics" -> "cm_metrics"),
+        metrics = Seq("channel" -> "to_json(cm_channel)",
+          "c_total_score" -> "c_total_score",
+          "c_weight" -> "c_weight",
+          "abbreviation" -> ("""CASE WHEN abbreviation IS NULL
+               THEN NULL ELSE to_json(abbreviation) END"""),
+          "value" -> "score", "pp_value" -> "pp_score",
+          "last-dec-value" -> "last_dec_score"),
+        postMCtes = s"""cfg(code, cm_channel, cm_metrics, abbreviation,
+             c_total_score, c_weight) AS (VALUES
+             $cmCfgValuesSql)""",
+        sJoins = "JOIN cfg ON cfg.code = a.code",
+        sExtraCols = """
+             cfg.cm_channel, cfg.cm_metrics, cfg.abbreviation,
+             cfg.c_total_score, cfg.c_weight,"""),
     "report_deep_dive_with_ko" ->
       deepDiveKoOracleSql("gt_score_deep_dive_with_ko", withKo = true),
     "report_deep_dive_without_ko" ->
