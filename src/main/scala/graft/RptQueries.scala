@@ -249,25 +249,9 @@ object RptQueries {
     // sku_type == "6 SKU", selector [period, channel=channel_sort],
     // dims [bg, bottler], metrics = 7 sliding + abbr(bottler_sort)
     "report_sku6_bottler" -> ((s, dir) => {
-      val base = starFact(s, dir)
-      val m = base.select(
-          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
-            .as("dw_dt"),
-          col("r_name").as("bg"),
-          when(col("n_nationkey") % 6 === 0, lit("Total"))
-            .otherwise(col("n_name")).as("bottler"),
-          when(col("n_nationkey") % 6 === 0, lit("99_Total"))
-            .otherwise(concat(col("n_nationkey").cast("string"),
-              lit("_"), col("n_name"))).as("bottler_sort"),
-          col("c_mktsegment").as("channel"),
-          ascii(substring(col("c_mktsegment"), 1, 1)).as("channel_sort"),
-          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
-            lit("6 SKU")).otherwise(lit("ALL SKU")).as("sku_type"),
-          col("o_totalprice"))
-        .groupBy("bg", "bottler", "bottler_sort", "channel",
-                 "channel_sort", "sku_type", "dw_dt")
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").cast("string").as("val"))
+      val m = monthAgg(starFact(s, dir).select(skuFactCols: _*),
+        Seq("bg", "bottler", "bottler_sort", "channel", "channel_sort",
+            "sku_type"))
       Reports.slidingSelectorReport(m,
           Seq("bg", "bottler", "bottler_sort", "channel",
               "channel_sort", "sku_type"), "dw_dt", "val",
@@ -278,15 +262,7 @@ object RptQueries {
               lit("\",\"channel="), col("channel_sort"), lit("\"]")),
             "dw_dt" -> col("dt")),
           dimCols = Seq("bg", "bottler"),
-          metrics = Seq(
-            "score" -> col("value"),
-            "pp_score" -> col("prev_mom"),
-            "vs_pp_score" -> col("delta_mom"),
-            "last_dec_score" -> col("prev_ytd"),
-            "vs_last_dec_score" -> col("delta_ytd"),
-            "last_year_same_month_score" -> col("prev_yoy"),
-            "vs_last_year_same_month_score" -> col("delta_yoy"),
-            "abbr" -> col("bottler_sort")),
+          metrics = slidingMetrics7 :+ ("abbr" -> col("bottler_sort")),
           "cocacola", "score", "sku6_bottler")
         .orderBy("dw_dt", "selector")
     }),
@@ -296,25 +272,12 @@ object RptQueries {
     // rollup keeps only the Total rows the bottler report drops, and
     // the dim tree flattens to one level [:bg]
     "report_sku6_bg" -> ((s, dir) => {
-      val base = starFact(s, dir)
-      val m = base.select(
-          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
-            .as("dw_dt"),
-          col("r_name").as("bg"),
-          when(col("n_nationkey") % 6 === 0, lit("Total"))
-            .otherwise(col("n_name")).as("bottler"),
-          col("c_mktsegment").as("channel"),
-          ascii(substring(col("c_mktsegment"), 1, 1)).as("channel_sort"),
-          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
-            lit("6 SKU")).otherwise(lit("ALL SKU")).as("sku_type"),
-          col("o_totalprice"))
-        .groupBy("bg", "bottler", "channel", "channel_sort", "sku_type",
-                 "dw_dt")
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").cast("string").as("val"))
+      val m = monthAgg(starFact(s, dir).select(skuFactCols: _*),
+        Seq("bg", "bottler", "bottler_sort", "channel", "channel_sort",
+            "sku_type"))
       Reports.slidingSelectorReport(m,
-          Seq("bg", "bottler", "channel", "channel_sort", "sku_type"),
-          "dw_dt", "val",
+          Seq("bg", "bottler", "bottler_sort", "channel",
+              "channel_sort", "sku_type"), "dw_dt", "val",
           rowFilter = col("bottler") === "Total" &&
             col("sku_type") === "6 SKU",
           derive = Seq(
@@ -322,14 +285,7 @@ object RptQueries {
               lit("\",\"channel="), col("channel_sort"), lit("\"]")),
             "dw_dt" -> col("dt")),
           dimCols = Seq("bg"),
-          metrics = Seq(
-            "score" -> col("value"),
-            "pp_score" -> col("prev_mom"),
-            "vs_pp_score" -> col("delta_mom"),
-            "last_dec_score" -> col("prev_ytd"),
-            "vs_last_dec_score" -> col("delta_ytd"),
-            "last_year_same_month_score" -> col("prev_yoy"),
-            "vs_last_year_same_month_score" -> col("delta_yoy")),
+          metrics = slidingMetrics7,
           "cocacola", "score", "sku6_bg")
         .orderBy("dw_dt", "selector")
     }),
@@ -338,36 +294,13 @@ object RptQueries {
     // sibling: same market filter, same 4-key selector, dim key
     // renamed to cooler_type with its own type constants
     "report_cooler_brand" -> ((s, dir) => {
-      val base = starFact(s, dir)
-      val m = base.select(
-          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
-            .as("dw_dt"),
-          when(col("n_nationkey") % 5 === 0,
-            concat(lit("China Tier"), (col("n_nationkey") % 3 + 1)
-              .cast("string")))
-            .otherwise(concat(col("n_name"), lit(" Market")))
-            .as("market"),
-          col("r_name").as("bg"),
-          concat(lit("0."), (col("r_regionkey") + 1).cast("string"),
-            lit("_"), col("r_name")).as("bg_sort"),
-          col("n_name").as("bottler"),
-          concat(col("n_nationkey").cast("string"), lit("_"),
-            col("n_name")).as("bottler_sort"),
-          col("c_mktsegment").as("channel"),
-          ascii(substring(col("c_mktsegment"), 1, 1)).as("channel_sort"),
+      val m = monthAgg(starFact(s, dir).select(marketFactCols ++ Seq(
           when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
-            lit("OPEN_TOP")).otherwise(lit("CLOSED"))
-            .as("cooler_type"),
-          concat(lit("Brand-"), col("o_orderstatus")).as("brand"),
-          col("o_totalprice"))
-        .groupBy("market", "bg", "bg_sort", "bottler", "bottler_sort",
-                 "channel", "channel_sort", "cooler_type", "brand",
-                 "dw_dt")
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").cast("string").as("val"))
+            lit("OPEN_TOP")).otherwise(lit("CLOSED")).as("cooler_type"),
+          concat(lit("Brand-"), col("o_orderstatus")).as("brand")): _*),
+        sparkMarketKeys ++ Seq("cooler_type", "brand"))
       Reports.slidingSelectorReport(m,
-          Seq("market", "bg", "bg_sort", "bottler", "bottler_sort",
-              "channel", "channel_sort", "cooler_type", "brand"),
+          sparkMarketKeys ++ Seq("cooler_type", "brand"),
           "dw_dt", "val",
           rowFilter = !col("market").rlike("^China Tier\\d"),
           derive = Seq(
@@ -377,14 +310,7 @@ object RptQueries {
               lit("\",\"channel="), col("channel_sort"), lit("\"]")),
             "dw_dt" -> col("dt")),
           dimCols = Seq("cooler_type", "brand"),
-          metrics = Seq(
-            "score" -> col("value"),
-            "pp_score" -> col("prev_mom"),
-            "vs_pp_score" -> col("delta_mom"),
-            "last_dec_score" -> col("prev_ytd"),
-            "vs_last_dec_score" -> col("delta_ytd"),
-            "last_year_same_month_score" -> col("prev_yoy"),
-            "vs_last_year_same_month_score" -> col("delta_yoy")),
+          metrics = slidingMetrics7,
           "cocacola", "score", "cooler_brand")
         .orderBy("dw_dt", "selector")
     }),
@@ -398,34 +324,15 @@ object RptQueries {
     // the (= ?brand "KO") filter can only keep original KO rows, and
     // injecting Others never creates one — elided, documented.
     "report_sovi_period_trend" -> ((s, dir) => {
-      val base = starFact(s, dir)
-      val m = base.select(
-          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
-            .as("dw_dt"),
-          when(col("n_nationkey") % 5 === 0,
-            concat(lit("China Tier"), (col("n_nationkey") % 3 + 1)
-              .cast("string")))
-            .otherwise(concat(col("n_name"), lit(" Market")))
-            .as("market"),
-          col("r_name").as("bg"),
-          col("n_name").as("bottler"),
-          concat(col("n_nationkey").cast("string"), lit("_"),
-            col("n_name")).as("bottler_sort"),
-          col("c_mktsegment").as("channel"),
-          ascii(substring(col("c_mktsegment"), 1, 1)).as("channel_sort"),
+      val m = monthAgg(starFact(s, dir).select(marketFactCols ++ Seq(
           concat(lit("J"), (col("o_orderkey") % 2).cast("string"),
             lit("_"), col("o_orderstatus")).as("juice_sovi_type"),
           when(col("o_orderpriority") === "1-URGENT", lit("KO"))
             .otherwise(concat(lit("Brand-"), col("o_orderstatus")))
-            .as("brand"),
-          col("o_totalprice"))
-        .groupBy("market", "bg", "bottler", "bottler_sort", "channel",
-                 "channel_sort", "juice_sovi_type", "brand", "dw_dt")
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").cast("string").as("val"))
+            .as("brand")): _*),
+        sparkMarketKeys ++ Seq("juice_sovi_type", "brand"))
       Reports.slidingSelectorReport(m,
-          Seq("market", "bg", "bottler", "bottler_sort", "channel",
-              "channel_sort", "juice_sovi_type", "brand"),
+          sparkMarketKeys ++ Seq("juice_sovi_type", "brand"),
           "dw_dt", "val",
           rowFilter = !col("market").rlike("^China Tier\\d") &&
             col("brand") === "KO",
@@ -438,15 +345,7 @@ object RptQueries {
             "bottler" -> col("bottler_sort"),
             "dw_dt" -> lit("9999-12-31")),
           dimCols = Seq("bottler", "period"),
-          metrics = Seq(
-            "bg" -> col("bg"),
-            "score" -> col("value"),
-            "pp_score" -> col("prev_mom"),
-            "vs_pp_score" -> col("delta_mom"),
-            "last_dec_score" -> col("prev_ytd"),
-            "vs_last_dec_score" -> col("delta_ytd"),
-            "last_year_same_month_score" -> col("prev_yoy"),
-            "vs_last_year_same_month_score" -> col("delta_yoy")),
+          metrics = ("bg" -> col("bg")) +: slidingMetrics7,
           "cocacola", "score", "sovi_period_trend")
         .orderBy("dw_dt", "selector")
     }),
@@ -456,36 +355,14 @@ object RptQueries {
     // bottler=bottler_sort, channel=channel_sort],
     // dims [activation_type, brand], the 7 sliding metrics
     "report_activation_brand" -> ((s, dir) => {
-      val base = starFact(s, dir)
-      val m = base.select(
-          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
-            .as("dw_dt"),
-          when(col("n_nationkey") % 5 === 0,
-            concat(lit("China Tier"), (col("n_nationkey") % 3 + 1)
-              .cast("string")))
-            .otherwise(concat(col("n_name"), lit(" Market")))
-            .as("market"),
-          col("r_name").as("bg"),
-          concat(lit("0."), (col("r_regionkey") + 1).cast("string"),
-            lit("_"), col("r_name")).as("bg_sort"),
-          col("n_name").as("bottler"),
-          concat(col("n_nationkey").cast("string"), lit("_"),
-            col("n_name")).as("bottler_sort"),
-          col("c_mktsegment").as("channel"),
-          ascii(substring(col("c_mktsegment"), 1, 1)).as("channel_sort"),
+      val m = monthAgg(starFact(s, dir).select(marketFactCols ++ Seq(
           when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
             lit("PURITY")).otherwise(lit("CHARGING"))
             .as("activation_type"),
-          concat(lit("Brand-"), col("o_orderstatus")).as("brand"),
-          col("o_totalprice"))
-        .groupBy("market", "bg", "bg_sort", "bottler", "bottler_sort",
-                 "channel", "channel_sort", "activation_type", "brand",
-                 "dw_dt")
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").cast("string").as("val"))
+          concat(lit("Brand-"), col("o_orderstatus")).as("brand")): _*),
+        sparkMarketKeys ++ Seq("activation_type", "brand"))
       Reports.slidingSelectorReport(m,
-          Seq("market", "bg", "bg_sort", "bottler", "bottler_sort",
-              "channel", "channel_sort", "activation_type", "brand"),
+          sparkMarketKeys ++ Seq("activation_type", "brand"),
           "dw_dt", "val",
           rowFilter = !col("market").rlike("^China Tier\\d"),
           derive = Seq(
@@ -495,14 +372,7 @@ object RptQueries {
               lit("\",\"channel="), col("channel_sort"), lit("\"]")),
             "dw_dt" -> col("dt")),
           dimCols = Seq("activation_type", "brand"),
-          metrics = Seq(
-            "score" -> col("value"),
-            "pp_score" -> col("prev_mom"),
-            "vs_pp_score" -> col("delta_mom"),
-            "last_dec_score" -> col("prev_ytd"),
-            "vs_last_dec_score" -> col("delta_ytd"),
-            "last_year_same_month_score" -> col("prev_yoy"),
-            "vs_last_year_same_month_score" -> col("delta_yoy")),
+          metrics = slidingMetrics7,
           "cocacola", "score", "activation_brand")
         .orderBy("dw_dt", "selector")
     }),
@@ -513,31 +383,12 @@ object RptQueries {
     // bottler=bottler_sort], dims [bottler=bottler_sort, period=dt],
     // metrics = bg + the 7 sliding scores
     "report_availability_period_trend" -> ((s, dir) => {
-      val base = starFact(s, dir)
-      val m = base.select(
-          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
-            .as("dw_dt"),
-          when(col("n_nationkey") % 5 === 0,
-            concat(lit("China Tier"), (col("n_nationkey") % 3 + 1)
-              .cast("string")))
-            .otherwise(concat(col("n_name"), lit(" Market")))
-            .as("market"),
-          col("r_name").as("bg"),
-          col("n_name").as("bottler"),
-          concat(col("n_nationkey").cast("string"), lit("_"),
-            col("n_name")).as("bottler_sort"),
-          col("c_mktsegment").as("channel"),
-          ascii(substring(col("c_mktsegment"), 1, 1)).as("channel_sort"),
+      val m = monthAgg(starFact(s, dir).select(marketFactCols ++ Seq(
           concat(lit("S"), (col("o_orderkey") % 3).cast("string"),
-            lit("_"), col("o_orderstatus")).as("sku_type"),
-          col("o_totalprice"))
-        .groupBy("market", "bg", "bottler", "bottler_sort", "channel",
-                 "channel_sort", "sku_type", "dw_dt")
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").cast("string").as("val"))
+            lit("_"), col("o_orderstatus")).as("sku_type")): _*),
+        sparkMarketKeys :+ "sku_type")
       Reports.slidingSelectorReport(m,
-          Seq("market", "bg", "bottler", "bottler_sort", "channel",
-              "channel_sort", "sku_type"), "dw_dt", "val",
+          sparkMarketKeys :+ "sku_type", "dw_dt", "val",
           rowFilter = !col("market").rlike("^China Tier\\d"),
           derive = Seq(
             "selector" -> concat(lit("[\"channel="), col("channel_sort"),
@@ -550,15 +401,7 @@ object RptQueries {
             "bottler" -> col("bottler_sort"),
             "dw_dt" -> lit("9999-12-31")),
           dimCols = Seq("bottler", "period"),
-          metrics = Seq(
-            "bg" -> col("bg"),
-            "score" -> col("value"),
-            "pp_score" -> col("prev_mom"),
-            "vs_pp_score" -> col("delta_mom"),
-            "last_dec_score" -> col("prev_ytd"),
-            "vs_last_dec_score" -> col("delta_ytd"),
-            "last_year_same_month_score" -> col("prev_yoy"),
-            "vs_last_year_same_month_score" -> col("delta_yoy")),
+          metrics = ("bg" -> col("bg")) +: slidingMetrics7,
           "cocacola", "score", "availability_period_trend")
         .orderBy("dw_dt", "selector")
     }),
@@ -932,14 +775,8 @@ object RptQueries {
         .withColumn("dw_dt", lit("9999-12-31"))
         .withColumn("period", col("dt"))
         .withColumn("bottler", col("bottler_sort"))
-      Relational.reportShape(joined, Seq("dw_dt", "selector"),
-          Seq("bottler", "period"), periodMetrics)
-        .withColumnRenamed("report", "dimension_metrics")
-        .select(col("dw_dt"), lit("cocacola").as("project"),
-          lit("score").as("category"), lit("period").as("report"),
-          col("selector"), lit("").as("selector_desc"),
-          col("dimension_metrics"))
-        .orderBy("dw_dt", "selector")
+      reportWrap(Relational.reportShape(joined, Seq("dw_dt", "selector"),
+        Seq("bottler", "period"), periodMetrics), "period")
     }),
 
     // m_cocacola_score_period_months.clj:71-105 — same composition,
@@ -956,15 +793,8 @@ object RptQueries {
         .withColumn("dw_dt", lit("9999-12-31"))
         .withColumn("year", substring(col("dt"), 1, 4))
         .withColumn("period", col("dt"))
-      Relational.reportShape(joined, Seq("dw_dt", "selector"),
-          Seq("year", "period"), periodMetrics)
-        .withColumnRenamed("report", "dimension_metrics")
-        .select(col("dw_dt"), lit("cocacola").as("project"),
-          lit("score").as("category"),
-          lit("period_months").as("report"),
-          col("selector"), lit("").as("selector_desc"),
-          col("dimension_metrics"))
-        .orderBy("dw_dt", "selector")
+      reportWrap(Relational.reportShape(joined, Seq("dw_dt", "selector"),
+        Seq("year", "period"), periodMetrics), "period_months")
     }),
 
     // m_cocacola_score_bottler_ranking.clj:63-85 — same composition,
@@ -979,21 +809,14 @@ object RptQueries {
             lit("\",\"metrics="), col("cfg_metrics"), lit("\"]")))
         .withColumn("dw_dt", col("dt"))
         .withColumn("bg", col("bg_sort"))
-      Relational.reportShape(joined, Seq("dw_dt", "selector"),
-          Seq("bg", "bottler"),
-          Seq("c_total_score" -> col("c_total_score"),
-            "c_weight" -> col("c_weight"),
-            "value" -> col("value"),
-            "pp_value" -> col("prev_mom"),
-            "last_dec_value" -> col("prev_ytd"),
-            "abbr" -> col("bottler_sort")))
-        .withColumnRenamed("report", "dimension_metrics")
-        .select(col("dw_dt"), lit("cocacola").as("project"),
-          lit("score").as("category"),
-          lit("bottler_ranking").as("report"),
-          col("selector"), lit("").as("selector_desc"),
-          col("dimension_metrics"))
-        .orderBy("dw_dt", "selector")
+      reportWrap(Relational.reportShape(joined, Seq("dw_dt", "selector"),
+        Seq("bg", "bottler"),
+        Seq("c_total_score" -> col("c_total_score"),
+          "c_weight" -> col("c_weight"),
+          "value" -> col("value"),
+          "pp_value" -> col("prev_mom"),
+          "last_dec_value" -> col("prev_ytd"),
+          "abbr" -> col("bottler_sort"))), "bottler_ranking")
     }),
 
     // m_cocacola_score_channel_metrics_opportunity.clj:65-78 — the
@@ -1002,14 +825,6 @@ object RptQueries {
     // hyphenated `last-dec-value` metric key), dims [metrics],
     // selector [period, bg, bottler]
     "report_channel_metrics_opportunity" -> ((s, dir) => {
-      val m = scoreFact(s, dir)
-        .groupBy("bg", "bottler", "bg_sort", "bottler_sort", "code",
-                 "item", "dw_dt")
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").cast("string").as("val"))
-      val rng = m.agg(min("dw_dt"), max("dw_dt")).first()
-      val sliding = Relational.slidingScores(m, periodMKeys, "dw_dt",
-        "val", rng.getString(0), rng.getString(1))
       val cfg = {
         import s.implicits._
         cmPathConfig.map(r => (r._1, r._2, r._3, r._4.orNull, r._5,
@@ -1017,14 +832,14 @@ object RptQueries {
           .toDF("code", "cm_channel", "cm_metrics", "abbreviation",
             "c_total_score", "c_weight")
       }
-      val joined = sliding.join(broadcast(cfg), Seq("code"))
+      val joined = scoreSlidingWithCfg(s, dir, cfg, "rpt_cm")
         .withColumn("selector",
           concat(lit("[\"period="), col("dt"),
             lit("\",\"bg="), col("bg_sort"),
             lit("\",\"bottler="), col("bottler_sort"), lit("\"]")))
         .withColumn("dw_dt", col("dt"))
         .withColumn("metrics", col("cm_metrics"))
-      Relational.reportShape(joined, Seq("dw_dt", "selector"),
+      reportWrap(Relational.reportShape(joined, Seq("dw_dt", "selector"),
           Seq("metrics"),
           Seq("channel" -> col("cm_channel"),
             "c_total_score" -> col("c_total_score"),
@@ -1032,14 +847,8 @@ object RptQueries {
             "abbreviation" -> col("abbreviation"),
             "value" -> col("value"),
             "pp_value" -> col("prev_mom"),
-            "last-dec-value" -> col("prev_ytd")))
-        .withColumnRenamed("report", "dimension_metrics")
-        .select(col("dw_dt"), lit("cocacola").as("project"),
-          lit("score").as("category"),
-          lit("channel_metrics_opportunity").as("report"),
-          col("selector"), lit("").as("selector_desc"),
-          col("dimension_metrics"))
-        .orderBy("dw_dt", "selector")
+            "last-dec-value" -> col("prev_ytd"))),
+        "channel_metrics_opportunity")
     }),
 
     // gt_score_deep_dive_with_ko / without_ko — two TABLES, one
@@ -1539,26 +1348,49 @@ object RptQueries {
   private val periodSWhere =
     s"cfg_channel <> 'TOTAL' AND cfg_kpi NOT IN ($periodKpiExcludeSql)"
 
+  /** The report-row output contract every rpt query ends with: rename
+    * the pair-tree column, attach the row constants, order for the
+    * gate. */
+  private def reportWrap(df: DataFrame, report: String): DataFrame =
+    df.withColumnRenamed("report", "dimension_metrics")
+      .select(col("dw_dt"), lit("cocacola").as("project"),
+        lit("score").as("category"), lit(report).as("report"),
+        col("selector"), lit("").as("selector_desc"),
+        col("dimension_metrics"))
+      .orderBy("dw_dt", "selector")
+
+  /** Sliding over the score fact + a broadcast config join — the
+    * shared first half of the four trgx-composition reports. The
+    * month fact is STAGED once: the axis one-row fetch and the
+    * sliding pipeline would otherwise each recompute the star-join
+    * subtree (the slidingSelectorReport argument). */
+  private def scoreSlidingWithCfg(s: SparkSession, dir: String,
+      cfg: DataFrame, tag: String): DataFrame = {
+    val m = graft.core.Tables.staged(
+      scoreFact(s, dir)
+        .groupBy("bg", "bottler", "bg_sort", "bottler_sort", "code",
+                 "item", "dw_dt")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("val")),
+      tag)
+    val rng = m.agg(min("dw_dt"), max("dw_dt")).first()
+    Relational.slidingScores(m, periodMKeys, "dw_dt", "val",
+        rng.getString(0), rng.getString(1))
+      .join(broadcast(cfg), Seq("code"))
+  }
+
   /** Spark side of the score_period composition: sliding over the
     * score fact, the broadcast config-path lookup standing in for the
     * kv->trgx round-trip (the tree ops themselves are covered by
     * trgx_tree_ops / report_opportunity), the verbatim path filters,
-    * and the [bottler=sort, period] pair-tree. */
+    * and the 全体-Total kpi split-first remap. */
   private def periodSliding(s: SparkSession, dir: String): DataFrame = {
-    val m = scoreFact(s, dir)
-      .groupBy("bg", "bottler", "bg_sort", "bottler_sort", "code",
-               "item", "dw_dt")
-      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)").cast("string").as("val"))
-    val rng = m.agg(min("dw_dt"), max("dw_dt")).first()
-    val sliding = Relational.slidingScores(m, periodMKeys, "dw_dt",
-      "val", rng.getString(0), rng.getString(1))
     val cfg = {
       import s.implicits._
       periodPathConfig.toDF("code", "cfg_channel", "cfg_kpi",
         "cfg_metrics", "c_total_score", "c_weight")
     }
-    sliding.join(broadcast(cfg), Seq("code"))
+    scoreSlidingWithCfg(s, dir, cfg, "rpt_period")
       .filter(col("cfg_channel") =!= "TOTAL" &&
         !col("cfg_kpi").isin(periodKpiExclude: _*))
       .withColumn("kpis",
@@ -1639,14 +1471,8 @@ object RptQueries {
         lit("\",\"bottler="), col("bottler_sort"), lit("\"]")))
       .withColumn("dw_dt", lit("9999-12-31"))
       .withColumn("period", col("dt"))
-    Relational.reportShape(withSel, Seq("dw_dt", "selector"),
-        Seq("item", "period"), Seq("value" -> col("val")))
-      .withColumnRenamed("report", "dimension_metrics")
-      .select(col("dw_dt"), lit("cocacola").as("project"),
-        lit("score").as("category"), lit(report).as("report"),
-        col("selector"), lit("").as("selector_desc"),
-        col("dimension_metrics"))
-      .orderBy("dw_dt", "selector")
+    reportWrap(Relational.reportShape(withSel, Seq("dw_dt", "selector"),
+      Seq("item", "period"), Seq("value" -> col("val"))), report)
   }
 
   /** Oracle twin of [[deepDiveKoReport]]. */
@@ -1716,14 +1542,9 @@ object RptQueries {
       .withColumn("bg", col("bg_sort"))
       .withColumn("bottler", col("bottler_sort"))
       .withColumn("period", col("dt"))
-    Relational.reportShape(withSel, Seq("dw_dt", "selector"),
-        Seq("bg", "bottler", "period"), Seq("score" -> col("val")))
-      .withColumnRenamed("report", "dimension_metrics")
-      .select(col("dw_dt"), lit("cocacola").as("project"),
-        lit("score").as("category"), lit(report).as("report"),
-        col("selector"), lit("").as("selector_desc"),
-        col("dimension_metrics"))
-      .orderBy("dw_dt", "selector")
+    reportWrap(Relational.reportShape(withSel, Seq("dw_dt", "selector"),
+      Seq("bg", "bottler", "period"), Seq("score" -> col("val"))),
+      report)
   }
 
   /** DuckDB oracle GENERATOR for the sliding-family reports — one
@@ -1742,8 +1563,7 @@ object RptQueries {
     * (key, value-SQL-over-s) outermost first; `metrics` are
     * (name, value-SQL-over-s) — wrap string-valued metrics in
     * to_json(...); `pinnedDwDt` pins the output dw_dt (trend reports)
-    * vs None = the axis month; `extraMAggs` appends extra aggregate
-    * columns to m (e.g. a count the report emits as a metric);
+    * vs None = the axis month;
     * `escapeDims` names dim keys whose VALUES contain JSON (the
     * deep-dive item payload) — their rendered key goes through
     * to_json, exactly as pairTreeToJson escapes it, while the sort
@@ -1759,7 +1579,6 @@ object RptQueries {
       mKeys: Seq[String], where: String, selectorSql: String,
       dims: Seq[(String, String)], metrics: Seq[(String, String)],
       pinnedDwDt: Option[String] = None,
-      extraMAggs: String = "",
       escapeDims: Set[String] = Set.empty,
       postMCtes: String = "",
       sJoins: String = "",
@@ -1805,7 +1624,7 @@ object RptQueries {
            JOIN region ON n_regionkey = r_regionkey),
          m AS (SELECT ${mKeys.mkString(", ")}, dt,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-               AS DECIMAL(38,2)) AS val$extraMAggs
+               AS DECIMAL(38,2)) AS val
            FROM base
            WHERE $where
            GROUP BY ${(1 to mKeys.length + 1).mkString(", ")})${
