@@ -138,7 +138,14 @@ def build(outdir: Path) -> None:
           -- ALL-NULL frame — SQL sum() OVER stays NULL there and the
           -- budget filter drops the row; an engine that weighs null
           -- as 0 keeps it (the r9 groupedCumSum review finding)
-          (606, NULL,           'en',  'srcnull', 0)
+          (606, NULL,           'en',  'srcnull', 0),
+          -- CRLF line endings: the line ops split on LF only, so the
+          -- CR must ride identically through both engines (trim() in
+          -- both strips spaces only; regex whitespace classes match CR
+          -- in both Java and RE2) — any one-sided CR normalization
+          -- diverges here
+          (607, E'first line\\r\\nfirst line\\r\\nthe a of and to in is',
+                'en', 'src7', 45)
         ) t(doc_id, text, lang, source, n_chars)
       ) TO '{outdir}/documents.parquet' (FORMAT PARQUET)
     """)
