@@ -1,0 +1,391 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-document text-battery kernels — the VERDICT r9 #1 item.
+  *
+  * The four every-document operators (gopherRules, c4Signals,
+  * gopherLineRules, repetitionSignals) previously ran their per-word
+  * loops as `filter`/`transform`/`aggregate`/`array_intersect`
+  * higher-order functions — CodegenFallback, ~µs per interpreted
+  * lambda element (the measured PqEncodeCodes pathology, 11.2→0.9 s).
+  * Each battery is now ONE native expression computing every counter
+  * in a single primitive pass over the document, returning a struct
+  * the caller projects — so 100 % of a 100 TB corpus flows through a
+  * tight Java loop inside whole-stage codegen instead of an
+  * interpreted lambda per token.
+  *
+  * CONTRACT: results are bit-identical to the HOF forms (the oracles
+  * did not move). That means faithfully replicating the Catalyst /
+  * Java-regex semantics the HOF forms leaned on:
+  *  - Spark `length()` counts CODE POINTS (`UTF8String.numChars`),
+  *    not UTF-16 units — astral-plane chars count once;
+  *  - Spark `trim()` strips ONLY 0x20 spaces (SPARK-17299), so a CRLF
+  *    line keeps its '\r';
+  *  - Java regex `\s` (no UNICODE_CHARACTER_CLASS) is exactly
+  *    `[ \t\n\x0B\f\r]`;
+  *  - Java regex `$` (no MULTILINE) matches at end of input AND just
+  *    before one FINAL line terminator (`\n \r     `,
+  *    with `\r\n` as one unit) — so `"foo.\r"` DOES match `[.!?]$`;
+  *  - Spark `lower()` is `UTF8String.toLowerCase` (ASCII fast path,
+  *    else String#toLowerCase) — replicated by round-tripping
+  *    non-ASCII tokens through UTF8String.
+  * TextKernelsSpec pins each trap and the end-to-end parity vs the
+  * retained `*Hof` forms in [[graft.llm.TextAnalysis]].
+  */
+object TextKernelUtil {
+
+  /** Java regex `\s` without UNICODE_CHARACTER_CLASS. */
+  @inline private def isJavaSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  @inline private def isLineTerminator(c: Char): Boolean =
+    c == '\n' || c == '\r' || c == '\u0085' || c == '\u2028' ||
+      c == '\u2029'
+
+  /** Positions where Java `$` can match in `s` (end; before one final
+    * terminator; before a final `\r\n` pair). */
+  private def dollarPositions(s: String): Array[Int] = {
+    val n = s.length
+    if (n == 0) Array(0)
+    else {
+      val last = s.charAt(n - 1)
+      if (last == '\n' && n >= 2 && s.charAt(n - 2) == '\r')
+        Array(n, n - 2)
+      else if (isLineTerminator(last)) Array(n, n - 1)
+      else Array(n)
+    }
+  }
+
+  /** `rlike "[.!?\"]$"` on a line. */
+  private def endsTerminal(s: String): Boolean =
+    dollarPositions(s).exists { p =>
+      p > 0 && { val c = s.charAt(p - 1)
+        c == '.' || c == '!' || c == '?' || c == '"' }
+    }
+
+  /** Suffix `(\.\.\.|…)` ending exactly at `p`. */
+  @inline private def ellipsisAt(s: String, p: Int): Boolean =
+    (p >= 3 && s.charAt(p - 1) == '.' && s.charAt(p - 2) == '.' &&
+      s.charAt(p - 3) == '.') || (p >= 1 && s.charAt(p - 1) == '…')
+
+  /** `rlike "(\\.\\.\\.|…)$"` (no \s* — the c4Signals form). */
+  private def endsEllipsis(s: String): Boolean =
+    dollarPositions(s).exists(ellipsisAt(s, _))
+
+  /** `rlike "(\\.\\.\\.|…)\\s*$"` (the gopherLineRules form). */
+  private def endsEllipsisWs(s: String): Boolean =
+    dollarPositions(s).exists { p =>
+      var i = p
+      while (i > 0 && isJavaSpace(s.charAt(i - 1))) i -= 1
+      ellipsisAt(s, i)
+    }
+
+  /** `rlike "^[-*•]"`. */
+  @inline private def startsBullet(s: String): Boolean =
+    s.nonEmpty && { val c = s.charAt(0)
+      c == '-' || c == '*' || c == '•' }
+
+  /** `rlike "^\\s*[-*•]"`. */
+  private def startsBulletWs(s: String): Boolean = {
+    var i = 0
+    while (i < s.length && isJavaSpace(s.charAt(i))) i += 1
+    i < s.length && { val c = s.charAt(i)
+      c == '-' || c == '*' || c == '•' }
+  }
+
+  /** Spark `trim()`: strip 0x20 only (SPARK-17299). */
+  private def sparkTrim(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  /** Spark `length()` = code points. */
+  @inline private def cpLen(s: String, from: Int, to: Int): Long =
+    s.codePointCount(from, to).toLong
+
+  /** Spark `lower()` on one token: ASCII fast path, else the exact
+    * UTF8String.toLowerCase round trip. */
+  private def sparkLowerTok(s: String, from: Int, to: Int): String = {
+    var ascii = true
+    var i = from
+    while (ascii && i < to) { if (s.charAt(i) >= 0x80) ascii = false
+      i += 1 }
+    if (ascii) {
+      val out = new Array[Char](to - from)
+      var j = 0
+      i = from
+      while (i < to) {
+        val c = s.charAt(i)
+        out(j) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        i += 1; j += 1
+      }
+      new String(out)
+    } else UTF8String.fromString(s.substring(from, to))
+      .toLowerCase.toString
+  }
+
+  /** gopherRules word battery over RAW text: tokens = maximal runs of
+    * non-`\s` chars (≡ `filter(split(txt, "\\s+"), _ != "")`).
+    * Returns (n_words, n_chars, n_alpha, n_stop) — n_stop = number of
+    * DISTINCT `stops` entries hit by any lowercased token. `stops`
+    * must be lowercase; at most 64 entries (bitmask). */
+  def gopherWordStats(txt: UTF8String, stops: Array[String]): InternalRow = {
+    val s = txt.toString
+    val n = s.length
+    var nWords = 0L
+    var nChars = 0L
+    var nAlpha = 0L
+    var stopMask = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && isJavaSpace(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        var alpha = false
+        while (i < n && !isJavaSpace(s.charAt(i))) {
+          val c = s.charAt(i)
+          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
+            alpha = true
+          i += 1
+        }
+        nWords += 1
+        nChars += cpLen(s, start, i)
+        if (alpha) nAlpha += 1
+        val low = sparkLowerTok(s, start, i)
+        var k = 0
+        while (k < stops.length) {
+          if ((stopMask & (1L << k)) == 0 && stops(k) == low)
+            stopMask |= 1L << k
+          k += 1
+        }
+      }
+    }
+    new GenericInternalRow(Array[Any](nWords, nChars, nAlpha,
+      java.lang.Long.bitCount(stopMask).toLong))
+  }
+
+  /** c4Signals battery over RAW text: token stats on the LOWERCASED
+    * doc (≡ split(normalizeText(raw), " ")), line stats on the raw
+    * lines (split "\n" → trim → nonempty). Returns (n_words, sum_len,
+    * n_alpha, n_lines, n_term, n_bullet, n_ell). */
+  def c4Stats(txt: UTF8String): InternalRow = {
+    val low = txt.toLowerCase.toString
+    var nWords = 0
+    var sumLen = 0L
+    var nAlpha = 0L
+    var i = 0
+    val n = low.length
+    while (i < n) {
+      while (i < n && isJavaSpace(low.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        var alpha = false
+        while (i < n && !isJavaSpace(low.charAt(i))) {
+          val c = low.charAt(i)
+          if (c >= 'a' && c <= 'z') alpha = true
+          i += 1
+        }
+        nWords += 1
+        sumLen += cpLen(low, start, i)
+        if (alpha) nAlpha += 1
+      }
+    }
+    val raw = txt.toString
+    var nLines = 0L
+    var nTerm = 0L
+    var nBullet = 0L
+    var nEll = 0L
+    var from = 0
+    val rn = raw.length
+    while (from <= rn) {
+      var to = raw.indexOf('\n', from)
+      if (to < 0) to = rn
+      val line = sparkTrim(raw.substring(from, to))
+      if (line.nonEmpty) {
+        nLines += 1
+        if (endsTerminal(line)) nTerm += 1
+        if (startsBullet(line)) nBullet += 1
+        if (endsEllipsis(line)) nEll += 1
+      }
+      from = to + 1
+    }
+    new GenericInternalRow(Array[Any](nWords, sumLen, nAlpha, nLines,
+      nTerm, nBullet, nEll))
+  }
+
+  /** gopherLineRules battery: per-doc duplicate-line statistics over
+    * the NONEMPTY raw lines (split "\n", keep != "", NO trim), line
+    * length in code points. Returns (n_lines, n_dup, n_chars,
+    * n_dup_chars, n_bullet, n_ell). */
+  def gopherLineStats(txt: UTF8String): InternalRow = {
+    val raw = txt.toString
+    val counts = new mutable.HashMap[String, Long]()
+    var from = 0
+    val rn = raw.length
+    while (from <= rn) {
+      var to = raw.indexOf('\n', from)
+      if (to < 0) to = rn
+      if (to > from) {
+        val line = raw.substring(from, to)
+        counts.update(line, counts.getOrElse(line, 0L) + 1L)
+      }
+      from = to + 1
+    }
+    var nLines = 0L
+    var nDup = 0L
+    var nChars = 0L
+    var nDupChars = 0L
+    var nBullet = 0L
+    var nEll = 0L
+    counts.foreach { case (line, c) =>
+      val len = cpLen(line, 0, line.length)
+      nLines += c
+      nChars += c * len
+      if (c > 1) { nDup += c; nDupChars += c * len }
+      if (startsBulletWs(line)) nBullet += c
+      if (endsEllipsisWs(line)) nEll += c
+    }
+    new GenericInternalRow(Array[Any](nLines, nDup, nChars, nDupChars,
+      nBullet, nEll))
+  }
+
+  /** repetitionSignals battery over NORMALIZED text: tokens =
+    * `split(norm, " ")` INCLUDING the [""]-for-empty edge; bigram
+    * counts in one per-doc hash map (the former explode + two-level
+    * groupBy shuffle, now a pure projection). Returns (n_tok,
+    * n_distinct, total_bg, distinct_bg, top_bg). */
+  def repetitionStats(norm: UTF8String): InternalRow = {
+    val arr = norm.toString.split(" ", -1)
+    val nTok = arr.length
+    val distinct = new mutable.HashSet[String]()
+    var i = 0
+    while (i < nTok) { distinct += arr(i); i += 1 }
+    var totalBg = 0L
+    var topBg = 0L
+    val bg = new mutable.HashMap[String, Long]()
+    i = 0
+    while (i < nTok - 1) {
+      val key = arr(i) + " " + arr(i + 1)
+      val c = bg.getOrElse(key, 0L) + 1L
+      bg.update(key, c)
+      if (c > topBg) topBg = c
+      totalBg += 1
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nTok, distinct.size, totalBg,
+      bg.size.toLong, topBg))
+  }
+}
+
+/** Base for the one-string-in, stats-struct-out battery expressions:
+  * null-propagating, codegen'd via a static-kernel call (the
+  * [[PqEncodeCodes]] pattern). */
+abstract class TextBatteryExpression extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def nullable: Boolean = child.nullable
+  /** Fully-qualified static call taking the input variable name. */
+  protected def kernelCall(ctx: CodegenContext, v: String): String
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = ${kernelCall(ctx, v)};")
+}
+
+/** Struct(n_words L, n_chars L, n_alpha L, n_stop L) — gopherRules. */
+case class GopherWordStats(child: Expression, stops: Seq[String])
+    extends TextBatteryExpression {
+  require(stops.size <= 64, "stop list is bitmask-bounded at 64")
+  private val stopArr = stops.toArray
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
+  override def prettyName: String = "gopher_word_stats"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.gopherWordStats(v.asInstanceOf[UTF8String], stopArr)
+  override protected def kernelCall(ctx: CodegenContext,
+                                    v: String): String = {
+    val ref = ctx.addReferenceObj("gopherStops", stopArr,
+      "java.lang.String[]")
+    s"graft.functions.TextKernelUtil.gopherWordStats($v, $ref)"
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): GopherWordStats = copy(child = newChild)
+}
+
+/** Struct(n_words I, sum_len L, n_alpha L, n_lines L, n_term L,
+  * n_bullet L, n_ell L) — c4Signals. */
+case class C4Stats(child: Expression) extends TextBatteryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_term", LongType, nullable = false),
+    StructField("n_bullet", LongType, nullable = false),
+    StructField("n_ell", LongType, nullable = false)))
+  override def prettyName: String = "c4_stats"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.c4Stats(v.asInstanceOf[UTF8String])
+  override protected def kernelCall(ctx: CodegenContext,
+                                    v: String): String =
+    s"graft.functions.TextKernelUtil.c4Stats($v)"
+  override protected def withNewChildInternal(
+      newChild: Expression): C4Stats = copy(child = newChild)
+}
+
+/** Struct(n_lines L, n_dup L, n_chars L, n_dup_chars L, n_bullet L,
+  * n_ell L) — gopherLineRules. */
+case class GopherLineStats(child: Expression)
+    extends TextBatteryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_dup", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_dup_chars", LongType, nullable = false),
+    StructField("n_bullet", LongType, nullable = false),
+    StructField("n_ell", LongType, nullable = false)))
+  override def prettyName: String = "gopher_line_stats"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.gopherLineStats(v.asInstanceOf[UTF8String])
+  override protected def kernelCall(ctx: CodegenContext,
+                                    v: String): String =
+    s"graft.functions.TextKernelUtil.gopherLineStats($v)"
+  override protected def withNewChildInternal(
+      newChild: Expression): GopherLineStats = copy(child = newChild)
+}
+
+/** Struct(n_tok I, n_distinct I, total_bg L, distinct_bg L, top_bg L)
+  * — repetitionSignals. */
+case class RepetitionStats(child: Expression)
+    extends TextBatteryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("total_bg", LongType, nullable = false),
+    StructField("distinct_bg", LongType, nullable = false),
+    StructField("top_bg", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.repetitionStats(v.asInstanceOf[UTF8String])
+  override protected def kernelCall(ctx: CodegenContext,
+                                    v: String): String =
+    s"graft.functions.TextKernelUtil.repetitionStats($v)"
+  override protected def withNewChildInternal(
+      newChild: Expression): RepetitionStats = copy(child = newChild)
+}

@@ -163,13 +163,63 @@ object TextAnalysis {
     * alpha-word ratio ≥ 0.8, symbol ratio ≤ 0.1, bullet lines ≤ 0.9,
     * ellipsis lines ≤ 0.3, no lorem/curly.
     *
-    * Token and line arrays are staged in separate projections before
-    * multi-use — lambda bodies are not subexpression-eliminated.
-    * `carry` columns flow through unchanged, so a cleaning stage can
-    * `.filter(keep)` inline instead of joining survivors back by id.
+    * As of round 10 the token/line counters run in ONE native
+    * whole-stage-codegen pass ([[graft.functions.C4Stats]]); the HOF
+    * form is retained as [[c4SignalsHof]] for parity. `carry` columns
+    * flow through unchanged, so a cleaning stage can `.filter(keep)`
+    * inline instead of joining survivors back by id.
     */
   def c4Signals(df: DataFrame, idCol: String, textCol: String,
                 carry: Seq[String] = Nil): DataFrame = {
+    val raw = coalesce(col(textCol), lit(""))
+    val carryCols = carry.filterNot(_ == idCol).map(col)
+    // one native pass for the token/line counters (TextKernels.scala —
+    // the interpreted-HOF form is retained below as c4SignalsHof, the
+    // parity baseline TextKernelsSpec pins this against)
+    val st = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.C4Stats(
+        org.apache.spark.sql.GraftBridge.expression(raw)))
+    val staged = df.select(Seq(col(idCol), raw.as("__raw"),
+      st.as("__st")) ++ carryCols: _*)
+    val nWords = col("__st.n_words")
+    val nz = nWords =!= 0
+    val nLines = col("__st.n_lines")
+    def lineRatio(cnt: Column): Column =
+      when(nLines === 0, lit(0.0))
+        .otherwise(cnt.cast("double") / nLines)
+    staged.select(Seq(col(idCol), nWords.as("n_words"),
+        round(when(nz, col("__st.sum_len").cast("double") / nWords)
+          .otherwise(lit(0.0)), 6).as("mean_word_len"),
+        round(when(nz, col("__st.n_alpha").cast("double") / nWords)
+          .otherwise(lit(0.0)), 6).as("alpha_ratio"),
+        round(when(nz,
+            regexp_count(col("__raw"), lit("#|…|\\.\\.\\."))
+              .cast("double") / nWords).otherwise(lit(0.0)), 6)
+          .as("symbol_ratio"),
+        regexp_count(col("__raw"), lit("[.!?]")).as("sent_marks"),
+        round(lineRatio(col("__st.n_term")), 6).as("term_line_ratio"),
+        round(lineRatio(col("__st.n_bullet")), 6)
+          .as("bullet_line_ratio"),
+        round(lineRatio(col("__st.n_ell")), 6)
+          .as("ellipsis_line_ratio"),
+        lower(col("__raw")).contains("lorem ipsum").as("has_lorem"),
+        col("__raw").contains("{").as("has_curly"),
+        lower(col("__raw")).contains("javascript").as("has_js"))
+        ++ carryCols: _*)
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("alpha_ratio") >= 0.8 && col("symbol_ratio") <= 0.1 &&
+        col("bullet_line_ratio") <= 0.9 &&
+        col("ellipsis_line_ratio") <= 0.3 &&
+        !col("has_lorem") && !col("has_curly"))
+  }
+
+  /** The original higher-order-function form of [[c4Signals]] —
+    * retained (test-only) as the parity baseline for the native
+    * kernel; CodegenFallback lambdas, do not use in production. */
+  private[graft] def c4SignalsHof(df: DataFrame, idCol: String,
+                textCol: String, carry: Seq[String] = Nil): DataFrame = {
     val raw = coalesce(col(textCol), lit(""))
     val carryCols = carry.filterNot(_ == idCol).map(col)
     val staged = df.select(Seq(col(idCol), raw.as("__raw"),
@@ -277,12 +327,39 @@ object TextAnalysis {
     *  - `top_bigram_frac`: fraction of all bigram occurrences taken by
     *    the single most frequent bigram.
     *
-    * Plan shape (scale posture): token stats are per-row expressions
-    * (no shuffle); bigram stats explode to narrow `(id, bigram)` rows
-    * with map-side partial counts, then re-aggregate per doc — shuffles
-    * carry counts, never text. Docs with <2 tokens get 0.0 bigram
-    * fractions via the left join. */
+    * Plan shape (round 10): a PURE PROJECTION — token and bigram
+    * counters are one per-document hash-map pass in a native
+    * expression ([[graft.functions.RepetitionStats]]); the former
+    * explode + two-level aggregate (two shuffles) is retained as
+    * [[repetitionSignalsHof]] for parity only. Docs with <2 tokens
+    * get 0.0 bigram fractions. */
   def repetitionSignals(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    // the exploded (id, bigram) shuffle is gone: token AND bigram
+    // counters are one per-document hash-map pass in a native
+    // expression (TextKernels.scala) — pure projection, no shuffle
+    val st = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.RepetitionStats(
+        org.apache.spark.sql.GraftBridge.expression(
+          normalizeText(col(textCol)))))
+    df.select(col(idCol), st.as("__st"))
+      .select(col(idCol), col("__st.n_tok").as("n_tok"),
+        round(lit(1.0) -
+          col("__st.n_distinct").cast("double") / col("__st.n_tok"), 6)
+          .as("dup_token_ratio"),
+        when(col("__st.total_bg") > 0,
+          round(lit(1.0) - col("__st.distinct_bg").cast("double") /
+            col("__st.total_bg"), 6))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"),
+        when(col("__st.total_bg") > 0,
+          round(col("__st.top_bg").cast("double") /
+            col("__st.total_bg"), 6))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** The original explode-and-shuffle form of [[repetitionSignals]] —
+    * parity baseline for TextKernelsSpec. */
+  private[graft] def repetitionSignalsHof(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     val base = df.select(col(idCol),
       split(normalizeText(col(textCol)), " ").as("toks"))
@@ -475,14 +552,12 @@ object TextAnalysis {
     * over one whitespace tokenization of the RAW text (no normalize
     * pass: symbol ratios and casing are part of what the rules
     * measure) — one map-side projection, no shuffle, no Scala UDF, so
-    * it scales embarrassingly at 100 TB. NOT all of it is
-    * whole-stage-codegen though: the higher-order pieces
-    * (filter/transform/aggregate/array_intersect) are CodegenFallback
-    * (~µs-per-element interpreted lambdas — the PqEncodeCodes lesson).
-    * Bench keeps the battery sub-second at sf0.1 because the per-word
-    * work is tiny; if a profile ever shows the HOF cost dominating,
-    * the port is the PqEncode pattern: one native Expression computing
-    * all per-word counters in a primitive loop.
+    * it scales embarrassingly at 100 TB. As of round 10 the per-word
+    * counters run in ONE native whole-stage-codegen expression
+    * ([[graft.functions.GopherWordStats]], the PqEncode pattern) —
+    * the former filter/transform/aggregate/array_intersect HOF pieces
+    * were CodegenFallback interpreted lambdas and are retained only as
+    * the [[gopherRulesHof]] parity baseline.
     *
     * Rules (each emitted as its own flag so downstream mixes can
     * re-weight rather than hard-drop):
@@ -498,6 +573,45 @@ object TextAnalysis {
     * here.) Ratios are ROUNDED at 6 from integer counts — a count
     * ratio, not an avg-of-doubles, so cross-engine exact. */
   def gopherRules(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    // per-word counters in one native pass (TextKernels.scala); the
+    // symbol counts stay as codegen'd regexp length-diffs over the raw
+    // text, exactly as before
+    val st = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.GopherWordStats(
+        org.apache.spark.sql.GraftBridge.expression(txt), GopherStops))
+    val staged = df.select(col(idCol), txt.as("__raw"), st.as("__st"))
+    val nW = col("__st.n_words")
+    val rawC = col("__raw")
+    val nHash = length(rawC) - length(regexp_replace(rawC, "#", ""))
+    val nEll = ((length(rawC) -
+      length(regexp_replace(rawC, "\\.\\.\\.", ""))) / 3)
+      .cast("long")
+    staged.select(col(idCol), nW.as("n_words"),
+        when(nW > 0, round(col("__st.n_chars").cast("double") / nW, 6))
+          .otherwise(lit(0d)).as("mean_word_len"),
+        when(nW > 0, round((nHash + nEll).cast("double") / nW, 6))
+          .otherwise(lit(0d)).as("symbol_ratio"),
+        when(nW > 0, round(col("__st.n_alpha").cast("double") / nW, 6))
+          .otherwise(lit(0d)).as("alpha_frac"),
+        col("__st.n_stop").as("n_stop"))
+      .withColumn("r_word_count",
+        col("n_words") >= 50 && col("n_words") <= 100000L)
+      .withColumn("r_mean_word_len",
+        col("mean_word_len") >= 3d && col("mean_word_len") <= 10d)
+      .withColumn("r_symbol_ratio", col("symbol_ratio") <= 0.1)
+      .withColumn("r_alpha_words", col("alpha_frac") >= 0.8)
+      .withColumn("r_stop_words", col("n_stop") >= 2L)
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_word_len") &&
+        col("r_symbol_ratio") && col("r_alpha_words") &&
+        col("r_stop_words"))
+  }
+
+  /** The original HOF form of [[gopherRules]] — parity baseline for
+    * TextKernelsSpec; CodegenFallback, test-only. */
+  private[graft] def gopherRulesHof(df: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
     val txt = coalesce(col(textCol), lit(""))
     val ws = filter(split(txt, "\\s+"), w => w =!= "")
@@ -545,14 +659,56 @@ object TextAnalysis {
     *   dup_char_frac  fraction of line characters inside such
     *                  duplicated lines                    — ≤ 0.20
     *
-    * Scale shape: explode to (id, line) → one (id, line) hash agg
-    * (map-side combine collapses repeats before the shuffle; the
-    * shuffle carries per-doc DISTINCT lines with counts, never the
-    * full text) → one (id) reduce. Ratios are integer-count
-    * divisions rounded at 6 — cross-engine exact. Empty/null docs
+    * Scale shape (round 10): a PURE PROJECTION — the per-doc
+    * duplicate-line counters are one hash-map pass inside a native
+    * expression ([[graft.functions.GopherLineStats]]); the former
+    * explode → (id, line) → (id) two-shuffle form is retained as
+    * [[gopherLineRulesHof]] for parity only. Per-doc state is bounded
+    * by document size, the same bound every token-array op carries.
+    * Ratios are integer-count divisions rounded at 6 — cross-engine
+    * exact. Empty/null docs
     * surface with zero lines and all-true flags (nothing to object
     * to), matching the empty-frame behavior of the line-dedup ops. */
   def gopherLineRules(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    // the per-(id, line) shuffle is gone: the duplicate-line counters
+    // are a per-document hash map inside ONE native expression
+    // (TextKernels.scala) — a pure projection, bounded by document
+    // size exactly like the token-array ops
+    val st = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.GopherLineStats(
+        org.apache.spark.sql.GraftBridge.expression(
+          coalesce(col(textCol), lit("")))))
+    df.select(col(idCol), st.as("__st"))
+      .select(col(idCol), col("__st.n_lines").as("n_lines"),
+        when(col("__st.n_lines") > 0,
+          round(col("__st.n_bullet").cast("double") /
+            col("__st.n_lines"), 6))
+          .otherwise(lit(0d)).as("bullet_frac"),
+        when(col("__st.n_lines") > 0,
+          round(col("__st.n_ell").cast("double") /
+            col("__st.n_lines"), 6))
+          .otherwise(lit(0d)).as("ellipsis_frac"),
+        when(col("__st.n_lines") > 0,
+          round(col("__st.n_dup").cast("double") /
+            col("__st.n_lines"), 6))
+          .otherwise(lit(0d)).as("dup_line_frac"),
+        when(col("__st.n_chars") > 0,
+          round(col("__st.n_dup_chars").cast("double") /
+            col("__st.n_chars"), 6))
+          .otherwise(lit(0d)).as("dup_char_frac"))
+      .withColumn("r_bullet", col("bullet_frac") <= 0.9)
+      .withColumn("r_ellipsis", col("ellipsis_frac") <= 0.3)
+      .withColumn("r_dup_lines", col("dup_line_frac") <= 0.3)
+      .withColumn("r_dup_chars", col("dup_char_frac") <= 0.2)
+      .withColumn("pass",
+        col("r_bullet") && col("r_ellipsis") && col("r_dup_lines") &&
+        col("r_dup_chars"))
+  }
+
+  /** The original explode + two-level-aggregate form of
+    * [[gopherLineRules]] — parity baseline for TextKernelsSpec. */
+  private[graft] def gopherLineRulesHof(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     val lines = filter(split(coalesce(col(textCol), lit("")), "\n"),
       l => l =!= "")

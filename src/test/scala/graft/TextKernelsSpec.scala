@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.TextAnalysis
+
+/** Parity pins for the native text-battery kernels (TextKernels.scala)
+  * against the retained HOF baselines — plus unit pins for each
+  * Catalyst/Java-regex semantic trap the kernels replicate. The
+  * oracles for text_gopher_rules / text_c4_filters / text_line_rules /
+  * text_repetition did NOT move in round 10; these tests are the
+  * evidence the native rewrite is bit-identical. */
+class TextKernelsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Adversarial corpus: every edge the kernels special-case. */
+  private def edgeDocs: DataFrame = Seq[(Long, String)](
+    (1L, "the quick brown fox. jumps over the lazy dog!"),
+    (2L, ""),
+    (3L, " \t\n\f\r "),                    // all Java-\s
+    (4L, "one"),
+    (5L, "line one.\r\nline two!\r\nline three\r\n"), // CRLF: '$' trap
+    (6L, "ends with ellipsis...\nand unicode…\nplain line"),
+    (7L, "- bullet one\n  - indented bullet\n* star\n• dot"),
+    (8L, "dup line\ndup line\nunique line\ndup line"),
+    (9L, "emoji 😀😀 astral 🌉 text"),
+    (10L, "中文文本 的 是 了"),
+    (11L, "İstanbul THE The tHe KELVINK sign"),
+    (12L, "trailing terminator\u2028"),          // LS: '$' non-\s trap
+    (13L, "ellipsis then spaces...   \nellipsis LS...\u2028"),
+    (14L, "a b a b a b a b c c c"),
+    (15L, "# ## #hash ... ...... more#text"),
+    (16L, "tabs\tandvt\fand\rcr separated words the of and"),
+    (17L, null.asInstanceOf[String]),
+    (18L, "\"quoted end\"\nbang!\nquery?\nnope"),
+    (19L, "repeat repeat repeat repeat repeat"),
+    (20L, "x.\ry!\rz"),                          // bare-CR inside line
+    (21L, (1 to 80).map(i => s"w$i the of and to be").mkString(" ")),
+    (22L, "Lorem ipsum dolor {curly} javascript...")
+  ).toDF("doc_id", "text")
+
+  private def assertParity(nu: DataFrame, hof: DataFrame): Unit = {
+    assert(nu.schema.map(f => (f.name, f.dataType)) ==
+      hof.schema.map(f => (f.name, f.dataType)))
+    val a = nu.orderBy("doc_id").collect().toSeq
+    val b = hof.orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("gopherRules: native == HOF on the adversarial corpus") {
+    assertParity(
+      TextAnalysis.gopherRules(edgeDocs, "doc_id", "text"),
+      TextAnalysis.gopherRulesHof(edgeDocs, "doc_id", "text"))
+  }
+
+  test("c4Signals: native == HOF on the adversarial corpus") {
+    assertParity(
+      TextAnalysis.c4Signals(edgeDocs, "doc_id", "text"),
+      TextAnalysis.c4SignalsHof(edgeDocs, "doc_id", "text"))
+  }
+
+  test("gopherLineRules: native == HOF on the adversarial corpus") {
+    assertParity(
+      TextAnalysis.gopherLineRules(edgeDocs, "doc_id", "text"),
+      TextAnalysis.gopherLineRulesHof(edgeDocs, "doc_id", "text"))
+  }
+
+  test("repetitionSignals: native == HOF on the adversarial corpus") {
+    assertParity(
+      TextAnalysis.repetitionSignals(edgeDocs, "doc_id", "text"),
+      TextAnalysis.repetitionSignalsHof(edgeDocs, "doc_id", "text"))
+  }
+
+  test("parity holds on the real documents table (sf0.001)") {
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    assume(new java.io.File(path).exists())
+    val docs = spark.read.parquet(path).select("doc_id", "text")
+    assertParity(
+      TextAnalysis.gopherRules(docs, "doc_id", "text"),
+      TextAnalysis.gopherRulesHof(docs, "doc_id", "text"))
+    assertParity(
+      TextAnalysis.c4Signals(docs, "doc_id", "text"),
+      TextAnalysis.c4SignalsHof(docs, "doc_id", "text"))
+    assertParity(
+      TextAnalysis.gopherLineRules(docs, "doc_id", "text"),
+      TextAnalysis.gopherLineRulesHof(docs, "doc_id", "text"))
+    assertParity(
+      TextAnalysis.repetitionSignals(docs, "doc_id", "text"),
+      TextAnalysis.repetitionSignalsHof(docs, "doc_id", "text"))
+  }
+
+  // ---- semantic-trap pins: if Spark/Java behavior ever shifts, these
+  // fail before the parity tests go red for a confusing reason ----
+
+  test("Spark trim() strips only 0x20 (SPARK-17299 pin)") {
+    val out = Seq("\rx \t").toDF("s")
+      .select(trim(col("s"))).as[String].head()
+    assert(out == "\rx \t".stripSuffix(" ") || out == "\rx \t")
+    // precise: leading \r kept, trailing \t kept, inner space kept
+    val out2 = Seq(" \ra b\t ").toDF("s")
+      .select(trim(col("s"))).as[String].head()
+    assert(out2 == "\ra b\t")
+  }
+
+  test("Java-regex '$' matches before one final line terminator (pin)") {
+    val rows = Seq("foo.\r", "foo.\u2028", "foo.\rbar", "foo.")
+      .toDF("s").select(col("s").rlike("[.!?\"]$")).as[Boolean]
+      .collect().toSeq
+    assert(rows == Seq(true, true, false, true))
+  }
+
+  test("Spark length() counts code points, not UTF-16 units (pin)") {
+    val n = Seq("a😀b").toDF("s")
+      .select(length(col("s"))).as[Int].head()
+    assert(n == 3)
+  }
+
+  test("ellipsis-with-\\s*$ does not skip a non-\\s terminator (pin)") {
+    // "...\u2028 " : \s* cannot cross the LS from the right, and '$'
+    // before-final-terminator only helps when LS is FINAL
+    val rows = Seq("x...\u2028 ", "x...\u2028", "x...  ")
+      .toDF("s").select(col("s").rlike("(\\.\\.\\.|…)\\s*$"))
+      .as[Boolean].collect().toSeq
+    assert(rows == Seq(false, true, true))
+  }
+}
