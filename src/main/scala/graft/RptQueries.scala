@@ -40,14 +40,10 @@ object RptQueries {
     * code, item, value, *_sort); here the same grain is derived from the
     * star schema. The *selector* carries the SORT columns, not the
     * display names — a reference quirk both compositions preserve
-    * (m_cocacola_score_opportunity.clj:66). */
+    * (m_cocacola_score_opportunity.clj:66). Built over [[starFact]]
+    * so a family run's shared staged star serves these members too. */
   private def scoreFact(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, dir, "nation")),
-            col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(t(s, dir, "region")),
-            col("n_regionkey") === col("r_regionkey"))
+    starFact(s, dir)
       .select(
         date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("dw_dt"),
         col("r_name").as("bg"),
@@ -1173,19 +1169,102 @@ object RptQueries {
             .otherwise(col("c_acctbal")), lit(5000.0)).cast("int")
             .as("rich"))
         .orderBy("o_orderkey")
+    }),
+
+    // the production family run as an oracle-checked probe: THREE
+    // members (one per tap family: sku, score-tap, custom rural)
+    // through runReportFamily — shared staged star, one sink append,
+    // one next-dt bookkeeping pass; oracle = UNION ALL of the
+    // members' own oracles (the family must change NOTHING about any
+    // member's rows). The sink scratch dir is created OUTSIDE
+    // runReportFamily's stagedScope so the returned frame survives it.
+    "report_family_run" -> ((s, dir) => {
+      val sink = graft.core.Tables.scratchDir(s, "family_sink")
+      val (_, out) = runReportFamily(s, dir, sink, familyProbeMembers)
+      out.orderBy("report", "dw_dt", "selector")
     })
   )
 
   /** Spark-side shared star join for the sliding-family facts (every
     * report in the family synthesizes its score tap from the same
-    * 4-table join, then differs only in derived columns). */
-  private def starFact(s: SparkSession, dir: String): DataFrame =
+    * 4-table join, then differs only in derived columns). During a
+    * family run ([[runReportFamily]]) this returns the ONE staged copy
+    * instead of re-deriving the join per member — standalone query
+    * runs see an empty cache and build their own. */
+  private def starFact(s: SparkSession, dir: String): DataFrame = {
+    val shared = sharedStar.get(dir)
+    if (shared != null) shared else buildStarFact(s, dir)
+  }
+
+  private def buildStarFact(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")),
             col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")),
             col("n_regionkey") === col("r_regionkey"))
+
+  /** Driver-side shared-fact registry for family runs, keyed by sfDir.
+    * Populated only inside [[withSharedStar]]; the values are
+    * Tables.staged frames (a parquet round-trip of the identical
+    * rows), so a member's output is byte-equal either way —
+    * ReportFamilySpec pins that. */
+  private val sharedStar =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Stage the star fact once and let every [[starFact]] /
+    * [[scoreFact]] call reuse it for the duration of `f`. */
+  private[graft] def withSharedStar[T](s: SparkSession, dir: String)(
+      f: => T): T = {
+    val star = graft.core.Tables.staged(buildStarFact(s, dir),
+      "rpt_family_star")
+    sharedStar.put(dir, star)
+    try f finally sharedStar.remove(dir)
+  }
+
+  /** The `ms.report`-sink family — the report jobs the reference's
+    * cascalog.sh:37-120 loop runs per load window (every registered
+    * report query whose output is the 7-column ms.report shape; the
+    * non-member report_* probes cover sub-operators with their own
+    * shapes). */
+  private[graft] val familyNames: Seq[String] = Seq(
+    "report_score_channel", "report_score_channel_bg",
+    "report_score_kpi", "report_score_kpi_bg",
+    "report_opportunity", "report_channel_metrics_opportunity",
+    "report_score_bottler_ranking", "report_score_period",
+    "report_score_period_months", "report_score_gt_rural",
+    "report_score_gt_rural_period_bg", "report_skus",
+    "report_sku6_bg", "report_sku6_bottler", "report_sku6_period_bg",
+    "report_availability_brand", "report_availability_period_trend",
+    "report_availability_rural", "report_sovi_period_trend",
+    "report_sovi_period_trend6", "report_cooler_brand",
+    "report_cooler_period_trend", "report_activation_period_trend",
+    "report_activation_brand", "report_activation_sub_brand",
+    "report_by_bg", "report_bottler_tier", "report_achievement_rate",
+    "report_deep_dive_with_ko", "report_deep_dive_without_ko",
+    "report_details")
+
+  /** Members of the registered family probe — one per tap type. */
+  private[graft] val familyProbeMembers: Seq[String] =
+    Seq("report_sku6_bg", "report_score_kpi", "report_availability_rural")
+
+  /** Run the report family the way production runs it
+    * (Reports.runFamily scaladoc): shared star staged ONCE, all
+    * members executed against it, one sink append, one next-dt
+    * bookkeeping pass. `sinkPath` must be created OUTSIDE any
+    * stagedScope if the caller reads it after this returns. */
+  def runReportFamily(s: SparkSession, dir: String, sinkPath: String,
+                      members: Seq[String] = familyNames)
+      : ((String, String), DataFrame) = {
+    require(!members.contains("report_family_run"),
+      "the family probe cannot be its own member")
+    graft.core.Tables.stagedScope {
+      withSharedStar(s, dir) {
+        Reports.runFamily(s,
+          members.map(n => n -> (() => queries(n)(s, dir))), sinkPath)
+      }
+    }
+  }
 
   /** Spark-side twins of [[skuBaseCols]] / [[marketBaseCols]] plus the
     * month-grain aggregation every sliding report starts from. */
@@ -1784,7 +1863,7 @@ object RptQueries {
              AND NOT regexp_matches(bottler, '\S*辽宁$')
              AND NOT regexp_matches(bottler, 'Tier\d')"""
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "report_rural_totals_filter" ->
       """WITH b AS (SELECT CASE CAST(n_nationkey AS INT)
              WHEN 0 THEN 'China Total / 全国总体'
@@ -2535,4 +2614,12 @@ object RptQueries {
          JOIN nation ON c_nationkey = n_nationkey
          ORDER BY o_orderkey"""
   )
+
+  /** Oracle for the family probe: the members' own oracles, UNION ALL,
+    * re-ordered on the family sink's natural key. */
+  val oracles: Map[String, String] = baseOracles +
+    ("report_family_run" ->
+      ("SELECT * FROM ((" +
+        familyProbeMembers.map(baseOracles).mkString(") UNION ALL (") +
+        ")) AS u ORDER BY report, dw_dt, selector"))
 }

@@ -118,6 +118,16 @@ object Tables {
     path
   }
 
+  /** Fresh reaper-registered scratch path (no write happens here) —
+    * for sinks the caller writes itself (e.g. a family-run report
+    * sink) but wants cleaned on the same lifetime contract as
+    * [[staged]]. NOTE: inherits the innermost-scope rule too — call it
+    * OUTSIDE a [[stagedScope]] if the sink must outlive the scope. */
+  def scratchDir(spark: SparkSession, tag: String): String =
+    registerStagedDir(
+      s"$tmpDir/${tag}_" + java.util.UUID.randomUUID().toString,
+      spark.sessionState.newHadoopConf())
+
   /** Run `f`, then delete every staging dir [[staged]] created inside
     * it on this thread — the bounded-disk form for per-batch loops.
     * The staged data must be fully consumed within the scope. */

@@ -79,6 +79,58 @@ object Reports {
         col("dimension_metrics"))
   }
 
+  /** Columns of the `ms.report` sink every family member must emit
+    * (reference trgx.clj report tap; the shape every report job under
+    * src/cocacola/rpt writes). */
+  val sinkColumns: Seq[String] = Seq("dw_dt", "project", "category",
+    "report", "selector", "selector_desc", "dimension_metrics")
+
+  /** The production orchestration unit — the reference's actual
+    * deployment shape (src/cocacola/rpt/cascalog.sh:37-120 runs the
+    * whole report family serially against the SAME fact tables per
+    * load window, each job appending to the one `ms.report` sink, with
+    * `report->next-dt` (trgx.clj:110-116) deciding the next window).
+    *
+    * `members` are (name, thunk) pairs each yielding one report's
+    * DataFrame in the [[sinkColumns]] shape (enforced loudly — a
+    * mis-shaped member would silently corrupt the shared sink).
+    * All member outputs are unioned and appended to `sinkPath` in ONE
+    * write (one Spark job for the whole family — each member subtree
+    * executes independently inside it), then the next-dt bookkeeping
+    * runs ONCE over the merged sink, excluding the `9999-12-31`
+    * sentinel rows the period reports carry (they are selector-keyed
+    * bookkeeping rows, not load-window facts — counting them would
+    * pin next-dt at year 9999 forever).
+    *
+    * Fact sharing is the caller's lever: wrap the call so the shared
+    * upstream (the star join every tap synthesizes from) is staged
+    * once — RptQueries.runReportFamily does exactly that via its
+    * shared-star scope; per-query independence re-runs that join once
+    * per member. Returns ((nextStart, endDt), the sink read back). */
+  def runFamily(spark: org.apache.spark.sql.SparkSession,
+                members: Seq[(String, () => DataFrame)],
+                sinkPath: String,
+                defaultStart: String = "1995-01-01",
+                endDt: String = "9999-12-31")
+      : ((String, String), DataFrame) = {
+    require(members.nonEmpty, "empty report family")
+    val frames = members.map { case (name, build) =>
+      val df = build()
+      require(df.schema.fieldNames.toSeq == sinkColumns,
+        s"family member $name must emit the ms.report shape " +
+          s"(${sinkColumns.mkString(", ")}), got " +
+          df.schema.fieldNames.mkString(", "))
+      df
+    }
+    frames.reduce(_ unionByName _)
+      .write.mode("append").parquet(sinkPath)
+    val sink = spark.read.parquet(sinkPath)
+    val rng = graft.etl.TableOps.reportNextDt(
+      sink.filter(col("dw_dt") =!= "9999-12-31"), "dw_dt",
+      defaultStart, endDt)
+    (rng, sink)
+  }
+
   /** Share-of-voice with an "Others" remainder row
     * (m_cocacola_sovi_brand.clj:46-48: Others = 100 − Σ brand shares).
     * Shares in integer milli-percent so the remainder is exact at any
