@@ -110,6 +110,283 @@ object LlmQueries {
        AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
        AND NOT has_lorem AND NOT has_curly"""
 
+  /** DuckDB replica of the spherical k-means centroid TRAINING
+    * (Similarity.kmeansCentroids) — the piece that used to force
+    * ann_ivf_kmeans/semantic_dedup_kmeans/ann_pq onto summary oracles.
+    * Every step is deterministic AND bit-replicable: the sample is the
+    * md5-ordered head (md5 + row_number in both engines); every float
+    * reduction (norms, dots, Lloyd sums) is a SEQUENTIAL left-to-right
+    * loop on the Spark side, and DuckDB's list_sum / list_dot_product
+    * over a `list(x ORDER BY ord)` aggregate reduce in exactly that
+    * order (probed bit-equal on adversarial 2048-element mixes), so
+    * the trained centroids match to the last bit.
+    *
+    * Emits CTEs ending in `cents$iters(c, v)`:
+    *  - samp/sn: md5-ordered 2048-head, L2-normalized;
+    *  - ff chain: farthest-first seeding — chosen(0) = first sample,
+    *    each next = argmin over running max-dot (ties to the earliest
+    *    sample, the Scala scan order);
+    *  - 5 unrolled Lloyd rounds: assign by (dot DESC, c ASC),
+    *    re-center = normalize(per-dim sums in SAMPLE order), empty
+    *    clusters keep their previous centroid. */
+  private def kmeansCentsCtes(k: Int, iters: Int): String = {
+    val ff = (1 until k).map { c =>
+      s"""bs$c AS MATERIALIZED (SELECT ord, v,
+           ${if (c == 1) "" else s"greatest(bs, "}list_dot_product(v,
+             (SELECT v FROM ch$c))${if (c == 1) "" else ")"} AS bs
+           FROM ${if (c == 1) "sn" else s"bs${c - 1}"}),
+       ch${c + 1} AS MATERIALIZED (SELECT ord, v FROM bs$c
+           ORDER BY bs ASC, ord ASC LIMIT 1)"""
+    }.mkString(",\n       ")
+    val cents0 = (0 until k)
+      .map(c => s"SELECT $c AS c, v FROM ch${c + 1}")
+      .mkString(" UNION ALL ")
+    val lloyd = (1 to iters).map { i =>
+      val prev = s"cents${i - 1}"
+      s"""asg$i AS MATERIALIZED (SELECT ord, v, c FROM
+           (SELECT s.ord, s.v, ct.c,
+              row_number() OVER (PARTITION BY s.ord
+                ORDER BY list_dot_product(s.v, ct.v) DESC, ct.c ASC)
+                AS rn
+            FROM sn s CROSS JOIN $prev ct) WHERE rn = 1),
+       upd$i AS MATERIALIZED (SELECT c, dim, list_sum(list(x ORDER BY ord)) AS sm
+           FROM (SELECT c, ord, unnest(v) AS x,
+                   unnest(range(1, len(v) + 1)) AS dim FROM asg$i)
+           GROUP BY c, dim),
+       nc$i AS MATERIALIZED (SELECT c, CASE WHEN nrm = 0 THEN sv
+             ELSE list_transform(sv, x -> x / nrm) END AS v
+           FROM (SELECT c, sv,
+                   sqrt(list_sum(list_transform(sv, x -> x * x))) AS nrm
+                 FROM (SELECT c, list(sm ORDER BY dim) AS sv
+                       FROM upd$i GROUP BY c))),
+       cents$i AS MATERIALIZED (SELECT ct.c, coalesce(n.v, ct.v) AS v
+           FROM $prev ct LEFT JOIN nc$i n USING (c))"""
+    }.mkString(",\n       ")
+    s"""samp AS MATERIALIZED (SELECT id, v FROM
+           (SELECT id, v, row_number() OVER
+              (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+            FROM corpus WHERE v IS NOT NULL AND len(v) > 0)
+           WHERE rn <= 2048),
+       sn AS MATERIALIZED (SELECT row_number() OVER
+              (ORDER BY md5(CAST(id AS VARCHAR)), id) AS ord,
+            CASE WHEN nrm = 0 THEN v
+              ELSE list_transform(v, x -> x / nrm) END AS v
+           FROM (SELECT id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+             FROM samp)),
+       ch1 AS MATERIALIZED (SELECT ord, v FROM sn WHERE ord = 1),
+       $ff,
+       cents0 AS MATERIALIZED ($cents0),
+       $lloyd"""
+  }
+
+  /** Exact oracle for semantic_dedup_kmeans: k-means training CTEs +
+    * cell assignment by (dot DESC, cell DESC) + unit-vector pair dots
+    * within cells at the 0.85 threshold — the full SemDeDup verdict
+    * table, hash-checked (was a recall-floor summary before r10). */
+  private def semanticKmeansOracleSql: String =
+    s"""WITH corpus AS MATERIALIZED (
+         SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000 AS id,
+           list_prepend(CAST(embedding[1] AS DOUBLE) + 0.1,
+             (CAST(embedding AS DOUBLE[]))[2:]) AS v
+         FROM embeddings),
+       ${kmeansCentsCtes(8, 5)},
+       asgc AS MATERIALIZED (SELECT id, v, cell,
+           CASE WHEN nrm = 0 THEN v
+             ELSE list_transform(v, x -> x / nrm) END AS vecn
+           FROM (SELECT id, v, CAST(c AS INT) AS cell, nrm,
+               row_number() OVER (PARTITION BY id
+                 ORDER BY d DESC, c DESC) AS rn
+             FROM (SELECT cp.id, cp.v, ct.c,
+                 list_dot_product(cp.v, ct.v) AS d,
+                 sqrt(list_dot_product(cp.v, cp.v)) AS nrm
+               FROM corpus cp CROSS JOIN cents5 ct))
+           WHERE rn = 1),
+       rm AS MATERIALIZED (SELECT b.id AS id, min(a.id) AS removed_by
+           FROM asgc a JOIN asgc b
+             ON a.cell = b.cell AND a.id < b.id
+           WHERE list_dot_product(a.vecn, b.vecn) >= 0.85
+           GROUP BY b.id)
+       SELECT g.id, g.cell, rm.removed_by IS NULL AS keep,
+         rm.removed_by
+       FROM asgc g LEFT JOIN rm USING (id)
+       ORDER BY id"""
+
+  /** Spark `Similarity.cosine` twin: denom = sqrt(dot(a,a)) *
+    * sqrt(dot(b,b)); NULL (not NaN) for a zero denominator — DuckDB's
+    * list_cosine_similarity differs on both the op order and the
+    * zero-vector result, so the replica is explicit. */
+  private def cosSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_dot_product($a, $a)) *
+           sqrt(list_dot_product($b, $b)) > 0
+         THEN list_dot_product($a, $b) /
+           (sqrt(list_dot_product($a, $a)) *
+            sqrt(list_dot_product($b, $b))) END"""
+
+  /** Sequential-order L2 distance as an explicit left-associated sum
+    * (matches the Scala `d += (a(i)-b(i))²` ascending loop bit-for-
+    * bit; a lambda/range form would too, but the explicit terms are
+    * ~10× faster in DuckDB at the encode join's row counts). */
+  private def l2Sql(a: String, b: String, n: Int): String =
+    (1 to n).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])")
+      .mkString(" + ")
+
+  /** Exact oracle for ann_pq — the full Jégou et al. decomposition
+    * replicated in DuckDB: per-subspace L2 k-means codebook training
+    * (md5-ordered 2048-sample, farthest-first seeding with the
+    * duplicate-centroid pad guard, 5 Lloyd mean rounds), corpus
+    * encode (argmin L2, ties to the lowest code), reconstruction,
+    * a 50-candidate shortlist ranked on reconstructions, and the
+    * exact cosine re-rank. Bit parity rests on the same facts as
+    * kmeansCentsCtes (sequential float reductions both sides; the
+    * explicit l2Sql sum is left-associated like the Scala loop).
+    * Ragged/null vectors are excluded from the encode — Spark gives
+    * them NULL codes/recon so they can never out-rank a real
+    * candidate; divergence would need a query with fewer than
+    * `shortlist` valid candidates, which the len-64 corpus contract
+    * excludes. */
+  private def pqOracleSql(m: Int = 16, kCodes: Int = 64,
+                          subDim: Int = 4, iters: Int = 5,
+                          shortlist: Int = 50, k: Int = 10): String = {
+    val dims = m * subDim
+    val ff = (1 to kCodes - 1).map { c =>
+      val bdExpr =
+        if (c == 1) l2Sql("s.sv", "c.sv", subDim)
+        else s"least(s.bd, ${l2Sql("s.sv", "c.sv", subDim)})"
+      s"""fb$c AS MATERIALIZED (SELECT s.ord, s.mi, s.sv, $bdExpr AS bd
+           FROM ${if (c == 1) "sub" else s"fb${c - 1}"} s
+           JOIN ch$c c USING (mi)),
+       ch${c + 1} AS MATERIALIZED (SELECT mi, sv, bd FROM
+           (SELECT mi, sv, bd, row_number() OVER (PARTITION BY mi
+              ORDER BY bd DESC, ord ASC) AS rn FROM fb$c)
+           WHERE rn = 1)"""
+    }.mkString(",\n       ")
+    // slot j > 0 pads back to the subspace's first centroid when its
+    // selection-time farthest distance was 0 (fewer distinct
+    // subvectors than codes — the Scala guard's pad-with-chosen(0))
+    val cents0 = (s"SELECT mi, 0 AS code, sv FROM ch1" +:
+      (1 until kCodes).map(j =>
+        s"""SELECT c.mi, $j AS code,
+            CASE WHEN c.bd > 0 THEN c.sv ELSE f.sv END AS sv
+            FROM ch${j + 1} c JOIN ch1 f USING (mi)"""))
+      .mkString(" UNION ALL ")
+    val lloyd = (1 to iters).map { i =>
+      val prev = s"pcents${i - 1}"
+      s"""pasg$i AS MATERIALIZED (SELECT ord, mi, sv, code FROM
+           (SELECT s.ord, s.mi, s.sv, ct.code,
+              row_number() OVER (PARTITION BY s.mi, s.ord
+                ORDER BY ${l2Sql("s.sv", "ct.sv", subDim)} ASC,
+                  ct.code ASC) AS rn
+            FROM sub s JOIN $prev ct USING (mi)) WHERE rn = 1),
+       pupd$i AS MATERIALIZED (SELECT mi, code, dim,
+           list_sum(list(x ORDER BY ord)) AS sm, count(*) AS cnt
+           FROM (SELECT mi, code, ord, unnest(sv) AS x,
+                   unnest(range(1, len(sv) + 1)) AS dim FROM pasg$i)
+           GROUP BY mi, code, dim),
+       pnc$i AS MATERIALIZED (SELECT mi, code,
+           list(sm / cnt ORDER BY dim) AS sv
+           FROM pupd$i GROUP BY mi, code),
+       pcents$i AS MATERIALIZED (SELECT ct.mi, ct.code,
+           coalesce(n.sv, ct.sv) AS sv
+           FROM $prev ct LEFT JOIN pnc$i n
+             ON ct.mi = n.mi AND ct.code = n.code)"""
+    }.mkString(",\n       ")
+    s"""WITH corpus AS MATERIALIZED (
+         SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       mis AS (SELECT unnest(range(0, $m)) AS mi),
+       samp AS MATERIALIZED (SELECT id, v, rn AS ord FROM
+           (SELECT id, v, row_number() OVER
+              (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+            FROM corpus WHERE v IS NOT NULL AND len(v) > 0)
+           WHERE rn <= 2048),
+       sub AS MATERIALIZED (SELECT s.ord, g.mi,
+           s.v[g.mi * $subDim + 1 : g.mi * $subDim + $subDim] AS sv
+           FROM samp s CROSS JOIN mis g),
+       ch1 AS MATERIALIZED (SELECT mi, sv FROM sub WHERE ord = 1),
+       $ff,
+       pcents0 AS MATERIALIZED ($cents0),
+       $lloyd,
+       csub AS MATERIALIZED (SELECT cp.id, g.mi,
+           cp.v[g.mi * $subDim + 1 : g.mi * $subDim + $subDim] AS sv
+           FROM corpus cp CROSS JOIN mis g
+           WHERE cp.v IS NOT NULL AND len(cp.v) = $dims),
+       enc AS MATERIALIZED (SELECT id, mi, code FROM
+           (SELECT s.id, s.mi, ct.code,
+              row_number() OVER (PARTITION BY s.id, s.mi
+                ORDER BY ${l2Sql("s.sv", "ct.sv", subDim)} ASC,
+                  ct.code ASC) AS rn
+            FROM csub s JOIN pcents$iters ct USING (mi)) WHERE rn = 1),
+       recon AS MATERIALIZED (SELECT e.id,
+           flatten(list(ct.sv ORDER BY e.mi)) AS rv
+           FROM enc e JOIN pcents$iters ct
+             ON e.mi = ct.mi AND e.code = ct.code
+           GROUP BY e.id),
+       q AS MATERIALIZED (SELECT vec_id AS query_id,
+           CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+       sl AS MATERIALIZED (SELECT query_id, corpus_id FROM
+           (SELECT query_id, corpus_id, row_number() OVER
+              (PARTITION BY query_id
+               ORDER BY cos DESC NULLS LAST, corpus_id ASC) AS rn
+            FROM (SELECT qq.query_id, r.id AS corpus_id,
+                ${cosSql("r.rv", "qq.qv")} AS cos
+              FROM recon r CROSS JOIN q qq
+              WHERE r.id <> qq.query_id))
+           WHERE rn <= $shortlist),
+       rr AS (SELECT s.query_id, s.corpus_id,
+           ${cosSql("cp.v", "qq.qv")} AS cos
+           FROM sl s JOIN corpus cp ON cp.id = s.corpus_id
+           JOIN q qq ON qq.query_id = s.query_id)
+       SELECT query_id, corpus_id, CAST(rank AS INT) AS rank,
+         round(cos, 4) + 0.0 AS cos
+       FROM (SELECT query_id, corpus_id, cos, row_number() OVER
+               (PARTITION BY query_id
+                ORDER BY cos DESC NULLS LAST, corpus_id ASC) AS rank
+             FROM rr)
+       WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** Exact oracle for ann_ivf_kmeans: k-means training CTEs + the IVF
+    * probe — corpus assigned to its (dot DESC, cell DESC) top cell,
+    * each query probing its top-3 cells, candidates ranked by the
+    * exact cosine (cos DESC, corpus_id). Upgraded r10 from a
+    * recall-floor summary. */
+  private def ivfKmeansOracleSql: String =
+    s"""WITH corpus AS MATERIALIZED (
+         SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       ${kmeansCentsCtes(8, 5)},
+       cidx AS MATERIALIZED (SELECT id AS corpus_id, v AS cvec,
+           CAST(c AS INT) AS cell FROM
+           (SELECT cp.id, cp.v, ct.c, row_number() OVER
+              (PARTITION BY cp.id
+               ORDER BY list_dot_product(cp.v, ct.v) DESC, ct.c DESC)
+              AS rn
+            FROM corpus cp CROSS JOIN cents5 ct) WHERE rn = 1),
+       qc AS MATERIALIZED (SELECT id AS query_id, v AS qvec,
+           CAST(c AS INT) AS cell FROM
+           (SELECT q.id, q.v, ct.c, row_number() OVER
+              (PARTITION BY q.id
+               ORDER BY list_dot_product(q.v, ct.v) DESC, ct.c DESC)
+              AS rn
+            FROM (SELECT id, v FROM corpus WHERE id < 5) q
+            CROSS JOIN cents5 ct) WHERE rn <= 3),
+       scored AS (SELECT qc.query_id, cidx.corpus_id,
+           ${cosSql("cidx.cvec", "qc.qvec")} AS cos
+           FROM cidx JOIN qc USING (cell)
+           WHERE cidx.corpus_id <> qc.query_id)
+       SELECT query_id, corpus_id, CAST(rank AS INT) AS rank,
+         round(cos, 4) + 0.0 AS cos
+       FROM (SELECT query_id, corpus_id, cos, row_number() OVER
+               (PARTITION BY query_id
+                ORDER BY cos DESC NULLS LAST, corpus_id ASC) AS rank
+             FROM scored)
+       WHERE rank <= 10 ORDER BY query_id, rank"""
+
   /** DuckDB replica of the deterministic IVF path (same Rademacher
     * centroids — dims fixed at 64 across all SFs —, same (dot DESC,
     * cell DESC) probe order, same (cos DESC, corpus_id) ranking): the
@@ -582,14 +859,12 @@ object LlmQueries {
                slice(col("v"), 2, 63)).as("v"))
       val corpus = e.unionByName(planted)
       val cents = Similarity.kmeansCentroids(corpus, "v", "vec_id", 8)
+      // full verdict table, hash-checked: r10 upgraded this from a
+      // recall-floor summary — the k-means training is bit-replicated
+      // in DuckDB (kmeansCentsCtes scaladoc), so every keep/removed_by
+      // decision oracle-checks exactly
       Dedup.semanticDedup(corpus, "v", "vec_id", cents, threshold = 0.85)
-        .agg(
-          count(lit(1)).as("n_total"),
-          count(when(!col("keep") && col("id") < 1000000L, 1))
-            .as("originals_removed"),
-          (count(when(!col("keep") && col("id") >= 1000000L &&
-                      col("removed_by") === col("id") - 1000000L, 1)) * 10
-            >= count(lit(1)) * 4).as("recall_ok"))
+        .orderBy("id")
     }),
 
     // brute-force cosine top-k ANN baseline
@@ -665,19 +940,13 @@ object LlmQueries {
     // recall clears the 56% floor (measured 30/30/36 of 50).
     "ann_ivf_kmeans" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
-      val approx = Similarity.ivfTopKKMeans(e, q, "embedding", "vec_id",
-        10, nProbe = 3)
-      val exact = Similarity.bruteForceTopK(e, q, "embedding", "vec_id", 10)
-        .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
-      // single left join → single aggregation: the IVF pipeline is
-      // evaluated once, not once per summary branch
-      approx.join(exact, Seq("query_id", "corpus_id"), "left_outer")
-        .agg(
-          countDistinct(col("query_id")).as("n_queries"),
-          (count(lit(1)) === countDistinct(col("query_id")) * 10)
-            .as("all_k_rows"),
-          (count(col("hit")) >= 28).as("recall_ok"))
+      // full top-k table, hash-checked: r10 upgraded this from a
+      // recall-floor summary — the k-means training is bit-replicated
+      // in DuckDB (kmeansCentsCtes); the honest recall-vs-Rademacher
+      // numbers from the old summary stay in the comment above
+      Similarity.ivfTopKKMeans(e, e.filter(col("vec_id") < 5),
+          "embedding", "vec_id", 10, nProbe = 3)
+        .orderBy("query_id", "rank")
     }),
 
     // product-quantization ANN with exact re-rank (Jégou et al. 2011;
@@ -689,17 +958,12 @@ object LlmQueries {
     // top-10, measured 46-50/50 at every SF and pinned at 40.
     "ann_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
-      val approx = Similarity.pqTopK(e, q, "embedding", "vec_id", 10)
-      val exact = Similarity.bruteForceTopK(e, q, "embedding",
-        "vec_id", 10)
-        .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
-      approx.join(exact, Seq("query_id", "corpus_id"), "left_outer")
-        .agg(
-          countDistinct(col("query_id")).as("n_queries"),
-          (count(lit(1)) === countDistinct(col("query_id")) * 10)
-            .as("all_k_rows"),
-          (count(col("hit")) >= 40).as("recall_ok"))
+      // full top-k table, hash-checked: r10 upgraded this from a
+      // recall-floor summary — codebook training, encode, shortlist
+      // and re-rank are all bit-replicated in DuckDB (pqOracleSql)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "embedding",
+          "vec_id", 10)
+        .orderBy("query_id", "rank")
     }),
 
     // cross-doc line-dedup rewrite (the C4 cleaning rule): duplicated
@@ -1210,10 +1474,7 @@ object LlmQueries {
            FROM embeddings c, embeddings q
            WHERE q.vec_id < 5 AND c.label <> q.label)
          WHERE rank <= 10 ORDER BY query_id, rank""",
-    "semantic_dedup_kmeans" ->
-      """SELECT CAST(2 * (SELECT count(*) FROM embeddings) AS BIGINT)
-           AS n_total,
-         CAST(0 AS BIGINT) AS originals_removed, TRUE AS recall_ok""",
+    "semantic_dedup_kmeans" -> semanticKmeansOracleSql,
     "ann_ivf_topk" -> ivfOracleSql("vec_id < 5"),
     "ann_incremental" -> ivfOracleSql("vec_id >= 5 AND vec_id < 10"),
     "dedup_components" ->
@@ -1574,12 +1835,8 @@ object LlmQueries {
            FROM embeddings c, embeddings q
            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
          WHERE rank <= 10 ORDER BY query_id, rank""",
-    "ann_ivf_kmeans" ->
-      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS all_k_rows,
-         TRUE AS recall_ok""",
-    "ann_pq" ->
-      """SELECT CAST(5 AS BIGINT) AS n_queries, TRUE AS all_k_rows,
-         TRUE AS recall_ok""",
+    "ann_ivf_kmeans" -> ivfKmeansOracleSql,
+    "ann_pq" -> pqOracleSql(),
     "text_sentences" ->
       """WITH s AS (SELECT doc_id,
            list_filter(list_transform(
