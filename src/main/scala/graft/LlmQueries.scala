@@ -1265,6 +1265,23 @@ object LlmQueries {
         .orderBy("media_id")
     }),
 
+    // perceptual-hash image near-dup (r10): gradient-pattern PNGs with
+    // planted near-duplicates (2× resize → Hamming 0; one-cell +50
+    // perturbation → a small exact Hamming shift), REAL ImageIO decode
+    // → 8×8 average-hash → the shared 4×16-bit-chunk banded pair join
+    // (Dedup.hamming64Pairs — no all-pairs). Every aHash cell mean is
+    // a dyadic rational, so the oracle reproduces the hash and the
+    // pair set from id arithmetic alone, exactly.
+    "image_phash_dedup" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+        .filter(col("id") >= 0 && col("id") < 48)
+      val media = Multimodal.asPatternPngTable(ids)
+      Dedup.hamming64Pairs(Multimodal.imageAHash(media),
+          "media_id", "ahash", 3)
+        .orderBy("id1", "id2")
+    }),
+
     // the real binaryFile SOURCE path end-to-end: real .png files on
     // disk → spark.read.format("binaryFile") → id parsed from the
     // path → the same javax.imageio decode as multimodal_features.
@@ -2075,6 +2092,53 @@ object LlmQueries {
            AS mean_px,
          TRUE AS decoded
          FROM documents ORDER BY media_id""",
+    // the aHash is predicted arithmetically: cell mean = avg over the
+    // 4×4 original block of (c + x·sx + y·sy) mod 200 (+50 for the
+    // perturbed variant's cell (0,0)); the 2× resize has identical
+    // cell means by construction. All means are dyadic rationals —
+    // sums are exact in any order, so the comparison against the
+    // global mean replicates the decode-side hash bit for bit. Bit 63
+    // is added as the BIGINT min-value constant (1<<63 overflows).
+    "image_phash_dedup" ->
+      """WITH ids AS MATERIALIZED (SELECT DISTINCT doc_id AS id
+           FROM documents WHERE doc_id >= 0 AND doc_id < 48),
+         var AS (SELECT id, unnest([0, 1, 2]) AS v FROM ids),
+         cells AS MATERIALIZED (SELECT id, v, cy * 8 + cx AS k,
+           list_sum(flatten(list_transform(range(0, 4), dy ->
+             list_transform(range(0, 4), dx ->
+               CAST(((id * 11 + 3) % 200 + (cx * 4 + dx) * (1 + id % 7)
+                 + (cy * 4 + dy) * (1 + id % 5)) % 200 AS DOUBLE)))))
+             / 16.0
+           + CASE WHEN v = 2 AND cy = 0 AND cx = 0
+               THEN 50.0 ELSE 0.0 END AS m
+           FROM var
+           CROSS JOIN (SELECT unnest(range(0, 8)) AS cy)
+           CROSS JOIN (SELECT unnest(range(0, 8)) AS cx)),
+         hashes AS MATERIALIZED (SELECT
+           CAST(id + CASE v WHEN 0 THEN 0 WHEN 1 THEN 5000000
+             ELSE 6000000 END AS BIGINT) AS media_id,
+           -- CAST back to BIGINT: sum(BIGINT) is HUGEINT in DuckDB,
+           -- and xor/bit_count on a negative HUGEINT sign-extend to
+           -- 128 bits (Hamming +64 for mixed-sign pairs)
+           CAST(sum(CASE WHEN m > g THEN
+                 CASE WHEN k = 63 THEN -9223372036854775808
+                   ELSE (CAST(1 AS BIGINT) << k) END
+               ELSE 0 END) AS BIGINT) AS ahash
+           FROM (SELECT *, sum(m) OVER (PARTITION BY id, v) / 64 AS g
+                 FROM cells)
+           GROUP BY id, v),
+         ch AS MATERIALIZED (SELECT media_id, ahash, j,
+           (ahash >> (j * 16)) & 65535 AS ck
+           FROM hashes
+           CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+         p AS (SELECT DISTINCT a.media_id AS id1, b.media_id AS id2,
+           a.ahash AS h1, b.ahash AS h2
+           FROM ch a JOIN ch b
+             ON a.j = b.j AND a.ck = b.ck AND a.media_id < b.media_id)
+         SELECT id1, id2,
+           CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+         FROM p WHERE bit_count(xor(h1, h2)) <= 3
+         ORDER BY id1, id2""",
     "source_binaryfile_media" ->
       """SELECT doc_id AS media_id,
          CAST(16 + 2 * (doc_id % 8) AS INT) AS width,

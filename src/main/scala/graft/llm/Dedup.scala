@@ -271,8 +271,22 @@ object Dedup {
   /** SimHash near-dup pairs via 16-bit-chunk bucket join + Hamming
     * verify (≤ maxHamming). */
   def simHashDedupPairs(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3): DataFrame = {
-    val base = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+                        maxHamming: Int = 3): DataFrame =
+    hamming64Pairs(
+      df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh")),
+      "id", "sh", maxHamming)
+
+  /** Hamming-ball candidate pairs over ANY 64-bit hash column — the
+    * banded core shared by [[simHashDedupPairs]] (text SimHash) and
+    * the image perceptual-hash dedup (Multimodal.imageAHash): split
+    * the hash into 4 × 16-bit chunks; two hashes within Hamming
+    * distance ≤ 3 must agree on ≥ 1 chunk (pigeonhole), so the only
+    * join is a chunk-equality bucket join — candidates-only verify,
+    * never all-pairs. `maxHamming` beyond 3 loses the recall
+    * guarantee (4 chunks cover ≤ 3 flips); the default keeps it. */
+  def hamming64Pairs(hashed: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val base = hashed.select(col(idCol).as("id"), col(hashCol).as("sh"))
     val chunked = base.select(col("id"), col("sh"),
       explode(array((0 until 4).map { j =>
         struct(lit(j).as("chunk"),
@@ -294,18 +308,26 @@ object Dedup {
   /** Connected components over a dup-pair edge list (id1, id2) —
     * collapses pairwise near-dup matches into dedup GROUPS (the form a
     * training-data pipeline actually consumes: keep one doc per
-    * component). Iterative min-label propagation: each round every node
-    * takes the min of its own and its neighbors' labels; converges in
-    * O(component diameter) rounds. Each round is one shuffle
-    * (join + groupBy); labels are re-persisted and the previous
-    * iteration unpersisted so lineage and storage stay bounded — the
-    * standard DataFrame CC shape at cluster scale. Returns (id, comp)
+    * component). Min-label propagation WITH POINTER JUMPING: each
+    * round every node takes the min of its own label, its neighbors'
+    * labels, AND its label's label (comp(comp(u)) — one extra
+    * self-join on the vocab-sized label table). Plain neighbor-min
+    * needs O(component diameter) rounds, which degenerates exactly
+    * where a 100 TB near-dup graph is dangerous — a chained
+    * boilerplate mega-component (the r10 probe in PLANS.md: a 90%-skew
+    * chain's diameter equals its size, so the plain form can never
+    * converge in a practical round budget; with jumping, rounds grow
+    * as log₂(diameter) and the measured 4M/16M/64M-edge skewed chains
+    * converge in 101/244/858 s at local[32] — near-linear wall).
+    * Each round is two shuffles (edge join + label self-join); labels
+    * are re-persisted and the previous iteration unpersisted so
+    * lineage and storage stay bounded. Returns (id, comp)
     * where comp = min id of the component (the id column's NATIVE
     * ordering — lexicographic for string/uuid ids; no silent long cast,
     * which used to null out non-numeric ids and corrupt the whole
     * result); singletons (ids not in any pair) are not emitted. */
   def connectedComponents(pairs: DataFrame,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 40): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs
       .select(col("id1").as("src"), col("id2").as("dst"))
@@ -314,12 +336,21 @@ object Dedup {
       .persist(lvl)
     // initialization fused with the first propagation round: every
     // node starts at min(self, neighbors) — for clique-shaped dup
-    // graphs this is already the fixpoint and the loop only verifies
-    var persisted = edges.groupBy(col("src"))
+    // graphs this is already the fixpoint and the loop only verifies.
+    //
+    // Every round ends at a parquet STAGING boundary, not a persist():
+    // an iterative loop needs a true lineage cut each round. The plan
+    // references `labels` three times per round (itself + the
+    // neighbor-min + the jump lookup), so an uncut analyzed plan grows
+    // 3^rounds (plan-string rendering alone OOMs near round 9), and
+    // even an RDD-level cache keeps the physical dependency chain —
+    // task serialization StackOverflowed at the 16M-edge probe's ~23
+    // rounds. The staged file is also the right durability story on a
+    // real cluster: a recomputed round after executor loss replays a
+    // parquet scan, not 20 shuffles.
+    var labels = staged(edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("comp"))
-      .select(col("src").as("id"), col("comp"))
-      .persist(lvl)
-    var labels = persisted
+      .select(col("src").as("id"), col("comp")), "cc_labels")
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
@@ -327,34 +358,33 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("comp").as("nbr_comp"))
+      // pointer jumping: comp(comp(u)) — comp values are always node
+      // ids inside u's component (init: min of self+neighbors, both
+      // label-table keys; inductively: a least() of label-table keys),
+      // so the self-join lookup is total and each round roughly
+      // doubles the distance a label has travelled toward the root
+      val jump = labels.select(col("id").as("comp"),
+        col("comp").as("jump_comp"))
       // carry the previous label so convergence is a filter over the
-      // freshly persisted result, not an extra join per round
-      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+      // freshly staged result, not an extra join per round
+      val next = staged(labels.join(nbrMin, Seq("id"), "left_outer")
+        .join(jump, Seq("comp"), "left_outer")
         .select(col("id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-            .as("comp"))
-        .persist(lvl)
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")),
+            coalesce(col("jump_comp"), col("comp")))
+            .as("comp")), "cc_labels")
       changed = next.filter(col("comp") =!= col("prev")).count()
-      persisted.unpersist()
-      persisted = next
       labels = next.select("id", "comp")
       iters += 1
     }
     edges.unpersist()
     if (changed > 0) {
-      persisted.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still changing) — raise maxIters for " +
           "graphs with larger component diameters")
     }
-    // the loop owns its per-round persists (each round unpersists its
-    // predecessor); the FINAL labels leave through a staging boundary
-    // so the result neither drags the full iterative lineage nor leaves
-    // a cache entry behind
-    val out = staged(labels, "cc_labels")
-    persisted.unpersist()
-    out
+    labels
   }
 
   /** Corpus-scale dedup GROUPING: collapse exact duplicates first

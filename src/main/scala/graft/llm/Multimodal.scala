@@ -126,6 +126,132 @@ object Multimodal {
     dir
   }
 
+  // ---------- perceptual-hash image fixtures (r10) ----------
+
+  /** Deterministic gradient-pattern image for the perceptual-hash
+    * dedup probe: luma(x, y) = (c + x·sx + y·sy) mod 200, with c/sx/sy
+    * pure functions of the id. Unlike the two-band [[encodePng]]
+    * images (whose 8×8 average-hash collapses to one of three
+    * patterns corpus-wide — every cross pair would "match"), the
+    * gradient makes the hash diverse across ids while every cell mean
+    * stays a closed-form function of the id — so the DuckDB oracle
+    * predicts the hash ARITHMETICALLY without decoding PNG (the
+    * established multimodal-oracle pattern). Luma ≤ 199 so the +50
+    * perturbation below never clamps. */
+  def patternBase(id: Long): Int = ((id * 11 + 3) % 200).toInt
+  def patternSx(id: Long): Int = 1 + (id % 7).toInt
+  def patternSy(id: Long): Int = 1 + (id % 5).toInt
+  def patternLuma(id: Long, x: Int, y: Int): Int =
+    (patternBase(id) + x * patternSx(id) + y * patternSy(id)) % 200
+
+  /** Variants: 0 = 32×32 original; 1 = 64×64 pixel-doubled resize
+    * (identical cell means → Hamming 0); 2 = original with +50 on the
+    * top-left 4×4 block (exactly aHash cell (0,0) → a small, exactly
+    * predictable Hamming perturbation). */
+  def encodePngPattern(id: Long, variant: Int): Array[Byte] = {
+    val n = if (variant == 1) 64 else 32
+    val img = new BufferedImage(n, n, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        val (ox, oy) = if (variant == 1) (x / 2, y / 2) else (x, y)
+        var c = patternLuma(id, ox, oy)
+        if (variant == 2 && ox < 4 && oy < 4) c += 50
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Pattern-PNG media table with planted near-duplicates: for each
+    * base id, the original (media_id = id), a 2× resize (id + 5000000)
+    * and a one-cell perturbation (id + 6000000). Encoded per-partition
+    * on the executors. `ids` must be a single LONG column. */
+  def asPatternPngTable(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.rdd.flatMap { r =>
+      val id = r.getLong(0)
+      Seq(0, 1, 2).map { v =>
+        val off = v match { case 0 => 0L; case 1 => 5000000L
+          case _ => 6000000L }
+        val n = if (v == 1) 64 else 32
+        Row(id + off, encodePngPattern(id, v), Row("image", n, n))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private val aHashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = false)))
+
+  /** 64-bit average hash (aHash) over the REAL decoded luma: decode
+    * PNG with ImageIO, average-pool to 8×8 cells, set bit (cy·8 + cx)
+    * when the cell mean exceeds the global mean of the 64 cell means.
+    * Width/height must be divisible by 8 (the fixture contract);
+    * undecodable or off-grid payloads are dropped. All means are
+    * dyadic rationals (integer sums over power-of-two cells), so the
+    * comparisons are EXACT — no float-order sensitivity anywhere,
+    * which is what lets the DuckDB oracle reproduce the hash from
+    * id arithmetic alone. Decode runs in mapPartitions (ImageIO
+    * cannot be a Catalyst expression — the extractFeatures argument);
+    * everything downstream (banding, pair join) is DataFrame ops. */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.flatMap { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val imgOpt =
+        if (bytes == null || bytes.isEmpty) None
+        else try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      imgOpt.flatMap { img =>
+        val w = img.getWidth; val h = img.getHeight
+        if (w % 8 != 0 || h % 8 != 0) None
+        else {
+          val bw = w / 8; val bh = h / 8
+          val means = new Array[Double](64)
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              var sum = 0L
+              var y = cy * bh
+              while (y < (cy + 1) * bh) {
+                var x = cx * bw
+                while (x < (cx + 1) * bw) {
+                  sum += (img.getRGB(x, y) >> 16) & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              means(cy * 8 + cx) = sum.toDouble / (bw * bh)
+              cx += 1
+            }
+            cy += 1
+          }
+          var total = 0.0
+          var k = 0
+          while (k < 64) { total += means(k); k += 1 }
+          val g = total / 64.0
+          var hash = 0L
+          k = 0
+          while (k < 64) {
+            if (means(k) > g) hash |= 1L << k
+            k += 1
+          }
+          Some(Row(id, hash))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, aHashSchema)
+  }
+
   // ---------- audio (WAV via javax.sound.sampled — pure JDK) ----------
 
   /** Deterministic synthetic audio parameters, pure functions of the id

@@ -186,11 +186,23 @@ object Relational {
     * job plus a map job over the same shuffled RDD (the RangePartitioner
     * is sampled once per RDD instance, so both jobs see identical
     * boundaries). Emits LongType `outCol` starting at 1. */
+  /** nPartitions ≤ 0 (the default everywhere) resolves to the
+    * session's shuffle-partition setting, so the two-phase helpers'
+    * parallelism tracks the cluster configuration instead of a
+    * hardcoded 32 (the r9 ADVICE item: the 100 TB rationale of these
+    * helpers is exactly that the dominant group spans MANY partitions
+    * — capping them at 32 tasks on a 1000-executor session defeats
+    * it). */
+  private def resolvePartitions(df: DataFrame, n: Int): Int =
+    if (n > 0) n
+    else df.sparkSession.sessionState.conf.numShufflePartitions
+
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
-                      outCol: String, nPartitions: Int = 32): DataFrame = {
+                      outCol: String, nPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema
-    val rdd = df.repartitionByRange(nPartitions, sortCols: _*)
+    val rdd = df.repartitionByRange(
+        resolvePartitions(df, nPartitions), sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .rdd
     val counts = rdd.mapPartitionsWithIndex { (i, it) =>
@@ -239,7 +251,8 @@ object Relational {
       sortCols: Seq[Column], nPartitions: Int, weightCol: Option[String])
       : (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
          org.apache.spark.sql.types.StructType, Array[Int],
-         Map[(Int, List[Any]), (Long, Long)], Map[List[Any], Long]) = {
+         Map[(Int, List[Any]), (Long, Long)], Map[List[Any], Long],
+         Map[(Int, List[Any]), (Long, Long)]) = {
     val schema = df.schema
     val gIdx = groupCols.map(schema.fieldIndex).toArray
     val wIdx = weightCol.map { c =>
@@ -276,6 +289,7 @@ object Relational {
       if (any) acc += ((cur, sum, nn))
       acc.iterator.map { case (k, s, n) => (i, k, s, n) }
     }.collect()
+    val runMap = runs.map { case (i, k, s, n) => ((i, k), (s, n)) }.toMap
     val byGroup = runs.groupBy(_._2)
     // (partition, group) → (weight prefix, non-null-count prefix):
     // both the running start offset for this partition's first row of
@@ -288,7 +302,7 @@ object Relational {
       sorted.zip(starts).map { case ((p, _, _, _), off) => ((p, g), off) }
     }.toMap
     val totals = byGroup.map { case (g, rs) => (g, rs.map(_._3).sum) }
-    (rdd, schema, gIdx, offsets, totals)
+    (rdd, schema, gIdx, offsets, totals, runMap)
   }
 
   /** Per-group global row number + group size over a total order —
@@ -302,31 +316,57 @@ object Relational {
   def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
                        sortCols: Seq[Column], rankCol: String,
                        totalCol: String,
-                       nPartitions: Int = 32): DataFrame = {
+                       nPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val (rdd, schema, gIdx, offsets, totals) =
-      groupedPrefix(df, groupCols, sortCols, nPartitions, None)
+    val (rdd, schema, gIdx, offsets, totals, runMap) =
+      groupedPrefix(df, groupCols, sortCols,
+        resolvePartitions(df, nPartitions), None)
     val bcOff = spark.sparkContext.broadcast(offsets)
     val bcTot = spark.sparkContext.broadcast(totals)
+    val bcRuns = spark.sparkContext.broadcast(runMap)
     val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      var cur: List[Any] = null
-      var any = false
-      var n = 0L
-      it.map { r =>
-        val k = gIdx.map(j => r.get(j)).toList
-        if (!any || k != cur) {
-          cur = k; any = true
-          // a missing key means the counting job and this job saw
-          // DIFFERENT partitionings (nondeterministic upstream
-          // recompute after shuffle eviction) — fail loudly rather
-          // than emit silently corrupt ranks
-          n = bcOff.value.getOrElse((i, k), sys.error(
-            s"groupedRowNumber: partition $i saw unrecorded group $k — " +
-              "upstream recomputed nondeterministically"))._1
+      new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
+        private var cur: List[Any] = null
+        private var any = false
+        private var n = 0L
+        private var runRows = 0L
+        private var tailChecked = false
+        // a run whose ROW COUNT differs from what the counting job
+        // recorded means the two jobs saw different row placements
+        // even though the group SET matched (the subtle
+        // nondeterministic-recompute case the unrecorded-group guard
+        // below cannot see) — fail loudly, never emit corrupt ranks
+        private def verifyRun(): Unit = if (any) {
+          val rec = bcRuns.value((i, cur))._1
+          if (rec != runRows) sys.error(
+            s"groupedRowNumber: partition $i group $cur has $runRows " +
+              s"rows but the counting job recorded $rec — upstream " +
+              "recomputed nondeterministically")
         }
-        n += 1
-        org.apache.spark.sql.Row.fromSeq(
-          r.toSeq :+ n :+ bcTot.value(k))
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !tailChecked) { tailChecked = true; verifyRun() }
+          h
+        }
+        def next(): org.apache.spark.sql.Row = {
+          val r = it.next()
+          val k = gIdx.map(j => r.get(j)).toList
+          if (!any || k != cur) {
+            verifyRun()
+            // a missing key means the counting job and this job saw
+            // DIFFERENT partitionings (nondeterministic upstream
+            // recompute after shuffle eviction) — fail loudly rather
+            // than emit silently corrupt ranks
+            n = bcOff.value.getOrElse((i, k), sys.error(
+              s"groupedRowNumber: partition $i saw unrecorded group " +
+                s"$k — upstream recomputed nondeterministically"))._1
+            cur = k; any = true; runRows = 0L
+          }
+          n += 1
+          runRows += 1
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq :+ n :+ bcTot.value(k))
+        }
       }
     }
     spark.createDataFrame(out, org.apache.spark.sql.types.StructType(
@@ -372,30 +412,56 @@ object Relational {
     * unchanged. Appends nullable LongType `outCol`. */
   def groupedCumSum(df: DataFrame, groupCols: Seq[String],
                     sortCols: Seq[Column], valueCol: String,
-                    outCol: String, nPartitions: Int = 32): DataFrame = {
+                    outCol: String, nPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val (rdd, schema, gIdx, offsets, _) =
-      groupedPrefix(df, groupCols, sortCols, nPartitions, Some(valueCol))
+    val (rdd, schema, gIdx, offsets, _, runMap) =
+      groupedPrefix(df, groupCols, sortCols,
+        resolvePartitions(df, nPartitions), Some(valueCol))
     val vIdx = schema.fieldIndex(valueCol)
     val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcRuns = spark.sparkContext.broadcast(runMap)
     val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      var cur: List[Any] = null
-      var any = false
-      var n = 0L
-      var nn = 0L
-      it.map { r =>
-        val k = gIdx.map(j => r.get(j)).toList
-        if (!any || k != cur) {
-          cur = k; any = true
-          // loud failure over silent corruption — see groupedRowNumber
-          val off = bcOff.value.getOrElse((i, k), sys.error(
-            s"groupedCumSum: partition $i saw unrecorded group $k — " +
-              "upstream recomputed nondeterministically"))
-          n = off._1; nn = off._2
+      new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
+        private var cur: List[Any] = null
+        private var any = false
+        private var n = 0L
+        private var nn = 0L
+        private var runSum = 0L
+        private var runNn = 0L
+        private var tailChecked = false
+        // subtotal re-check — see groupedRowNumber.verifyRun
+        private def verifyRun(): Unit = if (any) {
+          val rec = bcRuns.value((i, cur))
+          if (rec._1 != runSum || rec._2 != runNn) sys.error(
+            s"groupedCumSum: partition $i group $cur run subtotal " +
+              s"($runSum, $runNn) != counting job's $rec — upstream " +
+              "recomputed nondeterministically")
         }
-        if (!r.isNullAt(vIdx)) { n += r.getLong(vIdx); nn += 1L }
-        org.apache.spark.sql.Row.fromSeq(
-          r.toSeq :+ (if (nn == 0L) null else java.lang.Long.valueOf(n)))
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !tailChecked) { tailChecked = true; verifyRun() }
+          h
+        }
+        def next(): org.apache.spark.sql.Row = {
+          val r = it.next()
+          val k = gIdx.map(j => r.get(j)).toList
+          if (!any || k != cur) {
+            verifyRun()
+            // loud failure over silent corruption — groupedRowNumber
+            val off = bcOff.value.getOrElse((i, k), sys.error(
+              s"groupedCumSum: partition $i saw unrecorded group $k — " +
+                "upstream recomputed nondeterministically"))
+            n = off._1; nn = off._2
+            cur = k; any = true; runSum = 0L; runNn = 0L
+          }
+          if (!r.isNullAt(vIdx)) {
+            val v = r.getLong(vIdx)
+            n += v; nn += 1L; runSum += v; runNn += 1L
+          }
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq :+
+              (if (nn == 0L) null else java.lang.Long.valueOf(n)))
+        }
       }
     }
     spark.createDataFrame(out, org.apache.spark.sql.types.StructType(

@@ -65,6 +65,12 @@ object Reports {
     // bounded one-row driver fetch for the month axis (the
     // report_score_overall convention)
     val rng = fact.agg(min(dtCol), max(dtCol)).first()
+    // an all-null range means rowFilter ate every fact row — a bad
+    // filter constant in a new instantiation; fail loudly instead of
+    // shipping a silently empty report (r9 ADVICE)
+    require(!rng.isNullAt(0),
+      s"slidingSelectorReport($report): rowFilter eliminated every " +
+        "fact row — check the filter constants")
     val sliding = Relational.slidingScores(fact, groupCols, dtCol,
       valCol, rng.getString(0), rng.getString(1))
     val withSel = derive.foldLeft(sliding) {
@@ -159,7 +165,7 @@ object Reports {
     * row_number (Relational.globalRowNumber), so the operator survives
     * inputs far past report grain. */
   def withRankColumns(df: DataFrame, orderCol: Column,
-                      tieBreak: Column, nPartitions: Int = 32): DataFrame = {
+                      tieBreak: Column, nPartitions: Int = 0): DataFrame = {
     val top = Relational.globalRowNumber(df,
       Seq(orderCol.desc, tieBreak.asc), "rank_top", nPartitions)
     Relational.globalRowNumber(top,

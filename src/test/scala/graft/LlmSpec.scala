@@ -128,6 +128,46 @@ class LlmSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("connectedComponents converges on a long chain in log rounds " +
+       "(pointer jumping)") {
+    // diameter 400 — plain neighbor-min propagation would need ~400
+    // rounds and blow the 40-round budget; pointer jumping needs ~9.
+    // Descending ids so labels must travel the full chain length.
+    val pairs = (1L to 400L).map(i => (1000L - i, 1001L - i))
+      .toDF("id1", "id2")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.length == 401)
+    assert(comps.forall(_._2 == 600L))
+  }
+
+  test("imageAHash + hamming64Pairs: resize is Hamming-0, one-cell " +
+       "perturbation stays in the ball, unrelated patterns stay out") {
+    val ids = Seq(3L, 11L, 29L).toDF("id")
+    val hashed = Multimodal.imageAHash(Multimodal.asPatternPngTable(ids))
+    val hashes = hashed.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(hashes.size == 9)
+    // 2× pixel-doubled resize decodes to identical cell means
+    Seq(3L, 11L, 29L).foreach { id =>
+      assert(hashes(id) == hashes(id + 5000000L),
+        s"resize of $id must hash identically")
+    }
+    val pairs = Dedup.hamming64Pairs(hashed, "media_id", "ahash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every planted variant pairs with its original...
+    Seq(3L, 11L, 29L).foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 5000000L &&
+        p._3 == 0))
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 6000000L))
+    }
+    // ...and distinct gradient patterns never cross-match
+    def baseOf(x: Long): Long =
+      if (x >= 6000000L) x - 6000000L
+      else if (x >= 5000000L) x - 5000000L else x
+    assert(pairs.forall(p => baseOf(p._1) == baseOf(p._2)))
+  }
+
   test("native MinHashSig matches the composed xxhash64 slot-min form " +
        "bit for bit") {
     import org.apache.spark.sql.GraftBridge

@@ -195,6 +195,26 @@ class PlanSpec extends AnyFunSuite {
       s"window reappeared upstream: ${ns.mkString(",")}")
   }
 
+  test("dsir importance upstream keeps the vocab broadcast and no " +
+       "window (dsir_select's fingerprint is RDD-boundary-blind)") {
+    // same blindness as the ccnet pin above: dsir_select goes through
+    // globalRowNumber's RDD boundary, so its PLANFP entry is just
+    // {scan, exchange_range, sort}; the importance/gumbel upstream
+    // (broadcast vocab join feeding the per-doc aggregation) must be
+    // pinned directly (r9 ADVICE)
+    val docs = graft.core.Tables.table(spark, dir, "documents")
+    val imp = graft.llm.TextAnalysis.dsirImportance(docs, "doc_id",
+      "text", org.apache.spark.sql.functions.col("lang") === "en")
+    val ns = nodes(imp.queryExecution.executedPlan).map(_.nodeName)
+    assert(ns.exists(_.contains("BroadcastHashJoin")),
+      s"vocab join is no longer broadcast: ${ns.mkString(",")}")
+    assert(!ns.exists(n => n.contains("SortMergeJoin") ||
+      n.contains("ShuffledHashJoin")),
+      s"corpus-sized shuffle join appeared: ${ns.mkString(",")}")
+    assert(!ns.exists(_.contains("Window")),
+      s"window appeared upstream: ${ns.mkString(",")}")
+  }
+
   test("events_asof_join plans zero join operators (union + window)") {
     val p = plan("events_asof_join")
     assert(!p.contains("Join"), p.take(800))
