@@ -152,6 +152,47 @@ object Jdbc {
     s"CREATE TABLE $table ($cols)"
   }
 
+  /** `replace-into-ods` (trgx.clj:188-193): the EP-3 transactional
+    * publish — a staged build in `public` replaces the live ods table
+    * by DROP + SET SCHEMA + RENAME, the reference's verbatim three
+    * statements:
+    *   1. SET search_path=ods;    DROP TABLE IF EXISTS <ods> CASCADE
+    *   2. SET search_path=public; ALTER TABLE <tmp> SET SCHEMA ods
+    *   3. SET search_path=ods;    ALTER TABLE <tmp> RENAME TO <ods>
+    * The reference runs them as three autocommit executeUpdates — a
+    * reader between 1 and 3 sees NO table. PostgreSQL DDL is
+    * transactional, so run the returned statements inside ONE
+    * transaction for an atomic publish: readers hold the old table
+    * until commit, and a mid-swap failure rolls the whole publish
+    * back (PgSmokeSpec drives both properties on live PG 15).
+    * Identifiers are validated before interpolation. */
+  def replaceIntoOdsSql(odsTable: String, tmpTable: String): Seq[String] = {
+    requireIdentifier("odsTable", odsTable)
+    requireIdentifier("tmpTable", tmpTable)
+    Seq(
+      s"SET search_path=ods; DROP TABLE IF EXISTS $odsTable CASCADE",
+      s"SET search_path=public; ALTER TABLE $tmpTable SET SCHEMA ods",
+      s"SET search_path=ods; ALTER TABLE $tmpTable RENAME TO $odsTable")
+  }
+
+  /** [[replaceIntoOdsSql]] executed over JDBC as one transaction (the
+    * atomic form) — for JDBC-reachable targets; the psql-driven smoke
+    * covers the no-driver sandbox. */
+  def replaceIntoOds(url: String, odsTable: String,
+                     tmpTable: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        replaceIntoOdsSql(odsTable, tmpTable).foreach(st.executeUpdate)
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally st.close()
+    } finally conn.close()
+  }
+
   /** create-table-if (trgx.clj:122-127): specs are (physical column,
     * SQL type) pairs. Engines without CREATE TABLE IF NOT EXISTS
     * (Derby) surface "already exists" as an SQLException — ONLY that

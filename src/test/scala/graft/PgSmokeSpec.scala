@@ -200,4 +200,67 @@ class PgSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rcQ == 0 && outQ.trim == RefCatalog.tables.size.toString,
       s"expected ${RefCatalog.tables.size} catalog tables, got: $outQ")
   }
+
+  /** Stage a public build + a live ods table: `graft_rpt_tmp` holds
+    * the NEW rows, `ods.graft_rpt` the OLD row the publish must
+    * replace. */
+  private def freshPublishFixture(): Unit = {
+    val (rc, out) = psql(
+      "DROP SCHEMA IF EXISTS ods CASCADE",
+      "CREATE SCHEMA ods",
+      "DROP TABLE IF EXISTS graft_rpt_tmp",
+      Jdbc.createTableSql("graft_rpt_tmp", reportSpecs),
+      "INSERT INTO graft_rpt_tmp VALUES " +
+        "('2024-03-31','2024-03-31T09:00:00+0800','a','1','5.000')," +
+        "('2024-03-31','2024-03-31T09:00:00+0800','b','2','6.500')",
+      "CREATE TABLE ods.graft_rpt (dw_dt CHAR(10), dw_ld_ts CHAR(24), " +
+        "report TEXT, rank_no INT, score_val NUMERIC(18,3))",
+      "INSERT INTO ods.graft_rpt VALUES " +
+        "('2024-02-29','2024-02-29T09:00:00+0800','old','9','1.000')")
+    assert(rc == 0, s"publish fixture setup failed: $out")
+  }
+
+  test("EP-3 replace-into-ods publish end-to-end: staged table swaps " +
+       "into ods in one transaction (trgx.clj:188-193)") {
+    assume(ready, whyNot)
+    freshPublishFixture()
+    // the three reference statements, ONE implicit transaction (a
+    // single psql -c) — write → swap → read back
+    val (rc, out) = psql(
+      Jdbc.replaceIntoOdsSql("graft_rpt", "graft_rpt_tmp")
+        .mkString("; "))
+    assert(rc == 0, s"swap failed: $out")
+    val (rcQ, outQ) = psql(
+      "SELECT count(*), min(report), max(score_val) FROM ods.graft_rpt")
+    assert(rcQ == 0 && outQ.trim.startsWith("2|a|6.500"),
+      s"published ods table must hold exactly the staged rows: $outQ")
+    val (_, outGone) = psql(
+      "SELECT count(*) FROM information_schema.tables WHERE " +
+        "table_schema='public' AND table_name='graft_rpt_tmp'")
+    assert(outGone.trim == "0", s"staged table must be gone: $outGone")
+  }
+
+  test("EP-3 publish is atomic: a mid-swap failure rolls the whole " +
+       "publish back, the live ods table survives") {
+    assume(ready, whyNot)
+    freshPublishFixture()
+    // plant a conflict so statement 2 (SET SCHEMA ods) fails AFTER
+    // statement 1 dropped the live table inside the transaction
+    val (rcPlant, _) = psql(
+      "CREATE TABLE ods.graft_rpt_tmp (x INT)")
+    assert(rcPlant == 0)
+    val (rcSwap, outSwap) = psql(
+      Jdbc.replaceIntoOdsSql("graft_rpt", "graft_rpt_tmp")
+        .mkString("; "))
+    assert(rcSwap != 0, "conflicting swap must fail")
+    assert(outSwap.contains("42P07") ||
+      outSwap.toLowerCase.contains("already exists"), outSwap)
+    // the DROP in statement 1 must have rolled back with everything
+    // else: the OLD live table is still there, so is the staged build
+    val (rcQ, outQ) = psql(
+      "SELECT count(*), min(report) FROM ods.graft_rpt",
+      "SELECT count(*) FROM graft_rpt_tmp")
+    assert(rcQ == 0 && outQ.trim == "1|old\n2",
+      s"failed publish must leave old live + staged intact: $outQ")
+  }
 }
