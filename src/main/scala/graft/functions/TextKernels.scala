@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -261,6 +262,160 @@ object TextKernelUtil {
       nBullet, nEll))
   }
 
+  /** Maximal runs of non-`\s` chars of the Spark-lowercased text —
+    * the token stream `split(normalizeText(c), " ")` yields (minus
+    * the [""]-for-empty artifact, which callers handle). */
+  private def lowerTokens(txt: UTF8String): Array[String] = {
+    val s = txt.toLowerCase.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < n) {
+      while (i < n && isJavaSpace(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isJavaSpace(s.charAt(i))) i += 1
+        out += s.substring(start, i)
+      }
+    }
+    out.toArray
+  }
+
+  /** wordShingles: n-token shingles over normalized text; < n tokens
+    * → the whole normalized text as one shingle (`[""]` for an
+    * empty/whitespace doc — the split-of-empty artifact the HOF form
+    * produces). */
+  def wordShingles(txt: UTF8String, n: Int): ArrayData = {
+    val toks = lowerTokens(txt)
+    if (toks.length < n)
+      new GenericArrayData(Array[Any](
+        UTF8String.fromString(toks.mkString(" "))))
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i < out.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** wordBigramsStaged over a pre-split token array: adjacent pairs
+    * joined by " " (concat_ws semantics — null elements are skipped,
+    * not propagated); < 2 tokens → empty array. */
+  def arrayBigrams(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](n - 1)
+      var i = 0
+      while (i < n - 1) {
+        val a = arr.getUTF8String(i)
+        val b = arr.getUTF8String(i + 1)
+        val s =
+          if (a == null && b == null) ""
+          else if (a == null) b.toString
+          else if (b == null) a.toString
+          else a.toString + " " + b.toString
+        out(i) = UTF8String.fromString(s)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Occurrence count of `stops` members in a token array (the
+    * `size(filter(toks, isInCollection))` loop; null tokens drop like
+    * the filter's null predicate). `stops` pre-lowercased ASCII. */
+  def tokenStopHits(arr: ArrayData, stops: Array[String]): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        val s = t.toString
+        var k = 0
+        var hit = false
+        while (!hit && k < stops.length) {
+          if (stops(k) == s) hit = true
+          k += 1
+        }
+        if (hit) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** langIdStaged's argmax: per-language stopword occurrence counts
+    * over the token array, max score wins, ties to the EARLIEST
+    * language in list order, no hits → "und". (The caller keeps the
+    * CJK short-circuit as a codegen'd regexp.) */
+  def langPick(arr: ArrayData, langs: Array[String],
+               stops: Array[Array[String]]): UTF8String = {
+    var bestS = 0
+    var bestLang: String = null
+    var li = 0
+    while (li < langs.length) {
+      val ws = stops(li)
+      val n = arr.numElements()
+      var s = 0
+      var i = 0
+      while (i < n) {
+        val t = arr.getUTF8String(i)
+        if (t != null) {
+          val str = t.toString
+          var k = 0
+          var hit = false
+          while (!hit && k < ws.length) {
+            if (ws(k) == str) hit = true
+            k += 1
+          }
+          if (hit) s += 1
+        }
+        i += 1
+      }
+      if (s > bestS) { bestS = s; bestLang = langs(li) }
+      li += 1
+    }
+    UTF8String.fromString(if (bestS > 0) bestLang else "und")
+  }
+
+  /** linearScoreRaw's fold: Σ tokenWeight(tok) in exact LONG space,
+    * tokenWeight = (24-bit md5 prefix mod 2001) − 1000 — the same
+    * md5-hex → base-16 parse the conv(substring(md5)) composition
+    * computes. A null token nulls the whole sum (the aggregate
+    * lambda's null propagation). */
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  def linearScore(arr: ArrayData): java.lang.Long = {
+    val md = md5Local.get()
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t == null) return null
+      md.reset()
+      val d = md.digest(t.getBytes)
+      // first 6 hex chars = first 3 digest bytes, big-endian
+      val v = ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) |
+        (d(2) & 0xffL)
+      acc += v % 2001L - 1000L
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   /** repetitionSignals battery over NORMALIZED text: tokens =
     * `split(norm, " ")` INCLUDING the [""]-for-empty edge; bigram
     * counts in one per-doc hash map (the former explode + two-level
@@ -368,6 +523,116 @@ case class GopherLineStats(child: Expression)
     s"graft.functions.TextKernelUtil.gopherLineStats($v)"
   override protected def withNewChildInternal(
       newChild: Expression): GopherLineStats = copy(child = newChild)
+}
+
+/** array<string> of n-token shingles over normalized text —
+  * TextAnalysis.wordShingles' native form (the zip_with-of-slices
+  * chain is n−1 CodegenFallback HOF nodes per row). */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends TextBatteryExpression {
+  require(n >= 1 && n <= 16, s"shingle size must be in [1, 16], got $n")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.wordShingles(v.asInstanceOf[UTF8String], n)
+  override protected def kernelCall(ctx: CodegenContext,
+                                    v: String): String =
+    s"graft.functions.TextKernelUtil.wordShingles($v, $n)"
+  override protected def withNewChildInternal(
+      newChild: Expression): WordShinglesExpr = copy(child = newChild)
+}
+
+/** Adjacent-pair bigrams over a pre-split array<string> —
+  * wordBigramsStaged's native form. */
+case class ArrayBigrams(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "array_bigrams"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.arrayBigrams(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernelUtil.arrayBigrams($v);")
+  override protected def withNewChildInternal(
+      newChild: Expression): ArrayBigrams = copy(child = newChild)
+}
+
+/** Stopword occurrence count over a token array —
+  * TextAnalysis.stopwordCount's per-token loop, native. */
+case class TokenStopHits(child: Expression, stops: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  private val stopArr = stops.toArray
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_stop_hits"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.tokenStopHits(v.asInstanceOf[ArrayData], stopArr)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopHits", stopArr,
+      "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernelUtil" +
+        s".tokenStopHits($v, $ref);")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenStopHits = copy(child = newChild)
+}
+
+/** Language pick over a token array (argmax of per-language stopword
+  * hits, ties to the earliest language, no hits → "und") —
+  * langIdStaged's native form. */
+case class LangPickTokens(child: Expression,
+                          langTable: Seq[(String, Seq[String])])
+    extends UnaryExpression with ExpectsInputTypes {
+  private val langArr = langTable.map(_._1).toArray
+  private val stopArr = langTable.map(_._2.toArray).toArray
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_pick"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.langPick(v.asInstanceOf[ArrayData], langArr, stopArr)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val lref = ctx.addReferenceObj("langNames", langArr,
+      "java.lang.String[]")
+    val sref = ctx.addReferenceObj("langStops", stopArr,
+      "java.lang.String[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernelUtil" +
+        s".langPick($v, $lref, $sref);")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): LangPickTokens = copy(child = newChild)
+}
+
+/** Hashed-linear-model activation over a token array —
+  * linearScoreRaw's fold, native (the HOF form runs an interpreted
+  * md5+conv+mod lambda per token). Null on a null token, like the
+  * aggregate lambda's null propagation. */
+case class LinearScore(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "linear_score"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.linearScore(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"""
+      java.lang.Long ls = graft.functions.TextKernelUtil.linearScore($v);
+      if (ls == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ls.longValue(); }""")
+  override protected def withNewChildInternal(
+      newChild: Expression): LinearScore = copy(child = newChild)
 }
 
 /** Struct(n_tok I, n_distinct I, total_bg L, distinct_bg L, top_bg L)

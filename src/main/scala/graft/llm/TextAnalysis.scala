@@ -39,8 +39,20 @@ object TextAnalysis {
     when(length(c) === 0, lit(0.0))
       .otherwise(punctCount(c).cast("double") / length(c))
 
-  /** Count of tokens from `words` (exact match on whitespace tokens). */
+  /** Count of tokens from `words` (exact match on whitespace tokens).
+    * Native per-token loop (TextKernels.scala) over the codegen'd
+    * split — the filter-lambda form is retained as the Hof parity
+    * baseline. */
   def stopwordCount(c: Column, words: Seq[String]): Column =
+    stopwordCountStaged(split(normalizeText(c), " "), words)
+
+  /** [[stopwordCount]] over a PRE-SPLIT token array. */
+  def stopwordCountStaged(toks: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.TokenStopHits(
+      org.apache.spark.sql.GraftBridge.expression(toks), words))
+
+  private[graft] def stopwordCountHof(c: Column,
+      words: Seq[String]): Column =
     size(filter(split(normalizeText(c), " "), t => t.isInCollection(words)))
 
   def stopwordRatio(c: Column, words: Seq[String]): Column =
@@ -64,15 +76,26 @@ object TextAnalysis {
     * eliminated, so an inline split would re-evaluate the normalize +
     * split regex once per language (measured 2.2× slower). */
   def langIdStaged(toks: Column, raw: Column): Column = {
-    // argmax via array_max over (score, -index, lang) structs: each
-    // lambda-bearing score expression appears ONCE as an array element
-    // (evaluated once per row). The previous when-chain inlined the
-    // 5-way greatest tree into every branch condition, and lambda
-    // bodies are excluded from subexpression elimination, so each row
-    // paid ~langs² (~30) token-array scans instead of langs. Struct
-    // ordering is field-by-field, so max = highest score, ties to the
-    // EARLIEST language in list order (-index), matching the previous
-    // foldRight tie-break exactly.
+    // ONE native pass computing all per-language counts + the argmax
+    // (TextKernels.LangPickTokens; ties to the earliest language, no
+    // hits → "und") — the HOF form below ran an interpreted
+    // isInCollection lambda per token PER LANGUAGE. The CJK
+    // short-circuit stays a codegen'd regexp.
+    // coalesce: a NULL token array must still yield "und" — the HOF
+    // form's null score fails its `> 0` check and falls through to
+    // the otherwise branch (pinned by the doc-17 parity row)
+    val pick = coalesce(org.apache.spark.sql.GraftBridge.column(
+      graft.functions.LangPickTokens(
+        org.apache.spark.sql.GraftBridge.expression(toks),
+        langStopwords)), lit("und"))
+    when(regexp_count(raw, lit("[\\x{4e00}-\\x{9fff}]")) > 0, lit("zh"))
+      .otherwise(pick)
+  }
+
+  /** HOF parity baseline for [[langIdStaged]] (TextKernelsSpec). */
+  private[graft] def langIdStagedHof(toks: Column, raw: Column): Column = {
+    // argmax via array_max over (score, -index, lang) structs — see
+    // the git history for the lambda-evaluation-count notes
     val entries = langStopwords.zipWithIndex.map { case ((lang, ws), i) =>
       struct(
         size(filter(toks, t => t.isInCollection(ws))).as("s"),
@@ -123,7 +146,17 @@ object TextAnalysis {
     * element_at(w, i)…)`): a lambda that closes over `w` would
     * re-evaluate the split-of-normalized-text for every position —
     * ~O(len²) per document. zip_with evaluates each operand once. */
-  def wordShingles(c: Column, n: Int = 3): Column = {
+  def wordShingles(c: Column, n: Int = 3): Column =
+    // ONE native pass (TextKernels.WordShinglesExpr): normalize +
+    // tokenize + join in a primitive loop — the zip_with-of-slices
+    // fold was n−1 CodegenFallback HOF nodes per row, feeding every
+    // dedup/decontamination query. Hof form retained below for parity.
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WordShinglesExpr(
+        org.apache.spark.sql.GraftBridge.expression(c), n))
+
+  /** HOF parity baseline for [[wordShingles]] (TextKernelsSpec). */
+  private[graft] def wordShinglesHof(c: Column, n: Int = 3): Column = {
     require(n >= 1 && n <= 16, s"shingle size must be in [1, 16], got $n")
     val norm = normalizeText(c)
     val w = split(norm, " ")
@@ -138,7 +171,15 @@ object TextAnalysis {
 
   /** Word bigrams over a STAGED token array — zip of shifted slices,
     * same O(n) pattern as wordShingles. <2 tokens → empty array. */
-  def wordBigramsStaged(toks: Column): Column = {
+  def wordBigramsStaged(toks: Column): Column =
+    // native adjacent-pair loop (TextKernels.ArrayBigrams); Hof form
+    // retained below for parity
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.ArrayBigrams(
+        org.apache.spark.sql.GraftBridge.expression(toks)))
+
+  /** HOF parity baseline for [[wordBigramsStaged]]. */
+  private[graft] def wordBigramsStagedHof(toks: Column): Column = {
     val k = size(toks) - 1
     when(k <= 0, array().cast("array<string>")).otherwise(
       zip_with(slice(toks, lit(1), k), slice(toks, lit(2), k),
@@ -501,6 +542,15 @@ object TextAnalysis {
     * quality-filter shape (fastText/classifier corpus scoring): one
     * pure projection over the scan, no shuffle, no UDF. */
   def linearScoreRaw(toks: Column): Column =
+    // native fold (TextKernels.LinearScore) — the aggregate form ran
+    // an interpreted md5+conv+mod lambda per token; Hof retained for
+    // parity
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.LinearScore(
+        org.apache.spark.sql.GraftBridge.expression(toks)))
+
+  /** HOF parity baseline for [[linearScoreRaw]]. */
+  private[graft] def linearScoreRawHof(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => acc + tokenWeight(t))
 
   /** Logistic link mapping a raw activation to a (0, 1) quality

@@ -92,6 +92,72 @@ class TextKernelsSpec extends AnyFunSuite {
       TextAnalysis.repetitionSignalsHof(docs, "doc_id", "text"))
   }
 
+  test("wordShingles / wordBigramsStaged: native == HOF (n = 1..5)") {
+    (1 to 5).foreach { n =>
+      val nu = edgeDocs.select(col("doc_id"),
+        TextAnalysis.wordShingles(col("text"), n).as("sh"))
+        .orderBy("doc_id").collect().toSeq
+      val hof = edgeDocs.select(col("doc_id"),
+        TextAnalysis.wordShinglesHof(col("text"), n).as("sh"))
+        .orderBy("doc_id").collect().toSeq
+      assert(nu == hof, s"shingle parity broke at n=$n")
+    }
+    val toks = edgeDocs.select(col("doc_id"),
+      split(TextAnalysis.normalizeText(col("text")), " ").as("t"))
+    val nb = toks.select(col("doc_id"),
+      TextAnalysis.wordBigramsStaged(col("t")).as("b"))
+      .orderBy("doc_id").collect().toSeq
+    val hb = toks.select(col("doc_id"),
+      TextAnalysis.wordBigramsStagedHof(col("t")).as("b"))
+      .orderBy("doc_id").collect().toSeq
+    assert(nb == hb)
+  }
+
+  test("stopwordCount / langIdStaged / linearScoreRaw: native == HOF") {
+    val en = TextAnalysis.langStopwords.toMap.apply("en")
+    val staged = edgeDocs.select(col("doc_id"), col("text"),
+      split(TextAnalysis.normalizeText(col("text")), " ").as("t"))
+    val nu = staged.select(col("doc_id"),
+        TextAnalysis.stopwordCount(col("text"), en).as("sw"),
+        TextAnalysis.langIdStaged(col("t"), col("text")).as("lang"),
+        TextAnalysis.linearScoreRaw(col("t")).as("ls"))
+      .orderBy("doc_id").collect().toSeq
+    val hof = staged.select(col("doc_id"),
+        TextAnalysis.stopwordCountHof(col("text"), en).as("sw"),
+        TextAnalysis.langIdStagedHof(col("t"), col("text")).as("lang"),
+        TextAnalysis.linearScoreRawHof(col("t")).as("ls"))
+      .orderBy("doc_id").collect().toSeq
+    assert(nu == hof)
+    // the null-token propagation contract of the fold
+    val withNullTok = Seq(1L).toDF("doc_id")
+      .select(col("doc_id"),
+        array(lit("a"), lit(null).cast("string"), lit("b")).as("t"))
+    val both = withNullTok.select(
+      TextAnalysis.linearScoreRaw(col("t")),
+      TextAnalysis.linearScoreRawHof(col("t"))).head()
+    assert(both.isNullAt(0) && both.isNullAt(1))
+  }
+
+  test("shingle/langid/linear parity holds on the real documents " +
+       "table (sf0.001)") {
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    assume(new java.io.File(path).exists())
+    val docs = spark.read.parquet(path)
+      .select(col("doc_id"), col("text"),
+        split(TextAnalysis.normalizeText(col("text")), " ").as("t"))
+    val nu = docs.select(col("doc_id"),
+        TextAnalysis.wordShingles(col("text")).as("sh"),
+        TextAnalysis.langIdStaged(col("t"), col("text")).as("lang"),
+        TextAnalysis.linearScoreRaw(col("t")).as("ls"))
+      .orderBy("doc_id").collect().toSeq
+    val hof = docs.select(col("doc_id"),
+        TextAnalysis.wordShinglesHof(col("text")).as("sh"),
+        TextAnalysis.langIdStagedHof(col("t"), col("text")).as("lang"),
+        TextAnalysis.linearScoreRawHof(col("t")).as("ls"))
+      .orderBy("doc_id").collect().toSeq
+    assert(nu == hof)
+  }
+
   // ---- semantic-trap pins: if Spark/Java behavior ever shifts, these
   // fail before the parity tests go red for a confusing reason ----
 
