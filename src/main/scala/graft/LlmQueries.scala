@@ -765,10 +765,11 @@ object LlmQueries {
       // DuckDB CTE — the pair scores null vs 0.0. Coalescing makes a
       // null doc shingle as [''] like an empty doc, same both engines.
       val d = t(s, dir, "documents").select(col("doc_id"),
-        array_distinct(transform(
-          array_distinct(TextAnalysis.wordShingles(
-            coalesce(col("text"), lit("")))),
-          g => xxhash64(g))).as("sh"))
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.HashedShingles(
+            org.apache.spark.sql.GraftBridge.expression(
+              coalesce(col("text"), lit(""))),
+            3, outerDistinct = true)).as("sh"))
       val a = d.alias("a"); val b = d.alias("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),

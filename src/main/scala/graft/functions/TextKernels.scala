@@ -391,6 +391,78 @@ object TextKernelUtil {
     * md5-hex → base-16 parse the conv(substring(md5)) composition
     * computes. A null token nulls the whole sum (the aggregate
     * lambda's null propagation). */
+  /** hashedShingleTable / decontShingles / dupNgramRate, fused: the
+    * distinct n-token shingles of the normalized text (first-
+    * occurrence order — array_distinct semantics) hashed with Spark's
+    * own XXH64 (`XXH64.hashUTF8String(s, 42)` == `xxhash64(s)` bit
+    * for bit, probed). `outerDistinct` re-distincts the HASHES (the
+    * decontamination composition's second array_distinct — only a
+    * hash collision could make it matter, but the parity contract is
+    * the composition, not the intent). */
+  def hashedShingles(txt: UTF8String, n: Int,
+                     outerDistinct: Boolean): ArrayData = {
+    val toks = lowerTokens(txt)
+    val shingles = new java.util.LinkedHashSet[String]()
+    if (toks.length < n) shingles.add(toks.mkString(" "))
+    else {
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        shingles.add(sb.toString)
+        i += 1
+      }
+    }
+    val hashes = new java.util.ArrayList[Any](shingles.size)
+    val seen = if (outerDistinct)
+      new java.util.HashSet[java.lang.Long]() else null
+    val it = shingles.iterator()
+    while (it.hasNext) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(UTF8String.fromString(it.next()), 42L)
+      if (seen == null || seen.add(java.lang.Long.valueOf(h)))
+        hashes.add(java.lang.Long.valueOf(h))
+    }
+    new GenericArrayData(hashes.toArray)
+  }
+
+  /** Sliding k-token windows over a pre-split token array: window i
+    * covers tokens [i·stride, i·stride + window); windows join with
+    * " " skipping null tokens (concat_ws/array_join semantics); fewer
+    * than `window` tokens → empty array. `distinct` keeps first
+    * occurrences (the passage-dedup composition). */
+  def tokenWindows(arr: ArrayData, window: Int, stride: Int,
+                   distinct: Boolean): ArrayData = {
+    val n = arr.numElements()
+    if (n < window) new GenericArrayData(Array.empty[Any])
+    else {
+      val nw = (n - window) / stride + 1
+      val out = new java.util.ArrayList[Any](nw)
+      val seen = if (distinct) new java.util.HashSet[String]() else null
+      var i = 0
+      while (i < nw) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        var first = true
+        while (j < window) {
+          val t = arr.getUTF8String(i * stride + j)
+          if (t != null) {
+            if (!first) sb.append(' ')
+            sb.append(t.toString)
+            first = false
+          }
+          j += 1
+        }
+        val w = sb.toString
+        if (seen == null || seen.add(w))
+          out.add(UTF8String.fromString(w))
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+  }
+
   private val md5Local =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =
@@ -541,6 +613,53 @@ case class WordShinglesExpr(child: Expression, n: Int)
     s"graft.functions.TextKernelUtil.wordShingles($v, $n)"
   override protected def withNewChildInternal(
       newChild: Expression): WordShinglesExpr = copy(child = newChild)
+}
+
+/** array<long> of XXH64-hashed distinct n-token shingles — the fused
+  * `[array_distinct∘]transform(array_distinct(wordShingles(c)),
+  * xxhash64)` composition every dedup/decontamination pipeline runs
+  * per document. */
+case class HashedShingles(child: Expression, n: Int,
+                          outerDistinct: Boolean)
+    extends TextBatteryExpression {
+  require(n >= 1 && n <= 16, s"shingle size must be in [1, 16], got $n")
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.hashedShingles(v.asInstanceOf[UTF8String], n,
+      outerDistinct)
+  override protected def kernelCall(ctx: CodegenContext,
+                                    v: String): String =
+    s"graft.functions.TextKernelUtil.hashedShingles($v, $n, " +
+      s"$outerDistinct)"
+  override protected def withNewChildInternal(
+      newChild: Expression): HashedShingles = copy(child = newChild)
+}
+
+/** array<string> of sliding k-token windows over a pre-split token
+  * array — the `transform(sequence, i => join(slice(toks, …)))`
+  * composition of the substring/passage dedup operators. */
+case class TokenWindows(child: Expression, window: Int, stride: Int,
+                        distinct: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(window >= 1 && stride >= 1,
+    s"window/stride must be >= 1, got $window/$stride")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_windows"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.tokenWindows(v.asInstanceOf[ArrayData], window,
+      stride, distinct)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernelUtil.tokenWindows(" +
+        s"$v, $window, $stride, $distinct);")
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenWindows = copy(child = newChild)
 }
 
 /** Adjacent-pair bigrams over a pre-split array<string> —

@@ -183,8 +183,12 @@ object Dedup {
   def hashedShingleTable(df: DataFrame, textCol: String,
                          idCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-      transform(array_distinct(wordShingles(col(textCol))),
-        s => xxhash64(s)).as("hs"))
+      // fused native shingle+hash pass (TextKernels.HashedShingles —
+      // the transform lambda ran an interpreted xxhash64 per shingle)
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.HashedShingles(
+          org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+          3, outerDistinct = false)).as("hs"))
 
   /** LSH band table (id, band, bh) for a corpus — bit-identical band
     * hashes to [[minHashDedupPairs]]'s internal banding, exposed so the
@@ -457,9 +461,10 @@ object Dedup {
   private def decontShingles(df: DataFrame, textCol: String,
                              idCol: String, as: String): DataFrame =
     df.select(col(idCol).as(as),
-      array_distinct(transform(
-        array_distinct(TextAnalysis.wordShingles(col(textCol))),
-        g => xxhash64(g))).as("sh"))
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.HashedShingles(
+          org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+          3, outerDistinct = true)).as("sh"))
 
   /** Shared exact-verify tail of both decontamination paths: candidate
     * (train_id, g) rows vs the broadcast bench shingles → overlap
@@ -543,9 +548,11 @@ object Dedup {
   def dupNgramRate(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3): DataFrame = {
     val sh = df.select(col(idCol),
-      explode(array_distinct(transform(
-        array_distinct(wordShingles(coalesce(col(textCol), lit("")), n)),
-        g => xxhash64(g)))).as("__h"))
+      explode(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.HashedShingles(
+          org.apache.spark.sql.GraftBridge.expression(
+            coalesce(col(textCol), lit(""))),
+          n, outerDistinct = true))).as("__h"))
     val docFreq = sh.groupBy("__h").agg(count(lit(1)).as("nd"))
     sh.join(docFreq, Seq("__h"))
       .groupBy(col(idCol))
@@ -595,11 +602,13 @@ object Dedup {
     // must produce an empty array, which explode then drops
     crossDocDuplicates(
       staged.select(col("id"),
-        explode(when(col("__nw") > 0,
-          array_distinct(transform(sequence(lit(0), col("__nw") - 1),
-            i => array_join(
-              slice(col("__toks"), i * stride + 1, lit(window)), " "))))
-          .otherwise(array().cast("array<string>"))).as("u")),
+        // native window builder (TokenWindows): empty for short docs,
+        // same nw/stride arithmetic, distinct in first-occurrence
+        // order — the sequence+slice transform ran interpreted
+        explode(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.TokenWindows(
+            org.apache.spark.sql.GraftBridge.expression(col("__toks")),
+            window, stride, distinct = true))).as("u")),
       "passage")
   }
 
@@ -723,9 +732,10 @@ object Dedup {
     // one k-token window per element, built from the STAGED token
     // array (the array evaluates once; each window is one slice) —
     // element i (0-based posexplode pos) starts at token i
-    val winArr = transform(
-      sequence(lit(1), size(col("toks")) - (k - 1)),
-      i => concat_ws(" ", slice(col("toks"), i, lit(k))))
+    val winArr = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.TokenWindows(
+        org.apache.spark.sql.GraftBridge.expression(col("toks")),
+        k, 1, distinct = false))
     val wins = docs
       .select(col("doc_id"), posexplode(winArr).as(Seq("pos", "win")))
       .withColumn("key",
@@ -810,9 +820,10 @@ object Dedup {
     val toks = split(TextAnalysis.normalizeText(
       coalesce(col(textCol), lit(""))), " ")
     val docs = df.select(col(idCol).as("doc_id"), toks.as("toks"))
-    val winArr = transform(
-      sequence(lit(1), size(col("toks")) - (k - 1)),
-      i => concat_ws(" ", slice(col("toks"), i, lit(k))))
+    val winArr = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.TokenWindows(
+        org.apache.spark.sql.GraftBridge.expression(col("toks")),
+        k, 1, distinct = false))
     val wins = staged(docs.filter(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(winArr).as(Seq("pos", "win")))
       .withColumn("key",

@@ -158,6 +158,63 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(nu == hof)
   }
 
+  test("HashedShingles == [array_distinct∘]transform(xxhash64) " +
+       "composition bit for bit") {
+    import org.apache.spark.sql.GraftBridge
+    def native(outer: Boolean) = GraftBridge.column(
+      graft.functions.HashedShingles(
+        GraftBridge.expression(coalesce(col("text"), lit(""))),
+        3, outerDistinct = outer))
+    val inner = transform(
+      array_distinct(TextAnalysis.wordShinglesHof(
+        coalesce(col("text"), lit("")))), g => xxhash64(g))
+    val nu = edgeDocs.select(col("doc_id"), native(false).as("a"),
+        array_distinct(native(true)).as("b"))
+      .orderBy("doc_id").collect().toSeq
+    val hof = edgeDocs.select(col("doc_id"), inner.as("a"),
+        array_distinct(inner).as("b"))
+      .orderBy("doc_id").collect().toSeq
+    assert(nu == hof)
+  }
+
+  test("TokenWindows == sequence+slice window compositions") {
+    val toks = edgeDocs.select(col("doc_id"),
+      split(TextAnalysis.normalizeText(coalesce(col("text"), lit(""))),
+        " ").as("toks"))
+    import org.apache.spark.sql.GraftBridge
+    // substring form: stride 1, k consecutive tokens, no distinct
+    Seq(2, 5).foreach { k =>
+      val eligible = toks.filter(size(col("toks")) >= k)
+      val nu = eligible.select(col("doc_id"), GraftBridge.column(
+          graft.functions.TokenWindows(
+            GraftBridge.expression(col("toks")), k, 1,
+            distinct = false)).as("w"))
+        .orderBy("doc_id").collect().toSeq
+      val hof = eligible.select(col("doc_id"), transform(
+          sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k)))).as("w"))
+        .orderBy("doc_id").collect().toSeq
+      assert(nu == hof, s"window parity broke at k=$k")
+    }
+    // passage form: stride 4, window 8, distinct, short docs empty
+    val win = 8; val stride = 4
+    val nw = when(size(col("toks")) >= win,
+      floor((size(col("toks")) - win).cast("double") / stride)
+        .cast("int") + 1).otherwise(lit(0))
+    val nu = toks.select(col("doc_id"), GraftBridge.column(
+        graft.functions.TokenWindows(
+          GraftBridge.expression(col("toks")), win, stride,
+          distinct = true)).as("w"))
+      .orderBy("doc_id").collect().toSeq
+    val hof = toks.select(col("doc_id"),
+        when(nw > 0, array_distinct(transform(sequence(lit(0), nw - 1),
+          i => array_join(
+            slice(col("toks"), i * stride + 1, lit(win)), " "))))
+          .otherwise(array().cast("array<string>")).as("w"))
+      .orderBy("doc_id").collect().toSeq
+    assert(nu == hof)
+  }
+
   // ---- semantic-trap pins: if Spark/Java behavior ever shifts, these
   // fail before the parity tests go red for a confusing reason ----
 
