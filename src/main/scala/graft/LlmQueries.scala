@@ -1283,6 +1283,21 @@ object LlmQueries {
         .orderBy("id1", "id2")
     }),
 
+    // the audio twin of image_phash_dedup: amplitude-ramp WAVs with
+    // planted near-duplicates (sample-doubled resample → Hamming 0;
+    // +4000 on envelope cell 0), REAL javax.sound decode → 64-cell
+    // envelope average-hash → the same banded Hamming pair join. The
+    // oracle reproduces the hash from the closed-form |sample| ramp.
+    "audio_phash_dedup" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+        .filter(col("id") >= 0 && col("id") < 48)
+      val media = Multimodal.asPatternWavTable(ids)
+      Dedup.hamming64Pairs(Multimodal.audioEnvelopeHash(media),
+          "media_id", "ahash", 3)
+        .orderBy("id1", "id2")
+    }),
+
     // the real binaryFile SOURCE path end-to-end: real .png files on
     // disk → spark.read.format("binaryFile") → id parsed from the
     // path → the same javax.imageio decode as multimodal_features.
@@ -2093,6 +2108,44 @@ object LlmQueries {
            AS mean_px,
          TRUE AS decoded
          FROM documents ORDER BY media_id""",
+    // envelope hash predicted arithmetically: cell mean = avg over 16
+    // samples of ((id*13+7)%15000 + t*(1+id%9))%15000 + 1000 (+4000
+    // for the perturbed variant's cell 0); the 2× resample has
+    // identical cell means. Same dyadic-exactness and HUGEINT-cast
+    // notes as image_phash_dedup below.
+    "audio_phash_dedup" ->
+      """WITH ids AS MATERIALIZED (SELECT DISTINCT doc_id AS id
+           FROM documents WHERE doc_id >= 0 AND doc_id < 48),
+         var AS (SELECT id, unnest([0, 1, 2]) AS v FROM ids),
+         cells AS MATERIALIZED (SELECT id, v, c AS k,
+           list_sum(list_transform(range(0, 16), dt ->
+             CAST(((id * 13 + 7) % 15000 + (c * 16 + dt) * (1 + id % 9))
+               % 15000 + 1000 AS DOUBLE))) / 16.0
+           + CASE WHEN v = 2 AND c = 0 THEN 4000.0 ELSE 0.0 END AS m
+           FROM var
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS c)),
+         hashes AS MATERIALIZED (SELECT
+           CAST(id + CASE v WHEN 0 THEN 0 WHEN 1 THEN 5000000
+             ELSE 6000000 END AS BIGINT) AS media_id,
+           CAST(sum(CASE WHEN m > g THEN
+                 CASE WHEN k = 63 THEN -9223372036854775808
+                   ELSE (CAST(1 AS BIGINT) << k) END
+               ELSE 0 END) AS BIGINT) AS ahash
+           FROM (SELECT *, sum(m) OVER (PARTITION BY id, v) / 64 AS g
+                 FROM cells)
+           GROUP BY id, v),
+         ch AS MATERIALIZED (SELECT media_id, ahash, j,
+           (ahash >> (j * 16)) & 65535 AS ck
+           FROM hashes
+           CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+         p AS (SELECT DISTINCT a.media_id AS id1, b.media_id AS id2,
+           a.ahash AS h1, b.ahash AS h2
+           FROM ch a JOIN ch b
+             ON a.j = b.j AND a.ck = b.ck AND a.media_id < b.media_id)
+         SELECT id1, id2,
+           CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+         FROM p WHERE bit_count(xor(h1, h2)) <= 3
+         ORDER BY id1, id2""",
     // the aHash is predicted arithmetically: cell mean = avg over the
     // 4×4 original block of (c + x·sx + y·sy) mod 200 (+50 for the
     // perturbed variant's cell (0,0)); the 2× resize has identical

@@ -330,6 +330,125 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+  // ---------- perceptual-hash audio fixtures (r10) ----------
+
+  /** Deterministic amplitude-ramp signal for the audio near-dup probe
+    * — the WAV twin of [[patternLuma]]: |sample(t)| = (base + t·slope)
+    * mod 15000 + 1000, signs alternating. Diverse envelope cells per
+    * id, every value a closed-form function of (id, t) so the oracle
+    * predicts the envelope hash without an audio decoder; amplitudes
+    * stay ≤ 16000 so the +4000 perturbation never clips 16-bit PCM. */
+  def audioPatternAmp(id: Long, t: Int): Int =
+    (((id * 13 + 7) % 15000).toInt + t * (1 + (id % 9)).toInt) % 15000 +
+      1000
+
+  /** Variants: 0 = 1024 samples; 1 = 2048 sample-doubled "resample"
+    * (identical envelope-cell means → Hamming 0); 2 = original with
+    * +4000 on the first 16 samples (exactly envelope cell 0). */
+  def encodeWavPattern(id: Long, variant: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = if (variant == 1) 2048 else 1024
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val ot = if (variant == 1) t / 2 else t
+      var amp = audioPatternAmp(id, ot)
+      if (variant == 2 && ot < 16) amp += 4000
+      val s = (if (t % 2 == 0) amp else -amp).toShort
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+      n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Pattern-WAV media table with planted near-duplicates — the audio
+    * twin of [[asPatternPngTable]] (same id offsets). */
+  def asPatternWavTable(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.rdd.flatMap { r =>
+      val id = r.getLong(0)
+      Seq(0, 1, 2).map { v =>
+        val off = v match { case 0 => 0L; case 1 => 5000000L
+          case _ => 6000000L }
+        Row(id + off, encodeWavPattern(id, v), Row("audio", 0, 0))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private val envHashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = false)))
+
+  /** 64-bit envelope average-hash over REAL decoded audio: decode
+    * 16-bit mono PCM with javax.sound.sampled, mean |amplitude| over
+    * 64 equal time cells, bit k set when cell k's mean exceeds the
+    * global mean of the 64 cell means. Sample count must be divisible
+    * by 64 (the fixture contract; off-grid/undecodable payloads are
+    * dropped). Fixture cells are 16/32 samples — powers of two, so
+    * every mean is a dyadic rational and the comparisons are EXACT
+    * (the [[imageAHash]] argument), which is what lets the oracle
+    * reproduce the hash from id arithmetic. */
+  def audioEnvelopeHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.flatMap { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      val decoded: Option[Array[Int]] =
+        if (bytes == null || bytes.isEmpty) None
+        else try {
+          import javax.sound.sampled.AudioSystem
+          val ais = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+              fmt.isBigEndian) None
+          else {
+            val data = ais.readAllBytes()
+            val n = data.length / 2
+            if (n == 0 || n % 64 != 0) None
+            else {
+              val out = new Array[Int](n)
+              var i = 0
+              while (i < n) {
+                out(i) = math.abs(
+                  (data(2 * i + 1) << 8) | (data(2 * i) & 0xff))
+                i += 1
+              }
+              Some(out)
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      decoded.map { amps =>
+        val cellLen = amps.length / 64
+        val means = new Array[Double](64)
+        var c = 0
+        while (c < 64) {
+          var sum = 0L
+          var i = c * cellLen
+          while (i < (c + 1) * cellLen) { sum += amps(i); i += 1 }
+          means(c) = sum.toDouble / cellLen
+          c += 1
+        }
+        var total = 0.0
+        var k = 0
+        while (k < 64) { total += means(k); k += 1 }
+        val g = total / 64.0
+        var hash = 0L
+        k = 0
+        while (k < 64) { if (means(k) > g) hash |= 1L << k; k += 1 }
+        Row(id, hash)
+      }
+    }
+    spark.createDataFrame(rdd, envHashSchema)
+  }
+
   private val audioFeatureSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),

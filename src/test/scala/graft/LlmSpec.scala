@@ -168,6 +168,27 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.forall(p => baseOf(p._1) == baseOf(p._2)))
   }
 
+  test("audioEnvelopeHash + hamming64Pairs: resample is Hamming-0, " +
+       "one-cell perturbation stays in the ball") {
+    val ids = Seq(4L, 17L, 33L).toDF("id")
+    val hashed = Multimodal.audioEnvelopeHash(
+      Multimodal.asPatternWavTable(ids))
+    val hashes = hashed.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(hashes.size == 9)
+    Seq(4L, 17L, 33L).foreach { id =>
+      assert(hashes(id) == hashes(id + 5000000L),
+        s"resample of $id must hash identically")
+    }
+    val pairs = Dedup.hamming64Pairs(hashed, "media_id", "ahash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    Seq(4L, 17L, 33L).foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 5000000L &&
+        p._3 == 0))
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 6000000L))
+    }
+  }
+
   test("native MinHashSig matches the composed xxhash64 slot-min form " +
        "bit for bit") {
     import org.apache.spark.sql.GraftBridge
