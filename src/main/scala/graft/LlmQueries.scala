@@ -1298,6 +1298,19 @@ object LlmQueries {
         .orderBy("id1", "id2")
     }),
 
+    // the video member of the near-dup triad: temporal delta-signature
+    // pairs over REAL Y4M parses — a byte-level re-encode and a +25
+    // brightness shift both collapse onto their original (the delta
+    // signature is invariant to both); oracle replays the signature
+    // from the closed-form frame-luma ramp
+    "video_signature_dedup" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+        .filter(col("id") >= 0 && col("id") < 48)
+      Multimodal.videoSignatureDedup(Multimodal.asPatternY4mTable(ids))
+        .orderBy("id1", "id2")
+    }),
+
     // the real binaryFile SOURCE path end-to-end: real .png files on
     // disk → spark.read.format("binaryFile") → id parsed from the
     // path → the same javax.imageio decode as multimodal_features.
@@ -2108,6 +2121,31 @@ object LlmQueries {
            AS mean_px,
          TRUE AS decoded
          FROM documents ORDER BY media_id""",
+    // signature replayed from the closed-form per-frame luma ramp —
+    // the brightness shift cancels in the deltas, so every variant of
+    // an id shares its signature and the pair set is the 3-choose-2
+    // per id (plus any genuine cross-id ramp collisions, none at <48)
+    "video_signature_dedup" ->
+      """WITH ids AS MATERIALIZED (SELECT DISTINCT doc_id AS id
+           FROM documents WHERE doc_id >= 0 AND doc_id < 48),
+         var AS (SELECT id, unnest([0, 1, 2]) AS v,
+           CAST(8 + id % 5 AS INT) AS nf FROM ids),
+         sigs AS MATERIALIZED (SELECT
+           CAST(id + CASE v WHEN 0 THEN 0 WHEN 1 THEN 5000000
+             ELSE 6000000 END AS BIGINT) AS media_id,
+           nf AS n_frames,
+           (SELECT string_agg(CAST(
+               (((id * 31 + k * k * 7 + k * 17) % 200)
+                - ((id * 31 + (k-1) * (k-1) * 7 + (k-1) * 17) % 200))
+               * 8 AS VARCHAR), ',' ORDER BY k)
+            FROM unnest(range(1, nf)) AS t(k)) AS sig
+           FROM var)
+         SELECT a.media_id AS id1, b.media_id AS id2,
+           a.n_frames AS n_frames
+         FROM sigs a JOIN sigs b
+           ON a.sig = b.sig AND a.n_frames = b.n_frames
+             AND a.media_id < b.media_id
+         ORDER BY id1, id2""",
     // envelope hash predicted arithmetically: cell mean = avg over 16
     // samples of ((id*13+7)%15000 + t*(1+id%9))%15000 + 1000 (+4000
     // for the perturbed variant's cell 0); the 2× resample has

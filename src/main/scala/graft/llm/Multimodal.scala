@@ -449,6 +449,102 @@ object Multimodal {
     spark.createDataFrame(rdd, envHashSchema)
   }
 
+  // ---------- video temporal-signature near-dup fixtures (r10) ----------
+
+  /** Per-frame luma of the video near-dup fixture: a quadratic ramp
+    * (id·31 + k²·7 + k·17) mod 200 — diverse DELTAS across ids (a
+    * linear ramp's deltas are a near-constant 17, which would collide
+    * half the corpus), closed-form for the oracle, ≤ 199 so the +25
+    * brightness shift never clips. */
+  def y4mLumaPat(id: Long, k: Int): Int =
+    ((id * 31 + k.toLong * k * 7 + k.toLong * 17) % 200).toInt
+
+  def y4mPatFrames(id: Long): Int = 8 + (id % 5).toInt
+
+  /** Variants: 0 = original (32×32 Cmono, constant-luma frames);
+    * 1 = byte-level re-encode (an extra X header parameter — different
+    * payload bytes, identical parsed content); 2 = every pixel +25
+    * (brightness shift — the DELTA signature is invariant to it). */
+  def encodeY4mPattern(id: Long, variant: Int): Array[Byte] = {
+    val w = 32; val h = 32
+    val frames = y4mPatFrames(id)
+    val out = new ByteArrayOutputStream()
+    val header = "YUV4MPEG2 W32 H32 F25:1 Cmono" +
+      (if (variant == 1) " Xreenc" else "") + "\n"
+    out.write(header.getBytes("US-ASCII"))
+    var k = 0
+    while (k < frames) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      val luma = y4mLumaPat(id, k) + (if (variant == 2) 25 else 0)
+      val frame = new Array[Byte](w * h)
+      java.util.Arrays.fill(frame, luma.toByte)
+      out.write(frame)
+      k += 1
+    }
+    out.toByteArray
+  }
+
+  /** Pattern-Y4M media table with planted near-duplicates — the video
+    * member of the [[asPatternPngTable]]/[[asPatternWavTable]] triad
+    * (same id offsets). */
+  def asPatternY4mTable(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.rdd.flatMap { r =>
+      val id = r.getLong(0)
+      Seq(0, 1, 2).map { v =>
+        val off = v match { case 0 => 0L; case 1 => 5000000L
+          case _ => 6000000L }
+        Row(id + off, encodeY4mPattern(id, v), Row("video", 32, 32))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private val videoSigSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("sig", StringType, nullable = false)))
+
+  /** Temporal near-dup signature over REAL parsed Y4M: the sequence of
+    * frame-to-frame mean-luma DELTAS, quantized at 1/8 luma
+    * (`Math.round(Δ·8)`) and joined with "," — invariant to a uniform
+    * brightness shift and to byte-level re-encoding, which is exactly
+    * the near-dup pair a video corpus wants collapsed first. Spatial
+    * content is deliberately not hashed here (that is [[imageAHash]]'s
+    * job per frame); the signature is the cheap temporal prefilter.
+    * Frame means are dyadic (power-of-two fixture frames), so the
+    * quantization is exact and the oracle replays it from the
+    * closed-form ramp. Undecodable payloads are dropped; single-frame
+    * clips sign as "" (no deltas). */
+  def videoSignature(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd.flatMap { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      parseY4m(bytes, sumLuma = true).map { t =>
+        val means = t._7
+        val sig = (1 until means.length).map { k =>
+          Math.round((means(k) - means(k - 1)) * 8.0)
+        }.mkString(",")
+        Row(id, means.length, sig)
+      }
+    }
+    spark.createDataFrame(rdd, videoSigSchema)
+  }
+
+  /** Signature-equality near-dup pairs (id1 < id2, same frame count +
+    * same delta signature) — one hash-partitioned equi-join on the
+    * signature, never all-pairs. */
+  def videoSignatureDedup(media: DataFrame): DataFrame = {
+    val sigs = videoSignature(media)
+    val a = sigs.alias("a"); val b = sigs.alias("b")
+    a.join(b, col("a.sig") === col("b.sig") &&
+        col("a.n_frames") === col("b.n_frames") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+        col("a.n_frames").as("n_frames"))
+  }
+
   private val audioFeatureSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
@@ -540,14 +636,15 @@ object Multimodal {
     * bad header, unknown chroma layout). */
   private def decodeY4m(
       bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int, Double)] =
-    parseY4m(bytes, sumLuma = true)
+    parseY4m(bytes, sumLuma = true).map(t =>
+      (t._1, t._2, t._3, t._4, t._5, t._6))
 
   /** Container walk shared by [[decodeY4m]] (full luma accumulation)
     * and [[sampleFrames]] (frame COUNT only — `sumLuma = false` skips
     * the per-pixel loop, so a metadata-only caller pays O(frames)
     * frame-header hops instead of O(payload bytes); mean is 0 then). */
-  private def parseY4m(bytes: Array[Byte],
-      sumLuma: Boolean): Option[(Int, Int, Int, Int, Int, Double)] =
+  private def parseY4m(bytes: Array[Byte], sumLuma: Boolean)
+      : Option[(Int, Int, Int, Int, Int, Double, Array[Double])] =
     if (bytes == null || bytes.length < 10 ||
         !new String(bytes, 0, 9, "US-ASCII").equals("YUV4MPEG2"))
       None
@@ -578,6 +675,7 @@ object Multimodal {
         var pos = nl + 1
         var frames = 0
         var lumaSum = 0L
+        val frameSums = scala.collection.mutable.ArrayBuffer.empty[Long]
         while (pos < bytes.length) {
           // FRAME marker line (may carry parameters before the \n)
           if (pos + 5 > bytes.length ||
@@ -589,15 +687,19 @@ object Multimodal {
           pos = eol + 1
           if (pos + frameSize > bytes.length) return None // truncated
           if (sumLuma) {
+            var fSum = 0L
             var i = 0
-            while (i < w * h) { lumaSum += bytes(pos + i) & 0xff; i += 1 }
+            while (i < w * h) { fSum += bytes(pos + i) & 0xff; i += 1 }
+            lumaSum += fSum
+            frameSums += fSum
           }
           pos += frameSize
           frames += 1
         }
         if (frames == 0) None
         else Some((w, h, frames, fn, fd,
-          lumaSum.toDouble / (frames.toLong * w * h)))
+          lumaSum.toDouble / (frames.toLong * w * h),
+          frameSums.map(_.toDouble / (w.toLong * h)).toArray))
       } catch { case scala.util.control.NonFatal(_) => None }
 
   private val videoFeatureSchema = StructType(Seq(
@@ -733,7 +835,7 @@ object Multimodal {
           val n: Any =
             if (bytes == null) null
             else parseY4m(bytes, sumLuma = false) match {
-              case Some((_, _, frames, _, _, _)) => frames
+              case Some((_, _, frames, _, _, _, _)) => frames
               case None => bytes.length / 16 + 1 // labeled stub count
             }
           Row(id, n)

@@ -189,6 +189,21 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("videoSignatureDedup: re-encode and brightness shift collapse " +
+       "onto the original; distinct ramps stay apart") {
+    val ids = Seq(2L, 9L, 21L).toDF("id")
+    val pairs = Multimodal.videoSignatureDedup(
+        Multimodal.asPatternY4mTable(ids))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each id's 3 variants pair 3-choose-2
+    Seq(2L, 9L, 21L).foreach { id =>
+      assert(pairs.contains((id, id + 5000000L)))
+      assert(pairs.contains((id, id + 6000000L)))
+      assert(pairs.contains((id + 5000000L, id + 6000000L)))
+    }
+    assert(pairs.size == 9)
+  }
+
   test("native MinHashSig matches the composed xxhash64 slot-min form " +
        "bit for bit") {
     import org.apache.spark.sql.GraftBridge
