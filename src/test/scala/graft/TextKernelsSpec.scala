@@ -215,6 +215,59 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(nu == hof)
   }
 
+  test("parity holds on a 300-doc seeded unicode fuzz corpus") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // weighted toward the characters the kernels special-case:
+    // Java-\s, line terminators, case-mapping oddities (İ, KELVIN,
+    // Dž, ß), CJK, astral, bullets/ellipses/terminal punctuation
+    val pieceGen: Gen[String] = Gen.frequency(
+      8 -> Gen.choose(32, 126).map(_.toChar.toString),
+      3 -> Gen.oneOf(" ", "\t", "\n", "\r", "\f", "\u000B", "\r\n"),
+      2 -> Gen.oneOf(".", "!", "?", "\"", "-", "*", "•",
+        "…", "...", "#"),
+      2 -> Gen.choose(0x80, 0x24f).map(_.toChar.toString),
+      1 -> Gen.oneOf("K", "İ", "ǅ", "ß"),
+      1 -> Gen.choose(0x4e00, 0x9fff).map(_.toChar.toString),
+      1 -> Gen.oneOf("\u2028", "\u2029", "\u0085"),
+      1 -> Gen.choose(0x1f300, 0x1f64f)
+        .map(cp => new String(Character.toChars(cp))),
+      2 -> Gen.oneOf("the", "of", "and", "la", "der", "的"))
+    val docGen = Gen.listOfN(60, pieceGen).map(_.mkString)
+    val docs = (0 until 300).map { i =>
+      (i.toLong, docGen.apply(Gen.Parameters.default,
+        Seed(i.toLong)).getOrElse(""))
+    }.toDF("doc_id", "text")
+    assertParity(
+      TextAnalysis.gopherRules(docs, "doc_id", "text"),
+      TextAnalysis.gopherRulesHof(docs, "doc_id", "text"))
+    assertParity(
+      TextAnalysis.c4Signals(docs, "doc_id", "text"),
+      TextAnalysis.c4SignalsHof(docs, "doc_id", "text"))
+    assertParity(
+      TextAnalysis.gopherLineRules(docs, "doc_id", "text"),
+      TextAnalysis.gopherLineRulesHof(docs, "doc_id", "text"))
+    assertParity(
+      TextAnalysis.repetitionSignals(docs, "doc_id", "text"),
+      TextAnalysis.repetitionSignalsHof(docs, "doc_id", "text"))
+    val staged = docs.select(col("doc_id"), col("text"),
+      split(TextAnalysis.normalizeText(col("text")), " ").as("t"))
+    val en = TextAnalysis.langStopwords.toMap.apply("en")
+    val nu = staged.select(col("doc_id"),
+        TextAnalysis.wordShingles(col("text")).as("sh"),
+        TextAnalysis.langIdStaged(col("t"), col("text")).as("lang"),
+        TextAnalysis.stopwordCount(col("text"), en).as("sw"),
+        TextAnalysis.linearScoreRaw(col("t")).as("ls"))
+      .orderBy("doc_id").collect().toSeq
+    val hof = staged.select(col("doc_id"),
+        TextAnalysis.wordShinglesHof(col("text")).as("sh"),
+        TextAnalysis.langIdStagedHof(col("t"), col("text")).as("lang"),
+        TextAnalysis.stopwordCountHof(col("text"), en).as("sw"),
+        TextAnalysis.linearScoreRawHof(col("t")).as("ls"))
+      .orderBy("doc_id").collect().toSeq
+    assert(nu == hof)
+  }
+
   // ---- semantic-trap pins: if Spark/Java behavior ever shifts, these
   // fail before the parity tests go red for a confusing reason ----
 
