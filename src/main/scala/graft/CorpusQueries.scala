@@ -134,19 +134,17 @@ object CorpusQueries {
     "embedding_quantize" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-        .withColumn("scale", Similarity.quantScale(col("v")))
-        .withColumn("codes", Similarity.quantCodes(col("v"), col("scale")))
-        // max_err staged BEFORE the output select: `round(scale).as
-        // ("scale")` would otherwise capture the err expression's
-        // col("scale") via lateral column aliasing — dequantizing with
-        // the ROUNDED scale (observed: 6e-5-level drift vs the oracle)
-        .withColumn("max_err",
-          Similarity.dequantMaxErr(col("v"), col("codes"), col("scale")))
-        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
-          array_join(transform(col("codes"), c => c.cast("string")), ",")
+          col("embedding").cast("array<double>").as("v"))
+        // one native pass for (scale, codes, max_err) — staging the
+        // struct BEFORE the output select also keeps the err computed
+        // from the UNROUNDED scale (`round(scale).as("scale")` would
+        // otherwise be captured via lateral column aliasing — observed
+        // 6e-5-level drift vs the oracle in the staged-HOF era)
+        .withColumn("__q", Similarity.int8QuantStats(col("v")))
+        .select(col("vec_id"), round(col("__q.scale"), 6).as("scale"),
+          array_join(col("__q.codes").cast("array<string>"), ",")
             .as("codes_str"),
-          round(col("max_err"), 6).as("max_err"))
+          round(col("__q.max_err"), 6).as("max_err"))
         .orderBy("vec_id")),
 
     // TF-IDF top-5 terms per document: explode → (doc, term) counts →
@@ -194,7 +192,7 @@ object CorpusQueries {
     "embedding_outliers" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         (col("vec_id") % 10).as("grp"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
       val cent = e.select(col("grp"), posexplode(col("v")))
         .groupBy("grp", "pos").agg(avg(col("col")).as("m"))
         .groupBy("grp")
@@ -213,7 +211,7 @@ object CorpusQueries {
     "embedding_avg_pool" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select((col("vec_id") % 10).as("grp"),
-          posexplode(transform(col("embedding"), x => x.cast("double"))))
+          posexplode(col("embedding").cast("array<double>")))
         .groupBy(col("grp"), col("pos"))
         // round at 4, not 6: avg-of-doubles partial-merge order differs
         // across engines (~1e-13 drift); 4 decimals is the in-file

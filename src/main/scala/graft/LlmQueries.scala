@@ -706,7 +706,7 @@ object LlmQueries {
       val e = t(s, dir, "embeddings")
         .filter(col("vec_id") % 5 === 0)
         .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
+          col("embedding").cast("array<double>").as("v"))
       val empty = e.select(col("vec_id"), lit(true).as("in_corpus"),
         lit(true).as("in_index")).limit(0)
       val probe = e.agg(max("vec_id")).first()
@@ -832,7 +832,7 @@ object LlmQueries {
     // DuckDB replication.
     "semantic_dedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
       val planted = e.select((col("vec_id") + 1000000L).as("vec_id"),
         concat(array(element_at(col("v"), 1) + 0.5),
                slice(col("v"), 2, 63)).as("v"))
@@ -854,7 +854,7 @@ object LlmQueries {
     // SemDeDup's documented approximation, not a pipeline bug
     "semantic_dedup_kmeans" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
       val planted = e.select((col("vec_id") + 1000000L).as("vec_id"),
         concat(array(element_at(col("v"), 1) + 0.1),
                slice(col("v"), 2, 63)).as("v"))

@@ -941,7 +941,7 @@ object Dedup {
     // production SemDeDup run does.
     val assigned = staged(Similarity.withUnitVec(
         df.select(col(idCol).as("id"),
-            transform(col(vecCol), x => x.cast("double")).as("vec"))
+            col(vecCol).cast("array<double>").as("vec"))
           .withColumn("cell",
             Similarity.cellsFor(col("vec"), cents, 1).getItem(0)),
         "vec", "vecn")
@@ -999,7 +999,7 @@ object Dedup {
     val planeLits = Similarity.rademacherPlanes(planes, dims)
       .map(p => typedlit(p))
     val staged = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
+      col(vecCol).cast("array<double>").as("vec"))
     val sigBits = planeLits.map { w =>
       val dot = Similarity.fastDot(col("vec"), w)
       when(dot >= 0, lit(1)).otherwise(lit(0)).cast("string")

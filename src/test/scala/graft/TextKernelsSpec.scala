@@ -268,6 +268,33 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(nu == hof)
   }
 
+  test("interpreted eval path matches codegen (factoryMode toggle)") {
+    // the kernels ship BOTH nullSafeEval and doGenCode; normal runs
+    // exercise only the generated path, so pin the interpreted one too
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    def run(): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
+      TextAnalysis.gopherRules(edgeDocs, "doc_id", "text"),
+      TextAnalysis.c4Signals(edgeDocs, "doc_id", "text"),
+      TextAnalysis.gopherLineRules(edgeDocs, "doc_id", "text"),
+      TextAnalysis.repetitionSignals(edgeDocs, "doc_id", "text"),
+      edgeDocs.select(col("doc_id"),
+        TextAnalysis.wordShingles(col("text")).as("sh")))
+      .map(_.orderBy("doc_id").collect().toSeq)
+    try {
+      spark.conf.set(key, "CODEGEN_ONLY")
+      val gen = run()
+      spark.conf.set(key, "NO_CODEGEN")
+      val interp = run()
+      assert(gen == interp)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   // ---- semantic-trap pins: if Spark/Java behavior ever shifts, these
   // fail before the parity tests go red for a confusing reason ----
 
