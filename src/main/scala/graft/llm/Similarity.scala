@@ -62,25 +62,37 @@ object Similarity {
       .withColumn(outCol, l2NormalizeStaged(col(vecCol), col("__nrm")))
       .drop("__nrm")
 
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Symmetric int8 quantization scale for an array<double> vector:
+  /** Symmetric int8 quantization of an array<double> vector in ONE
+    * native whole-stage-codegen pass: struct(scale = max|x|/127,
+    * codes = floor(x/scale + 0.5) as int — round-half-up on both
+    * signs, max element maps to exactly ±127, max_err = max
+    * |code·scale − x| ≤ scale/2 by construction). The composed form
+    * (retained below as the `*Hof` parity baselines, QuantKernelSpec)
+    * is three CodegenFallback HOF passes ≈ 3·dims interpreted lambda
+    * calls per embedding. */
+  def int8QuantStats(vec: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.Int8QuantStats(
+        org.apache.spark.sql.GraftBridge.expression(vec)))
+
+  /** HOF parity baseline for `int8QuantStats.scale` (QuantKernelSpec):
     * max|x| / 127 (0 for the all-zero vector). */
-  def quantScale(vec: Column): Column =
+  private[graft] def quantScaleHof(vec: Column): Column =
     array_max(transform(vec, x => abs(x))) / 127.0
 
-  /** Int8 codes under a staged `scale` attribute: floor(x/scale + 0.5)
-    * — round-half-up on both signs, chosen over round() because its
-    * floor form evaluates identically in every engine. Max element maps
-    * to exactly ±127. */
-  def quantCodes(vec: Column, scale: Column): Column =
+  /** HOF parity baseline for `int8QuantStats.codes` under a staged
+    * `scale` attribute — floor(x/scale + 0.5), chosen over round()
+    * because its floor form evaluates identically in every engine. */
+  private[graft] def quantCodesHof(vec: Column, scale: Column): Column =
     when(scale === 0.0, transform(vec, _ => lit(0)))
       .otherwise(transform(vec,
         x => floor(x / scale + 0.5).cast("int")))
 
-  /** Elementwise max |dequant − x| reconstruction error (≤ scale/2 by
-    * construction — asserted in CorpusSpec). */
-  def dequantMaxErr(vec: Column, codes: Column, scale: Column): Column =
+  /** HOF parity baseline for `int8QuantStats.max_err`. */
+  private[graft] def dequantMaxErrHof(vec: Column, codes: Column,
+                                      scale: Column): Column =
     when(scale === 0.0, lit(0.0))
       .otherwise(array_max(zip_with(codes, vec,
         (c, x) => abs(c.cast("double") * scale - x))))

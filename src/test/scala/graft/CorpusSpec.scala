@@ -230,12 +230,10 @@ class CorpusSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     val out = vecs
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("scale", Similarity.quantScale(col("v")))
-      .withColumn("codes", Similarity.quantCodes(col("v"), col("scale")))
-      .withColumn("err",
-        Similarity.dequantMaxErr(col("v"), col("codes"), col("scale")))
-      .select($"vec_id", $"scale", $"codes", $"err")
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("__q", Similarity.int8QuantStats(col("v")))
+      .select($"vec_id", $"__q.scale".as("scale"),
+        $"__q.codes".as("codes"), $"__q.max_err".as("err"))
       .as[(Long, Double, Seq[Int], Double)].collect()
       .map(r => r._1 -> r).toMap
     assert(out(1L)._3 == Seq(64, -127, 32, 16))

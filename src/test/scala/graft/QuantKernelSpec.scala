@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Similarity
+
+/** Parity pins for the native int8 quantization kernel
+  * (functions/Int8Quant.scala) against the retained HOF baselines.
+  * The embedding_quantize oracle did NOT move in round 10; these tests
+  * are the evidence the one-pass native rewrite is bit-identical. */
+class QuantKernelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Adversarial vectors: every edge the kernel special-cases. */
+  private def edgeVecs: DataFrame = Seq[(Long, Seq[java.lang.Double])](
+    (1L, Seq[java.lang.Double](0.5, -1.0, 0.25, 0.125)),
+    (2L, Seq[java.lang.Double](3.0, 2.0, -3.0, 0.0)),
+    (3L, Seq[java.lang.Double](0.0, 0.0, 0.0, 0.0)),   // zero → scale 0
+    (4L, Seq[java.lang.Double](-0.0, 0.0)),            // signed zero
+    (5L, Seq.empty[java.lang.Double]),                 // empty → nulls
+    (6L, Seq[java.lang.Double](1.0, null, -2.0)),      // null element
+    (7L, Seq[java.lang.Double](null, null)),           // all-null
+    (8L, Seq[java.lang.Double](Double.NaN, 1.0)),      // NaN scale
+    (9L, Seq[java.lang.Double](1e300, -1e300, 1e-300)),
+    (10L, Seq[java.lang.Double](Double.PositiveInfinity, 2.0)),
+    (11L, Seq[java.lang.Double](1.27e-5)),             // tiny scale
+    (12L, Seq[java.lang.Double](0.1, 0.2, 0.3, -0.1, -0.2, -0.3)),
+    (13L, null.asInstanceOf[Seq[java.lang.Double]])    // null vector
+  ).toDF("vec_id", "v")
+
+  private def native(df: DataFrame): DataFrame =
+    df.withColumn("__q", Similarity.int8QuantStats(col("v")))
+      .select($"vec_id", $"__q.scale".as("scale"),
+        $"__q.codes".as("codes"), $"__q.max_err".as("max_err"))
+
+  private def hof(df: DataFrame): DataFrame =
+    df.withColumn("scale", Similarity.quantScaleHof(col("v")))
+      .withColumn("codes", Similarity.quantCodesHof(col("v"), col("scale")))
+      .withColumn("max_err",
+        Similarity.dequantMaxErrHof(col("v"), col("codes"), col("scale")))
+      .select($"vec_id", $"scale", $"codes", $"max_err")
+
+  /** Row comparison that distinguishes NaN-equal but is exact
+    * otherwise (Seq[Row] == uses value equality; Double NaN != NaN,
+    * so compare via a canonical string that keeps sign and bits). */
+  private def canon(rows: Seq[Row]): Seq[Seq[String]] =
+    rows.map(_.toSeq.map {
+      case d: Double => java.lang.Double.toString(d)
+      case x => String.valueOf(x)
+    })
+
+  test("int8QuantStats: native == HOF on the adversarial vectors") {
+    val a = canon(native(edgeVecs).orderBy("vec_id").collect().toSeq)
+    val b = canon(hof(edgeVecs).orderBy("vec_id").collect().toSeq)
+    assert(a == b)
+  }
+
+  test("int8QuantStats: native == HOF on the sf0.001 embeddings") {
+    val sf = sys.env.getOrElse("GRAFT_TESTDATA",
+      "/root/testdata/sf0.001")
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = canon(native(e).orderBy("vec_id").collect().toSeq)
+    val b = canon(hof(e).orderBy("vec_id").collect().toSeq)
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("interpreted eval path matches codegen (factoryMode toggle)") {
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    def run(): Seq[Seq[String]] =
+      canon(native(edgeVecs).orderBy("vec_id").collect().toSeq)
+    try {
+      spark.conf.set(key, "CODEGEN_ONLY")
+      val gen = run()
+      spark.conf.set(key, "NO_CODEGEN")
+      val interp = run()
+      assert(gen == interp)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("fuzz: native == HOF on random vectors (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val vecs = (1L to 200L).map { i =>
+      val n = rnd.nextInt(65)
+      (i, Seq.fill(n)(java.lang.Double.valueOf(
+        (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(7) - 3))))
+    }.toDF("vec_id", "v")
+    val a = canon(native(vecs).orderBy("vec_id").collect().toSeq)
+    val b = canon(hof(vecs).orderBy("vec_id").collect().toSeq)
+    assert(a == b)
+  }
+}
