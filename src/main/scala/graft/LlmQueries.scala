@@ -1000,9 +1000,7 @@ object LlmQueries {
     "text_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       val toks = t(s, dir, "documents")
-        .select(explode(filter(
-          split(TextAnalysis.normalizeText(col("text")), " "),
-          t => length(t) > 0)).as("tok"))
+        .select(explode(TextAnalysis.normTokens(col("text"))).as("tok"))
       val agg = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
       val heavy = agg.filter(col("cnt") >= 200)
         .limit(100001).collect()
@@ -1032,9 +1030,7 @@ object LlmQueries {
     // weights stand in for a trained artifact (TextAnalysis.tokenWeight
     // scaladoc) so the inference plumbing is fully oracle-checked.
     "text_model_score" -> ((s, dir) => {
-      val toks = filter(
-        split(TextAnalysis.normalizeText(col("text")), " "),
-        t => length(t) > 0)
+      val toks = TextAnalysis.normTokens(col("text"))
       t(s, dir, "documents")
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"),

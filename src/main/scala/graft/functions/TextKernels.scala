@@ -281,6 +281,116 @@ object TextKernelUtil {
     out.toArray
   }
 
+  /** normTokens: the non-empty token stream of normalized text —
+    * `filter(split(normalizeText(c), " "), length(_) > 0)` (the
+    * model-score / heavy-hitter tokenization) as one pass. */
+  def normTokens(txt: UTF8String): ArrayData =
+    new GenericArrayData(
+      lowerTokens(txt).map(t => UTF8String.fromString(t): Any))
+
+  /** sentenceSplit: `filter(transform(split(c, "[.!?]+"), trim),
+    * length(_) > 0)` — maximal runs of non-terminal chars, 0x20-trimmed,
+    * empties dropped (the leading/trailing-empty split artifacts all
+    * die in the filter, so runs are sufficient). */
+  def sentenceSplit(txt: UTF8String): ArrayData = {
+    val s = txt.toString
+    val n = s.length
+    val out = mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      while (i < n && { val c = s.charAt(i)
+        c == '.' || c == '!' || c == '?' }) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && { val c = s.charAt(i)
+          c != '.' && c != '!' && c != '?' }) i += 1
+        val t = sparkTrim(s.substring(start, i))
+        if (t.nonEmpty) out += UTF8String.fromString(t)
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** One sentence through normalizeText: non-`\s` runs of the
+    * Spark-lowercased string joined by single spaces (`trim ∘
+    * collapse-\s+ ∘ lower` — lower can't mint whitespace, so the run
+    * form is exact). A whitespace-only sentence normalizes to "". */
+  private def normalizeOne(s: String): String = {
+    val low = sparkLowerTok(s, 0, s.length)
+    val n = low.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var first = true
+    while (i < n) {
+      while (i < n && isJavaSpace(low.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isJavaSpace(low.charAt(i))) i += 1
+        if (!first) sb.append(' ')
+        sb.append(low, start, i)
+        first = false
+      }
+    }
+    sb.toString
+  }
+
+  /** normSentences: `transform(sentenceSplit(c), normalizeText)` — the
+    * per-sentence normalize of sentence-grain dedup, fused. Elements
+    * may be "" (a sentence of pure non-0x20 whitespace normalizes to
+    * empty AFTER the non-empty filter ran on the raw sentence) — the
+    * HOF form keeps those and so does this. */
+  def normSentences(txt: UTF8String): ArrayData = {
+    val raw = sentenceSplit(txt)
+    val n = raw.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = UTF8String.fromString(
+        normalizeOne(raw.getUTF8String(i).toString))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val md5Digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** Spark `md5()`: lowercase hex of MD5 over the UTF-8 bytes. */
+  private def md5Hex(s: UTF8String): String = {
+    val d = md5Digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** minShingleMd5: `array_min(transform(wordShingles(c, n), md5))` —
+    * the 1-value winnowing fingerprint. Hex digests are ASCII, so
+    * String compare ≡ UTF8String binary compare; wordShingles never
+    * returns an empty array (empty doc → [""]), so the min exists. */
+  def minShingleMd5(txt: UTF8String, n: Int): UTF8String = {
+    val sh = wordShingles(txt, n)
+    var best: String = null
+    var i = 0
+    while (i < sh.numElements()) {
+      val h = md5Hex(sh.getUTF8String(i))
+      if (best == null || h.compareTo(best) < 0) best = h
+      i += 1
+    }
+    UTF8String.fromString(best)
+  }
+
   /** wordShingles: n-token shingles over normalized text; < n tokens
     * → the whole normalized text as one shingle (`[""]` for an
     * empty/whitespace doc — the split-of-empty artifact the HOF form
@@ -752,6 +862,71 @@ case class LinearScore(child: Expression) extends UnaryExpression
       else { ${ev.value} = ls.longValue(); }""")
   override protected def withNewChildInternal(
       newChild: Expression): LinearScore = copy(child = newChild)
+}
+
+/** array<string> of non-empty normalized tokens —
+  * `filter(split(normalizeText(c), " "), length(_) > 0)`, native. */
+case class NormTokensExpr(child: Expression)
+    extends TextBatteryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "norm_tokens"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.normTokens(v.asInstanceOf[UTF8String])
+  override protected def kernelCall(ctx: CodegenContext,
+                                    v: String): String =
+    s"graft.functions.TextKernelUtil.normTokens($v)"
+  override protected def withNewChildInternal(
+      newChild: Expression): NormTokensExpr = copy(child = newChild)
+}
+
+/** array<string> of trimmed non-empty sentences —
+  * TextAnalysis.sentences' split/trim/filter chain, native. */
+case class SentencesExpr(child: Expression)
+    extends TextBatteryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "sentence_split"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.sentenceSplit(v.asInstanceOf[UTF8String])
+  override protected def kernelCall(ctx: CodegenContext,
+                                    v: String): String =
+    s"graft.functions.TextKernelUtil.sentenceSplit($v)"
+  override protected def withNewChildInternal(
+      newChild: Expression): SentencesExpr = copy(child = newChild)
+}
+
+/** array<string> of per-sentence-normalized sentences — the fused
+  * `transform(sentences(c), normalizeText)` of sentence-grain dedup.
+  * Elements may be "" (whitespace-only sentence), never null. */
+case class NormSentencesExpr(child: Expression)
+    extends TextBatteryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "norm_sentences"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.normSentences(v.asInstanceOf[UTF8String])
+  override protected def kernelCall(ctx: CodegenContext,
+                                    v: String): String =
+    s"graft.functions.TextKernelUtil.normSentences($v)"
+  override protected def withNewChildInternal(
+      newChild: Expression): NormSentencesExpr = copy(child = newChild)
+}
+
+/** Min shingle md5 (1-value winnowing fingerprint) —
+  * `array_min(transform(wordShingles(c, n), md5))`, native. */
+case class MinShingleMd5(child: Expression, n: Int)
+    extends TextBatteryExpression {
+  require(n >= 1 && n <= 16, s"shingle size must be in [1, 16], got $n")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_shingle_md5"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.minShingleMd5(v.asInstanceOf[UTF8String], n)
+  override protected def kernelCall(ctx: CodegenContext,
+                                    v: String): String =
+    s"graft.functions.TextKernelUtil.minShingleMd5($v, $n)"
+  override protected def withNewChildInternal(
+      newChild: Expression): MinShingleMd5 = copy(child = newChild)
 }
 
 /** Struct(n_tok I, n_distinct I, total_bg L, distinct_bg L, top_bg L)

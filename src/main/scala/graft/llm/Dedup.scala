@@ -890,9 +890,8 @@ object Dedup {
                          idCol: String): DataFrame =
     crossDocDuplicates(
       df.select(col(idCol).as("id"),
-        explode(array_distinct(transform(
-          TextAnalysis.sentences(coalesce(col(textCol), lit(""))),
-          s => TextAnalysis.normalizeText(s)))).as("u")),
+        explode(array_distinct(TextAnalysis.normSentences(
+          coalesce(col(textCol), lit(""))))).as("u")),
       "sentence")
 
   /** SemDeDup-style semantic deduplication over an embedding column:

@@ -188,10 +188,43 @@ object TextAnalysis {
 
   /** Sentence segmentation: split on runs of terminal punctuation,
     * trim, drop empties — the RE2-portable rule (no lookbehind), so the
-    * same split replays in any engine. Returns array<string>. */
+    * same split replays in any engine. Returns array<string>. Native
+    * one-pass kernel (TextKernels.SentencesExpr); the split/trim/filter
+    * HOF chain is retained below as the parity baseline. */
   def sentences(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.SentencesExpr(
+        org.apache.spark.sql.GraftBridge.expression(c)))
+
+  /** HOF parity baseline for [[sentences]] (TextKernelsSpec). */
+  private[graft] def sentencesHof(c: Column): Column =
     filter(transform(split(c, "[.!?]+"), x => trim(x)),
       x => length(x) > 0)
+
+  /** Per-sentence-normalized sentences — the fused
+    * `transform(sentences(c), normalizeText)` of sentence-grain dedup
+    * in ONE native pass. Elements may be "" (whitespace-only
+    * sentence), matching the HOF composition. */
+  def normSentences(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.NormSentencesExpr(
+        org.apache.spark.sql.GraftBridge.expression(c)))
+
+  /** HOF parity baseline for [[normSentences]]. */
+  private[graft] def normSentencesHof(c: Column): Column =
+    transform(sentencesHof(c), s => normalizeText(s))
+
+  /** Non-empty tokens of normalized text — the
+    * `filter(split(normalizeText(c), " "), length > 0)` tokenization
+    * (model scoring, heavy hitters) in ONE native pass. */
+  def normTokens(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.NormTokensExpr(
+        org.apache.spark.sql.GraftBridge.expression(c)))
+
+  /** HOF parity baseline for [[normTokens]]. */
+  private[graft] def normTokensHof(c: Column): Column =
+    filter(split(normalizeText(c), " "), t => length(t) > 0)
 
   /** C4/Gopher-style document heuristics — the standard web-corpus
     * cleaning rules as one pure projection (no shuffle): token shape
@@ -518,8 +551,15 @@ object TextAnalysis {
 
   /** Rolling-hash document fingerprint: min over shingle md5s (a 1-value
     * winnowing sketch — stable under small appends, unlike full-text
-    * md5). */
+    * md5). Native one-pass kernel (TextKernels.MinShingleMd5); the
+    * per-shingle md5 lambda is retained below as the parity baseline. */
   def rollingFingerprint(c: Column, n: Int = 3): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MinShingleMd5(
+        org.apache.spark.sql.GraftBridge.expression(c), n))
+
+  /** HOF parity baseline for [[rollingFingerprint]]. */
+  private[graft] def rollingFingerprintHof(c: Column, n: Int = 3): Column =
     array_min(transform(wordShingles(c, n), s => md5(s)))
 
   // ---------- hashed-feature linear model inference ----------

@@ -215,6 +215,45 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(nu == hof)
   }
 
+  private def sentenceQuadNative(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      TextAnalysis.sentences(col("text")).as("sent"),
+      TextAnalysis.normSentences(coalesce(col("text"), lit("")))
+        .as("nsent"),
+      TextAnalysis.normTokens(col("text")).as("ntoks"),
+      TextAnalysis.rollingFingerprint(col("text")).as("rfp"))
+
+  private def sentenceQuadHof(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      TextAnalysis.sentencesHof(col("text")).as("sent"),
+      TextAnalysis.normSentencesHof(coalesce(col("text"), lit("")))
+        .as("nsent"),
+      TextAnalysis.normTokensHof(col("text")).as("ntoks"),
+      TextAnalysis.rollingFingerprintHof(col("text")).as("rfp"))
+
+  test("sentences / normSentences / normTokens / rollingFingerprint: " +
+       "native == HOF on the adversarial corpus") {
+    // extra terminal-punctuation edges on top of the shared corpus:
+    // leading/trailing/only terminators, mixed runs, whitespace-only
+    // sentences (normalize to "" — kept), astral between terminators
+    val extra = Seq[(Long, String)](
+      (100L, "..."), (101L, ".x."), (102L, "!?.!"),
+      (103L, "a.   .b"), (104L, "  .  "), (105L, ". \n ."),
+      (106L, "no terminators at all"), (107L, "🌉.😀!中文?"),
+      (108L, "tab\there.and !bang! q?q"), (109L, "\r\n.\r\n")
+    ).toDF("doc_id", "text")
+    assertParity(sentenceQuadNative(edgeDocs.union(extra)),
+      sentenceQuadHof(edgeDocs.union(extra)))
+  }
+
+  test("sentence/token/fingerprint parity holds on the real documents " +
+       "table (sf0.001)") {
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    assume(new java.io.File(path).exists())
+    val docs = spark.read.parquet(path).select("doc_id", "text")
+    assertParity(sentenceQuadNative(docs), sentenceQuadHof(docs))
+  }
+
   test("parity holds on a 300-doc seeded unicode fuzz corpus") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
@@ -250,6 +289,7 @@ class TextKernelsSpec extends AnyFunSuite {
     assertParity(
       TextAnalysis.repetitionSignals(docs, "doc_id", "text"),
       TextAnalysis.repetitionSignalsHof(docs, "doc_id", "text"))
+    assertParity(sentenceQuadNative(docs), sentenceQuadHof(docs))
     val staged = docs.select(col("doc_id"), col("text"),
       split(TextAnalysis.normalizeText(col("text")), " ").as("t"))
     val en = TextAnalysis.langStopwords.toMap.apply("en")
@@ -279,7 +319,8 @@ class TextKernelsSpec extends AnyFunSuite {
       TextAnalysis.gopherLineRules(edgeDocs, "doc_id", "text"),
       TextAnalysis.repetitionSignals(edgeDocs, "doc_id", "text"),
       edgeDocs.select(col("doc_id"),
-        TextAnalysis.wordShingles(col("text")).as("sh")))
+        TextAnalysis.wordShingles(col("text")).as("sh")),
+      sentenceQuadNative(edgeDocs))
       .map(_.orderBy("doc_id").collect().toSeq)
     try {
       spark.conf.set(key, "CODEGEN_ONLY")
