@@ -47,10 +47,20 @@ object Similarity {
   }
 
   /** L2-normalized copy of an array<double> column given its
-    * PRE-STAGED norm attribute (zero vector stays zero). `nrm` must be
-    * a plain attribute, not an expression subtree — a lambda capturing
-    * a subtree re-evaluates it per element. */
+    * PRE-STAGED norm attribute (zero vector stays zero). Native
+    * one-pass kernel (VecKernels.NormalizeByNorm) — the transform
+    * lambda ran interpreted per element on EVERY vector the ANN /
+    * semantic-dedup operators touch; Hof retained for parity. */
   def l2NormalizeStaged(vec: Column, nrm: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.NormalizeByNorm(
+        org.apache.spark.sql.GraftBridge.expression(vec),
+        org.apache.spark.sql.GraftBridge.expression(nrm)))
+
+  /** HOF parity baseline for [[l2NormalizeStaged]] (QuantKernelSpec).
+    * `nrm` must be a plain attribute, not an expression subtree — a
+    * lambda capturing a subtree re-evaluates it per element. */
+  private[graft] def l2NormalizeStagedHof(vec: Column, nrm: Column): Column =
     when(nrm === 0.0, vec).otherwise(transform(vec, x => x / nrm))
 
   /** DataFrame transform staging the norm correctly (see
@@ -199,7 +209,16 @@ object Similarity {
   /** IVF cell assignment against explicit centroid literals: the
     * `nProbe` nearest by dot product, nearest first. `vec` must be a
     * staged array<double> attribute. */
-  def cellsFor(vec: Column, cents: Seq[Seq[Double]], nProbe: Int): Column = {
+  def cellsFor(vec: Column, cents: Seq[Seq[Double]], nProbe: Int): Column =
+    // native ranking loop (VecKernels.TopCellsByDot) — the struct-array
+    // sort ran interpreted per row; Hof retained for parity
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.TopCellsByDot(
+        org.apache.spark.sql.GraftBridge.expression(vec), cents, nProbe))
+
+  /** HOF parity baseline for [[cellsFor]] (QuantKernelSpec). */
+  private[graft] def cellsForHof(vec: Column, cents: Seq[Seq[Double]],
+                                 nProbe: Int): Column = {
     val dots = cents.zipWithIndex.map { case (c, i) =>
       struct(fastDot(vec, typedlit(c)).as("dot"), lit(i).as("cell"))
     }

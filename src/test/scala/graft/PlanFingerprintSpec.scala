@@ -31,7 +31,7 @@ class PlanFingerprintSpec extends AnyFunSuite {
     "exchange_single", "broadcast_exchange", "join_broadcast_hash",
     "join_sort_merge", "join_shuffled_hash", "join_nested_loop",
     "join_cartesian", "agg_hash", "agg_object", "agg_sort", "window",
-    "sort", "generate")
+    "sort", "generate", "hof_fallback")
 
   private def fingerprint(plan: SparkPlan): Map[String, Int] = {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
@@ -67,7 +67,20 @@ class PlanFingerprintSpec extends AnyFunSuite {
       "agg_sort" -> n(_.nodeName.contains("SortAggregate")),
       "window" -> n(_.nodeName.contains("Window")),
       "sort" -> n(_.nodeName == "Sort"),
-      "generate" -> n(_.nodeName.contains("Generate")))
+      "generate" -> n(_.nodeName.contains("Generate")),
+      // interpreted (non-codegen) expressions anywhere in the plan:
+      // HOF lambdas, TypedImperativeAggregates, from_json, percentile…
+      // Pinned per query so an interpreted lambda creeping into a
+      // per-document hot path (the PqEncode pathology) shows up as a
+      // fingerprint diff even though node-type counts don't move.
+      // Lambda scaffolding (lambdafunction / namedlambdavariable
+      // children) is excluded — counting it triples every HOF and
+      // hides a real new fallback behind scaffold noise.
+      "hof_fallback" -> ns.flatMap(_.expressions).flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+          if !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.LambdaFunction] &&
+             !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedLambdaVariable] => e
+      }).size)
   }
 
   private def canonical(fps: Seq[(String, Map[String, Int])]): String =

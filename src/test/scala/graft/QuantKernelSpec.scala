@@ -72,8 +72,15 @@ class QuantKernelSpec extends AnyFunSuite {
   test("interpreted eval path matches codegen (factoryMode toggle)") {
     val key = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.getOption(key)
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, -1.0), Seq(1.0, 1.0))
     def run(): Seq[Seq[String]] =
-      canon(native(edgeVecs).orderBy("vec_id").collect().toSeq)
+      canon(native(edgeVecs).orderBy("vec_id").collect().toSeq) ++
+      canon(edgeVecs
+        .withColumn("nrm", sqrt(Similarity.fastDot(col("v"), col("v"))))
+        .select($"vec_id",
+          Similarity.l2NormalizeStaged(col("v"), col("nrm")).as("u"),
+          Similarity.cellsFor(col("v"), cents, 2).as("c"))
+        .orderBy("vec_id").collect().toSeq)
     try {
       spark.conf.set(key, "CODEGEN_ONLY")
       val gen = run()
@@ -86,6 +93,72 @@ class QuantKernelSpec extends AnyFunSuite {
         case None => spark.conf.unset(key)
       }
     }
+  }
+
+  test("l2NormalizeStaged: native == HOF on the adversarial vectors") {
+    def stage(df: DataFrame) = df.withColumn("nrm",
+      sqrt(Similarity.fastDot(col("v"), col("v"))))
+    val a = canon(stage(edgeVecs)
+      .select($"vec_id", Similarity.l2NormalizeStaged(col("v"),
+        col("nrm")).as("u"))
+      .orderBy("vec_id").collect().toSeq)
+    val b = canon(stage(edgeVecs)
+      .select($"vec_id", Similarity.l2NormalizeStagedHof(col("v"),
+        col("nrm")).as("u"))
+      .orderBy("vec_id").collect().toSeq)
+    assert(a == b)
+    // null-norm edge: HOF yields an array of nulls, not a null array
+    val nullNrm = edgeVecs.select($"vec_id", $"v",
+      lit(null).cast("double").as("nrm"))
+    val an = canon(nullNrm.select($"vec_id",
+      Similarity.l2NormalizeStaged(col("v"), col("nrm")).as("u"))
+      .orderBy("vec_id").collect().toSeq)
+    val bn = canon(nullNrm.select($"vec_id",
+      Similarity.l2NormalizeStagedHof(col("v"), col("nrm")).as("u"))
+      .orderBy("vec_id").collect().toSeq)
+    assert(an == bn)
+  }
+
+  test("cellsFor: native == HOF across nProbe and adversarial dots") {
+    // centroids engineered for ties (identical rows → equal dots,
+    // cell id breaks), sign-of-zero ties, and a NaN-producing row
+    val cents = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(1.0, 0.0, 0.0, 0.0),            // duplicate of cell 0 → tie
+      Seq(-1.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 0.0, 0.0))            // zero dot vs -0.0 inputs
+    val vecs = Seq[(Long, Seq[java.lang.Double])](
+      (1L, Seq[java.lang.Double](0.5, -1.0, 0.25, 0.125)),
+      (2L, Seq[java.lang.Double](-0.0, 0.0, 0.0, 0.0)),
+      (3L, Seq[java.lang.Double](Double.NaN, 1.0, 0.0, 0.0)),
+      (4L, Seq[java.lang.Double](Double.PositiveInfinity, 1.0, 0.0, 0.0)),
+      (5L, Seq[java.lang.Double](1.0, null, 2.0, 0.0)),
+      (6L, Seq[java.lang.Double](1.0, 2.0)),   // ragged → null dots
+      (7L, Seq.empty[java.lang.Double]),
+      (8L, null.asInstanceOf[Seq[java.lang.Double]])
+    ).toDF("vec_id", "v")
+    (1 to 5).foreach { nProbe =>
+      val a = canon(vecs.select($"vec_id",
+        Similarity.cellsFor(col("v"), cents, nProbe).as("c"))
+        .orderBy("vec_id").collect().toSeq)
+      val b = canon(vecs.select($"vec_id",
+        Similarity.cellsForHof(col("v"), cents, nProbe).as("c"))
+        .orderBy("vec_id").collect().toSeq)
+      assert(a == b, s"cellsFor parity broke at nProbe=$nProbe")
+    }
+    // real shape: rademacher planes over the sf0.001 embeddings
+    val sf = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    val planes = Similarity.rademacherPlanes(8, 64)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = canon(e.select($"vec_id",
+      Similarity.cellsFor(col("v"), planes, 3).as("c"))
+      .orderBy("vec_id").collect().toSeq)
+    val b = canon(e.select($"vec_id",
+      Similarity.cellsForHof(col("v"), planes, 3).as("c"))
+      .orderBy("vec_id").collect().toSeq)
+    assert(a.nonEmpty && a == b)
   }
 
   test("fuzz: native == HOF on random vectors (seeded)") {
