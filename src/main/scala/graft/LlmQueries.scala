@@ -1202,8 +1202,10 @@ object LlmQueries {
         .select(col("doc_id"), col("text"), col("n_chars"), col("tok_ws"),
           col("punct_cnt"), split(col("norm"), " ").as("toks"),
           md5(col("norm")).as("fp"))
+        // native TokenStopHits — same count as
+        // size(filter(toks, isInCollection(en))), no interpreted lambda
         .withColumn("sw_cnt",
-          size(filter(col("toks"), t => t.isInCollection(en))))
+          TextAnalysis.stopwordCountStaged(col("toks"), en))
         .select(col("doc_id"), col("fp"),
           TextAnalysis.langIdStaged(col("toks"), col("text")).as("lang"),
           TextAnalysis.qualityScoreStaged(col("n_chars"),

@@ -391,6 +391,42 @@ object TextKernelUtil {
     UTF8String.fromString(best)
   }
 
+  /** chunkTokens: overlapping `window`-token chunks at `stride` over a
+    * pre-split token array — `transform(sequence(0, nchunks−1), i =>
+    * struct(array_join(slice(toks, i·stride+1, window), " "),
+    * size(slice)))` fused (nchunks = 1 for ≤ window tokens, else
+    * ⌈(n−window)/stride⌉+1). Join skips null tokens (array_join), the
+    * count keeps them (size) — both per the HOF composition. */
+  def chunkTokens(arr: ArrayData, window: Int,
+                  stride: Int): ArrayData = {
+    val n = arr.numElements()
+    val k =
+      if (n <= window) 1
+      else math.ceil((n - window).toDouble / stride).toInt + 1
+    val out = new Array[Any](k)
+    var c = 0
+    while (c < k) {
+      val from = c * stride
+      val to = math.min(from + window, n)
+      val sb = new java.lang.StringBuilder
+      var first = true
+      var i = from
+      while (i < to) {
+        if (!arr.isNullAt(i)) {
+          if (!first) sb.append(' ')
+          sb.append(arr.getUTF8String(i).toString)
+          first = false
+        }
+        i += 1
+      }
+      out(c) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(sb.toString),
+        math.max(to - from, 0)))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** wordShingles: n-token shingles over normalized text; < n tokens
     * → the whole normalized text as one shingle (`[""]` for an
     * empty/whitespace doc — the split-of-empty artifact the HOF form
@@ -911,6 +947,31 @@ case class NormSentencesExpr(child: Expression)
     s"graft.functions.TextKernelUtil.normSentences($v)"
   override protected def withNewChildInternal(
       newChild: Expression): NormSentencesExpr = copy(child = newChild)
+}
+
+/** array<struct<chunk_text string, n_tokens int>> of overlapping
+  * token chunks — Corpus.chunkDocuments' per-document transform,
+  * native. */
+case class ChunkTokens(child: Expression, window: Int, stride: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(window >= 1 && stride >= 1,
+    s"window/stride must be >= 1, got $window/$stride")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_text", StringType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "chunk_tokens"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.chunkTokens(v.asInstanceOf[ArrayData], window, stride)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernelUtil.chunkTokens(" +
+        s"$v, $window, $stride);")
+  override protected def withNewChildInternal(
+      newChild: Expression): ChunkTokens = copy(child = newChild)
 }
 
 /** Min shingle md5 (1-value winnowing fingerprint) —

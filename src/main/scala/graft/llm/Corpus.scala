@@ -37,6 +37,25 @@ object Corpus {
     // doc's chunk reports n_tokens = 0, matching tokenCountWs('') = 0 —
     // split('', ' ') yields [''], whose phantom token would otherwise
     // leak into packSequences bin offsets and defeat n_tokens>0 filters
+    // normTokens = split(normalizeText(·), " ") minus the ['']
+    // empty-doc artifact — the exact staged-toks value the HOF form
+    // computed with a when() guard; chunking runs as ONE native pass
+    // (TextKernels.ChunkTokens) instead of an interpreted
+    // slice+join+size lambda per chunk (~1.3× the token count of
+    // interpreted work per document). HOF form retained below.
+    df.select(col(idCol),
+        posexplode(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.ChunkTokens(
+            org.apache.spark.sql.GraftBridge.expression(
+              TextAnalysis.normTokens(coalesce(col(textCol), lit("")))),
+            window, stride))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        col("col.chunk_text"), col("col.n_tokens"))
+  }
+
+  /** HOF parity baseline for [[chunkDocuments]] (CorpusSpec). */
+  private[graft] def chunkDocumentsHof(df: DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): DataFrame = {
     val rawToks = split(TextAnalysis.normalizeText(
       coalesce(col(textCol), lit(""))), " ")
     val toks = when(size(rawToks) === 1 && rawToks.getItem(0) === "",

@@ -47,6 +47,25 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocuments: native kernel == HOF baseline (edge + real docs)") {
+    val edge = Seq[(Long, String)](
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), (2L, "a b"), (3L, ""),
+      (4L, null.asInstanceOf[String]), (5L, " \t\n "),
+      (6L, "one"), (7L, (1 to 100).map(i => s"w$i").mkString(" ")),
+      (8L, "UPPER Case 中文 😀 mixed…"))
+      .toDF("doc_id", "text")
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    for (df <- Seq(edge, real); (w, s) <- Seq((3, 2), (32, 24), (5, 5))) {
+      val nu = Corpus.chunkDocuments(df, "doc_id", "text", w, s)
+        .orderBy("doc_id", "chunk_idx").collect().toSeq
+      val hof = Corpus.chunkDocumentsHof(df, "doc_id", "text", w, s)
+        .orderBy("doc_id", "chunk_idx").collect().toSeq
+      assert(nu == hof, s"chunk parity broke at window=$w stride=$s")
+    }
+  }
+
   test("packSequences: bins are budget-sized slices of the token stream") {
     val docs = Seq((0L, 100), (8L, 200), (16L, 900), (24L, 150),
                    (1L, 50), (9L, 1100))
