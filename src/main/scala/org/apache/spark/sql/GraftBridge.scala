@@ -30,6 +30,14 @@ object GraftBridge {
     spark.asInstanceOf[classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(name, info, builder)
 
+  /** The exact INVALID_URL error `parse_url` raises in ANSI mode —
+    * `QueryExecutionErrors` is private[sql], so native URL kernels
+    * reach it through here. */
+  def invalidUrlError(url: org.apache.spark.unsafe.types.UTF8String,
+      e: java.net.URISyntaxException): Throwable =
+    org.apache.spark.sql.errors.QueryExecutionErrors
+      .invalidUrlError(url, e)
+
   /** Table-function twin of [[registerFunction]]. */
   def registerTableFunction(
       spark: SparkSession,
