@@ -36,6 +36,41 @@ object PqEncodeUtil {
     }
     new GenericArrayData(codes)
   }
+
+  /** Codes AND the reconstruction (concat of the selected centroids)
+    * in the same pass — the recon lookup is a codebook copy per
+    * subspace, so emitting it here removes the composed form's
+    * per-row `flatten(zip_with(...))` interpreted lambda. */
+  def encodeRecon(vec: ArrayData, cb: Array[Double], m: Int, k: Int,
+                  subDim: Int): org.apache.spark.sql.catalyst
+                    .expressions.GenericInternalRow = {
+    val codes = new Array[Int](m)
+    val recon = new Array[Double](m * subDim)
+    var mi = 0
+    while (mi < m) {
+      val base = mi * subDim
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        var off = (mi * k + c) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = vec.getDouble(base + i) - cb(off + i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(mi) = best
+      System.arraycopy(cb, (mi * k + best) * subDim, recon, base, subDim)
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(codes), new GenericArrayData(recon)))
+  }
 }
 
 /** Native product-quantization encoder: the m nearest-centroid codes
@@ -86,4 +121,51 @@ case class PqEncodeCodes(child: Expression, codebook: Array[Double],
 
   override protected def withNewChildInternal(
       newChild: Expression): PqEncodeCodes = copy(child = newChild)
+}
+
+/** struct<codes array<int>, recon array<double>> — [[PqEncodeCodes]]
+  * plus the reconstruction in the SAME primitive loop. The composed
+  * recon (`flatten(zip_with(sequence, codes, element_at·element_at))`)
+  * is only m interpreted lambda elements per row, but it is still a
+  * CodegenFallback in the hot encode projection AND re-reads the
+  * codebook literal through two element_at indirections; fusing it
+  * here is one `System.arraycopy` per subspace. Parity vs the
+  * retained zip_with baseline is pinned in LlmSpec. Ragged input
+  * (length ≠ m·subDim) yields a NULL struct — both fields null, the
+  * same observable as the codes-null → zip_with-null chain. */
+case class PqEncodeWithRecon(child: Expression, codebook: Array[Double],
+                             m: Int, k: Int, subDim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(codebook.length == m * k * subDim,
+    s"codebook length ${codebook.length} != m*k*subDim ${m * k * subDim}")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("codes",
+        ArrayType(IntegerType, false), nullable = false),
+      org.apache.spark.sql.types.StructField("recon",
+        ArrayType(DoubleType, false), nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode_recon"
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    if (vec.numElements() != m * subDim) null
+    else PqEncodeUtil.encodeRecon(vec, codebook, m, k, subDim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      if ($v.numElements() != ${m * subDim}) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.PqEncodeUtil.encodeRecon(
+          $v, $cbRef, $m, $k, $subDim);
+      }""")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncodeWithRecon = copy(child = newChild)
 }

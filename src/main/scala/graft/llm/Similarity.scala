@@ -482,11 +482,32 @@ object Similarity {
                cb: Seq[Seq[Seq[Double]]]): DataFrame = {
     val m = cb.length
     val subDim = cb.head.head.length
-    // encoding is the native PqEncodeCodes expression — both composed
-    // forms are pathological at PQ sizes (an m·k struct forest blows
-    // codegen limits; transform-over-literal is an interpreted HOF;
-    // 9 s / 4 s respectively for 2000 rows at m=16, k=64, vs
-    // milliseconds native — see the expression's scaladoc)
+    // encoding AND reconstruction are ONE native expression — both
+    // composed encode forms are pathological at PQ sizes (an m·k
+    // struct forest blows codegen limits; transform-over-literal is
+    // an interpreted HOF; 9 s / 4 s respectively for 2000 rows at
+    // m=16, k=64, vs milliseconds native — see the expression's
+    // scaladoc), and the zip_with recon lookup was the last
+    // CodegenFallback in the encode projection (parity baseline
+    // retained below)
+    val flat = cb.flatten.flatten.toArray
+    val enc = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.PqEncodeWithRecon(
+        org.apache.spark.sql.GraftBridge.expression(
+          asDouble(col(vecCol))),
+        flat, m, cb.head.length, subDim))
+    corpus.select(col(idCol), enc.as("__enc"))
+      .select(col(idCol), col("__enc.codes").as("codes"),
+        col("__enc.recon").as("recon"))
+  }
+
+  /** The zip_with-over-codebook-literal reconstruction — parity
+    * baseline ONLY (LlmSpec pins it against [[pqEncode]]'s fused
+    * recon). */
+  private[graft] def pqEncodeHof(corpus: DataFrame, vecCol: String,
+      idCol: String, cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = cb.length
+    val subDim = cb.head.head.length
     val flat = cb.flatten.flatten.toArray
     val codes = org.apache.spark.sql.GraftBridge.column(
       graft.functions.PqEncodeCodes(
@@ -494,8 +515,6 @@ object Similarity {
           asDouble(col(vecCol))),
         flat, m, cb.head.length, subDim))
     corpus.select(col(idCol), codes.as("codes"))
-      // reconstruction: zip the subspace index with its code and look
-      // both up in the m × k × subDim codebook literal
       .withColumn("recon", flatten(zip_with(
         sequence(lit(0), lit(m - 1)), col("codes"),
         (mi, c) => element_at(

@@ -1189,6 +1189,25 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("pqEncode fused recon == zip_with baseline, including the " +
+      "ragged-vector NULL contract") {
+    import graft.llm.Similarity
+    val vecs = ((0 until 40).map(i => (i.toLong,
+        (0 until 8).map(j => (((i * 7 + j * 5) % 11) - 5).toFloat / 2f)))
+      :+ (99L, Seq(1.0f, 2.0f)))               // ragged: length != m·subDim
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(
+      vecs.filter($"vec_id" < 99), "embedding", "vec_id",
+      m = 2, k = 4, sampleN = 100, iters = 4)
+    val nu = Similarity.pqEncode(vecs, "embedding", "vec_id", cb)
+      .orderBy("vec_id").collect().toSeq
+    val hof = Similarity.pqEncodeHof(vecs, "embedding", "vec_id", cb)
+      .orderBy("vec_id").collect().toSeq
+    assert(nu == hof)
+    assert(nu.last.isNullAt(1) && nu.last.isNullAt(2),
+      "ragged vector must yield null codes AND null recon")
+  }
+
   test("gopherLineRules: dup-line/char fractions count every copy; " +
       "bullet and ellipsis fractions gate; empty doc passes vacuously") {
     import graft.llm.TextAnalysis
