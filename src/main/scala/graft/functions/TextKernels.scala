@@ -391,6 +391,56 @@ object TextKernelUtil {
     UTF8String.fromString(best)
   }
 
+  /** sortedLineJoin: see [[SortedLineJoin]]. Sort order replicates
+    * array_sort's struct comparator exactly: null elements last; then
+    * idx asc with null idx FIRST; then line asc (UTF8String byte
+    * order) with null line FIRST. Null lines are skipped by the join
+    * (array_join semantics), with no separator emitted for them. */
+  def sortedLineJoin(arr: ArrayData, sep: String): UTF8String = {
+    val n = arr.numElements()
+    val rows = new Array[InternalRow](n)
+    var i = 0
+    while (i < n) {
+      rows(i) = if (arr.isNullAt(i)) null else arr.getStruct(i, 2)
+      i += 1
+    }
+    java.util.Arrays.sort(rows, (a: InternalRow, b: InternalRow) => {
+      if (a == null && b == null) 0
+      else if (a == null) 1        // null struct elements sort LAST
+      else if (b == null) -1
+      else {
+        val aNullIdx = a.isNullAt(0); val bNullIdx = b.isNullAt(0)
+        val c1 =
+          if (aNullIdx && bNullIdx) 0
+          else if (aNullIdx) -1    // null field sorts FIRST (asc)
+          else if (bNullIdx) 1
+          else java.lang.Integer.compare(a.getInt(0), b.getInt(0))
+        if (c1 != 0) c1
+        else {
+          val aNullL = a.isNullAt(1); val bNullL = b.isNullAt(1)
+          if (aNullL && bNullL) 0
+          else if (aNullL) -1
+          else if (bNullL) 1
+          else a.getUTF8String(1).compareTo(b.getUTF8String(1))
+        }
+      }
+    })
+    val sb = new java.lang.StringBuilder
+    var first = true
+    i = 0
+    while (i < n) {
+      val r = rows(i)
+      // a null struct's .getField("line") is null → array_join skips it
+      if (r != null && !r.isNullAt(1)) {
+        if (!first) sb.append(sep)
+        sb.append(r.getUTF8String(1).toString)
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** chunkTokens: overlapping `window`-token chunks at `stride` over a
     * pre-split token array — `transform(sequence(0, nchunks−1), i =>
     * struct(array_join(slice(toks, i·stride+1, window), " "),
@@ -947,6 +997,35 @@ case class NormSentencesExpr(child: Expression)
     s"graft.functions.TextKernelUtil.normSentences($v)"
   override protected def withNewChildInternal(
       newChild: Expression): NormSentencesExpr = copy(child = newChild)
+}
+
+/** Reassemble a line-deduped document: sort the collected
+  * (idx, line) structs by struct order and join the line field —
+  * `array_join(transform(array_sort(arr), _.getField("line")), sep)`
+  * fused into one native pass. The composed form is an interpreted
+  * lambda per KEPT LINE of the corpus (every document flows through
+  * the line-dedup rewrite), the PqEncode pathology at line grain.
+  * Replicated semantics: array_sort's default struct ordering (field
+  * by field — idx asc, then line with NULL FIRST; null struct
+  * elements LAST), array_join's null-element skip. */
+case class SortedLineJoin(child: Expression, sep: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StructType(Seq(
+    StructField("idx", IntegerType), StructField("line", StringType)))))
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = StringType
+  override def prettyName: String = "sorted_line_join"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.sortedLineJoin(v.asInstanceOf[ArrayData], sep)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sep", sep, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernelUtil.sortedLineJoin(" +
+        s"$v, $sepRef);")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): SortedLineJoin = copy(child = newChild)
 }
 
 /** array<struct<chunk_text string, n_tokens int>> of overlapping

@@ -680,12 +680,18 @@ object Dedup {
     val counts = df.select(col(idCol).as("id"),
       size(split(coalesce(col(textCol), lit("")), "\n")).cast("long")
         .as("__n_all"))
+    // reassembly is the native SortedLineJoin kernel — the composed
+    // array_join(transform(array_sort(...))) form pays an interpreted
+    // lambda per kept line of the corpus (parity pinned in
+    // TextKernelsSpec, incl. the null-line skip / sort-order edges)
     val reassembled = kept.groupBy("id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("idx"), col("line")))),
-          _.getField("line")), "\n").as("text"),
+      .agg(collect_list(struct(col("idx"), col("line"))).as("__ls"),
         count(lit(1)).as("__n_kept"))
+      .select(col("id"), col("__n_kept"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.SortedLineJoin(
+            org.apache.spark.sql.GraftBridge.expression(col("__ls")),
+            "\n")).as("text"))
     // LEFT join from the full doc universe: a doc whose every line was
     // removed must come back as an EMPTY doc with its removal count,
     // not silently vanish (the caller decides what to do with empties)

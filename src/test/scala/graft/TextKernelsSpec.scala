@@ -308,6 +308,43 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(nu == hof)
   }
 
+  test("SortedLineJoin == array_join(transform(array_sort(...))) on " +
+       "adversarial (idx, line) arrays") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("ls", ArrayType(StructType(Seq(
+        StructField("idx", IntegerType, nullable = true),
+        StructField("line", StringType, nullable = true))),
+        containsNull = true), nullable = true)))
+    def e(idx: java.lang.Integer, line: String) = Row(idx, line)
+    val rows = Seq(
+      Row(1L, Seq(e(2, "b"), e(0, "a"), e(1, "m"))),
+      Row(2L, Seq(e(1, null), e(0, "x"), e(2, "y"))),   // null line skipped
+      Row(3L, Seq(e(0, ""), e(1, ""), e(2, "end"))),    // empty lines kept
+      Row(4L, Seq[Row]()),                              // empty array
+      Row(5L, null),                                    // null array
+      Row(6L, Seq(e(null, "nullidx"), e(0, "z"))),      // null idx FIRST
+      Row(7L, Seq(e(3, "dup"), e(3, "aup"), e(3, "dup"))), // idx ties
+      Row(8L, Seq(null, e(0, "solo"))),                 // null struct LAST
+      Row(9L, Seq(e(1, "中文"), e(0, "😀 astral"), e(2, " ls"))),
+      Row(10L, Seq(e(0, "crlf\r"), e(1, "tab\tkeep"))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val nu = df.select(col("k"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.SortedLineJoin(
+            org.apache.spark.sql.GraftBridge.expression(col("ls")),
+            "\n")).as("t"))
+      .orderBy("k").collect().toSeq
+    val hof = df.select(col("k"),
+        array_join(transform(array_sort(col("ls")),
+          _.getField("line")), "\n").as("t"))
+      .orderBy("k").collect().toSeq
+    assert(nu == hof, s"\n$nu\n$hof")
+  }
+
   test("interpreted eval path matches codegen (factoryMode toggle)") {
     // the kernels ship BOTH nullSafeEval and doGenCode; normal runs
     // exercise only the generated path, so pin the interpreted one too
