@@ -54,17 +54,27 @@ object Relational {
                     axisEnd: String): DataFrame = {
     val kv = df.groupBy(groupCols.map(col): _*)
       .agg(Aggregators.collectKv(col(dtCol), col(valCol)).as("dt_kv"))
+    // the axis bounds are driver strings in every caller, so build the
+    // month-end axis ONCE driver-side (a ~window-sized list) instead of
+    // re-evaluating mkMonthDts' interpreted filter/transform HOFs per
+    // group row — the Scala twin replicates mkMonthDts exactly
+    // (month-ends of [trunc(start), trunc(end)] kept inside the STRING
+    // range; empty on an inverted or null range, which explodes to
+    // zero rows just like mkMonthDts' NULL array). Pinned against the
+    // Column form in FunctionsSpec.
     val axis = kv.withColumn(
-      "dt", explode(mkMonthDts(lit(axisStart), lit(axisEnd))))
+      "dt", explode(typedlit(monthEndsSeq(axisStart, axisEnd))))
     val withRefs = axis
       .withColumn("value", element_at(col("dt_kv"), col("dt")))
       .filter(col("value").isNotNull)
       // ?max-value: numeric max over the group's whole {dt→value} map
       // (m_cocacola_score_overall.clj:53) — values are decimal strings,
-      // so compare numerically, not lexicographically
+      // so compare numerically, not lexicographically. The element-wise
+      // cast is a native ARRAY cast (codegen'd), not a transform
+      // lambda — same element semantics, no interpreted HOF
       .withColumn("max_value",
-        array_max(transform(map_values(col("dt_kv")),
-          _.cast("decimal(28,3)"))))
+        array_max(map_values(col("dt_kv"))
+          .cast("array<decimal(28,3)>")))
       .withColumn("prev_mom", element_at(col("dt_kv"), prevLastDay(col("dt"))))
       .withColumn("prev_ytd", element_at(col("dt_kv"), prevLastMonth(col("dt"))))
       .withColumn("prev_yoy", element_at(col("dt_kv"), prevSameMonth(col("dt"))))

@@ -31,7 +31,7 @@ class PlanFingerprintSpec extends AnyFunSuite {
     "exchange_single", "broadcast_exchange", "join_broadcast_hash",
     "join_sort_merge", "join_shuffled_hash", "join_nested_loop",
     "join_cartesian", "agg_hash", "agg_object", "agg_sort", "window",
-    "sort", "generate", "hof_fallback")
+    "sort", "generate", "hof_fallback", "agg_fallback")
 
   private def fingerprint(plan: SparkPlan): Map[String, Int] = {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
@@ -68,20 +68,37 @@ class PlanFingerprintSpec extends AnyFunSuite {
       "window" -> n(_.nodeName.contains("Window")),
       "sort" -> n(_.nodeName == "Sort"),
       "generate" -> n(_.nodeName.contains("Generate")),
-      // interpreted (non-codegen) expressions anywhere in the plan:
-      // HOF lambdas, TypedImperativeAggregates, from_json, percentile…
-      // Pinned per query so an interpreted lambda creeping into a
-      // per-document hot path (the PqEncode pathology) shows up as a
-      // fingerprint diff even though node-type counts don't move.
+      // interpreted (non-codegen) expressions anywhere in the plan,
+      // split by severity:
+      //  - hof_fallback: PER-ROW interpreted expressions (HOF lambdas,
+      //    from_json…) — an interpreted lambda creeping into a
+      //    per-document hot path (the PqEncode pathology) shows up as
+      //    a fingerprint diff even though node-type counts don't move.
+      //    After the round-10 kernel ports the only remaining ones are
+      //    GROUP-BOUNDED (post-aggregation month-map renders,
+      //    canonical-string renders, probe-side corpus synthesis) —
+      //    cost scales with output groups, not corpus rows.
+      //  - agg_fallback: aggregate FUNCTIONS (collect_list, percentile,
+      //    HLL, the repo's TypedImperativeAggregates) — per-group
+      //    buffers are inherent to Spark's imperative-agg architecture
+      //    (Spark's own collect_* are the same), not a hot-path defect.
       // Lambda scaffolding (lambdafunction / namedlambdavariable
       // children) is excluded — counting it triples every HOF and
       // hides a real new fallback behind scaffold noise.
-      "hof_fallback" -> ns.flatMap(_.expressions).flatMap(_.collect {
-        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-          if !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.LambdaFunction] &&
-             !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedLambdaVariable] => e
-      }).size)
+      "hof_fallback" -> fallbacks(ns).count(
+        !_.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+          .aggregate.AggregateFunction]),
+      "agg_fallback" -> fallbacks(ns).count(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+          .aggregate.AggregateFunction]))
   }
+
+  private def fallbacks(ns: Seq[SparkPlan]) =
+    ns.flatMap(_.expressions).flatMap(_.collect {
+      case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+        if !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.LambdaFunction] &&
+           !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedLambdaVariable] => e
+    })
 
   private def canonical(fps: Seq[(String, Map[String, Int])]): String =
     fps.sortBy(_._1).map { case (q, fp) =>
