@@ -298,10 +298,15 @@ object CorpusQueries {
     "text_line_rules" -> ((s, dir) => {
       val ws = split(regexp_replace(coalesce(col("text"), lit("")),
         "[\\n\\r]", " "), " ")
-      val nl = greatest(
-        ceil(size(ws).cast("double") / 8.0).cast("int"), lit(1))
-      val lines0 = transform(sequence(lit(0), nl - 1),
-        i => array_join(slice(ws, i * 8 + 1, lit(8)), " "))
+      // 8-token lines via the native ChunkTokens kernel (window =
+      // stride ⇒ identical chunk count and join as the former
+      // transform(sequence, slice+array_join) lambda — CorpusSpec pins
+      // the equality); the struct-field extract is a native
+      // GetArrayStructFields, not a HOF
+      val lines0 = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.ChunkTokens(
+          org.apache.spark.sql.GraftBridge.expression(ws), 8, 8))
+        .getField("chunk_text")
       val lines1 = transform(lines0, (l, i) =>
         when(i % 4 === 1, concat(lit("- "), l))
           .when(i % 5 === 2, concat(l, lit(" ...")))
