@@ -220,10 +220,22 @@ object Functions {
     * rows). Parity with the Column form is pinned in FunctionsSpec. */
   def monthEndsSeq(start: String, end: String): Seq[String] = {
     import java.time.LocalDate
+    // DELIBERATE divergence from the Column form on MALFORMED bounds:
+    // mkMonthDts' to_date raised a per-row SparkDateTimeException at
+    // ACTION time (ANSI); a driver string that fails to parse here is
+    // a caller bug, so fail fast and loud at plan construction with
+    // the bound named (FunctionsSpec pins the message)
+    def parse(s: String, which: String): LocalDate =
+      try LocalDate.parse(s) catch {
+        case e: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"monthEndsSeq: unparseable $which bound '$s' " +
+              "(expected yyyy-MM-dd)", e)
+      }
     if (start == null || end == null) Seq.empty
     else {
-      val ms = LocalDate.parse(start).withDayOfMonth(1)
-      val me = LocalDate.parse(end).withDayOfMonth(1)
+      val ms = parse(start, "start").withDayOfMonth(1)
+      val me = parse(end, "end").withDayOfMonth(1)
       if (ms.isAfter(me)) Seq.empty
       else Iterator.iterate(ms)(_.plusMonths(1))
         .takeWhile(!_.isAfter(me))

@@ -10,28 +10,36 @@ object PqEncodeUtil {
   /** All-m nearest-centroid codes in one tight primitive pass.
     * `cb` is the m × k × subDim codebook flattened row-major; ties
     * take the LOWEST code (first strict improvement wins). */
+  /** Nearest-centroid argmin for ONE subspace — the shared inner loop
+    * of [[encode]] and [[encodeRecon]] (a fix to the search must hit
+    * both paths once). */
+  private def argmin(vec: ArrayData, cb: Array[Double], mi: Int,
+                     k: Int, subDim: Int): Int = {
+    val base = mi * subDim
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      val off = (mi * k + c) * subDim
+      var d = 0.0
+      var i = 0
+      while (i < subDim) {
+        val x = vec.getDouble(base + i) - cb(off + i)
+        d += x * x
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   def encode(vec: ArrayData, cb: Array[Double], m: Int, k: Int,
              subDim: Int): ArrayData = {
     val codes = new Array[Int](m)
     var mi = 0
     while (mi < m) {
-      val base = mi * subDim
-      var best = 0
-      var bestD = Double.PositiveInfinity
-      var c = 0
-      while (c < k) {
-        var off = (mi * k + c) * subDim
-        var d = 0.0
-        var i = 0
-        while (i < subDim) {
-          val x = vec.getDouble(base + i) - cb(off + i)
-          d += x * x
-          i += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      codes(mi) = best
+      codes(mi) = argmin(vec, cb, mi, k, subDim)
       mi += 1
     }
     new GenericArrayData(codes)
@@ -48,24 +56,10 @@ object PqEncodeUtil {
     val recon = new Array[Double](m * subDim)
     var mi = 0
     while (mi < m) {
-      val base = mi * subDim
-      var best = 0
-      var bestD = Double.PositiveInfinity
-      var c = 0
-      while (c < k) {
-        var off = (mi * k + c) * subDim
-        var d = 0.0
-        var i = 0
-        while (i < subDim) {
-          val x = vec.getDouble(base + i) - cb(off + i)
-          d += x * x
-          i += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
+      val best = argmin(vec, cb, mi, k, subDim)
       codes(mi) = best
-      System.arraycopy(cb, (mi * k + best) * subDim, recon, base, subDim)
+      System.arraycopy(cb, (mi * k + best) * subDim, recon,
+        mi * subDim, subDim)
       mi += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

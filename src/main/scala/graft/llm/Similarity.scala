@@ -469,13 +469,14 @@ object Similarity {
   /** PQ-encode a corpus: per subspace the nearest codebook entry by
     * L2, emitting the code array (m small ints ≈ m bytes at k ≤ 256 —
     * dims×4 bytes → m, 32× here) and the reconstruction (concat of
-    * selected centroids). The code assignment is the NATIVE
-    * [[graft.functions.PqEncodeCodes]] expression (its scaladoc has
-    * the measured 9 s / 4 s pathologies of both composed forms);
-    * reconstruction stays a small zip_with over the codebook literal
-    * (m lambda elements per row, not m·k). Still one pure projection —
-    * no shuffle, no UDF; at 100 TB the codes table is the persisted
-    * artifact and reconstruction happens only on probed candidates.
+    * selected centroids). Code assignment AND reconstruction are ONE
+    * native expression ([[graft.functions.PqEncodeWithRecon]]; the
+    * PqEncodeCodes scaladoc has the measured 9 s / 4 s pathologies of
+    * both composed forms, and the former zip_with recon lookup lives
+    * on only as [[pqEncodeHof]], the parity baseline). Still one pure
+    * projection — no shuffle, no UDF; at 100 TB the codes table is
+    * the persisted artifact and reconstruction happens only on probed
+    * candidates.
     *
     * Output: idCol, codes array<int>, recon array<double>. */
   def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,

@@ -129,6 +129,12 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(monthEndsSeq(null, "2016-01-31") == Seq.empty)
     assert(monthEndsSeq("2016-01-31", null) == Seq.empty)
+    // malformed bounds fail FAST at plan construction, naming the bound
+    // (deliberately not mkMonthDts' per-row action-time ANSI error)
+    val e = intercept[IllegalArgumentException] {
+      monthEndsSeq("2016-1-5", "2016-03-31")
+    }
+    assert(e.getMessage.contains("start bound '2016-1-5'"))
   }
 
   test("mapToCanonicalString sorts keys") {

@@ -36,6 +36,7 @@ class PlanFingerprintSpec extends AnyFunSuite {
   private def fingerprint(plan: SparkPlan): Map[String, Int] = {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     val ns = TestSpark.planNodes(plan)
+    val fbs = fallbacks(ns)
     def n(pred: SparkPlan => Boolean) = ns.count(pred)
     Map(
       "scan" -> n(_.nodeName.contains("Scan")),
@@ -85,10 +86,10 @@ class PlanFingerprintSpec extends AnyFunSuite {
       // Lambda scaffolding (lambdafunction / namedlambdavariable
       // children) is excluded — counting it triples every HOF and
       // hides a real new fallback behind scaffold noise.
-      "hof_fallback" -> fallbacks(ns).count(
+      "hof_fallback" -> fbs.count(
         !_.isInstanceOf[org.apache.spark.sql.catalyst.expressions
           .aggregate.AggregateFunction]),
-      "agg_fallback" -> fallbacks(ns).count(
+      "agg_fallback" -> fbs.count(
         _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
           .aggregate.AggregateFunction]))
   }
