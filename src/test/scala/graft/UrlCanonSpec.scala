@@ -132,6 +132,26 @@ class UrlCanonSpec extends AnyFunSuite {
     }
   }
 
+  test("non-ANSI mode: unparseable url yields the null-parts row " +
+       "(path '/', kept_query '') in BOTH forms") {
+    val key = "spark.sql.ansi.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      // both forms must be CONSTRUCTED under ansi=false — parse_url
+      // and UrlCanonParts bake failOnError at Column build time
+      val df = Seq((1L, "not a url"), (2L, "http://exa mple.com/p"),
+        (3L, "https://ok.example.com/p?a=1&utm_source=x"))
+        .toDF("doc_id", "url")
+      val (nu, hof) = bothForms(df)
+      nu.zip(hof).foreach { case (a, b) => assert(a == b, s"\n$a\n$b") }
+      // and the invalid rows carry the coalesce/isNull-branch values,
+      // not a null struct
+      assert(nu.head.getString(4) == "/" && nu.head.getString(5) == "" &&
+        nu.head.isNullAt(7), s"null-parts row: ${nu.head}")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("interpreted eval path matches codegen (factoryMode toggle)") {
     val key = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.getOption(key)
