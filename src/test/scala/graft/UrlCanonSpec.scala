@@ -152,6 +152,31 @@ class UrlCanonSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("non-ANSI junk fuzz: native == composed on 300 arbitrary " +
+       "strings (valid, malformed, empty, unicode)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val key = "spark.sql.ansi.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val pieceGen: Gen[String] = Gen.frequency(
+        6 -> Gen.choose(32, 126).map(_.toChar.toString),
+        2 -> Gen.oneOf("://", "http", "www.", "?", "&", "=", "#", ":",
+          "/", "%41", "%ZZ", " ", "..", "@"),
+        1 -> Gen.choose(0x80, 0x2ff).map(_.toChar.toString),
+        1 -> Gen.oneOf("😀", "中", "\t"))
+      val strGen = Gen.choose(0, 40).flatMap(n =>
+        Gen.listOfN(n, pieceGen).map(_.mkString))
+      val rows = (0 until 300).map { i =>
+        (i.toLong, strGen.apply(Gen.Parameters.default,
+          Seed(9100L + i)).getOrElse(""))
+      }.toDF("doc_id", "url")
+      val (nu, hof) = bothForms(rows)
+      nu.zip(hof).foreach { case (a, b) => assert(a == b, s"\n$a\n$b") }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("interpreted eval path matches codegen (factoryMode toggle)") {
     val key = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.getOption(key)
