@@ -536,24 +536,7 @@ object CoreQueries {
     // the rules are genuinely cross-engine-checked, not mirrored.
     "url_normalize" -> ((s, dir) => {
       import graft.functions.UrlNorm
-      val d = col("doc_id")
-      val url = concat(
-        when(d % 3 === 0, lit("HTTP")).otherwise(lit("HTTPS")),
-        lit("://"),
-        when(d % 2 === 0, lit("WWW.")).otherwise(lit("")),
-        upper(col("source")), lit(".Example.COM"),
-        when(d % 3 === 0 && d % 2 === 0, lit(":80"))     // http default
-          .when(d % 3 === 0, lit(":8080"))               // kept
-          .when(d % 5 === 0, lit(":443"))                // https default
-          .otherwise(lit("")),
-        lit("/"), col("lang"), lit("/doc/"), d.cast("string"),
-        when(d % 2 === 1,
-            lit("?utm_source=feed&z=9&ref=home&a=1&gclid=g1"))
-          .when(d % 7 === 0, lit("?b=2&a=1&utm_campaign=x"))
-          .otherwise(lit("")),
-        when(d % 4 === 0, concat(lit("#sec"), d.cast("string")))
-          .otherwise(lit("")))
-      t(s, dir, "documents").select(d, url.as("url"))
+      t(s, dir, "documents").select(col("doc_id"), urlSynth.as("url"))
         .select(col("doc_id"), col("url"),
           UrlNorm.urlNormalize(col("url")).as("url_norm"),
           UrlNorm.urlHost(col("url")).as("host"),
@@ -595,6 +578,32 @@ object CoreQueries {
         .agg(count(lit(1)).as("dup_count"),
           min(col("vid")).as("canonical_vid"))
         .orderBy("url_norm")
+    }),
+
+    // per-domain corpus rollup THROUGH canonicalization — the
+    // C4/RefinedWeb blocklist-feeding aggregation: docs, distinct
+    // canonical pages, and hosts per registrable domain, plus the
+    // tracking-only-query rate. One UrlCanonParts eval per row
+    // (subexpression elimination; one URI parse feeds all four
+    // accessors), then ONE hash shuffle on domain. The two exact
+    // DISTINCT aggregates plan as Spark's standard Expand (×3 row
+    // replication before the partial agg) — the exactness the oracle
+    // gate needs; a 100 TB blocklist pass swaps them for
+    // approx_count_distinct and drops the Expand.
+    "url_domain_stats" -> ((s, dir) => {
+      import graft.functions.UrlNorm
+      t(s, dir, "documents").select(urlSynth.as("url"))
+        .select(UrlNorm.urlDomain(col("url")).as("domain"),
+          UrlNorm.urlHost(col("url")).as("host"),
+          UrlNorm.urlNormalize(col("url")).as("url_norm"),
+          UrlNorm.urlKeptQuery(col("url")).as("kq"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url_norm")).as("n_pages"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(when(col("kq") === "", 1L).otherwise(0L))
+            .as("n_no_query"))
+        .orderBy("domain")
     }),
 
     // §2.10 row 46 — incremental bookkeeping (report->next-dt +
@@ -871,6 +880,48 @@ object CoreQueries {
     * expressions). Expects a CTE `u` providing at least `url`; yields
     * `n` with every `u` column plus scheme/host/kq/url_norm. Plain
     * (non-interpolated) string so regex `$` anchors stay literal. */
+  /** Deterministic URL synthesis over the documents table (the corpus
+    * carries no URL column) — shared by the url_normalize and
+    * url_domain_stats probes; [[urlSynthSql]] is its DuckDB twin. */
+  private def urlSynth: Column = {
+    val d = col("doc_id")
+    concat(
+      when(d % 3 === 0, lit("HTTP")).otherwise(lit("HTTPS")),
+      lit("://"),
+      when(d % 2 === 0, lit("WWW.")).otherwise(lit("")),
+      upper(col("source")), lit(".Example.COM"),
+      when(d % 3 === 0 && d % 2 === 0, lit(":80"))     // http default
+        .when(d % 3 === 0, lit(":8080"))               // kept
+        .when(d % 5 === 0, lit(":443"))                // https default
+        .otherwise(lit("")),
+      lit("/"), col("lang"), lit("/doc/"), d.cast("string"),
+      when(d % 2 === 1,
+          lit("?utm_source=feed&z=9&ref=home&a=1&gclid=g1"))
+        .when(d % 7 === 0, lit("?b=2&a=1&utm_campaign=x"))
+        .otherwise(lit("")),
+      when(d % 4 === 0, concat(lit("#sec"), d.cast("string")))
+        .otherwise(lit("")))
+  }
+
+  private val urlSynthSql: String =
+    """SELECT doc_id,
+       (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'HTTPS' END)
+       || '://'
+       || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+       || upper(source) || '.Example.COM'
+       || (CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN ':80'
+                WHEN doc_id % 3 = 0 THEN ':8080'
+                WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+       || '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)
+       || (CASE WHEN doc_id % 2 = 1
+                THEN '?utm_source=feed&z=9&ref=home&a=1&gclid=g1'
+                WHEN doc_id % 7 = 0 THEN '?b=2&a=1&utm_campaign=x'
+                ELSE '' END)
+       || (CASE WHEN doc_id % 4 = 0
+                THEN '#sec' || CAST(doc_id AS VARCHAR)
+                ELSE '' END) AS url
+       FROM documents"""
+
   private val urlParseCtes: String =
     """p AS (SELECT u.*,
              lower(regexp_extract(url,
@@ -1247,28 +1298,20 @@ object CoreQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "url_normalize" ->
-      ("""WITH u AS (SELECT doc_id,
-           (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'HTTPS' END)
-           || '://'
-           || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
-           || upper(source) || '.Example.COM'
-           || (CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN ':80'
-                    WHEN doc_id % 3 = 0 THEN ':8080'
-                    WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
-           || '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)
-           || (CASE WHEN doc_id % 2 = 1
-                    THEN '?utm_source=feed&z=9&ref=home&a=1&gclid=g1'
-                    WHEN doc_id % 7 = 0 THEN '?b=2&a=1&utm_campaign=x'
-                    ELSE '' END)
-           || (CASE WHEN doc_id % 4 = 0
-                    THEN '#sec' || CAST(doc_id AS VARCHAR)
-                    ELSE '' END) AS url
-           FROM documents),
-         """ + urlParseCtes + """
+      ("WITH u AS (" + urlSynthSql + "),\n" + urlParseCtes + """
          SELECT doc_id, url, url_norm, host,
            regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
            kq AS kept_query
          FROM n ORDER BY doc_id"""),
+    "url_domain_stats" ->
+      ("WITH u AS (" + urlSynthSql + "),\n" + urlParseCtes + """
+         SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+           count(*) AS n_docs,
+           count(DISTINCT url_norm) AS n_pages,
+           count(DISTINCT host) AS n_hosts,
+           CAST(sum(CASE WHEN kq = '' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_no_query
+         FROM n GROUP BY 1 ORDER BY domain NULLS FIRST"""),
     "url_dedup" ->
       ("""WITH v AS (SELECT doc_id, lang, source FROM documents),
          u AS (SELECT vid, url FROM (
