@@ -346,7 +346,31 @@ object CorpusQueries {
           when(col("b") === 1, "head").when(col("b") === 2, "middle")
             .otherwise("tail").as("ppl_bucket"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // exact per-language length quantiles (Quantiles.scaladoc: the
+    // scale path for percentile thresholds — Spark's own `percentile`
+    // buffers a whole group's values in one executor, this never
+    // does). quantile_cont semantics, so the DuckDB twin is the
+    // builtin aggregate; 6-dp rounding absorbs the ≤2-ulp
+    // interpolation-rearrangement slack between engines.
+    "quality_quantiles" -> ((s, dir) =>
+      graft.ops.Quantiles.groupedQuantileCont(
+          t(s, dir, "documents"), Seq("lang"), "n_chars",
+          Seq(0.1, 0.5, 0.9))
+        .select(col("lang"), col("prob"),
+          round(col("quantile"), 6).as("quantile"))
+        .orderBy("lang", "prob")),
+
+    // the per-language quality cut of a training pipeline: keep each
+    // language's top quartile by length. p = 0.75 is dyadic and
+    // n_chars integral, so the threshold is EXACT in both engines —
+    // no boundary-row flapping (Quantiles.scaladoc).
+    "quality_percentile_filter" -> ((s, dir) =>
+      graft.ops.Quantiles.percentileFilter(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          Seq("lang"), "n_chars", 0.75)
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -786,6 +810,20 @@ object CorpusQueries {
          SELECT doc_id, lang, nll,
            CASE bk WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
              ELSE 'tail' END AS ppl_bucket
-         FROM b ORDER BY doc_id"""
+         FROM b ORDER BY doc_id""",
+    "quality_quantiles" ->
+      """WITH q AS (SELECT lang,
+             quantile_cont(n_chars, [0.1, 0.5, 0.9]) AS qs
+           FROM documents GROUP BY lang)
+         SELECT lang, [0.1, 0.5, 0.9][i] AS prob,
+           round(qs[i], 6) AS quantile
+         FROM q CROSS JOIN (SELECT unnest([1, 2, 3]) AS i)
+         ORDER BY lang NULLS FIRST, prob""",
+    "quality_percentile_filter" ->
+      """WITH thr AS (SELECT lang, quantile_cont(n_chars, 0.75) AS q
+                      FROM documents GROUP BY lang)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d JOIN thr USING (lang)
+         WHERE d.n_chars >= thr.q ORDER BY d.doc_id"""
   )
 }
