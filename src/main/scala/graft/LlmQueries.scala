@@ -1446,6 +1446,50 @@ object LlmQueries {
           col("price_sum").cast("decimal(38,2)").cast("string")
             .as("price_sum"))
         .orderBy("custkey", "w")
+    }),
+
+    // the Common Crawl ingest shape end-to-end: documents → HTML
+    // pages → real .warc/.warc.gz segment files on disk (warcinfo +
+    // request records interleaved, per-record gzip members on even
+    // segments) → binaryFile scan → Content-Length record walk → HTTP
+    // split → HTML extraction. The oracle predicts the whole loop
+    // from the source table: status/type are constants of the
+    // synthesis and the extracted text is the whitespace-collapsed
+    // original (escape→embed→strip→decode is identity on body text).
+    "source_warc_scan" -> ((s, dir) => {
+      import graft.llm.HtmlText
+      import graft.sources.Warc
+      val pages = t(s, dir, "documents")
+        .filter(col("doc_id") < 192)
+        .select(col("doc_id").cast("long"),
+          HtmlText.wrapPage(col("doc_id").cast("string"),
+            HtmlText.escapeHtml(coalesce(col("text"), lit("")))))
+        .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+      val warcDir = Warc.writeWarcDir(s, pages, 32)
+      Warc.responses(s, warcDir)
+        .select(
+          regexp_extract(col("target_uri"), "/(\\d+)\\.html$", 1)
+            .cast("long").as("doc_id"),
+          col("http_status"), col("content_type"),
+          HtmlText.htmlToText(col("html")).as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // HTML → text extraction alone, both DIRECTIONS replicated by the
+    // oracle under a different regex engine (RE2 vs java.util.regex —
+    // the patterns are pinned to the common subset, HtmlText
+    // scaladoc): wrap + escape in SQL, then the same 4-stage strip +
+    // entity decode + collapse. Machine blocks (script with a bare
+    // `<`, style, comments) are planted by the shared template.
+    "html_text_extract" -> ((s, dir) => {
+      import graft.llm.HtmlText
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          HtmlText.htmlToText(HtmlText.wrapPage(
+            col("doc_id").cast("string"),
+            HtmlText.escapeHtml(coalesce(col("text"), lit("")))))
+            .as("text"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2313,6 +2357,20 @@ object LlmQueries {
          WHERE dt <= mx.asof - to_days(CAST(w.w * 365 AS INT))
            AND dt >= mx.asof - to_days(CAST(w.w * 365 + 364 AS INT))
          GROUP BY custkey, w.w
-         ORDER BY custkey, w"""
+         ORDER BY custkey, w""",
+    "source_warc_scan" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(200 AS INT) AS http_status,
+           'text/html' AS content_type,
+           trim(regexp_replace(coalesce(text, ''),
+             '[ \t\r\n\f\x0B]+', ' ', 'g')) AS text
+         FROM documents WHERE doc_id < 192 ORDER BY doc_id""",
+    "html_text_extract" -> {
+      import graft.llm.HtmlText
+      val page = HtmlText.wrapPageSql("CAST(doc_id AS VARCHAR)",
+        HtmlText.escapeHtmlSql("coalesce(text, '')"))
+      s"""SELECT doc_id, ${HtmlText.htmlToTextSql(s"($page)")} AS text
+         FROM documents ORDER BY doc_id"""
+    }
   )
 }
