@@ -1490,6 +1490,46 @@ object LlmQueries {
             HtmlText.escapeHtml(coalesce(col("text"), lit("")))))
             .as("text"))
         .orderBy("doc_id")
+    }),
+
+    // continuous crawl ingest: wave 1 of segments lands and drains;
+    // wave 2 (new docs) plus a RE-CRAWL of wave 1's head land and
+    // drain incrementally off the same checkpoint — the re-crawled
+    // URIs must not duplicate (URI-keyed guarded append), and the
+    // final corpus must equal the batch scan of all 96 docs.
+    "streaming_warc_ingest" -> ((s, dir) => {
+      import graft.llm.HtmlText
+      import graft.sources.Warc
+      import graft.streaming.StreamOps
+      val base = graft.core.Tables.tmpDir + "/stream_warc_q"
+      StreamOps.deletePath(s, base)
+      val pages = t(s, dir, "documents")
+        .filter(col("doc_id") < 96)
+        .select(col("doc_id").cast("long"),
+          HtmlText.wrapPage(col("doc_id").cast("string"),
+            HtmlText.escapeHtml(coalesce(col("text"), lit("")))))
+        .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+      val empty = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        lit(200).as("http_status"), lit("text/html").as("content_type"),
+        lit("").as("text")).limit(0)
+      if (pages.isEmpty) empty else {
+        val (wave1, wave2) = pages.partition(_._1 < 48)
+        Warc.writeWarcInto(s, s"$base/crawl", wave1, 16, segOffset = 0)
+        StreamOps.streamingWarcIngest(s, s"$base/crawl",
+          s"$base/corpus", Some(s"$base/ckpt"))
+        Warc.writeWarcInto(s, s"$base/crawl", wave2, 16,
+          segOffset = 100)
+        Warc.writeWarcInto(s, s"$base/crawl", wave1.take(16), 16,
+          segOffset = 200)
+        StreamOps.streamingWarcIngest(s, s"$base/crawl",
+          s"$base/corpus", Some(s"$base/ckpt"))
+        s.read.parquet(s"$base/corpus")
+          .select(regexp_extract(col("target_uri"),
+              "/(\\d+)\\.html$", 1).cast("long").as("doc_id"),
+            col("http_status"), col("content_type"), col("text"))
+          .orderBy("doc_id")
+      }
     })
   )
 
@@ -2371,6 +2411,13 @@ object LlmQueries {
         HtmlText.escapeHtmlSql("coalesce(text, '')"))
       s"""SELECT doc_id, ${HtmlText.htmlToTextSql(s"($page)")} AS text
          FROM documents ORDER BY doc_id"""
-    }
+    },
+    "streaming_warc_ingest" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(200 AS INT) AS http_status,
+           'text/html' AS content_type,
+           trim(regexp_replace(coalesce(text, ''),
+             '[ \t\r\n\f\x0B]+', ' ', 'g')) AS text
+         FROM documents WHERE doc_id < 96 ORDER BY doc_id"""
   )
 }

@@ -710,6 +710,177 @@ object TextKernelUtil {
     new GenericInternalRow(Array[Any](nTok, distinct.size, totalBg,
       bg.size.toLong, topBg))
   }
+
+  // ---------- HTML extraction (HtmlText.htmlToText kernel) ----------
+
+  /** Case-insensitive find, ASCII folding ONLY — Java regex `(?i)`
+    * without UNICODE_CASE never folds non-ASCII (U+0130 İ must NOT
+    * match the `i` of `script`, though Character.toLowerCase maps
+    * it there). `needle` is ASCII lowercase. */
+  private def indexOfIgnoreCase(s: String, needle: String,
+                                from: Int): Int = {
+    val n = s.length
+    val m = needle.length
+    var i = math.max(from, 0)
+    while (i + m <= n) {
+      var j = 0
+      while (j < m && {
+        val a = s.charAt(i + j)
+        val af = if (a >= 'A' && a <= 'Z') (a + 32).toChar else a
+        af == needle.charAt(j)
+      }) j += 1
+      if (j == m) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Global replace of `(?is)<name[^>]*>.*?</name\s*>` with one
+    * space, replicating Java-regex scan semantics exactly: candidate
+    * starts are occurrences of case-insensitive `<name`; the open tag
+    * completes at the FIRST `>` (greedy `[^>]*` backtracks to it);
+    * the close is the EARLIEST `</name` followed by `\s*>` (the
+    * non-greedy `.*?`); an incompletable candidate stays literal and
+    * scanning resumes one char later, exactly like Matcher.find. */
+  private def stripBlock(s: String, name: String): String = {
+    val open = "<" + name
+    val close = "</" + name
+    val n = s.length
+    var i = 0
+    var sb: java.lang.StringBuilder = null
+    while (i < n) {
+      val o = indexOfIgnoreCase(s, open, i)
+      if (o < 0) {
+        if (sb == null) return s
+        sb.append(s, i, n); i = n
+      } else {
+        var matched = false
+        val tagEnd = s.indexOf('>', o + open.length)
+        if (tagEnd >= 0) {
+          var c = indexOfIgnoreCase(s, close, tagEnd + 1)
+          while (!matched && c >= 0) {
+            var j = c + close.length
+            while (j < n && isJavaSpace(s.charAt(j))) j += 1
+            if (j < n && s.charAt(j) == '>') {
+              if (sb == null) sb = new java.lang.StringBuilder(n)
+              sb.append(s, i, o).append(' ')
+              i = j + 1
+              matched = true
+            } else c = indexOfIgnoreCase(s, close, c + 1)
+          }
+        }
+        if (!matched) {
+          if (sb == null) sb = new java.lang.StringBuilder(n)
+          sb.append(s, i, o + 1)
+          i = o + 1
+        }
+      }
+    }
+    if (sb == null) s else sb.toString
+  }
+
+  /** Global replace of `(?s)<!--.*?-->` with one space. Once a
+    * `<!--` has no `-->` ahead, no later candidate can match either. */
+  private def stripComments(s: String): String = {
+    val n = s.length
+    var i = 0
+    var sb: java.lang.StringBuilder = null
+    while (i < n) {
+      val o = s.indexOf("<!--", i)
+      if (o < 0) {
+        if (sb == null) return s
+        sb.append(s, i, n); i = n
+      } else {
+        val c = s.indexOf("-->", o + 4)
+        if (c < 0) {
+          if (sb == null) return s
+          sb.append(s, i, n); i = n
+        } else {
+          if (sb == null) sb = new java.lang.StringBuilder(n)
+          sb.append(s, i, o).append(' ')
+          i = c + 3
+        }
+      }
+    }
+    if (sb == null) s else sb.toString
+  }
+
+  /** Global replace of `<[^>]*>` with one space: first `<` to first
+    * `>`; a `<` with no `>` ahead ends all matching. */
+  private def stripTags(s: String): String = {
+    val n = s.length
+    var i = 0
+    var sb: java.lang.StringBuilder = null
+    while (i < n) {
+      val o = s.indexOf('<', i)
+      if (o < 0) {
+        if (sb == null) return s
+        sb.append(s, i, n); i = n
+      } else {
+        val c = s.indexOf('>', o + 1)
+        if (c < 0) {
+          if (sb == null) return s
+          sb.append(s, i, n); i = n
+        } else {
+          if (sb == null) sb = new java.lang.StringBuilder(n)
+          sb.append(s, i, o).append(' ')
+          i = c + 1
+        }
+      }
+    }
+    if (sb == null) s else sb.toString
+  }
+
+  /** Entity decode (lt/gt/quot/#39/nbsp/amp) + whitespace collapse +
+    * trim in ONE emit pass. Equivalence with the sequential
+    * regexp_replace chain holds because no entity's decoded output
+    * contains `&` except `&amp;`'s — which the chain decodes LAST, so
+    * neither form ever re-decodes produced text (HtmlText scaladoc;
+    * WarcSpec fuzz pins it). Collapse folds every `[ \t\r\n\f\x0B]`
+    * run (nbsp decodes to a plain space first, joining runs exactly
+    * as in the staged form) and drops leading/trailing runs — Spark's
+    * space-only `trim` suffices there because every edge run has
+    * already collapsed to a single 0x20. */
+  private def decodeCollapse(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    @inline def entityAt(e: String): Boolean =
+      s.regionMatches(i, e, 0, e.length)
+    while (i < n) {
+      var ch = s.charAt(i)
+      var adv = 1
+      if (ch == '&') {
+        if (entityAt("&lt;")) { ch = '<'; adv = 4 }
+        else if (entityAt("&gt;")) { ch = '>'; adv = 4 }
+        else if (entityAt("&quot;")) { ch = '"'; adv = 6 }
+        else if (entityAt("&#39;")) { ch = '\''; adv = 5 }
+        else if (entityAt("&nbsp;")) { ch = ' '; adv = 6 }
+        else if (entityAt("&amp;")) { ch = '&'; adv = 5 }
+      }
+      if (isJavaSpace(ch)) pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(ch)
+      }
+      i += adv
+    }
+    sb.toString
+  }
+
+  /** One-kernel HTML → text extraction, bit-identical to the staged
+    * regexp_replace pipeline in [[graft.llm.HtmlText]] (whose regex
+    * form remains the parity baseline and the oracle's DuckDB twin):
+    * script/style blocks, comments, tags, entities, whitespace — five
+    * tight char passes, zero regex-engine invocations on the path
+    * every crawled page flows through. */
+  def htmlExtract(html: UTF8String): UTF8String = {
+    val s = stripTags(stripComments(
+      stripBlock(stripBlock(html.toString, "script"), "style")))
+    UTF8String.fromString(decodeCollapse(s))
+  }
 }
 
 /** Base for the one-string-in, stats-struct-out battery expressions:
@@ -1087,4 +1258,19 @@ case class RepetitionStats(child: Expression)
     s"graft.functions.TextKernelUtil.repetitionStats($v)"
   override protected def withNewChildInternal(
       newChild: Expression): RepetitionStats = copy(child = newChild)
+}
+
+/** String → extracted text, the one-kernel form of
+  * [[graft.llm.HtmlText.htmlToText]] (TextKernelUtil.htmlExtract). */
+case class HtmlExtractText(child: Expression)
+    extends TextBatteryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_extract_text"
+  override def nullSafeEval(v: Any): Any =
+    TextKernelUtil.htmlExtract(v.asInstanceOf[UTF8String])
+  override protected def kernelCall(ctx: CodegenContext,
+                                    v: String): String =
+    s"graft.functions.TextKernelUtil.htmlExtract($v)"
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlExtractText = copy(child = newChild)
 }

@@ -37,8 +37,21 @@ object HtmlText {
     * disagree on vertical tab, so neither engine's shorthand is used. */
   val wsPat = "[ \\t\\r\\n\\f\\x0B]+"
 
-  /** Extract readable text from an HTML column. */
-  def htmlToText(html: Column): Column = {
+  /** Extract readable text from an HTML column — the ONE-KERNEL
+    * native form ([[graft.functions.HtmlExtractText]]: five tight
+    * char passes, zero regex-engine invocations inside whole-stage
+    * codegen). Bit-identical to [[htmlToTextHof]], the staged
+    * regexp_replace pipeline this kernel replicates — WarcSpec pins
+    * structured + fuzz parity, and the DuckDB oracles replay the
+    * regex form under RE2, cross-checking both. */
+  def htmlToText(html: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.HtmlExtractText(
+        org.apache.spark.sql.GraftBridge.expression(html)))
+
+  /** The staged regexp_replace reference pipeline (parity baseline
+    * for the kernel; the SQL twin below replays exactly this). */
+  def htmlToTextHof(html: Column): Column = {
     val noScript = regexp_replace(html, scriptPat, " ")
     val noStyle = regexp_replace(noScript, stylePat, " ")
     val noComment = regexp_replace(noStyle, commentPat, " ")

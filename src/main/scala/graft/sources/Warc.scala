@@ -53,12 +53,13 @@ object Warc {
     StructField("content_type", StringType, nullable = true),
     StructField("body", BinaryType, nullable = true)))
 
-  /** Read every record of every WARC file under `path` (plain or
-    * gzip — sniffed per file). One input file = one task; no shuffle. */
-  def records(spark: SparkSession, path: String): DataFrame = {
-    val files = spark.read.format("binaryFile").load(path)
-      .select("path", "content")
-    val rows = files.rdd.flatMap { r =>
+  /** Parse a (path, content) file frame — the shared core of the
+    * batch [[records]] and the streaming ingest (StreamOps
+    * .streamingWarcIngest feeds each micro-batch of newly-landed
+    * segment files through here). */
+  def recordsOf(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    val rows = files.select("path", "content").rdd.flatMap { r =>
       val file = r.getString(0)
       val bytes = r.getAs[Array[Byte]](1)
       parseAll(bytes, file).zipWithIndex.map { case (w, i) =>
@@ -70,17 +71,26 @@ object Warc {
     spark.createDataFrame(rows, schema)
   }
 
-  /** The documents-table view of a crawl: `response` records only,
-    * body decoded as UTF-8 text. The projection every downstream
-    * text operator starts from. */
-  def responses(spark: SparkSession, path: String): DataFrame = {
+  /** Read every record of every WARC file under `path` (plain or
+    * gzip — sniffed per file). One input file = one task; no shuffle. */
+  def records(spark: SparkSession, path: String): DataFrame =
+    recordsOf(spark.read.format("binaryFile").load(path))
+
+  /** `response` records only, body decoded as UTF-8 text. */
+  def responsesOf(records: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    records(spark, path)
+    records
       .filter(col("warc_type") === "response")
       .select(col("file"), col("record_ix"), col("target_uri"),
         col("warc_date"), col("http_status"), col("content_type"),
         decode(col("body"), "UTF-8").as("html"))
   }
+
+  /** The documents-table view of a crawl: `response` records only,
+    * body decoded as UTF-8 text. The projection every downstream
+    * text operator starts from. */
+  def responses(spark: SparkSession, path: String): DataFrame =
+    responsesOf(records(spark, path))
 
   // ---------- parsing ----------
 
@@ -249,17 +259,29 @@ object Warc {
     * ever synthesizes it). */
   def writeWarcDir(spark: SparkSession, pages: Seq[(Long, String)],
                    recordsPerFile: Int): String = {
-    require(pages.size <= 4096, s"fixture bound exceeded: ${pages.size}")
-    val date = "2024-01-01T00:00:00Z"
     val conf = spark.sessionState.newHadoopConf()
     val dir = graft.core.Tables.registerStagedDir(
       graft.core.Tables.tmpDir + "/warc_" +
         java.util.UUID.randomUUID().toString, conf)
+    writeWarcInto(spark, dir, pages, recordsPerFile, segOffset = 0)
+    dir
+  }
+
+  /** Write one WAVE of segments into an existing (or fresh) dir —
+    * the streaming-ingest fixture shape, where later crawl waves land
+    * next to earlier ones and `segOffset` keeps their names disjoint. */
+  def writeWarcInto(spark: SparkSession, dir: String,
+                    pages: Seq[(Long, String)], recordsPerFile: Int,
+                    segOffset: Int): Unit = {
+    require(pages.size <= 4096, s"fixture bound exceeded: ${pages.size}")
+    val date = "2024-01-01T00:00:00Z"
+    val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
     fs.mkdirs(p)
     pages.sortBy(_._1).grouped(recordsPerFile).zipWithIndex.foreach {
-      case (chunk, seg) =>
+      case (chunk, segIx) =>
+        val seg = segIx + segOffset
         val gz = seg % 2 == 0
         val aux = Seq(
           auxRecord("warcinfo", s"http://graft.example/seg/$seg", date,
@@ -278,6 +300,5 @@ object Warc {
         val out = fs.create(new org.apache.hadoop.fs.Path(p, name), true)
         try out.write(bytes) finally out.close()
     }
-    dir
   }
 }

@@ -432,6 +432,59 @@ object StreamOps {
     q
   }
 
+  /** binaryFile's fixed schema, spelled out — file STREAM sources
+    * require an explicit schema even when the format's is fixed. */
+  private val binaryFileSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  /** Continuous crawl ingest: WARC segment files LANDING in `warcDir`
+    * stream through parse → HTTP split → HTML extraction → append to
+    * the documents-shaped table at `corpusPath`, keyed/deduplicated by
+    * target URI (re-crawled pages in later segments do not duplicate
+    * rows — same [[guardedAppend]] single-writer contract as the other
+    * continuous ingests). AvailableNow drains everything unprocessed
+    * then stops — the production pattern is the same query on a
+    * continuous trigger; the checkpoint makes later waves incremental
+    * (already-seen segment files are never re-parsed).
+    *
+    * Scale shape: identical to batch [[graft.sources.Warc.records]] —
+    * one task per newly-landed segment file, no shuffle until the
+    * caller's downstream operators. */
+  def streamingWarcIngest(spark: SparkSession, warcDir: String,
+                          corpusPath: String,
+                          checkpoint: Option[String] = None):
+      StreamingQuery = {
+    val files = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema).load(warcDir)
+    val writer = files.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = graft.sources.Warc.responsesOf(
+            graft.sources.Warc.recordsOf(batch))
+          .select(col("target_uri"), col("warc_date"),
+            col("http_status"), col("content_type"),
+            graft.llm.HtmlText.htmlToText(col("html")).as("text"))
+          // a wave can re-crawl a URI it also saw earlier in the SAME
+          // batch; guardedAppend only guards against the TABLE
+          .dropDuplicates("target_uri")
+        guardedAppend(batch.sparkSession, docs, corpusPath,
+          "target_uri")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    val q = checkpoint
+      .fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Run a streaming DataFrame to a named in-memory sink, processing all
     * available input (AvailableNow = the `_rng`-style batch increment),
     * then stop. Returns the completed query for assertions. */

@@ -52,6 +52,20 @@ object KernelScaleProbe {
         .agg(sum($"n_tokens")).collect())
       println(f"CHUNK mult=$mult native=$tCN%.2f hof=$tCH%.2f " +
         f"ratio=${tCH / tCN}%.1f")
+      // html extraction: kernel (one pass) vs the 10-stage regex
+      // pipeline over synthesized pages — the crawl-ingest hot path
+      val pages = d.select($"doc_id",
+        graft.llm.HtmlText.wrapPage($"doc_id".cast("string"),
+          graft.llm.HtmlText.escapeHtml(coalesce($"text", lit(""))))
+          .as("html"))
+      val tXN = time(pages.select(
+          graft.llm.HtmlText.htmlToText($"html").as("t"))
+        .agg(sum(length($"t"))).collect())
+      val tXH = time(pages.select(
+          graft.llm.HtmlText.htmlToTextHof($"html").as("t"))
+        .agg(sum(length($"t"))).collect())
+      println(f"HTML mult=$mult native=$tXN%.2f hof=$tXH%.2f " +
+        f"ratio=${tXH / tXN}%.1f")
       if (mult <= 64) {
         val planted = d.select($"doc_id",
           concat($"text", lit("\nshared boilerplate line"),

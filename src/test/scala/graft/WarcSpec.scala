@@ -106,6 +106,54 @@ class WarcSpec extends AnyFunSuite {
     assert(out == "Title a & b <tag> c d")
   }
 
+  test("native htmlToText kernel is bit-identical to the staged " +
+      "regex pipeline on structured trap cases") {
+    val traps = Seq(
+      "",                                      // empty
+      "plain text only",
+      "<script>no close tag eats nothing",     // unterminated block
+      "<ScRiPt x=1>a</sCrIpT  >b",             // case + \s* close
+      "<script>a</scriptx>b</script>c",        // bogus close first
+      "<style>s</style><style>t</style>u",     // repeated blocks
+      "<!-- unterminated comment <p>x</p>",    // comment never closes
+      "<!-- a > b --><p>kept</p>",             // '>' inside comment
+      "<p att\n='x'>multi\nline tag</p>",      // newline inside tag
+      "a < b and c > d",                       // bare angle brackets
+      "<unclosed at eof",                      // '<' with no '>'
+      "&amp;lt; &amp;amp; &lt;i&gt; &#39;q&#39; &quot;w&quot;&nbsp;!",
+      "\t\n mixed \f ws \r\n runs ",
+      "<scrip>not script</scrip><script >x</script>",
+      "İstanbul <ŞCRIPT>not a script</ŞCRIPT>", // non-ASCII no fold
+      "中文 😀 <b>bold</b> &nbsp;&nbsp;done")
+    val df = traps.toDF("h")
+    val out = df.select(HtmlText.htmlToText(col("h")).as("k"),
+        HtmlText.htmlToTextHof(col("h")).as("r"))
+      .as[(String, String)].collect()
+    out.zip(traps).foreach { case ((k, r), in) =>
+      assert(k == r, s"kernel/regex divergence on: '$in'") }
+  }
+
+  test("native htmlToText kernel matches the regex pipeline on " +
+      "fuzzed tag soup") {
+    val rng = new scala.util.Random(20260815)
+    val frags = Array("<", ">", "</", "script", "style", "SCRIPT",
+      "<script>", "</script>", "</script >", "<style a=b>",
+      "</style>", "<!--", "-->", "<p>", "</p>", "&", ";", "&lt;",
+      "&gt;", "&amp;", "&quot;", "&#39;", "&nbsp;", "&bogus;", " ",
+      "\t", "\n", "\r\n", "", "\f", "word", "x1", "中", "😀",
+      "\"", "'", "=", "!", "-")
+    val soups = (1 to 300).map { _ =>
+      val n = rng.nextInt(40)
+      (0 until n).map(_ => frags(rng.nextInt(frags.length))).mkString
+    }
+    val out = soups.toDF("h")
+      .select(HtmlText.htmlToText(col("h")).as("k"),
+        HtmlText.htmlToTextHof(col("h")).as("r"))
+      .as[(String, String)].collect()
+    out.zip(soups).foreach { case ((k, r), in) =>
+      assert(k == r, s"kernel/regex divergence on: '$in'") }
+  }
+
   test("escapeHtml/htmlToText round-trip recovers collapsed text, " +
       "including pre-escaped sequences") {
     val texts = Seq("a < b & c > d", "already &lt;here&gt; &amp; fine",
