@@ -1530,6 +1530,41 @@ object LlmQueries {
             col("http_status"), col("content_type"), col("text"))
           .orderBy("doc_id")
       }
+    }),
+
+    // the composed crawl head of a training pipeline end-to-end:
+    // WARC segments (with 32 planted RE-HOST duplicates — same
+    // content under different URIs, the classic crawl dup) → record
+    // walk → HTML extraction → content-fingerprint exact dedup
+    // (canonical = min doc id, so originals win over re-hosts) →
+    // empty-document cut. The oracle replays extraction, the re-host
+    // union, the fingerprint grouping (lower(xt): extraction already
+    // collapsed whitespace, so normalizeText degenerates to lower)
+    // and the cut, all from the source table.
+    "crawl_pipeline" -> ((s, dir) => {
+      import graft.llm.{Dedup, HtmlText}
+      import graft.sources.Warc
+      val src = t(s, dir, "documents").filter(col("doc_id") < 192)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          HtmlText.wrapPage(col("doc_id").cast("string"),
+            HtmlText.escapeHtml(coalesce(col("text"), lit(""))))
+            .as("html"))
+      val rehost = src.filter(col("doc_id") < 32)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("html"))
+      val pages = src.unionByName(rehost).collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1)))
+      val warcDir = Warc.writeWarcDir(s, pages, 32)
+      val docs = Warc.responses(s, warcDir).select(
+        regexp_extract(col("target_uri"), "/(\\d+)\\.html$", 1)
+          .cast("long").as("doc_id"),
+        HtmlText.htmlToText(col("html")).as("text"))
+      val ded = Dedup.exactDedup(docs, "text", "doc_id")
+        .select(col("canonical_id").as("doc_id"), col("dup_count"))
+      ded.join(docs, Seq("doc_id"))
+        .select(col("doc_id"), col("dup_count"),
+          length(col("text")).cast("int").as("n_chars"))
+        .filter(col("n_chars") > 0)
+        .orderBy("doc_id")
     })
   )
 
@@ -2418,6 +2453,20 @@ object LlmQueries {
            'text/html' AS content_type,
            trim(regexp_replace(coalesce(text, ''),
              '[ \t\r\n\f\x0B]+', ' ', 'g')) AS text
-         FROM documents WHERE doc_id < 96 ORDER BY doc_id"""
+         FROM documents WHERE doc_id < 96 ORDER BY doc_id""",
+    "crawl_pipeline" ->
+      """WITH src AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             trim(regexp_replace(coalesce(text, ''),
+               '[ \t\r\n\f\x0B]+', ' ', 'g')) AS xt
+           FROM documents WHERE doc_id < 192),
+         uni AS (SELECT doc_id, xt FROM src
+                 UNION ALL
+                 SELECT doc_id + 10000, xt FROM src WHERE doc_id < 32),
+         ded AS (SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+                 FROM uni GROUP BY lower(xt)),
+         j AS (SELECT d.doc_id, d.dup_count, u.xt
+               FROM ded d JOIN uni u ON u.doc_id = d.doc_id)
+         SELECT doc_id, dup_count, CAST(length(xt) AS INT) AS n_chars
+         FROM j WHERE length(xt) > 0 ORDER BY doc_id"""
   )
 }
