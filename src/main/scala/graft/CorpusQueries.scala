@@ -371,6 +371,30 @@ object CorpusQueries {
           t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
           Seq("lang"), "n_chars", 0.75)
         .orderBy("doc_id"))
+,
+    // the dataset-card aggregation every corpus release ships: per
+    // language — docs, whitespace tokens, distinct sources, median
+    // and p90 length. One hash agg for the counts + the rank-based
+    // exact quantiles; LEFT join on lang so a null-lang slice keeps
+    // its counts with null quantiles (both engines drop null keys
+    // from USING-joins identically).
+    "corpus_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val qs = graft.ops.Quantiles.groupedQuantileCont(d, Seq("lang"),
+          "n_chars", Seq(0.5, 0.9))
+        .groupBy("lang").agg(
+          round(sum(when(col("prob") === 0.5, col("quantile"))), 6)
+            .as("p50_chars"),
+          round(sum(when(col("prob") === 0.9, col("quantile"))), 6)
+            .as("p90_chars"))
+      d.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCountWs(coalesce(col("text"), lit("")))
+            .cast("long")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .join(broadcast(qs), Seq("lang"), "left")
+        .orderBy("lang")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -824,6 +848,21 @@ object CorpusQueries {
                       FROM documents GROUP BY lang)
          SELECT d.doc_id, d.lang, d.n_chars
          FROM documents d JOIN thr USING (lang)
-         WHERE d.n_chars >= thr.q ORDER BY d.doc_id"""
+         WHERE d.n_chars >= thr.q ORDER BY d.doc_id""",
+    "corpus_card" ->
+      s"""WITH d0 AS (SELECT lang, source, n_chars,
+             coalesce(text, '') AS text FROM documents),
+         s AS (SELECT lang, count(*) AS n_docs,
+             sum(CAST($tokWsSql AS BIGINT)) AS n_tokens,
+             count(DISTINCT source) AS n_sources
+           FROM d0 GROUP BY lang),
+         q AS (SELECT lang,
+             round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+             round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+           FROM documents GROUP BY lang)
+         SELECT s.lang, s.n_docs, s.n_tokens, s.n_sources,
+           q.p50_chars, q.p90_chars
+         FROM s LEFT JOIN q USING (lang)
+         ORDER BY lang NULLS FIRST"""
   )
 }
