@@ -394,6 +394,24 @@ object CorpusQueries {
           countDistinct(col("source")).as("n_sources"))
         .join(broadcast(qs), Seq("lang"), "left")
         .orderBy("lang")
+    }),
+    // dataset versioning: diff two corpus releases on map-side content
+    // fingerprints (the shuffle carries (id, 32-hex md5), never text).
+    // Release B is synthesized from A deterministically: doc_id % 7 == 0
+    // removed, % 5 == 0 revised (text suffix), % 11 == 0 re-added under
+    // a shifted id — so all four statuses appear and the oracle can
+    // replay the synthesis exactly.
+    "corpus_release_diff" -> ((s, dir) => {
+      val a = t(s, dir, "documents")
+      val b = a.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" [rev2]")))
+            .otherwise(col("text")))
+        .unionByName(a.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Corpus.releaseDiff(a, b, "doc_id", Seq("text", "lang"))
+        .orderBy("doc_id", "status")
     })
   )
 
@@ -863,6 +881,30 @@ object CorpusQueries {
          SELECT s.lang, s.n_docs, s.n_tokens, s.n_sources,
            q.p50_chars, q.p90_chars
          FROM s LEFT JOIN q USING (lang)
-         ORDER BY lang NULLS FIRST"""
+         ORDER BY lang NULLS FIRST""",
+    "corpus_release_diff" ->
+      """WITH b AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+               THEN coalesce(text, '') || ' [rev2]' ELSE text END AS text,
+             lang
+           FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text, lang
+           FROM documents WHERE doc_id % 11 = 0),
+         fa AS (SELECT doc_id, md5(concat_ws(chr(1),
+             coalesce(text, chr(0)), coalesce(lang, chr(0)))) AS fp_a
+           FROM documents),
+         fb AS (SELECT doc_id, md5(concat_ws(chr(1),
+             coalesce(text, chr(0)), coalesce(lang, chr(0)))) AS fp_b
+           FROM b)
+         SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+           CASE WHEN fp_a IS NULL THEN 'added'
+                WHEN fp_b IS NULL THEN 'removed'
+                WHEN fp_a = fp_b THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           fp_a, fp_b
+         FROM fa FULL JOIN fb ON fa.doc_id = fb.doc_id
+         ORDER BY doc_id NULLS FIRST, status"""
   )
 }

@@ -445,4 +445,35 @@ object Corpus {
       .filter(col("cum_tok") <= lit(budget))
       .select(col(srcCol), col(idCol), col("n_tok"), col("cum_tok"))
   }
+
+  /** Release diff between two corpus snapshots (dataset versioning):
+    * which documents were `added`, `removed`, `changed`, or
+    * `unchanged` between release A and release B, judged by a content
+    * fingerprint over `contentCols`.
+    *
+    * Scale shape: the fingerprint (md5 over the U+0001-joined columns,
+    * nulls marked with U+0000 so null ≠ empty) is computed MAP-SIDE on
+    * each snapshot, so the one full-outer key shuffle carries
+    * (key, 32-hex fp) per row — keys-sized, never corpus-sized; at
+    * 100 TB the diff costs two scans plus a shuffle of ~50 bytes/doc.
+    * Keys are expected unique per snapshot (document ids); a null key
+    * never matches across sides in either engine, so a null-keyed row
+    * surfaces as removed/added rather than silently pairing.
+    *
+    * Output: keyCol (coalesced across sides), status, fp_a, fp_b. */
+  def releaseDiff(a: DataFrame, b: DataFrame, keyCol: String,
+                  contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "releaseDiff needs content columns")
+    def fp(df: DataFrame, out: String): DataFrame =
+      df.select(col(keyCol), md5(concat_ws("\u0001",
+        contentCols.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(out))
+    fp(a, "fp_a").join(fp(b, "fp_b"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") === col("fp_b"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("fp_a"), col("fp_b"))
+  }
 }

@@ -347,4 +347,33 @@ class CorpusSpec extends AnyFunSuite {
     }
     assert(math.abs(byId(3L)._3 - expected3) < 1e-9)
   }
+
+  test("releaseDiff: all four statuses, null≠empty, null key never pairs") {
+    val a = Seq(
+      (Some(1L), Some("same"), "en"),   // unchanged
+      (Some(2L), Some("old"), "en"),    // changed (text revised in B)
+      (Some(3L), Some("gone"), "de"),   // removed
+      (Some(4L), None, "fr"),           // null text: distinct from ""
+      (None: Option[Long], Some("nk"), "en")) // null key
+      .toDF("doc_id", "text", "lang")
+    val b = Seq(
+      (Some(1L), Some("same"), "en"),
+      (Some(2L), Some("new"), "en"),
+      (Some(4L), Some(""), "fr"),       // null → empty IS a change
+      (Some(5L), Some("fresh"), "zh"),  // added
+      (None: Option[Long], Some("nk"), "en")) // same null-key content
+      .toDF("doc_id", "text", "lang")
+    val out = Corpus.releaseDiff(a, b, "doc_id", Seq("text", "lang"))
+      .select($"doc_id", $"status")
+      .as[(Option[Long], String)].collect().toSeq
+      .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2))
+    // the null-keyed rows never join even with identical content: one
+    // 'removed' from A's side, one 'added' from B's — a silent null
+    // pairing would hide a corrupted-id slice from the diff
+    assert(out == Seq(
+      (None, "added"), (None, "removed"),
+      (Some(1L), "unchanged"), (Some(2L), "changed"),
+      (Some(3L), "removed"), (Some(4L), "changed"),
+      (Some(5L), "added")))
+  }
 }
