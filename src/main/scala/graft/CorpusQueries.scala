@@ -412,7 +412,15 @@ object CorpusQueries {
           .withColumn("doc_id", col("doc_id") + lit(1000000L)))
       Corpus.releaseDiff(a, b, "doc_id", Seq("text", "lang"))
         .orderBy("doc_id", "status")
-    })
+    }),
+    // the eval-holdout carve: EXACTLY 20 docs per language in seeded
+    // md5 order — rate sampling only hits a count in expectation, and
+    // the two-phase rank keeps the dominant language off a single task.
+    "corpus_eval_holdout" -> ((s, dir) =>
+      Corpus.groupSampleExactK(t(s, dir, "documents"),
+          Seq("doc_id", "text", "source"), Seq("lang"), 20)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy(col("lang"), col("rk")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -905,6 +913,18 @@ object CorpusQueries {
                 ELSE 'changed' END AS status,
            fp_a, fp_b
          FROM fa FULL JOIN fb ON fa.doc_id = fb.doc_id
-         ORDER BY doc_id NULLS FIRST, status"""
+         ORDER BY doc_id NULLS FIRST, status""",
+    "corpus_eval_holdout" ->
+      """SELECT lang, doc_id, rk FROM (
+           SELECT lang, doc_id, row_number() OVER (
+               PARTITION BY lang ORDER BY
+                 md5(coalesce(CAST(doc_id AS VARCHAR), chr(0))
+                     || chr(1) || coalesce(text, chr(0))
+                     || chr(1) || coalesce(source, chr(0))
+                     || chr(1) || 'graft'),
+                 doc_id NULLS FIRST, text NULLS FIRST,
+                 source NULLS FIRST) AS rk
+           FROM documents)
+         WHERE rk <= 20 ORDER BY lang NULLS FIRST, rk"""
   )
 }

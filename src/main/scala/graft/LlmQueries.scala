@@ -752,6 +752,25 @@ object LlmQueries {
           threshold = 1.0, numHashes = 32, bands = 8)
         .orderBy("id")),
 
+    // quality-aware keeper election: among each duplicate group keep
+    // the LONGEST raw capture, not the smallest id. Planted variants
+    // double every space — normalized-identical (same group) but
+    // raw-longer — so spaced docs elect the shifted-id variant and
+    // spaceless docs exercise the min-id tie path.
+    "dedup_best_keeper" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"))
+      val corpus = graft.core.Tables.staged(
+        base.unionByName(base.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), " ", "  ").as("text"))),
+        "keeper_corpus")
+      Dedup.keepBestPerGroup(corpus, "doc_id", length(col("text")),
+          Dedup.dedupGroups(corpus, "text", "doc_id",
+            threshold = 1.0, numHashes = 32, bands = 8))
+        .orderBy("group_id")
+    }),
+
     // n-gram Jaccard similarity over adjacent doc pairs; shingle sets
     // staged before the join so each document is shingled once, not
     // once per pair side
@@ -1774,6 +1793,28 @@ object LlmQueries {
                    FROM sd GROUP BY id)
          SELECT id, min(id) OVER (PARTITION BY cs) AS group_id
          FROM canon ORDER BY id""",
+    "dedup_best_keeper" ->
+      s"""WITH u AS (SELECT doc_id, coalesce(text, '') AS text
+                     FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+             replace(coalesce(text, ''), ' ', '  ') FROM documents),
+         $shingleCte,
+         canon AS (SELECT id, string_agg(g, chr(1) ORDER BY g) AS cs
+                   FROM sd GROUP BY id),
+         grp AS (SELECT id, min(id) OVER (PARTITION BY cs) AS group_id
+                 FROM canon),
+         m AS (SELECT grp.group_id, grp.id,
+                 CAST(len(u.text) AS INT) AS score
+               FROM grp JOIN u ON u.doc_id = grp.id),
+         b AS (SELECT group_id, max(score) AS keeper_score,
+                 count(*) AS n_members FROM m GROUP BY group_id)
+         SELECT m.group_id, min(m.id) AS keeper_id,
+           max(b.keeper_score) AS keeper_score,
+           max(b.n_members) AS n_members
+         FROM m JOIN b USING (group_id)
+         WHERE m.score IS NOT DISTINCT FROM b.keeper_score
+         GROUP BY m.group_id ORDER BY m.group_id""",
     "ngram_jaccard" ->
       s"""WITH u AS (SELECT doc_id, coalesce(text, '') AS text
                      FROM documents),

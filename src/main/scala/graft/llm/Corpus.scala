@@ -476,4 +476,38 @@ object Corpus {
           .otherwise(lit("changed")).as("status"),
         col("fp_a"), col("fp_b"))
   }
+
+  /** Exact-k per-group deterministic sample — the eval-holdout carve
+    * ("exactly 10k docs per language, reproducibly"). Rate-based
+    * sampling ([[stratifiedSample]]) can only hit a count in
+    * expectation; this takes the first k rows of each group in
+    * md5(keyCols ‖ seed) order: exactly k where the group has ≥ k
+    * rows, the whole group otherwise, and membership is a pure
+    * function of (row keys, seed, group contents) — stable across
+    * re-runs and repartitioning.
+    *
+    * `keyCols` must distinguish rows up to interchangeability (rows
+    * identical in every keyCol may swap ranks; if they are also
+    * identical in every OUTPUT column the result multiset is
+    * unaffected — pass the full row when in doubt).
+    *
+    * Scale shape: [[Relational.groupedRowNumber]] two-phase rank, NOT
+    * `row_number() OVER (PARTITION BY group)` — the window form
+    * funnels each group through one task and the dominant language IS
+    * most of a web corpus. Output: input columns + LongType `rankCol`
+    * (1-based within group, hash order). */
+  def groupSampleExactK(df: DataFrame, keyCols: Seq[String],
+                        groupCols: Seq[String], k: Int,
+                        seed: String = "graft",
+                        rankCol: String = "rk"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(keyCols.nonEmpty, "groupSampleExactK needs key columns")
+    val h = md5(concat_ws("\u0001",
+      keyCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))) :+ lit(seed): _*))
+    graft.ops.Relational.groupedRowNumber(df.withColumn("__h", h),
+        groupCols, col("__h") +: keyCols.map(col), rankCol, "__tot")
+      .filter(col(rankCol) <= k)
+      .drop("__h", "__tot")
+  }
 }

@@ -432,6 +432,37 @@ object Dedup {
       .select(col("id"), coalesce(col("comp"), col("cid")).as("group_id"))
   }
 
+  /** Quality-aware keeper election over duplicate groups: given an
+    * (id → group_id) assignment (e.g. [[dedupGroups]]) and a per-row
+    * score, keep the member with the HIGHEST score, ties broken by
+    * smallest id. Production dedup keeps the best capture — longest
+    * raw text, highest quality-battery or model score — not the
+    * smallest id; the score column is pluggable.
+    *
+    * Scale shape: two hash aggregations over (group, score/id) plus
+    * one key-partitioned join back — no per-group window or sort, and
+    * no shuffle ever carries text. Null scores lose to any non-null
+    * score; an all-null-score group still elects its min-id member
+    * (null-safe best comparison), so no group silently vanishes.
+    *
+    * Output: group_id, keeper_id, keeper_score, n_members. */
+  def keepBestPerGroup(df: DataFrame, idCol: String, score: Column,
+                       groups: DataFrame): DataFrame = {
+    val scored = df.select(col(idCol).as("id"), score.as("__score"))
+      .join(groups.select(col("id"), col("group_id")), Seq("id"))
+    val best = scored.groupBy("group_id").agg(
+      max(col("__score")).as("keeper_score"),
+      count(lit(1)).as("n_members"))
+    scored.join(best, Seq("group_id"))
+      .filter(col("__score") <=> col("keeper_score"))
+      .groupBy("group_id").agg(
+        min(col("id")).as("keeper_id"),
+        max(col("keeper_score")).as("keeper_score"),
+        max(col("n_members")).as("n_members"))
+      .select(col("group_id"), col("keeper_id"),
+        col("keeper_score"), col("n_members"))
+  }
+
   /** Benchmark decontamination: n-gram containment of each BENCHMARK
     * document inside TRAIN documents. Returns
     * (train id, bench id, overlap, containment = overlap / bench

@@ -376,4 +376,28 @@ class CorpusSpec extends AnyFunSuite {
       (Some(3L), "removed"), (Some(4L), "changed"),
       (Some(5L), "added")))
   }
+
+  test("groupSampleExactK: exactly k per big group, whole small group, " +
+       "stable under repartitioning") {
+    val rows = ((1 to 50).map(i => (i.toLong, s"t$i", "en")) ++
+      (51 to 53).map(i => (i.toLong, s"t$i", "zh")))
+      .toDF("id", "text", "grp")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.groupSampleExactK(df, Seq("id", "text"), Seq("grp"), 10)
+        .select($"grp", $"id", $"rk")
+        .as[(String, Long, Long)].collect().toSeq.sorted
+    val out = run(rows)
+    assert(out.count(_._1 == "en") == 10, "exactly k from the big group")
+    assert(out.count(_._1 == "zh") == 3, "small group kept whole")
+    assert(out.filter(_._1 == "zh").map(_._3).sorted == Seq(1L, 2L, 3L))
+    // membership is a pure function of (keys, seed, group contents)
+    assert(run(rows.repartition(7)) == out)
+    // a different seed carves a different holdout (50 choose 10 —
+    // identical sets would mean the seed isn't reaching the hash)
+    val reseeded = Corpus.groupSampleExactK(rows, Seq("id", "text"),
+        Seq("grp"), 10, seed = "other")
+      .select($"grp", $"id", $"rk")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(reseeded.map(_._2).toSet != out.map(_._2).toSet)
+  }
 }

@@ -1263,4 +1263,27 @@ class LlmSpec extends AnyFunSuite {
     assert(byId(4L)._2 == 0L && !byId(4L)._7, "empty fails closed")
     assert(byId(5L)._2 == 0L && !byId(5L)._7, "null fails closed")
   }
+  test("keepBestPerGroup: max score wins, ties elect min id, all-null " +
+       "score groups survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some(5)),  // group 1: id 2 has the higher score
+      (2L, Some(9)),
+      (3L, Some(7)),  // group 3: tie on score -> min id 3
+      (4L, Some(7)),
+      (5L, None: Option[Int]),  // group 5: all scores null -> min id
+      (6L, None: Option[Int]),
+      (7L, Some(4)))            // singleton
+      .toDF("id", "score")
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L),
+      (5L, 5L), (6L, 5L), (7L, 7L)).toDF("id", "group_id")
+    val out = Dedup.keepBestPerGroup(docs, "id", col("score"), groups)
+      .orderBy("group_id")
+      .as[(Long, Long, Option[Int], Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, Some(9), 2L),
+      (3L, 3L, Some(7), 2L),
+      (5L, 5L, None, 2L),
+      (7L, 7L, Some(4), 1L)))
+  }
 }
