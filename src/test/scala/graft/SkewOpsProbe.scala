@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Throwaway scale probe for the round-10 extension ops under planted
+  * dominant-group skew (run manually via Test/runMain; numbers recorded
+  * in PLANS.md):
+  *
+  *  - keepBestPerGroup with 90% of all rows in ONE duplicate group —
+  *    the join back on group_id concentrates that group's rows in one
+  *    shuffle partition; AQE skew-join is the designed relief valve,
+  *    and the two hash aggregations stay safe via map-side combine.
+  *  - releaseDiff at growing multiples — two scans + one full-outer
+  *    SMJ on (id, 32-hex fp); should stay linear.
+  *  - groupSampleExactK with the same 90% dominant group — rides
+  *    groupedRowNumber, so skew-linearity is inherited, re-confirmed
+  *    through the composition.
+  */
+object SkewOpsProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime; f; System.gc(); (System.nanoTime - t0) / 1e9
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select($"doc_id", $"text", $"lang", $"source")
+    for (mult <- Seq(64, 256)) {
+      val d = (0 until mult).map(i => docs.select(
+          ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"),
+          $"text", $"lang", $"source")).reduce(_ unionByName _)
+      val rows = d.count()
+
+      // ---- keepBestPerGroup: 90% of rows in one mega-group
+      val groups = d.select($"doc_id".as("id"),
+        when(pmod($"doc_id", lit(10)) =!= 0, lit(0L))
+          .otherwise($"doc_id").as("group_id"))
+      val scored = d.select($"doc_id", length(coalesce($"text", lit("")))
+        .as("len"))
+      val tK = time {
+        val out = graft.llm.Dedup.keepBestPerGroup(
+          scored, "doc_id", $"len", groups)
+        assert(out.count() > 0)
+      }
+      println(f"KEEPER mult=$mult rows=$rows skew90=$tK%.2f s")
+
+      // ---- releaseDiff: B = A with 1/7 removed, 1/5 revised, 1/11 added
+      val b = d.filter($"doc_id" % 7 =!= 0)
+        .withColumn("text", when($"doc_id" % 5 === 0,
+          concat(coalesce($"text", lit("")), lit(" r2")))
+          .otherwise($"text"))
+        .unionByName(d.filter($"doc_id" % 11 === 0)
+          .withColumn("doc_id", $"doc_id" + lit(1000000000L)))
+      val tD = time {
+        val diff = graft.llm.Corpus.releaseDiff(d, b, "doc_id",
+          Seq("text", "lang"))
+        assert(diff.groupBy("status").count().count() == 4)
+      }
+      println(f"RELEASE_DIFF mult=$mult rows=$rows t=$tD%.2f s")
+
+      // ---- groupSampleExactK: dominant group = 90% of the corpus
+      val skewed = d.withColumn("grp",
+        when(pmod($"doc_id", lit(10)) =!= 0, lit("dominant"))
+          .otherwise($"lang"))
+      val tS = time {
+        val hold = graft.llm.Corpus.groupSampleExactK(skewed,
+          Seq("doc_id", "text"), Seq("grp"), 1000)
+        assert(hold.count() > 0)
+      }
+      println(f"HOLDOUT mult=$mult rows=$rows skew90=$tS%.2f s")
+    }
+    spark.stop()
+  }
+}
