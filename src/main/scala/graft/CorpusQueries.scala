@@ -272,6 +272,14 @@ object CorpusQueries {
           "doc_id", "text")
         .orderBy("doc_id")),
 
+    // filter provenance: one (doc, reason) row per FAILED Gopher rule
+    // — derived from the battery's own flags (never re-derived), so
+    // the audit trail cannot drift from the production filter
+    "text_drop_reasons" -> ((s, dir) =>
+      TextAnalysis.dropReasons(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id", "reason")),
+
     // PSI distribution drift between two corpus slices (even vs odd
     // ids as the stand-in snapshots) over the source and lang mixes —
     // Corpus.distributionDrift scaladoc for the smoothing and the
@@ -422,6 +430,47 @@ object CorpusQueries {
         .select(col("lang"), col("doc_id"), col("rk"))
         .orderBy(col("lang"), col("rk")))
   )
+
+  /** u/w/c/f CTE chain shared by the text_gopher_rules and
+    * text_drop_reasons oracles — ONE replica of the rule battery, so
+    * the audit oracle cannot drift from the filter oracle. */
+  private val gopherFlagsSql: String =
+    """WITH u AS (SELECT doc_id, coalesce(text, '') AS text
+             FROM documents),
+         w AS (SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '') AS ws FROM u),
+         c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+             CASE WHEN len(ws) > 0 THEN round(
+               CAST(list_sum(list_transform(ws, x -> length(x)))
+                 AS DOUBLE) / len(ws), 6) ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(ws) > 0 THEN round(
+               ((length(text) - length(replace(text, '#', ''))) +
+                CAST((length(text) - length(replace(text, '...', '')))
+                  / 3 AS BIGINT))
+               / CAST(len(ws) AS DOUBLE), 6) ELSE 0.0 END
+               AS symbol_ratio,
+             CASE WHEN len(ws) > 0 THEN round(
+               len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+               / CAST(len(ws) AS DOUBLE), 6) ELSE 0.0 END AS alpha_frac,
+             CAST(len(list_intersect(
+               list_distinct(list_transform(ws, x -> lower(x))),
+               ['the','be','to','of','and','that','have','with']))
+               AS BIGINT) AS n_stop
+           FROM w),
+         f AS (SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+           alpha_frac, n_stop,
+           n_words >= 50 AND n_words <= 100000 AS r_word_count,
+           mean_word_len >= 3 AND mean_word_len <= 10
+             AS r_mean_word_len,
+           symbol_ratio <= 0.1 AS r_symbol_ratio,
+           alpha_frac >= 0.8 AS r_alpha_words,
+           n_stop >= 2 AS r_stop_words,
+           (n_words >= 50 AND n_words <= 100000) AND
+           (mean_word_len >= 3 AND mean_word_len <= 10) AND
+           symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2
+             AS pass
+         FROM c)"""
 
   val oracles: Map[String, String] = Map(
     "doc_chunking" ->
@@ -721,42 +770,20 @@ object CorpusQueries {
          WHERE cum_tok <= 2000
          ORDER BY source NULLS FIRST, doc_id""",
     "text_gopher_rules" ->
-      """WITH u AS (SELECT doc_id, coalesce(text, '') AS text
-             FROM documents),
-         w AS (SELECT doc_id, text,
-             list_filter(regexp_split_to_array(text, '\s+'),
-               x -> x <> '') AS ws FROM u),
-         c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-             CASE WHEN len(ws) > 0 THEN round(
-               CAST(list_sum(list_transform(ws, x -> length(x)))
-                 AS DOUBLE) / len(ws), 6) ELSE 0.0 END AS mean_word_len,
-             CASE WHEN len(ws) > 0 THEN round(
-               ((length(text) - length(replace(text, '#', ''))) +
-                CAST((length(text) - length(replace(text, '...', '')))
-                  / 3 AS BIGINT))
-               / CAST(len(ws) AS DOUBLE), 6) ELSE 0.0 END
-               AS symbol_ratio,
-             CASE WHEN len(ws) > 0 THEN round(
-               len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
-               / CAST(len(ws) AS DOUBLE), 6) ELSE 0.0 END AS alpha_frac,
-             CAST(len(list_intersect(
-               list_distinct(list_transform(ws, x -> lower(x))),
-               ['the','be','to','of','and','that','have','with']))
-               AS BIGINT) AS n_stop
-           FROM w)
-         SELECT doc_id, n_words, mean_word_len, symbol_ratio,
-           alpha_frac, n_stop,
-           n_words >= 50 AND n_words <= 100000 AS r_word_count,
-           mean_word_len >= 3 AND mean_word_len <= 10
-             AS r_mean_word_len,
-           symbol_ratio <= 0.1 AS r_symbol_ratio,
-           alpha_frac >= 0.8 AS r_alpha_words,
-           n_stop >= 2 AS r_stop_words,
-           (n_words >= 50 AND n_words <= 100000) AND
-           (mean_word_len >= 3 AND mean_word_len <= 10) AND
-           symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2
-             AS pass
-         FROM c ORDER BY doc_id""",
+      (gopherFlagsSql + " SELECT * FROM f ORDER BY doc_id"),
+    "text_drop_reasons" ->
+      (gopherFlagsSql + """,
+         r AS (SELECT doc_id, 'r_word_count' AS reason FROM f
+                 WHERE NOT r_word_count
+           UNION ALL SELECT doc_id, 'r_mean_word_len' FROM f
+                 WHERE NOT r_mean_word_len
+           UNION ALL SELECT doc_id, 'r_symbol_ratio' FROM f
+                 WHERE NOT r_symbol_ratio
+           UNION ALL SELECT doc_id, 'r_alpha_words' FROM f
+                 WHERE NOT r_alpha_words
+           UNION ALL SELECT doc_id, 'r_stop_words' FROM f
+                 WHERE NOT r_stop_words)
+         SELECT doc_id, reason FROM r ORDER BY doc_id, reason"""),
     "corpus_drift" ->
       """WITH u AS (SELECT 'source' AS dim, source AS key, doc_id
              FROM documents

@@ -699,6 +699,27 @@ object TextAnalysis {
         col("r_stop_words"))
   }
 
+  /** Filter provenance — the audit trail a curation team reads before
+    * moving a threshold: one (id, reason) row per FAILED
+    * [[gopherRules]] rule. The reasons are the production decision
+    * itself (derived from the battery's own flags, never re-derived),
+    * so the audit cannot drift from the filter. Documents passing
+    * every rule emit nothing.
+    *
+    * Scale shape: the battery's map-side projection plus a
+    * rules-sized (5×) codegen explode + filter — no HOF lambdas, no
+    * shuffle; linear in documents with a constant fan-out. */
+  def dropReasons(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val rules = Seq("r_word_count", "r_mean_word_len",
+      "r_symbol_ratio", "r_alpha_words", "r_stop_words")
+    gopherRules(df, idCol, textCol)
+      .select(col(idCol), explode(array(rules.map(n =>
+        struct(lit(n).as("reason"), col(n).as("ok"))): _*)).as("__p"))
+      .filter(!col("__p.ok"))
+      .select(col(idCol), col("__p.reason").as("reason"))
+  }
+
   /** The original HOF form of [[gopherRules]] — parity baseline for
     * TextKernelsSpec; CodegenFallback, test-only. */
   private[graft] def gopherRulesHof(df: DataFrame, idCol: String,

@@ -1263,6 +1263,24 @@ class LlmSpec extends AnyFunSuite {
     assert(byId(4L)._2 == 0L && !byId(4L)._7, "empty fails closed")
     assert(byId(5L)._2 == 0L && !byId(5L)._7, "null fails closed")
   }
+  test("dropReasons: failed rules only, passing docs emit nothing, " +
+       "empty doc fails everything but symbol_ratio") {
+    import spark.implicits._
+    val good = ("pass " * 30 +
+      "the be to of and that have with more words here ") * 2
+    val docs = Seq((1L, good), (2L, ""), (3L, "#### ### ## " * 20))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dropReasons(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(!out.exists(_._1 == 1L), s"clean doc got reasons: $out")
+    // empty: 0 words fails count/mean/alpha/stop; symbol_ratio 0 passes
+    assert(out.filter(_._1 == 2L).map(_._2) == Seq("r_alpha_words",
+      "r_mean_word_len", "r_stop_words", "r_word_count"))
+    // symbol soup: every '#' word fails symbol ratio + alpha + stops
+    val r3 = out.filter(_._1 == 3L).map(_._2)
+    assert(r3.contains("r_symbol_ratio") && r3.contains("r_alpha_words"))
+  }
+
   test("keepBestPerGroup: max score wins, ties elect min id, all-null " +
        "score groups survive") {
     import spark.implicits._
