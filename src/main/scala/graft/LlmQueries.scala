@@ -1189,6 +1189,23 @@ object LlmQueries {
         .orderBy("train_id", "bench_id")
     }),
 
+    // release novelty: per-doc fraction of shingles a new crawl adds
+    // over the previous release (both sides corpus-sized — shuffle
+    // join on 8-byte shingle hashes, nothing broadcast). New release:
+    // even ids re-crawled verbatim (novelty ≈ 0), odd ids extended
+    // with a fresh trailing sentence (partial novelty > 0).
+    "corpus_novelty" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"))
+      val newRel = d.select((col("doc_id") + 5000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"),
+            lit(" entirely novel trailing sentence number "),
+            col("doc_id").cast("string"))).as("text"))
+      Dedup.ngramNovelty(d, newRel, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // bloom-prefiltered decontamination: same OUTPUT as
     // benchmark_decontaminate (bloom = no false negatives; exact join
     // kills the fpp extras), same oracle — registered separately
@@ -2198,6 +2215,26 @@ object LlmQueries {
          FROM tok_stats t LEFT JOIN bg_stats b ON t.doc_id = b.doc_id
          ORDER BY t.doc_id""",
     "benchmark_decontaminate" -> decontaminateOracle,
+    "corpus_novelty" ->
+      s"""WITH u AS (
+           SELECT doc_id, coalesce(text, '') AS text FROM documents
+           UNION ALL
+           SELECT doc_id + 5000000,
+             CASE WHEN doc_id % 2 = 0 THEN coalesce(text, '')
+               ELSE coalesce(text, '') ||
+                 ' entirely novel trailing sentence number ' ||
+                 CAST(doc_id AS VARCHAR) END
+           FROM documents),
+         $shingleCte,
+         old AS (SELECT DISTINCT g FROM sd WHERE id < 5000000),
+         nw AS (SELECT id, g FROM sd WHERE id >= 5000000),
+         j AS (SELECT nw.id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN o.g IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel
+           FROM nw LEFT JOIN old o USING (g) GROUP BY nw.id)
+         SELECT id AS doc_id, n_shingles, n_novel,
+           round(n_novel / CAST(n_shingles AS DOUBLE), 6) AS novelty
+         FROM j ORDER BY doc_id""",
     // bit-identical result to the exact path (bloom adds no false
     // negatives and the exact join removes false positives) — the
     // SAME oracle checks both plans

@@ -463,6 +463,35 @@ object Dedup {
         col("keeper_score"), col("n_members"))
   }
 
+  /** Release novelty: per NEW-release document, the count and fraction
+    * of its n-gram shingles absent from the OLD release — "how much
+    * genuinely new content does this crawl add", the
+    * continued-pretraining counterpart of [[ngramContainment]]
+    * (novelty ≈ 1 − containment). Unlike decontamination, BOTH sides
+    * are corpus-sized, so nothing broadcasts: the old side collapses
+    * to its DISTINCT shingle-hash set (map-side combine, then one
+    * shuffle of 8-byte longs), the new side explodes to (id, hash)
+    * rows, and one shuffle equi-join + per-id count aggregation
+    * carries only longs — text never shuffles, nothing is O(n²).
+    * Same xxhash64 shingle space as the decontamination pair (a
+    * false "seen" needs a cross-corpus hash collision, ~2⁻⁶⁴/pair).
+    *
+    * Output: idCol, n_shingles, n_novel, novelty (rounded 6). */
+  def ngramNovelty(oldRel: DataFrame, newRel: DataFrame,
+                   textCol: String, idCol: String): DataFrame = {
+    val oldSh = decontShingles(oldRel, textCol, idCol, "__old_id")
+      .select(explode(col("sh")).as("g")).distinct()
+    val newSh = decontShingles(newRel, textCol, idCol, idCol)
+      .select(col(idCol), explode(col("sh")).as("g"))
+    newSh.join(oldSh.withColumn("__seen", lit(1)), Seq("g"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_shingles").cast("double"), 6).as("novelty"))
+  }
+
   /** Benchmark decontamination: n-gram containment of each BENCHMARK
     * document inside TRAIN documents. Returns
     * (train id, bench id, overlap, containment = overlap / bench

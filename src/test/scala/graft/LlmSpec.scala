@@ -1263,6 +1263,28 @@ class LlmSpec extends AnyFunSuite {
     assert(byId(4L)._2 == 0L && !byId(4L)._7, "empty fails closed")
     assert(byId(5L)._2 == 0L && !byId(5L)._7, "null fails closed")
   }
+  test("ngramNovelty: verbatim re-crawl scores 0, unseen doc scores 1, " +
+       "extension scores strictly between") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val nw = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta"),       // verbatim
+      (12L, "totally unseen shingle stream here now"),    // all new
+      (13L, "one two three four five six seven plus new tail words"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(old, nw, "text", "doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(11L)._4 == 0.0, s"verbatim re-crawl: ${out(11L)}")
+    assert(out(12L)._4 == 1.0, s"fully novel doc: ${out(12L)}")
+    // doc 13: 9 trigrams over 11 tokens, the 5 old ones seen → 4 novel
+    assert(out(13L)._2 == 9L && out(13L)._3 == 4L,
+      s"extended doc counts: ${out(13L)}")
+  }
+
   test("dropReasons: failed rules only, passing docs emit nothing, " +
        "empty doc fails everything but symbol_ratio") {
     import spark.implicits._
