@@ -439,6 +439,46 @@ object LlmQueries {
 
   /** Shared by benchmark_decontaminate and its bloom-prefiltered twin —
     * the two plans must produce identical rows. */
+  /** Unrolled scaled-integer PageRank oracle (Graph.pageRankScaled
+    * twin): r0 = Scale div N per node; each iteration is
+    * base + (85 · Σ_in (rank div outdeg)) div 100 — all BIGINT
+    * division/sums, so the replica is bit-exact by construction. */
+  private def pagerankOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT nodes.node,
+           CAST(nn.base + (85 * coalesce(i$i.in_s, 0)) // 100
+             AS BIGINT) AS rank_s
+         FROM nodes CROSS JOIN nn
+         LEFT JOIN (SELECT e.dst AS node,
+               CAST(sum(r.rank_s // od.outdeg) AS BIGINT) AS in_s
+             FROM e JOIN r${i - 1} r ON r.node = e.src
+             JOIN od ON od.src = e.src
+             GROUP BY e.dst) i$i ON i$i.node = nodes.node)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+           SELECT coalesce(source, 'unk') || '.com' AS src,
+                  coalesce(lang, 'und') || '.org' AS dst
+             FROM documents
+           UNION ALL
+           SELECT coalesce(lang, 'und') || '.org', 'hub.example.net'
+             FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT 'hub.example.net', coalesce(source, 'unk') || '.com'
+             FROM documents WHERE doc_id % 5 = 0)),
+         nodes AS (SELECT DISTINCT node FROM (
+           SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         nn AS (SELECT count(*) AS n,
+             CAST((1000000000000 * 15) // (100 * count(*)) AS BIGINT)
+               AS base
+           FROM nodes),
+         r0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT)
+               AS rank_s
+             FROM nodes CROSS JOIN nn),
+         $iterCtes
+         SELECT node, rank_s FROM r$iters ORDER BY node"""
+  }
+
   private val decontaminateOracle =
     s"""WITH u AS (SELECT doc_id, text FROM documents),
        $shingleCte,
@@ -1528,6 +1568,58 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // out-link extraction over synthesized pages: one anchor per doc,
+    // a second UPPERCASE anchor on every third doc, and a PLANTED TRAP
+    // — an <a name="no-href"> anchor whose attribute VALUE contains
+    // the substring "href" but no href attribute; both regex engines
+    // must skip it. Pure codegen projection + posexplode.
+    "html_links" -> ((s, dir) => {
+      import graft.llm.HtmlText
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("source"), lit("unk")),
+          lit(".example.com")).as("sdom"),
+        concat(coalesce(col("lang"), lit("und")),
+          lit(".example.org")).as("ldom"))
+      val url1 = concat(lit("https://"), col("sdom"), lit("/doc/"),
+        col("doc_id").cast("string"))
+      val url2 = concat(lit("HTTP://WWW."), col("ldom"),
+        lit("/p?id="), col("doc_id").cast("string"),
+        lit("&utm_source=x"))
+      val html = concat(
+        lit("<html><body><p>intro <a class=\"x\" href=\""), url1,
+        lit("\">one</a> mid"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" <A HREF=\""), url2, lit("\">two</A>")))
+          .otherwise(lit("")),
+        lit(" <a name=\"no-href\">skip</a> tail</p></body></html>"))
+      d.select(col("doc_id"), posexplode(HtmlText.extractLinks(html)))
+        .select(col("doc_id"), col("pos").cast("long").as("link_idx"),
+          col("col").as("href"))
+        .orderBy("doc_id", "link_idx")
+    }),
+
+    // exact integer PageRank over a planted domain link graph
+    // (source-domains → language-domains → a hub and back): 5
+    // iterations of scaled-Long arithmetic — bit-identical across
+    // engines because every step is integer division and Long sums
+    // are order-free (Graph.pageRankScaled scaladoc).
+    "link_pagerank" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("source"), lit("unk")), lit(".com"))
+          .as("sdom"),
+        concat(coalesce(col("lang"), lit("und")), lit(".org"))
+          .as("ldom"))
+      val edges = d.select(col("sdom").as("src"), col("ldom").as("dst"))
+        .unionByName(d.filter(col("doc_id") % 2 === 0)
+          .select(col("ldom").as("src"),
+            lit("hub.example.net").as("dst")))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select(lit("hub.example.net").as("src"),
+            col("sdom").as("dst")))
+      graft.ops.Graph.pageRankScaled(edges, "src", "dst", 5)
+        .orderBy("node")
+    }),
+
     // continuous crawl ingest: wave 1 of segments lands and drains;
     // wave 2 (new docs) plus a RE-CRAWL of wave 1's head land and
     // drain incrementally off the same checkpoint — the re-crawled
@@ -2525,6 +2617,31 @@ object LlmQueries {
       s"""SELECT doc_id, ${HtmlText.htmlToTextSql(s"($page)")} AS text
          FROM documents ORDER BY doc_id"""
     },
+    "html_links" -> {
+      import graft.llm.HtmlText
+      val links = HtmlText.extractLinksSql("html")
+      """WITH d AS (SELECT doc_id,
+             coalesce(source, 'unk') || '.example.com' AS sdom,
+             coalesce(lang, 'und') || '.example.org' AS ldom
+           FROM documents),
+         h AS (SELECT doc_id,
+             '<html><body><p>intro <a class="x" href="' ||
+             'https://' || sdom || '/doc/' || CAST(doc_id AS VARCHAR) ||
+             '">one</a> mid' ||
+             CASE WHEN doc_id % 3 = 0 THEN
+               ' <A HREF="HTTP://WWW.' || ldom || '/p?id=' ||
+               CAST(doc_id AS VARCHAR) || '&utm_source=x">two</A>'
+             ELSE '' END ||
+             ' <a name="no-href">skip</a> tail</p></body></html>'
+             AS html FROM d),
+         l AS (SELECT doc_id, """ + links + """ AS ls FROM h)
+         SELECT doc_id,
+           unnest(range(0, len(ls))) AS link_idx,
+           unnest(ls) AS href
+         FROM l WHERE len(ls) > 0
+         ORDER BY doc_id, link_idx"""
+    },
+    "link_pagerank" -> pagerankOracleSql(5),
     "streaming_warc_ingest" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(200 AS INT) AS http_status,

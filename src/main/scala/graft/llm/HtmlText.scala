@@ -121,4 +121,22 @@ object HtmlText {
   def escapeHtmlSql(expr: String): String =
     s"replace(replace(replace($expr, '&', '&amp;'), '<', '&lt;'), " +
       "'>', '&gt;')"
+
+  // double-quoted href in an anchor tag, any attribute order, case
+  // blind — RE2 ∩ java.util.regex (char classes + lazy *, no
+  // backrefs), same portability contract as the extraction patterns
+  private val hrefPat = "(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""
+
+  /** Out-link extraction: every double-quoted anchor href, in document
+    * order — the crawl-frontier / link-graph feed. Pure codegen
+    * projection (`regexp_extract_all`), no shuffle. Single-quoted and
+    * unquoted href forms are out of contract (the WARC synthesis
+    * emits the quoted form; a lenient parser belongs in a browser,
+    * not a deterministic pipeline). */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit(hrefPat), lit(1))
+
+  /** DuckDB twin of [[extractLinks]] — same pattern, RE2 engine. */
+  def extractLinksSql(expr: String): String =
+    s"regexp_extract_all($expr, '$hrefPat', 1)"
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators for the crawl layer. */
+object Graph {
+
+  /** Fixed denominator for [[pageRankScaled]] ranks: rank ≈
+    * rank_s / 10^12. Chosen so 85 · rank_s and 15 · Scale stay far
+    * inside Long (max intermediate ~8.5e13). */
+  val Scale: Long = 1000000000000L
+
+  /** PageRank over DISTINCT directed edges in SCALED-INTEGER
+    * arithmetic: ranks are Long numerators over the fixed [[Scale]]
+    * denominator and every step is integer division —
+    * rank' = (15·Scale) div (100·N) + (85 · Σ_in (rank div outdeg))
+    * div 100. Integer sums are order-free and integer division is
+    * identical in Spark and DuckDB, so the result is bit-exact across
+    * engines, partitionings, and re-runs — no float summation
+    * anywhere. Dangling-node mass is dropped (the simplified variant;
+    * total rank shrinks when sinks exist — documented, mirrored by
+    * the oracle).
+    *
+    * Scale shape: per iteration one key-partitioned join of edges
+    * against the rank table plus one (dst) hash aggregation — shuffles
+    * carry (node, long), never payloads; the rank table is staged to
+    * parquet per round (the connectedComponents lineage-cut pattern),
+    * so plan depth is iteration-bounded at any graph size. The node
+    * count is the only driver-side fetch. */
+  def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
+                     iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val e = graft.core.Tables.staged(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .na.drop().distinct(), "pagerank_edges")
+    val nodes = graft.core.Tables.staged(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct(),
+      "pagerank_nodes")
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val n = nodes.count()
+    require(n > 0, "pageRankScaled: empty graph")
+    val base = (Scale * 15L) / (100L * n)
+    var ranks = graft.core.Tables.staged(
+      nodes.withColumn("rank_s", lit(Scale / n)), "pagerank_r0")
+    for (i <- 1 to iterations) {
+      val contrib = e
+        .join(ranks, col("src") === ranks("node"))
+        .join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank_s div outdeg").as("c"))
+      val inSum = contrib.groupBy("node").agg(sum(col("c")).as("in_s"))
+      ranks = graft.core.Tables.staged(
+        nodes.join(inSum, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) +
+              expr("(85 * coalesce(in_s, 0L)) div 100")).as("rank_s")),
+        s"pagerank_r$i")
+    }
+    ranks
+  }
+}
