@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Bpe, Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Corpus, Dedup, Multimodal, Robots, Similarity, TextAnalysis}
 import graft.trgx.Trgx
 
 /** LLM training-data pipeline probes (builder-brief north star):
@@ -1598,6 +1598,40 @@ object LlmQueries {
         .orderBy("doc_id", "link_idx")
     }),
 
+    // robots-exclusion filter: longest-prefix wins, equal-length
+    // Allow beats Disallow, unlisted hosts default to allowed. Rules
+    // are data-derived per host (4 lines each: disallow-all, allow
+    // /doc, disallow /private, allow /private/public) so every
+    // precedence path gets URLs.
+    "robots_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("source"), lit("unk")).as("src0"))
+      val idStr = col("doc_id").cast("string")
+      val urls = d.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("unlisted.example.net"))
+          .otherwise(concat(col("src0"), lit(".example.com")))
+          .as("host"),
+        when(col("doc_id") % 4 === 0, concat(lit("/doc/"), idStr))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("/private/x"), idStr))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/private/public/y"), idStr))
+          .otherwise(concat(lit("/other/"), idStr)).as("path"))
+      // staged: the 4-arm rules union would otherwise re-scan and
+      // re-distinct the documents table once per arm
+      val hosts = graft.core.Tables.staged(
+        d.select(concat(col("src0"), lit(".example.com"))
+          .as("host")).distinct(), "robots_hosts")
+      def rule(allow: Boolean, prefix: String) =
+        hosts.select(col("host"), lit(allow).as("allow"),
+          lit(prefix).as("prefix"))
+      val rules = rule(false, "/private")
+        .unionByName(rule(true, "/private/public"))
+        .unionByName(rule(false, ""))
+        .unionByName(rule(true, "/doc"))
+      Robots.robotsFilter(urls, "doc_id", rules).orderBy("doc_id")
+    }),
+
     // exact integer PageRank over a planted domain link graph
     // (source-domains → language-domains → a hub and back): 5
     // iterations of scaled-Long arithmetic — bit-identical across
@@ -2642,6 +2676,33 @@ object LlmQueries {
          ORDER BY doc_id, link_idx"""
     },
     "link_pagerank" -> pagerankOracleSql(5),
+    "robots_filter" ->
+      """WITH d AS (SELECT doc_id, coalesce(source, 'unk') AS src0
+             FROM documents),
+         u AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'unlisted.example.net'
+                  ELSE src0 || '.example.com' END AS host,
+             CASE WHEN doc_id % 4 = 0
+                    THEN '/doc/' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 4 = 1
+                    THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 4 = 2
+                    THEN '/private/public/y' || CAST(doc_id AS VARCHAR)
+                  ELSE '/other/' || CAST(doc_id AS VARCHAR) END AS path
+           FROM d),
+         h AS (SELECT DISTINCT src0 || '.example.com' AS host FROM d),
+         r AS (SELECT host, false AS allow, '/private' AS prefix FROM h
+           UNION ALL SELECT host, true, '/private/public' FROM h
+           UNION ALL SELECT host, false, '' FROM h
+           UNION ALL SELECT host, true, '/doc' FROM h),
+         m AS (SELECT u.doc_id, max(length(r.prefix) * 2 +
+               CASE WHEN r.allow THEN 1 ELSE 0 END) AS s
+           FROM u JOIN r ON r.host = u.host
+             AND starts_with(u.path, r.prefix)
+           GROUP BY u.doc_id)
+         SELECT u.doc_id, u.host, u.path,
+           coalesce(m.s % 2 = 1, true) AS allowed
+         FROM u LEFT JOIN m USING (doc_id) ORDER BY doc_id""",
     "streaming_warc_ingest" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(200 AS INT) AS http_status,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Robots, Similarity, TextAnalysis}
 
 class LlmSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -1263,6 +1263,26 @@ class LlmSpec extends AnyFunSuite {
     assert(byId(4L)._2 == 0L && !byId(4L)._7, "empty fails closed")
     assert(byId(5L)._2 == 0L && !byId(5L)._7, "null fails closed")
   }
+  test("robotsFilter: longest prefix wins, equal length ties to Allow, " +
+       "unmatched and unlisted URLs default to allowed") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "a.com", "/a/deep/page"),   // /a allow vs /a/deep disallow
+      (2L, "a.com", "/a/top"),         // /a allow vs /a disallow: tie
+      (3L, "a.com", "/elsewhere"),     // no rule matches → allowed
+      (4L, "b.org", "/a/deep/page"))   // host unlisted → allowed
+      .toDF("id", "host", "path")
+    val rules = Seq(
+      ("a.com", true, "/a"),
+      ("a.com", false, "/a"),          // equal-length tie → Allow
+      ("a.com", false, "/a/deep"))     // longer disallow wins on deep
+      .toDF("host", "allow", "prefix")
+    val out = Robots.robotsFilter(urls, "id", rules)
+      .select($"id", $"allowed")
+      .as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+  }
+
   test("ngramNovelty: verbatim re-crawl scores 0, unseen doc scores 1, " +
        "extension scores strictly between") {
     import spark.implicits._
