@@ -68,6 +68,21 @@ object SkewOpsProbe {
         assert(hold.count() > 0)
       }
       println(f"HOLDOUT mult=$mult rows=$rows skew90=$tS%.2f s")
+
+      // ---- pageRankScaled: ~100k-node graph, hub with in-degree =
+      // rows/10 (every 10th doc also links the hub) — the skewed
+      // in-edge aggregation is the scale hazard
+      val nodeOf = (c: org.apache.spark.sql.Column) =>
+        concat(lit("d"), pmod(c, lit(100000L)).cast("string"))
+      val edges = d.select(nodeOf($"doc_id").as("src"),
+          nodeOf($"doc_id" * 7919L + 13L).as("dst"))
+        .unionByName(d.filter(pmod($"doc_id", lit(10)) === 0)
+          .select(nodeOf($"doc_id").as("src"), lit("hub").as("dst")))
+      val tP = time {
+        val pr = graft.ops.Graph.pageRankScaled(edges, "src", "dst", 5)
+        assert(pr.count() > 0)
+      }
+      println(f"PAGERANK mult=$mult rows=$rows iters=5 t=$tP%.2f s")
     }
     spark.stop()
   }
