@@ -27,6 +27,12 @@ object Robots {
     * the longest-match and the tie-break in its parity. One hash
     * aggregation on the URL key; the corpus never shuffles twice.
     *
+    * `urls` is referenced twice (the score aggregation and the
+    * host/path rejoin) — stage it first if its lineage is expensive
+    * (graft.core.Tables.staged). A null host or path never matches a
+    * rule, so such rows surface as allowed — the permissive default,
+    * same as an unlisted host.
+    *
     * Output: idCol, host, path, allowed. */
   def robotsFilter(urls: DataFrame, idCol: String,
                    rules: DataFrame): DataFrame = {

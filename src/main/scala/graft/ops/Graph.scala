@@ -27,7 +27,9 @@ object Graph {
     * carry (node, long), never payloads; the rank table is staged to
     * parquet per round (the connectedComponents lineage-cut pattern),
     * so plan depth is iteration-bounded at any graph size. The node
-    * count is the only driver-side fetch. */
+    * count is the only driver-side fetch. Edges with a null endpoint
+    * are dropped before anything else (a null node is a parse
+    * failure upstream, not a vertex). */
   def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
                      iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
