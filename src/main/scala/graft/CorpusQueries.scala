@@ -428,7 +428,19 @@ object CorpusQueries {
       Corpus.groupSampleExactK(t(s, dir, "documents"),
           Seq("doc_id", "text", "source"), Seq("lang"), 20)
         .select(col("lang"), col("doc_id"), col("rk"))
-        .orderBy(col("lang"), col("rk")))
+        .orderBy(col("lang"), col("rk"))),
+    // exact budget apportionment: split 10000 sampled docs across
+    // languages proportionally to token mass, summing to EXACTLY
+    // 10000 (Hamilton largest-remainder — per-row rounding over- or
+    // under-shoots; Apportion.largestRemainder never does)
+    "corpus_quota" -> ((s, dir) => {
+      val wts = t(s, dir, "documents").groupBy("lang").agg(
+        sum(TextAnalysis.tokenCountWs(coalesce(col("text"), lit("")))
+          .cast("long")).as("n_tokens"))
+      graft.ops.Apportion.largestRemainder(wts, Seq("lang"),
+          "n_tokens", 10000L)
+        .orderBy("lang")
+    })
   )
 
   /** u/w/c/f CTE chain shared by the text_gopher_rules and
@@ -952,6 +964,23 @@ object CorpusQueries {
                  doc_id NULLS FIRST, text NULLS FIRST,
                  source NULLS FIRST) AS rk
            FROM documents)
-         WHERE rk <= 20 ORDER BY lang NULLS FIRST, rk"""
+         WHERE rk <= 20 ORDER BY lang NULLS FIRST, rk""",
+    "corpus_quota" ->
+      s"""WITH d0 AS (SELECT lang, coalesce(text, '') AS text
+             FROM documents),
+         w AS (SELECT lang, sum(CAST($tokWsSql AS BIGINT)) AS wt
+           FROM d0 GROUP BY lang),
+         t AS (SELECT sum(wt) AS W FROM w),
+         f AS (SELECT lang, wt,
+             CAST((10000 * wt) // t.W AS BIGINT) AS fl,
+             CAST((10000 * wt) % t.W AS BIGINT) AS rem
+           FROM w CROSS JOIN t),
+         kk AS (SELECT 10000 - sum(fl) AS k FROM f),
+         r AS (SELECT lang, wt, fl, rem, row_number()
+             OVER (ORDER BY rem DESC, lang NULLS FIRST) AS rk FROM f)
+         SELECT r.lang, r.wt AS n_tokens,
+           CAST(r.fl + CASE WHEN r.rk <= kk.k THEN 1 ELSE 0 END
+             AS BIGINT) AS quota
+         FROM r CROSS JOIN kk ORDER BY lang NULLS FIRST"""
   )
 }
