@@ -37,7 +37,31 @@ def cell_diff(a, b):
         return None
 
 
+def type_diff(got_t, exp_t):
+    """Return None if the two DuckDB logical types hash-compare equal,
+    else a reason. Mirrors the driver's byte-level hash, which sees
+    int64 vs int128 (HUGEINT) and int64 vs float64 as DIFFERENT even
+    when every value compares equal — the r10 corpus_card/corpus_quota
+    class (`sum(BIGINT)` returns HUGEINT in DuckDB)."""
+    if str(got_t) == str(exp_t):
+        return None
+    return f"type {got_t} vs {exp_t}"
+
+
 def selftest():
+    tcases = [
+        ("BIGINT", "BIGINT", True),
+        ("BIGINT", "HUGEINT", False),   # the r10 corpus_card class
+        ("BIGINT", "DOUBLE", False),
+        ("INTEGER", "BIGINT", False),
+        ("DOUBLE", "DOUBLE", True),
+        ("VARCHAR", "VARCHAR", True),
+    ]
+    tbad = [(a, b, want) for a, b, want in tcases
+            if (type_diff(a, b) is None) != want]
+    for a, b, want in tbad:
+        print(f"SELFTEST FAIL: type_diff({a!r}, {b!r}) "
+              f"expected {'equal' if want else 'different'}")
     cases = [
         (1.0, 1.0, True),
         (1.0, 1.0000001, False),
@@ -55,8 +79,10 @@ def selftest():
     for a, b, want in bad:
         print(f"SELFTEST FAIL: cell_diff({a!r}, {b!r}) "
               f"expected {'equal' if want else 'different'}")
-    print(f"selftest: {len(cases) - len(bad)}/{len(cases)} pass")
-    sys.exit(1 if bad else 0)
+    n_all = len(cases) + len(tcases)
+    n_bad = len(bad) + len(tbad)
+    print(f"selftest: {n_all - n_bad}/{n_all} pass")
+    sys.exit(1 if n_bad else 0)
 
 
 if "--selftest" in sys.argv:
@@ -78,12 +104,16 @@ for name in sorted(oracle):
         results[name] = "NO_SPARK_OUTPUT"
         continue
     try:
-        got = con.sql(f"SELECT * FROM '{pq}/*.parquet'").fetchdf()
+        grel = con.sql(f"SELECT * FROM '{pq}/*.parquet'")
+        gtypes = {c: str(t) for c, t in zip(grel.columns, grel.types)}
+        got = grel.fetchdf()
     except Exception as e:
         results[name] = f"SPARK_READ_FAIL {e}"
         continue
     try:
-        exp = con.sql(oracle[name]).fetchdf()
+        erel = con.sql(oracle[name])
+        etypes = {c: str(t) for c, t in zip(erel.columns, erel.types)}
+        exp = erel.fetchdf()
     except Exception as e:
         results[name] = f"ORACLE_FAIL {str(e)[:200]}"
         continue
@@ -91,6 +121,14 @@ for name in sorted(oracle):
     e_ = exp[sorted(exp.columns)]
     if list(g.columns) != list(e_.columns):
         results[name] = f"COLS {list(g.columns)} vs {list(e_.columns)}"
+        continue
+    # driver's byte-hash sees type width before it sees values —
+    # an int64-vs-HUGEINT result fails there even if every cell is ==
+    tbad = next((f"col {c}: {type_diff(gtypes[c], etypes[c])}"
+                 for c in g.columns
+                 if type_diff(gtypes[c], etypes[c])), None)
+    if tbad:
+        results[name] = f"TYPE {tbad}"
         continue
     if len(g) != len(e_):
         results[name] = f"ROWS {len(g)} vs {len(e_)}"

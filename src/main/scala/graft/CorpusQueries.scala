@@ -904,7 +904,7 @@ object CorpusQueries {
       """WITH q AS (SELECT lang,
              quantile_cont(n_chars, [0.1, 0.5, 0.9]) AS qs
            FROM documents GROUP BY lang)
-         SELECT lang, [0.1, 0.5, 0.9][i] AS prob,
+         SELECT lang, CAST([0.1, 0.5, 0.9][i] AS DOUBLE) AS prob,
            round(qs[i], 6) AS quantile
          FROM q CROSS JOIN (SELECT unnest([1, 2, 3]) AS i)
          ORDER BY lang NULLS FIRST, prob""",
@@ -918,7 +918,7 @@ object CorpusQueries {
       s"""WITH d0 AS (SELECT lang, source, n_chars,
              coalesce(text, '') AS text FROM documents),
          s AS (SELECT lang, count(*) AS n_docs,
-             sum(CAST($tokWsSql AS BIGINT)) AS n_tokens,
+             CAST(sum(CAST($tokWsSql AS BIGINT)) AS BIGINT) AS n_tokens,
              count(DISTINCT source) AS n_sources
            FROM d0 GROUP BY lang),
          q AS (SELECT lang,
@@ -968,7 +968,8 @@ object CorpusQueries {
     "corpus_quota" ->
       s"""WITH d0 AS (SELECT lang, coalesce(text, '') AS text
              FROM documents),
-         w AS (SELECT lang, sum(CAST($tokWsSql AS BIGINT)) AS wt
+         w AS (SELECT lang,
+             CAST(sum(CAST($tokWsSql AS BIGINT)) AS BIGINT) AS wt
            FROM d0 GROUP BY lang),
          t AS (SELECT sum(wt) AS W FROM w),
          f AS (SELECT lang, wt,

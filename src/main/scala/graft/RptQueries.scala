@@ -1182,6 +1182,19 @@ object RptQueries {
       val sink = graft.core.Tables.scratchDir(s, "family_sink")
       val (_, out) = runReportFamily(s, dir, sink, familyProbeMembers)
       out.orderBy("report", "dw_dt", "selector")
+    }),
+
+    // the FULL production deployment unit: all 31 family members in
+    // ONE runReportFamily pass (the reference's cascalog.sh:37-120
+    // serial loop), shared staged star, one sink append, one next-dt
+    // pass. This is what a load window actually costs — the standing
+    // bench number for the shared-star saving vs 31 standalone runs.
+    // Ordered on every sink column so the positional oracle compare is
+    // total even if (report, dw_dt, selector) ever ties.
+    "report_family_full" -> ((s, dir) => {
+      val sink = graft.core.Tables.scratchDir(s, "family_full_sink")
+      val (_, out) = runReportFamily(s, dir, sink, familyNames)
+      out.orderBy(graft.rpt.Reports.sinkColumns.map(col): _*)
     })
   )
 
@@ -2621,5 +2634,10 @@ object RptQueries {
     ("report_family_run" ->
       ("SELECT * FROM ((" +
         familyProbeMembers.map(baseOracles).mkString(") UNION ALL (") +
-        ")) AS u ORDER BY report, dw_dt, selector"))
+        ")) AS u ORDER BY report, dw_dt, selector")) +
+    ("report_family_full" ->
+      ("SELECT * FROM ((" +
+        familyNames.map(baseOracles).mkString(") UNION ALL (") +
+        ")) AS u ORDER BY " +
+        Reports.sinkColumns.map(_ + " NULLS FIRST").mkString(", ")))
 }
