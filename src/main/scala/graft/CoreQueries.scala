@@ -93,6 +93,26 @@ object CoreQueries {
       Formats.readOrc(s, base).orderBy("s_suppkey")
     }),
 
+    // §2.1 — hfs-seqfile tap round-trip (d_bolome_order.clj:4-5): the
+    // full documents table through a Hadoop SequenceFile of
+    // (LongWritable, Text-JSON) and back — null text/lang and
+    // newline/unicode payloads must survive byte-exactly
+    "source_seqfile_roundtrip" -> ((s, dir) => {
+      import graft.sources.Formats
+      import org.apache.spark.sql.types._
+      val base = Tables.tmpDir + "/seqfile"
+      Formats.writeSequenceFile(
+        t(s, dir, "documents")
+          .select("doc_id", "text", "lang", "source", "n_chars"),
+        "doc_id", base)
+      Formats.readSequenceFile(s, base, "doc_id", StructType(Seq(
+          StructField("text", StringType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType))))
+        .orderBy("doc_id")
+    }),
+
     // §2.1 row 1 (JDBC form) — pg-tap parity: write nation through the
     // all-String `-`→`_` tap into embedded Derby, read it back under
     // logical dashed names (trgx.clj:96-108 semantics, offline-safe)
@@ -983,6 +1003,9 @@ object CoreQueries {
     "source_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
          ORDER BY s_suppkey""",
+    "source_seqfile_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         ORDER BY doc_id""",
     "events_retention" ->
       """WITH a AS (SELECT DISTINCT user_id AS k,
            CAST(floor(CAST(date_diff('day', DATE '2024-01-01',

@@ -441,14 +441,23 @@ object LlmQueries {
     * the two plans must produce identical rows. */
   /** Unrolled scaled-integer PageRank oracle (Graph.pageRankScaled
     * twin): r0 = Scale div N per node; each iteration is
-    * base + (85 · Σ_in (rank div outdeg)) div 100 — all BIGINT
-    * division/sums, so the replica is bit-exact by construction. */
+    * base + (85 · (Σ_in (rank div outdeg) + dang div N)) div 100,
+    * `dang` the summed rank of out-edge-less nodes (uniform
+    * dangling-mass redistribution, matching the Spark side) — all
+    * BIGINT division/sums (non-negative, so DuckDB's floor `//`
+    * equals Spark's truncating `div`), so the replica is bit-exact
+    * by construction. */
   private def pagerankOracleSql(iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
-      s"""r$i AS (SELECT nodes.node,
-           CAST(nn.base + (85 * coalesce(i$i.in_s, 0)) // 100
+      s"""d$i AS (SELECT CAST(coalesce(sum(r.rank_s), 0) AS BIGINT)
+             AS dang
+           FROM r${i - 1} r
+           WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.src = r.node)),
+         r$i AS (SELECT nodes.node,
+           CAST(nn.base +
+               (85 * (coalesce(i$i.in_s, 0) + d$i.dang // nn.n)) // 100
              AS BIGINT) AS rank_s
-         FROM nodes CROSS JOIN nn
+         FROM nodes CROSS JOIN nn CROSS JOIN d$i
          LEFT JOIN (SELECT e.dst AS node,
                CAST(sum(r.rank_s // od.outdeg) AS BIGINT) AS in_s
              FROM e JOIN r${i - 1} r ON r.node = e.src

@@ -14,22 +14,28 @@ object Graph {
   /** PageRank over DISTINCT directed edges in SCALED-INTEGER
     * arithmetic: ranks are Long numerators over the fixed [[Scale]]
     * denominator and every step is integer division —
-    * rank' = (15·Scale) div (100·N) + (85 · Σ_in (rank div outdeg))
-    * div 100. Integer sums are order-free and integer division is
-    * identical in Spark and DuckDB, so the result is bit-exact across
-    * engines, partitionings, and re-runs — no float summation
-    * anywhere. Dangling-node mass is dropped (the simplified variant;
-    * total rank shrinks when sinks exist — documented, mirrored by
-    * the oracle).
+    * rank' = (15·Scale) div (100·N)
+    *       + (85 · (Σ_in (rank div outdeg) + dang div N)) div 100
+    * where `dang` is the summed rank of dangling nodes (no
+    * out-edges), redistributed uniformly — the standard treatment:
+    * real crawl graphs are 20-30% sinks, and dropping their mass
+    * deflates every score and breaks (1−d) normalization. Integer
+    * sums are order-free and integer division is identical in Spark
+    * and DuckDB, so the result is bit-exact across engines,
+    * partitionings, and re-runs — no float summation anywhere.
+    * Total mass is conserved up to integer-division truncation
+    * (< ~3 units per node per iteration; GraphSpec pins the bound).
     *
     * Scale shape: per iteration one key-partitioned join of edges
     * against the rank table plus one (dst) hash aggregation — shuffles
     * carry (node, long), never payloads; the rank table is staged to
     * parquet per round (the connectedComponents lineage-cut pattern),
-    * so plan depth is iteration-bounded at any graph size. The node
-    * count is the only driver-side fetch. Edges with a null endpoint
-    * are dropped before anything else (a null node is a parse
-    * failure upstream, not a vertex). */
+    * so plan depth is iteration-bounded at any graph size. Driver-side
+    * fetches are the node count plus ONE scalar Long (the dangling
+    * mass) per iteration — the dangling NODE SET is computed once
+    * (left-anti vs out-degrees, staged), never per round. Edges with
+    * a null endpoint are dropped before anything else (a null node is
+    * a parse failure upstream, not a vertex). */
   def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
                      iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
@@ -42,12 +48,19 @@ object Graph {
       "pagerank_nodes")
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
+    val dangling = graft.core.Tables.staged(
+      nodes.join(outDeg, Seq("node"), "left_anti"), "pagerank_dangling")
     val n = nodes.count()
     require(n > 0, "pageRankScaled: empty graph")
     val base = (Scale * 15L) / (100L * n)
     var ranks = graft.core.Tables.staged(
       nodes.withColumn("rank_s", lit(Scale / n)), "pagerank_r0")
     for (i <- 1 to iterations) {
+      // dangling mass this round: one scalar Long agg (order-free sum)
+      val dang: Long = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank_s")), lit(0L))).as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).head()
+      val share = dang / n
       val contrib = e
         .join(ranks, col("src") === ranks("node"))
         .join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
@@ -58,7 +71,8 @@ object Graph {
         nodes.join(inSum, Seq("node"), "left")
           .select(col("node"),
             (lit(base) +
-              expr("(85 * coalesce(in_s, 0L)) div 100")).as("rank_s")),
+              expr(s"(85 * (coalesce(in_s, 0L) + ${share}L)) div 100"))
+              .as("rank_s")),
         s"pagerank_r$i")
     }
     ranks

@@ -32,6 +32,47 @@ object Formats {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** hfs-seqfile tap (reference d_bolome_order.clj:4-5 imports
+    * hfs-seqfile): Hadoop SequenceFile of (LongWritable key,
+    * Text value) where the value is the row's remaining columns as a
+    * JSON line — JSON because Cascalog tuples carry nulls and a bare
+    * Text can't (to_json omits null fields, from_json restores them
+    * as nulls). Scale shape: SequenceFiles are block-splittable, so
+    * the read is one task per split with zero shuffle; the JSON
+    * decode is per-row CPU, no exchange. Rerun-safe: the target dir
+    * is deleted before write (saveAsSequenceFile has no overwrite
+    * mode). */
+  def writeSequenceFile(df: DataFrame, keyCol: String,
+                        path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val payload = df.columns.filterNot(_ == keyCol)
+    df.select(col(keyCol).cast("long").as("__k"),
+        to_json(struct(payload.map(col): _*)).as("__v"))
+      .rdd.map(r => (r.getLong(0), r.getString(1)))
+      .saveAsSequenceFile(path)
+  }
+
+  /** Read back a [[writeSequenceFile]] dir: `keyName` gets the
+    * LongWritable key, the Text JSON payload is decoded with the
+    * caller's explicit `payloadSchema` (never inferred — schema
+    * inference would be a second full scan at 100 TB). */
+  def readSequenceFile(spark: SparkSession, path: String,
+                       keyName: String,
+                       payloadSchema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    import spark.implicits._
+    spark.sparkContext.sequenceFile[Long, String](path)
+      .toDF(keyName, "__v")
+      .select(col(keyName),
+        from_json(col("__v"), payloadSchema).as("__r"))
+      .select(col(keyName) +: payloadSchema.fieldNames
+        .map(f => col(s"__r.$f")): _*)
+  }
+
   /** pg-tap: `spark.read.jdbc` with pushdown; `-`→`_` column rewrite is
     * the caller's `toDF`. */
   def readJdbc(spark: SparkSession, url: String, table: String): DataFrame =

@@ -10,7 +10,8 @@ class GraphSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("pageRankScaled: one iteration matches the hand computation, " +
-       "dangling mass is dropped, duplicate edges collapse") {
+       "dangling mass redistributes uniformly, duplicate edges " +
+       "collapse") {
     // A→B, B→A, A→C (C dangling); duplicate A→B row must not double
     // A's out-degree or B's in-mass
     val edges = Seq(("A", "B"), ("A", "B"), ("B", "A"), ("A", "C"))
@@ -18,13 +19,42 @@ class GraphSpec extends AnyFunSuite {
     val r1 = Graph.pageRankScaled(edges, "src", "dst", 1)
       .as[(String, Long)].collect().toMap
     // N=3, S=10^12: r0 = 333333333333 each; base = 15S div 300 =
-    // 50000000000. contrib: A sends r0 div 2 = 166666666666 to B and
-    // C; B sends 333333333333 to A.
-    assert(r1("A") == 50000000000L + 85L * 333333333333L / 100L)
-    assert(r1("B") == 50000000000L + 85L * 166666666666L / 100L)
+    // 50000000000. C is dangling: dang = 333333333333, uniform share
+    // = dang div 3 = 111111111111 added to every node's in-mass.
+    // contrib: A sends r0 div 2 = 166666666666 to B and C; B sends
+    // 333333333333 to A.
+    val share = 333333333333L / 3L
+    assert(r1("A") ==
+      50000000000L + 85L * (333333333333L + share) / 100L)
+    assert(r1("B") ==
+      50000000000L + 85L * (166666666666L + share) / 100L)
     assert(r1("C") == r1("B"))
-    // C has no out-edges: its mass leaks, total shrinks below S
-    assert(r1.values.sum < Graph.Scale)
+    // mass is conserved up to integer-division truncation: each node
+    // loses < 1 unit per div (base, share, contrib, damp) per round
+    val leak = Graph.Scale - r1.values.sum
+    assert(leak >= 0 && leak < 3L * 4L, s"mass leak: $leak")
+  }
+
+  test("pageRankScaled: dangling mass conservation holds over many " +
+       "iterations and sinks do not deflate the total") {
+    // star with a pure sink: 4 leaves → hub → sink; sink has no
+    // out-edges, so ~all mass funnels there and MUST come back via
+    // redistribution, not leak (pre-r11 drop semantics lost ~15% of
+    // the dangling mass per round)
+    val leaves = (1 to 4).map(i => s"leaf$i")
+    val edges = (leaves.map(_ -> "hub") :+ ("hub" -> "sink"))
+      .toDF("src", "dst")
+    val iters = 8
+    val r = Graph.pageRankScaled(edges, "src", "dst", iters)
+      .as[(String, Long)].collect().toMap
+    val leak = Graph.Scale - r.values.sum
+    // 6 nodes × 4 truncating divisions × 8 rounds bounds the leak;
+    // dropped-dangling semantics would leak ~0.85 × sink-rank ≫ this
+    assert(leak >= 0 && leak < 6L * 4L * iters, s"mass leak: $leak")
+    // the sink absorbs the hub's full mass: it must outrank the hub,
+    // which outranks the symmetric leaves
+    assert(r("sink") > r("hub") && r("hub") > r("leaf1"))
+    assert(leaves.map(r).distinct.size == 1)
   }
 
   test("pageRankScaled: a sink-free cycle conserves total mass to " +

@@ -69,6 +69,19 @@ object SkewOpsProbe {
       }
       println(f"HOLDOUT mult=$mult rows=$rows skew90=$tS%.2f s")
 
+      // ---- groupedQuantileCont: dominant group = 90% of the corpus;
+      // rides groupedRowNumber (range partition + driver offsets), so
+      // the mega-group spans many partitions instead of funnelling
+      // through one window task
+      val tQ = time {
+        val q = graft.ops.Quantiles.groupedQuantileCont(
+          skewed.select($"grp",
+            length(coalesce($"text", lit(""))).as("len")),
+          Seq("grp"), "len", Seq(0.1, 0.5, 0.9))
+        assert(q.count() > 0)
+      }
+      println(f"GROUPED_QUANTILE mult=$mult rows=$rows skew90=$tQ%.2f s")
+
       // ---- pageRankScaled: ~100k-node graph, hub with in-degree =
       // rows/10 (every 10th doc also links the hub) — the skewed
       // in-edge aggregation is the scale hazard
