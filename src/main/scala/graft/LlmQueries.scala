@@ -440,53 +440,107 @@ object LlmQueries {
   /** Shared by benchmark_decontaminate and its bloom-prefiltered twin —
     * the two plans must produce identical rows. */
   /** Unrolled scaled-integer PageRank oracle (Graph.pageRankScaled
-    * twin): r0 = Scale div N per node; each iteration is
+    * twin): r_0 = Scale div N per node; each iteration is
     * base + (85 · (Σ_in (rank div outdeg) + dang div N)) div 100,
     * `dang` the summed rank of out-edge-less nodes (uniform
     * dangling-mass redistribution, matching the Spark side) — all
     * BIGINT division/sums (non-negative, so DuckDB's floor `//`
     * equals Spark's truncating `div`), so the replica is bit-exact
-    * by construction. */
-  private def pagerankOracleSql(iters: Int): String = {
-    val iterCtes = (1 to iters).map { i =>
-      s"""d$i AS (SELECT CAST(coalesce(sum(r.rank_s), 0) AS BIGINT)
-             AS dang
-           FROM r${i - 1} r
-           WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.src = r.node)),
-         r$i AS (SELECT nodes.node,
-           CAST(nn.base +
-               (85 * (coalesce(i$i.in_s, 0) + d$i.dang // nn.n)) // 100
-             AS BIGINT) AS rank_s
-         FROM nodes CROSS JOIN nn CROSS JOIN d$i
-         LEFT JOIN (SELECT e.dst AS node,
-               CAST(sum(r.rank_s // od.outdeg) AS BIGINT) AS in_s
-             FROM e JOIN r${i - 1} r ON r.node = e.src
-             JOIN od ON od.src = e.src
-             GROUP BY e.dst) i$i ON i$i.node = nodes.node)"""
-    }.mkString(",\n         ")
-    s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+    * by construction. CTE names are suffixed (`e$sfx`, `r${sfx}_$i`)
+    * so the incremental oracle can unroll TWO graph snapshots in one
+    * WITH block. */
+  /** The planted domain link graph both pagerank queries rank:
+    * source-domains → language-domains for every kept doc, every 2nd
+    * doc's language-domain → a hub, the hub → every 5th doc's
+    * source-domain. `keep` restricts to a crawl snapshot (lit(true)
+    * = the full graph; the incremental query's v1 is
+    * doc_id % 3 =!= 0). */
+  private def linkGraphEdges(s: SparkSession, dir: String,
+      keep: org.apache.spark.sql.Column): DataFrame = {
+    val d = t(s, dir, "documents").filter(keep).select(col("doc_id"),
+      concat(coalesce(col("source"), lit("unk")), lit(".com"))
+        .as("sdom"),
+      concat(coalesce(col("lang"), lit("und")), lit(".org"))
+        .as("ldom"))
+    d.select(col("sdom").as("src"), col("ldom").as("dst"))
+      .unionByName(d.filter(col("doc_id") % 2 === 0)
+        .select(col("ldom").as("src"),
+          lit("hub.example.net").as("dst")))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select(lit("hub.example.net").as("src"),
+          col("sdom").as("dst")))
+  }
+
+  private def pagerankGraphCtes(sfx: String, where: String): String =
+    s"""e$sfx AS (SELECT DISTINCT src, dst FROM (
            SELECT coalesce(source, 'unk') || '.com' AS src,
                   coalesce(lang, 'und') || '.org' AS dst
-             FROM documents
+             FROM documents WHERE $where
            UNION ALL
            SELECT coalesce(lang, 'und') || '.org', 'hub.example.net'
-             FROM documents WHERE doc_id % 2 = 0
+             FROM documents WHERE doc_id % 2 = 0 AND ($where)
            UNION ALL
            SELECT 'hub.example.net', coalesce(source, 'unk') || '.com'
-             FROM documents WHERE doc_id % 5 = 0)),
-         nodes AS (SELECT DISTINCT node FROM (
-           SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-         od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-         nn AS (SELECT count(*) AS n,
+             FROM documents WHERE doc_id % 5 = 0 AND ($where))),
+         nodes$sfx AS (SELECT DISTINCT node FROM (
+           SELECT src AS node FROM e$sfx
+           UNION ALL SELECT dst FROM e$sfx)),
+         od$sfx AS (SELECT src, count(*) AS outdeg FROM e$sfx
+           GROUP BY src),
+         nn$sfx AS (SELECT count(*) AS n,
              CAST((1000000000000 * 15) // (100 * count(*)) AS BIGINT)
                AS base
-           FROM nodes),
-         r0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT)
+           FROM nodes$sfx)"""
+
+  private def pagerankFreshSeed(sfx: String): String =
+    s"""r${sfx}_0 AS (SELECT node,
+           CAST(1000000000000 // nn$sfx.n AS BIGINT) AS rank_s
+         FROM nodes$sfx CROSS JOIN nn$sfx)"""
+
+  private def pagerankIterCtes(sfx: String, iters: Int): String =
+    (1 to iters).map { i =>
+      s"""d${sfx}_$i AS (SELECT CAST(coalesce(sum(r.rank_s), 0)
+             AS BIGINT) AS dang
+           FROM r${sfx}_${i - 1} r
+           WHERE NOT EXISTS (SELECT 1 FROM od$sfx o
+                             WHERE o.src = r.node)),
+         r${sfx}_$i AS (SELECT nodes$sfx.node,
+           CAST(nn$sfx.base +
+               (85 * (coalesce(i${sfx}_$i.in_s, 0)
+                      + d${sfx}_$i.dang // nn$sfx.n)) // 100
+             AS BIGINT) AS rank_s
+         FROM nodes$sfx CROSS JOIN nn$sfx CROSS JOIN d${sfx}_$i
+         LEFT JOIN (SELECT e.dst AS node,
+               CAST(sum(r.rank_s // od.outdeg) AS BIGINT) AS in_s
+             FROM e$sfx e JOIN r${sfx}_${i - 1} r ON r.node = e.src
+             JOIN od$sfx od ON od.src = e.src
+             GROUP BY e.dst) i${sfx}_$i
+           ON i${sfx}_$i.node = nodes$sfx.node)"""
+    }.mkString(",\n         ")
+
+  private def pagerankOracleSql(iters: Int): String =
+    s"""WITH ${pagerankGraphCtes("", "TRUE")},
+         ${pagerankFreshSeed("")},
+         ${pagerankIterCtes("", iters)}
+         SELECT node, rank_s FROM r_$iters ORDER BY node"""
+
+  /** Warm-start oracle (Graph.pageRankScaledResume twin): v1 graph =
+    * docs with doc_id % 3 <> 0 run fresh for `v1Iters`, then the FULL
+    * graph seeded with v1's final ranks (uniform Scale div N for new
+    * nodes) for `v2Iters` more. */
+  private def pagerankIncrementalOracleSql(v1Iters: Int,
+                                           v2Iters: Int): String =
+    s"""WITH ${pagerankGraphCtes("1", "doc_id % 3 <> 0")},
+         ${pagerankFreshSeed("1")},
+         ${pagerankIterCtes("1", v1Iters)},
+         ${pagerankGraphCtes("", "TRUE")},
+         r_0 AS (SELECT nodes.node,
+             CAST(coalesce(p.rank_s, 1000000000000 // nn.n) AS BIGINT)
                AS rank_s
-             FROM nodes CROSS JOIN nn),
-         $iterCtes
-         SELECT node, rank_s FROM r$iters ORDER BY node"""
-  }
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN r1_$v1Iters p ON p.node = nodes.node),
+         ${pagerankIterCtes("", v2Iters)}
+         SELECT node, rank_s FROM r_$v2Iters ORDER BY node"""
 
   private val decontaminateOracle =
     s"""WITH u AS (SELECT doc_id, text FROM documents),
@@ -1646,20 +1700,22 @@ object LlmQueries {
     // iterations of scaled-Long arithmetic — bit-identical across
     // engines because every step is integer division and Long sums
     // are order-free (Graph.pageRankScaled scaladoc).
-    "link_pagerank" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
-        concat(coalesce(col("source"), lit("unk")), lit(".com"))
-          .as("sdom"),
-        concat(coalesce(col("lang"), lit("und")), lit(".org"))
-          .as("ldom"))
-      val edges = d.select(col("sdom").as("src"), col("ldom").as("dst"))
-        .unionByName(d.filter(col("doc_id") % 2 === 0)
-          .select(col("ldom").as("src"),
-            lit("hub.example.net").as("dst")))
-        .unionByName(d.filter(col("doc_id") % 5 === 0)
-          .select(lit("hub.example.net").as("src"),
-            col("sdom").as("dst")))
-      graft.ops.Graph.pageRankScaled(edges, "src", "dst", 5)
+    "link_pagerank" -> ((s, dir) =>
+      graft.ops.Graph.pageRankScaled(
+        linkGraphEdges(s, dir, lit(true)), "src", "dst", 5)
+        .orderBy("node")),
+
+    // warm-start PageRank — the daily-crawl shape: yesterday's graph
+    // (docs with doc_id % 3 <> 0) ranked fresh for 3 iterations, then
+    // today's FULL graph re-ranked for 2 more seeded with those ranks
+    // (new nodes get the uniform seed). Same scaled-Long exactness;
+    // oracle unrolls both snapshots in one WITH block.
+    "link_pagerank_incremental" -> ((s, dir) => {
+      val prior = graft.ops.Graph.pageRankScaled(
+        linkGraphEdges(s, dir, col("doc_id") % 3 =!= 0),
+        "src", "dst", 3)
+      graft.ops.Graph.pageRankScaledResume(
+        linkGraphEdges(s, dir, lit(true)), "src", "dst", prior, 2)
         .orderBy("node")
     }),
 
@@ -2685,6 +2741,7 @@ object LlmQueries {
          ORDER BY doc_id, link_idx"""
     },
     "link_pagerank" -> pagerankOracleSql(5),
+    "link_pagerank_incremental" -> pagerankIncrementalOracleSql(3, 2),
     "robots_filter" ->
       """WITH d AS (SELECT doc_id, coalesce(source, 'unk') AS src0
              FROM documents),

@@ -37,7 +37,29 @@ object Graph {
     * a null endpoint are dropped before anything else (a null node is
     * a parse failure upstream, not a vertex). */
   def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
-                     iterations: Int): DataFrame = {
+                     iterations: Int): DataFrame =
+    pageRankRun(edges, srcCol, dstCol, iterations, prior = None)
+
+  /** Warm-start PageRank — the daily-crawl shape, completing the
+    * incremental family (dedupAgainstIndex, ANN incremental probe):
+    * re-rank a GROWN edge set seeding each node with yesterday's rank
+    * (`prior`: node, rank_s) where it existed and the uniform
+    * Scale div N seed where it is new. The seed does not change the
+    * fixed point (the stationary distribution depends only on the
+    * graph); it starts the power iteration closer, so the same
+    * iteration budget lands nearer convergence — on an UNCHANGED
+    * graph, resume(fresh(k), m) is bit-identical to fresh(k+m)
+    * (GraphSpec pins it). Prior ranks for nodes no longer in the
+    * graph are ignored; arithmetic and scale shape are exactly
+    * [[pageRankScaled]]'s. */
+  def pageRankScaledResume(edges: DataFrame, srcCol: String,
+                           dstCol: String, prior: DataFrame,
+                           iterations: Int): DataFrame =
+    pageRankRun(edges, srcCol, dstCol, iterations, Some(prior))
+
+  private def pageRankRun(edges: DataFrame, srcCol: String,
+                          dstCol: String, iterations: Int,
+                          prior: Option[DataFrame]): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     val e = graft.core.Tables.staged(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -53,8 +75,15 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pageRankScaled: empty graph")
     val base = (Scale * 15L) / (100L * n)
-    var ranks = graft.core.Tables.staged(
-      nodes.withColumn("rank_s", lit(Scale / n)), "pagerank_r0")
+    val seed = prior match {
+      case None => nodes.withColumn("rank_s", lit(Scale / n))
+      case Some(p) => nodes
+        .join(p.select(col("node"), col("rank_s").as("__prior")),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__prior"), lit(Scale / n)).as("rank_s"))
+    }
+    var ranks = graft.core.Tables.staged(seed, "pagerank_r0")
     for (i <- 1 to iterations) {
       // dangling mass this round: one scalar Long agg (order-free sum)
       val dang: Long = ranks.join(dangling, Seq("node"), "left_semi")

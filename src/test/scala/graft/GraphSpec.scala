@@ -77,6 +77,31 @@ class GraphSpec extends AnyFunSuite {
     assert(leaves.map(r).distinct.size == 1)
   }
 
+  test("pageRankScaledResume: on an unchanged graph, warm-starting " +
+       "from fresh(k) for m rounds is bit-identical to fresh(k+m); " +
+       "new nodes seed uniform") {
+    val leaves = (1 to 9).map(i => s"leaf$i")
+    val edges = (leaves.map(_ -> "hub") ++ leaves.map("hub" -> _) :+
+      ("hub" -> "sink")).toDF("src", "dst")
+    val fresh3 = Graph.pageRankScaled(edges, "src", "dst", 3)
+    val resumed = Graph.pageRankScaledResume(edges, "src", "dst",
+      fresh3, 2).as[(String, Long)].collect().toMap
+    val fresh5 = Graph.pageRankScaled(edges, "src", "dst", 5)
+      .as[(String, Long)].collect().toMap
+    assert(resumed == fresh5)
+    // grown graph: a node absent from the prior gets Scale div N —
+    // one iteration on a 2-node cycle seeded (A -> prior 7, B -> new):
+    // N=2, base = 15S div 200; B's seed = S div 2 contributes to A,
+    // A's prior 7 contributes to B, no dangling nodes
+    val two = Seq(("A", "B"), ("B", "A")).toDF("src", "dst")
+    val prior = Seq(("A", 7L)).toDF("node", "rank_s")
+    val r = Graph.pageRankScaledResume(two, "src", "dst", prior, 1)
+      .as[(String, Long)].collect().toMap
+    val base = Graph.Scale * 15L / 200L
+    assert(r("A") == base + 85L * (Graph.Scale / 2L) / 100L)
+    assert(r("B") == base + 85L * 7L / 100L)
+  }
+
   test("extractLinks: attribute order, uppercase tags, and the " +
        "no-href trap") {
     import graft.llm.HtmlText
