@@ -42,8 +42,9 @@ object Formats {
     * decode is per-row CPU, no exchange. Rerun-safe: the target dir
     * is deleted before write (saveAsSequenceFile has no overwrite
     * mode). */
-  def writeSequenceFile(df: DataFrame, keyCol: String,
-                        path: String): Unit = {
+  def writeSequenceFile(df: DataFrame, keyCol: String, path: String,
+      codec: Option[Class[_ <: org.apache.hadoop.io.compress
+        .CompressionCodec]] = None): Unit = {
     import org.apache.spark.sql.functions.{col, struct, to_json}
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(
@@ -53,7 +54,7 @@ object Formats {
     df.select(col(keyCol).cast("long").as("__k"),
         to_json(struct(payload.map(col): _*)).as("__v"))
       .rdd.map(r => (r.getLong(0), r.getString(1)))
-      .saveAsSequenceFile(path)
+      .saveAsSequenceFile(path, codec)
   }
 
   /** Read back a [[writeSequenceFile]] dir: `keyName` gets the

@@ -87,15 +87,46 @@ object SkewOpsProbe {
       // in-edge aggregation is the scale hazard
       val nodeOf = (c: org.apache.spark.sql.Column) =>
         concat(lit("d"), pmod(c, lit(100000L)).cast("string"))
-      val edges = d.select(nodeOf($"doc_id").as("src"),
-          nodeOf($"doc_id" * 7919L + 13L).as("dst"))
-        .unionByName(d.filter(pmod($"doc_id", lit(10)) === 0)
-          .select(nodeOf($"doc_id").as("src"), lit("hub").as("dst")))
+      def edgesOf(dd: org.apache.spark.sql.DataFrame) =
+        dd.select(nodeOf($"doc_id").as("src"),
+            nodeOf($"doc_id" * 7919L + 13L).as("dst"))
+          .unionByName(dd.filter(pmod($"doc_id", lit(10)) === 0)
+            .select(nodeOf($"doc_id").as("src"), lit("hub").as("dst")))
+      val edges = edgesOf(d)
       val tP = time {
         val pr = graft.ops.Graph.pageRankScaled(edges, "src", "dst", 5)
         assert(pr.count() > 0)
       }
       println(f"PAGERANK mult=$mult rows=$rows iters=5 t=$tP%.2f s")
+
+      // ---- warm-start convergence: with the SAME 3-iteration budget,
+      // how much closer to a 15-iteration truth does seeding from
+      // yesterday's ranks land vs a cold start? Yesterday = today
+      // minus the ~1% of docs with doc_id % 97 == 0 (the daily-crawl
+      // delta: node set ~unchanged, hub skew intact). NOTE a 10%
+      // EDGE-drop variant was tried first and warm start LOST — that
+      // perturbation doubles surviving out-edge contributions
+      // everywhere, so the prior was farther from truth than uniform;
+      // warm start pays off when the graph delta is small relative to
+      // the rank spread, which is the incremental-crawl regime.
+      if (mult == 64) {
+        def l1(a: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame): Long =
+          a.select($"node", $"rank_s".as("ra"))
+            .join(b.select($"node", $"rank_s".as("rb")), Seq("node"),
+              "full")
+            .agg(sum(abs(coalesce($"ra", lit(0L)) -
+              coalesce($"rb", lit(0L))))).head().getLong(0)
+        val truth = graft.ops.Graph.pageRankScaled(edges, "src", "dst", 15)
+        val v1 = edgesOf(d.filter(pmod($"doc_id", lit(97)) =!= 0))
+        val prior = graft.ops.Graph.pageRankScaled(v1, "src", "dst", 10)
+        val cold3 = graft.ops.Graph.pageRankScaled(edges, "src", "dst", 3)
+        val warm3 = graft.ops.Graph.pageRankScaledResume(
+          edges, "src", "dst", prior, 3)
+        println(s"PAGERANK_WARMSTART l1_cold3=${l1(cold3, truth)} " +
+          s"l1_warm3=${l1(warm3, truth)} (scaled units vs 15-iter " +
+          "truth; total mass = 10^12)")
+      }
     }
     spark.stop()
   }
