@@ -85,11 +85,15 @@ object Graph {
     }
     var ranks = graft.core.Tables.staged(seed, "pagerank_r0")
     for (i <- 1 to iterations) {
-      // dangling mass this round: one scalar Long agg (order-free sum)
-      val dang: Long = ranks.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank_s")), lit(0L))).as[Long](
-          org.apache.spark.sql.Encoders.scalaLong).head()
-      val share = dang / n
+      // dangling share this round: a 1-row aggregate CROSS-JOINED
+      // (broadcast) into the update instead of collected to the
+      // driver — keeps each iteration at ONE job (the staged write)
+      // instead of a scalar-fetch action + the write; at crawl-graph
+      // iteration counts the saved job-launch latency is the
+      // difference between 2N and N scheduler round-trips
+      val shareDf = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(expr(s"coalesce(sum(rank_s), 0L) div ${n}L")
+          .as("__share"))
       val contrib = e
         .join(ranks, col("src") === ranks("node"))
         .join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
@@ -98,9 +102,10 @@ object Graph {
       val inSum = contrib.groupBy("node").agg(sum(col("c")).as("in_s"))
       ranks = graft.core.Tables.staged(
         nodes.join(inSum, Seq("node"), "left")
+          .crossJoin(broadcast(shareDf))
           .select(col("node"),
             (lit(base) +
-              expr(s"(85 * (coalesce(in_s, 0L) + ${share}L)) div 100"))
+              expr("(85 * (coalesce(in_s, 0L) + __share)) div 100"))
               .as("rank_s")),
         s"pagerank_r$i")
     }
