@@ -471,7 +471,8 @@ object LlmQueries {
           col("sdom").as("dst")))
   }
 
-  private def pagerankGraphCtes(sfx: String, where: String): String =
+  private def pagerankGraphCtes(sfx: String, where: String,
+                                extraArm: String = ""): String =
     s"""e$sfx AS (SELECT DISTINCT src, dst FROM (
            SELECT coalesce(source, 'unk') || '.com' AS src,
                   coalesce(lang, 'und') || '.org' AS dst
@@ -481,7 +482,8 @@ object LlmQueries {
              FROM documents WHERE doc_id % 2 = 0 AND ($where)
            UNION ALL
            SELECT 'hub.example.net', coalesce(source, 'unk') || '.com'
-             FROM documents WHERE doc_id % 5 = 0 AND ($where))),
+             FROM documents WHERE doc_id % 5 = 0 AND ($where)
+           $extraArm)),
          nodes$sfx AS (SELECT DISTINCT node FROM (
            SELECT src AS node FROM e$sfx
            UNION ALL SELECT dst FROM e$sfx)),
@@ -534,6 +536,27 @@ object LlmQueries {
          ${pagerankFreshSeed("1")},
          ${pagerankIterCtes("1", v1Iters)},
          ${pagerankGraphCtes("", "TRUE")},
+         r_0 AS (SELECT nodes.node,
+             CAST(coalesce(p.rank_s, 1000000000000 // nn.n) AS BIGINT)
+               AS rank_s
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN r1_$v1Iters p ON p.node = nodes.node),
+         ${pagerankIterCtes("", v2Iters)}
+         SELECT node, rank_s FROM r_$v2Iters ORDER BY node"""
+
+  /** Streaming-ingest twin of [[pagerankIncrementalOracleSql]]: the v2
+    * snapshot carries the sentinel edge the streaming fixture plants
+    * so the version guard always sees the graph grow (one row iff
+    * documents is nonempty, matching the query's empty guard). */
+  private def pagerankStreamingOracleSql(v1Iters: Int,
+                                         v2Iters: Int): String =
+    s"""WITH ${pagerankGraphCtes("1", "doc_id % 3 <> 0")},
+         ${pagerankFreshSeed("1")},
+         ${pagerankIterCtes("1", v1Iters)},
+         ${pagerankGraphCtes("", "TRUE",
+           """UNION ALL
+              SELECT DISTINCT 'newdomain.test', 'hub.example.net'
+                FROM documents""")},
          r_0 AS (SELECT nodes.node,
              CAST(coalesce(p.rank_s, 1000000000000 // nn.n) AS BIGINT)
                AS rank_s
@@ -1719,6 +1742,50 @@ object LlmQueries {
         .orderBy("node")
     }),
 
+    // the same two crawl snapshots as a STREAM
+    // (StreamOps.continuousPageRankIngest): wave 1 = yesterday's
+    // edges (fresh 3 iters at version |E1|), wave 2 = the FULL edge
+    // set — a redelivery of every wave-1 edge (the (src,dst)
+    // anti-join suppresses them) plus a sentinel edge from a brand-new
+    // domain (seeds uniform through the resume's new-node path). The
+    // sentinel guarantees the graph GROWS at wave 2: the doc_id%3
+    // delta alone adds no new distinct domain edge at some scales
+    // (measured at sf0.1: |E1| = |E2| = 109), and an unchanged
+    // version correctly SKIPS the re-rank — right for production,
+    // wrong for a fixture that must exercise the warm start.
+    "streaming_pagerank_ingest" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val base = graft.core.Tables.tmpDir + "/stream_pagerank_q"
+      StreamOps.deletePath(s, base)
+      val e2 = linkGraphEdges(s, dir, lit(true))
+      val empty = e2.select(col("src").as("node"), lit(0L).as("rank_s"))
+        .limit(0)
+      // an empty documents table yields zero edges: no batch fires,
+      // the rank table is never created — the correct result is an
+      // empty frame (the oracle agrees: no rows survive its CTEs)
+      if (e2.isEmpty) empty else {
+        val e1 = linkGraphEdges(s, dir, col("doc_id") % 3 =!= 0)
+        e1.coalesce(4).write.parquet(s"$base/in1")
+        e2.unionByName(s.range(1)
+            .select(lit("newdomain.test").as("src"),
+              lit("hub.example.net").as("dst")))
+          .coalesce(4).write.parquet(s"$base/in2")
+        val schema = s.read.parquet(s"$base/in1").schema
+        StreamOps.continuousPageRankIngest(
+          StreamOps.readTableStream(s, s"$base/in1", schema),
+          "src", "dst", s"$base/edges", s"$base/ranks",
+          freshIters = 3, resumeIters = 2)
+        StreamOps.continuousPageRankIngest(
+          StreamOps.readTableStream(s, s"$base/in2", schema),
+          "src", "dst", s"$base/edges", s"$base/ranks",
+          freshIters = 3, resumeIters = 2)
+        val ranks = s.read.parquet(s"$base/ranks")
+        val latest = ranks.agg(max("graph_version")).first().getLong(0)
+        ranks.filter(col("graph_version") === latest)
+          .select("node", "rank_s").orderBy("node")
+      }
+    }),
+
     // continuous crawl ingest: wave 1 of segments lands and drains;
     // wave 2 (new docs) plus a RE-CRAWL of wave 1's head land and
     // drain incrementally off the same checkpoint — the re-crawled
@@ -2742,6 +2809,7 @@ object LlmQueries {
     },
     "link_pagerank" -> pagerankOracleSql(5),
     "link_pagerank_incremental" -> pagerankIncrementalOracleSql(3, 2),
+    "streaming_pagerank_ingest" -> pagerankStreamingOracleSql(3, 2),
     "robots_filter" ->
       """WITH d AS (SELECT doc_id, coalesce(source, 'unk') AS src0
              FROM documents),

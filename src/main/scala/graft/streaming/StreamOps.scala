@@ -246,6 +246,74 @@ object StreamOps {
     q
   }
 
+  /** Continuous link-graph ingest with warm-started re-ranking — the
+    * incremental crawl loop ([[graft.ops.Graph.pageRankScaledResume]])
+    * as a stream. Each micro-batch's edges are appended to the
+    * standing edge table ((src, dst) anti-joined, so an at-least-once
+    * redelivery adds nothing), then the WHOLE accumulated graph is
+    * re-ranked and the ranks appended under a graph VERSION = the
+    * standing edge count. The first version ranks fresh for
+    * `freshIters`; every later version warm-starts from the latest
+    * prior version's ranks for `resumeIters` — the daily-crawl shape
+    * where 2-3 warm iterations recover convergence (SkewOpsProbe:
+    * a 1% graph delta warm-started lands ~13,700× closer to truth
+    * than a cold start at the same budget).
+    *
+    * Replay safety without overwrites: the version is a deterministic
+    * function of the edge-table state, and ranks for a version already
+    * present are never recomputed — a crash between the edge append
+    * and the rank write re-derives the SAME version from the SAME
+    * prior on replay; a batch carrying only known edges (pure
+    * redelivery) leaves the version unchanged and writes nothing. The
+    * rank table keeps one row-set per version (rank history — the
+    * latest version is the current ranking). Single-writer contract
+    * as [[guardedAppend]]. */
+  def continuousPageRankIngest(edges: DataFrame, srcCol: String,
+      dstCol: String, edgesPath: String, ranksPath: String,
+      freshIters: Int = 5, resumeIters: Int = 2): StreamingQuery = {
+    val q = edges.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.core.Tables.stagedScope {
+          val s = batch.sparkSession
+          val clean = batch
+            .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+            .na.drop().distinct()
+          val novel =
+            if (pathExists(s, edgesPath))
+              clean.join(s.read.parquet(edgesPath),
+                Seq("src", "dst"), "left_anti")
+            else clean
+          novel.write.mode("append").parquet(edgesPath)
+          val all = s.read.parquet(edgesPath)
+          // rows are distinct by construction (per-batch distinct +
+          // the anti-join), so count() IS the distinct-edge version
+          val version = all.count()
+          val standing =
+            if (pathExists(s, ranksPath)) Some(s.read.parquet(ranksPath))
+            else None
+          val latestV = standing.map(
+            _.agg(max(col("graph_version"))).first().getLong(0))
+          if (version > 0 && !latestV.contains(version)) {
+            val ranks = standing match {
+              case Some(r) => graft.ops.Graph.pageRankScaledResume(
+                all, "src", "dst",
+                r.filter(col("graph_version") === latestV.get)
+                  .select(col("node"), col("rank_s")),
+                resumeIters)
+              case None => graft.ops.Graph.pageRankScaled(
+                all, "src", "dst", freshIters)
+            }
+            ranks.withColumn("graph_version", lit(version))
+              .write.mode("append").parquet(ranksPath)
+          }
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Continuous embedding ingest with semantic-dedup suppression — the
     * embedding twin of [[continuousDedupIngest]]: within-batch keep-min
     * semantic dedup ([[graft.llm.Dedup.semanticDedup]]), then a

@@ -183,6 +183,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).select("id").distinct().count() == 4)
   }
 
+  test("continuousPageRankIngest: version-guarded re-rank — growth " +
+       "warm-starts, pure redelivery neither re-ranks nor duplicates") {
+    val base = TestSpark.tmpPath("cpri").toString
+    val in = s"$base/in"; val ep = s"$base/edges"; val rp = s"$base/ranks"
+    // wave 1: a 3-node cycle — fresh ranks at version 3
+    Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+      .write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def drive(): Unit = StreamOps.continuousPageRankIngest(
+      StreamOps.readTableStream(spark, in, schema),
+      "src", "dst", ep, rp, freshIters = 2, resumeIters = 1)
+    drive()
+    val v1 = spark.read.parquet(rp)
+    assert(v1.agg(max("graph_version")).head().getLong(0) == 3L)
+    assert(v1.count() == 3)
+    // wave 2: redeliver wave 1 (no checkpoint → full replay) plus one
+    // new edge into a NEW node — version 4, warm-started, d seeded
+    // uniform; the warm-started result must equal resuming by hand
+    Seq(("a", "d")).toDF("src", "dst").write.mode("append").parquet(in)
+    drive()
+    val r = spark.read.parquet(rp)
+    assert(r.agg(max("graph_version")).head().getLong(0) == 4L)
+    val latest = r.filter($"graph_version" === 4L)
+      .select("node", "rank_s").as[(String, Long)].collect().toMap
+    val byHand = graft.ops.Graph.pageRankScaledResume(
+      Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"))
+        .toDF("src", "dst"), "src", "dst",
+      v1.select("node", "rank_s"), 1)
+      .as[(String, Long)].collect().toMap
+    assert(latest == byHand)
+    // wave 3: pure redelivery, no growth — version stays 4, the rank
+    // table is NOT extended (no re-rank from own output: idempotent)
+    val before = spark.read.parquet(rp).count()
+    drive()
+    assert(spark.read.parquet(rp).count() == before)
+    assert(spark.read.parquet(ep).count() == 4)
+  }
+
   test("continuousDedupIngest replay heals auxiliary tables from corpus " +
        "membership (crash between index and shingle appends)") {
     import graft.llm.Dedup
