@@ -544,6 +544,47 @@ object LlmQueries {
          ${pagerankIterCtes("", v2Iters)}
          SELECT node, rank_s FROM r_$v2Iters ORDER BY node"""
 
+  /** Personalized-PageRank oracle (Graph.personalizedPageRankScaled
+    * twin): seeds = the source-domain nodes; the 15% teleport and the
+    * dangling mass both return to seeds uniformly; r0 = Scale div |S|
+    * on seeds, 0 elsewhere. Same all-BIGINT exactness. */
+  private def pprOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""pd_$i AS (SELECT CAST(coalesce(sum(r.rank_s), 0) AS BIGINT)
+             AS dang
+           FROM pr_${i - 1} r
+           WHERE NOT EXISTS (SELECT 1 FROM od o WHERE o.src = r.node)),
+         pr_$i AS (SELECT nodes.node,
+           CAST(CASE WHEN sd.node IS NOT NULL THEN mm.base ELSE 0 END +
+               (85 * (coalesce(ii_$i.in_s, 0) +
+                  CASE WHEN sd.node IS NOT NULL
+                       THEN pd_$i.dang // mm.m ELSE 0 END)) // 100
+             AS BIGINT) AS rank_s
+         FROM nodes CROSS JOIN mm CROSS JOIN pd_$i
+         LEFT JOIN seeds sd ON sd.node = nodes.node
+         LEFT JOIN (SELECT e2.dst AS node,
+               CAST(sum(r.rank_s // od.outdeg) AS BIGINT) AS in_s
+             FROM e e2 JOIN pr_${i - 1} r ON r.node = e2.src
+             JOIN od ON od.src = e2.src
+             GROUP BY e2.dst) ii_$i ON ii_$i.node = nodes.node)"""
+    }.mkString(",\n         ")
+    s"""WITH ${pagerankGraphCtes("", "TRUE")},
+         seeds AS (SELECT node FROM nodes WHERE node IN (
+           SELECT coalesce(source, 'unk') || '.com' FROM documents)),
+         mm AS (SELECT count(*) AS m,
+             CAST((1000000000000 * 15) // (100 * count(*)) AS BIGINT)
+               AS base
+           FROM seeds),
+         pr_0 AS (SELECT nodes.node,
+             CAST(CASE WHEN sd.node IS NOT NULL
+                  THEN 1000000000000 // mm.m ELSE 0 END AS BIGINT)
+               AS rank_s
+           FROM nodes CROSS JOIN mm
+           LEFT JOIN seeds sd ON sd.node = nodes.node),
+         $iterCtes
+         SELECT node, rank_s FROM pr_$iters ORDER BY node"""
+  }
+
   /** Streaming-ingest twin of [[pagerankIncrementalOracleSql]]: the v2
     * snapshot carries the sentinel edge the streaming fixture plants
     * so the version guard always sees the graph grow (one row iff
@@ -1733,6 +1774,19 @@ object LlmQueries {
     // today's FULL graph re-ranked for 2 more seeded with those ranks
     // (new nodes get the uniform seed). Same scaled-Long exactness;
     // oracle unrolls both snapshots in one WITH block.
+    // personalized (topic-sensitive) PageRank: teleport + dangling
+    // mass return to the SEED set (the source domains — the curated
+    // "trusted domain" shape) instead of all nodes; a domain's rank
+    // reads as reachability from trust. Same scaled-Long exactness.
+    "link_pagerank_personalized" -> ((s, dir) => {
+      val seeds = t(s, dir, "documents")
+        .select(concat(coalesce(col("source"), lit("unk")),
+          lit(".com")).as("node"))
+      graft.ops.Graph.personalizedPageRankScaled(
+        linkGraphEdges(s, dir, lit(true)), "src", "dst", seeds, 5)
+        .orderBy("node")
+    }),
+
     "link_pagerank_incremental" -> ((s, dir) => {
       val prior = graft.ops.Graph.pageRankScaled(
         linkGraphEdges(s, dir, col("doc_id") % 3 =!= 0),
@@ -2809,6 +2863,7 @@ object LlmQueries {
     },
     "link_pagerank" -> pagerankOracleSql(5),
     "link_pagerank_incremental" -> pagerankIncrementalOracleSql(3, 2),
+    "link_pagerank_personalized" -> pprOracleSql(5),
     "streaming_pagerank_ingest" -> pagerankStreamingOracleSql(3, 2),
     "robots_filter" ->
       """WITH d AS (SELECT doc_id, coalesce(source, 'unk') AS src0

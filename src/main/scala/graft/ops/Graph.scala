@@ -57,6 +57,74 @@ object Graph {
                            iterations: Int): DataFrame =
     pageRankRun(edges, srcCol, dstCol, iterations, Some(prior))
 
+  /** Personalized (topic-sensitive) PageRank in the same scaled-Long
+    * exact arithmetic: the 15% teleport mass and the dangling mass
+    * both return to the SEED set uniformly instead of to all nodes —
+    * rank'(v) = [v∈S]·(15·Scale) div (100·|S|)
+    *          + (85·(Σ_in(rank div outdeg)
+    *                 + [v∈S]·(dang div |S|))) div 100,
+    * r0 = Scale div |S| on seeds, 0 elsewhere. This is the standard
+    * trust/quality-propagation shape for a crawl corpus: seed with
+    * curated domains, read each domain's rank as how reachable it is
+    * from trust. Seeds outside the graph are ignored; at least one
+    * seed must be a graph node. Scale shape identical to
+    * [[pageRankScaled]] (the seed set stages once next to the
+    * dangling set; the per-iteration dangling aggregate rides the
+    * same broadcast fusion). */
+  def personalizedPageRankScaled(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val e = graft.core.Tables.staged(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .na.drop().distinct(), "ppr_edges")
+    val nodes = graft.core.Tables.staged(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct(),
+      "ppr_nodes")
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val dangling = graft.core.Tables.staged(
+      nodes.join(outDeg, Seq("node"), "left_anti"), "ppr_dangling")
+    val seedSet = graft.core.Tables.staged(
+      nodes.join(
+        seeds.select(col(seeds.columns.head).as("node"))
+          .na.drop().distinct(),
+        Seq("node"), "left_semi"), "ppr_seeds")
+    val m = seedSet.count()
+    require(m > 0,
+      "personalizedPageRankScaled: no seed is a graph node")
+    val baseS = (Scale * 15L) / (100L * m)
+    val seedFlag = seedSet.withColumn("__s", lit(1))
+    var ranks = graft.core.Tables.staged(
+      nodes.join(seedFlag, Seq("node"), "left")
+        .select(col("node"),
+          when(col("__s") === 1, lit(Scale / m)).otherwise(lit(0L))
+            .as("rank_s")),
+      "ppr_r0")
+    for (i <- 1 to iterations) {
+      val shareDf = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(expr(s"coalesce(sum(rank_s), 0L) div ${m}L")
+          .as("__share"))
+      val contrib = e
+        .join(ranks, col("src") === ranks("node"))
+        .join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank_s div outdeg").as("c"))
+      val inSum = contrib.groupBy("node").agg(sum(col("c")).as("in_s"))
+      ranks = graft.core.Tables.staged(
+        nodes.join(inSum, Seq("node"), "left")
+          .join(seedFlag, Seq("node"), "left")
+          .crossJoin(broadcast(shareDf))
+          .select(col("node"),
+            (when(col("__s") === 1, lit(baseS)).otherwise(lit(0L)) +
+              expr("(85 * (coalesce(in_s, 0L) + " +
+                "CASE WHEN __s = 1 THEN __share ELSE 0L END)) div 100"))
+              .as("rank_s")),
+        s"ppr_r$i")
+    }
+    ranks
+  }
+
   private def pageRankRun(edges: DataFrame, srcCol: String,
                           dstCol: String, iterations: Int,
                           prior: Option[DataFrame]): DataFrame = {

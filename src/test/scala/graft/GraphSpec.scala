@@ -102,6 +102,41 @@ class GraphSpec extends AnyFunSuite {
     assert(r("B") == base + 85L * 7L / 100L)
   }
 
+  test("personalizedPageRankScaled: teleport and dangling mass return " +
+       "to seeds; one iteration matches the hand computation") {
+    // A→B, B→C; seed = {A}. C is dangling. r0: A = S, B = C = 0.
+    // iter 1: dang = r0(C) = 0; in(B) = S (A outdeg 1), in(C) = 0;
+    //   A = base + 0, B = 85·S div 100, C = 0
+    val edges = Seq(("A", "B"), ("B", "C")).toDF("src", "dst")
+    val seeds = Seq("A", "ghost-not-in-graph").toDF("node")
+    val r1 = graft.ops.Graph.personalizedPageRankScaled(
+      edges, "src", "dst", seeds, 1)
+      .as[(String, Long)].collect().toMap
+    val base = Graph.Scale * 15L / 100L // |S ∩ nodes| = 1
+    assert(r1("A") == base)
+    assert(r1("B") == 85L * Graph.Scale / 100L)
+    assert(r1("C") == 0L)
+    // iter 2: dang = r1(C) = 0... run 2 iters: in(B) = r1(A) = base,
+    // in(C) = r1(B); dang of r1 is C = 0
+    val r2 = graft.ops.Graph.personalizedPageRankScaled(
+      edges, "src", "dst", seeds, 2)
+      .as[(String, Long)].collect().toMap
+    assert(r2("A") == base)
+    assert(r2("B") == 85L * base / 100L)
+    assert(r2("C") == 85L * r1("B") / 100L)
+    // iter 3 exercises the dangling return-to-seed: dang = r2(C) > 0
+    // lands ONLY on A
+    val r3 = graft.ops.Graph.personalizedPageRankScaled(
+      edges, "src", "dst", seeds, 3)
+      .as[(String, Long)].collect().toMap
+    assert(r3("A") == base + 85L * r2("C") / 100L)
+    // empty intersection fails loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.personalizedPageRankScaled(
+        edges, "src", "dst", Seq("ghost").toDF("node"), 1)
+    }
+  }
+
   test("extractLinks: attribute order, uppercase tags, and the " +
        "no-href trap") {
     import graft.llm.HtmlText
