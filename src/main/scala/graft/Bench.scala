@@ -58,6 +58,56 @@ object Bench {
       System.gc()
       if (ok) Some(dt) else None
     }
+    // --- host-factor canary ---------------------------------------------
+    // Three rounds of judging (r5/r6, r9/r10, r10/r11) were spent
+    // disproving phantom regressions caused by ±30% whole-host speed
+    // swings between bench sessions. The fix: time a fixed six-query
+    // canary set — stable CPU-bound queries spanning the suite's work
+    // classes (scan+agg, report join/window, tree scalar fns, vector
+    // k-means, binary kernels, two-phase cumsum) — in ISOLATION at the
+    // start and end of the run, and derive
+    //   host_factor = median(canary_median_i / pinned_i)
+    // where pinned_i are medians captured once on the round-12 anchor
+    // host. Every per-query warm median is then also reported as
+    // normalized = warm / host_factor, so round-over-round diffs compare
+    // work, not machine weather. Pinned values are valid ONLY for the
+    // standard sf0.1 bench dir; on any other input the factor is skipped
+    // (null in the artifact) rather than silently wrong.
+    // Anchor medians captured 2026-08-15 (round 12) on the build host at
+    // local[32], sf0.1: per-query mean of the start/end canary samples of
+    // a canary-only run (SPARK_GRAFT_ONLY=__none__). Do NOT re-pin unless
+    // a canary query's plan changes — the whole point is a fixed
+    // reference across rounds.
+    val canaryPinned: Seq[(String, Double)] = Seq(
+      "q1_agg" -> 1.355,
+      "report_cooler_period_trend" -> 1.645,
+      "trgx_tree_ops" -> 1.245,
+      "semantic_dedup_kmeans" -> 1.192,
+      "multimodal_audio" -> 1.326,
+      "corpus_token_budget" -> 0.429
+    )
+    val canaryEnabled = sfDir.replaceAll("/+$", "").endsWith("sf0.1") &&
+      !sys.env.contains("SPARK_GRAFT_NO_CANARY")
+    def canaryRun(tag: String): Seq[(String, Double)] =
+      if (!canaryEnabled) Seq.empty
+      else canaryPinned.flatMap { case (name, _) =>
+        SparkEntry.queries.get(name).flatMap { fn =>
+          // one untimed warm-up pass (codegen/JIT), then 5 timed passes
+          time(name, fn)
+          val ds = (1 to 5).flatMap(_ => time(name, fn))
+          if (ds.isEmpty) None
+          else {
+            val m = medianOf(ds)
+            System.err.println(f"[bench] canary($tag) $name%-28s $m%6.3f s")
+            Some(name -> m)
+          }
+        }
+      }
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -86,6 +136,7 @@ object Bench {
       if (name.startsWith("streaming_") || noisy(name))
         math.max(warmPasses, 5)
       else warmPasses
+    val canaryStart = canaryRun("start")
     val cold = sorted.flatMap { case (name, fn) =>
       time(name, fn).map { dt =>
         System.err.println(f"[bench] cold $name%-28s $dt%8.2f s")
@@ -106,12 +157,19 @@ object Bench {
         // (it is already recorded in `failed`)
         if (ds.size == passes) Some(name -> ds) else None
       }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    // second canary sample AFTER the suite: the host can drift over the
+    // ~45-min run, so the factor is the median over BOTH samples' ratios
+    val canaryEnd = canaryRun("end")
+    val pinnedMap = canaryPinned.toMap
+    val canaryRatios = (canaryStart ++ canaryEnd)
+      .flatMap { case (n, m) => pinnedMap.get(n).map(m / _) }
+    val hostFactor: Option[Double] =
+      if (canaryRatios.size >= canaryPinned.size) Some(medianOf(canaryRatios))
+      else None
+    hostFactor.foreach { f =>
+      System.err.println(f"[bench] host_factor $f%.3f (1.0 = r12 anchor host; >1 = slower host)")
     }
-    val warm = warmRuns.map { case (n, ds) => n -> median(ds) }
+    val warm = warmRuns.map { case (n, ds) => n -> medianOf(ds) }
     val warmMin = warmRuns.map { case (n, ds) => n -> ds.min }
     // per-query noise indicator: max/min over the warm passes. r5 vs r6
     // moved 37% in total warm on byte-identical code, so the artifact
@@ -144,11 +202,17 @@ object Bench {
     val coldOk = cold.filter { case (n, _) => !failed.contains(n) }
     val total = coldOk.map(_._2).sum
     val totalWarm = warm.map(_._2).sum
+    val hfJson = hostFactor.map(_.toString).getOrElse("null")
+    val warmNormalized = hostFactor
+      .map(f => warm.map { case (n, v) => n -> v / f })
+      .getOrElse(Seq.empty)
+    val totalWarmNormJson = hostFactor
+      .map(f => (totalWarm / f).toString).getOrElse("null")
     val failedJson = failed
       .map { case (k, v) =>
         s"${graft.core.Json.quote(k)}:${graft.core.Json.quote(v)}" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(coldOk)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"warm_spread":${js(warmSpread)},"failed":$failedJson,"total_warm":$totalWarm,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(coldOk)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"warm_spread":${js(warmSpread)},"failed":$failedJson,"total_warm":$totalWarm,"host_factor":$hfJson,"canary_start":${js(canaryStart)},"canary_end":${js(canaryEnd)},"canary_pinned":${js(canaryPinned)},"total_warm_normalized":$totalWarmNormJson,"queries_warm_normalized":${js(warmNormalized)},"sf":"$sfDir"}"""
     if (failed.nonEmpty)
       System.err.println(
         s"[bench] ${failed.size} queries FAILED (excluded from timings): " +
@@ -179,8 +243,13 @@ object Bench {
     // window even if names grow.
     val slowest = warm.sortBy(-_._2).take(12)
       .map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
+    val hfShort = hostFactor
+      .map(f => math.rint(f * 1000) / 1000).map(_.toString).getOrElse("null")
+    val twnShort = hostFactor
+      .map(f => math.rint(totalWarm / f * 1000) / 1000)
+      .map(_.toString).getOrElse("null")
     val shortLine =
-      s"""{"metric":"total_warm","value":${math.rint(totalWarm * 1000) / 1000},"unit":"sec","queries":${js(slowest)},"queries_n":${warm.size},"queries_truncated_to":${slowest.size},"failed_n":${failed.size},"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total_warm","value":${math.rint(totalWarm * 1000) / 1000},"unit":"sec","host_factor":$hfShort,"total_warm_normalized":$twnShort,"queries":${js(slowest)},"queries_n":${warm.size},"queries_truncated_to":${slowest.size},"failed_n":${failed.size},"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     println(shortLine)
     spark.stop()
   }
