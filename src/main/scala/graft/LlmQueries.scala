@@ -247,31 +247,36 @@ object LlmQueries {
     * them NULL codes/recon so they can never out-rank a real
     * candidate; divergence would need a query with fewer than
     * `shortlist` valid candidates, which the len-64 corpus contract
-    * excludes. */
-  private def pqOracleSql(m: Int = 16, kCodes: Int = 64,
-                          subDim: Int = 4, iters: Int = 5,
-                          shortlist: Int = 50, k: Int = 10): String = {
+    * excludes. (Doc for [[pqOracleSql]] below.) */
+  /** PQ codebook training + corpus encode + reconstruction as reusable
+    * CTE text over a source relation `$src(id, v)` — shared verbatim by
+    * [[pqOracleSql]] (src = the raw corpus) and [[ivfPqOracleSql]]
+    * (src = the per-cell residuals), so the bit-parity argument is made
+    * once. Emits CTEs ending in `recon(id, rv)`. */
+  private def pqTrainEncodeCtes(src: String, m: Int, kCodes: Int,
+                                subDim: Int, iters: Int,
+                                pfx: String = ""): String = {
     val dims = m * subDim
     val ff = (1 to kCodes - 1).map { c =>
       val bdExpr =
         if (c == 1) l2Sql("s.sv", "c.sv", subDim)
         else s"least(s.bd, ${l2Sql("s.sv", "c.sv", subDim)})"
-      s"""fb$c AS MATERIALIZED (SELECT s.ord, s.mi, s.sv, $bdExpr AS bd
-           FROM ${if (c == 1) "sub" else s"fb${c - 1}"} s
-           JOIN ch$c c USING (mi)),
-       ch${c + 1} AS MATERIALIZED (SELECT mi, sv, bd FROM
+      s"""${pfx}fb$c AS MATERIALIZED (SELECT s.ord, s.mi, s.sv, $bdExpr AS bd
+           FROM ${if (c == 1) s"${pfx}sub" else s"${pfx}fb${c - 1}"} s
+           JOIN ${pfx}ch$c c USING (mi)),
+       ${pfx}ch${c + 1} AS MATERIALIZED (SELECT mi, sv, bd FROM
            (SELECT mi, sv, bd, row_number() OVER (PARTITION BY mi
-              ORDER BY bd DESC, ord ASC) AS rn FROM fb$c)
+              ORDER BY bd DESC, ord ASC) AS rn FROM ${pfx}fb$c)
            WHERE rn = 1)"""
     }.mkString(",\n       ")
     // slot j > 0 pads back to the subspace's first centroid when its
     // selection-time farthest distance was 0 (fewer distinct
     // subvectors than codes — the Scala guard's pad-with-chosen(0))
-    val cents0 = (s"SELECT mi, 0 AS code, sv FROM ch1" +:
+    val cents0 = (s"SELECT mi, 0 AS code, sv FROM ${pfx}ch1" +:
       (1 until kCodes).map(j =>
         s"""SELECT c.mi, $j AS code,
             CASE WHEN c.bd > 0 THEN c.sv ELSE f.sv END AS sv
-            FROM ch${j + 1} c JOIN ch1 f USING (mi)"""))
+            FROM ${pfx}ch${j + 1} c JOIN ${pfx}ch1 f USING (mi)"""))
       .mkString(" UNION ALL ")
     val lloyd = (1 to iters).map { i =>
       val prev = s"pcents${i - 1}"
@@ -280,7 +285,7 @@ object LlmQueries {
               row_number() OVER (PARTITION BY s.mi, s.ord
                 ORDER BY ${l2Sql("s.sv", "ct.sv", subDim)} ASC,
                   ct.code ASC) AS rn
-            FROM sub s JOIN $prev ct USING (mi)) WHERE rn = 1),
+            FROM ${pfx}sub s JOIN $prev ct USING (mi)) WHERE rn = 1),
        pupd$i AS MATERIALIZED (SELECT mi, code, dim,
            list_sum(list(x ORDER BY ord)) AS sm, count(*) AS cnt
            FROM (SELECT mi, code, ord, unnest(sv) AS x,
@@ -294,25 +299,22 @@ object LlmQueries {
            FROM $prev ct LEFT JOIN pnc$i n
              ON ct.mi = n.mi AND ct.code = n.code)"""
     }.mkString(",\n       ")
-    s"""WITH corpus AS MATERIALIZED (
-         SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-         FROM embeddings),
-       mis AS (SELECT unnest(range(0, $m)) AS mi),
-       samp AS MATERIALIZED (SELECT id, v, rn AS ord FROM
+    s"""mis AS (SELECT unnest(range(0, $m)) AS mi),
+       ${pfx}samp AS MATERIALIZED (SELECT id, v, rn AS ord FROM
            (SELECT id, v, row_number() OVER
               (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
-            FROM corpus WHERE v IS NOT NULL AND len(v) > 0)
+            FROM $src WHERE v IS NOT NULL AND len(v) > 0)
            WHERE rn <= 2048),
-       sub AS MATERIALIZED (SELECT s.ord, g.mi,
+       ${pfx}sub AS MATERIALIZED (SELECT s.ord, g.mi,
            s.v[g.mi * $subDim + 1 : g.mi * $subDim + $subDim] AS sv
-           FROM samp s CROSS JOIN mis g),
-       ch1 AS MATERIALIZED (SELECT mi, sv FROM sub WHERE ord = 1),
+           FROM ${pfx}samp s CROSS JOIN mis g),
+       ${pfx}ch1 AS MATERIALIZED (SELECT mi, sv FROM ${pfx}sub WHERE ord = 1),
        $ff,
        pcents0 AS MATERIALIZED ($cents0),
        $lloyd,
        csub AS MATERIALIZED (SELECT cp.id, g.mi,
            cp.v[g.mi * $subDim + 1 : g.mi * $subDim + $subDim] AS sv
-           FROM corpus cp CROSS JOIN mis g
+           FROM $src cp CROSS JOIN mis g
            WHERE cp.v IS NOT NULL AND len(cp.v) = $dims),
        enc AS MATERIALIZED (SELECT id, mi, code FROM
            (SELECT s.id, s.mi, ct.code,
@@ -324,7 +326,16 @@ object LlmQueries {
            flatten(list(ct.sv ORDER BY e.mi)) AS rv
            FROM enc e JOIN pcents$iters ct
              ON e.mi = ct.mi AND e.code = ct.code
-           GROUP BY e.id),
+           GROUP BY e.id)"""
+  }
+
+  private def pqOracleSql(m: Int = 16, kCodes: Int = 64,
+                          subDim: Int = 4, iters: Int = 5,
+                          shortlist: Int = 50, k: Int = 10): String = {
+    s"""WITH corpus AS MATERIALIZED (
+         SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       ${pqTrainEncodeCtes("corpus", m, kCodes, subDim, iters)},
        q AS MATERIALIZED (SELECT vec_id AS query_id,
            CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 5),
@@ -386,6 +397,75 @@ object LlmQueries {
                 ORDER BY cos DESC NULLS LAST, corpus_id ASC) AS rank
              FROM scored)
        WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** Exact oracle for ann_ivfpq — the composed FAISS-IVFPQ shape,
+    * every stage bit-replicated: spherical k-means coarse training
+    * (kmeansCentsCtes), corpus cell assignment by (dot DESC, cell
+    * DESC), per-cell residuals (elementwise IEEE subtract — order-free,
+    * exact in any engine), PQ codebook training + encode + recon ON THE
+    * RESIDUALS (pqTrainEncodeCtes, verbatim the ann_pq machinery over a
+    * different source relation), reconstructed candidates = centroid +
+    * decoded residual, shortlist ranked on reconstructions inside the
+    * query's top-`nProbe` cells, exact cosine re-rank. Null/ragged
+    * vectors never encode (the CASE len-guard twins Spark's
+    * CellCentroidCombine null contract), so they are absent from the
+    * index on both sides. */
+  private def ivfPqOracleSql(nCells: Int = 8, nProbe: Int = 3,
+                             m: Int = 16, kCodes: Int = 64,
+                             subDim: Int = 4, iters: Int = 5,
+                             shortlist: Int = 50, k: Int = 10): String = {
+    val dims = m * subDim
+    s"""WITH corpus AS MATERIALIZED (
+         SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       ${kmeansCentsCtes(nCells, 5)},
+       casg AS MATERIALIZED (SELECT id, v, cell FROM
+           (SELECT cp.id, cp.v, CAST(ct.c AS INT) AS cell,
+              row_number() OVER (PARTITION BY cp.id
+                ORDER BY list_dot_product(cp.v, ct.v) DESC, ct.c DESC)
+                AS rn
+            FROM corpus cp CROSS JOIN cents5 ct) WHERE rn = 1),
+       rcorpus AS MATERIALIZED (SELECT a.id, a.cell,
+           CASE WHEN a.v IS NOT NULL AND len(a.v) = $dims
+             THEN list_transform(range(1, $dims + 1),
+                    i -> a.v[i] - ct.v[i]) END AS v
+           FROM casg a JOIN cents5 ct ON ct.c = a.cell),
+       ${pqTrainEncodeCtes("rcorpus", m, kCodes, subDim, iters, "pq")},
+       rfull AS MATERIALIZED (SELECT r.id, rc.cell,
+           list_transform(range(1, $dims + 1),
+             i -> r.rv[i] + ct.v[i]) AS rv
+           FROM recon r JOIN rcorpus rc ON rc.id = r.id
+           JOIN cents5 ct ON ct.c = rc.cell),
+       q AS MATERIALIZED (SELECT vec_id AS query_id,
+           CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+       qcells AS MATERIALIZED (SELECT query_id, qv, cell FROM
+           (SELECT qq.query_id, qq.qv, CAST(ct.c AS INT) AS cell,
+              row_number() OVER (PARTITION BY qq.query_id
+                ORDER BY list_dot_product(qq.qv, ct.v) DESC, ct.c DESC)
+                AS rn
+            FROM q qq CROSS JOIN cents5 ct) WHERE rn <= $nProbe),
+       sl AS MATERIALIZED (SELECT query_id, corpus_id FROM
+           (SELECT query_id, corpus_id, row_number() OVER
+              (PARTITION BY query_id
+               ORDER BY cos DESC NULLS LAST, corpus_id ASC) AS rn
+            FROM (SELECT qc.query_id, f.id AS corpus_id,
+                ${cosSql("f.rv", "qc.qv")} AS cos
+              FROM rfull f JOIN qcells qc ON qc.cell = f.cell
+              WHERE f.id <> qc.query_id))
+           WHERE rn <= $shortlist),
+       rr AS (SELECT s.query_id, s.corpus_id,
+           ${cosSql("cp.v", "qq.qv")} AS cos
+           FROM sl s JOIN corpus cp ON cp.id = s.corpus_id
+           JOIN q qq ON qq.query_id = s.query_id)
+       SELECT query_id, corpus_id, CAST(rank AS INT) AS rank,
+         round(cos, 4) + 0.0 AS cos
+       FROM (SELECT query_id, corpus_id, cos, row_number() OVER
+               (PARTITION BY query_id
+                ORDER BY cos DESC NULLS LAST, corpus_id ASC) AS rank
+             FROM rr)
+       WHERE rank <= $k ORDER BY query_id, rank"""
+  }
 
   /** DuckDB replica of the deterministic IVF path (same Rademacher
     * centroids — dims fixed at 64 across all SFs —, same (dot DESC,
@@ -1149,6 +1229,21 @@ object LlmQueries {
       // recall-floor summary — codebook training, encode, shortlist
       // and re-rank are all bit-replicated in DuckDB (pqOracleSql)
       Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "embedding",
+          "vec_id", 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // composed IVF-PQ (the FAISS IVFPQ production shape): coarse
+    // k-means cells + PQ codes on WITHIN-CELL residuals + code-domain
+    // shortlist inside the probed cells + exact re-rank. The persisted
+    // artifact is (cell, corpus_id, codes): ~16× smaller than raw
+    // vectors AND probed at nProbe/nCells of it per query — the two
+    // savings the separate ann_ivf_kmeans / ann_pq paths each
+    // demonstrate alone. Every stage bit-replicated in DuckDB
+    // (ivfPqOracleSql; recall-vs-ann_pq numbers in PLANS.md).
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), "embedding",
           "vec_id", 10)
         .orderBy("query_id", "rank")
     }),
@@ -2370,6 +2465,7 @@ object LlmQueries {
          WHERE rank <= 10 ORDER BY query_id, rank""",
     "ann_ivf_kmeans" -> ivfKmeansOracleSql,
     "ann_pq" -> pqOracleSql(),
+    "ann_ivfpq" -> ivfPqOracleSql(),
     "text_sentences" ->
       """WITH s AS (SELECT doc_id,
            list_filter(list_transform(

@@ -98,6 +98,24 @@ object VecKernelUtil {
     new GenericArrayData(out)
   }
 
+  /** vec[i] + sign·cents[cell][i] — the IVF-PQ residual (sign = −1)
+    * and reconstruction (sign = +1) kernel. Caller guarantees cell is
+    * a valid index and lengths match (the expression wrapper nulls
+    * out every other case). Null elements stay null. */
+  def combineWithCentroid(vec: ArrayData, cent: Array[Double],
+                          sign: Double): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (vec.isNullAt(i)) null
+               else java.lang.Double.valueOf(
+                 vec.getDouble(i) + sign * cent(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** The NULL-vector case: every fastDot(NULL, cent) is null, so the
     * ascending struct sort falls through to cell asc; reversed →
     * cells k−1, k−2, … (the HOF array is NON-null for a null vector —
@@ -208,4 +226,70 @@ case class TopCellsByDot(child: Expression, cents: Seq[Seq[Double]],
   }
   override protected def withNewChildInternal(
       newChild: Expression): TopCellsByDot = copy(child = newChild)
+}
+
+/** vec ± cents(cell) elementwise — the IVF-PQ residual (sign = −1,
+  * corpus vector minus its coarse centroid) and reconstruction
+  * (sign = +1, PQ-decoded residual plus the centroid). NULL when the
+  * vector is null, the cell is null/out of range, or the vector's
+  * length differs from the centroid dimensionality (the DotProduct
+  * ragged contract — an invalid row can never produce a plausible
+  * residual). Per-element IEEE add/sub is order-free, so the DuckDB
+  * `list_transform(range(…), i -> v[i] ± cv[i])` replica is bit-exact
+  * by construction. */
+case class CellCentroidCombine(left: Expression, right: Expression,
+                               cents: Seq[Seq[Double]], sign: Double)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(cents.nonEmpty, "need at least one centroid")
+  require(cents.map(_.size).distinct.size == 1,
+    "centroids must share one dimensionality")
+  require(sign == 1.0 || sign == -1.0, s"sign must be ±1, got $sign")
+  private val centArr = cents.map(_.toArray).toArray
+  private val dims = cents.head.size
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cell_centroid_combine"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = left.eval(input)
+    if (v == null) null
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val c = right.eval(input)
+      if (c == null) null
+      else {
+        val cell = c.asInstanceOf[java.lang.Integer].intValue()
+        if (cell < 0 || cell >= centArr.length ||
+            arr.numElements() != dims) null
+        else VecKernelUtil.combineWithCentroid(arr, centArr(cell), sign)
+      }
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("cents", centArr, "double[][]")
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${l.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${l.isNull}) {
+        ${r.code}
+        if (!${r.isNull} && ${r.value} >= 0 &&
+            ${r.value} < ${centArr.length} &&
+            ${l.value}.numElements() == $dims) {
+          ${ev.value} = graft.functions.VecKernelUtil.combineWithCentroid(
+            ${l.value}, $ref[${r.value}], $sign);
+          ${ev.isNull} = false;
+        }
+      }""")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CellCentroidCombine =
+    copy(left = l, right = r)
 }

@@ -563,4 +563,95 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("rank"),
         round(col("cos"), 4).as("cos"))
   }
+
+  /** vec ± cents(cell): the IVF-PQ residual / reconstruction kernel
+    * ([[graft.functions.CellCentroidCombine]] — null for null/ragged
+    * vectors or an invalid cell, so an invalid row can never encode). */
+  def cellCombine(vec: Column, cell: Column, cents: Seq[Seq[Double]],
+                  sign: Double): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CellCentroidCombine(
+        org.apache.spark.sql.GraftBridge.expression(vec),
+        org.apache.spark.sql.GraftBridge.expression(cell), cents, sign))
+
+  /** HOF parity baseline for [[cellCombine]] (QuantKernelSpec): the
+    * centroid literal looked up by cell, zip_with'ed elementwise.
+    * `cell` must be a plain attribute. */
+  private[graft] def cellCombineHof(vec: Column, cell: Column,
+      cents: Seq[Seq[Double]], sign: Double): Column = {
+    val centCol = element_at(typedlit(cents.map(_.toSeq)), cell + 1)
+    when(cell.isNotNull && cell >= 0 && cell < cents.length &&
+         size(vec) === cents.head.size,
+      zip_with(vec, centCol, (x, c) => x + lit(sign) * c))
+  }
+
+  /** Composed IVF-PQ ANN (the FAISS IVFPQ shape; Jégou et al. 2011
+    * §IV): coarse spherical-k-means cells, PQ codebooks trained on
+    * WITHIN-CELL RESIDUALS (vector − its cell centroid — the residual
+    * spectrum is tighter than the raw one, so the same code budget
+    * quantizes finer), candidate shortlist ranked on reconstructed
+    * vectors (centroid + decoded residual) inside the query's `nProbe`
+    * probed cells only, exact cosine re-rank on the shortlist.
+    *
+    * Scale shape — this is the production composition the separate
+    * [[ivfTopKKMeans]] / [[pqTopK]] paths build toward: the persisted
+    * artifact is (cell, corpus_id, codes) — m bytes per vector plus a
+    * cell id — hash-partitioned by cell, so a query batch reads
+    * nProbe/nCells of an index that is itself ~16× smaller than the
+    * raw vectors; raw vectors are touched once, by equi-join, for
+    * shortlist candidates only. Training is driver-side on the bounded
+    * md5-spread sample (cost independent of corpus size). Rows whose
+    * residual can't encode (null/ragged raw vector) are excluded from
+    * the index — they could never rank anyway (null cosine).
+    *
+    * Output: query_id, corpus_id, rank, cos (rounded at 4). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                idCol: String, k: Int, nCells: Int = 8, nProbe: Int = 3,
+                m: Int = 16, kCodes: Int = 64,
+                shortlist: Int = 50): DataFrame = {
+    val cents = kmeansCentroids(corpus, vecCol, idCol, nCells)
+    val asg = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", cellsFor(col("v"), cents, 1).getItem(0))
+      .withColumn("resid", cellCombine(col("v"), col("cell"), cents, -1.0))
+    // PQ trains and encodes on the residuals — same md5-spread sample,
+    // same null/ragged guards as the raw-vector PQ path
+    val residDf = asg.select(col("id"), col("resid").as("v"))
+    val cb = pqCodebooks(residDf, "v", "id", m, kCodes)
+    val index = asg.select("id", "cell")
+      .join(pqEncode(residDf, "v", "id", cb).select("id", "recon"),
+        Seq("id"))
+      .withColumn("rvec",
+        cellCombine(col("recon"), col("cell"), cents, 1.0))
+      .filter(col("rvec").isNotNull)
+      .select(col("cell"), col("id").as("corpus_id"), col("rvec"))
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("cell", explode(cellsFor(col("qvec"), cents, nProbe)))
+    // corpus rows live in exactly one cell, so the probe join cannot
+    // duplicate a candidate pair
+    val short = index.join(broadcast(q), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("rvec"), col("qvec")).as("cos"))
+    val ws = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("corpus_id"))
+    val sl = short.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= shortlist)
+      .select("query_id", "corpus_id")
+    val cand = corpus
+      .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
+      .join(broadcast(sl), Seq("corpus_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"))
+    val scored = cand.join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("cvec"), col("qvec")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
 }

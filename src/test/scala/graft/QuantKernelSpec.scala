@@ -161,6 +161,58 @@ class QuantKernelSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("cellCombine: native == HOF on adversarial (vec, cell) pairs") {
+    val cents = Seq(
+      Seq(1.0, -2.0, 0.5, 0.0),
+      Seq(-0.0, 0.0, 1e300, -1e-300),
+      Seq(Double.MaxValue, 1.0, 2.0, 3.0))
+    val rows = Seq[(Long, Seq[java.lang.Double], java.lang.Integer)](
+      (1L, Seq[java.lang.Double](0.5, -1.0, 0.25, 0.125), 0),
+      (2L, Seq[java.lang.Double](-0.0, 0.0, 0.0, 0.0), 1),  // signed zero
+      (3L, Seq[java.lang.Double](Double.NaN, 1.0, 0.0, 0.0), 2),
+      (4L, Seq[java.lang.Double](1.0, null, 2.0, 0.0), 0),  // null element
+      (5L, Seq[java.lang.Double](1.0, 2.0), 0),             // ragged → null
+      (6L, Seq.empty[java.lang.Double], 1),                 // empty → null
+      (7L, null.asInstanceOf[Seq[java.lang.Double]], 0),    // null vec
+      (8L, Seq[java.lang.Double](1.0, 1.0, 1.0, 1.0), null), // null cell
+      (9L, Seq[java.lang.Double](1.0, 1.0, 1.0, 1.0), 7),   // out of range
+      (10L, Seq[java.lang.Double](1.0, 1.0, 1.0, 1.0), -1), // negative
+      (11L, Seq[java.lang.Double](1e308, 1e308, 0.0, 0.0), 2) // overflow→inf
+    ).toDF("vec_id", "v", "cell")
+    Seq(1.0, -1.0).foreach { sign =>
+      val a = canon(rows.select($"vec_id",
+        Similarity.cellCombine(col("v"), col("cell"), cents, sign).as("r"))
+        .orderBy("vec_id").collect().toSeq)
+      val b = canon(rows.select($"vec_id",
+        Similarity.cellCombineHof(col("v"), col("cell"), cents, sign).as("r"))
+        .orderBy("vec_id").collect().toSeq)
+      assert(a == b, s"cellCombine parity broke at sign=$sign")
+    }
+  }
+
+  test("cellCombine: subtract-then-add round-trips exactly " +
+       "(residual encode/decode identity at zero PQ error)") {
+    val sf = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = Similarity.kmeansCentroids(e, "v", "vec_id", 4)
+    val asg = e.withColumn("cell",
+      Similarity.cellsFor(col("v"), cents, 1).getItem(0))
+    // v − c + c == v is NOT an IEEE identity (cancellation error is
+    // relative to |c|, not |v|); assert the round-trip error is at the
+    // float-noise floor — a WRONG centroid applied on either leg would
+    // show as an O(1) error, which is what this pins
+    val bad = asg
+      .withColumn("r", Similarity.cellCombine(col("v"), col("cell"),
+        cents, -1.0))
+      .withColumn("back", Similarity.cellCombine(col("r"), col("cell"),
+        cents, 1.0))
+      .select(explode(zip_with(col("back"), col("v"),
+        (b, x) => abs(b - x) > 1e-9)).as("bad"))
+      .filter(col("bad")).count()
+    assert(bad == 0)
+  }
+
   test("fuzz: native == HOF on random vectors (seeded)") {
     val rnd = new scala.util.Random(42)
     val vecs = (1L to 200L).map { i =>
