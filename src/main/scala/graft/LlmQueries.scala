@@ -553,7 +553,7 @@ object LlmQueries {
 
   private def pagerankGraphCtes(sfx: String, where: String,
                                 extraArm: String = ""): String =
-    s"""e$sfx AS (SELECT DISTINCT src, dst FROM (
+    s"""e$sfx AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
            SELECT coalesce(source, 'unk') || '.com' AS src,
                   coalesce(lang, 'und') || '.org' AS dst
              FROM documents WHERE $where
@@ -564,29 +564,29 @@ object LlmQueries {
            SELECT 'hub.example.net', coalesce(source, 'unk') || '.com'
              FROM documents WHERE doc_id % 5 = 0 AND ($where)
            $extraArm)),
-         nodes$sfx AS (SELECT DISTINCT node FROM (
+         nodes$sfx AS MATERIALIZED (SELECT DISTINCT node FROM (
            SELECT src AS node FROM e$sfx
            UNION ALL SELECT dst FROM e$sfx)),
-         od$sfx AS (SELECT src, count(*) AS outdeg FROM e$sfx
+         od$sfx AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e$sfx
            GROUP BY src),
-         nn$sfx AS (SELECT count(*) AS n,
+         nn$sfx AS MATERIALIZED (SELECT count(*) AS n,
              CAST((1000000000000 * 15) // (100 * count(*)) AS BIGINT)
                AS base
            FROM nodes$sfx)"""
 
   private def pagerankFreshSeed(sfx: String): String =
-    s"""r${sfx}_0 AS (SELECT node,
+    s"""r${sfx}_0 AS MATERIALIZED (SELECT node,
            CAST(1000000000000 // nn$sfx.n AS BIGINT) AS rank_s
          FROM nodes$sfx CROSS JOIN nn$sfx)"""
 
   private def pagerankIterCtes(sfx: String, iters: Int): String =
     (1 to iters).map { i =>
-      s"""d${sfx}_$i AS (SELECT CAST(coalesce(sum(r.rank_s), 0)
+      s"""d${sfx}_$i AS MATERIALIZED (SELECT CAST(coalesce(sum(r.rank_s), 0)
              AS BIGINT) AS dang
            FROM r${sfx}_${i - 1} r
            WHERE NOT EXISTS (SELECT 1 FROM od$sfx o
                              WHERE o.src = r.node)),
-         r${sfx}_$i AS (SELECT nodes$sfx.node,
+         r${sfx}_$i AS MATERIALIZED (SELECT nodes$sfx.node,
            CAST(nn$sfx.base +
                (85 * (coalesce(i${sfx}_$i.in_s, 0)
                       + d${sfx}_$i.dang // nn$sfx.n)) // 100
@@ -605,6 +605,37 @@ object LlmQueries {
          ${pagerankFreshSeed("")},
          ${pagerankIterCtes("", iters)}
          SELECT node, rank_s FROM r_$iters ORDER BY node"""
+
+  /** Convergence-stopped oracle (Graph.pageRankScaledConverged twin):
+    * unrolls all `maxIters` candidate iterations, computes each
+    * integer L1 delta dl_i = Σ|r_i − r_{i−1}| (BIGINT-exact, so the
+    * stop point is engine-independent by construction), CASE-selects
+    * the first iteration whose delta < eps (else maxIters), and emits
+    * that iteration's ranks plus the stop index as `iters`. */
+  private def pagerankConvergedOracleSql(eps: Long,
+                                         maxIters: Int): String = {
+    val deltas = (1 to maxIters).map { i =>
+      s"""dl_$i AS (SELECT CAST(sum(abs(a.rank_s - b.rank_s)) AS BIGINT)
+             AS d
+           FROM r_$i a JOIN r_${i - 1} b ON a.node = b.node)"""
+    }.mkString(",\n         ")
+    val stopCase = (1 until maxIters).map { i =>
+      s"WHEN (SELECT d FROM dl_$i) < $eps THEN $i"
+    }.mkString(" ")
+    val sel = (1 to maxIters).map { i =>
+      s"SELECT $i AS i, node, rank_s FROM r_$i"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${pagerankGraphCtes("", "TRUE")},
+         ${pagerankFreshSeed("")},
+         ${pagerankIterCtes("", maxIters)},
+         $deltas,
+         stop AS (SELECT CAST(CASE $stopCase ELSE $maxIters END AS INT)
+             AS j),
+         sel AS ($sel)
+         SELECT s.node, s.rank_s, st.j AS iters
+         FROM sel s CROSS JOIN stop st WHERE s.i = st.j
+         ORDER BY node"""
+  }
 
   /** Warm-start oracle (Graph.pageRankScaledResume twin): v1 graph =
     * docs with doc_id % 3 <> 0 run fresh for `v1Iters`, then the FULL
@@ -628,13 +659,16 @@ object LlmQueries {
     * twin): seeds = the source-domain nodes; the 15% teleport and the
     * dangling mass both return to seeds uniformly; r0 = Scale div |S|
     * on seeds, 0 elsewhere. Same all-BIGINT exactness. */
-  private def pprOracleSql(iters: Int): String = {
+  /** The personalized-PageRank CTE chain (seeds/mm/pr_0/pd_i/pr_i)
+    * shared by [[pprOracleSql]] and [[spamMassOracleSql]]; assumes
+    * pagerankGraphCtes("") precedes it in the WITH block. */
+  private def pprCtes(iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
-      s"""pd_$i AS (SELECT CAST(coalesce(sum(r.rank_s), 0) AS BIGINT)
+      s"""pd_$i AS MATERIALIZED (SELECT CAST(coalesce(sum(r.rank_s), 0) AS BIGINT)
              AS dang
            FROM pr_${i - 1} r
            WHERE NOT EXISTS (SELECT 1 FROM od o WHERE o.src = r.node)),
-         pr_$i AS (SELECT nodes.node,
+         pr_$i AS MATERIALIZED (SELECT nodes.node,
            CAST(CASE WHEN sd.node IS NOT NULL THEN mm.base ELSE 0 END +
                (85 * (coalesce(ii_$i.in_s, 0) +
                   CASE WHEN sd.node IS NOT NULL
@@ -648,22 +682,46 @@ object LlmQueries {
              JOIN od ON od.src = e2.src
              GROUP BY e2.dst) ii_$i ON ii_$i.node = nodes.node)"""
     }.mkString(",\n         ")
-    s"""WITH ${pagerankGraphCtes("", "TRUE")},
-         seeds AS (SELECT node FROM nodes WHERE node IN (
+    s"""seeds AS MATERIALIZED (SELECT node FROM nodes WHERE node IN (
            SELECT coalesce(source, 'unk') || '.com' FROM documents)),
-         mm AS (SELECT count(*) AS m,
+         mm AS MATERIALIZED (SELECT count(*) AS m,
              CAST((1000000000000 * 15) // (100 * count(*)) AS BIGINT)
                AS base
            FROM seeds),
-         pr_0 AS (SELECT nodes.node,
+         pr_0 AS MATERIALIZED (SELECT nodes.node,
              CAST(CASE WHEN sd.node IS NOT NULL
                   THEN 1000000000000 // mm.m ELSE 0 END AS BIGINT)
                AS rank_s
            FROM nodes CROSS JOIN mm
            LEFT JOIN seeds sd ON sd.node = nodes.node),
-         $iterCtes
-         SELECT node, rank_s FROM pr_$iters ORDER BY node"""
+         $iterCtes"""
   }
+
+  /** Personalized-PageRank oracle (Graph.personalizedPageRankScaled
+    * twin) — see [[pprCtes]]. */
+  private def pprOracleSql(iters: Int): String =
+    s"""WITH ${pagerankGraphCtes("", "TRUE")},
+         ${pprCtes(iters)}
+         SELECT node, rank_s FROM pr_$iters ORDER BY node"""
+
+  /** Spam-mass oracle (Gyongyi et al., "Link Spam Detection Based on
+    * Mass Estimation"): spam_mass = (pr − ppr_trusted) / pr per node —
+    * the fraction of a node's rank NOT reachable from the trusted seed
+    * set. Composes the two unrolled rank chains in one WITH block
+    * (CTE families are disjoint: r_i/d_i/nn vs pr_i/pd_i/mm); the
+    * division is IEEE over exactly-representable Longs (< 2^53), so
+    * bit parity holds; `+ 0.0` guards the signed-zero round trap on
+    * seed nodes whose ppr exceeds pr. */
+  private def spamMassOracleSql(iters: Int): String =
+    s"""WITH ${pagerankGraphCtes("", "TRUE")},
+         ${pagerankFreshSeed("")},
+         ${pagerankIterCtes("", iters)},
+         ${pprCtes(iters)}
+         SELECT r.node, r.rank_s, p.rank_s AS ppr_s,
+           round(CAST(r.rank_s - p.rank_s AS DOUBLE) /
+                 CAST(r.rank_s AS DOUBLE), 6) + 0.0 AS spam_mass
+         FROM r_$iters r JOIN pr_$iters p ON p.node = r.node
+         ORDER BY r.node"""
 
   /** Streaming-ingest twin of [[pagerankIncrementalOracleSql]]: the v2
     * snapshot carries the sentinel edge the streaming fixture plants
@@ -1864,6 +1922,20 @@ object LlmQueries {
         linkGraphEdges(s, dir, lit(true)), "src", "dst", 5)
         .orderBy("node")),
 
+    // convergence-stopped PageRank: iterate until the integer L1 delta
+    // Σ|r_i − r_{i−1}| < 5·10^11 (half a Scale unit of total movement),
+    // capped at 10. The delta is exact Long arithmetic, so the stop
+    // iteration is a pure function of the graph — the oracle unrolls
+    // all 10 candidate iterations, computes the same deltas, and
+    // CASE-selects the same stop (measured: iteration 7 at every SF
+    // and the edge corpus). Output carries `iters` so the artifact
+    // itself pins the stop point.
+    "link_pagerank_converged" -> ((s, dir) =>
+      graft.ops.Graph.pageRankScaledConverged(
+        linkGraphEdges(s, dir, lit(true)), "src", "dst",
+        eps = 500000000000L, maxIters = 10)
+        .orderBy("node")),
+
     // warm-start PageRank — the daily-crawl shape: yesterday's graph
     // (docs with doc_id % 3 <> 0) ranked fresh for 3 iterations, then
     // today's FULL graph re-ranked for 2 more seeded with those ranks
@@ -1879,6 +1951,29 @@ object LlmQueries {
           lit(".com")).as("node"))
       graft.ops.Graph.personalizedPageRankScaled(
         linkGraphEdges(s, dir, lit(true)), "src", "dst", seeds, 5)
+        .orderBy("node")
+    }),
+
+    // spam-mass score (Gyöngyi et al.): spam_mass =
+    // (pr − ppr_trusted) / pr — the fraction of a domain's PageRank
+    // NOT explainable by reachability from the trusted seed set; the
+    // crawl layer's actionable downweight signal. Pure composition of
+    // the two rank outputs above: one join + integer-exact subtract +
+    // one IEEE divide of < 2^53 Longs (bit-replicable). Seed nodes can
+    // go negative (ppr concentrates mass on them) — meaningful, kept.
+    "link_spam_mass" -> ((s, dir) => {
+      val seeds = t(s, dir, "documents")
+        .select(concat(coalesce(col("source"), lit("unk")),
+          lit(".com")).as("node"))
+      val pr = graft.ops.Graph.pageRankScaled(
+        linkGraphEdges(s, dir, lit(true)), "src", "dst", 5)
+      val ppr = graft.ops.Graph.personalizedPageRankScaled(
+        linkGraphEdges(s, dir, lit(true)), "src", "dst", seeds, 5)
+      pr.join(ppr.select(col("node"), col("rank_s").as("ppr_s")),
+          Seq("node"))
+        .select(col("node"), col("rank_s"), col("ppr_s"),
+          round((col("rank_s") - col("ppr_s")).cast("double") /
+            col("rank_s").cast("double"), 6).as("spam_mass"))
         .orderBy("node")
     }),
 
@@ -2958,8 +3053,11 @@ object LlmQueries {
          ORDER BY doc_id, link_idx"""
     },
     "link_pagerank" -> pagerankOracleSql(5),
+    "link_pagerank_converged" ->
+      pagerankConvergedOracleSql(500000000000L, 10),
     "link_pagerank_incremental" -> pagerankIncrementalOracleSql(3, 2),
     "link_pagerank_personalized" -> pprOracleSql(5),
+    "link_spam_mass" -> spamMassOracleSql(5),
     "streaming_pagerank_ingest" -> pagerankStreamingOracleSql(3, 2),
     "robots_filter" ->
       """WITH d AS (SELECT doc_id, coalesce(source, 'unk') AS src0

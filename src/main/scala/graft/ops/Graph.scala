@@ -38,7 +38,37 @@ object Graph {
     * a parse failure upstream, not a vertex). */
   def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
                      iterations: Int): DataFrame =
-    pageRankRun(edges, srcCol, dstCol, iterations, prior = None)
+    pageRankRun(edges, srcCol, dstCol, iterations, prior = None,
+      eps = None)._1
+
+  /** Convergence-stopped PageRank: run [[pageRankScaled]] iterations
+    * until the integer L1 delta Σ_v |r_i(v) − r_{i−1}(v)| drops below
+    * `eps` (in [[Scale]] units), capped at `maxIters`. The delta is
+    * itself exact Long arithmetic, so the stop iteration is a pure
+    * function of the graph — identical in any engine — and the result
+    * is bit-equal to `pageRankScaled(edges, …, realizedIters)`
+    * (GraphSpec pins it). Without this a production re-rank loop
+    * over- or under-iterates blind; with it the iteration budget is
+    * spent exactly until the ranking stops moving at the chosen
+    * resolution.
+    *
+    * Cost: the delta riding each staged rank table (one extra abs-diff
+    * column computed in the update projection) plus one small scan of
+    * the just-written parquet per iteration for the stop decision —
+    * the loop control must reach the driver, but it reads the staged
+    * file, never recomputes the plan.
+    *
+    * Output: (node, rank_s, iters) — `iters` the realized stop
+    * iteration, constant across rows so the artifact itself carries
+    * the stop point. */
+  def pageRankScaledConverged(edges: DataFrame, srcCol: String,
+                              dstCol: String, eps: Long,
+                              maxIters: Int): DataFrame = {
+    require(eps > 0, s"eps must be > 0: $eps")
+    val (ranks, it) = pageRankRun(edges, srcCol, dstCol, maxIters,
+      prior = None, eps = Some(eps))
+    ranks.withColumn("iters", lit(it))
+  }
 
   /** Warm-start PageRank — the daily-crawl shape, completing the
     * incremental family (dedupAgainstIndex, ANN incremental probe):
@@ -55,7 +85,8 @@ object Graph {
   def pageRankScaledResume(edges: DataFrame, srcCol: String,
                            dstCol: String, prior: DataFrame,
                            iterations: Int): DataFrame =
-    pageRankRun(edges, srcCol, dstCol, iterations, Some(prior))
+    pageRankRun(edges, srcCol, dstCol, iterations, Some(prior),
+      eps = None)._1
 
   /** Personalized (topic-sensitive) PageRank in the same scaled-Long
     * exact arithmetic: the 15% teleport mass and the dangling mass
@@ -125,9 +156,14 @@ object Graph {
     ranks
   }
 
+  /** Shared power-iteration loop. With `eps` set, each staged rank
+    * table carries a `__delta` column (|new − old| per node) and the
+    * loop stops early once its sum drops below eps; returns the final
+    * ranks (delta column dropped) and the realized iteration count. */
   private def pageRankRun(edges: DataFrame, srcCol: String,
                           dstCol: String, iterations: Int,
-                          prior: Option[DataFrame]): DataFrame = {
+                          prior: Option[DataFrame],
+                          eps: Option[Long]): (DataFrame, Int) = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     val e = graft.core.Tables.staged(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -152,7 +188,10 @@ object Graph {
           coalesce(col("__prior"), lit(Scale / n)).as("rank_s"))
     }
     var ranks = graft.core.Tables.staged(seed, "pagerank_r0")
-    for (i <- 1 to iterations) {
+    var it = 0
+    var done = false
+    while (it < iterations && !done) {
+      it += 1
       // dangling share this round: a 1-row aggregate CROSS-JOINED
       // (broadcast) into the update instead of collected to the
       // driver — keeps each iteration at ONE job (the staged write)
@@ -168,15 +207,30 @@ object Graph {
         .select(col("dst").as("node"),
           expr("rank_s div outdeg").as("c"))
       val inSum = contrib.groupBy("node").agg(sum(col("c")).as("in_s"))
-      ranks = graft.core.Tables.staged(
-        nodes.join(inSum, Seq("node"), "left")
-          .crossJoin(broadcast(shareDf))
-          .select(col("node"),
-            (lit(base) +
-              expr("(85 * (coalesce(in_s, 0L) + __share)) div 100"))
-              .as("rank_s")),
-        s"pagerank_r$i")
+      val updBase = nodes.join(inSum, Seq("node"), "left")
+        .crossJoin(broadcast(shareDf))
+      val newRank =
+        (lit(base) +
+          expr("(85 * (coalesce(in_s, 0L) + __share)) div 100"))
+          .as("rank_s")
+      val upd = eps match {
+        case None => updBase.select(col("node"), newRank)
+        case Some(_) => updBase
+          .join(ranks.select(col("node"), col("rank_s").as("__old")),
+            Seq("node"))
+          .select(col("node"), newRank, col("__old"))
+          .withColumn("__delta", abs(col("rank_s") - col("__old")))
+          .drop("__old")
+      }
+      ranks = graft.core.Tables.staged(upd, s"pagerank_r$it")
+      eps.foreach { e0 =>
+        // the stop decision reads the STAGED file (columnar scan of one
+        // long column), never re-executes the update plan
+        val d = ranks.agg(coalesce(sum(col("__delta")), lit(0L)))
+          .head().getLong(0)
+        if (d < e0) done = true
+      }
     }
-    ranks
+    (if (eps.isDefined) ranks.drop("__delta") else ranks, it)
   }
 }

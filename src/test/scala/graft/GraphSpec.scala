@@ -102,6 +102,40 @@ class GraphSpec extends AnyFunSuite {
     assert(r("B") == base + 85L * 7L / 100L)
   }
 
+  test("pageRankScaledConverged: stops at the first iteration whose " +
+       "L1 delta < eps and equals the fixed-budget run at that count") {
+    val leaves = (1 to 9).map(i => s"leaf$i")
+    val edges = (leaves.map(_ -> "hub") ++ leaves.map("hub" -> _) :+
+      ("hub" -> "sink")).toDF("src", "dst")
+    // measure the deltas the loop will see, from fixed-budget runs
+    def ranks(i: Int): Map[String, Long] =
+      Graph.pageRankScaled(edges, "src", "dst", i)
+        .as[(String, Long)].collect().toMap
+    val deltas = (2 to 6).map { i =>
+      val a = ranks(i); val b = ranks(i - 1)
+      i -> a.map { case (n, r) => math.abs(r - b(n)) }.sum
+    }.toMap
+    // pick eps strictly between delta_4 and delta_3 → stop must be 4
+    assert(deltas(4) < deltas(3), "probe assumes decaying deltas")
+    val eps = deltas(4) + 1L
+    val conv = Graph.pageRankScaledConverged(edges, "src", "dst",
+      eps, maxIters = 8)
+    val rows = conv.as[(String, Long, Int)].collect()
+    assert(rows.map(_._3).distinct.toSeq == Seq(4))
+    assert(rows.map(r => r._1 -> r._2).toMap == ranks(4))
+    // eps below every delta → runs to the cap
+    val capped = Graph.pageRankScaledConverged(edges, "src", "dst",
+      eps = 1L, maxIters = 3)
+    val cr = capped.as[(String, Long, Int)].collect()
+    assert(cr.map(_._3).distinct.toSeq == Seq(3))
+    assert(cr.map(r => r._1 -> r._2).toMap == ranks(3))
+    // huge eps → stops after the mandatory first iteration
+    val one = Graph.pageRankScaledConverged(edges, "src", "dst",
+      eps = Long.MaxValue, maxIters = 8)
+    assert(one.as[(String, Long, Int)].collect()
+      .map(_._3).distinct.toSeq == Seq(1))
+  }
+
   test("personalizedPageRankScaled: teleport and dangling mass return " +
        "to seeds; one iteration matches the hand computation") {
     // A→B, B→C; seed = {A}. C is dangling. r0: A = S, B = C = 0.
