@@ -38,11 +38,12 @@ def cell_diff(a, b):
 
 
 def type_diff(got_t, exp_t):
-    """Return None if the two DuckDB logical types hash-compare equal,
-    else a reason. Mirrors the driver's byte-level hash, which sees
-    int64 vs int128 (HUGEINT) and int64 vs float64 as DIFFERENT even
-    when every value compares equal — the r10 corpus_card/corpus_quota
-    class (`sum(BIGINT)` returns HUGEINT in DuckDB)."""
+    """Return None if the two DuckDB logical type STRINGS are equal,
+    else a reason (a plain string compare, standing in for the
+    driver's byte-level hash, which sees int64 vs int128 (HUGEINT) and
+    int64 vs float64 as DIFFERENT even when every value compares
+    equal — the r10 corpus_card/corpus_quota class: `sum(BIGINT)`
+    returns HUGEINT in DuckDB)."""
     if str(got_t) == str(exp_t):
         return None
     return f"type {got_t} vs {exp_t}"
@@ -105,14 +106,20 @@ for name in sorted(oracle):
         continue
     try:
         grel = con.sql(f"SELECT * FROM '{pq}/*.parquet'")
-        gtypes = {c: str(t) for c, t in zip(grel.columns, grel.types)}
+        # (col, type) pairs sorted by name — stable sort, so duplicate
+        # column names keep their relative order and compare
+        # POSITIONALLY below instead of collapsing in a dict (where a
+        # type mismatch in all but the last duplicate was masked)
+        gpairs = sorted(zip(grel.columns, (str(t) for t in grel.types)),
+                        key=lambda p: p[0])
         got = grel.fetchdf()
     except Exception as e:
         results[name] = f"SPARK_READ_FAIL {e}"
         continue
     try:
         erel = con.sql(oracle[name])
-        etypes = {c: str(t) for c, t in zip(erel.columns, erel.types)}
+        epairs = sorted(zip(erel.columns, (str(t) for t in erel.types)),
+                        key=lambda p: p[0])
         exp = erel.fetchdf()
     except Exception as e:
         results[name] = f"ORACLE_FAIL {str(e)[:200]}"
@@ -124,9 +131,9 @@ for name in sorted(oracle):
         continue
     # driver's byte-hash sees type width before it sees values —
     # an int64-vs-HUGEINT result fails there even if every cell is ==
-    tbad = next((f"col {c}: {type_diff(gtypes[c], etypes[c])}"
-                 for c in g.columns
-                 if type_diff(gtypes[c], etypes[c])), None)
+    tbad = next((f"col {c}: {type_diff(gt, et)}"
+                 for (c, gt), (_, et) in zip(gpairs, epairs)
+                 if type_diff(gt, et)), None)
     if tbad:
         results[name] = f"TYPE {tbad}"
         continue

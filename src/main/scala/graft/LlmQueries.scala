@@ -640,7 +640,16 @@ object LlmQueries {
   /** Warm-start oracle (Graph.pageRankScaledResume twin): v1 graph =
     * docs with doc_id % 3 <> 0 run fresh for `v1Iters`, then the FULL
     * graph seeded with v1's final ranks (uniform Scale div N for new
-    * nodes) for `v2Iters` more. */
+    * nodes) for `v2Iters` more.
+    *
+    * PRECONDITION (here and in [[pagerankStreamingOracleSql]]): the v1
+    * snapshot must be NONEMPTY. If every doc_id were divisible by 3,
+    * nn1's `n` would be 0 (division by zero in the seed CTE) and the
+    * Spark fixture would rank the full graph FRESH for v1Iters instead
+    * of resuming — the two sides would diverge. Unreachable on the
+    * generated testdata (doc_ids are dense from 0, so any corpus with
+    * ≥ 2 docs has a % 3 ≠ 0 row) and guarded implicitly by the empty-
+    * documents case both sides special-case to empty output. */
   private def pagerankIncrementalOracleSql(v1Iters: Int,
                                            v2Iters: Int): String =
     s"""WITH ${pagerankGraphCtes("1", "doc_id % 3 <> 0")},

@@ -41,7 +41,20 @@ object Formats {
     * the read is one task per split with zero shuffle; the JSON
     * decode is per-row CPU, no exchange. Rerun-safe: the target dir
     * is deleted before write (saveAsSequenceFile has no overwrite
-    * mode). */
+    * mode).
+    *
+    * Interchange caveat: the encoding (LongWritable, Text-of-JSON)
+    * round-trips within THIS framework but is NOT binary-compatible
+    * with the reference's Cascalog hfs-seqfile tuple serialization
+    * (BytesWritable of Kryo/Hadoop-serialized Cascading tuples) —
+    * capability parity for the tap shape, not a reader of
+    * reference-produced files.
+    *
+    * The key must be non-null after the long cast: a null key has no
+    * LongWritable representation, and silently dropping or zeroing
+    * rows would corrupt the sink — fail fast and loud instead (the
+    * null edge-endpoint drop elsewhere is a semantic choice for
+    * graphs; a TAP must not invent one). */
   def writeSequenceFile(df: DataFrame, keyCol: String, path: String,
       codec: Option[Class[_ <: org.apache.hadoop.io.compress
         .CompressionCodec]] = None): Unit = {
@@ -53,7 +66,13 @@ object Formats {
     val payload = df.columns.filterNot(_ == keyCol)
     df.select(col(keyCol).cast("long").as("__k"),
         to_json(struct(payload.map(col): _*)).as("__v"))
-      .rdd.map(r => (r.getLong(0), r.getString(1)))
+      .rdd.map { r =>
+        require(!r.isNullAt(0),
+          s"writeSequenceFile: null key in column '$keyCol' " +
+            "(SequenceFile keys are LongWritable — filter or fill " +
+            "null keys before writing)")
+        (r.getLong(0), r.getString(1))
+      }
       .saveAsSequenceFile(path, codec)
   }
 

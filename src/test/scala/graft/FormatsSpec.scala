@@ -37,6 +37,22 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.toSeq == rows.map(r => (r._1, r._2, r._3)))
   }
 
+  test("SequenceFile write fails FAST and LOUD on a null key (a " +
+       "LongWritable has no null; silent drop/zero would corrupt)") {
+    val df = Seq((java.lang.Long.valueOf(1L), "a", 1L),
+        (null.asInstanceOf[java.lang.Long], "b", 2L))
+      .toDF("id", "txt", "n")
+    val path = graft.core.Tables.tmpDir + "/seqfile_spec_nullkey"
+    val e = intercept[Exception] {
+      Formats.writeSequenceFile(df, "id", path)
+    }
+    // the require's message must survive somewhere in the cause chain
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null key")), msgs(e).mkString(" | "))
+  }
+
   test("SequenceFile round-trip with block compression (DefaultCodec) " +
        "is byte-identical to the uncompressed read") {
     val df = rows.toDF("id", "txt", "n")

@@ -99,6 +99,36 @@ object SkewOpsProbe {
       }
       println(f"PAGERANK mult=$mult rows=$rows iters=5 t=$tP%.2f s")
 
+      // ---- r12: the r11 variants share pageRankScaled's substrate but
+      // add a seed-set semi-join / per-version staging — probe their
+      // shape at the same hub skew (expect ≤ fresh's scaling factor)
+      val tR = time {
+        val prior = graft.ops.Graph.pageRankScaled(
+          edgesOf(d.filter(pmod($"doc_id", lit(97)) =!= 0)),
+          "src", "dst", 2)
+        val pr = graft.ops.Graph.pageRankScaledResume(
+          edges, "src", "dst", prior, 3)
+        assert(pr.count() > 0)
+      }
+      println(f"PAGERANK_RESUME mult=$mult rows=$rows 2+3iters t=$tR%.2f s")
+      val tPP = time {
+        val seeds = d.filter(pmod($"doc_id", lit(100)) === 0)
+          .select(nodeOf($"doc_id").as("node"))
+        val pr = graft.ops.Graph.personalizedPageRankScaled(
+          edges, "src", "dst", seeds, 5)
+        assert(pr.count() > 0)
+      }
+      println(f"PAGERANK_PPR mult=$mult rows=$rows iters=5 t=$tPP%.2f s")
+      // ---- r12: convergence-stopped variant — same substrate plus the
+      // per-iteration staged-delta scan; eps tiny so it runs the full
+      // budget (cost ceiling, comparable to PAGERANK above)
+      val tC = time {
+        val pr = graft.ops.Graph.pageRankScaledConverged(
+          edges, "src", "dst", eps = 1L, maxIters = 5)
+        assert(pr.count() > 0)
+      }
+      println(f"PAGERANK_CONVERGED mult=$mult rows=$rows cap=5 t=$tC%.2f s")
+
       // ---- warm-start convergence: with the SAME 3-iteration budget,
       // how much closer to a 15-iteration truth does seeding from
       // yesterday's ranks land vs a cold start? Yesterday = today
