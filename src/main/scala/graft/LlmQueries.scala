@@ -612,8 +612,11 @@ object LlmQueries {
     * stop point is engine-independent by construction), CASE-selects
     * the first iteration whose delta < eps (else maxIters), and emits
     * that iteration's ranks plus the stop index as `iters`. */
-  private def pagerankConvergedOracleSql(eps: Long,
-                                         maxIters: Int): String = {
+  /** The delta/stop/selection tail shared by the two converged oracles:
+    * per-iteration BIGINT L1 deltas, the CASE-selected first iteration
+    * under eps (else maxIters), that iteration's ranks + the stop
+    * index. Assumes r_0..r_maxIters precede it in the WITH block. */
+  private def pagerankConvergedTail(eps: Long, maxIters: Int): String = {
     val deltas = (1 to maxIters).map { i =>
       s"""dl_$i AS (SELECT CAST(sum(abs(a.rank_s - b.rank_s)) AS BIGINT)
              AS d
@@ -625,10 +628,7 @@ object LlmQueries {
     val sel = (1 to maxIters).map { i =>
       s"SELECT $i AS i, node, rank_s FROM r_$i"
     }.mkString(" UNION ALL ")
-    s"""WITH ${pagerankGraphCtes("", "TRUE")},
-         ${pagerankFreshSeed("")},
-         ${pagerankIterCtes("", maxIters)},
-         $deltas,
+    s"""$deltas,
          stop AS (SELECT CAST(CASE $stopCase ELSE $maxIters END AS INT)
              AS j),
          sel AS ($sel)
@@ -636,6 +636,34 @@ object LlmQueries {
          FROM sel s CROSS JOIN stop st WHERE s.i = st.j
          ORDER BY node"""
   }
+
+  private def pagerankConvergedOracleSql(eps: Long,
+                                         maxIters: Int): String =
+    s"""WITH ${pagerankGraphCtes("", "TRUE")},
+         ${pagerankFreshSeed("")},
+         ${pagerankIterCtes("", maxIters)},
+         ${pagerankConvergedTail(eps, maxIters)}"""
+
+  /** Warm-started + convergence-stopped oracle
+    * (Graph.pageRankScaledResumeConverged twin): the incremental
+    * oracle's warm seed (v1 = doc_id % 3 <> 0 fresh for `v1Iters`,
+    * full graph seeded from it) followed by the converged tail — the
+    * stop point itself is the warm-start saving, pinned in the
+    * artifact's `iters` column. Same nonempty-v1 precondition as
+    * [[pagerankIncrementalOracleSql]]. */
+  private def pagerankResumeConvergedOracleSql(v1Iters: Int, eps: Long,
+                                               maxIters: Int): String =
+    s"""WITH ${pagerankGraphCtes("1", "doc_id % 3 <> 0")},
+         ${pagerankFreshSeed("1")},
+         ${pagerankIterCtes("1", v1Iters)},
+         ${pagerankGraphCtes("", "TRUE")},
+         r_0 AS MATERIALIZED (SELECT nodes.node,
+             CAST(coalesce(p.rank_s, 1000000000000 // nn.n) AS BIGINT)
+               AS rank_s
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN r1_$v1Iters p ON p.node = nodes.node),
+         ${pagerankIterCtes("", maxIters)},
+         ${pagerankConvergedTail(eps, maxIters)}"""
 
   /** Warm-start oracle (Graph.pageRankScaledResume twin): v1 graph =
     * docs with doc_id % 3 <> 0 run fresh for `v1Iters`, then the FULL
@@ -1995,6 +2023,22 @@ object LlmQueries {
         .orderBy("node")
     }),
 
+    // the production incremental re-rank loop proper: warm seed from
+    // yesterday's 3-iteration ranks + the SAME eps stop as
+    // link_pagerank_converged. The artifact's `iters` column IS the
+    // warm-start saving: the cold converged run stops at 7, this one
+    // at ~4 — same threshold, same graph, 3 iterations bought by the
+    // seed (the daily-crawl economics, pinned in data).
+    "link_pagerank_resume_converged" -> ((s, dir) => {
+      val prior = graft.ops.Graph.pageRankScaled(
+        linkGraphEdges(s, dir, col("doc_id") % 3 =!= 0),
+        "src", "dst", 3)
+      graft.ops.Graph.pageRankScaledResumeConverged(
+        linkGraphEdges(s, dir, lit(true)), "src", "dst", prior,
+        eps = 500000000000L, maxIters = 8)
+        .orderBy("node")
+    }),
+
     // the same two crawl snapshots as a STREAM
     // (StreamOps.continuousPageRankIngest): wave 1 = yesterday's
     // edges (fresh 3 iters at version |E1|), wave 2 = the FULL edge
@@ -3064,6 +3108,8 @@ object LlmQueries {
     "link_pagerank" -> pagerankOracleSql(5),
     "link_pagerank_converged" ->
       pagerankConvergedOracleSql(500000000000L, 10),
+    "link_pagerank_resume_converged" ->
+      pagerankResumeConvergedOracleSql(3, 500000000000L, 8),
     "link_pagerank_incremental" -> pagerankIncrementalOracleSql(3, 2),
     "link_pagerank_personalized" -> pprOracleSql(5),
     "link_spam_mass" -> spamMassOracleSql(5),

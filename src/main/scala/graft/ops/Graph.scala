@@ -70,6 +70,24 @@ object Graph {
     ranks.withColumn("iters", lit(it))
   }
 
+  /** Warm-started + convergence-stopped PageRank — the production
+    * incremental re-rank loop proper: seed from yesterday's ranks
+    * ([[pageRankScaledResume]] semantics) and stop at the integer L1
+    * delta threshold ([[pageRankScaledConverged]] semantics). This is
+    * where the warm start actually pays: the seed doesn't change the
+    * fixed point, it starts CLOSER, so the same eps is reached in far
+    * fewer iterations when the graph delta is small (the daily-crawl
+    * regime; SkewOpsProbe quantifies the saving on the hub graph).
+    * Output: (node, rank_s, iters). */
+  def pageRankScaledResumeConverged(edges: DataFrame, srcCol: String,
+                                    dstCol: String, prior: DataFrame,
+                                    eps: Long, maxIters: Int): DataFrame = {
+    require(eps > 0, s"eps must be > 0: $eps")
+    val (ranks, it) = pageRankRun(edges, srcCol, dstCol, maxIters,
+      prior = Some(prior), eps = Some(eps))
+    ranks.withColumn("iters", lit(it))
+  }
+
   /** Warm-start PageRank — the daily-crawl shape, completing the
     * incremental family (dedupAgainstIndex, ANN incremental probe):
     * re-rank a GROWN edge set seeding each node with yesterday's rank

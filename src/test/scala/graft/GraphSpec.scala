@@ -134,6 +134,17 @@ class GraphSpec extends AnyFunSuite {
       eps = Long.MaxValue, maxIters = 8)
     assert(one.as[(String, Long, Int)].collect()
       .map(_._3).distinct.toSeq == Seq(1))
+    // warm + converged: on an UNCHANGED graph resume(fresh(3), m) ≡
+    // fresh(3+m), so warm deltas at iteration i equal fresh deltas at
+    // i+3 — the same eps that stopped the cold run at 4 stops the warm
+    // run at 1, with ranks bit-equal to fresh(4). That equality IS the
+    // warm-start saving, stated exactly.
+    val prior = Graph.pageRankScaled(edges, "src", "dst", 3)
+    val warm = Graph.pageRankScaledResumeConverged(edges, "src", "dst",
+      prior, eps, maxIters = 8)
+    val wr = warm.as[(String, Long, Int)].collect()
+    assert(wr.map(_._3).distinct.toSeq == Seq(1))
+    assert(wr.map(r => r._1 -> r._2).toMap == ranks(4))
   }
 
   test("personalizedPageRankScaled: teleport and dangling mass return " +

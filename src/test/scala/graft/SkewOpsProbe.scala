@@ -128,6 +128,24 @@ object SkewOpsProbe {
         assert(pr.count() > 0)
       }
       println(f"PAGERANK_CONVERGED mult=$mult rows=$rows cap=5 t=$tC%.2f s")
+      // ---- r12: the streaming re-rank economics — at a REAL eps, how
+      // many iterations does the warm-started loop spend vs cold on the
+      // same grown graph? (the "re-rank every k batches" guidance
+      // number: the gap is what accumulating k batches of delta costs)
+      if (mult == 256) {
+        val eps = graft.ops.Graph.Scale / 1000L  // 0.1% total movement
+        val cold = graft.ops.Graph.pageRankScaledConverged(
+          edges, "src", "dst", eps, maxIters = 30)
+        val coldIt = cold.select("iters").head().getInt(0)
+        val prior = graft.ops.Graph.pageRankScaled(
+          edgesOf(d.filter(pmod($"doc_id", lit(97)) =!= 0)),
+          "src", "dst", coldIt)
+        val warm = graft.ops.Graph.pageRankScaledResumeConverged(
+          edges, "src", "dst", prior, eps, maxIters = 30)
+        val warmIt = warm.select("iters").head().getInt(0)
+        println(s"PAGERANK_CONV_ECON mult=$mult eps=$eps " +
+          s"cold_iters=$coldIt warm_iters=$warmIt (1% doc delta)")
+      }
 
       // ---- warm-start convergence: with the SAME 3-iteration budget,
       // how much closer to a 15-iteration truth does seeding from
