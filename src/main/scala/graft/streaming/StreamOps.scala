@@ -345,8 +345,15 @@ object StreamOps {
           val s = batch.sparkSession
           // de-dupe ids up front: an at-least-once redelivery inside one
           // batch would otherwise MULTIPLY through the keepIds/novelIdx
-          // joins below and append duplicate corpus rows
-          val b = batch.dropDuplicates(idCol)
+          // joins below and append duplicate corpus rows. STAGED (the
+          // continuousDedupIngest idiom): the de-duped batch feeds the
+          // semanticDedup pair joins, the kept join, AND the corpus
+          // append — without the boundary every downstream action
+          // re-runs the dropDuplicates (a SortAggregate: the embedding
+          // array forces an immutable agg buffer), which the r12
+          // micro-batch fingerprints surfaced as the agg_sort pile-up
+          val b = graft.core.Tables.staged(
+            batch.dropDuplicates(idCol), "sem_batch")
           val keepIds = Dedup.semanticDedup(b, vecCol, idCol, cents,
               threshold)
             .filter(col("keep")).select(col("id").as(idCol))
@@ -381,10 +388,14 @@ object StreamOps {
               .select("corpus_id").distinct()
             keptIdx.join(dup, Seq("corpus_id"), "left_anti")
           } else keptIdx
+          // staged once: both appends below consume it — unstaged, the
+          // second append re-executed the whole assignment + standing-
+          // index probe chain
+          val novel = graft.core.Tables.staged(novelIdx, "sem_novel")
           guardedAppend(s,
-            b.join(novelIdx.select(col("corpus_id").as(idCol)),
+            b.join(novel.select(col("corpus_id").as(idCol)),
               Seq(idCol)), corpusPath, idCol)
-          guardedAppend(s, novelIdx, indexPath, "corpus_id")
+          guardedAppend(s, novel, indexPath, "corpus_id")
         }
       }
       .trigger(Trigger.AvailableNow())
