@@ -2023,6 +2023,22 @@ object LlmQueries {
         .orderBy("node")
     }),
 
+    // crawl-budget allocation — the loop-closing composition: rank
+    // domains (link_pagerank's 5-iteration chain), then split an
+    // integer fetch budget of 100k across them EXACTLY proportional to
+    // rank via Hamilton largest-remainder (Apportion.largestRemainder:
+    // Σ quota = total, floors + largest remainders, all-Long). This is
+    // what a crawl scheduler actually consumes: not scores, fetch
+    // counts. total·W = 10^5 · 10^12 stays far inside Long.
+    "link_crawl_budget" -> ((s, dir) => {
+      val pr = graft.ops.Graph.pageRankScaled(
+        linkGraphEdges(s, dir, lit(true)), "src", "dst", 5)
+      graft.ops.Apportion.largestRemainder(
+          pr.select(col("node"), col("rank_s")),
+          Seq("node"), "rank_s", 100000L)
+        .orderBy("node")
+    }),
+
     // the production incremental re-rank loop proper: warm seed from
     // yesterday's 3-iteration ranks + the SAME eps stop as
     // link_pagerank_converged. The artifact's `iters` column IS the
@@ -3108,6 +3124,25 @@ object LlmQueries {
     "link_pagerank" -> pagerankOracleSql(5),
     "link_pagerank_converged" ->
       pagerankConvergedOracleSql(500000000000L, 10),
+    // Hamilton largest-remainder over the 5-iteration rank chain —
+    // floors/remainders exact BIGINT, +1s by (rem DESC, node) like the
+    // Spark two-phase rank (corpus_quota's replica over a rank source)
+    "link_crawl_budget" ->
+      s"""WITH ${pagerankGraphCtes("", "TRUE")},
+         ${pagerankFreshSeed("")},
+         ${pagerankIterCtes("", 5)},
+         t AS (SELECT sum(rank_s) AS W FROM r_5),
+         f AS (SELECT node, rank_s,
+             CAST((100000 * rank_s) // t.W AS BIGINT) AS fl,
+             CAST((100000 * rank_s) % t.W AS BIGINT) AS rem
+           FROM r_5 CROSS JOIN t),
+         kk AS (SELECT 100000 - sum(fl) AS k FROM f),
+         r AS (SELECT node, rank_s, fl, rem, row_number()
+             OVER (ORDER BY rem DESC, node NULLS FIRST) AS rk FROM f)
+         SELECT r.node, r.rank_s,
+           CAST(r.fl + CASE WHEN r.rk <= kk.k THEN 1 ELSE 0 END
+             AS BIGINT) AS quota
+         FROM r CROSS JOIN kk ORDER BY node""",
     "link_pagerank_resume_converged" ->
       pagerankResumeConvergedOracleSql(3, 500000000000L, 8),
     "link_pagerank_incremental" -> pagerankIncrementalOracleSql(3, 2),
