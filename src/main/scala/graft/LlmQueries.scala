@@ -413,7 +413,8 @@ object LlmQueries {
   private def ivfPqOracleSql(nCells: Int = 8, nProbe: Int = 3,
                              m: Int = 16, kCodes: Int = 64,
                              subDim: Int = 4, iters: Int = 5,
-                             shortlist: Int = 50, k: Int = 10): String = {
+                             shortlist: Int = 50, k: Int = 10,
+                             queryPred: String = "vec_id < 5"): String = {
     val dims = m * subDim
     s"""WITH corpus AS MATERIALIZED (
          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
@@ -438,7 +439,7 @@ object LlmQueries {
            JOIN cents5 ct ON ct.c = rc.cell),
        q AS MATERIALIZED (SELECT vec_id AS query_id,
            CAST(embedding AS DOUBLE[]) AS qv
-           FROM embeddings WHERE vec_id < 5),
+           FROM embeddings WHERE $queryPred),
        qcells AS MATERIALIZED (SELECT query_id, qv, cell FROM
            (SELECT qq.query_id, qq.qv, CAST(ct.c AS INT) AS cell,
               row_number() OVER (PARTITION BY qq.query_id
@@ -1340,6 +1341,35 @@ object LlmQueries {
       val e = t(s, dir, "embeddings")
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), "embedding",
           "vec_id", 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ against a PERSISTED codes index (the ann_incremental /
+    // dedup_incremental daily shape): the (cell, corpus_id, codes)
+    // table — 16× smaller than raw vectors — is written once (staged
+    // parquet round-trip makes the persistence real), then a NEW query
+    // batch probes it; candidates decode from codes ONLY in probed
+    // cells (native PqDecode) and the corpus is never re-encoded.
+    "ann_ivfpq_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id", 8)
+      val cb = {
+        val asg = e.select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("cell", Similarity.cellsFor(col("v"), cents, 1)
+            .getItem(0))
+          .withColumn("rv",
+            Similarity.cellCombine(col("v"), col("cell"), cents, -1.0))
+        Similarity.pqCodebooks(
+          asg.select(col("id"), col("rv").as("v")), "v", "id", 16, 64)
+      }
+      val index = graft.core.Tables.staged(
+        Similarity.ivfPqIndexTable(e, "embedding", "vec_id", cents, cb),
+        "ivfpq_index")
+      Similarity.annAgainstIvfPqIndex(index,
+          e.filter(col("vec_id") >= 5 && col("vec_id") < 10), e,
+          "embedding", "vec_id", 10, cents, cb, nProbe = 3,
+          shortlist = 50)
         .orderBy("query_id", "rank")
     }),
 
@@ -2630,6 +2660,8 @@ object LlmQueries {
     "ann_ivf_kmeans" -> ivfKmeansOracleSql,
     "ann_pq" -> pqOracleSql(),
     "ann_ivfpq" -> ivfPqOracleSql(),
+    "ann_ivfpq_incremental" ->
+      ivfPqOracleSql(queryPred = "vec_id >= 5 AND vec_id < 10"),
     "text_sentences" ->
       """WITH s AS (SELECT doc_id,
            list_filter(list_transform(

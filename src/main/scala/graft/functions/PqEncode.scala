@@ -65,6 +65,27 @@ object PqEncodeUtil {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](new GenericArrayData(codes), new GenericArrayData(recon)))
   }
+
+  /** Reconstruction from a PERSISTED code array — the probe-time half
+    * of the IVF-PQ index (codes are the stored artifact; decode happens
+    * only on probed candidates). Null for a wrong-length code array, a
+    * null code element, or a code outside [0, k) — a corrupt index row
+    * must never reconstruct to a plausible vector. */
+  def decode(codes: ArrayData, cb: Array[Double], m: Int, k: Int,
+             subDim: Int): ArrayData = {
+    if (codes.numElements() != m) return null
+    val recon = new Array[Double](m * subDim)
+    var mi = 0
+    while (mi < m) {
+      if (codes.isNullAt(mi)) return null
+      val c = codes.getInt(mi)
+      if (c < 0 || c >= k) return null
+      System.arraycopy(cb, (mi * k + c) * subDim, recon,
+        mi * subDim, subDim)
+      mi += 1
+    }
+    new GenericArrayData(recon)
+  }
 }
 
 /** Native product-quantization encoder: the m nearest-centroid codes
@@ -162,4 +183,35 @@ case class PqEncodeWithRecon(child: Expression, codebook: Array[Double],
 
   override protected def withNewChildInternal(
       newChild: Expression): PqEncodeWithRecon = copy(child = newChild)
+}
+
+/** Decode a persisted PQ code array back to its reconstruction — the
+  * probe-time half of the IVF-PQ index ([[PqEncodeWithRecon]] is the
+  * build-time half). One `System.arraycopy` per subspace; null for any
+  * corrupt row (wrong length, null element, code out of range) per the
+  * PqEncodeUtil.decode contract. */
+case class PqDecode(child: Expression, codebook: Array[Double],
+                    m: Int, k: Int, subDim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(codebook.length == m * k * subDim,
+    s"codebook length ${codebook.length} != m*k*subDim ${m * k * subDim}")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = ArrayType(DoubleType, false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_decode"
+
+  override def nullSafeEval(v: Any): Any =
+    PqEncodeUtil.decode(v.asInstanceOf[ArrayData], codebook, m, k, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = graft.functions.PqEncodeUtil.decode(
+        $v, $cbRef, $m, $k, $subDim);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqDecode = copy(child = newChild)
 }

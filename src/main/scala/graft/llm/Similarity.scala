@@ -585,6 +585,78 @@ object Similarity {
       zip_with(vec, centCol, (x, c) => x + lit(sign) * c))
   }
 
+  /** The IVF-PQ PERSISTED index: (cell, corpus_id, codes) — m small
+    * ints per vector plus a cell id, the artifact a production vector
+    * store writes once and probes from every query batch (the IVFPQ
+    * twin of [[ivfIndexTable]]). Codes are PQ over the WITHIN-CELL
+    * residual; rows whose residual can't encode (null/ragged raw
+    * vector) are EXCLUDED — a corrupt row has no code representation.
+    * At 100 TB this table is hash-partitioned by cell and ~16× smaller
+    * than the raw vectors; raw vectors stay on cold storage. */
+  def ivfPqIndexTable(corpus: DataFrame, vecCol: String, idCol: String,
+                      cents: Seq[Seq[Double]],
+                      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val asg = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", cellsFor(col("v"), cents, 1).getItem(0))
+      .withColumn("resid", cellCombine(col("v"), col("cell"), cents, -1.0))
+    asg.select("id", "cell")
+      .join(pqEncode(asg.select(col("id"), col("resid").as("v")),
+        "v", "id", cb).select("id", "codes"), Seq("id"))
+      .filter(col("codes").isNotNull)
+      .select(col("cell"), col("id").as("corpus_id"), col("codes"))
+  }
+
+  /** Probe a persisted IVF-PQ index with a NEW query batch: queries
+    * explode into their `nProbe` cells, candidates decode from codes
+    * ([[graft.functions.PqDecode]] — reconstruction happens ONLY on
+    * probed rows, never index-wide) plus the cell centroid, shortlist
+    * ranks on the reconstructions, and the exact re-rank fetches raw
+    * vectors from `rawCorpus` by broadcast equi-join on the shortlist
+    * ids only. The corpus is never re-encoded. */
+  def annAgainstIvfPqIndex(index: DataFrame, queries: DataFrame,
+                           rawCorpus: DataFrame, vecCol: String,
+                           idCol: String, k: Int,
+                           cents: Seq[Seq[Double]],
+                           cb: Seq[Seq[Seq[Double]]], nProbe: Int,
+                           shortlist: Int): DataFrame = {
+    val m = cb.length
+    val subDim = cb.head.head.length
+    val flat = cb.flatten.flatten.toArray
+    val decode = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.PqDecode(
+        org.apache.spark.sql.GraftBridge.expression(col("codes")),
+        flat, m, cb.head.length, subDim))
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("cell", explode(cellsFor(col("qvec"), cents, nProbe)))
+    val short = index.join(broadcast(q), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("rvec",
+        cellCombine(decode, col("cell"), cents, 1.0))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("rvec"), col("qvec")).as("cos"))
+    val ws = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("corpus_id"))
+    val sl = short.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= shortlist)
+      .select("query_id", "corpus_id")
+    val cand = rawCorpus
+      .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
+      .join(broadcast(sl), Seq("corpus_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"))
+    val scored = cand.join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("cvec"), col("qvec")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Composed IVF-PQ ANN (the FAISS IVFPQ shape; Jégou et al. 2011
     * §IV): coarse spherical-k-means cells, PQ codebooks trained on
     * WITHIN-CELL RESIDUALS (vector − its cell centroid — the residual

@@ -213,6 +213,34 @@ class QuantKernelSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("PqDecode: decode(encode(v).codes) == encode(v).recon bit-exact; " +
+       "corrupt code arrays decode to null") {
+    import org.apache.spark.sql.GraftBridge
+    val sf = sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val cb = Similarity.pqCodebooks(e, "v", "id", m = 16, k = 16)
+    val flat = cb.flatten.flatten.toArray
+    def dec(c: org.apache.spark.sql.Column) = GraftBridge.column(
+      graft.functions.PqDecode(GraftBridge.expression(c), flat, 16, 16, 4))
+    val enc = Similarity.pqEncode(e, "v", "id", cb)
+    val bad = enc
+      .withColumn("dr", dec(col("codes")))
+      .filter(not(col("dr") <=> col("recon"))).count()
+    assert(bad == 0)
+    // corrupt rows: wrong length, null element, out-of-range code
+    val corrupt = Seq(
+      (1L, Seq[Integer](0, 1, 2)),                       // wrong length
+      (2L, Seq[Integer](0, 1, null, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3)),
+      (3L, Seq[Integer](0, 1, 99, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3)),
+      (4L, Seq[Integer](0, 1, -1, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3)),
+      (5L, null.asInstanceOf[Seq[Integer]])
+    ).toDF("id", "codes")
+    assert(corrupt.select(dec(col("codes")).as("r"))
+      .filter(col("r").isNotNull).count() == 0)
+  }
+
   test("fuzz: native == HOF on random vectors (seeded)") {
     val rnd = new scala.util.Random(42)
     val vecs = (1L to 200L).map { i =>
