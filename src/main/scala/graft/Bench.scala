@@ -7,6 +7,22 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
 
+  /** The host-factor canary set (see main): anchor medians captured
+    * 2026-08-15 (round 12) on the build host at local[32], sf0.1 —
+    * per-query mean of the start/end samples of a canary-only run
+    * (SPARK_GRAFT_ONLY=__none__). Do NOT re-pin unless a canary
+    * query's plan changes: the whole point is a fixed reference
+    * across rounds. Top-level so EntrySpec can assert every name
+    * stays registered (a silent rename would null the host factor). */
+  val canaryPinned: Seq[(String, Double)] = Seq(
+    "q1_agg" -> 1.355,
+    "report_cooler_period_trend" -> 1.645,
+    "trgx_tree_ops" -> 1.245,
+    "semantic_dedup_kmeans" -> 1.192,
+    "multimodal_audio" -> 1.326,
+    "corpus_token_budget" -> 0.429
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -73,19 +89,6 @@ object Bench {
     // work, not machine weather. Pinned values are valid ONLY for the
     // standard sf0.1 bench dir; on any other input the factor is skipped
     // (null in the artifact) rather than silently wrong.
-    // Anchor medians captured 2026-08-15 (round 12) on the build host at
-    // local[32], sf0.1: per-query mean of the start/end canary samples of
-    // a canary-only run (SPARK_GRAFT_ONLY=__none__). Do NOT re-pin unless
-    // a canary query's plan changes — the whole point is a fixed
-    // reference across rounds.
-    val canaryPinned: Seq[(String, Double)] = Seq(
-      "q1_agg" -> 1.355,
-      "report_cooler_period_trend" -> 1.645,
-      "trgx_tree_ops" -> 1.245,
-      "semantic_dedup_kmeans" -> 1.192,
-      "multimodal_audio" -> 1.326,
-      "corpus_token_budget" -> 0.429
-    )
     val canaryEnabled = sfDir.replaceAll("/+$", "").endsWith("sf0.1") &&
       !sys.env.contains("SPARK_GRAFT_NO_CANARY")
     def canaryRun(tag: String): Seq[(String, Double)] =

@@ -29,6 +29,13 @@ class EntrySpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracles without queries: $extra")
   }
 
+  test("every bench canary query stays registered (a silent rename " +
+       "would null the host factor instead of failing loudly)") {
+    val missing = Bench.canaryPinned.map(_._1)
+      .filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"canary queries not registered: $missing")
+  }
+
   test("sample queries return rows at sf0.001") {
     Seq("q1_agg", "sliding_scores", "report_shape", "dedup_minhash",
         "embedding_cosine_topk", "row_num_surrogate").foreach { q =>
