@@ -2069,6 +2069,32 @@ object LlmQueries {
         .orderBy("node")
     }),
 
+    // crawl budget by TRUSTED mass — the actionable form of the
+    // spam-mass signal: allocate fetches proportional to each domain's
+    // trust-reachable rank share, least(ppr_trusted, pr) clamped at 0
+    // (ppr can exceed pr on seed nodes — the cap keeps the weight a
+    // share of the domain's own rank). All-Long weights keep Apportion
+    // exact; a domain whose rank is pure spam mass (ppr = 0) gets
+    // quota 0 by construction — the downweight link_spam_mass scores,
+    // enacted.
+    "link_crawl_budget_trusted" -> ((s, dir) => {
+      val seeds = t(s, dir, "documents")
+        .select(concat(coalesce(col("source"), lit("unk")),
+          lit(".com")).as("node"))
+      val pr = graft.ops.Graph.pageRankScaled(
+        linkGraphEdges(s, dir, lit(true)), "src", "dst", 5)
+      val ppr = graft.ops.Graph.personalizedPageRankScaled(
+        linkGraphEdges(s, dir, lit(true)), "src", "dst", seeds, 5)
+      val w = pr.join(ppr.select(col("node"), col("rank_s").as("ppr_s")),
+          Seq("node"))
+        .select(col("node"),
+          greatest(least(col("ppr_s"), col("rank_s")), lit(0L))
+            .as("trusted_s"))
+      graft.ops.Apportion.largestRemainder(w, Seq("node"), "trusted_s",
+          100000L)
+        .orderBy("node")
+    }),
+
     // the production incremental re-rank loop proper: warm seed from
     // yesterday's 3-iteration ranks + the SAME eps stop as
     // link_pagerank_converged. The artifact's `iters` column IS the
@@ -3175,6 +3201,28 @@ object LlmQueries {
            CAST(r.fl + CASE WHEN r.rk <= kk.k THEN 1 ELSE 0 END
              AS BIGINT) AS quota
          FROM r CROSS JOIN kk ORDER BY node""",
+    // Hamilton over the trust-reachable rank share least(ppr, pr)⁺ —
+    // both unrolled chains + the BIGINT floor/remainder replica
+    "link_crawl_budget_trusted" ->
+      s"""WITH ${pagerankGraphCtes("", "TRUE")},
+         ${pagerankFreshSeed("")},
+         ${pagerankIterCtes("", 5)},
+         ${pprCtes(5)},
+         wgt AS (SELECT r.node,
+             greatest(least(p.rank_s, r.rank_s), 0) AS trusted_s
+           FROM r_5 r JOIN pr_5 p ON p.node = r.node),
+         t AS (SELECT sum(trusted_s) AS W FROM wgt),
+         f AS (SELECT node, trusted_s,
+             CAST((100000 * trusted_s) // t.W AS BIGINT) AS fl,
+             CAST((100000 * trusted_s) % t.W AS BIGINT) AS rem
+           FROM wgt CROSS JOIN t),
+         kk AS (SELECT 100000 - sum(fl) AS k FROM f),
+         rnk AS (SELECT node, trusted_s, fl, rem, row_number()
+             OVER (ORDER BY rem DESC, node NULLS FIRST) AS rk FROM f)
+         SELECT rnk.node, CAST(rnk.trusted_s AS BIGINT) AS trusted_s,
+           CAST(rnk.fl + CASE WHEN rnk.rk <= kk.k THEN 1 ELSE 0 END
+             AS BIGINT) AS quota
+         FROM rnk CROSS JOIN kk ORDER BY node""",
     "link_pagerank_resume_converged" ->
       pagerankResumeConvergedOracleSql(3, 500000000000L, 8),
     "link_pagerank_incremental" -> pagerankIncrementalOracleSql(3, 2),
