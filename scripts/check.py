@@ -144,13 +144,21 @@ for name in sorted(oracle):
         results[name] = "OK_EMPTY"
         continue
     bad = None
-    for c in g.columns:
-        gv, ev = g[c].tolist(), e_[c].tolist()
-        for i, (a, b) in enumerate(zip(gv, ev)):
-            d = cell_diff(a, b)
-            if d:
-                bad = f"col {c} row {i}: {d}"; break
-        if bad: break
+    try:
+        # positional iteration (g.iloc[:, j]), not name lookup: on a
+        # duplicated column label g[c] returns a DataFrame and .tolist()
+        # raises, aborting the whole gate instead of failing one query —
+        # the same class the TYPE check above already fixed positionally
+        for j, c in enumerate(g.columns):
+            gv, ev = g.iloc[:, j].tolist(), e_.iloc[:, j].tolist()
+            for i, (a, b) in enumerate(zip(gv, ev)):
+                d = cell_diff(a, b)
+                if d:
+                    bad = f"col {c} row {i}: {d}"; break
+            if bad: break
+    except Exception as ex:
+        # one malformed query must never abort the run for the rest
+        bad = f"COMPARE_FAIL {str(ex)[:200]}"
     results[name] = bad or "OK"
 
 n_ok = sum(1 for v in results.values() if v.startswith("OK"))
