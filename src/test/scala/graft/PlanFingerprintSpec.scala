@@ -150,13 +150,21 @@ class PlanFingerprintSpec extends AnyFunSuite {
   }
 
   test("every registered query's plan shape matches PLANFP.json") {
-    // these registrations execute their streaming job at CONSTRUCTION
-    // and return plain scans of their sink tables — fingerprint the
-    // inner micro-batch executions via listener capture instead of the
-    // blind tail scan
+    // these registrations execute jobs at CONSTRUCTION and return
+    // plain scans of their sink tables — fingerprint the inner
+    // executions via listener capture instead of the blind tail scan:
+    // the streaming ingests' micro-batches (the r11 blind spot), and
+    // the family runs, whose 31 member pipelines execute inside
+    // runReportFamily while the tail is just the sink read-back (the
+    // r12 verdict's last structural blind spot — the suite's biggest
+    // query was the only one whose executed plans the gate couldn't
+    // see)
     val streamingConstructed =
       Set("streaming_rng_ingest", "streaming_dedup_ingest",
-        "streaming_semantic_ingest")
+        "streaming_semantic_ingest", "streaming_ivfpq_ingest",
+        "streaming_pagerank_ingest", "streaming_drift_ingest",
+        "streaming_warc_ingest",
+        "report_family_run", "report_family_full")
     val fps = SparkEntry.queries.toSeq.sortBy(_._1)
       .map { case (name, q) =>
         name -> (if (streamingConstructed(name)) constructionFingerprint(q)
