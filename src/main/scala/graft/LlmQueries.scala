@@ -1152,6 +1152,57 @@ object LlmQueries {
       }
     }),
 
+    // streaming IVF-PQ index maintenance
+    // (StreamOps.continuousIvfPqIngest): the codes-state upgrade of
+    // streaming_semantic_ingest — standing index rows are (cell, id,
+    // codes), ~16× smaller than raw vectors. The quantizer is trained
+    // once on the historical corpus (identical training to
+    // ann_ivfpq_incremental, bit-shared with its oracle CTEs); the
+    // stream then re-ingests that corpus as two micro-batch waves —
+    // wave 1 the even ids, wave 2 the FULL table (an at-least-once
+    // redelivery of every even id plus the novel odd ids, which the
+    // id-guarded appends must absorb without duplicating). The
+    // registered output probes the ACCUMULATED index with the standing
+    // query batch against the accumulated raw-corpus archive — so the
+    // oracle is EXACTLY ann_ivfpq_incremental's (the streaming path
+    // must converge to the same persisted index the batch path writes).
+    "streaming_ivfpq_ingest" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val base = graft.core.Tables.tmpDir + "/stream_ivfpq_q"
+      StreamOps.deletePath(s, base)
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "embedding", "vec_id", 8)
+      val cb = {
+        val asg = e.select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("cell", Similarity.cellsFor(col("v"), cents, 1)
+            .getItem(0))
+          .withColumn("rv",
+            Similarity.cellCombine(col("v"), col("cell"), cents, -1.0))
+        Similarity.pqCodebooks(
+          asg.select(col("id"), col("rv").as("v")), "v", "id", 16, 64)
+      }
+      e.filter(col("vec_id") % 2 === 0).coalesce(4)
+        .write.parquet(s"$base/in1")
+      e.coalesce(4).write.parquet(s"$base/in2")
+      val schema = s.read.parquet(s"$base/in1").schema
+      StreamOps.continuousIvfPqIngest(
+        StreamOps.readTableStream(s, s"$base/in1", schema),
+        "embedding", "vec_id", s"$base/corpus", s"$base/index",
+        cents, cb)
+      StreamOps.continuousIvfPqIngest(
+        StreamOps.readTableStream(s, s"$base/in2", schema),
+        "embedding", "vec_id", s"$base/corpus", s"$base/index",
+        cents, cb)
+      Similarity.annAgainstIvfPqIndex(
+          s.read.parquet(s"$base/index"),
+          e.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+          s.read.parquet(s"$base/corpus"),
+          "embedding", "vec_id", 10, cents, cb, nProbe = 3,
+          shortlist = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     // corpus-scale dedup grouping: exact-collapse → LSH on canonicals
     // → attach members (bounded buckets, linear output — see Scaladoc)
     "dedup_groups_full" -> ((s, dir) =>
@@ -2740,6 +2791,10 @@ object LlmQueries {
     "ann_pq" -> pqOracleSql(),
     "ann_ivfpq" -> ivfPqOracleSql(),
     "ann_ivfpq_incremental" ->
+      ivfPqOracleSql(queryPred = "vec_id >= 5 AND vec_id < 10"),
+    // the streaming ingest must converge to the batch path's index —
+    // same oracle by construction (see the registration comment)
+    "streaming_ivfpq_ingest" ->
       ivfPqOracleSql(queryPred = "vec_id >= 5 AND vec_id < 10"),
     "text_sentences" ->
       """WITH s AS (SELECT doc_id,

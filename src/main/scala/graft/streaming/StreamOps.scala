@@ -404,6 +404,66 @@ object StreamOps {
     q
   }
 
+  /** Continuous embedding ingest maintaining a PERSISTED IVF-PQ codes
+    * index — the state-size upgrade of [[continuousSemanticIngest]]:
+    * that op's standing index stores raw normalized vectors (dims × 8
+    * bytes per row); this one stores (cell, corpus_id, codes) — m
+    * small ints per vector (~16× less at m=16/dims=64) — via
+    * [[graft.llm.Similarity.ivfPqIndexTable]], alongside the raw-
+    * corpus archive table query re-rank reads. The quantizer (coarse
+    * centroids + residual PQ codebooks) is trained OFFLINE on a
+    * bounded historical sample ([[graft.llm.Similarity.kmeansCentroids]]
+    * / [[graft.llm.Similarity.pqCodebooks]]) and passed in FIXED — the
+    * FAISS production discipline: an index's quantizer never retrains
+    * mid-stream, or its standing codes stop being comparable.
+    *
+    * Replay safety (at-least-once foreachBatch): within-batch exact-id
+    * collapse, then BOTH appends are id anti-joined against their
+    * target table ([[guardedAppend]]) — a replayed batch re-derives
+    * identical rows and appends nothing, whatever the crash point (the
+    * codes derivation is a pure projection of the batch, so there is
+    * no cross-table derivation to heal). Rows whose vector can't
+    * encode (null/ragged — ivfPqIndexTable's null-codes contract) are
+    * archived in the corpus but never indexed, exactly like the batch
+    * index. Near-dup SUPPRESSION is deliberately absent: in
+    * code-domain state two distinct vectors can share codes
+    * (quantization collision), so a codes-only suppressor would drop
+    * genuinely novel vectors — compose [[graft.llm.Dedup.semanticDedup]]
+    * over the raw batch upstream when ingest-time suppression is
+    * wanted. Single-writer contract as [[guardedAppend]].
+    *
+    * Scale shape: each batch shuffles only itself (the guards are
+    * id-projected scans of the standing tables — column-pruned reads,
+    * or a transactional format in a real deployment); the standing
+    * state a probe touches is the codes table, nProbe/nCells per
+    * query batch ([[graft.llm.Similarity.annAgainstIvfPqIndex]]). */
+  def continuousIvfPqIngest(vecs: DataFrame, vecCol: String,
+      idCol: String, corpusPath: String, indexPath: String,
+      cents: Seq[Seq[Double]],
+      cb: Seq[Seq[Seq[Double]]]): StreamingQuery = {
+    val q = vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.core.Tables.stagedScope {
+          val s = batch.sparkSession
+          // staged: the collapsed batch feeds the corpus append AND
+          // the codes projection (two actions; unstaged, each would
+          // re-read the source files and re-run the dropDuplicates,
+          // whose array-typed buffer forces a SortAggregate)
+          val b = graft.core.Tables.staged(
+            batch.dropDuplicates(idCol), "ivfpq_batch")
+          guardedAppend(s, b, corpusPath, idCol)
+          guardedAppend(s,
+            graft.llm.Similarity.ivfPqIndexTable(b, vecCol, idCol,
+              cents, cb),
+            indexPath, "corpus_id")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Watermarked stream-stream interval join: each left event picks up
     * the right events of the same key whose timestamp falls in
     * [leftTs − lookback, leftTs + lookahead]. Both sides carry

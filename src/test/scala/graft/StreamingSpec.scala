@@ -330,6 +330,64 @@ class StreamingSpec extends AnyFunSuite {
       .count() == 4)
   }
 
+  test("continuousIvfPqIngest accumulates the batch path's codes index " +
+       "under redelivery") {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions.col
+    val base = TestSpark.tmpPath("civfpq").toString
+    val corpus = s"$base/corpus"; val idx = s"$base/index"
+    def vec(seed: Int): Array[Double] =
+      Array.tabulate(8)(d => math.sin(seed * 8 + d + 1))
+    val all = Seq.tabulate(6)(i => (i.toLong, vec(i)))
+    val allDf = all.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(allDf, "embedding", "vec_id", 2)
+    val cb = {
+      val asg = allDf.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("cell",
+          Similarity.cellsFor(col("v"), cents, 1).getItem(0))
+        .withColumn("rv",
+          Similarity.cellCombine(col("v"), col("cell"), cents, -1.0))
+      Similarity.pqCodebooks(
+        asg.select(col("id"), col("rv").as("v")), "v", "id", 2, 2)
+    }
+    def ingest(in: String): Unit = {
+      val schema = spark.read.parquet(in).schema
+      StreamOps.continuousIvfPqIngest(
+        StreamOps.readTableStream(spark, in, schema),
+        "embedding", "vec_id", corpus, idx, cents, cb)
+      ()
+    }
+    // wave 1: the even ids only
+    all.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+      .write.parquet(s"$base/in1")
+    ingest(s"$base/in1")
+    assert(spark.read.parquet(corpus).select("vec_id")
+      .as[Long].collect().toSet == Set(0L, 2L, 4L))
+    // wave 2: the FULL table — an at-least-once redelivery of every
+    // even id plus the novel odds; guards must absorb the replays
+    allDf.write.parquet(s"$base/in2")
+    ingest(s"$base/in2")
+    // wave 3: pure redelivery — must append nothing anywhere
+    ingest(s"$base/in2")
+    assert(spark.read.parquet(corpus).count() == 6)
+    val idxRows = spark.read.parquet(idx)
+      .select(col("cell"), col("corpus_id"), col("codes"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toList))
+      .toSet
+    assert(idxRows.size == 6 &&
+      spark.read.parquet(idx).count() == 6, "one index row per id")
+    // the accumulated streaming index IS the batch index of the union
+    val batchIdx = Similarity
+      .ivfPqIndexTable(allDf, "embedding", "vec_id", cents, cb)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toList))
+      .toSet
+    assert(idxRows == batchIdx,
+      "streaming accumulation must converge to the batch codes index")
+  }
+
   test("stream-stream interval join equals the batch join " +
        "(watermark-bounded state on both sides)") {
     val base = TestSpark.tmpPath("ssj")
