@@ -410,10 +410,13 @@ object LlmQueries {
     * vectors never encode (the CASE len-guard twins Spark's
     * CellCentroidCombine null contract), so they are absent from the
     * index on both sides. */
+  // shortlist default re-pinned 50 → 100 with ivfPqTopK's (r13 sweep:
+  // recovers the PQ-shortlist error up to the nProbe-3 cell-recall
+  // ceiling at no cost); the persisted-index queries pass 50 explicitly
   private def ivfPqOracleSql(nCells: Int = 8, nProbe: Int = 3,
                              m: Int = 16, kCodes: Int = 64,
                              subDim: Int = 4, iters: Int = 5,
-                             shortlist: Int = 50, k: Int = 10,
+                             shortlist: Int = 100, k: Int = 10,
                              queryPred: String = "vec_id < 5"): String = {
     val dims = m * subDim
     s"""WITH corpus AS MATERIALIZED (
@@ -2791,11 +2794,13 @@ object LlmQueries {
     "ann_pq" -> pqOracleSql(),
     "ann_ivfpq" -> ivfPqOracleSql(),
     "ann_ivfpq_incremental" ->
-      ivfPqOracleSql(queryPred = "vec_id >= 5 AND vec_id < 10"),
+      ivfPqOracleSql(shortlist = 50,
+        queryPred = "vec_id >= 5 AND vec_id < 10"),
     // the streaming ingest must converge to the batch path's index —
     // same oracle by construction (see the registration comment)
     "streaming_ivfpq_ingest" ->
-      ivfPqOracleSql(queryPred = "vec_id >= 5 AND vec_id < 10"),
+      ivfPqOracleSql(shortlist = 50,
+        queryPred = "vec_id >= 5 AND vec_id < 10"),
     "text_sentences" ->
       """WITH s AS (SELECT doc_id,
            list_filter(list_transform(

@@ -632,7 +632,17 @@ object Similarity {
     * probed rows, never index-wide) plus the cell centroid, shortlist
     * ranks on the reconstructions, and the exact re-rank fetches raw
     * vectors from `rawCorpus` by broadcast equi-join on the shortlist
-    * ids only. The corpus is never re-encoded. */
+    * ids only. The corpus is never re-encoded.
+    *
+    * nCells CONTRACT (scale): the shortlist ranking is a window over
+    * each query's probed candidates — expected nProbe/nCells of the
+    * index — so a FIXED nCells funnels linearly as the corpus grows.
+    * Size nCells ≈ √(corpus rows) (the FAISS discipline) when building
+    * `cents`/`index`, which bounds the per-query window at ~nProbe·√N;
+    * SkewOpsProbe's IVFPQ_FUNNEL run pins the two regimes' measured
+    * candidate counts. The fixture-scale defaults used by the
+    * registered queries (nCells = 8) are for the ~1k-row test corpus
+    * only. */
   def annAgainstIvfPqIndex(index: DataFrame, queries: DataFrame,
                            rawCorpus: DataFrame, vecCol: String,
                            idCol: String, k: Int,
@@ -695,11 +705,20 @@ object Similarity {
     * residual can't encode (null/ragged raw vector) are excluded from
     * the index — they could never rank anyway (null cosine).
     *
+    * nCells CONTRACT: see [[annAgainstIvfPqIndex]] — size nCells ≈ √N
+    * at scale or the per-query shortlist window funnels linearly; the
+    * nCells = 8 default is fixture-scale. Defaults picked from the r13
+    * sweep (PLANS.md): at the nProbe = 3 operating point recall is
+    * ceilinged by CELL recall (36/50 here — unreachable neighbors live
+    * in unprobed cells), and shortlist = 100 recovers the residual
+    * PQ-shortlist error (34 → 36/50) at no measurable cost, while
+    * m = 32 doubles the artifact for nothing beyond that ceiling.
+    *
     * Output: query_id, corpus_id, rank, cos (rounded at 4). */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
                 idCol: String, k: Int, nCells: Int = 8, nProbe: Int = 3,
                 m: Int = 16, kCodes: Int = 64,
-                shortlist: Int = 50): DataFrame = {
+                shortlist: Int = 100): DataFrame = {
     val cents = kmeansCentroids(corpus, vecCol, idCol, nCells)
     val asg = corpus
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))

@@ -23,9 +23,12 @@ object SkewOpsProbe {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime; f; System.gc(); (System.nanoTime - t0) / 1e9
     }
+    // GRAFT_PROBE_ONLY=ivfpq runs just the r13 funnel section (the
+    // full probe is ~15 min; sections are independent evidence runs)
+    val onlyIvfpq = sys.env.get("GRAFT_PROBE_ONLY").contains("ivfpq")
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select($"doc_id", $"text", $"lang", $"source")
-    for (mult <- Seq(64, 256)) {
+    for (mult <- Seq(64, 256) if !onlyIvfpq) {
       val d = (0 until mult).map(i => docs.select(
           ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"),
           $"text", $"lang", $"source")).reduce(_ unionByName _)
@@ -174,6 +177,44 @@ object SkewOpsProbe {
         println(s"PAGERANK_WARMSTART l1_cold3=${l1(cold3, truth)} " +
           s"l1_warm3=${l1(warm3, truth)} (scaled units vs 15-iter " +
           "truth; total mass = 10^12)")
+      }
+    }
+
+    // ---- IVF-PQ probe funnel (r13): the per-query shortlist window
+    // ranks ~ nProbe/nCells × N candidates, so a FIXED nCells funnels
+    // linearly with corpus growth while the √N discipline (FAISS's
+    // nCells ≈ √N) keeps it bounded at ~nProbe·√N — the number below
+    // is the max per-query candidate count the window actually sees.
+    {
+      import graft.llm.Similarity
+      val emb = spark.read
+        .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      for (mult <- Seq(16, 64)) {
+        val c = (0 until mult).map(i => emb.select(
+            ($"vec_id" + lit(i.toLong * 10000000L)).as("vec_id"),
+            concat(
+              array(element_at($"embedding".cast("array<double>"), 1)
+                + lit(i * 1e-4)),
+              slice($"embedding".cast("array<double>"), 2, 63))
+              .as("embedding"))).reduce(_ unionByName _)
+        val corp = graft.core.Tables.staged(c, "ivfpq_funnel")
+        val n = corp.count()
+        val q = corp.filter($"vec_id" < 5)
+        for (nCells <- Seq(8, math.ceil(math.sqrt(n.toDouble)).toInt)) {
+          val cents = Similarity.kmeansCentroids(
+            corp, "embedding", "vec_id", nCells)
+          val idx = Similarity.ivfIndexTable(
+            corp, "embedding", "vec_id", cents)
+          val qc = q.select($"vec_id".as("query_id"),
+              $"embedding".cast("array<double>").as("qv"))
+            .withColumn("cell",
+              explode(Similarity.cellsFor($"qv", cents, 3)))
+          val maxCand = idx.join(qc, Seq("cell"))
+            .groupBy("query_id").agg(count(lit(1)).as("cand"))
+            .agg(max($"cand")).first().getLong(0)
+          println(s"IVFPQ_FUNNEL mult=$mult rows=$n nCells=$nCells " +
+            s"nProbe=3 max_candidates_per_query=$maxCand")
+        }
       }
     }
     spark.stop()
