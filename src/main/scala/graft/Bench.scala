@@ -327,14 +327,16 @@ object Bench {
     // parameter like the anchors; non-io-bound queries use host_factor
     // alone.
     val ioShare = 0.35
-    val totalWarmDualJson = (hostFactor, ioFactor) match {
+    val warmDual = (hostFactor, ioFactor) match {
       case (Some(hf), Some(iof)) =>
         warm.map { case (n, v) =>
-          v / (if (isIoBound(n)) (1 - ioShare) * hf + ioShare * iof
-               else hf)
-        }.sum.toString
-      case _ => "null"
+          n -> v / (if (isIoBound(n)) (1 - ioShare) * hf + ioShare * iof
+                    else hf)
+        }
+      case _ => Seq.empty
     }
+    val totalWarmDualJson =
+      if (warmDual.nonEmpty) warmDual.map(_._2).sum.toString else "null"
     val iofJson = ioFactor.map(_.toString).getOrElse("null")
     val failedJson = failed
       .map { case (k, v) =>
@@ -351,7 +353,7 @@ object Bench {
     // systematically warmer than pre-r12 artifacts' — the flag makes
     // the artifact state that instead of leaving cold diffs silently
     // incomparable across the r12 boundary
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(coldOk)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"warm_spread":${js(warmSpread)},"failed":$failedJson,"canary_failed":$canaryFailedJson,"cold_canary_prewarmed":${canaryEnabled},"total_warm":$totalWarm,"host_factor":$hfJson,"canary_start":${js(canaryStart)},"canary_end":${js(canaryEnd)},"canary_pinned":${js(canaryPinned)},"io_factor":$iofJson,"io_canary_start":${ioStart.mkString("[", ",", "]")},"io_canary_end":${ioEnd.mkString("[", ",", "]")},"io_canary_pinned":$ioCanaryPinned,"io_share":$ioShare,"io_bound_queries":$ioBoundJson,"total_warm_normalized":$totalWarmNormJson,"total_warm_normalized_dual":$totalWarmDualJson,"queries_warm_normalized":${js(warmNormalized)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(coldOk)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"warm_spread":${js(warmSpread)},"failed":$failedJson,"canary_failed":$canaryFailedJson,"cold_canary_prewarmed":${canaryEnabled},"total_warm":$totalWarm,"host_factor":$hfJson,"canary_start":${js(canaryStart)},"canary_end":${js(canaryEnd)},"canary_pinned":${js(canaryPinned)},"io_factor":$iofJson,"io_canary_start":${ioStart.mkString("[", ",", "]")},"io_canary_end":${ioEnd.mkString("[", ",", "]")},"io_canary_pinned":$ioCanaryPinned,"io_share":$ioShare,"io_bound_queries":$ioBoundJson,"total_warm_normalized":$totalWarmNormJson,"total_warm_normalized_dual":$totalWarmDualJson,"queries_warm_normalized":${js(warmNormalized)},"queries_warm_normalized_dual":${js(warmDual)},"sf":"$sfDir"}"""
     if (failed.nonEmpty)
       System.err.println(
         s"[bench] ${failed.size} queries FAILED (excluded from timings): " +
