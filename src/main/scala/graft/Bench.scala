@@ -222,6 +222,13 @@ object Bench {
         name -> dt
       }
     }
+    // MID-RUN samples (between the cold and warm phases): endpoint-only
+    // sampling left a ~40-min blind window — the r13 closing run hit a
+    // sustained mid-suite disk storm (report_family_full passes 36/97/54
+    // s) that neither endpoint factor saw. Three samples make the
+    // median factor representative of the run, not just its edges.
+    val canaryMid = canaryRun("mid")
+    val ioMid = ioCanaryRun("mid")
     val warmRuns = sorted
       .filter { case (name, _) => !failed.contains(name) }
       .flatMap { case (name, fn) =>
@@ -241,12 +248,12 @@ object Bench {
     val canaryEnd = canaryRun("end")
     val ioEnd = ioCanaryRun("end")
     val pinnedMap = canaryPinned.toMap
-    val canaryRatios = (canaryStart ++ canaryEnd)
+    val canaryRatios = (canaryStart ++ canaryMid ++ canaryEnd)
       .flatMap { case (n, m) => pinnedMap.get(n).map(m / _) }
     // every pinned canary NAME must appear in at least one sample: a
     // size-only gate accepted a lopsided set (3 of 6 canaries at both
     // ends = 6 ratios) and presented a half-coverage factor as valid
-    val namesSeen = (canaryStart ++ canaryEnd).map(_._1).toSet
+    val namesSeen = (canaryStart ++ canaryMid ++ canaryEnd).map(_._1).toSet
     val hostFactor: Option[Double] =
       if (canaryRatios.nonEmpty && canaryPinned.forall(p => namesSeen(p._1)))
         Some(medianOf(canaryRatios))
@@ -255,8 +262,8 @@ object Bench {
       System.err.println(f"[bench] host_factor $f%.3f (1.0 = r12 anchor host; >1 = slower host)")
     }
     val ioFactor: Option[Double] = {
-      val meds = Seq(ioStart, ioEnd).filter(_.nonEmpty).map(medianOf)
-      if (meds.size == 2) Some(medianOf(meds.map(_ / ioCanaryPinned)))
+      val meds = Seq(ioStart, ioMid, ioEnd).filter(_.nonEmpty).map(medianOf)
+      if (meds.size == 3) Some(medianOf(meds.map(_ / ioCanaryPinned)))
       else None
     }
     ioFactor.foreach { f =>
@@ -353,7 +360,7 @@ object Bench {
     // systematically warmer than pre-r12 artifacts' — the flag makes
     // the artifact state that instead of leaving cold diffs silently
     // incomparable across the r12 boundary
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(coldOk)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"warm_spread":${js(warmSpread)},"failed":$failedJson,"canary_failed":$canaryFailedJson,"cold_canary_prewarmed":${canaryEnabled},"total_warm":$totalWarm,"host_factor":$hfJson,"canary_start":${js(canaryStart)},"canary_end":${js(canaryEnd)},"canary_pinned":${js(canaryPinned)},"io_factor":$iofJson,"io_canary_start":${ioStart.mkString("[", ",", "]")},"io_canary_end":${ioEnd.mkString("[", ",", "]")},"io_canary_pinned":$ioCanaryPinned,"io_share":$ioShare,"io_bound_queries":$ioBoundJson,"total_warm_normalized":$totalWarmNormJson,"total_warm_normalized_dual":$totalWarmDualJson,"queries_warm_normalized":${js(warmNormalized)},"queries_warm_normalized_dual":${js(warmDual)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(coldOk)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"warm_spread":${js(warmSpread)},"failed":$failedJson,"canary_failed":$canaryFailedJson,"cold_canary_prewarmed":${canaryEnabled},"total_warm":$totalWarm,"host_factor":$hfJson,"canary_start":${js(canaryStart)},"canary_mid":${js(canaryMid)},"canary_end":${js(canaryEnd)},"canary_pinned":${js(canaryPinned)},"io_factor":$iofJson,"io_canary_start":${ioStart.mkString("[", ",", "]")},"io_canary_mid":${ioMid.mkString("[", ",", "]")},"io_canary_end":${ioEnd.mkString("[", ",", "]")},"io_canary_pinned":$ioCanaryPinned,"io_share":$ioShare,"io_bound_queries":$ioBoundJson,"total_warm_normalized":$totalWarmNormJson,"total_warm_normalized_dual":$totalWarmDualJson,"queries_warm_normalized":${js(warmNormalized)},"queries_warm_normalized_dual":${js(warmDual)},"sf":"$sfDir"}"""
     if (failed.nonEmpty)
       System.err.println(
         s"[bench] ${failed.size} queries FAILED (excluded from timings): " +
