@@ -1112,13 +1112,18 @@ object RptQueries {
         .select(col("bg_sort"), col("bottler_sort"), col("cat"),
           node.as("node"))
         .groupBy("bg_sort", "bottler_sort", "cat")
+        // sort_array, not array_sort: same ordering on these never-null
+        // strings (collect_list drops nulls; they differ only on null
+        // placement), but sort_array is codegen'd while array_sort is a
+        // CodegenFallback HOF — these two renders were the family run's
+        // last interpreted per-row expressions
         .agg(concat(lit("\""), col("cat"),
           lit("\":{\"DATA\":{},\"CHILDREN\":{"),
-          array_join(array_sort(collect_list(col("node"))), ","),
+          array_join(sort_array(collect_list(col("node"))), ","),
           lit("}}")).as("catnode"))
       cats.groupBy("bg_sort", "bottler_sort")
         .agg(concat(lit("{"),
-          array_join(array_sort(collect_list(col("catnode"))), ","),
+          array_join(sort_array(collect_list(col("catnode"))), ","),
           lit("}")).as("dimension_metrics"))
         .select(lit("9999-12-31").as("dw_dt"),
           lit("cocacola").as("project"), lit("score").as("category"),
