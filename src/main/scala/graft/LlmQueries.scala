@@ -823,6 +823,18 @@ object LlmQueries {
          FROM r_$iters r JOIN pr_$iters p ON p.node = r.node
          ORDER BY r.node"""
 
+  /** Oracle for link_rank_tables — spamMassOracleSql's chains, emitted
+    * as the bare (node, rank_s, ppr_s) artifact the link family
+    * derives from. */
+  private def rankTablesOracleSql(iters: Int): String =
+    s"""WITH ${pagerankGraphCtes("", "TRUE")},
+         ${pagerankFreshSeed("")},
+         ${pagerankIterCtes("", iters)},
+         ${pprCtes(iters)}
+         SELECT r.node, r.rank_s, p.rank_s AS ppr_s
+         FROM r_$iters r JOIN pr_$iters p ON p.node = r.node
+         ORDER BY r.node"""
+
   /** Streaming-ingest twin of [[pagerankIncrementalOracleSql]]: the v2
     * snapshot carries the sentinel edge the streaming fixture plants
     * so the version guard always sees the graph grow (one row iff
@@ -2157,6 +2169,20 @@ object LlmQueries {
         .orderBy("node")
     }),
 
+    // the SHARED staged rank artifact itself, hash-checked: the
+    // (node, rank_s, ppr_s) table every derived link query (spam mass,
+    // both budgets) reads — registering it pins that the memoized
+    // tables equal the fresh chains bit-for-bit, independent of any
+    // consumer's own derivation.
+    "link_rank_tables" -> ((s, dir) => {
+      val pr = LinkRanks.pr5(s, dir)
+      val ppr = LinkRanks.ppr5(s, dir)
+      pr.join(ppr.select(col("node"), col("rank_s").as("ppr_s")),
+          Seq("node"))
+        .select(col("node"), col("rank_s"), col("ppr_s"))
+        .orderBy("node")
+    }),
+
     "link_pagerank_incremental" -> ((s, dir) => {
       val prior = graft.ops.Graph.pageRankScaled(
         linkGraphEdges(s, dir, col("doc_id") % 3 =!= 0),
@@ -3341,6 +3367,7 @@ object LlmQueries {
     "link_pagerank_incremental" -> pagerankIncrementalOracleSql(3, 2),
     "link_pagerank_personalized" -> pprOracleSql(5),
     "link_spam_mass" -> spamMassOracleSql(5),
+    "link_rank_tables" -> rankTablesOracleSql(5),
     "streaming_pagerank_ingest" -> pagerankStreamingOracleSql(3, 2),
     "robots_filter" ->
       """WITH d AS (SELECT doc_id, coalesce(source, 'unk') AS src0
