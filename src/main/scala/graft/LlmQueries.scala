@@ -835,6 +835,92 @@ object LlmQueries {
          FROM r_$iters r JOIN pr_$iters p ON p.node = r.node
          ORDER BY r.node"""
 
+  /** Unrolled HITS oracle (Graph.hitsScaled twin): h_0 = HitsScale per
+    * node; each iteration's authority is the in-neighbor hub sum
+    * L1-normalized by truncating division (divisor max(total div S, 1)),
+    * then hubs symmetrically from out-neighbor authority sums. All
+    * non-negative BIGINT sums and floor divisions — bit-exact by the
+    * pagerank-oracle argument. */
+  private def hitsOracleSql(iters: Int): String = {
+    val s0 = graft.ops.Graph.HitsScale
+    val iterCtes = (1 to iters).map { i =>
+      s"""ar_$i AS MATERIALIZED (SELECT e.dst AS node,
+             CAST(sum(h.hub_s) AS BIGINT) AS a_raw
+           FROM e JOIN h_${i - 1} h ON h.node = e.src GROUP BY e.dst),
+         ta_$i AS (SELECT greatest(
+             CAST(coalesce(sum(a_raw), 0) AS BIGINT) // $s0, 1) AS d
+           FROM ar_$i),
+         a_$i AS MATERIALIZED (SELECT nodes.node,
+             CAST(coalesce(ar.a_raw, 0) // ta_$i.d AS BIGINT) AS auth_s
+           FROM nodes CROSS JOIN ta_$i
+           LEFT JOIN ar_$i ar ON ar.node = nodes.node),
+         hr_$i AS MATERIALIZED (SELECT e.src AS node,
+             CAST(sum(a.auth_s) AS BIGINT) AS h_raw
+           FROM e JOIN a_$i a ON a.node = e.dst GROUP BY e.src),
+         th_$i AS (SELECT greatest(
+             CAST(coalesce(sum(h_raw), 0) AS BIGINT) // $s0, 1) AS d
+           FROM hr_$i),
+         h_$i AS MATERIALIZED (SELECT nodes.node,
+             CAST(coalesce(hr.h_raw, 0) // th_$i.d AS BIGINT) AS hub_s
+           FROM nodes CROSS JOIN th_$i
+           LEFT JOIN hr_$i hr ON hr.node = nodes.node)"""
+    }.mkString(",\n         ")
+    s"""WITH ${pagerankGraphCtes("", "TRUE")},
+         h_0 AS MATERIALIZED (SELECT node, CAST($s0 AS BIGINT) AS hub_s
+           FROM nodes),
+         $iterCtes
+         SELECT a.node, a.auth_s, h.hub_s
+         FROM a_$iters a JOIN h_$iters h ON h.node = a.node
+         ORDER BY a.node"""
+  }
+
+  /** Degree-oriented triangle-count oracle (Graph.triangleCounts twin):
+    * undirected simplification, orientation from the smaller
+    * (degree, node) key, wedges at the minimum vertex closed by the
+    * oriented (v1, v2) edge, per-node counts via the 3-arm unpivot.
+    * Counts exact integers; lcc is one IEEE divide of small ints. */
+  private val trianglesOracleSql: String =
+    s"""WITH ${pagerankGraphCtes("", "TRUE")},
+         und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+             greatest(src, dst) AS b
+           FROM e WHERE src <> dst),
+         dg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT)
+             AS degree
+           FROM (SELECT a AS node FROM und
+                 UNION ALL SELECT b FROM und)
+           GROUP BY node),
+         ori AS MATERIALIZED (SELECT
+             CASE WHEN da.degree < db.degree
+                    OR (da.degree = db.degree AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS u,
+             CASE WHEN da.degree < db.degree
+                    OR (da.degree = db.degree AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS v,
+             CASE WHEN da.degree < db.degree
+                    OR (da.degree = db.degree AND u.a < u.b)
+                  THEN db.degree ELSE da.degree END AS dv
+           FROM und u
+           JOIN dg da ON da.node = u.a
+           JOIN dg db ON db.node = u.b),
+         tri AS MATERIALIZED (SELECT w1.u, w1.v AS v1, w2.v AS v2
+           FROM ori w1
+           JOIN ori w2 ON w1.u = w2.u
+             AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))
+           JOIN ori c ON c.u = w1.v AND c.v = w2.v),
+         pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+           FROM (SELECT u AS node FROM tri
+                 UNION ALL SELECT v1 FROM tri
+                 UNION ALL SELECT v2 FROM tri)
+           GROUP BY node)
+         SELECT dg.node, dg.degree,
+           CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN dg.degree >= 2
+             THEN round(2.0 * coalesce(pn.triangles, 0) /
+               (dg.degree * (dg.degree - 1)), 6) + 0.0
+             ELSE 0.0 END AS lcc
+         FROM dg LEFT JOIN pn ON pn.node = dg.node
+         ORDER BY dg.node"""
+
   /** Streaming-ingest twin of [[pagerankIncrementalOracleSql]]: the v2
     * snapshot carries the sentinel edge the streaming fixture plants
     * so the version guard always sees the graph grow (one row iff
@@ -2148,6 +2234,30 @@ object LlmQueries {
         trustedSeeds(s, dir), 5)
         .orderBy("node")),
 
+    // HITS hubs & authorities (Kleinberg) over the same domain graph,
+    // in the PageRank family's scaled-Long exact arithmetic: authority
+    // = L1-normalized in-neighbor hub sum, hub = out-neighbor authority
+    // sum, 3 iterations — the crawl layer's complement to the single
+    // PageRank score (authorities = pages worth fetching, hubs =
+    // directory pages worth re-crawling for link discovery). Every
+    // step a non-negative Long sum or truncating division, so the
+    // oracle unrolls the identical BIGINT arithmetic.
+    "link_hits" -> ((s, dir) =>
+      graft.ops.Graph.hitsScaled(
+        linkGraphEdges(s, dir, lit(true)), "src", "dst", 3)
+        .orderBy("node")),
+
+    // per-node triangle counts + local clustering coefficient over the
+    // undirected domain graph — the community-cohesion signal link
+    // farms fail (high degree, near-zero closure). Degree-oriented
+    // wedge enumeration (Suri & Vassilvitskii): wedges only at a
+    // triangle's minimum-(degree,node) vertex, closing edge confirmed
+    // by one equi-join — hub fan-out bounded by forward degree O(√E).
+    "link_triangles" -> ((s, dir) =>
+      graft.ops.Graph.triangleCounts(
+        linkGraphEdges(s, dir, lit(true)), "src", "dst")
+        .orderBy("node")),
+
     // spam-mass score (Gyöngyi et al.): spam_mass =
     // (pr − ppr_trusted) / pr — the fraction of a domain's PageRank
     // NOT explainable by reachability from the trusted seed set; the
@@ -3368,6 +3478,8 @@ object LlmQueries {
     "link_pagerank_personalized" -> pprOracleSql(5),
     "link_spam_mass" -> spamMassOracleSql(5),
     "link_rank_tables" -> rankTablesOracleSql(5),
+    "link_hits" -> hitsOracleSql(3),
+    "link_triangles" -> trianglesOracleSql,
     "streaming_pagerank_ingest" -> pagerankStreamingOracleSql(3, 2),
     "robots_filter" ->
       """WITH d AS (SELECT doc_id, coalesce(source, 'unk') AS src0

@@ -174,6 +174,175 @@ object Graph {
     ranks
   }
 
+  /** Fixed denominator for [[hitsScaled]] scores: hub/authority
+    * weights are L1-normalized to sum ≈ HitsScale each iteration.
+    * Smaller than [[Scale]] deliberately: the un-normalized authority
+    * total is Σ_u h(u)·outdeg(u) ≤ HitsScale · max-outdeg, so 10^9
+    * keeps the intermediate exact for any node fanning out to up to
+    * ~9·10^9 distinct domains — beyond any real web graph. */
+  val HitsScale: Long = 1000000000L
+
+  /** HITS (Kleinberg): hub and authority scores over the distinct
+    * directed edge set, in the same exact scaled-integer arithmetic as
+    * [[pageRankScaled]] — a crawl layer reads authorities as the pages
+    * worth fetching and hubs as the directory/seed pages worth
+    * re-crawling for link discovery, complementing PageRank's single
+    * global score.
+    *
+    * Per iteration, with S = [[HitsScale]]:
+    *   a_raw(v) = Σ_{u→v} h(u);   a(v) = a_raw(v) div max(Σa_raw div S, 1)
+    *   h_raw(v) = Σ_{v→w} a(w);   h(v) = h_raw(v) div max(Σh_raw div S, 1)
+    * i.e. L1 normalization by truncating integer division (the max(…,1)
+    * clamp keeps the divisor positive when total mass collapses below
+    * S on degenerate graphs). Every step is a non-negative Long sum or
+    * truncating division — order-free and engine-identical, so the
+    * result is bit-exact across partitionings and engines, exactly the
+    * PageRank discipline. h_0 = S per node.
+    *
+    * Scale shape: per iteration two key-partitioned equi-joins of the
+    * edge table against a staged score table plus two hash
+    * aggregations — shuffles carry (node, long) only; both score
+    * tables stage to parquet per round so plan depth stays
+    * iteration-bounded. The two L1 totals are single-Long scans of the
+    * just-staged aggregate (the converged-PageRank stop-read pattern).
+    * Exactness contract: intermediate sums stay inside Long while
+    * HitsScale · max-outdeg < 2^63 (scaladoc on [[HitsScale]]).
+    *
+    * Output: (node, auth_s, hub_s). */
+  def hitsScaled(edges: DataFrame, srcCol: String, dstCol: String,
+                 iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val e = graft.core.Tables.staged(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .na.drop().distinct(), "hits_edges")
+    val nodes = graft.core.Tables.staged(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct(),
+      "hits_nodes")
+    require(nodes.limit(1).count() > 0, "hitsScaled: empty graph")
+    var hubs = graft.core.Tables.staged(
+      nodes.withColumn("hub_s", lit(HitsScale)), "hits_h0")
+    var out: DataFrame = null
+    for (i <- 1 to iterations) {
+      // authority update: in-neighbor hub sum, staged, then L1-divided
+      val aRaw = graft.core.Tables.staged(
+        e.join(hubs, col("src") === hubs("node"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("hub_s")).as("a_raw")),
+        s"hits_araw$i")
+      // total reads the STAGED aggregate — one columnar Long scan, the
+      // pageRankScaledConverged stop-read pattern
+      val ta = aRaw.agg(coalesce(sum(col("a_raw")), lit(0L)))
+        .head().getLong(0)
+      val da = math.max(ta / HitsScale, 1L)
+      val auth = graft.core.Tables.staged(
+        nodes.join(aRaw, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"coalesce(a_raw, 0L) div ${da}L").as("auth_s")),
+        s"hits_a$i")
+      // hub update: out-neighbor authority sum
+      val hRaw = graft.core.Tables.staged(
+        e.join(auth, col("dst") === auth("node"))
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("auth_s")).as("h_raw")),
+        s"hits_hraw$i")
+      val th = hRaw.agg(coalesce(sum(col("h_raw")), lit(0L)))
+        .head().getLong(0)
+      val dh = math.max(th / HitsScale, 1L)
+      out = graft.core.Tables.staged(
+        nodes.join(aRaw, Seq("node"), "left")
+          .join(hRaw, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"coalesce(a_raw, 0L) div ${da}L").as("auth_s"),
+            expr(s"coalesce(h_raw, 0L) div ${dh}L").as("hub_s")),
+        s"hits_$i")
+      hubs = out.select(col("node"), col("hub_s"))
+    }
+    out
+  }
+
+  /** Per-node triangle counts + local clustering coefficient over the
+    * UNDIRECTED simplification of the edge set (self-loops dropped,
+    * direction collapsed) — the link-graph cohesion signal: a domain
+    * whose neighbors also link each other sits in a genuine community;
+    * link farms show high degree with near-zero closure.
+    *
+    * Degree-oriented wedge enumeration (Suri & Vassilvitskii, WWW'11
+    * "Counting triangles and the curse of the last reducer"): each
+    * undirected edge is oriented from the endpoint with the SMALLER
+    * (degree, node) key to the larger, wedges are generated only at a
+    * triangle's minimum-key vertex, and the closing edge — which under
+    * a total order is necessarily the oriented (b, c) with
+    * key(b) < key(c) — is confirmed by one equi-join. Orientation
+    * bounds per-node fan-out by O(√E) on any graph (arboricity), so a
+    * celebrity hub generates wedges proportional to its FORWARD degree
+    * only — the skew discipline that makes this survive a power-law
+    * web graph where naive per-node wedge counting funnels the hub
+    * into one reducer.
+    *
+    * All counts are exact integers; `lcc` = 2T/(d(d−1)) is one IEEE
+    * divide of small exact ints (engine-identical), 0.0 below degree
+    * 2. Output: (node, degree, triangles, lcc). */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val und = graft.core.Tables.staged(
+      edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+        .na.drop()
+        .filter(col("s") =!= col("d"))
+        .select(least(col("s"), col("d")).as("a"),
+                greatest(col("s"), col("d")).as("b"))
+        .distinct(), "tri_und")
+    val deg = graft.core.Tables.staged(
+      und.select(col("a").as("node"))
+        .unionByName(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree")), "tri_deg")
+    // orient a→b iff (deg(a), a) < (deg(b), b): a total order, so each
+    // undirected edge appears exactly once and forward fan-out is
+    // degree-bounded by O(√E)
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("degree").as("da")),
+        Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("db")),
+        Seq("b"))
+    val oriented = graft.core.Tables.staged(
+      withDeg.select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("v"),
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          col("db")).otherwise(col("da")).as("dv")),
+      "tri_oriented")
+    // wedges at the minimum-key vertex: two forward edges u→v1, u→v2
+    // with key(v1) < key(v2); the closing edge, if present, is exactly
+    // the oriented v1→v2
+    val w1 = oriented.select(col("u"), col("v").as("v1"),
+      col("dv").as("dv1"))
+    val w2 = oriented.select(col("u"), col("v").as("v2"),
+      col("dv").as("dv2"))
+    val wedges = w1.join(w2, Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val triangles = wedges.join(
+      oriented.select(col("u").as("v1"), col("v").as("v2")),
+      Seq("v1", "v2"))
+    val perNode = triangles.select(col("u").as("node"))
+      .unionByName(triangles.select(col("v1").as("node")))
+      .unionByName(triangles.select(col("v2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L))
+            .cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
   /** Shared power-iteration loop. With `eps` set, each staged rank
     * table carries a `__delta` column (|new − old| per node) and the
     * loop stops early once its sum drops below eps; returns the final

@@ -182,6 +182,77 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("hitsScaled: one iteration matches the hand computation and " +
+       "duplicate edges collapse") {
+    // A→B, A→C, B→C; S = 10^9. h0 = S each.
+    // a_raw: B = S (from A), C = 2S (from A, B); ta = 3S ⇒ da = 3
+    // a1: A = 0, B = S div 3, C = 2S div 3
+    // h_raw: A = a(B)+a(C) = 999999999, B = a(C) = 666666666;
+    // th = 1666666665 ⇒ dh = max(th div S, 1) = 1
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("A", "B"))
+      .toDF("src", "dst")
+    val r = Graph.hitsScaled(edges, "src", "dst", 1)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r("A") == ((0L, 999999999L)))
+    assert(r("B") == ((333333333L, 666666666L)))
+    assert(r("C") == ((666666666L, 0L)))
+  }
+
+  test("hitsScaled: bipartite roles separate — directories get hub " +
+       "mass, targets get authority mass, and re-runs are bit-equal") {
+    // two directory pages each linking all four targets
+    val dirs = Seq("d1", "d2"); val tgts = (1 to 4).map(i => s"t$i")
+    val edges = (for { d <- dirs; t <- tgts } yield (d, t))
+      .toDF("src", "dst")
+    val out = Graph.hitsScaled(edges, "src", "dst", 3)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    dirs.foreach { d =>
+      assert(out(d)._1 == 0L && out(d)._2 > 0L, s"$d: ${out(d)}") }
+    tgts.foreach { t =>
+      assert(out(t)._1 > 0L && out(t)._2 == 0L, s"$t: ${out(t)}") }
+    // symmetric nodes tie exactly; a second run is bit-identical
+    assert(dirs.map(out).distinct.size == 1)
+    assert(tgts.map(out).distinct.size == 1)
+    val again = Graph.hitsScaled(edges, "src", "dst", 3)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(again == out)
+  }
+
+  test("triangleCounts: K4 closes everywhere, a pendant dilutes lcc, " +
+       "direction/self-loops/duplicates collapse") {
+    val k4 = for {
+      a <- Seq("A", "B", "C", "D"); b <- Seq("A", "B", "C", "D")
+      if a < b
+    } yield (a, b)
+    // feed BOTH directions of some edges, a self-loop, and a dup row:
+    // the undirected simplification must ignore all of it
+    val edges = (k4 ++ Seq(("B", "A"), ("C", "C"), ("A", "B"),
+      ("A", "E"))).toDF("src", "dst")
+    val r = Graph.triangleCounts(edges, "src", "dst")
+      .as[(String, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // B, C, D: degree 3 inside K4, all 3 incident pairs closed
+    Seq("B", "C", "D").foreach { n =>
+      assert(r(n) == ((3L, 3L, 1.0)), s"$n: ${r(n)}") }
+    // A additionally touches pendant E: degree 4, still 3 triangles,
+    // lcc = 2·3/(4·3) = 0.5; E has degree 1 ⇒ lcc 0.0 by convention
+    assert(r("A") == ((4L, 3L, 0.5)))
+    assert(r("E") == ((1L, 0L, 0.0)))
+  }
+
+  test("triangleCounts: a pure wedge (path) has zero triangles and " +
+       "zero lcc at the center") {
+    val edges = Seq(("A", "B"), ("B", "C")).toDF("src", "dst")
+    val r = Graph.triangleCounts(edges, "src", "dst")
+      .as[(String, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r("B") == ((2L, 0L, 0.0)))
+    assert(r("A") == ((1L, 0L, 0.0)) && r("C") == ((1L, 0L, 0.0)))
+  }
+
   test("extractLinks: attribute order, uppercase tags, and the " +
        "no-href trap") {
     import graft.llm.HtmlText
