@@ -440,6 +440,30 @@ object CorpusQueries {
       graft.ops.Apportion.largestRemainder(wts, Seq("lang"),
           "n_tokens", 10000L)
         .orderBy("lang")
+    }),
+    // epoch-capped token apportionment — the data-constrained mixture
+    // (Muennighoff et al. 2023): split a token budget of 3/4 of one
+    // full epoch across sources proportional to planted mixture
+    // weights (doc counts), but no source may exceed its cap (planted
+    // per-source config: ¼ to 3¼ epochs in quarter steps, keyed off
+    // n_tokens so the fixture always exhibits BOTH regimes) — a
+    // tightly-capped source saturates and its excess share water-fills
+    // into the sources with headroom, exactly
+    // (Apportion.cappedLargestRemainder: Σ quota = budget whenever
+    // Σ cap ≥ budget).
+    "corpus_epoch_quota" -> ((s, dir) => {
+      val cfg = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCountWs(coalesce(col("text"), lit("")))
+            .cast("long")).as("n_tokens"))
+        .withColumn("cap_tokens",
+          expr("((1L + n_tokens % 12) * n_tokens) div 4"))
+      val totalTok = cfg.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+        .first().getLong(0)
+      graft.ops.Apportion.cappedLargestRemainder(cfg, Seq("source"),
+          "n_docs", "cap_tokens", (3L * totalTok) / 4L)
+        .orderBy("source")
     })
   )
 
@@ -982,6 +1006,78 @@ object CorpusQueries {
          SELECT r.lang, r.wt AS n_tokens,
            CAST(r.fl + CASE WHEN r.rk <= kk.k THEN 1 ELSE 0 END
              AS BIGINT) AS quota
-         FROM r CROSS JOIN kk ORDER BY lang NULLS FIRST"""
+         FROM r CROSS JOIN kk ORDER BY lang NULLS FIRST""",
+    // water-fill replica (Apportion.cappedLargestRemainder twin): sort
+    // by the IEEE cap/weight ratio (exact division of < 2^53 BIGINTs,
+    // engine-identical) with NULLS FIRST key tie-break, running
+    // remainders via window cumsums, the saturation test in exact
+    // HUGEINT cross-multiplication (decimal(38,0) on the Spark side),
+    // then the corpus_quota Hamilton replica over the unsaturated
+    // suffix, clamped at cap
+    "corpus_epoch_quota" ->
+      s"""WITH d0 AS (SELECT source, coalesce(text, '') AS text
+             FROM documents),
+         srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST($tokWsSql AS BIGINT)) AS BIGINT) AS n_tokens
+           FROM d0 GROUP BY source),
+         cfg AS (SELECT source, n_docs,
+             CAST((1 + n_tokens % 12) * n_tokens // 4 AS BIGINT)
+               AS cap_tokens
+           FROM srcs),
+         tt AS (SELECT CAST(3 * (SELECT sum(n_tokens) FROM srcs) // 4
+               AS BIGINT) AS T,
+             CAST(sum(n_docs) AS BIGINT) AS W,
+             CAST(count(*) AS BIGINT) AS n
+           FROM cfg),
+         rnk AS (SELECT cfg.*,
+             row_number() OVER (ORDER BY
+               CAST(cap_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE),
+               source NULLS FIRST) AS rk,
+             CAST(sum(cap_tokens) OVER (ORDER BY
+               CAST(cap_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE),
+               source NULLS FIRST
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccap,
+             CAST(sum(n_docs) OVER (ORDER BY
+               CAST(cap_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE),
+               source NULLS FIRST
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+           FROM cfg),
+         fs AS (SELECT rnk.*,
+             CAST(tt.T - (ccap - cap_tokens) AS BIGINT) AS ri,
+             CAST(tt.W - (cw - n_docs) AS BIGINT) AS wi
+           FROM rnk CROSS JOIN tt),
+         ff AS (SELECT fs.*,
+             CAST(cap_tokens AS HUGEINT) * wi <=
+               CAST(ri AS HUGEINT) * n_docs AS sat
+           FROM fs),
+         st AS (SELECT coalesce(min(rk), (SELECT n FROM tt) + 1)
+             AS stop
+           FROM ff WHERE NOT sat),
+         satp AS (SELECT source, n_docs, cap_tokens,
+             cap_tokens AS quota
+           FROM ff CROSS JOIN st WHERE rk < stop),
+         rr AS (SELECT CAST((SELECT T FROM tt) -
+               coalesce(sum(cap_tokens), 0) AS BIGINT) AS R
+           FROM satp),
+         uns AS (SELECT ff.* FROM ff CROSS JOIN st WHERE rk >= stop),
+         uw AS (SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS W2
+           FROM uns),
+         hf AS (SELECT source, n_docs, cap_tokens,
+             CAST((rr.R * n_docs) // uw.W2 AS BIGINT) AS fl,
+             CAST((rr.R * n_docs) % uw.W2 AS BIGINT) AS rem
+           FROM uns CROSS JOIN rr CROSS JOIN uw),
+         kk2 AS (SELECT CAST((SELECT R FROM rr) -
+               coalesce(sum(fl), 0) AS BIGINT) AS k
+           FROM hf),
+         hr AS (SELECT hf.*, row_number()
+             OVER (ORDER BY rem DESC, source NULLS FIRST) AS hrk
+           FROM hf),
+         unsq AS (SELECT source, n_docs, cap_tokens,
+             least(CAST(fl + CASE WHEN hrk <= kk2.k THEN 1 ELSE 0 END
+               AS BIGINT), cap_tokens) AS quota
+           FROM hr CROSS JOIN kk2)
+         SELECT source, n_docs, cap_tokens, quota
+         FROM (SELECT * FROM satp UNION ALL SELECT * FROM unsq)
+         ORDER BY source NULLS FIRST"""
   )
 }

@@ -31,6 +31,118 @@ object Apportion {
     * ranked projection).
     *
     * Output: keyCols ++ (weightCol, quota). */
+  /** Epoch-capped apportionment — exact water-filling: split `total`
+    * proportionally to `weightCol` like [[largestRemainder]], but no
+    * row may receive more than its `capCol` (for a training-data
+    * mixture, cap = max-epochs × available tokens — the
+    * data-constrained regime of Muennighoff et al. 2023, where a
+    * small high-weight source must not be asked for 40 epochs of
+    * itself and its excess share flows to the sources that still have
+    * headroom).
+    *
+    * Closed-form water-fill, no iteration: sort rows by cap/weight
+    * ascending (the order in which caps bind as the water level
+    * rises), find the longest prefix where each row's cap is at or
+    * below its proportional share of what remains
+    * (cap_i · W_i ≤ R_i · w_i, compared EXACTLY in decimal(38,0) —
+    * R_i/W_i the running remaining budget/weight), saturate that
+    * prefix at cap, and Hamilton-apportion the remaining budget over
+    * the suffix ([[largestRemainder]], so Σ quota = total exactly
+    * whenever Σ cap ≥ total, else Σ quota = Σ cap). The suffix quota
+    * is clamped at cap as a belt: the prefix test makes every suffix
+    * share strictly below its cap under the sort order, so the clamp
+    * only ever fires in the measure-zero case where two IEEE-rounded
+    * ratios tie across the stop boundary — and then it UNDER-allocates
+    * rather than ever exceeding an epoch cap.
+    *
+    * Determinism: the sort key is the IEEE double cap/weight (exact
+    * division of two < 2^53 Longs — engine-identical), ties broken by
+    * `keyCols`; everything downstream is integer arithmetic. Weights
+    * must be strictly positive (a zero-weight source does not belong
+    * in a mixture — rejected loudly); caps non-negative; weight, cap,
+    * total < 2^53 so the double sort key and the decimal products stay
+    * exact.
+    *
+    * Scale shape: the sort/rank and both running sums ride the
+    * two-phase [[Relational.globalRowNumber]] / groupedCumSum
+    * machinery — no single-partition window, so this holds for
+    * per-DOMAIN caps (millions of rows), not just per-source config
+    * tables. Driver fetches: the stats row, the stop rank, and the
+    * saturated-cap sum — three scalars.
+    *
+    * Output: keyCols ++ (weightCol, capCol, quota). */
+  def cappedLargestRemainder(df: DataFrame, keyCols: Seq[String],
+                             weightCol: String, capCol: String,
+                             total: Long): DataFrame = {
+    require(total >= 0, s"total must be >= 0: $total")
+    val lim = 1L << 53
+    val w0 = graft.core.Tables.staged(
+      df.select((keyCols.map(col) :+
+        col(weightCol).cast("long").as("__w") :+
+        col(capCol).cast("long").as("__c")): _*), "capfill_w")
+    val stats = w0.agg(min(col("__w")), max(col("__w")),
+      min(col("__c")), max(col("__c")), sum(col("__w")),
+      count(lit(1))).first()
+    require(stats.getLong(5) > 0, "cappedLargestRemainder: empty input")
+    require(stats.getLong(0) > 0,
+      s"cappedLargestRemainder: weights must be > 0 (min ${
+        stats.getLong(0)})")
+    require(stats.getLong(2) >= 0,
+      s"cappedLargestRemainder: negative cap (min ${stats.getLong(2)})")
+    require(stats.getLong(1) < lim && stats.getLong(3) < lim &&
+      total < lim && stats.getLong(4) < lim,
+      "cappedLargestRemainder: weight/cap/total must stay < 2^53 " +
+        "for the exact double sort key and decimal(38,0) products")
+    val bigW = stats.getLong(4)
+    val sortCols =
+      (col("__c").cast("double") / col("__w").cast("double")).asc +:
+        keyCols.map(col(_).asc)
+    val ranked = Relational.globalRowNumber(
+      w0.withColumn("__g", lit(0)), sortCols :+ col("__g").asc, "__rk")
+    val cum1 = Relational.groupedCumSum(ranked, Seq("__g"),
+      Seq(col("__rk").asc), "__c", "__ccap")
+    val cum = graft.core.Tables.staged(
+      Relational.groupedCumSum(cum1, Seq("__g"),
+        Seq(col("__rk").asc), "__w", "__cw"), "capfill_cum")
+    // saturation test on the running remainders, exact in decimal:
+    // cap_i · W_i ≤ R_i · w_i with R_i = total − caps already bound,
+    // W_i = weight not yet bound (both inclusive of row i)
+    val dec = "decimal(38,0)"
+    val flagged = cum
+      .withColumn("__ri", lit(total) - (col("__ccap") - col("__c")))
+      .withColumn("__wi", lit(bigW) - (col("__cw") - col("__w")))
+      .withColumn("__sat",
+        col("__c").cast(dec) * col("__wi").cast(dec) <=
+          col("__ri").cast(dec) * col("__w").cast(dec))
+    val stop = flagged.filter(!col("__sat"))
+      .agg(min(col("__rk"))).first() match {
+        case r if r.isNullAt(0) => Long.MaxValue
+        case r => r.getLong(0)
+      }
+    val satPart = flagged.filter(col("__rk") < stop)
+      .select((keyCols.map(col) :+ col("__w") :+ col("__c") :+
+        col("__c").as("quota")): _*)
+    val unsat = flagged.filter(col("__rk") >= stop)
+    val unsatPart =
+      if (stop == Long.MaxValue)
+        unsat.select((keyCols.map(col) :+ col("__w") :+ col("__c") :+
+          lit(0L).as("quota")): _*)
+      else {
+        val bound = satPart.agg(coalesce(sum(col("__c")), lit(0L)))
+          .first().getLong(0)
+        val rest = total - bound
+        largestRemainder(unsat, keyCols, "__w", rest)
+          .withColumnRenamed("__w", "__hw")
+          .join(unsat.select((keyCols.map(col) :+ col("__w") :+
+            col("__c")): _*), keyCols)
+          .select((keyCols.map(col) :+ col("__w") :+ col("__c") :+
+            least(col("quota"), col("__c")).as("quota")): _*)
+      }
+    satPart.unionByName(unsatPart)
+      .withColumnRenamed("__w", weightCol)
+      .withColumnRenamed("__c", capCol)
+  }
+
   def largestRemainder(df: DataFrame, keyCols: Seq[String],
                        weightCol: String, total: Long): DataFrame = {
     require(total >= 0, s"total must be >= 0: $total")

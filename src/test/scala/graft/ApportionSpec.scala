@@ -35,6 +35,87 @@ class ApportionSpec extends AnyFunSuite {
     }
   }
 
+  test("cappedLargestRemainder: the hand-computed water-fill — tight " +
+       "caps saturate in ratio order, the suffix splits the rest by " +
+       "Hamilton, and the total is exact") {
+    // total 100, weights all 10: A cap 5 and B cap 12 bind (shares
+    // would be 25 / 28.3); C and D split the remaining 83 — floors
+    // 41/41, equal remainders, tie to the smaller key
+    val w = Seq(("A", 10L, 5L), ("B", 10L, 12L), ("C", 10L, 100L),
+      ("D", 10L, 100L)).toDF("k", "wt", "cap")
+    val out = Apportion.cappedLargestRemainder(w, Seq("k"), "wt",
+        "cap", 100L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out == Map("A" -> 5L, "B" -> 12L, "C" -> 42L, "D" -> 41L))
+  }
+
+  test("cappedLargestRemainder: Σ cap below total saturates everyone " +
+       "at cap; unconstraining caps reduce to plain largestRemainder") {
+    val tight = Seq(("a", 1L, 3L), ("b", 1L, 4L)).toDF("k", "wt", "cap")
+    val t = Apportion.cappedLargestRemainder(tight, Seq("k"), "wt",
+        "cap", 100L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(t == Map("a" -> 3L, "b" -> 4L))
+    val w = (1 to 50).map(i => (i.toLong, (i * i % 23 + 1).toLong))
+    val plain = Apportion.largestRemainder(w.toDF("k", "wt"),
+        Seq("k"), "wt", 999L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val loose = Apportion.cappedLargestRemainder(
+        w.map { case (k, wt) => (k, wt, 1000000L) }
+          .toDF("k", "wt", "cap"),
+        Seq("k"), "wt", "cap", 999L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(loose == plain)
+  }
+
+  test("cappedLargestRemainder invariants on an adversarial spread: " +
+       "never over cap, exact total whenever headroom exists, " +
+       "zero-cap rows get zero") {
+    val rows = (1 to 300).map { i =>
+      (i.toLong, (i * 7 % 31 + 1).toLong, (i * i % 211).toLong * 3L)
+    }
+    val total = 8888L
+    val out = Apportion.cappedLargestRemainder(
+        rows.toDF("k", "wt", "cap"), Seq("k"), "wt", "cap", total)
+      .as[(Long, Long, Long, Long)].collect()
+    val byKey = out.map(r => r._1 -> r).toMap
+    out.foreach { case (k, _, cap, q) =>
+      assert(q <= cap, s"key $k: quota $q exceeds cap $cap")
+      assert(q >= 0, s"key $k: negative quota $q")
+      if (cap == 0) assert(q == 0L)
+    }
+    val sumCap = rows.map(_._3).sum
+    assert(out.map(_._4).sum == math.min(total, sumCap),
+      s"Σ quota must be min(total, Σ cap)")
+    assert(byKey.size == rows.size)
+  }
+
+  test("cappedLargestRemainder rejects zero/negative weights, " +
+       "negative caps, and >= 2^53 magnitudes") {
+    import org.apache.spark.sql.functions.lit
+    intercept[IllegalArgumentException] {
+      Apportion.cappedLargestRemainder(Seq(("a", 0L, 5L))
+        .toDF("k", "wt", "cap"), Seq("k"), "wt", "cap", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Apportion.cappedLargestRemainder(Seq(("a", 2L, -1L))
+        .toDF("k", "wt", "cap"), Seq("k"), "wt", "cap", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Apportion.cappedLargestRemainder(Seq(("a", 2L, (1L << 53)))
+        .toDF("k", "wt", "cap"), Seq("k"), "wt", "cap", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Apportion.cappedLargestRemainder(
+        spark.range(0).selectExpr("CAST(id AS STRING) AS k",
+          "id AS wt", "id AS cap"),
+        Seq("k"), "wt", "cap", 10L)
+    }
+  }
+
   test("largestRemainder fails loudly on zero mass, negative weights, " +
        "and Long overflow") {
     intercept[IllegalArgumentException] {
