@@ -1545,6 +1545,43 @@ object LlmQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // bitext margin mining (Artetxe & Schwenk ratio margin — the
+    // CCMatrix parallel-corpus extraction): label-parity halves of the
+    // embeddings table stand in for the two languages; each A-side
+    // query's best B-side candidate by margin = cos normalized by both
+    // neighborhoods' mean cosine (hub suppression). Neighborhood sums
+    // are round-4 integer cosines (order-free Long sums), the margin
+    // one IEEE divide — the per-query argmax ranks on the ROUNDED
+    // margin, so the extraction is engine-exact.
+    "bitext_margin_mine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val aSide = e.filter(col("label") % 2 === 0)
+      val bSide = e.filter(col("label") % 2 === 1)
+      val m = Similarity.marginMine(aSide, bSide,
+        aSide.filter(col("vec_id") < 8), "embedding", "vec_id", 4)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id_a").orderBy(col("margin").desc, col("id_b"))
+      m.withColumn("mrk", row_number().over(w))
+        .filter(col("mrk") === 1)
+        .select("id_a", "id_b", "cos", "margin")
+        .orderBy("id_a")
+    }),
+
+    // SQ8 scalar-quantized ANN with exact re-rank — the train-nothing
+    // index tier below PQ (FAISS SQ8): per-vector symmetric int8 codes
+    // are the 8×-smaller scan artifact; the shortlist ranks on the
+    // codes DIRECTLY (the per-vector scale cancels from the cosine
+    // ratio, so the scan reads neither raw vectors nor scales) and
+    // only shortlist rows per query fetch raw vectors for the exact
+    // top-k. Quantization, code-domain shortlist, and re-rank all
+    // bit-replicated in DuckDB.
+    "ann_sq8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.sqTopK(e, e.filter(col("vec_id") < 5), "embedding",
+          "vec_id", 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // composed IVF-PQ (the FAISS IVFPQ production shape): coarse
     // k-means cells + PQ codes on WITHIN-CELL residuals + code-domain
     // shortlist inside the probed cells + exact re-rank. The persisted
@@ -2928,6 +2965,94 @@ object LlmQueries {
          WHERE rank <= 10 ORDER BY query_id, rank""",
     "ann_ivf_kmeans" -> ivfKmeansOracleSql,
     "ann_pq" -> pqOracleSql(),
+    // margin-mining replica: both k-NN windows, round-4 integer
+    // neighborhood sums, the exact-integer margin divide, and the
+    // per-query argmax on the ROUNDED margin
+    "bitext_margin_mine" ->
+      """WITH v AS (SELECT vec_id, label,
+             CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         aa AS (SELECT vec_id, v FROM v WHERE label % 2 = 0),
+         bb AS (SELECT vec_id, v FROM v WHERE label % 2 = 1),
+         qa AS (SELECT vec_id, v FROM aa WHERE vec_id < 8),
+         fwd AS (SELECT query_id, corpus_id, cos,
+             CAST(round(cos * 10000) AS BIGINT) AS cos4
+           FROM (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               round(CAST(list_cosine_similarity(c.v, q.v) AS DOUBLE),
+                 4) + 0.0 AS cos,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(c.v, q.v) DESC,
+                   c.vec_id) AS rk
+             FROM bb c JOIN qa q ON c.vec_id <> q.vec_id)
+           WHERE rk <= 4),
+         sa AS (SELECT query_id, CAST(sum(cos4) AS BIGINT) AS sum_a,
+             CAST(count(*) AS BIGINT) AS n_a
+           FROM fwd GROUP BY query_id),
+         cand AS (SELECT DISTINCT corpus_id FROM fwd),
+         bq AS (SELECT bb.vec_id, bb.v FROM bb
+           JOIN cand ON cand.corpus_id = bb.vec_id),
+         back AS (SELECT query_id, cos4 FROM (
+             SELECT q.vec_id AS query_id,
+               CAST(round((round(CAST(list_cosine_similarity(c.v, q.v)
+                 AS DOUBLE), 4) + 0.0) * 10000) AS BIGINT) AS cos4,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(c.v, q.v) DESC,
+                   c.vec_id) AS rk
+             FROM aa c JOIN bq q ON c.vec_id <> q.vec_id)
+           WHERE rk <= 4),
+         sb AS (SELECT query_id AS corpus_id,
+             CAST(sum(cos4) AS BIGINT) AS sum_b,
+             CAST(count(*) AS BIGINT) AS n_b
+           FROM back GROUP BY query_id),
+         m AS (SELECT f.query_id AS id_a, f.corpus_id AS id_b, f.cos,
+             round(CAST(2 * f.cos4 * sa.n_a * sb.n_b AS DOUBLE) /
+               CAST(sb.sum_b * sa.n_a + sa.sum_a * sb.n_b AS DOUBLE),
+               6) + 0.0 AS margin
+           FROM fwd f
+           JOIN sa USING (query_id)
+           JOIN sb ON sb.corpus_id = f.corpus_id
+           WHERE sb.sum_b * sa.n_a + sa.sum_a * sb.n_b > 0)
+         SELECT id_a, id_b, cos, margin FROM (
+           SELECT m.*, row_number() OVER (PARTITION BY id_a
+             ORDER BY margin DESC, id_b) AS mrk FROM m)
+         WHERE mrk = 1 ORDER BY id_a""",
+    // SQ8 replica: the embedding_quantize codes CTE (same floor
+    // round-half-up), code-domain cosine shortlist (scale cancels —
+    // integer-valued doubles, so products are exact), exact re-rank
+    "ann_sq8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+           FROM v),
+         c AS (SELECT vec_id,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                  ELSE list_transform(v, x -> CAST(CAST(
+                    floor(x / scale + 0.5) AS INT) AS DOUBLE))
+             END AS codes
+           FROM s),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM v
+           WHERE vec_id < 5),
+         sl AS (SELECT query_id, corpus_id FROM (
+             SELECT q.query_id, c.vec_id AS corpus_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(c.codes, q.qv) DESC,
+                   c.vec_id) AS srk
+             FROM c JOIN q ON c.vec_id <> q.query_id)
+           WHERE srk <= 50),
+         re AS (SELECT sl.query_id, sl.corpus_id,
+             list_cosine_similarity(cv.v, qq.qv) AS cos
+           FROM sl
+           JOIN v cv ON cv.vec_id = sl.corpus_id
+           JOIN q qq ON qq.query_id = sl.query_id)
+         SELECT query_id, corpus_id, rank, cos FROM (
+           SELECT query_id, corpus_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, corpus_id) AS INT) AS rank,
+             round(CAST(cos AS DOUBLE), 4) + 0.0 AS cos
+           FROM re)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "ann_ivfpq" -> ivfPqOracleSql(),
     "ann_ivfpq_incremental" ->
       ivfPqOracleSql(shortlist = 50,

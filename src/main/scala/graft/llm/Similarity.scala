@@ -583,6 +583,128 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** SQ8 persisted index — the scalar-quantized sibling of the PQ
+    * codes table (FAISS IndexScalarQuantizer/SQ8 shape, the most
+    * common first-step compression in production vector stores):
+    * per-vector symmetric int8 via [[int8QuantStats]]'s one native
+    * pass → (corpus_id, scale, codes), ~8× smaller than the raw
+    * doubles. Unlike PQ there is NOTHING to train — no codebooks to
+    * version, no residual parity to maintain — which is exactly why
+    * it's the default index tier before recall pressure justifies PQ.
+    * Null/ragged vectors yield null codes and are EXCLUDED (the
+    * ivfPqIndexTable corrupt-row contract). */
+  def sqIndexTable(corpus: DataFrame, vecCol: String,
+                   idCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("__q", int8QuantStats(col("v")))
+      .filter(col("__q.codes").isNotNull)
+      .select(col("corpus_id"), col("__q.scale").as("scale"),
+        col("__q.codes").as("codes"))
+
+  /** ANN against a persisted SQ8 index with exact re-rank: the
+    * shortlist scan ranks each query against the CODES directly —
+    * cosine(scale·codes, q) = cosine(codes, q), the per-vector scale
+    * cancels from the ratio, so the scan never reconstructs and never
+    * even reads the scale column — then only shortlist rows per query
+    * fetch their raw vectors by broadcast equi-join for the exact
+    * top-k ([[pqTopK]]'s decomposition). Code-domain products are
+    * small exact integers, so the shortlist ranking is immune to the
+    * reconstruction rounding PQ has to manage.
+    *
+    * Scale shape: identical to [[pqTopK]] — the 8×-compressed codes
+    * table is the memory-resident scan side, queries broadcast, raw
+    * vectors touched once by equi-join for ~shortlist rows per query.
+    * Output: query_id, corpus_id, rank, cos (rounded at 4). */
+  def annAgainstSqIndex(index: DataFrame, rawCorpus: DataFrame,
+                        queries: DataFrame, vecCol: String,
+                        idCol: String, k: Int,
+                        shortlist: Int = 50): DataFrame = {
+    val codeVecs = index.select(col("corpus_id").as(idCol),
+      col("codes").cast("array<double>").as(vecCol))
+    val short = bruteForceTopK(codeVecs, queries, vecCol, idCol,
+        shortlist)
+      .select("query_id", "corpus_id")
+    val cand = rawCorpus
+      .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
+      .join(broadcast(short), Seq("corpus_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"))
+    val scored = cand.join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("cvec"), col("qvec")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** [[sqIndexTable]] + [[annAgainstSqIndex]] composed inline — the
+    * self-contained form mirroring [[pqTopK]]. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+             idCol: String, k: Int, shortlist: Int = 50): DataFrame =
+    annAgainstSqIndex(sqIndexTable(corpus, vecCol, idCol), corpus,
+      queries, vecCol, idCol, k, shortlist)
+
+  /** Bitext margin mining (Artetxe & Schwenk 2019's ratio-margin
+    * criterion, the CCMatrix/LASER parallel-corpus extraction shape):
+    * for each query vector x on side A, score its k nearest side-B
+    * candidates by cos(x,y) normalized by the mean of BOTH
+    * neighborhoods' cosines —
+    *   margin(x,y) = cos(x,y) / ((avg_{z∈NNk(x,B)} cos(x,z)
+    *                             + avg_{z∈NNk(y,A)} cos(y,z)) / 2)
+    * — which suppresses hubs (a y close to EVERYTHING has a high
+    * denominator) where raw cosine top-1 does not. This is the
+    * alignment layer a multilingual pretraining corpus mines bitext
+    * with.
+    *
+    * Exactness: the k-NN cosines enter as round-4 integers
+    * (cos·10⁴ as Long), so the neighborhood sums are order-free Long
+    * sums and the margin is ONE IEEE divide of < 2^53 integers,
+    * rounded at 6 — rank on the returned `margin` column and ties are
+    * engine-independent. Pairs whose combined neighborhood mass is
+    * non-positive (degenerate anti-correlated neighborhoods) have no
+    * meaningful ratio and are dropped.
+    *
+    * Scale shape: the forward k-NN stages once and feeds the
+    * candidate-id set, the A-side sums, and the output pairs; the
+    * backward k-NN runs only for the ≤ |queries|·k candidate ids
+    * (broadcast as queries over the streamed A corpus). The top-k
+    * provider is [[bruteForceTopK]] here — at corpus scale substitute
+    * the IVF/PQ paths for both scans; the margin algebra is
+    * provider-agnostic.
+    *
+    * Output: id_a, id_b, cos (round 4), margin (round 6) — ALL forward
+    * candidates; callers keep argmax-by-margin per id_a (the standard
+    * "max-margin" extraction) or threshold. */
+  def marginMine(a: DataFrame, b: DataFrame, queries: DataFrame,
+                 vecCol: String, idCol: String, k: Int): DataFrame = {
+    val fwd = graft.core.Tables.staged(
+      bruteForceTopK(b, queries, vecCol, idCol, k)
+        .withColumn("cos4",
+          round(col("cos") * 10000).cast("long")),
+      "margin_fwd")
+    val sumsA = fwd.groupBy("query_id")
+      .agg(sum(col("cos4")).as("sum_a"), count(lit(1)).as("n_a"))
+    val bCand = b.join(
+      fwd.select(col("corpus_id").as(idCol)).distinct(), Seq(idCol))
+    val back = bruteForceTopK(a, bCand, vecCol, idCol, k)
+      .withColumn("cos4", round(col("cos") * 10000).cast("long"))
+    val sumsB = back.groupBy(col("query_id").as("corpus_id"))
+      .agg(sum(col("cos4")).as("sum_b"), count(lit(1)).as("n_b"))
+    fwd.join(sumsA, Seq("query_id")).join(sumsB, Seq("corpus_id"))
+      .filter(col("sum_b") * col("n_a") + col("sum_a") * col("n_b") >
+        0L)
+      .select(col("query_id").as("id_a"), col("corpus_id").as("id_b"),
+        col("cos"),
+        round((lit(2L) * col("cos4") * col("n_a") * col("n_b"))
+          .cast("double") /
+          (col("sum_b") * col("n_a") + col("sum_a") * col("n_b"))
+            .cast("double"), 6).as("margin"))
+  }
+
   /** vec ± cents(cell): the IVF-PQ residual / reconstruction kernel
     * ([[graft.functions.CellCentroidCombine]] — null for null/ragged
     * vectors or an invalid cell, so an invalid row can never encode). */

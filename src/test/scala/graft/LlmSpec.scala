@@ -1124,6 +1124,71 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("marginMine: the ratio margin suppresses the hub that raw " +
+      "cosine top-1 picks") {
+    import graft.llm.Similarity
+    // B side: y_hub sits closer to the query x1 (cos 0.9 vs 0.85) BUT
+    // is also near-identical to every A-side filler — its backward
+    // neighborhood mean is ~0.97, so its margin denominator blows up;
+    // y_true's backward neighborhood is cool. Raw cosine picks the
+    // hub; the margin criterion must pick the true pair.
+    val aSide = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),             // x1 (the query)
+      (2L, Seq(0.90, 0.44, 0.01)),          // fillers hugging the hub
+      (4L, Seq(0.89, 0.45, 0.0)),
+      (6L, Seq(0.91, 0.43, -0.01))).toDF("vec_id", "embedding")
+    val bSide = Seq(
+      (1L, Seq(0.85, 0.0, 0.5268)),         // y_true
+      (3L, Seq(0.9, math.sqrt(0.19), 0.0))) // y_hub
+      .toDF("vec_id", "embedding")
+    val out = Similarity.marginMine(aSide, bSide,
+        aSide.filter(col("vec_id") === 0L), "embedding", "vec_id", 4)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    val (cosTrue, mTrue) = out(1L)
+    val (cosHub, mHub) = out(3L)
+    assert(cosHub > cosTrue, s"fixture: hub must win raw cosine " +
+      s"($cosHub vs $cosTrue)")
+    assert(mTrue > mHub, s"margin must flip to the true pair " +
+      s"($mTrue vs $mHub)")
+    assert(mTrue > 1.0 && mHub < 1.0, s"margins: $mTrue / $mHub")
+  }
+
+  test("sqIndexTable/annAgainstSqIndex: codes-domain shortlist equals " +
+      "raw ranking when quantization is exact; corrupt rows never " +
+      "index") {
+    import graft.llm.Similarity
+    // max |x| = 127 ⇒ scale = 1 exactly ⇒ codes = x for integer
+    // components, so the code-domain scan must reproduce the raw
+    // ranking bit-for-bit (the scale-cancellation property with zero
+    // quantization noise)
+    val vecs = Seq(
+      (0L, Seq(127.0, 0.0, 5.0)),
+      (1L, Seq(126.0, 3.0, 127.0)),
+      (2L, Seq(-127.0, 30.0, 1.0)),
+      (3L, Seq(100.0, 100.0, 127.0)),
+      (4L, Seq(0.0, 127.0, 64.0))).toDF("vec_id", "embedding")
+    val idx = Similarity.sqIndexTable(vecs, "embedding", "vec_id")
+    idx.select("scale").as[Double].collect()
+      .foreach(s => assert(s == 1.0))
+    val q = vecs.filter(col("vec_id") < 2)
+    val sq = Similarity.annAgainstSqIndex(idx, vecs, q,
+        "embedding", "vec_id", 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(vecs, q,
+        "embedding", "vec_id", 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(sq == brute, s"sq8 $sq != brute $brute")
+    // a null vector has no code representation — excluded, not nulled
+    val withNull = vecs.unionByName(
+      Seq((9L, Option.empty[Seq[Double]])).toDF("vec_id", "embedding"))
+    assert(Similarity.sqIndexTable(withNull, "embedding", "vec_id")
+      .filter(col("corpus_id") === 9L).count() == 0)
+  }
+
   test("pqCodebooks: fewer distinct subvectors than k pads explicitly " +
       "instead of silently re-picking index 0, and encode stays exact") {
     import graft.llm.Similarity
