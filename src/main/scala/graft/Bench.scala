@@ -63,10 +63,24 @@ object Bench {
     // totals but stayed in queries_warm; a start-canary transient
     // permanently excluded the query from the suite)
     val canaryFailed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // GC time spent INSIDE each timing window (summed across all
+    // collectors, captured before the inter-window System.gc() so the
+    // forced cleanup collection is excluded): the r12→r13 forensics
+    // pattern is "query X reads slow mid-suite, plan unchanged" — a
+    // per-query gc_ms column separates JVM memory weather (a natural
+    // collection landing mid-window) from disk/CPU weather without
+    // re-running anything.
+    def gcMsNow(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+    var lastGcMs = 0L
     def timeInto(sink: scala.collection.mutable.LinkedHashMap[String, String])
         (name: String, fn: (SparkSession, String) => DataFrame)
         : Option[Double] = {
       val t0 = System.nanoTime()
+      val g0 = gcMsNow()
       val ok =
         try { materialize(fn(spark, sfDir)); true }
         catch { case e: Throwable =>
@@ -76,6 +90,7 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      lastGcMs = gcMsNow() - g0
       // drop cached tables the query persisted so runs stay independent
       // (accumulated cache + block-manager state was measured to slow
       // unrelated queries later in the pass); also reap the staging
@@ -216,9 +231,11 @@ object Bench {
     if (canaryEnabled) ioCanaryPrep()
     val ioStart = ioCanaryRun("start")
     val canaryStart = canaryRun("start")
+    val coldGc = scala.collection.mutable.LinkedHashMap[String, Long]()
     val cold = sorted.flatMap { case (name, fn) =>
       time(name, fn).map { dt =>
         System.err.println(f"[bench] cold $name%-28s $dt%8.2f s")
+        coldGc(name) = lastGcMs
         name -> dt
       }
     }
@@ -229,6 +246,8 @@ object Bench {
     // median factor representative of the run, not just its edges.
     val canaryMid = canaryRun("mid")
     val ioMid = ioCanaryRun("mid")
+    val warmGcRuns =
+      scala.collection.mutable.LinkedHashMap[String, List[Long]]()
     val warmRuns = sorted
       .filter { case (name, _) => !failed.contains(name) }
       .flatMap { case (name, fn) =>
@@ -236,6 +255,8 @@ object Bench {
         val ds = (1 to passes).flatMap { i =>
           time(name, fn).map { dt =>
             System.err.println(f"[bench] warm#$i $name%-26s $dt%8.2f s")
+            warmGcRuns(name) =
+              warmGcRuns.getOrElse(name, Nil) :+ lastGcMs
             dt
           }
         }
@@ -355,12 +376,26 @@ object Bench {
       .mkString("{", ",", "}")
     val ioBoundJson = ioBoundTimed
       .map(graft.core.Json.quote).mkString("[", ",", "]")
+    // per-query GC forensics: median in-window GC ms over the warm
+    // passes (keys restricted to queries that completed all passes),
+    // plus the cold-pass value — a mid-suite slowdown whose gc_ms also
+    // jumped is JVM memory weather, not a plan regression
+    val warmNames = warm.map(_._1).toSet
+    def jsL(rs: Seq[(String, Long)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val warmGcMed = warmGcRuns.toSeq
+      .filter { case (n, _) => warmNames(n) }
+      .map { case (n, gs) =>
+        n -> math.round(medianOf(gs.map(_.toDouble))) }
+    val coldGcJson = jsL(coldGc.toSeq
+      .filter { case (n, _) => !failed.contains(n) })
     // "cold_canary_prewarmed": the start canary runs its six queries
     // 6× each BEFORE the cold loop, so those queries' cold timings are
     // systematically warmer than pre-r12 artifacts' — the flag makes
     // the artifact state that instead of leaving cold diffs silently
     // incomparable across the r12 boundary
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(coldOk)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"warm_spread":${js(warmSpread)},"failed":$failedJson,"canary_failed":$canaryFailedJson,"cold_canary_prewarmed":${canaryEnabled},"total_warm":$totalWarm,"host_factor":$hfJson,"canary_start":${js(canaryStart)},"canary_mid":${js(canaryMid)},"canary_end":${js(canaryEnd)},"canary_pinned":${js(canaryPinned)},"io_factor":$iofJson,"io_canary_start":${ioStart.mkString("[", ",", "]")},"io_canary_mid":${ioMid.mkString("[", ",", "]")},"io_canary_end":${ioEnd.mkString("[", ",", "]")},"io_canary_pinned":$ioCanaryPinned,"io_share":$ioShare,"io_bound_queries":$ioBoundJson,"total_warm_normalized":$totalWarmNormJson,"total_warm_normalized_dual":$totalWarmDualJson,"queries_warm_normalized":${js(warmNormalized)},"queries_warm_normalized_dual":${js(warmDual)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(coldOk)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"warm_spread":${js(warmSpread)},"failed":$failedJson,"canary_failed":$canaryFailedJson,"cold_canary_prewarmed":${canaryEnabled},"total_warm":$totalWarm,"host_factor":$hfJson,"canary_start":${js(canaryStart)},"canary_mid":${js(canaryMid)},"canary_end":${js(canaryEnd)},"canary_pinned":${js(canaryPinned)},"io_factor":$iofJson,"io_canary_start":${ioStart.mkString("[", ",", "]")},"io_canary_mid":${ioMid.mkString("[", ",", "]")},"io_canary_end":${ioEnd.mkString("[", ",", "]")},"io_canary_pinned":$ioCanaryPinned,"io_share":$ioShare,"io_bound_queries":$ioBoundJson,"total_warm_normalized":$totalWarmNormJson,"total_warm_normalized_dual":$totalWarmDualJson,"queries_warm_normalized":${js(warmNormalized)},"queries_warm_normalized_dual":${js(warmDual)},"queries_warm_gc_ms":${jsL(warmGcMed)},"queries_cold_gc_ms":$coldGcJson,"sf":"$sfDir"}"""
     if (failed.nonEmpty)
       System.err.println(
         s"[bench] ${failed.size} queries FAILED (excluded from timings): " +
