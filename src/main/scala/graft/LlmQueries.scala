@@ -921,6 +921,46 @@ object LlmQueries {
          FROM dg LEFT JOIN pn ON pn.node = dg.node
          ORDER BY dg.node"""
 
+  /** Unrolled seeded-label-propagation oracle
+    * (Graph.seededLabelPropagation twin): doubled undirected edges,
+    * per-round (node, label) vote counts, the Long-max election
+    * votes·2²⁰ + (2²⁰−1−label) whose residue is the winner, seeds
+    * clamped by anti-membership. All BIGINT. */
+  private def labelPropOracleSql(iters: Int): String = {
+    val cap = 1048576L
+    val iterCtes = (1 to iters).map { i =>
+      s"""v_$i AS (SELECT u.dst AS node, l.label,
+             CAST(count(*) AS BIGINT) AS votes
+           FROM und u JOIN l_${i - 1} l ON l.node = u.src
+           GROUP BY u.dst, l.label),
+         el_$i AS (SELECT node, CAST(${cap - 1} -
+             max(votes * $cap + (${cap - 1} - label)) % $cap
+               AS BIGINT) AS label
+           FROM v_$i GROUP BY node),
+         l_$i AS MATERIALIZED (SELECT node, label FROM seeds
+           UNION ALL
+           SELECT e2.node, e2.label FROM el_$i e2
+           WHERE e2.node NOT IN (SELECT node FROM seeds))"""
+    }.mkString(",\n         ")
+    s"""WITH ${pagerankGraphCtes("", "TRUE")},
+         und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM e WHERE src <> dst
+           UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+         lnodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM und),
+         seeds AS MATERIALIZED (SELECT DISTINCT
+             coalesce(source, 'unk') || '.com' AS node,
+             CAST(length(coalesce(source, 'unk')) % 5 AS BIGINT)
+               AS label
+           FROM documents
+           WHERE coalesce(source, 'unk') || '.com'
+             IN (SELECT node FROM lnodes)),
+         l_0 AS MATERIALIZED (SELECT node, label FROM seeds),
+         $iterCtes
+         SELECT n.node, l.label FROM lnodes n
+         LEFT JOIN l_$iters l ON l.node = n.node
+         ORDER BY n.node"""
+  }
+
   /** Streaming-ingest twin of [[pagerankIncrementalOracleSql]]: the v2
     * snapshot carries the sentinel edge the streaming fixture plants
     * so the version guard always sees the graph grow (one row iff
@@ -1542,6 +1582,23 @@ object LlmQueries {
       // and re-rank are all bit-replicated in DuckDB (pqOracleSql)
       Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "embedding",
           "vec_id", 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // BM25 top-k retrieval (retrieval-based data selection: score
+    // every document against seed queries, keep the most relevant —
+    // the targeted-crawl shape). Per-term contributions enter the
+    // per-(query, doc) sum as round-6 integer micros so the aggregate
+    // is an order-free Long sum; ranking reads the micros. Terms are
+    // fixture vocabulary present at every SF.
+    "text_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qt = Seq((0L, "fast"), (0L, "join"), (0L, "merge"),
+        (1L, "slow"), (1L, "scan"),
+        (2L, "spark"), (2L, "window"), (2L, "agg"))
+        .toDF("query_id", "term")
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          qt, 10)
         .orderBy("query_id", "rank")
     }),
 
@@ -2295,6 +2352,23 @@ object LlmQueries {
         linkGraphEdges(s, dir, lit(true)), "src", "dst")
         .orderBy("node")),
 
+    // seeded label propagation (community/category segmentation):
+    // source domains carry planted category labels, 3 rounds of
+    // majority voting spread them over the undirected graph (most
+    // votes, tie → smallest label; seeds clamped; unreached nodes
+    // null). Every election is ONE Long max (votes·2²⁰ + residue), so
+    // the result is integer-exact and the oracle unrolls identically.
+    "link_label_prop" -> ((s, dir) => {
+      val seeds = t(s, dir, "documents")
+        .select(concat(coalesce(col("source"), lit("unk")),
+            lit(".com")).as("node"),
+          (length(coalesce(col("source"), lit("unk"))) % 5)
+            .cast("long").as("label"))
+      graft.ops.Graph.seededLabelPropagation(
+        linkGraphEdges(s, dir, lit(true)), "src", "dst", seeds, 3)
+        .orderBy("node")
+    }),
+
     // spam-mass score (Gyöngyi et al.): spam_mass =
     // (pr − ppr_trusted) / pr — the fraction of a domain's PageRank
     // NOT explainable by reachability from the trusted seed set; the
@@ -2965,6 +3039,50 @@ object LlmQueries {
          WHERE rank <= 10 ORDER BY query_id, rank""",
     "ann_ivf_kmeans" -> ivfKmeansOracleSql,
     "ann_pq" -> pqOracleSql(),
+    // BM25 replica: the same left-associative double parse tree
+    // (incl. (1.2 + 1.0) computed, not the 2.2 literal — one ulp of
+    // constant drift would move micros at rounding boundaries),
+    // micros-Long aggregation, micros-ranked top-k
+    "text_bm25" ->
+      s"""WITH qt AS (SELECT CAST(q AS BIGINT) AS query_id, term
+           FROM (VALUES (0, 'fast'), (0, 'join'), (0, 'merge'),
+             (1, 'slow'), (1, 'scan'),
+             (2, 'spark'), (2, 'window'), (2, 'agg')) t(q, term)),
+         w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+           FROM documents),
+         dlt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS avgdl
+           FROM dlt),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+           WHERE term IN (SELECT DISTINCT term FROM qt)
+           GROUP BY doc_id, term),
+         dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY term),
+         sc AS (SELECT q.query_id, t.doc_id,
+             CAST(round(
+               ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
+                 * t.tf * (1.2 + 1.0)
+                 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlt.dl
+                     / st.avgdl))
+                 * 1000000.0) AS BIGINT) AS micros
+           FROM tf t
+           JOIN qt q USING (term)
+           JOIN dfr d USING (term)
+           JOIN dlt USING (doc_id)
+           CROSS JOIN st),
+         ag AS (SELECT query_id, doc_id,
+             CAST(sum(micros) AS BIGINT) AS su
+           FROM sc GROUP BY query_id, doc_id)
+         SELECT query_id, doc_id, rank, score FROM (
+           SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY su DESC, doc_id) AS INT) AS rank,
+             round(su / 1000000.0, 6) + 0.0 AS score
+           FROM ag)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     // margin-mining replica: both k-NN windows, round-4 integer
     // neighborhood sums, the exact-integer margin divide, and the
     // per-query argmax on the ROUNDED margin
@@ -3605,6 +3723,7 @@ object LlmQueries {
     "link_rank_tables" -> rankTablesOracleSql(5),
     "link_hits" -> hitsOracleSql(3),
     "link_triangles" -> trianglesOracleSql,
+    "link_label_prop" -> labelPropOracleSql(3),
     "streaming_pagerank_ingest" -> pagerankStreamingOracleSql(3, 2),
     "robots_filter" ->
       """WITH d AS (SELECT doc_id, coalesce(source, 'unk') AS src0

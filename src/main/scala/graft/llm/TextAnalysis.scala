@@ -950,4 +950,76 @@ object TextAnalysis {
         col("gumbel_key"), (col("__rk") <= k).as("dsir_selected"),
         col("selected").as("det_selected"))
   }
+
+  /** BM25 top-k retrieval against a bounded query-term table — the
+    * retrieval-based data-selection primitive (score every pretraining
+    * document against a target task's seed queries and keep the most
+    * relevant; the targeted-crawl / DCLM-retrieval shape). Okapi BM25
+    * with Lucene's always-positive idf:
+    *   idf(t)  = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+    *   s(d,t)  = idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * dl is the normalized-split token count (the text_tfidf
+    * convention, including its empty-doc-→-1 edge, so both stages
+    * share one tokenizer); df counts documents containing the term.
+    *
+    * Exactness: a per-(query, doc) BM25 score is a SUM of per-term
+    * doubles — summation-order-sensitive across engines — so each
+    * per-term contribution is rounded to integer MICROS first and the
+    * aggregation is an order-free Long sum (the
+    * embedding_label_purity discipline); ranking and ties read the
+    * micros, the output score divides back once.
+    *
+    * Scale shape: query terms broadcast (queries are config-sized);
+    * tf is one explode + hash agg restricted map-side to query-vocab
+    * terms; df is a query-vocab-sized agg broadcast back; candidates
+    * are only the docs sharing ≥ 1 term. The per-query ranking window
+    * follows the bruteForceTopK contract (few queries; each query's
+    * candidate set is the posting-list union).
+    *
+    * Output: query_id, doc_id, rank, score (round 6) — top `k` docs
+    * per query by (score micros desc, doc_id). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(normalizeText(col(textCol)), " ").as("ws"))
+    val dl = graft.core.Tables.staged(
+      toks.select(col("doc_id"),
+        size(col("ws")).cast("long").as("dl")), "bm25_dl")
+    val stats = dl.agg(count(lit(1)), sum(col("dl"))).first()
+    val n = stats.getLong(0)
+    require(n > 0, "bm25TopK: empty corpus")
+    val avgdl = stats.getLong(1).toDouble / n.toDouble
+    val qt = queryTerms.select(
+      col(queryTerms.columns(0)).as("query_id"),
+      col(queryTerms.columns(1)).as("term"))
+    val vocab = qt.select("term").distinct()
+    val tf = graft.core.Tables.staged(
+      toks.select(col("doc_id"), explode(col("ws")).as("term"))
+        .join(broadcast(vocab), Seq("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
+      "bm25_tf")
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // expression mirrors the oracle's parse tree exactly (left-assoc
+    // products, the same +0.5 placement) so every double matches
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
+    val micros = round(idf * col("tf") * lit(k1 + 1.0) / denom *
+      lit(1000000.0)).cast("long")
+    val scored = tf
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), micros.as("micros"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("micros")).as("su"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("su").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        round(col("su") / lit(1000000.0), 6).as("score"))
+  }
 }

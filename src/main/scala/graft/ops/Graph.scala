@@ -343,6 +343,80 @@ object Graph {
           .otherwise(lit(0.0)).as("lcc"))
   }
 
+  /** Seeded (semi-supervised) label propagation over the UNDIRECTED
+    * domain graph — community/category segmentation from a small
+    * labeled seed set: each iteration every non-seed node takes the
+    * majority label of its labeled neighbors (most votes; tie → the
+    * SMALLEST label), seeds stay clamped to their seed label, and a
+    * node with no labeled neighbor stays unlabeled. After k rounds
+    * labels have spread k hops — the crawl-layer segmentation that
+    * complements spam-mass (a domain deep inside a spam-labeled
+    * community is spam-adjacent even when its own rank looks clean).
+    *
+    * Determinism: the per-node election is ONE Long max —
+    * score = votes · 2²⁰ + (2²⁰ − 1 − label) — so max(score) carries
+    * the (most-votes, smallest-label) winner in its residue (the
+    * robots-election trick: no string/struct agg buffers, the plan
+    * stays HashAggregate). Labels must sit in [0, 2²⁰); vote counts up
+    * to 2⁴² keep the product exact. Integer everything ⇒ bit-stable
+    * across engines and partitionings.
+    *
+    * Scale shape: per iteration one equi-join of the (doubled,
+    * staged) undirected edge table against the current label table +
+    * one hash agg; shuffles carry (node, long). Labels stage per
+    * round (the PageRank lineage-cut discipline).
+    *
+    * Output: (node, label) — label null for never-reached nodes. */
+  def seededLabelPropagation(edges: DataFrame, srcCol: String,
+                             dstCol: String, seeds: DataFrame,
+                             iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val labelCap = 1L << 20
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .na.drop().filter(col("src") =!= col("dst"))
+    val und = graft.core.Tables.staged(
+      e0.unionByName(e0.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct(), "lprop_edges")
+    val nodes = graft.core.Tables.staged(
+      und.select(col("src").as("node")).distinct(), "lprop_nodes")
+    val seedTbl = graft.core.Tables.staged(
+      seeds.select(col(seeds.columns(0)).as("node"),
+          col(seeds.columns(1)).cast("long").as("label"))
+        .na.drop().distinct()
+        .join(nodes, Seq("node"), "left_semi"), "lprop_seeds")
+    val seedStats = seedTbl.agg(min(col("label")), max(col("label")),
+      count(lit(1))).first()
+    require(seedStats.getLong(2) > 0,
+      "seededLabelPropagation: no seed is a graph node")
+    require(seedStats.getLong(0) >= 0 &&
+      seedStats.getLong(1) < labelCap,
+      s"seededLabelPropagation: labels must sit in [0, 2^20), got " +
+        s"[${seedStats.getLong(0)}, ${seedStats.getLong(1)}]")
+    // a node may carry two seed rows with different labels only by
+    // caller error — fail loudly rather than electing silently
+    require(seedTbl.groupBy("node").count()
+      .filter(col("count") > 1).limit(1).count() == 0,
+      "seededLabelPropagation: a seed node has conflicting labels")
+    var labels = seedTbl
+    for (i <- 1 to iterations) {
+      val votes = und
+        .join(labels, col("src") === labels("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("dst").as("node"))
+        .agg(max(col("votes") * labelCap +
+          (lit(labelCap - 1L) - col("label"))).as("score"))
+        .select(col("node"),
+          (lit(labelCap - 1L) - col("score") % labelCap).as("label"))
+      labels = graft.core.Tables.staged(
+        seedTbl.unionByName(
+          votes.join(seedTbl.select("node"), Seq("node"), "left_anti")),
+        s"lprop_l$i")
+    }
+    nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), col("label"))
+  }
+
   /** Shared power-iteration loop. With `eps` set, each staged rank
     * table carries a `__delta` column (|new − old| per node) and the
     * loop stops early once its sum drops below eps; returns the final

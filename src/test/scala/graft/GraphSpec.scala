@@ -253,6 +253,44 @@ class GraphSpec extends AnyFunSuite {
     assert(r("A") == ((1L, 0L, 0.0)) && r("C") == ((1L, 0L, 0.0)))
   }
 
+  test("seededLabelPropagation: hops spread one ring per round, " +
+       "majority beats the smaller label, ties pick the smaller, " +
+       "seeds stay clamped, unreached stay null") {
+    // path A—B—C—D (A seeded 7): after 2 rounds C is labeled, D not.
+    // T is adjacent to seeds labeled 5,5,0 → majority 5 wins over the
+    // smaller 0; U is adjacent to seeds 2 and 1 once each → tie → 1.
+    // Seed S0 (label 0) sits in a sea of label-5 seeds but must stay 0.
+    val edges = Seq(
+      ("A", "B"), ("B", "C"), ("C", "D"),
+      ("S5a", "T"), ("S5b", "T"), ("S0", "T"),
+      ("S2", "U"), ("S1", "U"),
+      ("S5a", "S0"), ("S5b", "S0")).toDF("src", "dst")
+    val seeds = Seq(("A", 7L), ("S5a", 5L), ("S5b", 5L), ("S0", 0L),
+      ("S2", 2L), ("S1", 1L)).toDF("node", "label")
+    val r = graft.ops.Graph.seededLabelPropagation(
+        edges, "src", "dst", seeds, 2)
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(r("A") == Some(7L) && r("B") == Some(7L) &&
+      r("C") == Some(7L) && r("D").isEmpty)
+    assert(r("T") == Some(5L), s"majority must win: ${r("T")}")
+    assert(r("U") == Some(1L), s"tie must pick the smaller: ${r("U")}")
+    assert(r("S0") == Some(0L), "seed must stay clamped")
+    // degenerate inputs fail loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.seededLabelPropagation(edges, "src", "dst",
+        Seq(("ghost", 1L)).toDF("node", "label"), 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.seededLabelPropagation(edges, "src", "dst",
+        Seq(("A", 1L), ("A", 2L)).toDF("node", "label"), 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.seededLabelPropagation(edges, "src", "dst",
+        Seq(("A", 1L << 20)).toDF("node", "label"), 1)
+    }
+  }
+
   test("extractLinks: attribute order, uppercase tags, and the " +
        "no-href trap") {
     import graft.llm.HtmlText
