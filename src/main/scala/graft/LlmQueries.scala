@@ -1886,6 +1886,22 @@ object LlmQueries {
         .orderBy("train_id", "bench_id")
     }),
 
+    // fuzzy decontamination through a PERSISTED benchmark LSH index —
+    // the ingest-time shape: benchmark band index + shingle table
+    // built once, the training stream probes it per batch (the
+    // dedup_incremental machinery pointed at a benchmark). Threshold
+    // 1.0 ⇒ exact recall ⇒ oracle = identical distinct-shingle sets
+    // between train docs and the planted verbatim benchmark copies.
+    "benchmark_decontaminate_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      Dedup.minhashDecontaminate(docs, bench, "text", "doc_id",
+          threshold = 1.0)
+        .orderBy("train_id", "bench_id")
+    }),
+
     // release novelty: per-doc fraction of shingles a new crawl adds
     // over the previous release (both sides corpus-sized — shuffle
     // join on 8-byte shingle hashes, nothing broadcast). New release:
@@ -2597,6 +2613,22 @@ object LlmQueries {
          n AS (SELECT doc_id, md5($normSql) AS fp FROM u)
          SELECT fp, min(doc_id) AS canonical_id, count(*) AS dup_count
          FROM n GROUP BY fp ORDER BY canonical_id""",
+    // identical-shingle-set train↔bench pairs (threshold-1.0 exact
+    // recall through the persisted benchmark index — dedup_minhash's
+    // canon pattern across the two sides)
+    "benchmark_decontaminate_lsh" ->
+      s"""WITH u AS (SELECT doc_id, coalesce(text, '') AS text
+             FROM documents),
+         $shingleCte,
+         tc AS (SELECT id AS train_id,
+             string_agg(g, chr(1) ORDER BY g) AS cs
+           FROM sd GROUP BY id),
+         bc AS (SELECT id + 5000000 AS bench_id,
+             string_agg(g, chr(1) ORDER BY g) AS cs
+           FROM sd WHERE id % 97 = 0 GROUP BY id)
+         SELECT t.train_id, b.bench_id, CAST(1.0 AS DOUBLE) AS jaccard
+         FROM tc t JOIN bc b ON t.cs = b.cs
+         ORDER BY train_id, bench_id""",
     "dedup_minhash" ->
       s"""WITH u AS ($dupCorpusSql),
          $shingleCte,

@@ -252,6 +252,37 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Fuzzy (MinHash-LSH) benchmark decontamination through a PERSISTED
+    * benchmark index — the ingest-time production shape:
+    * [[ngramContainment]] joins train shingles against the benchmark
+    * per batch, while here the benchmark side (small, fixed) builds
+    * its band index + shingle table ONCE and every training batch
+    * probes it through the banded (band, bh) equi-join — the
+    * [[dedupAgainstIndex]] machinery pointed at a benchmark instead of
+    * yesterday's corpus. Train text never shuffles; the benchmark is
+    * never re-shingled.
+    *
+    * At `threshold` 1.0 recall is exact — identical shingle sets share
+    * every band — which is the oracle-checked registration (verbatim
+    * benchmark leaks through the index path); below 1.0 a pair
+    * band-matches with P = 1 − (1 − j^r)^b, the minHashDedupPairs
+    * contract. Returns (train_id, bench_id, jaccard ≥ threshold). */
+  def minhashDecontaminate(train: DataFrame, bench: DataFrame,
+                           textCol: String, idCol: String,
+                           threshold: Double = 1.0,
+                           numHashes: Int = 32,
+                           bands: Int = 8): DataFrame = {
+    val idx = staged(
+      minHashBandTable(bench, textCol, idCol, numHashes, bands),
+      "decon_idx")
+    val shing = staged(hashedShingleTable(bench, textCol, idCol),
+      "decon_hs")
+    dedupAgainstIndex(train, textCol, idCol, idx, shing, threshold,
+        numHashes, bands)
+      .select(col("new_id").as("train_id"),
+        col("corpus_id").as("bench_id"), col("jaccard"))
+  }
+
   /** 64-bit SimHash over whitespace tokens (weighted bit-vote of
     * per-token hashes) via the native codegen'd Catalyst expression —
     * no ScalaUDF serde on the fingerprinting hot path. Near-dup

@@ -26,9 +26,61 @@ object SkewOpsProbe {
     // GRAFT_PROBE_ONLY=ivfpq runs just the r13 funnel section (the
     // full probe is ~15 min; sections are independent evidence runs)
     val onlyIvfpq = sys.env.get("GRAFT_PROBE_ONLY").contains("ivfpq")
+    // GRAFT_PROBE_ONLY=graph13 runs just the r13 graph-op section
+    // (HITS / triangles / label propagation under the same hub skew)
+    val onlyGraph13 =
+      sys.env.get("GRAFT_PROBE_ONLY").contains("graph13")
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select($"doc_id", $"text", $"lang", $"source")
-    for (mult <- Seq(64, 256) if !onlyIvfpq) {
+
+    // ---- r13 graph ops on the PAGERANK hub-skew substrate: the hub
+    // holds in-degree rows/10. HITS hits the same skewed in-SUM per
+    // iteration; triangleCounts' degree orientation must send every
+    // hub edge TOWARD the hub (forward degree 0 ⇒ the hub generates
+    // ZERO wedges — the exact property that survives power-law
+    // graphs); labelPropagation's vote agg is the same (node, long)
+    // shuffle class. Edge distinctness collapses to ~2·10^5 rows by
+    // construction (nodeOf is doc_id mod 10^5), so the measured cost
+    // is the 6.4M/25.6M-row ingest scan + the skewed aggregations —
+    // the same contract the PAGERANK numbers carry.
+    for (mult <- Seq(64, 256) if onlyGraph13) {
+      val d = (0 until mult).map(i => docs.select(
+          ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id")))
+        .reduce(_ unionByName _)
+      val rows = d.count()
+      val nodeOf = (c: org.apache.spark.sql.Column) =>
+        concat(lit("d"), pmod(c, lit(100000L)).cast("string"))
+      val edges = d.select(nodeOf($"doc_id").as("src"),
+          nodeOf($"doc_id" * 7919L + 13L).as("dst"))
+        .unionByName(d.filter(pmod($"doc_id", lit(10)) === 0)
+          .select(nodeOf($"doc_id").as("src"), lit("hub").as("dst")))
+      val tH = time {
+        val h = graft.ops.Graph.hitsScaled(edges, "src", "dst", 3)
+        assert(h.count() > 0)
+      }
+      println(f"HITS mult=$mult rows=$rows iters=3 t=$tH%.2f s")
+      val tT = time {
+        val tr = graft.ops.Graph.triangleCounts(edges, "src", "dst")
+        // the hub must have generated zero wedges yet still carry its
+        // triangle count — spot-read it while the plan is hot
+        assert(tr.filter($"node" === "hub").count() == 1)
+      }
+      println(f"TRIANGLES mult=$mult rows=$rows t=$tT%.2f s")
+      val tL = time {
+        // label must be a function of the NODE (doc_id mod 1e5), not
+        // the raw id — replicas of one node must agree
+        val seeds = d.filter(pmod($"doc_id", lit(100)) === 0)
+          .select(nodeOf($"doc_id").as("node"),
+            pmod(pmod($"doc_id", lit(100000L)), lit(7L))
+              .cast("long").as("label"))
+          .distinct()
+        val lp = graft.ops.Graph.seededLabelPropagation(
+          edges, "src", "dst", seeds, 3)
+        assert(lp.count() > 0)
+      }
+      println(f"LABELPROP mult=$mult rows=$rows iters=3 t=$tL%.2f s")
+    }
+    for (mult <- Seq(64, 256) if !onlyIvfpq && !onlyGraph13) {
       val d = (0 until mult).map(i => docs.select(
           ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"),
           $"text", $"lang", $"source")).reduce(_ unionByName _)
@@ -185,7 +237,7 @@ object SkewOpsProbe {
     // linearly with corpus growth while the √N discipline (FAISS's
     // nCells ≈ √N) keeps it bounded at ~nProbe·√N — the number below
     // is the max per-query candidate count the window actually sees.
-    {
+    if (!onlyGraph13) {
       import graft.llm.Similarity
       val emb = spark.read
         .parquet("/root/testdata/sf0.1/embeddings.parquet")
