@@ -451,21 +451,37 @@ object CorpusQueries {
     // into the sources with headroom, exactly
     // (Apportion.cappedLargestRemainder: Σ quota = budget whenever
     // Σ cap ≥ budget).
-    "corpus_epoch_quota" -> ((s, dir) => {
-      val cfg = t(s, dir, "documents")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.tokenCountWs(coalesce(col("text"), lit("")))
-            .cast("long")).as("n_tokens"))
-        .withColumn("cap_tokens",
-          expr("((1L + n_tokens % 12) * n_tokens) div 4"))
-      val totalTok = cfg.agg(coalesce(sum(col("n_tokens")), lit(0L)))
-        .first().getLong(0)
-      graft.ops.Apportion.cappedLargestRemainder(cfg, Seq("source"),
-          "n_docs", "cap_tokens", (3L * totalTok) / 4L)
-        .orderBy("source")
-    })
+    "corpus_epoch_quota" -> ((s, dir) =>
+      epochQuotaTable(s, dir).orderBy("source")),
+    // the quota ENACTED: per-source longest-first document selection up
+    // to each source's water-filled token quota — the staged-artifact →
+    // consumption pair (quota table once, selection reads it), via the
+    // per-group-budget variant of tokenBudgetSelect. A saturated
+    // source fills to its epoch cap; a Hamilton source to its share.
+    "corpus_epoch_budget_select" -> ((s, dir) =>
+      Corpus.tokenBudgetSelectPerGroup(t(s, dir, "documents"),
+          "doc_id", "text", "source",
+          epochQuotaTable(s, dir).select(col("source"), col("quota")))
+        .orderBy("source", "doc_id"))
   )
+
+  /** The epoch-capped water-fill quota table shared by
+    * corpus_epoch_quota (the artifact) and corpus_epoch_budget_select
+    * (its consumption): planted ¼-to-3¼-epoch caps keyed off n_tokens,
+    * budget = ¾ of one full epoch, weights = doc counts. */
+  private def epochQuotaTable(s: SparkSession, dir: String): DataFrame = {
+    val cfg = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCountWs(coalesce(col("text"), lit("")))
+          .cast("long")).as("n_tokens"))
+      .withColumn("cap_tokens",
+        expr("((1L + n_tokens % 12) * n_tokens) div 4"))
+    val totalTok = cfg.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .first().getLong(0)
+    graft.ops.Apportion.cappedLargestRemainder(cfg, Seq("source"),
+      "n_docs", "cap_tokens", (3L * totalTok) / 4L)
+  }
 
   /** u/w/c/f CTE chain shared by the text_gopher_rules and
     * text_drop_reasons oracles — ONE replica of the rule battery, so
@@ -1015,7 +1031,34 @@ object CorpusQueries {
     // then the corpus_quota Hamilton replica over the unsaturated
     // suffix, clamped at cap
     "corpus_epoch_quota" ->
-      s"""WITH d0 AS (SELECT source, coalesce(text, '') AS text
+      s"""WITH $epochQuotaOracleCtes
+         SELECT source, n_docs, cap_tokens, quota FROM quotas
+         ORDER BY source NULLS FIRST""",
+    // the water-fill chain + the corpus_token_budget cumsum, joined
+    // null-safely per source and cut at each source's own quota
+    "corpus_epoch_budget_select" ->
+      s"""WITH $epochQuotaOracleCtes,
+         dd AS (SELECT doc_id, source,
+             CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         ww AS (SELECT doc_id, source, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source
+               ORDER BY n_tok DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+           FROM dd)
+         SELECT w.source, w.doc_id, w.n_tok, w.cum_tok
+         FROM ww w JOIN quotas q
+           ON w.source IS NOT DISTINCT FROM q.source
+         WHERE w.cum_tok <= q.quota
+         ORDER BY w.source NULLS FIRST, w.doc_id""",
+  )
+  /** The full water-fill oracle CTE chain (ends in `quotas`
+    * (source, n_docs, cap_tokens, quota)) shared by corpus_epoch_quota
+    * and corpus_epoch_budget_select — one replica, no drift. */
+  // a def, not a val: the oracle map above interpolates this during
+  // object init — a val defined below the map would still be null then
+  private def epochQuotaOracleCtes: String =
+    s"""d0 AS (SELECT source, coalesce(text, '') AS text
              FROM documents),
          srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(CAST($tokWsSql AS BIGINT)) AS BIGINT) AS n_tokens
@@ -1075,9 +1118,6 @@ object CorpusQueries {
          unsq AS (SELECT source, n_docs, cap_tokens,
              least(CAST(fl + CASE WHEN hrk <= kk2.k THEN 1 ELSE 0 END
                AS BIGINT), cap_tokens) AS quota
-           FROM hr CROSS JOIN kk2)
-         SELECT source, n_docs, cap_tokens, quota
-         FROM (SELECT * FROM satp UNION ALL SELECT * FROM unsq)
-         ORDER BY source NULLS FIRST"""
-  )
+           FROM hr CROSS JOIN kk2),
+         quotas AS (SELECT * FROM satp UNION ALL SELECT * FROM unsq)"""
 }

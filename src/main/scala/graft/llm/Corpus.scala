@@ -446,6 +446,33 @@ object Corpus {
       .select(col(srcCol), col(idCol), col("n_tok"), col("cum_tok"))
   }
 
+  /** Per-group token-budget selection — [[tokenBudgetSelect]] with a
+    * BUDGET TABLE instead of one global budget: each group keeps its
+    * longest-first document prefix up to ITS OWN token budget. This is
+    * the consumption side of
+    * [[graft.ops.Apportion.cappedLargestRemainder]]'s quota artifact:
+    * the scheduler stages (source, quota) once, this op enacts it.
+    * Same two-phase per-group cumsum (a dominant source spans many
+    * range partitions, no single-partition window); the budget join is
+    * one (key, long) equi-join, NULL-SAFE so a null-keyed group still
+    * receives its budget row instead of silently vanishing.
+    * `budgets`: (group, budget) — first two columns positional.
+    * Output: srcCol, idCol, n_tok, cum_tok. */
+  def tokenBudgetSelectPerGroup(df: DataFrame, idCol: String,
+                                textCol: String, srcCol: String,
+                                budgets: DataFrame): DataFrame = {
+    val b = budgets.select(col(budgets.columns(0)).as("__src"),
+      col(budgets.columns(1)).cast("long").as("__budget"))
+    val toks = df.select(col(idCol), col(srcCol),
+      size(split(TextAnalysis.normalizeText(col(textCol)), " "))
+        .cast("long").as("n_tok"))
+    graft.ops.Relational.groupedCumSum(toks, Seq(srcCol),
+        Seq(col("n_tok").desc, col(idCol)), "n_tok", "cum_tok")
+      .join(b, col(srcCol) <=> col("__src"))
+      .filter(col("cum_tok") <= col("__budget"))
+      .select(col(srcCol), col(idCol), col("n_tok"), col("cum_tok"))
+  }
+
   /** Release diff between two corpus snapshots (dataset versioning):
     * which documents were `added`, `removed`, `changed`, or
     * `unchanged` between release A and release B, judged by a content

@@ -287,6 +287,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == Seq(("a", 1L, 4L, 4L), ("a", 2L, 3L, 7L)))
   }
 
+  test("tokenBudgetSelectPerGroup: each group cuts at ITS OWN budget, " +
+      "a null-keyed group still receives its budget row, an absent " +
+      "budget keeps the group out") {
+    val docs = Seq(
+      (1L, Some("a"), "w w w w"),   // 4 toks
+      (2L, Some("a"), "x x x"),     // 3 toks
+      (3L, Some("b"), "p p"),       // 2 toks
+      (4L, Some("b"), "q"),         // 1 tok
+      (5L, None, "n n n"),          // 3 toks, null source
+      (6L, Some("c"), "m m"))       // group with NO budget row
+      .toDF("doc_id", "source", "text")
+    val budgets = Seq((Some("a"), 4L), (Some("b"), 3L),
+      (Option.empty[String], 3L)).toDF("source", "budget")
+    val out = graft.llm.Corpus
+      .tokenBudgetSelectPerGroup(docs, "doc_id", "text", "source",
+        budgets)
+      .orderBy("source", "doc_id")
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // a: only doc 1 (cum 4 = budget; doc 2 would hit 7);
+    // b: doc 3 (cum 2) + doc 4 (cum 3 = budget);
+    // null: doc 5 via the null-safe join; c: no budget ⇒ nothing
+    assert(out == Seq((null, 5L, 3L, 3L), ("a", 1L, 4L, 4L),
+      ("b", 3L, 2L, 2L), ("b", 4L, 1L, 3L)))
+  }
+
   test("distributionDrift: identical slices score ~0, a one-sided key " +
       "carries the drift; smoothing keeps absent keys finite") {
     val docs = Seq(
