@@ -961,6 +961,36 @@ object LlmQueries {
          ORDER BY n.node"""
   }
 
+  /** Unrolled k-core oracle (Graph.kCore twin): doubled undirected
+    * edges, per-round double-semi-join + HAVING count ≥ k peel,
+    * CASE-selected stop at the first equal consecutive count (monotone
+    * shrink ⇒ fixpoint ⇒ the final unrolled round equals the stopped
+    * one, so rows come from a_max and only `rounds` needs the CASE). */
+  private def kCoreOracleSql(k: Int, maxRounds: Int): String = {
+    val rounds = (1 to maxRounds).map { i =>
+      s"""a_$i AS MATERIALIZED (SELECT u.src AS node FROM und u
+           JOIN a_${i - 1} s ON s.node = u.src
+           JOIN a_${i - 1} d ON d.node = u.dst
+           GROUP BY u.src HAVING count(*) >= $k),
+         c_$i AS (SELECT count(*) AS c FROM a_$i)"""
+    }.mkString(",\n         ")
+    val stopCase = (1 to maxRounds).map { i =>
+      s"WHEN (SELECT c FROM c_$i) = (SELECT c FROM c_${i - 1}) THEN $i"
+    }.mkString(" ")
+    s"""WITH ${pagerankGraphCtes("", "TRUE")},
+         und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM e WHERE src <> dst
+           UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+         a_0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM und),
+         c_0 AS (SELECT count(*) AS c FROM a_0),
+         $rounds,
+         stop AS (SELECT CAST(CASE $stopCase ELSE $maxRounds END
+             AS INT) AS j)
+         SELECT a.node, st.j AS rounds
+         FROM a_$maxRounds a CROSS JOIN stop st
+         ORDER BY a.node"""
+  }
+
   /** Streaming-ingest twin of [[pagerankIncrementalOracleSql]]: the v2
     * snapshot carries the sentinel edge the streaming fixture plants
     * so the version guard always sees the graph grow (one row iff
@@ -2385,6 +2415,18 @@ object LlmQueries {
         .orderBy("node")
     }),
 
+    // k-core peeling (k=2, capped at 8 rounds): strip the pendant /
+    // chain periphery until the densely-interlinked residue remains —
+    // link-farm rings live in high cores; the structural complement to
+    // spam-mass. Monotone set peeling ⇒ the stop round is a pure
+    // function of the graph; the artifact's `rounds` column pins it
+    // (the converged-PageRank pattern).
+    "link_kcore" -> ((s, dir) =>
+      graft.ops.Graph.kCore(
+        linkGraphEdges(s, dir, lit(true)), "src", "dst",
+        k = 2, maxRounds = 8)
+        .orderBy("node")),
+
     // spam-mass score (Gyöngyi et al.): spam_mass =
     // (pr − ppr_trusted) / pr — the fraction of a domain's PageRank
     // NOT explainable by reachability from the trusted seed set; the
@@ -3756,6 +3798,7 @@ object LlmQueries {
     "link_hits" -> hitsOracleSql(3),
     "link_triangles" -> trianglesOracleSql,
     "link_label_prop" -> labelPropOracleSql(3),
+    "link_kcore" -> kCoreOracleSql(2, 8),
     "streaming_pagerank_ingest" -> pagerankStreamingOracleSql(3, 2),
     "robots_filter" ->
       """WITH d AS (SELECT doc_id, coalesce(source, 'unk') AS src0

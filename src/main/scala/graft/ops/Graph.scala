@@ -417,6 +417,66 @@ object Graph {
       .select(col("node"), col("label"))
   }
 
+  /** k-core of the UNDIRECTED simplification (self-loops dropped,
+    * direction collapsed): iteratively peel nodes with fewer than `k`
+    * surviving neighbors until a fixpoint, capped at `maxRounds` — the
+    * densely-interlinked residue. On a crawl graph the 2-core strips
+    * pendant/chain periphery and the higher cores isolate link-farm
+    * cliques (spam rings interlink far more densely than organic
+    * sites) — the structural complement to spam-mass's rank argument.
+    *
+    * Determinism: each round is an exact set operation (semi-joins +
+    * an integer degree filter), and the peeled sets shrink
+    * monotonically, so equal consecutive COUNTS imply the fixpoint —
+    * the stop round is a pure function of the graph, like the
+    * convergence-stopped PageRank, and rides the same
+    * read-the-staged-count loop control. Output carries the realized
+    * `rounds` so the artifact pins the stop.
+    *
+    * Scale shape: per round two (node)-keyed semi-joins of the doubled
+    * edge table against the staged survivor set plus one hash agg —
+    * shuffles carry (node) and (node, long) only; survivors stage per
+    * round (lineage-cut discipline). Rounds needed = the graph's
+    * degeneracy peeling depth, typically ≤ tens on web graphs; the cap
+    * bounds the pathological chain.
+    *
+    * Output: (node, rounds) — the k-core members. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .na.drop().filter(col("src") =!= col("dst"))
+    val und = graft.core.Tables.staged(
+      e0.unionByName(e0.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct(), "kcore_edges")
+    var alive = graft.core.Tables.staged(
+      und.select(col("src").as("node")).distinct(), "kcore_a0")
+    var prev = alive.count()
+    var it = 0
+    var done = false
+    while (it < maxRounds && !done) {
+      it += 1
+      val next = graft.core.Tables.staged(
+        und
+          .join(alive.select(col("node").as("src")), Seq("src"),
+            "left_semi")
+          .join(alive.select(col("node").as("dst")), Seq("dst"),
+            "left_semi")
+          .groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select("node"),
+        s"kcore_a$it")
+      val c = next.count()
+      // monotone shrink ⇒ equal counts ⇒ equal sets: fixpoint
+      if (c == prev) done = true
+      prev = c
+      alive = next
+    }
+    alive.withColumn("rounds", lit(it))
+  }
+
   /** Shared power-iteration loop. With `eps` set, each staged rank
     * table carries a `__delta` column (|new − old| per node) and the
     * loop stops early once its sum drops below eps; returns the final

@@ -291,6 +291,33 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore: a pendant chain peels one ring per round into the " +
+       "triangle core, the cap truncates, and duplicates/self-loops " +
+       "collapse") {
+    // triangle {A,B,C} (the 2-core) with a 3-link chain hanging off A:
+    // A—p1—p2—p3. Peeling: round 1 drops p3 (deg 1), round 2 drops p2,
+    // round 3 drops p1, round 4 observes the fixpoint.
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A"),
+      ("A", "p1"), ("p1", "p2"), ("p2", "p3"),
+      ("B", "A"), ("A", "A"), ("C", "A")).toDF("src", "dst")
+    val r = graft.ops.Graph.kCore(edges, "src", "dst", k = 2,
+        maxRounds = 8)
+      .as[(String, Int)].collect()
+    assert(r.map(_._1).sorted.toSeq == Seq("A", "B", "C"), s"$r")
+    assert(r.forall(_._2 == 4), s"fixpoint observed at round 4: $r")
+    // the cap truncates mid-peel: 2 rounds in, p1 is still present
+    val capped = graft.ops.Graph.kCore(edges, "src", "dst", k = 2,
+        maxRounds = 2)
+      .as[(String, Int)].collect()
+    assert(capped.map(_._1).sorted.toSeq == Seq("A", "B", "C", "p1"))
+    assert(capped.forall(_._2 == 2))
+    // k above the max degree empties the core (fixpoint at the first
+    // repeated count — empty stays empty)
+    val none = graft.ops.Graph.kCore(edges, "src", "dst", k = 10,
+        maxRounds = 8)
+    assert(none.count() == 0)
+  }
+
   test("extractLinks: attribute order, uppercase tags, and the " +
        "no-href trap") {
     import graft.llm.HtmlText
