@@ -220,9 +220,13 @@ object Bench {
     // report_score_gt_rural_period_bg joined r13: the r12 driver sample
     // showed 2.1-3.0× warm spreads on these sub-second two-phase staged
     // queries while the builder's same-commit run sat at r11 levels
+    // corpus_epoch_quota / corpus_epoch_budget_select joined r13
+    // block 2: many-small-staged-jobs water-fill machinery, ~2× warm
+    // spread under disk weather in the r13 closing run
     val noisy = Set("ccnet_perplexity_buckets", "corpus_shard",
       "quality_quantiles", "quality_percentile_filter", "corpus_card",
-      "report_score_gt_rural_period_bg")
+      "report_score_gt_rural_period_bg",
+      "corpus_epoch_quota", "corpus_epoch_budget_select")
     def passesFor(name: String): Int =
       if (name.startsWith("streaming_") || noisy(name))
         math.max(warmPasses, 5)

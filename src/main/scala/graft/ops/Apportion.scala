@@ -63,12 +63,14 @@ object Apportion {
     * total < 2^53 so the double sort key and the decimal products stay
     * exact.
     *
-    * Scale shape: the sort/rank and both running sums ride the
-    * two-phase [[Relational.globalRowNumber]] / groupedCumSum
-    * machinery — no single-partition window, so this holds for
-    * per-DOMAIN caps (millions of rows), not just per-source config
-    * tables. Driver fetches: the stats row, the stop rank, and the
-    * saturated-cap sum — three scalars.
+    * Scale shape: the sort/rank and BOTH running sums ride one fused
+    * two-phase pass ([[rankedPrefix]] — globalRowNumber's
+    * range-partition + driver-offset pattern carrying the prefix sums
+    * alongside the rank; 1 shuffle, 2 jobs) — no single-partition
+    * window, so this holds for per-DOMAIN caps (millions of rows),
+    * not just per-source config tables. Driver fetches: the stats
+    * row, the per-partition subtotal array, the stop rank, and the
+    * saturated-cap sum.
     *
     * Output: keyCols ++ (weightCol, capCol, quota). */
   def cappedLargestRemainder(df: DataFrame, keyCols: Seq[String],
@@ -94,16 +96,8 @@ object Apportion {
       "cappedLargestRemainder: weight/cap/total must stay < 2^53 " +
         "for the exact double sort key and decimal(38,0) products")
     val bigW = stats.getLong(4)
-    val sortCols =
-      (col("__c").cast("double") / col("__w").cast("double")).asc +:
-        keyCols.map(col(_).asc)
-    val ranked = Relational.globalRowNumber(
-      w0.withColumn("__g", lit(0)), sortCols :+ col("__g").asc, "__rk")
-    val cum1 = Relational.groupedCumSum(ranked, Seq("__g"),
-      Seq(col("__rk").asc), "__c", "__ccap")
-    val cum = graft.core.Tables.staged(
-      Relational.groupedCumSum(cum1, Seq("__g"),
-        Seq(col("__rk").asc), "__w", "__cw"), "capfill_cum")
+    val cum = graft.core.Tables.staged(rankedPrefix(w0, keyCols),
+      "capfill_cum")
     // saturation test on the running remainders, exact in decimal:
     // cap_i · W_i ≤ R_i · w_i with R_i = total − caps already bound,
     // W_i = weight not yet bound (both inclusive of row i)
@@ -141,6 +135,71 @@ object Apportion {
     satPart.unionByName(unsatPart)
       .withColumnRenamed("__w", weightCol)
       .withColumnRenamed("__c", capCol)
+  }
+
+  /** ONE two-phase pass computing the water-fill's global rank AND
+    * both running sums over the ratio order — globalRowNumber's
+    * range-partition + driver-offset pattern extended to carry the
+    * (cap, weight) prefix sums, replacing rank + 2 cumsum passes
+    * (3 shuffles, 6 jobs) with 1 shuffle, 2 jobs. Both jobs run over
+    * the SAME shuffled RDD instance (identical sampled boundaries,
+    * the globalRowNumber contract), and the map pass re-checks each
+    * partition's subtotals against the counting job's — loud failure
+    * over silent corruption (the groupedPrefix discipline).
+    * Input: (keyCols, __w, __c); appends (__rk, __ccap, __cw). */
+  private def rankedPrefix(w0: DataFrame,
+                           keyCols: Seq[String]): DataFrame = {
+    val spark = w0.sparkSession
+    val schema = w0.schema
+    val sortCols =
+      (col("__c").cast("double") / col("__w").cast("double")).asc +:
+        keyCols.map(col(_).asc)
+    val rdd = w0.repartitionByRange(
+        spark.sessionState.conf.numShufflePartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .rdd
+    val cIdx = schema.fieldIndex("__c")
+    val wIdx = schema.fieldIndex("__w")
+    val parts = rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L; var sc = 0L; var sw = 0L
+      it.foreach { r =>
+        n += 1; sc += r.getLong(cIdx); sw += r.getLong(wIdx)
+      }
+      Iterator((i, (n, sc, sw)))
+    }.collect().sortBy(_._1).map(_._2)
+    val offs = parts.scanLeft((0L, 0L, 0L)) {
+      case ((n, c, w), (n2, c2, w2)) => (n + n2, c + c2, w + w2)
+    }
+    val bc = spark.sparkContext.broadcast((offs, parts))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val (offsets, totals) = bc.value
+      var (n, cc, cw) = offsets(i)
+      var rn = 0L; var rc = 0L; var rw = 0L
+      new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && i < totals.length) {
+            val t = totals(i)
+            if (t != ((rn, rc, rw))) sys.error(
+              s"rankedPrefix: partition $i subtotal ($rn, $rc, $rw) " +
+                s"!= counting job's $t — upstream recomputed " +
+                "nondeterministically")
+          }
+          h
+        }
+        def next(): org.apache.spark.sql.Row = {
+          val r = it.next()
+          val c = r.getLong(cIdx); val w = r.getLong(wIdx)
+          n += 1; cc += c; cw += w; rn += 1; rc += c; rw += w
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(n, cc, cw))
+        }
+      }
+    }
+    import org.apache.spark.sql.types.LongType
+    spark.createDataFrame(out, schema
+      .add("__rk", LongType, nullable = false)
+      .add("__ccap", LongType, nullable = false)
+      .add("__cw", LongType, nullable = false))
   }
 
   def largestRemainder(df: DataFrame, keyCols: Seq[String],
