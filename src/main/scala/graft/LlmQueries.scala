@@ -2415,6 +2415,17 @@ object LlmQueries {
         .orderBy("node")
     }),
 
+    // one-row webgraph health summary: reciprocity (directed edges
+    // whose reverse exists — link rings trend toward 1.0) and Newman
+    // degree assortativity (Pearson of endpoint degrees over the
+    // doubled undirected edges; organic web graphs are disassortative).
+    // All Pearson components exact decimal/HUGEINT; only the final
+    // covariance/variance arithmetic is double, on correctly-rounded
+    // casts — engine-exact.
+    "link_graph_stats" -> ((s, dir) =>
+      graft.ops.Graph.graphStats(
+        linkGraphEdges(s, dir, lit(true)), "src", "dst")),
+
     // k-core peeling (k=2, capped at 8 rounds): strip the pendant /
     // chain periphery until the densely-interlinked residue remains —
     // link-farm rings live in high cores; the structural complement to
@@ -3799,6 +3810,49 @@ object LlmQueries {
     "link_triangles" -> trianglesOracleSql,
     "link_label_prop" -> labelPropOracleSql(3),
     "link_kcore" -> kCoreOracleSql(2, 8),
+    // reciprocity + assortativity replica: HUGEINT Pearson components
+    // (cast BEFORE multiplying, mirroring the decimal(38,0) side),
+    // double arithmetic only in the final ratio
+    "link_graph_stats" ->
+      s"""WITH ${pagerankGraphCtes("", "TRUE")},
+         ee AS MATERIALIZED (SELECT DISTINCT src, dst FROM e
+           WHERE src <> dst),
+         rc AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+           FROM ee a WHERE EXISTS (SELECT 1 FROM ee b
+             WHERE b.src = a.dst AND b.dst = a.src)),
+         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ee),
+         und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+             greatest(src, dst) AS b FROM ee),
+         nu AS (SELECT CAST(count(*) AS BIGINT) AS n_und_edges
+           FROM und),
+         dg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+           FROM (SELECT a AS node FROM und
+                 UNION ALL SELECT b FROM und) GROUP BY node),
+         db AS (SELECT du.degree AS du, dv.degree AS dv
+           FROM (SELECT a AS u, b AS v FROM und
+                 UNION ALL SELECT b, a FROM und) d
+           JOIN dg du ON du.node = d.u
+           JOIN dg dv ON dv.node = d.v),
+         cp AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(du) AS HUGEINT) AS sx,
+             CAST(sum(CAST(du AS HUGEINT) * du) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(du AS HUGEINT) * dv) AS HUGEINT) AS sxy
+           FROM db)
+         SELECT ne.n_edges, rc.n_reciprocal,
+           CASE WHEN ne.n_edges > 0 THEN
+             round(CAST(rc.n_reciprocal AS DOUBLE) /
+               CAST(ne.n_edges AS DOUBLE), 6) + 0.0 END AS reciprocity,
+           nu.n_und_edges,
+           CASE WHEN (CAST(cp.n AS DOUBLE) * CAST(cp.sxx AS DOUBLE) -
+                      CAST(cp.sx AS DOUBLE) * CAST(cp.sx AS DOUBLE))
+                     > 0
+             THEN round(
+               (CAST(cp.n AS DOUBLE) * CAST(cp.sxy AS DOUBLE) -
+                CAST(cp.sx AS DOUBLE) * CAST(cp.sx AS DOUBLE)) /
+               (CAST(cp.n AS DOUBLE) * CAST(cp.sxx AS DOUBLE) -
+                CAST(cp.sx AS DOUBLE) * CAST(cp.sx AS DOUBLE)), 6)
+               + 0.0 END AS assortativity
+         FROM ne CROSS JOIN rc CROSS JOIN nu CROSS JOIN cp""",
     "streaming_pagerank_ingest" -> pagerankStreamingOracleSql(3, 2),
     "robots_filter" ->
       """WITH d AS (SELECT doc_id, coalesce(source, 'unk') AS src0

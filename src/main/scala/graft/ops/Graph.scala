@@ -477,6 +477,78 @@ object Graph {
     alive.withColumn("rounds", lit(it))
   }
 
+  /** One-row global link-graph diagnostics — the webgraph health
+    * summary a crawl release ships beside its dataset card:
+    *  - reciprocity: fraction of distinct directed edges whose reverse
+    *    also exists (organic link ecosystems sit far below link-farm
+    *    rings' near-1.0);
+    *  - degree assortativity (Newman 2002): Pearson correlation of
+    *    endpoint degrees over the DOUBLED undirected edge list (each
+    *    edge contributes both orientations, making the correlation
+    *    symmetric) — web graphs are disassortative (hubs link to
+    *    leaves, r < 0), while spam clusters trend assortative.
+    *
+    * Exactness: all five Pearson components (n, Σx, Σx², Σxy — and
+    * Σy = Σx, Σy² = Σx² by the doubling symmetry) accumulate as
+    * decimal(38,0) (HUGEINT in the oracle) — exact at any degree —
+    * and only the final covariance/variance arithmetic happens in
+    * double, on correctly-rounded casts of exact integers: bit-stable
+    * across engines and partitionings. Division guards: an empty /
+    * degenerate graph (no edges, or all degrees equal) yields null
+    * assortativity rather than NaN.
+    *
+    * Scale shape: one distinct, one self-join on the reversed key for
+    * reciprocity (equi-join on (src,dst) pairs), one degree agg + two
+    * degree lookups, one global 1-row aggregation — shuffles carry
+    * keys and Longs only. Output: (n_edges, n_reciprocal, reciprocity,
+    * n_und_edges, assortativity). */
+  def graphStats(edges: DataFrame, srcCol: String,
+                 dstCol: String): DataFrame = {
+    val e = graft.core.Tables.staged(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .na.drop().filter(col("src") =!= col("dst")).distinct(),
+      "gstats_edges")
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // doubled orientation: (u,v) and (v,u) both contribute, so the
+    // x/y marginals coincide and Pearson needs only n, Σx, Σx², Σxy
+    val doubled = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .join(deg.select(col("node").as("u"), col("degree").as("du")),
+        Seq("u"))
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")),
+        Seq("v"))
+    val dec = "decimal(38,0)"
+    // cast BEFORE multiplying: a Long×Long product overflows silently
+    // at extreme degrees; decimal products stay exact
+    val comps = doubled.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("du").cast(dec)).as("sx"),
+      sum(col("du").cast(dec) * col("du").cast(dec)).as("sxx"),
+      sum(col("du").cast(dec) * col("dv").cast(dec)).as("sxy"))
+    val counts = e.agg(count(lit(1)).as("n_edges")).crossJoin(
+      broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
+      .crossJoin(broadcast(
+        und.agg(count(lit(1)).as("n_und_edges"))))
+    val cov = col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vr = col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    counts.crossJoin(broadcast(comps))
+      .select(col("n_edges"), col("n_reciprocal"),
+        when(col("n_edges") > 0,
+          round(col("n_reciprocal").cast("double") /
+            col("n_edges").cast("double"), 6)).as("reciprocity"),
+        col("n_und_edges"),
+        when(vr > 0.0, round(cov / vr, 6)).as("assortativity"))
+  }
+
   /** Shared power-iteration loop. With `eps` set, each staged rank
     * table carries a `__delta` column (|new − old| per node) and the
     * loop stops early once its sum drops below eps; returns the final

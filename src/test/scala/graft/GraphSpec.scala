@@ -318,6 +318,32 @@ class GraphSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("graphStats: reciprocity counts both directions of a mutual " +
+       "pair, a star is perfectly disassortative, equal degrees null " +
+       "the correlation") {
+    // A↔B mutual, A→C one-way: 3 distinct directed edges, 2 reciprocal
+    val r1 = graft.ops.Graph.graphStats(
+        Seq(("A", "B"), ("B", "A"), ("A", "C"), ("A", "B"), ("C", "C"))
+          .toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Option[Double], Long, Option[Double])]
+      .collect().head
+    assert(r1._1 == 3L && r1._2 == 2L && r1._3 == Some(0.666667))
+    // star: hub degree 3 against leaf degree 1 on every edge ⇒ r = −1
+    val r2 = graft.ops.Graph.graphStats(
+        Seq(("A", "B"), ("A", "C"), ("A", "D")).toDF("src", "dst"),
+        "src", "dst")
+      .as[(Long, Long, Option[Double], Long, Option[Double])]
+      .collect().head
+    assert(r2._5 == Some(-1.0), s"star must be -1: $r2")
+    // a cycle has every degree equal: zero variance ⇒ null, not NaN
+    val r3 = graft.ops.Graph.graphStats(
+        Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("src", "dst"),
+        "src", "dst")
+      .as[(Long, Long, Option[Double], Long, Option[Double])]
+      .collect().head
+    assert(r3._5.isEmpty, s"equal degrees must null out: $r3")
+  }
+
   test("extractLinks: attribute order, uppercase tags, and the " +
        "no-href trap") {
     import graft.llm.HtmlText
