@@ -76,9 +76,29 @@ object Bench {
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
     var lastGcMs = 0L
+    // wall-clock epoch (seconds, 1 decimal) of the last timed pass's
+    // START, plus per-phase boundary stamps: three rounds of bench
+    // forensics (r11 CPU, r12 disk, r13 mid-walk storm) ended at "a
+    // contiguous block reads slow, plans unchanged" with NOTHING in the
+    // artifact to correlate the block against a time window. Stamps are
+    // zero-perturbation (captured outside every timing window) and make
+    // any storm attributable by the artifact alone.
+    def epochS(): Double = math.rint(System.currentTimeMillis() / 100.0) / 10.0
+    var lastPassTs = 0.0
+    // extra disk-bound jobs the pass performed beyond its final
+    // materialize: each Tables.staged parquet write is one write+read
+    // boundary, each two-phase prefix kernel is two jobs over one
+    // shuffled RDD — the structural markers of the
+    // many-small-disk-jobs class
+    var lastStaged = 0L
+    val phaseTs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    phaseTs("run_start") = epochS()
     def timeInto(sink: scala.collection.mutable.LinkedHashMap[String, String])
         (name: String, fn: (SparkSession, String) => DataFrame)
         : Option[Double] = {
+      lastPassTs = epochS()
+      val s0 = graft.core.Tables.stagedWriteCount
+      val p0 = graft.ops.Relational.twoPhaseRunCount
       val t0 = System.nanoTime()
       val g0 = gcMsNow()
       val ok =
@@ -91,6 +111,8 @@ object Bench {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       lastGcMs = gcMsNow() - g0
+      lastStaged = (graft.core.Tables.stagedWriteCount - s0) +
+        2L * (graft.ops.Relational.twoPhaseRunCount - p0)
       // drop cached tables the query persisted so runs stay independent
       // (accumulated cache + block-manager state was measured to slow
       // unrelated queries later in the pass); also reap the staging
@@ -211,35 +233,48 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt
     require(warmPasses >= 1,
       s"SPARK_GRAFT_WARM_PASSES must be >= 1, got $warmPasses")
-    // the multi-batch streaming drives and the two-phase staged queries
-    // are disk-bound with ~2× day-to-day spread at 3 passes — twice now
-    // a round-over-round bench diff read their noise as a regression
-    // (r9→r10 A/B re-benched identical). Median over 5 passes pins
-    // their round-over-round delta on unchanged code under 10%.
-    // quality_quantiles / quality_percentile_filter / corpus_card /
-    // report_score_gt_rural_period_bg joined r13: the r12 driver sample
-    // showed 2.1-3.0× warm spreads on these sub-second two-phase staged
-    // queries while the builder's same-commit run sat at r11 levels
-    // corpus_epoch_quota / corpus_epoch_budget_select joined r13
-    // block 2: many-small-staged-jobs water-fill machinery, ~2× warm
-    // spread under disk weather in the r13 closing run
-    val noisy = Set("ccnet_perplexity_buckets", "corpus_shard",
-      "quality_quantiles", "quality_percentile_filter", "corpus_card",
-      "report_score_gt_rural_period_bg",
-      "corpus_epoch_quota", "corpus_epoch_budget_select")
+    // the multi-batch streaming drives and the staged-machinery queries
+    // are disk-bound with ~2× day-to-day spread at 3 passes — twice a
+    // round-over-round bench diff read their noise as a regression
+    // (r9→r10 A/B re-benched identical; the r12 driver sample showed
+    // 2.1-3.0× warm spreads on sub-second two-phase staged queries).
+    // Median over 5 passes pins their round-over-round delta on
+    // unchanged code under 10%. Membership is DERIVED, not named
+    // (r11→r13 the name list was reactive — queries joined one round
+    // AFTER their spread burned a comparison): a query whose cold pass
+    // performed ≥2 Tables.staged parquet writes is structurally in the
+    // many-small-disk-jobs class, and every streaming_ drive is
+    // (foreachBatch sinks write outside Tables.staged's counter). The
+    // derived set and counts land in the artifact (noisy_derived):
+    // count = staged writes + 2 · two-phase kernel runs in the cold
+    // pass; ≥2 extra disk jobs ⇒ 5-pass median. The derivation covers
+    // every r13 name-list member except report_score_gt_rural_period_bg
+    // — structurally a plain star join + windows (0 extra disk jobs),
+    // so its one noisy r12 driver sample was machine weather; storms on
+    // structurally-quiet queries are now adjudicated by
+    // queries_isolated instead of by widening this set.
+    val coldStaged = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val noisyStagedMin = 2L
     def passesFor(name: String): Int =
-      if (name.startsWith("streaming_") || noisy(name))
+      if (name.startsWith("streaming_") ||
+          coldStaged.getOrElse(name, 0L) >= noisyStagedMin)
         math.max(warmPasses, 5)
       else warmPasses
     // base table built once per run, untimed, before any canary sample
     if (canaryEnabled) ioCanaryPrep()
+    phaseTs("io_canary_start") = epochS()
     val ioStart = ioCanaryRun("start")
+    phaseTs("canary_start") = epochS()
     val canaryStart = canaryRun("start")
     val coldGc = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val coldTs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    phaseTs("cold") = epochS()
     val cold = sorted.flatMap { case (name, fn) =>
       time(name, fn).map { dt =>
         System.err.println(f"[bench] cold $name%-28s $dt%8.2f s")
         coldGc(name) = lastGcMs
+        coldTs(name) = lastPassTs
+        coldStaged(name) = lastStaged
         name -> dt
       }
     }
@@ -248,10 +283,15 @@ object Bench {
     // sustained mid-suite disk storm (report_family_full passes 36/97/54
     // s) that neither endpoint factor saw. Three samples make the
     // median factor representative of the run, not just its edges.
+    phaseTs("canary_mid") = epochS()
     val canaryMid = canaryRun("mid")
+    phaseTs("io_canary_mid") = epochS()
     val ioMid = ioCanaryRun("mid")
     val warmGcRuns =
       scala.collection.mutable.LinkedHashMap[String, List[Long]]()
+    val warmTsRuns =
+      scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    phaseTs("warm") = epochS()
     val warmRuns = sorted
       .filter { case (name, _) => !failed.contains(name) }
       .flatMap { case (name, fn) =>
@@ -261,6 +301,8 @@ object Bench {
             System.err.println(f"[bench] warm#$i $name%-26s $dt%8.2f s")
             warmGcRuns(name) =
               warmGcRuns.getOrElse(name, Nil) :+ lastGcMs
+            warmTsRuns(name) =
+              warmTsRuns.getOrElse(name, Nil) :+ lastPassTs
             dt
           }
         }
@@ -270,8 +312,38 @@ object Bench {
       }
     // second canary sample AFTER the suite: the host can drift over the
     // ~45-min run, so the factor is the median over BOTH samples' ratios
+    phaseTs("canary_end") = epochS()
     val canaryEnd = canaryRun("end")
+    phaseTs("io_canary_end") = epochS()
     val ioEnd = ioCanaryRun("end")
+    // --- post-suite isolated re-measure ---------------------------------
+    // The artifact's own storm adjudicator: the five queries whose warm
+    // median slowed most RELATIVE TO THEIR OWN COLD this run are re-run
+    // once each after the whole suite (cache cleared + GC between, same
+    // JVM — the "isolated" condition the r13 forensics had to reproduce
+    // manually). A mid-walk disk storm inflates a contiguous block's
+    // warm medians while its members' isolated re-measures return to
+    // cold level; a genuine plan regression stays slow here too. The
+    // judge-on-isolated rule becomes data in the artifact, not prose.
+    val isolatedFailed =
+      scala.collection.mutable.LinkedHashMap[String, String]()
+    val warmMedPre = warmRuns.map { case (n, ds) => n -> medianOf(ds) }.toMap
+    val coldByName = cold.toMap
+    val movedMost = warmRuns.map(_._1)
+      .filter(n => coldByName.contains(n) && coldByName(n) > 0)
+      .sortBy(n => -(warmMedPre(n) / coldByName(n)))
+      .take(5)
+    phaseTs("isolated") = epochS()
+    val isolated = movedMost.flatMap { n =>
+      SparkEntry.queries.get(n).flatMap { fn =>
+        timeInto(isolatedFailed)(n, fn).map { dt =>
+          System.err.println(f"[bench] isolated $n%-24s $dt%8.2f s " +
+            f"(cold ${coldByName(n)}%.2f, warm med ${warmMedPre(n)}%.2f)")
+          n -> dt
+        }
+      }
+    }
+    phaseTs("done") = epochS()
     val pinnedMap = canaryPinned.toMap
     val canaryRatios = (canaryStart ++ canaryMid ++ canaryEnd)
       .flatMap { case (n, m) => pinnedMap.get(n).map(m / _) }
@@ -399,7 +471,13 @@ object Bench {
     // systematically warmer than pre-r12 artifacts' — the flag makes
     // the artifact state that instead of leaving cold diffs silently
     // incomparable across the r12 boundary
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(coldOk)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"warm_spread":${js(warmSpread)},"failed":$failedJson,"canary_failed":$canaryFailedJson,"cold_canary_prewarmed":${canaryEnabled},"total_warm":$totalWarm,"host_factor":$hfJson,"canary_start":${js(canaryStart)},"canary_mid":${js(canaryMid)},"canary_end":${js(canaryEnd)},"canary_pinned":${js(canaryPinned)},"io_factor":$iofJson,"io_canary_start":${ioStart.mkString("[", ",", "]")},"io_canary_mid":${ioMid.mkString("[", ",", "]")},"io_canary_end":${ioEnd.mkString("[", ",", "]")},"io_canary_pinned":$ioCanaryPinned,"io_share":$ioShare,"io_bound_queries":$ioBoundJson,"total_warm_normalized":$totalWarmNormJson,"total_warm_normalized_dual":$totalWarmDualJson,"queries_warm_normalized":${js(warmNormalized)},"queries_warm_normalized_dual":${js(warmDual)},"queries_warm_gc_ms":${jsL(warmGcMed)},"queries_cold_gc_ms":$coldGcJson,"sf":"$sfDir"}"""
+    val isolatedFailedJson = isolatedFailed
+      .map { case (k, v) =>
+        s"${graft.core.Json.quote(k)}:${graft.core.Json.quote(v)}" }
+      .mkString("{", ",", "}")
+    val noisyDerivedJson = jsL(coldStaged.toSeq
+      .filter { case (_, c) => c >= noisyStagedMin })
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(coldOk)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"warm_spread":${js(warmSpread)},"failed":$failedJson,"canary_failed":$canaryFailedJson,"cold_canary_prewarmed":${canaryEnabled},"total_warm":$totalWarm,"host_factor":$hfJson,"canary_start":${js(canaryStart)},"canary_mid":${js(canaryMid)},"canary_end":${js(canaryEnd)},"canary_pinned":${js(canaryPinned)},"io_factor":$iofJson,"io_canary_start":${ioStart.mkString("[", ",", "]")},"io_canary_mid":${ioMid.mkString("[", ",", "]")},"io_canary_end":${ioEnd.mkString("[", ",", "]")},"io_canary_pinned":$ioCanaryPinned,"io_share":$ioShare,"io_bound_queries":$ioBoundJson,"total_warm_normalized":$totalWarmNormJson,"total_warm_normalized_dual":$totalWarmDualJson,"queries_warm_normalized":${js(warmNormalized)},"queries_warm_normalized_dual":${js(warmDual)},"queries_warm_gc_ms":${jsL(warmGcMed)},"queries_cold_gc_ms":$coldGcJson,"phase_ts":${js(phaseTs.toSeq)},"queries_cold_ts":${js(coldTs.toSeq)},"warm_pass_ts":${jsArr(warmTsRuns.toSeq)},"queries_isolated":${js(isolated)},"isolated_failed":$isolatedFailedJson,"noisy_derived":$noisyDerivedJson,"noisy_rule":"staged_writes+2*two_phase>=${noisyStagedMin}|streaming_*","sf":"$sfDir"}"""
     if (failed.nonEmpty)
       System.err.println(
         s"[bench] ${failed.size} queries FAILED (excluded from timings): " +

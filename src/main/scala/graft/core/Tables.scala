@@ -68,6 +68,17 @@ object Tables {
       } catch { case scala.util.control.NonFatal(_) => () }
   }
 
+  private val stagedWrites =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Monotone count of [[staged]] materializations since JVM start.
+    * Bench reads the delta across a query's cold pass to classify the
+    * staged-machinery class (≥2 staged intermediate writes ⇒ disk-bound
+    * many-small-jobs shape ⇒ 5-pass warm median) BY CONSTRUCTION — the
+    * r13 name list at Bench.noisy() was reactive: queries joined it one
+    * round AFTER their disk-weather spread burned a comparison. */
+  def stagedWriteCount: Long = stagedWrites.get
+
   private val stagedPaths =
     new java.util.concurrent.ConcurrentLinkedQueue[Staged]()
   private val scopePaths =
@@ -95,6 +106,7 @@ object Tables {
     // FileNotFoundException when the first scope exits and deletes it)
     val path = s"$tmpDir/stage_${tag}_" +
       java.util.UUID.randomUUID().toString
+    stagedWrites.incrementAndGet()
     registerStagedDir(path, df.sparkSession.sessionState.newHadoopConf())
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)

@@ -96,6 +96,13 @@ object Apportion {
       "cappedLargestRemainder: weight/cap/total must stay < 2^53 " +
         "for the exact double sort key and decimal(38,0) products")
     val bigW = stats.getLong(4)
+    // the Hamilton suffix stage runs largestRemainder(rest, ΣunsatW)
+    // with rest ≤ total and ΣunsatW ≤ ΣW, so mirroring its stricter
+    // total·W < 2^63 guard HERE rejects contract-legal-looking inputs
+    // up front instead of aborting mid-plan inside the suffix call
+    require(total == 0 || bigW <= Long.MaxValue / total,
+      s"cappedLargestRemainder: total * sum(weights) must stay inside " +
+        s"Long for the Hamilton suffix (total=$total, W=$bigW)")
     val cum = graft.core.Tables.staged(rankedPrefix(w0, keyCols),
       "capfill_cum")
     // saturation test on the running remainders, exact in decimal:
@@ -149,6 +156,7 @@ object Apportion {
     * Input: (keyCols, __w, __c); appends (__rk, __ccap, __cw). */
   private def rankedPrefix(w0: DataFrame,
                            keyCols: Seq[String]): DataFrame = {
+    Relational.recordTwoPhase()
     val spark = w0.sparkSession
     val schema = w0.schema
     val sortCols =

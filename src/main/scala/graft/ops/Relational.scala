@@ -10,6 +10,24 @@ import graft.functions.Functions._
 /** Relational building blocks (SURVEY §7 `graft.ops`). */
 object Relational {
 
+  private val twoPhase = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Monotone count of two-phase prefix-kernel invocations
+    * ([[globalRowNumber]] / [[surrogateKeysDistributed]] / the grouped
+    * prefix machinery) since JVM start. Each invocation runs TWO jobs
+    * over one shuffled RDD (subtotal-count + offset-map) — the
+    * many-small-disk-jobs shape whose warm timings spread ~2× under
+    * disk weather. Bench reads the delta across a query's cold pass to
+    * classify the 5-pass-median set by construction (with
+    * [[graft.core.Tables.stagedWriteCount]]). */
+  def twoPhaseRunCount: Long = twoPhase.get
+
+  /** Record a two-phase kernel run implemented outside this object
+    * (e.g. [[Apportion]]'s fused rank+prefix pass). */
+  private[graft] def recordTwoPhase(): Unit = {
+    twoPhase.incrementAndGet(); ()
+  }
+
   /** Full-outer stg ⊕ ods merge with `or-tuple` coalesce — SCD-0 upsert
     * preserving ods surrogate ids (reference
     * src/bolome/ods/d_bolome_show.clj:41-56; or-tuple trgx.clj:21).
@@ -139,6 +157,7 @@ object Relational {
     * `maxExisting`. */
   def surrogateKeysDistributed(df: DataFrame, idCol: String,
                                maxExisting: Long): DataFrame = {
+    twoPhase.incrementAndGet()
     val spark = df.sparkSession
     // widen existing ids up front: the output schema declares LongType,
     // and a pre-existing java.lang.Integer passing through the `else r`
@@ -209,6 +228,7 @@ object Relational {
 
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
                       outCol: String, nPartitions: Int = 0): DataFrame = {
+    twoPhase.incrementAndGet()
     val spark = df.sparkSession
     val schema = df.schema
     val rdd = df.repartitionByRange(
@@ -263,6 +283,7 @@ object Relational {
          org.apache.spark.sql.types.StructType, Array[Int],
          Map[(Int, List[Any]), (Long, Long)], Map[List[Any], Long],
          Map[(Int, List[Any]), (Long, Long)]) = {
+    twoPhase.incrementAndGet()
     val schema = df.schema
     val gIdx = groupCols.map(schema.fieldIndex).toArray
     val wIdx = weightCol.map { c =>
