@@ -477,6 +477,164 @@ object Graph {
     alive.withColumn("rounds", lit(it))
   }
 
+  /** Bow-tie decomposition of the directed graph (Broder et al. 2000,
+    * "Graph structure in the Web") around a deterministic pivot — the
+    * classic crawl-frontier analysis: which domains sit in the mutually
+    * reachable core (SCC), which only FEED it (IN — new-content
+    * frontier worth crawling toward the core), which only DRAIN it
+    * (OUT), which hang off the weak component without core reachability
+    * (TENDRIL — includes tubes), and which are fully disconnected
+    * (DISC).
+    *
+    * Pivot: the node with the highest total degree (tie → smallest
+    * node) — a pure function of the graph, and on any real web graph a
+    * max-degree node sits inside the giant SCC, so the pivot's SCC IS
+    * the core. Classification:
+    *   SCC  = fwd-reach(pivot) ∩ bwd-reach(pivot)
+    *   IN   = bwd \ fwd;  OUT = fwd \ bwd
+    *   TENDRIL = pivot's WEAKLY connected component minus the above
+    *   DISC = everything else.
+    * All four sets are exact set algebra over exact reachability —
+    * engine-identical, no arithmetic at all — so the oracle's
+    * recursive-CTE fixpoint matches bit-for-bit whenever the BFS
+    * converges inside `maxRounds` (it reaches fixpoint at the graph's
+    * directed eccentricity from the pivot; the cap bounds the
+    * pathological chain and a capped run classifies the unreached
+    * conservatively as non-members).
+    *
+    * Scale shape: two frontier BFS walks (per round: one equi-join of
+    * the edge table against the staged CURRENT FRONTIER — not the
+    * cumulative reach — plus one left-anti against the union of staged
+    * frontier tables; shuffles carry (node) only; frontiers stage per
+    * round, the lineage-cut discipline), and ONE pointer-jumping
+    * connected-components pass ([[graft.llm.Dedup.connectedComponents]]
+    * — log-diameter rounds) for the weak component, which a BFS could
+    * not bound on a long-tendril graph. Driver fetches: the pivot row,
+    * per-round frontier counts, the pivot's component label.
+    *
+    * Output: (node, cls) with cls ∈ {SCC, IN, OUT, TENDRIL, DISC}. */
+  def bowTie(edges: DataFrame, srcCol: String, dstCol: String,
+             maxRounds: Int = 64): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val e = graft.core.Tables.staged(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .na.drop().distinct(), "bowtie_edges")
+    val nodes = graft.core.Tables.staged(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct(),
+      "bowtie_nodes")
+    val deg = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val pivotRow = deg.orderBy(col("deg").desc, col("node"))
+      .limit(1).collect()
+    require(pivotRow.nonEmpty, "bowTie: empty graph")
+    val pivot = pivotRow(0).get(0)
+    // frontier BFS: each round expands only the NEW nodes; the reach
+    // set is the union of the staged per-round frontiers
+    def reach(tag: String, fromCol: String, toCol: String): DataFrame = {
+      var frontier = graft.core.Tables.staged(
+        nodes.filter(col("node") === lit(pivot)), s"bowtie_${tag}0")
+      var reached = frontier
+      var it = 0
+      var done = false
+      while (!done && it < maxRounds) {
+        it += 1
+        val nxt = graft.core.Tables.staged(
+          e.join(frontier.withColumnRenamed("node", fromCol),
+              Seq(fromCol))
+            .select(col(toCol).as("node")).distinct()
+            .join(reached, Seq("node"), "left_anti"),
+          s"bowtie_$tag$it")
+        if (nxt.limit(1).count() == 0) done = true
+        else { reached = reached.unionByName(nxt); frontier = nxt }
+      }
+      reached
+    }
+    val fwd = reach("f", "src", "dst")
+    val bwd = reach("b", "dst", "src")
+    val cc = graft.llm.Dedup.connectedComponents(
+      e.select(col("src").as("id1"), col("dst").as("id2")))
+    val pivotComp = cc.filter(col("id") === lit(pivot))
+      .select("comp").head().get(0)
+    val weak = cc.filter(col("comp") === lit(pivotComp))
+      .select(col("id").as("node"))
+    val f = fwd.withColumn("__f", lit(1))
+    val b = bwd.withColumn("__b", lit(1))
+    val w = weak.withColumn("__w", lit(1))
+    nodes.join(f, Seq("node"), "left")
+      .join(b, Seq("node"), "left")
+      .join(w, Seq("node"), "left")
+      .select(col("node"),
+        when(col("__f") === 1 && col("__b") === 1, "SCC")
+          .when(col("__b") === 1, "IN")
+          .when(col("__f") === 1, "OUT")
+          .when(col("__w") === 1, "TENDRIL")
+          .otherwise("DISC").as("cls"))
+  }
+
+  /** Unseeded label propagation (Raghavan et al. 2007) — community
+    * detection with zero curation, the complement to
+    * [[seededLabelPropagation]] and [[kCore]] for link-farm discovery:
+    * every node starts in its own community and each synchronous round
+    * adopts the majority label among its neighbors (most votes, tie →
+    * smallest label). After a fixed `iterations` rounds (fixed for
+    * determinism — synchronous LPA can oscillate on bipartite
+    * structures, so a fixpoint stop is not well-defined) densely
+    * interlinked clusters share a label while bridges don't carry one
+    * across.
+    *
+    * Init labels are the DENSE RANK of the node in ascending node
+    * order (0-based, via the two-phase [[Relational.globalRowNumber]]
+    * — no single-partition window), which makes the label space
+    * integer and the election the same ONE-Long-max packing as the
+    * seeded variant: score = votes · 2²⁰ + (2²⁰ − 1 − label). The
+    * fixed 2²⁰ label cap bounds the node count — guarded loudly; at
+    * larger graphs raise the cap's bit width (votes then bound by
+    * 2^(63−B)). Integer everything ⇒ bit-stable across engines.
+    *
+    * Scale shape: identical to [[seededLabelPropagation]] — per round
+    * one equi-join of the doubled staged edge table against the staged
+    * label table + one hash agg; shuffles carry (node, long).
+    *
+    * Output: (node, label) — label is a stable community id from the
+    * init-rank space (not a member pointer). */
+  def labelPropagationCommunities(edges: DataFrame, srcCol: String,
+                                  dstCol: String,
+                                  iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val labelCap = 1L << 20
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .na.drop().filter(col("src") =!= col("dst"))
+    val und = graft.core.Tables.staged(
+      e0.unionByName(e0.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct(), "lpc_edges")
+    val nodes = graft.core.Tables.staged(
+      und.select(col("src").as("node")).distinct(), "lpc_nodes")
+    val n = nodes.count()
+    require(n > 0, "labelPropagationCommunities: empty graph")
+    require(n < labelCap,
+      s"labelPropagationCommunities: $n nodes exceed the 2^20 label " +
+        "space — raise the cap's bit width for larger graphs")
+    var labels = graft.core.Tables.staged(
+      Relational.globalRowNumber(nodes, Seq(col("node").asc), "__rk")
+        .select(col("node"), (col("__rk") - 1L).as("label")), "lpc_l0")
+    for (i <- 1 to iterations) {
+      val votes = und
+        .join(labels, col("src") === labels("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("dst").as("node"))
+        .agg(max(col("votes") * labelCap +
+          (lit(labelCap - 1L) - col("label"))).as("score"))
+        .select(col("node"),
+          (lit(labelCap - 1L) - col("score") % labelCap).as("label"))
+      labels = graft.core.Tables.staged(votes, s"lpc_l$i")
+    }
+    nodes.join(labels, Seq("node"))
+      .select(col("node"), col("label"))
+  }
+
   /** One-row global link-graph diagnostics — the webgraph health
     * summary a crawl release ships beside its dataset card:
     *  - reciprocity: fraction of distinct directed edges whose reverse

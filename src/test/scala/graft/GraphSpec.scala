@@ -344,6 +344,58 @@ class GraphSpec extends AnyFunSuite {
     assert(r3._5.isEmpty, s"equal degrees must null out: $r3")
   }
 
+  test("bowTie: known bow-tie shape classifies SCC/IN/OUT/TENDRIL/DISC " +
+       "and the pivot election is deterministic") {
+    // core cycle c1→c2→c3→c1; IN chain in0→in1→c1; OUT chain
+    // c2→o1→o2; tendril in1→t1 (hangs off IN: weakly connected,
+    // reaches nothing that reaches the core); disconnected pair d1→d2.
+    // Degrees: c1 = 3 (in1→c1, c3→c1, c1→c2), c2 = 3, in1 = 3 —
+    // tie → smallest node = "c1", inside the core as required.
+    val edges = Seq(
+      ("c1", "c2"), ("c2", "c3"), ("c3", "c1"),
+      ("in0", "in1"), ("in1", "c1"),
+      ("c2", "o1"), ("o1", "o2"),
+      ("in1", "t1"),
+      ("d1", "d2"))
+      .toDF("src", "dst")
+    val out = Graph.bowTie(edges, "src", "dst")
+      .as[(String, String)].collect().toMap
+    assert(out == Map(
+      "c1" -> "SCC", "c2" -> "SCC", "c3" -> "SCC",
+      "in0" -> "IN", "in1" -> "IN",
+      "o1" -> "OUT", "o2" -> "OUT",
+      "t1" -> "TENDRIL",
+      "d1" -> "DISC", "d2" -> "DISC"))
+  }
+
+  test("bowTie: a pure cycle is all SCC and duplicate/null edges " +
+       "collapse") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"),
+      (null.asInstanceOf[String], "a"))
+      .toDF("src", "dst")
+    val out = Graph.bowTie(edges, "src", "dst")
+      .as[(String, String)].collect().toMap
+    assert(out == Map("a" -> "SCC", "b" -> "SCC", "c" -> "SCC"))
+  }
+
+  test("labelPropagationCommunities: two cliques with one bridge " +
+       "settle into two communities (hand-unrolled rounds)") {
+    // triangles {a,b,c} and {x,y,z} bridged by c—x; init labels are
+    // 0-based ranks a=0,b=1,c=2,x=3,y=4,z=5. Hand-unrolled synchronous
+    // rounds (most votes, tie → smallest label):
+    //  r1: a→1 b→0 c→0 x→2 y→3 z→3
+    //  r2: a→0 b→0 c→0 x→3 y→2 z→2
+    //  r3: a→0 b→0 c→0 x→2 y→2 z→2
+    //  r5: stable — {a,b,c}=0, {x,y,z}=2
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"))
+      .toDF("src", "dst")
+    val out = Graph.labelPropagationCommunities(e, "src", "dst", 5)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 0L, "b" -> 0L, "c" -> 0L,
+      "x" -> 2L, "y" -> 2L, "z" -> 2L))
+  }
+
   test("extractLinks: attribute order, uppercase tags, and the " +
        "no-href trap") {
     import graft.llm.HtmlText
