@@ -974,13 +974,23 @@ object TextAnalysis {
     * terms; df is a query-vocab-sized agg broadcast back; candidates
     * are only the docs sharing ≥ 1 term. The per-query ranking window
     * follows the bruteForceTopK contract (few queries; each query's
-    * candidate set is the posting-list union).
+    * candidate set is the posting-list union) — which is exactly why
+    * `maxDfFrac` exists: ONE stopword in the seed terms ("the") unions
+    * a near-full posting list into that query's window, ~N candidates
+    * through one rank partition. Terms with df > maxDfFrac·N are
+    * dropped from scoring entirely (both the guard comparison and the
+    * drop are engine-exact: one IEEE product against an integer df) —
+    * the Lucene common-term discipline; such terms carry ~zero idf
+    * signal anyway. maxDfFrac = 1.0 disables the guard.
     *
     * Output: query_id, doc_id, rank, score (round 6) — top `k` docs
     * per query by (score micros desc, doc_id). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: DataFrame, k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               maxDfFrac: Double = 0.5): DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1]: $maxDfFrac")
     val toks = docs.select(col(idCol).as("doc_id"),
       split(normalizeText(col(textCol)), " ").as("ws"))
     val dl = graft.core.Tables.staged(
@@ -1000,6 +1010,7 @@ object TextAnalysis {
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
       "bm25_tf")
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df").cast("double") <= lit(maxDfFrac) * lit(n.toDouble))
     // expression mirrors the oracle's parse tree exactly (left-assoc
     // products, the same +0.5 placement) so every double matches
     val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) /

@@ -631,6 +631,22 @@ class LlmSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("resolveNCells: positive pins, 0 auto-sizes ceil(sqrt N) over " +
+       "non-null vectors") {
+    val vecs = ((0L until 30L).map(i =>
+        (i, Array.tabulate(4)(d => math.sin(i + d)))) :+
+        (99L, null.asInstanceOf[Array[Double]]))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.resolveNCells(vecs, "embedding", 8) == 8)
+    // 30 non-null rows (the null-vector row must not count) → ceil(√30)=6
+    assert(Similarity.resolveNCells(vecs, "embedding", 0) == 6)
+    assert(Similarity.resolveNCells(
+      vecs.filter(lit(false)), "embedding", 0) == 1)
+    intercept[IllegalArgumentException] {
+      Similarity.resolveNCells(vecs, "embedding", -1)
+    }
+  }
+
   test("dedupGroups: exact members attach through their canonical's " +
        "near-dup component") {
     val docs = Seq(
@@ -1410,5 +1426,31 @@ class LlmSpec extends AnyFunSuite {
       (3L, 3L, Some(7), 2L),
       (5L, 5L, None, 2L),
       (7L, 7L, Some(4), 1L)))
+  }
+
+  test("bm25TopK maxDfFrac drops a stopword term: guarded run equals " +
+       "the run that never asked for it") {
+    // "the" appears in docs 1-3 of 5 → df/N = 0.6 > the 0.5 default,
+    // so the guard must drop it; "spark" (df 1) must survive. Dropping
+    // by guard must be EXACTLY equivalent to never including the term
+    // — same candidates, same scores, same ranks.
+    val qt = Seq((0L, "the"), (0L, "spark")).toDF("query_id", "term")
+    val qtNoStop = Seq((0L, "spark")).toDF("query_id", "term")
+    val guarded = TextAnalysis.bm25TopK(docs, "doc_id", "text", qt, 5)
+      .orderBy("rank").collect().toSeq
+    val reference = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        qtNoStop, 5, maxDfFrac = 1.0)
+      .orderBy("rank").collect().toSeq
+    assert(guarded == reference && guarded.nonEmpty)
+    // with the guard disabled the stopword's posting list floods the
+    // candidate set: every "the"-bearing doc becomes a candidate
+    // (docs 1-3) on top of the one genuine "spark" match
+    val unguarded = TextAnalysis.bm25TopK(docs, "doc_id", "text", qt, 5,
+      maxDfFrac = 1.0)
+    assert(unguarded.count() == 4 && guarded.size == 1)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", qt, 5,
+        maxDfFrac = 0.0)
+    }
   }
 }
