@@ -462,7 +462,31 @@ object CorpusQueries {
       Corpus.tokenBudgetSelectPerGroup(t(s, dir, "documents"),
           "doc_id", "text", "source",
           epochQuotaTable(s, dir).select(col("source"), col("quota")))
-        .orderBy("source", "doc_id"))
+        .orderBy("source", "doc_id")),
+    // the full data-constrained mixture build a training run actually
+    // executes, composed end-to-end: water-fill the token budget
+    // across sources under epoch caps (corpus_epoch_quota), enact each
+    // source's quota longest-first (corpus_epoch_budget_select), then
+    // pack the SELECTED stream into 2048-token training bins
+    // (seq_packing's bucketed concat-and-chunk). The selection stages
+    // ONCE and feeds both the packing window and the source lookup —
+    // the staged-artifact amortization the production pipeline gets.
+    "corpus_epoch_mixture" -> ((s, dir) => {
+      val sel = graft.core.Tables.staged(
+        Corpus.tokenBudgetSelectPerGroup(t(s, dir, "documents"),
+          "doc_id", "text", "source",
+          epochQuotaTable(s, dir).select(col("source"), col("quota"))),
+        "epoch_mixture_sel")
+      Corpus.packSequences(
+          sel.select(col("doc_id"), col("n_tok")),
+          "doc_id", "n_tok", budget = 2048, nBuckets = 8)
+        .join(sel.select(col("source"), col("doc_id"), col("n_tok")),
+          Seq("doc_id"))
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          col("bucket"), col("bin"), col("offset_in_bin"),
+          col("crosses_bin"))
+        .orderBy("doc_id")
+    })
   )
 
   /** The epoch-capped water-fill quota table shared by
@@ -1038,20 +1062,48 @@ object CorpusQueries {
     // null-safely per source and cut at each source's own quota
     "corpus_epoch_budget_select" ->
       s"""WITH $epochQuotaOracleCtes,
-         dd AS (SELECT doc_id, source,
+         $epochSelectOracleCtes
+         SELECT source, doc_id, n_tok, cum_tok FROM sel
+         ORDER BY source NULLS FIRST, doc_id""",
+    // the full chain composed: water-fill quotas → per-source
+    // longest-first selection → seq_packing's concat-and-chunk over
+    // the SELECTED stream (same bucket/bin replica)
+    "corpus_epoch_mixture" ->
+      s"""WITH $epochQuotaOracleCtes,
+         $epochSelectOracleCtes,
+         pk AS (SELECT source, doc_id, n_tok, doc_id % 8 AS bucket
+           FROM sel),
+         po AS (SELECT source, doc_id, n_tok, bucket,
+             coalesce(sum(n_tok) OVER (PARTITION BY bucket
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off FROM pk)
+         SELECT source, doc_id, n_tok, bucket,
+           CAST(off // 2048 AS BIGINT) AS bin,
+           CAST(off % 2048 AS BIGINT) AS offset_in_bin,
+           (off % 2048) + n_tok > 2048 AS crosses_bin
+         FROM po ORDER BY doc_id""",
+  )
+
+  /** The per-source longest-first selection CTE chain (needs `quotas`
+    * from [[epochQuotaOracleCtes]] upstream; ends in `sel`
+    * (source, doc_id, n_tok, cum_tok)) shared by
+    * corpus_epoch_budget_select and corpus_epoch_mixture — one
+    * replica, no drift. */
+  // a def for the same init-order reason as epochQuotaOracleCtes
+  private def epochSelectOracleCtes: String =
+    s"""dd AS (SELECT doc_id, source,
              CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok
            FROM documents),
          ww AS (SELECT doc_id, source, n_tok,
              CAST(sum(n_tok) OVER (PARTITION BY source
                ORDER BY n_tok DESC, doc_id
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
-           FROM dd)
-         SELECT w.source, w.doc_id, w.n_tok, w.cum_tok
-         FROM ww w JOIN quotas q
-           ON w.source IS NOT DISTINCT FROM q.source
-         WHERE w.cum_tok <= q.quota
-         ORDER BY w.source NULLS FIRST, w.doc_id""",
-  )
+           FROM dd),
+         sel AS (SELECT w.source, w.doc_id, w.n_tok, w.cum_tok
+           FROM ww w JOIN quotas q
+             ON w.source IS NOT DISTINCT FROM q.source
+           WHERE w.cum_tok <= q.quota)"""
   /** The full water-fill oracle CTE chain (ends in `quotas`
     * (source, n_docs, cap_tokens, quota)) shared by corpus_epoch_quota
     * and corpus_epoch_budget_select — one replica, no drift. */

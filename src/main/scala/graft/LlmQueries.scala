@@ -555,6 +555,35 @@ object LlmQueries {
           col("sdom").as("dst")))
   }
 
+  /** [[linkGraphEdges]] plus planted periphery arms that give the
+    * graph a full bow-tie shape (the core alone is one big SCC):
+    * in-feeder domains (`in<k>.net` → source domains — reach the core,
+    * unreached), out-sink domains (lang domains → `out<k>.net`),
+    * tendril pages hanging off the in-feeders (`in<k>` → `tend<k>` —
+    * weakly connected, no core reachability either way), and fully
+    * disconnected `disc*.iso` pairs. Arm membership keys on doc_id
+    * residues so every SF populates every class deterministically. */
+  private def bowtieEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sdom = concat(coalesce(col("source"), lit("unk")), lit(".com"))
+    val ldom = concat(coalesce(col("lang"), lit("und")), lit(".org"))
+    def nm(pre: String, m: Int, suf: String) =
+      concat(lit(pre), pmod(col("doc_id"), lit(m.toLong)).cast("string"),
+        lit(suf))
+    linkGraphEdges(s, dir, lit(true))
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select(nm("in", 89, ".net").as("src"), sdom.as("dst")))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select(ldom.as("src"), nm("out", 83, ".net").as("dst")))
+      .unionByName(
+        d.filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 === 0)
+          .select(nm("in", 89, ".net").as("src"),
+            nm("tend", 79, ".net").as("dst")))
+      .unionByName(d.filter(col("doc_id") % 17 === 0)
+        .select(nm("discA", 101, ".iso").as("src"),
+          nm("discB", 103, ".iso").as("dst")))
+  }
+
   /** The trusted seed set every personalized-rank consumer shares:
     * the corpus's source domains. */
   private def trustedSeeds(s: SparkSession, dir: String): DataFrame =
@@ -989,6 +1018,103 @@ object LlmQueries {
          SELECT a.node, st.j AS rounds
          FROM a_$maxRounds a CROSS JOIN stop st
          ORDER BY a.node"""
+  }
+
+  /** Bow-tie oracle (Graph.bowTie twin): the same seven-arm edge
+    * fixture ([[bowtieEdges]]), the same max-degree/min-node pivot
+    * election, then true-fixpoint reachability as recursive CTEs
+    * (UNION-dedup recursion terminates at the fixpoint the query's
+    * capped BFS reaches well inside maxRounds = 64 on this graph) and
+    * the identical CASE classification — pure set algebra, so any
+    * divergence is a real reachability bug, not arithmetic drift. */
+  private def bowtieOracleSql: String =
+    """WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           SELECT coalesce(source, 'unk') || '.com' AS src,
+                  coalesce(lang, 'und') || '.org' AS dst
+             FROM documents
+           UNION ALL
+           SELECT coalesce(lang, 'und') || '.org', 'hub.example.net'
+             FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT 'hub.example.net', coalesce(source, 'unk') || '.com'
+             FROM documents WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT 'in' || CAST(doc_id % 89 AS VARCHAR) || '.net',
+                  coalesce(source, 'unk') || '.com'
+             FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT coalesce(lang, 'und') || '.org',
+                  'out' || CAST(doc_id % 83 AS VARCHAR) || '.net'
+             FROM documents WHERE doc_id % 11 = 0
+           UNION ALL
+           SELECT 'in' || CAST(doc_id % 89 AS VARCHAR) || '.net',
+                  'tend' || CAST(doc_id % 79 AS VARCHAR) || '.net'
+             FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 = 0
+           UNION ALL
+           SELECT 'discA' || CAST(doc_id % 101 AS VARCHAR) || '.iso',
+                  'discB' || CAST(doc_id % 103 AS VARCHAR) || '.iso'
+             FROM documents WHERE doc_id % 17 = 0)),
+         bnodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+           SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         dg AS (SELECT node, count(*) AS deg FROM (
+           SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+           GROUP BY node),
+         pv AS (SELECT node FROM dg ORDER BY deg DESC, node LIMIT 1),
+         fwd AS (SELECT node FROM pv
+           UNION
+           SELECT e.dst FROM e JOIN fwd ON e.src = fwd.node),
+         bwd AS (SELECT node FROM pv
+           UNION
+           SELECT e.src FROM e JOIN bwd ON e.dst = bwd.node),
+         und AS (SELECT src AS a, dst AS b FROM e
+           UNION SELECT dst, src FROM e),
+         wk AS (SELECT node FROM pv
+           UNION
+           SELECT u.b FROM und u JOIN wk ON u.a = wk.node)
+         SELECT n.node,
+           CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL
+                  THEN 'SCC'
+                WHEN b.node IS NOT NULL THEN 'IN'
+                WHEN f.node IS NOT NULL THEN 'OUT'
+                WHEN w.node IS NOT NULL THEN 'TENDRIL'
+                ELSE 'DISC' END AS cls
+         FROM bnodes n
+         LEFT JOIN fwd f ON f.node = n.node
+         LEFT JOIN bwd b ON b.node = n.node
+         LEFT JOIN wk w ON w.node = n.node
+         ORDER BY n.node"""
+
+  /** Unseeded label-propagation oracle
+    * (Graph.labelPropagationCommunities twin): init labels are the
+    * 0-based dense rank over ascending node order, then `iters`
+    * unrolled rounds of the identical packed-Long election (votes ·
+    * 2²⁰ + residue) with NO seed clamp — every node re-elects every
+    * round. */
+  private def communitiesOracleSql(iters: Int): String = {
+    val cap = 1048576L
+    val iterCtes = (1 to iters).map { i =>
+      s"""v_$i AS (SELECT u.dst AS node, l.label,
+             CAST(count(*) AS BIGINT) AS votes
+           FROM und u JOIN l_${i - 1} l ON l.node = u.src
+           GROUP BY u.dst, l.label),
+         l_$i AS MATERIALIZED (SELECT node, CAST(${cap - 1} -
+             max(votes * $cap + (${cap - 1} - label)) % $cap
+               AS BIGINT) AS label
+           FROM v_$i GROUP BY node)"""
+    }.mkString(",\n         ")
+    s"""WITH ${pagerankGraphCtes("", "TRUE")},
+         und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM e WHERE src <> dst
+           UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+         lnodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM und),
+         l_0 AS MATERIALIZED (SELECT node,
+             CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT)
+               AS label
+           FROM lnodes),
+         $iterCtes
+         SELECT n.node, l.label FROM lnodes n
+         JOIN l_$iters l ON l.node = n.node
+         ORDER BY n.node"""
   }
 
   /** Streaming-ingest twin of [[pagerankIncrementalOracleSql]]: the v2
@@ -1594,7 +1720,7 @@ object LlmQueries {
       // in DuckDB (kmeansCentsCtes); the honest recall-vs-Rademacher
       // numbers from the old summary stay in the comment above
       Similarity.ivfTopKKMeans(e, e.filter(col("vec_id") < 5),
-          "embedding", "vec_id", 10, nProbe = 3)
+          "embedding", "vec_id", 10, nCells = 8, nProbe = 3)
         .orderBy("query_id", "rank")
     }),
 
@@ -1679,8 +1805,10 @@ object LlmQueries {
     // (ivfPqOracleSql; recall-vs-ann_pq numbers in PLANS.md).
     "ann_ivfpq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // nCells pinned at the fixture-scale 8 the bit-replica oracle
+      // bakes in; production default-calls auto-size to ceil(√N)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), "embedding",
-          "vec_id", 10)
+          "vec_id", 10, nCells = 8)
         .orderBy("query_id", "rank")
     }),
 
@@ -2438,6 +2566,28 @@ object LlmQueries {
         k = 2, maxRounds = 8)
         .orderBy("node")),
 
+    // bow-tie decomposition (Broder et al.) around the deterministic
+    // max-degree pivot: SCC core vs IN feeders vs OUT sinks vs
+    // TENDRIL periphery vs DISConnected — the crawl-frontier analysis
+    // (IN is where new content enters; a crawler seeds there). Runs on
+    // the link graph plus planted periphery arms (bowtieEdges) so
+    // every class is populated; pure set algebra over exact
+    // reachability, so the recursive-CTE oracle matches bit-for-bit.
+    "link_bowtie" -> ((s, dir) =>
+      graft.ops.Graph.bowTie(bowtieEdges(s, dir), "src", "dst")
+        .orderBy("node")),
+
+    // unseeded label propagation (Raghavan et al.) — community
+    // discovery with zero curation: init label = dense node rank, 4
+    // synchronous rounds of the packed-Long majority election (most
+    // votes, tie → smallest label; fixed round count for determinism
+    // — synchronous LPA has no well-defined fixpoint). Complements
+    // link_label_prop (seeded) and link_kcore for link-farm discovery.
+    "link_communities" -> ((s, dir) =>
+      graft.ops.Graph.labelPropagationCommunities(
+        linkGraphEdges(s, dir, lit(true)), "src", "dst", 4)
+        .orderBy("node")),
+
     // spam-mass score (Gyöngyi et al.): spam_mass =
     // (pr − ppr_trusted) / pr — the fraction of a domain's PageRank
     // NOT explainable by reachability from the trusted seed set; the
@@ -3144,8 +3294,10 @@ object LlmQueries {
            FROM (SELECT doc_id, unnest(ws) AS term FROM w)
            WHERE term IN (SELECT DISTINCT term FROM qt)
            GROUP BY doc_id, term),
-         dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-           FROM tf GROUP BY term),
+         dfr AS (SELECT term, df FROM
+             (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY term) d, st
+           WHERE CAST(d.df AS DOUBLE) <= 0.5 * st.n),
          sc AS (SELECT q.query_id, t.doc_id,
              CAST(round(
                ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
@@ -3227,7 +3379,7 @@ object LlmQueries {
              FROM embeddings),
          s AS (SELECT vec_id, v,
              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-           FROM v),
+           FROM v WHERE v IS NOT NULL AND len(v) > 0),
          c AS (SELECT vec_id,
              CASE WHEN scale = 0
                   THEN list_transform(v, x -> CAST(0 AS DOUBLE))
@@ -3810,6 +3962,8 @@ object LlmQueries {
     "link_triangles" -> trianglesOracleSql,
     "link_label_prop" -> labelPropOracleSql(3),
     "link_kcore" -> kCoreOracleSql(2, 8),
+    "link_bowtie" -> bowtieOracleSql,
+    "link_communities" -> communitiesOracleSql(4),
     // reciprocity + assortativity replica: HUGEINT Pearson components
     // (cast BEFORE multiplying, mirroring the decimal(38,0) side),
     // double arithmetic only in the final ratio
