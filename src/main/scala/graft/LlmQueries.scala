@@ -560,9 +560,12 @@ object LlmQueries {
     * in-feeder domains (`in<k>.net` → source domains — reach the core,
     * unreached), out-sink domains (lang domains → `out<k>.net`),
     * tendril pages hanging off the in-feeders (`in<k>` → `tend<k>` —
-    * weakly connected, no core reachability either way), and fully
-    * disconnected `disc*.iso` pairs. Arm membership keys on doc_id
-    * residues so every SF populates every class deterministically. */
+    * weakly connected, no core reachability either way), tube chains
+    * threading an in-feeder to an out-sink around the core
+    * (`in<k>` → `tube<k>` → `out<k>`, both arms keyed to the same
+    * doc), and fully disconnected `disc*.iso` pairs. Arm membership
+    * keys on doc_id residues so every SF populates every class
+    * deterministically. */
   private def bowtieEdges(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val sdom = concat(coalesce(col("source"), lit("unk")), lit(".com"))
@@ -579,6 +582,12 @@ object LlmQueries {
         d.filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 === 0)
           .select(nm("in", 89, ".net").as("src"),
             nm("tend", 79, ".net").as("dst")))
+      .unionByName(d.filter(col("doc_id") % 19 === 0)
+        .select(nm("in", 89, ".net").as("src"),
+          nm("tube", 71, ".net").as("dst")))
+      .unionByName(d.filter(col("doc_id") % 19 === 0)
+        .select(nm("tube", 71, ".net").as("src"),
+          nm("out", 83, ".net").as("dst")))
       .unionByName(d.filter(col("doc_id") % 17 === 0)
         .select(nm("discA", 101, ".iso").as("src"),
           nm("discB", 103, ".iso").as("dst")))
@@ -1051,6 +1060,14 @@ object LlmQueries {
                   'tend' || CAST(doc_id % 79 AS VARCHAR) || '.net'
              FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 = 0
            UNION ALL
+           SELECT 'in' || CAST(doc_id % 89 AS VARCHAR) || '.net',
+                  'tube' || CAST(doc_id % 71 AS VARCHAR) || '.net'
+             FROM documents WHERE doc_id % 19 = 0
+           UNION ALL
+           SELECT 'tube' || CAST(doc_id % 71 AS VARCHAR) || '.net',
+                  'out' || CAST(doc_id % 83 AS VARCHAR) || '.net'
+             FROM documents WHERE doc_id % 19 = 0
+           UNION ALL
            SELECT 'discA' || CAST(doc_id % 101 AS VARCHAR) || '.iso',
                   'discB' || CAST(doc_id % 103 AS VARCHAR) || '.iso'
              FROM documents WHERE doc_id % 17 = 0)),
@@ -1066,6 +1083,21 @@ object LlmQueries {
          bwd AS (SELECT node FROM pv
            UNION
            SELECT e.src FROM e JOIN bwd ON e.dst = bwd.node),
+         scc AS (SELECT f.node FROM fwd f
+           JOIN bwd b ON b.node = f.node),
+         inn AS (SELECT b.node FROM bwd b
+           LEFT JOIN fwd f ON f.node = b.node WHERE f.node IS NULL),
+         outn AS (SELECT f.node FROM fwd f
+           LEFT JOIN bwd b ON b.node = f.node WHERE b.node IS NULL),
+         ep AS (SELECT src, dst FROM e
+           WHERE src NOT IN (SELECT node FROM scc)
+             AND dst NOT IN (SELECT node FROM scc)),
+         fin AS (SELECT node FROM inn
+           UNION
+           SELECT ep.dst FROM ep JOIN fin ON ep.src = fin.node),
+         tou AS (SELECT node FROM outn
+           UNION
+           SELECT ep.src FROM ep JOIN tou ON ep.dst = tou.node),
          und AS (SELECT src AS a, dst AS b FROM e
            UNION SELECT dst, src FROM e),
          wk AS (SELECT node FROM pv
@@ -1076,11 +1108,15 @@ object LlmQueries {
                   THEN 'SCC'
                 WHEN b.node IS NOT NULL THEN 'IN'
                 WHEN f.node IS NOT NULL THEN 'OUT'
+                WHEN fi.node IS NOT NULL AND t2.node IS NOT NULL
+                  THEN 'TUBE'
                 WHEN w.node IS NOT NULL THEN 'TENDRIL'
                 ELSE 'DISC' END AS cls
          FROM bnodes n
          LEFT JOIN fwd f ON f.node = n.node
          LEFT JOIN bwd b ON b.node = n.node
+         LEFT JOIN fin fi ON fi.node = n.node
+         LEFT JOIN tou t2 ON t2.node = n.node
          LEFT JOIN wk w ON w.node = n.node
          ORDER BY n.node"""
 

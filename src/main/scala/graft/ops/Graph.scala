@@ -482,37 +482,43 @@ object Graph {
     * classic crawl-frontier analysis: which domains sit in the mutually
     * reachable core (SCC), which only FEED it (IN — new-content
     * frontier worth crawling toward the core), which only DRAIN it
-    * (OUT), which hang off the weak component without core reachability
-    * (TENDRIL — includes tubes), and which are fully disconnected
-    * (DISC).
+    * (OUT), which thread IN to OUT without touching the core (TUBE),
+    * which merely hang off the weak component (TENDRIL), and which are
+    * fully disconnected (DISC) — the full six-class Broder taxonomy.
     *
     * Pivot: the node with the highest total degree (tie → smallest
     * node) — a pure function of the graph, and on any real web graph a
     * max-degree node sits inside the giant SCC, so the pivot's SCC IS
-    * the core. Classification:
+    * the core. Classification, in precedence order:
     *   SCC  = fwd-reach(pivot) ∩ bwd-reach(pivot)
     *   IN   = bwd \ fwd;  OUT = fwd \ bwd
+    *   TUBE = fwd-reach(IN) ∩ bwd-reach(OUT) over the CORE-PRUNED
+    *          edge set (both endpoints ∉ SCC — Broder's tubes are
+    *          IN→OUT paths avoiding the core; pruning also keeps these
+    *          walks inside the small periphery instead of re-flooding
+    *          the giant component)
     *   TENDRIL = pivot's WEAKLY connected component minus the above
     *   DISC = everything else.
-    * All four sets are exact set algebra over exact reachability —
+    * All six sets are exact set algebra over exact reachability —
     * engine-identical, no arithmetic at all — so the oracle's
     * recursive-CTE fixpoint matches bit-for-bit whenever the BFS
     * converges inside `maxRounds` (it reaches fixpoint at the graph's
-    * directed eccentricity from the pivot; the cap bounds the
+    * directed eccentricity from the seed set; the cap bounds the
     * pathological chain and a capped run classifies the unreached
     * conservatively as non-members).
     *
-    * Scale shape: two frontier BFS walks (per round: one equi-join of
+    * Scale shape: four frontier BFS walks (per round: one equi-join of
     * the edge table against the staged CURRENT FRONTIER — not the
     * cumulative reach — plus one left-anti against the union of staged
     * frontier tables; shuffles carry (node) only; frontiers stage per
-    * round, the lineage-cut discipline), and ONE pointer-jumping
+    * round, the lineage-cut discipline; the two TUBE walks run on the
+    * core-pruned periphery only), and ONE pointer-jumping
     * connected-components pass ([[graft.llm.Dedup.connectedComponents]]
     * — log-diameter rounds) for the weak component, which a BFS could
     * not bound on a long-tendril graph. Driver fetches: the pivot row,
     * per-round frontier counts, the pivot's component label.
     *
-    * Output: (node, cls) with cls ∈ {SCC, IN, OUT, TENDRIL, DISC}. */
+    * Output: (node, cls), cls ∈ {SCC, IN, OUT, TUBE, TENDRIL, DISC}. */
   def bowTie(edges: DataFrame, srcCol: String, dstCol: String,
              maxRounds: Int = 64): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
@@ -530,18 +536,19 @@ object Graph {
       .limit(1).collect()
     require(pivotRow.nonEmpty, "bowTie: empty graph")
     val pivot = pivotRow(0).get(0)
-    // frontier BFS: each round expands only the NEW nodes; the reach
-    // set is the union of the staged per-round frontiers
-    def reach(tag: String, fromCol: String, toCol: String): DataFrame = {
-      var frontier = graft.core.Tables.staged(
-        nodes.filter(col("node") === lit(pivot)), s"bowtie_${tag}0")
+    // frontier BFS from a staged seed set: each round expands only the
+    // NEW nodes; the reach set is the union of staged per-round
+    // frontiers
+    def reach(ed: DataFrame, seeds: DataFrame, tag: String,
+              fromCol: String, toCol: String): DataFrame = {
+      var frontier = graft.core.Tables.staged(seeds, s"bowtie_${tag}0")
       var reached = frontier
       var it = 0
-      var done = false
+      var done = frontier.limit(1).count() == 0
       while (!done && it < maxRounds) {
         it += 1
         val nxt = graft.core.Tables.staged(
-          e.join(frontier.withColumnRenamed("node", fromCol),
+          ed.join(frontier.withColumnRenamed("node", fromCol),
               Seq(fromCol))
             .select(col(toCol).as("node")).distinct()
             .join(reached, Seq("node"), "left_anti"),
@@ -551,8 +558,21 @@ object Graph {
       }
       reached
     }
-    val fwd = reach("f", "src", "dst")
-    val bwd = reach("b", "dst", "src")
+    val pivotSeed = nodes.filter(col("node") === lit(pivot))
+    val fwd = reach(e, pivotSeed, "f", "src", "dst")
+    val bwd = reach(e, pivotSeed, "b", "dst", "src")
+    val scc = fwd.join(bwd, Seq("node"), "left_semi")
+    val inSet = bwd.join(fwd, Seq("node"), "left_anti")
+    val outSet = fwd.join(bwd, Seq("node"), "left_anti")
+    // tubes live in the core-pruned periphery: drop every edge
+    // touching the SCC, then walk forward from IN and backward from
+    // OUT — the intersection threads IN to OUT around the core
+    val ePruned = graft.core.Tables.staged(
+      e.join(scc.select(col("node").as("src")), Seq("src"), "left_anti")
+        .join(scc.select(col("node").as("dst")), Seq("dst"), "left_anti"),
+      "bowtie_eprime")
+    val fromIn = reach(ePruned, inSet, "ti", "src", "dst")
+    val toOut = reach(ePruned, outSet, "to", "dst", "src")
     val cc = graft.llm.Dedup.connectedComponents(
       e.select(col("src").as("id1"), col("dst").as("id2")))
     val pivotComp = cc.filter(col("id") === lit(pivot))
@@ -561,14 +581,19 @@ object Graph {
       .select(col("id").as("node"))
     val f = fwd.withColumn("__f", lit(1))
     val b = bwd.withColumn("__b", lit(1))
+    val ti = fromIn.withColumn("__ti", lit(1))
+    val to = toOut.withColumn("__to", lit(1))
     val w = weak.withColumn("__w", lit(1))
     nodes.join(f, Seq("node"), "left")
       .join(b, Seq("node"), "left")
+      .join(ti, Seq("node"), "left")
+      .join(to, Seq("node"), "left")
       .join(w, Seq("node"), "left")
       .select(col("node"),
         when(col("__f") === 1 && col("__b") === 1, "SCC")
           .when(col("__b") === 1, "IN")
           .when(col("__f") === 1, "OUT")
+          .when(col("__ti") === 1 && col("__to") === 1, "TUBE")
           .when(col("__w") === 1, "TENDRIL")
           .otherwise("DISC").as("cls"))
   }

@@ -344,18 +344,22 @@ class GraphSpec extends AnyFunSuite {
     assert(r3._5.isEmpty, s"equal degrees must null out: $r3")
   }
 
-  test("bowTie: known bow-tie shape classifies SCC/IN/OUT/TENDRIL/DISC " +
-       "and the pivot election is deterministic") {
+  test("bowTie: known bow-tie shape classifies " +
+       "SCC/IN/OUT/TUBE/TENDRIL/DISC and the pivot election is " +
+       "deterministic") {
     // core cycle c1→c2→c3→c1; IN chain in0→in1→c1; OUT chain
     // c2→o1→o2; tendril in1→t1 (hangs off IN: weakly connected,
-    // reaches nothing that reaches the core); disconnected pair d1→d2.
-    // Degrees: c1 = 3 (in1→c1, c3→c1, c1→c2), c2 = 3, in1 = 3 —
-    // tie → smallest node = "c1", inside the core as required.
+    // reaches nothing that reaches the core); tube in0→u1→o1 (threads
+    // IN to OUT avoiding the core); disconnected pair d1→d2.
+    // Degrees: c1 = 3 (in1→c1, c3→c1, c1→c2), c2 = 3, in1 = 3,
+    // o1 = 3 — tie → smallest node = "c1", inside the core as
+    // required.
     val edges = Seq(
       ("c1", "c2"), ("c2", "c3"), ("c3", "c1"),
       ("in0", "in1"), ("in1", "c1"),
       ("c2", "o1"), ("o1", "o2"),
       ("in1", "t1"),
+      ("in0", "u1"), ("u1", "o1"),
       ("d1", "d2"))
       .toDF("src", "dst")
     val out = Graph.bowTie(edges, "src", "dst")
@@ -364,6 +368,7 @@ class GraphSpec extends AnyFunSuite {
       "c1" -> "SCC", "c2" -> "SCC", "c3" -> "SCC",
       "in0" -> "IN", "in1" -> "IN",
       "o1" -> "OUT", "o2" -> "OUT",
+      "u1" -> "TUBE",
       "t1" -> "TENDRIL",
       "d1" -> "DISC", "d2" -> "DISC"))
   }
