@@ -707,6 +707,88 @@ object LlmQueries {
          ${pagerankIterCtes("", iters)}
          SELECT node, rank_s FROM r_$iters ORDER BY node"""
 
+  /** Weighted-PageRank oracle (Graph.pageRankScaledWeighted twin):
+    * the same three edge arms WITHOUT the distinct — multiplicity
+    * becomes the integer weight — then `iters` unrolled rounds of
+    * base + (85·(Σ (rank·w) div W_out + dang div N)) div 100, all
+    * BIGINT. */
+  private def wpagerankOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""dw_$i AS MATERIALIZED (SELECT CAST(coalesce(sum(r.rank_s), 0)
+             AS BIGINT) AS dang
+           FROM rw_${i - 1} r
+           WHERE NOT EXISTS (SELECT 1 FROM oww o
+                             WHERE o.src = r.node)),
+         rw_$i AS MATERIALIZED (SELECT nodesw.node,
+           CAST(nnw.base +
+               (85 * (coalesce(iw_$i.in_s, 0)
+                      + dw_$i.dang // nnw.n)) // 100
+             AS BIGINT) AS rank_s
+         FROM nodesw CROSS JOIN nnw CROSS JOIN dw_$i
+         LEFT JOIN (SELECT e.dst AS node,
+               CAST(sum((r.rank_s * e.w) // o.ow) AS BIGINT) AS in_s
+             FROM ew e JOIN rw_${i - 1} r ON r.node = e.src
+             JOIN oww o ON o.src = e.src
+             GROUP BY e.dst) iw_$i
+           ON iw_$i.node = nodesw.node)"""
+    }.mkString(",\n         ")
+    s"""WITH ew AS MATERIALIZED (SELECT src, dst,
+             CAST(count(*) AS BIGINT) AS w FROM (
+           SELECT coalesce(source, 'unk') || '.com' AS src,
+                  coalesce(lang, 'und') || '.org' AS dst
+             FROM documents
+           UNION ALL
+           SELECT coalesce(lang, 'und') || '.org', 'hub.example.net'
+             FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT 'hub.example.net', coalesce(source, 'unk') || '.com'
+             FROM documents WHERE doc_id % 5 = 0)
+           GROUP BY src, dst),
+         nodesw AS MATERIALIZED (SELECT DISTINCT node FROM (
+           SELECT src AS node FROM ew
+           UNION ALL SELECT dst FROM ew)),
+         oww AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+           FROM ew GROUP BY src),
+         nnw AS MATERIALIZED (SELECT count(*) AS n,
+             CAST((1000000000000 * 15) // (100 * count(*)) AS BIGINT)
+               AS base
+           FROM nodesw),
+         rw_0 AS MATERIALIZED (SELECT node,
+             CAST(1000000000000 // nnw.n AS BIGINT) AS rank_s
+           FROM nodesw CROSS JOIN nnw),
+         $iterCtes
+         SELECT node, rank_s FROM rw_$iters ORDER BY node"""
+  }
+
+  /** Exact n-gram decontamination oracle
+    * (Dedup.exactNgramContamination twin at n = 13): 13-token grams
+    * over the normalized split (whole normalized text when the doc is
+    * under 13 words — the wordShingles convention), benchmark grams
+    * from the doc_id % 97 slice, per-train-doc distinct-gram hit
+    * counts joined on gram TEXT (the Spark side joins on xxhash64 of
+    * the same grams — identical result short of a 64-bit collision). */
+  private def exactDecontaminateOracleSql: String =
+    s"""WITH u AS (SELECT doc_id, coalesce(text, '') AS text
+             FROM documents),
+         w AS (SELECT doc_id AS id, $normSql AS norm,
+             string_split($normSql, ' ') AS ws FROM u),
+         s13 AS (SELECT id, unnest(CASE WHEN len(ws) >= 13
+               THEN list_transform(range(1, len(ws) - 11),
+                    i -> array_to_string(ws[i:i+12], ' '))
+               ELSE [norm] END) AS g FROM w),
+         sd AS (SELECT DISTINCT id, g FROM s13),
+         tr AS (SELECT id AS train_id, g FROM sd),
+         be AS (SELECT DISTINCT g FROM sd WHERE id % 97 = 0),
+         ng AS (SELECT train_id, CAST(count(*) AS BIGINT) AS n_grams
+           FROM tr GROUP BY train_id),
+         ht AS (SELECT train_id, CAST(count(*) AS BIGINT) AS n_hits
+           FROM tr JOIN be USING (g) GROUP BY train_id)
+         SELECT h.train_id, h.n_hits, n.n_grams,
+           round(CAST(h.n_hits AS DOUBLE) / CAST(n.n_grams AS DOUBLE),
+             6) + 0.0 AS frac
+         FROM ht h JOIN ng n USING (train_id)
+         ORDER BY h.train_id"""
+
   /** Convergence-stopped oracle (Graph.pageRankScaledConverged twin):
     * unrolls all `maxIters` candidate iterations, computes each
     * integer L1 delta dl_i = Σ|r_i − r_{i−1}| (BIGINT-exact, so the
@@ -2096,6 +2178,22 @@ object LlmQueries {
         .orderBy("train_id", "bench_id")
     }),
 
+    // exact n-gram decontamination (GPT-3 appendix-C discipline): a
+    // train doc is contaminated iff it shares ONE exact 13-gram with
+    // the benchmark — catches a quoted benchmark question inside an
+    // otherwise-novel page, which whole-doc Jaccard misses. Benchmark
+    // grams broadcast as 8-byte hashes; corpus side is one map-side
+    // semi-join, zero corpus-text shuffle.
+    "benchmark_decontaminate_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      Dedup.exactNgramContamination(docs, bench, "text", "doc_id",
+          n = 13)
+        .orderBy("train_id")
+    }),
+
     // release novelty: per-doc fraction of shingles a new crawl adds
     // over the previous release (both sides corpus-sized — shuffle
     // join on 8-byte shingle hashes, nothing broadcast). New release:
@@ -2611,6 +2709,19 @@ object LlmQueries {
     // reachability, so the recursive-CTE oracle matches bit-for-bit.
     "link_bowtie" -> ((s, dir) =>
       graft.ops.Graph.bowTie(bowtieEdges(s, dir), "src", "dst")
+        .orderBy("node")),
+
+    // weighted PageRank: rank mass splits proportional to the LINK
+    // COUNT between two domains (the edge multiset's multiplicity,
+    // which the uniform variant's distinct() throws away) — a domain
+    // linking another 500 times endorses it more than one footer
+    // link. Same scaled-Long exact arithmetic; oracle unrolls the
+    // identical (rank·w) div W_out BIGINT chain.
+    "link_pagerank_weighted" -> ((s, dir) =>
+      graft.ops.Graph.pageRankScaledWeighted(
+        linkGraphEdges(s, dir, lit(true))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w")),
+        "src", "dst", "w", 5)
         .orderBy("node")),
 
     // unseeded label propagation (Raghavan et al.) — community
@@ -4000,6 +4111,8 @@ object LlmQueries {
     "link_kcore" -> kCoreOracleSql(2, 8),
     "link_bowtie" -> bowtieOracleSql,
     "link_communities" -> communitiesOracleSql(4),
+    "link_pagerank_weighted" -> wpagerankOracleSql(5),
+    "benchmark_decontaminate_exact" -> exactDecontaminateOracleSql,
     // reciprocity + assortativity replica: HUGEINT Pearson components
     // (cast BEFORE multiplying, mirroring the decimal(38,0) side),
     // double arithmetic only in the final ratio

@@ -283,6 +283,52 @@ object Dedup {
         col("corpus_id").as("bench_id"), col("jaccard"))
   }
 
+  /** Exact n-gram benchmark decontamination — the GPT-3 appendix-C /
+    * PaLM discipline: flag a training document iff it shares at least
+    * one EXACT word n-gram (default 13) with any benchmark document.
+    * Complements [[minhashDecontaminate]] (whole-doc near-dup via
+    * banded Jaccard): LSH catches paraphrased leaks of a whole doc;
+    * this catches one benchmark QUESTION quoted verbatim inside an
+    * otherwise-novel page — the contamination mode eval suites
+    * actually suffer, invisible to whole-doc Jaccard at any band
+    * setting.
+    *
+    * Scale shape: grams are [[TextAnalysis.wordShingles]] n-grams
+    * hashed to xxhash64 map-side (8 bytes; gram text never shuffles);
+    * the benchmark gram set — benchmark-sized ≪ corpus-sized —
+    * deduplicates and BROADCASTS, so the corpus side is one map-side
+    * semi-join + one (train_id) hash agg: zero shuffle of corpus text
+    * at any scale. Docs under n words contribute their whole
+    * normalized text as one gram (the wordShingles short-doc
+    * convention), so a verbatim short benchmark item still matches.
+    *
+    * Output — one row per CONTAMINATED train doc:
+    * (train_id, n_hits, n_grams, frac): distinct matching grams,
+    * distinct grams in the doc, their exact ratio (round 6). */
+  def exactNgramContamination(train: DataFrame, bench: DataFrame,
+                              textCol: String, idCol: String,
+                              n: Int = 13): DataFrame = {
+    val grams = (df: DataFrame) => df.select(
+      col(idCol).as("train_id"),
+      array_distinct(graft.llm.TextAnalysis.wordShingles(
+        coalesce(col(textCol), lit("")), n)).as("gs"))
+    val benchGrams = grams(bench)
+      .select(explode(col("gs")).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    grams(train)
+      .withColumn("n_grams", size(col("gs")).cast("long"))
+      .select(col("train_id"), col("n_grams"),
+        explode(col("gs")).as("g"))
+      .select(col("train_id"), col("n_grams"),
+        xxhash64(col("g")).as("gh"))
+      .join(broadcast(benchGrams), Seq("gh"), "left_semi")
+      .groupBy("train_id", "n_grams")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("train_id"), col("n_hits"), col("n_grams"),
+        round(col("n_hits").cast("double") /
+          col("n_grams").cast("double"), 6).as("frac"))
+  }
+
   /** 64-bit SimHash over whitespace tokens (weighted bit-vote of
     * per-token hashes) via the native codegen'd Catalyst expression —
     * no ScalaUDF serde on the fingerprinting hot path. Near-dup

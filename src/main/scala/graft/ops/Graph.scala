@@ -174,6 +174,81 @@ object Graph {
     ranks
   }
 
+  /** Weighted PageRank in the same scaled-Long exact arithmetic as
+    * [[pageRankScaled]]: rank mass splits across a node's out-edges
+    * proportional to a positive integer edge weight instead of
+    * uniformly —
+    *   rank'(v) = base + (85·(Σ_{u→v} (rank(u)·w_uv) div W_out(u)
+    *                          + dang div N)) div 100
+    * with W_out(u) = Σ of u's out-weights. On a crawl graph the weight
+    * is the LINK COUNT between two domains (a domain linking another
+    * 500 times endorses it more than a single footer link), which the
+    * uniform variant throws away by distincting the edge multiset.
+    * Parallel edges must be pre-aggregated: (src, dst) pairs are
+    * required unique (guarded), weights ≥ 1 and ≤ 10^6 so rank·w stays
+    * far inside Long (rank_s ≤ ~Scale, Scale·10^6 < 2^63 with 900×
+    * headroom). All-integer steps ⇒ bit-exact across engines; with all
+    * weights 1 the result is bit-identical to [[pageRankScaled]]
+    * (GraphSpec pins it — (rank·1) div W ≡ rank div outdeg).
+    *
+    * Scale shape: identical to [[pageRankScaled]] — per iteration one
+    * key-partitioned join + one (dst) hash agg, shuffles carrying
+    * (node, long); per-round parquet staging; the dangling share rides
+    * the same broadcast 1-row fusion. */
+  def pageRankScaledWeighted(edges: DataFrame, srcCol: String,
+                             dstCol: String, weightCol: String,
+                             iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .na.drop()
+    val e = graft.core.Tables.staged(e0, "wpagerank_edges")
+    val wStats = e.agg(min(col("w")), max(col("w")), count(lit(1)))
+      .first()
+    require(wStats.getLong(2) == 0 ||
+      (wStats.getLong(0) >= 1L && wStats.getLong(1) <= 1000000L),
+      s"pageRankScaledWeighted: weights must sit in [1, 10^6], got " +
+        s"[${wStats.getLong(0)}, ${wStats.getLong(1)}]")
+    require(e.groupBy("src", "dst").count()
+      .filter(col("count") > 1).limit(1).count() == 0,
+      "pageRankScaledWeighted: duplicate (src, dst) pairs — " +
+        "pre-aggregate parallel edges into the weight")
+    val nodes = graft.core.Tables.staged(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct(),
+      "wpagerank_nodes")
+    val outW = e.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("outw"))
+    val dangling = graft.core.Tables.staged(
+      nodes.join(outW, Seq("node"), "left_anti"), "wpagerank_dangling")
+    val n = nodes.count()
+    require(n > 0, "pageRankScaledWeighted: empty graph")
+    val base = (Scale * 15L) / (100L * n)
+    var ranks = graft.core.Tables.staged(
+      nodes.withColumn("rank_s", lit(Scale / n)), "wpagerank_r0")
+    for (i <- 1 to iterations) {
+      val shareDf = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(expr(s"coalesce(sum(rank_s), 0L) div ${n}L")
+          .as("__share"))
+      val contrib = e
+        .join(ranks, col("src") === ranks("node"))
+        .join(outW.withColumnRenamed("node", "src")
+          .withColumnRenamed("outw", "__ow"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(rank_s * w) div __ow").as("c"))
+      val inSum = contrib.groupBy("node").agg(sum(col("c")).as("in_s"))
+      ranks = graft.core.Tables.staged(
+        nodes.join(inSum, Seq("node"), "left")
+          .crossJoin(broadcast(shareDf))
+          .select(col("node"),
+            (lit(base) +
+              expr("(85 * (coalesce(in_s, 0L) + __share)) div 100"))
+              .as("rank_s")),
+        s"wpagerank_r$i")
+    }
+    ranks
+  }
+
   /** Fixed denominator for [[hitsScaled]] scores: hub/authority
     * weights are L1-normalized to sum ≈ HitsScale each iteration.
     * Smaller than [[Scale]] deliberately: the un-normalized authority

@@ -344,6 +344,43 @@ class GraphSpec extends AnyFunSuite {
     assert(r3._5.isEmpty, s"equal degrees must null out: $r3")
   }
 
+  test("pageRankScaledWeighted: one iteration matches the hand " +
+       "computation; all-1 weights are bit-identical to the uniform " +
+       "variant; guards reject zero weights and parallel edges") {
+    // A→B w=3, A→C w=1, B→A w=1; C dangling. N=3: r0 = 333333333333,
+    // base = 50000000000, dangling share = r0 div 3 = 111111111111.
+    // A receives (r0·1) div 1; B receives (r0·3) div 4; C (r0·1) div 4.
+    val we = Seq(("A", "B", 3L), ("A", "C", 1L), ("B", "A", 1L))
+      .toDF("src", "dst", "w")
+    val r1 = Graph.pageRankScaledWeighted(we, "src", "dst", "w", 1)
+      .as[(String, Long)].collect().toMap
+    val share = 333333333333L / 3L
+    assert(r1("A") ==
+      50000000000L + 85L * (333333333333L + share) / 100L)
+    assert(r1("B") ==
+      50000000000L + 85L * (249999999999L + share) / 100L)
+    assert(r1("C") ==
+      50000000000L + 85L * (83333333333L + share) / 100L)
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A"), ("A", "C"))
+      .toDF("src", "dst")
+    val uniform = Graph.pageRankScaled(edges, "src", "dst", 3)
+      .as[(String, Long)].collect().toMap
+    val allOnes = Graph.pageRankScaledWeighted(
+        edges.withColumn("w", lit(1L)), "src", "dst", "w", 3)
+      .as[(String, Long)].collect().toMap
+    assert(uniform == allOnes)
+    intercept[IllegalArgumentException] {
+      Graph.pageRankScaledWeighted(
+        Seq(("A", "B", 0L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRankScaledWeighted(
+        Seq(("A", "B", 1L), ("A", "B", 2L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", 1)
+    }
+  }
+
   test("bowTie: known bow-tie shape classifies " +
        "SCC/IN/OUT/TUBE/TENDRIL/DISC and the pivot election is " +
        "deterministic") {

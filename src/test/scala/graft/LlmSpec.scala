@@ -1428,6 +1428,25 @@ class LlmSpec extends AnyFunSuite {
       (7L, 7L, Some(4), 1L)))
   }
 
+  test("exactNgramContamination flags docs sharing an exact n-gram, " +
+       "counts distinct gram hits, and matches short docs whole-text") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "x alpha beta gamma y"),
+      (11L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.exactNgramContamination(train, bench, "text",
+        "doc_id", n = 3)
+      .orderBy("train_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1: grams {alpha beta gamma, beta gamma delta, gamma delta
+    // epsilon}, one matches → 1/3; doc 2 clean (absent); doc 3 under
+    // n words: whole normalized text matches bench 11's → 1/1
+    assert(out == Seq((1L, 1L, 3L, 0.333333), (3L, 1L, 1L, 1.0)))
+  }
+
   test("bm25TopK maxDfFrac drops a stopword term: guarded run equals " +
        "the run that never asked for it") {
     // "the" appears in docs 1-3 of 5 → df/N = 0.6 > the 0.5 default,

@@ -96,6 +96,17 @@ object SkewOpsProbe {
         assert(lc.count() > 0)
       }
       println(f"COMMUNITIES mult=$mult rows=$rows iters=3 t=$tC%.2f s")
+      val tW = time {
+        // multiplicity of the raw edge multiset as the weight — the
+        // hub edge carries weight rows/10/…, exercising the
+        // (rank·w) div W path under the same skewed in-sum
+        val we = edges.groupBy("src", "dst")
+          .agg(least(count(lit(1)), lit(1000000L)).as("w"))
+        val wr = graft.ops.Graph.pageRankScaledWeighted(
+          we, "src", "dst", "w", 3)
+        assert(wr.count() > 0)
+      }
+      println(f"WPAGERANK mult=$mult rows=$rows iters=3 t=$tW%.2f s")
     }
     for (mult <- Seq(64, 256) if !onlyIvfpq && !onlyGraph13) {
       val d = (0 until mult).map(i => docs.select(
