@@ -441,6 +441,21 @@ object CorpusQueries {
           "n_tokens", 10000L)
         .orderBy("lang")
     }),
+    // temperature-flattened mixture quotas (α-sampling, Lample &
+    // Conneau 2019 / XLM-R): per-language share ∝ count^0.5 — the
+    // flattening that keeps high-resource languages from drowning the
+    // tail. α is a dyadic sqrt chain because IEEE sqrt is correctly
+    // rounded and pow is NOT — the only temperatures an exact
+    // cross-engine oracle can certify (Apportion.temperatureQuota).
+    // Distinct from corpus_temperature_mix (the per-DOCUMENT
+    // temperature resampler): this is the per-SOURCE integer quota
+    // table a mixture build consumes.
+    "corpus_temperature_quota" -> ((s, dir) =>
+      graft.ops.Apportion.temperatureQuota(
+        t(s, dir, "documents").groupBy("lang")
+          .agg(count(lit(1)).as("n_docs")),
+        Seq("lang"), "n_docs", 100000L, alpha = 0.5)
+        .orderBy("lang")),
     // epoch-capped token apportionment — the data-constrained mixture
     // (Muennighoff et al. 2023): split a token budget of 3/4 of one
     // full epoch across sources proportional to planted mixture
@@ -1044,6 +1059,29 @@ object CorpusQueries {
          r AS (SELECT lang, wt, fl, rem, row_number()
              OVER (ORDER BY rem DESC, lang NULLS FIRST) AS rk FROM f)
          SELECT r.lang, r.wt AS n_tokens,
+           CAST(r.fl + CASE WHEN r.rk <= kk.k THEN 1 ELSE 0 END
+             AS BIGINT) AS quota
+         FROM r CROSS JOIN kk ORDER BY lang NULLS FIRST""",
+    // sqrt-temperature weights (round(sqrt(n)·10^6) — IEEE sqrt is
+    // correctly rounded, so the micro-weight is engine-exact) + the
+    // corpus_quota Hamilton replica
+    "corpus_temperature_quota" ->
+      """WITH w0 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY lang),
+         w AS (SELECT lang, n_docs,
+             CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS weight
+           FROM w0),
+         t AS (SELECT sum(weight) AS W FROM w),
+         f AS (SELECT lang, n_docs, weight,
+             CAST((100000 * weight) // t.W AS BIGINT) AS fl,
+             CAST((100000 * weight) % t.W AS BIGINT) AS rem
+           FROM w CROSS JOIN t),
+         kk AS (SELECT 100000 - sum(fl) AS k FROM f),
+         r AS (SELECT lang, n_docs, weight, fl, rem, row_number()
+             OVER (ORDER BY rem DESC, lang NULLS FIRST, n_docs) AS rk
+           FROM f)
+         SELECT r.lang, r.n_docs, r.weight,
            CAST(r.fl + CASE WHEN r.rk <= kk.k THEN 1 ELSE 0 END
              AS BIGINT) AS quota
          FROM r CROSS JOIN kk ORDER BY lang NULLS FIRST""",

@@ -236,4 +236,46 @@ object Apportion {
         (col("__fl") + when(col("__rk") <= k, 1L).otherwise(0L))
           .as("quota")): _*)
   }
+
+  /** Temperature-flattened mixture apportionment — the multilingual
+    * α-sampling standard (Lample & Conneau 2019; XLM-R): a source's
+    * share of the budget is proportional to count^α with α < 1
+    * flattening the distribution toward rare sources, so a
+    * high-resource language does not drown the tail; the flattened
+    * weights feed [[largestRemainder]], so Σ quota = total EXACTLY.
+    *
+    * α is restricted to {1.0, 0.5, 0.25} deliberately: IEEE-754 sqrt
+    * is CORRECTLY ROUNDED while pow is not (libm and the JVM may
+    * differ in the last ulp, which the round() below amplifies into a
+    * ±1 integer weight and a DIFFERENT apportionment), so count^(1/2)
+    * and count^(1/4) — one and two sqrt applications — are the
+    * temperatures computable bit-identically in every engine. The
+    * flattened weight is round(sqrt^k(count) · 10^6): an exact
+    * integer micro-weight (sqrt of a < 2^53 count is < 2^26.5;
+    * times 10^6 stays < 2^47, far inside the double-exact range).
+    * Counts must be non-negative (a zero-count source gets weight 0
+    * and quota 0).
+    *
+    * Scale shape: one map-side weight projection on top of
+    * [[largestRemainder]]'s aggregate + two-phase rank — no new
+    * shuffles. Output: keyCols ++ (countCol, weight, quota). */
+  def temperatureQuota(df: DataFrame, keyCols: Seq[String],
+                       countCol: String, total: Long,
+                       alpha: Double = 0.5): DataFrame = {
+    val c = col(countCol).cast("long")
+    val w = alpha match {
+      case 1.0 => c
+      case 0.5 =>
+        round(sqrt(c.cast("double")) * 1000000.0).cast("long")
+      case 0.25 =>
+        round(sqrt(sqrt(c.cast("double"))) * 1000000.0).cast("long")
+      case a => throw new IllegalArgumentException(
+        "alpha must be 1.0, 0.5, or 0.25 — dyadic sqrt chains are " +
+          s"the correctly-rounded, engine-exact temperatures: $a")
+    }
+    largestRemainder(
+      df.select((keyCols.map(col) :+ c.as(countCol) :+
+        w.as("weight")): _*),
+      keyCols :+ countCol, "weight", total)
+  }
 }

@@ -131,4 +131,23 @@ class ApportionSpec extends AnyFunSuite {
         .toDF("k", "wt"), Seq("k"), "wt", 1000L)
     }
   }
+
+  test("temperatureQuota: sqrt flattening shifts budget toward rare " +
+       "sources vs alpha=1, hand-computed at all three temperatures; " +
+       "non-dyadic alpha rejected") {
+    val counts = Seq(("big", 100L), ("tiny", 1L), ("mid", 4L))
+      .toDF("src", "n")
+    def quotas(alpha: Double): Map[String, Long] =
+      Apportion.temperatureQuota(counts, Seq("src"), "n", 13L, alpha)
+        .select("src", "quota").as[(String, Long)].collect().toMap
+    // α=1: weights (100,1,4), floors (12,0,0), k=1 → largest rem is
+    // the 4-count row → (12, 0, 1)
+    assert(quotas(1.0) == Map("big" -> 12L, "tiny" -> 0L, "mid" -> 1L))
+    // α=0.5: micro-weights (10e6, 1e6, 2e6) → exactly 10:1:2
+    assert(quotas(0.5) == Map("big" -> 10L, "tiny" -> 1L, "mid" -> 2L))
+    // α=0.25: weights (3162278, 1000000, 1414214), floors (7,2,3),
+    // k=1 → largest rem is big → (8, 2, 3)
+    assert(quotas(0.25) == Map("big" -> 8L, "tiny" -> 2L, "mid" -> 3L))
+    intercept[IllegalArgumentException] { quotas(0.7) }
+  }
 }

@@ -29,6 +29,33 @@ class EntrySpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracles without queries: $extra")
   }
 
+  test("no query registration key is duplicated at the SOURCE level " +
+       "(a duplicate inside one Map literal silently shadows the " +
+       "earlier entry — r14 lost an operator's query to this)") {
+    import scala.jdk.CollectionConverters._
+    val re = java.util.regex.Pattern
+      .compile("\"([a-z0-9_]+)\"\\s*->\\s*\\(\\(s")
+    val walk = java.nio.file.Files
+      .walk(java.nio.file.Paths.get("src/main/scala/graft"))
+    val keys =
+      try walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { f =>
+          val txt = new String(java.nio.file.Files.readAllBytes(f))
+          val m = re.matcher(txt)
+          Iterator.continually(m).takeWhile(_.find()).map(_.group(1))
+            .toList
+        }.toList
+      finally walk.close()
+    val dups = keys.groupBy(identity).filter(_._2.size > 1).keys.toSeq
+    assert(dups.isEmpty, s"duplicate query registrations: $dups")
+    // the scan must actually see the registrations (a moved tree or a
+    // changed registration idiom would silently neuter this tripwire)
+    assert(keys.size >= SparkEntry.queries.size,
+      s"source scan found ${keys.size} registrations but the registry " +
+        s"holds ${SparkEntry.queries.size} — pattern out of date")
+  }
+
   test("every bench canary query stays registered (a silent rename " +
        "would null the host factor instead of failing loudly)") {
     val missing = Bench.canaryPinned.map(_._1)
