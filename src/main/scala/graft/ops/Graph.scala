@@ -587,11 +587,19 @@ object Graph {
     * cumulative reach — plus one left-anti against the union of staged
     * frontier tables; shuffles carry (node) only; frontiers stage per
     * round, the lineage-cut discipline; the two TUBE walks run on the
-    * core-pruned periphery only), and ONE pointer-jumping
-    * connected-components pass ([[graft.llm.Dedup.connectedComponents]]
-    * — log-diameter rounds) for the weak component, which a BFS could
-    * not bound on a long-tendril graph. Driver fetches: the pivot row,
-    * per-round frontier counts, the pivot's component label.
+    * core-pruned periphery only), plus ONE undirected frontier BFS
+    * from the pivot for its weakly connected component — frontier-
+    * sized work per round, terminating at the pivot's undirected
+    * eccentricity (small-world-bounded on web graphs; `maxRounds`
+    * caps the pathological chain, degrading unreached periphery
+    * conservatively to DISC). A pointer-jumping CC pass would bound
+    * rounds at log-diameter but labels the WHOLE graph to extract one
+    * component — its cost grows with graph size where the BFS's grows
+    * with the component's frontier sizes (measured ~20% slower
+    * end-to-end at the r14 fixture, and structurally worse at scale
+    * where the pivot's component is a fraction of the graph —
+    * PLANS.md). Driver fetches: the pivot row and per-round frontier
+    * counts.
     *
     * Output: (node, cls), cls ∈ {SCC, IN, OUT, TUBE, TENDRIL, DISC}. */
   def bowTie(edges: DataFrame, srcCol: String, dstCol: String,
@@ -648,12 +656,11 @@ object Graph {
       "bowtie_eprime")
     val fromIn = reach(ePruned, inSet, "ti", "src", "dst")
     val toOut = reach(ePruned, outSet, "to", "dst", "src")
-    val cc = graft.llm.Dedup.connectedComponents(
-      e.select(col("src").as("id1"), col("dst").as("id2")))
-    val pivotComp = cc.filter(col("id") === lit(pivot))
-      .select("comp").head().get(0)
-    val weak = cc.filter(col("comp") === lit(pivotComp))
-      .select(col("id").as("node"))
+    val undE = graft.core.Tables.staged(
+      e.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
+        .distinct(), "bowtie_und")
+    val weak = reach(undE, pivotSeed, "w", "a", "b")
     val f = fwd.withColumn("__f", lit(1))
     val b = bwd.withColumn("__b", lit(1))
     val ti = fromIn.withColumn("__ti", lit(1))
