@@ -1864,7 +1864,12 @@ object LlmQueries {
     // the targeted-crawl shape). Per-term contributions enter the
     // per-(query, doc) sum as round-6 integer micros so the aggregate
     // is an order-free Long sum; ranking reads the micros. Terms are
-    // fixture vocabulary present at every SF.
+    // fixture vocabulary present at every SF — and COMMON there (the
+    // synthetic texts draw from a tiny vocabulary, so every seed term
+    // has df > 0.5·N), so maxDfFrac is pinned to 1.0: the r14 default
+    // guard dropped all eight terms and the oracle comparison matched
+    // vacuously on two empty sets (ADVICE r14 #1). The guard itself is
+    // pinned non-vacuously by LlmSpec's stopword fixture.
     "text_bm25" -> ((s, dir) => {
       import s.implicits._
       val qt = Seq((0L, "fast"), (0L, "join"), (0L, "merge"),
@@ -1872,7 +1877,7 @@ object LlmQueries {
         (2L, "spark"), (2L, "window"), (2L, "agg"))
         .toDF("query_id", "term")
       TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
-          qt, 10)
+          qt, 10, maxDfFrac = 1.0)
         .orderBy("query_id", "rank")
     }),
 
@@ -3444,7 +3449,7 @@ object LlmQueries {
          dfr AS (SELECT term, df FROM
              (SELECT term, CAST(count(*) AS BIGINT) AS df
               FROM tf GROUP BY term) d, st
-           WHERE CAST(d.df AS DOUBLE) <= 0.5 * st.n),
+           WHERE CAST(d.df AS DOUBLE) <= 1.0 * st.n),
          sc AS (SELECT q.query_id, t.doc_id,
              CAST(round(
                ln(1.0 + (st.n - d.df + 0.5) / (d.df + 0.5))
@@ -3526,7 +3531,7 @@ object LlmQueries {
              FROM embeddings),
          s AS (SELECT vec_id, v,
              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-           FROM v WHERE v IS NOT NULL AND len(v) > 0),
+           FROM v WHERE v IS NOT NULL AND len(v) = 64),
          c AS (SELECT vec_id,
              CASE WHEN scale = 0
                   THEN list_transform(v, x -> CAST(0 AS DOUBLE))

@@ -112,6 +112,51 @@ object Tables {
     df.sparkSession.read.parquet(path)
   }
 
+  /** [[staged]] plus the EXACT row count of what was just written,
+    * read from the parquet footers ([[parquetRowCount]] — zero extra
+    * Spark jobs): the loop-control primitive for staged iteration.
+    * Every fixpoint/frontier loop here needs "how many rows did that
+    * round produce?" immediately after the staged write — a separate
+    * `count()` (or `limit(1).count()`) re-launches a job per round
+    * just to learn what the write already knew. */
+  def stagedCounted(df: org.apache.spark.sql.DataFrame, tag: String):
+      (org.apache.spark.sql.DataFrame, Long) = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val path = s"$tmpDir/stage_${tag}_" +
+      java.util.UUID.randomUUID().toString
+    stagedWrites.incrementAndGet()
+    registerStagedDir(path, conf)
+    df.write.mode("overwrite").parquet(path)
+    (df.sparkSession.read.parquet(path), parquetRowCount(path, conf))
+  }
+
+  /** Exact row count of a parquet directory from file-footer metadata
+    * alone — a driver-side listing + footer reads, no Spark job. Sums
+    * each part file's block row counts (parquet footers carry exact
+    * counts; this equals `spark.read.parquet(path).count()`
+    * bit-for-bit). Missing paths count 0. At cluster scale this is a
+    * namenode listing + one footer read per file — cheap relative to
+    * the job launch it replaces, and the files were just written by
+    * this driver so the metadata is hot. */
+  def parquetRowCount(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    var total = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(f, conf))
+        try total += rd.getRecordCount finally rd.close()
+      }
+    }
+    total
+  }
+
   /** Register an arbitrary directory with the staged-path reaper —
     * same lifetime contract as [[staged]] (innermost scope /
     * clearStaged / shutdown hook) for non-parquet fixture dirs, e.g.

@@ -134,12 +134,11 @@ object Graph {
       .agg(count(lit(1)).as("outdeg"))
     val dangling = graft.core.Tables.staged(
       nodes.join(outDeg, Seq("node"), "left_anti"), "ppr_dangling")
-    val seedSet = graft.core.Tables.staged(
+    val (seedSet, m) = graft.core.Tables.stagedCounted(
       nodes.join(
         seeds.select(col(seeds.columns.head).as("node"))
           .na.drop().distinct(),
         Seq("node"), "left_semi"), "ppr_seeds")
-    val m = seedSet.count()
     require(m > 0,
       "personalizedPageRankScaled: no seed is a graph node")
     val baseS = (Scale * 15L) / (100L * m)
@@ -191,6 +190,14 @@ object Graph {
     * weights 1 the result is bit-identical to [[pageRankScaled]]
     * (GraphSpec pins it — (rank·1) div W ≡ rank div outdeg).
     *
+    * Validation is pay-as-you-go (ADVICE r14 #4): the staging pass
+    * every variant already pays is ONE groupBy(src, dst) aggregation
+    * that carries the pair multiplicity and per-pair weight min/max,
+    * so the duplicate-pair and weight-range guards read a pair-sized
+    * staged table plus its footers — r14 ran two EXTRA full-edge
+    * pre-flight scans (a global min/max/count agg and a separate
+    * duplicate groupBy) before the first iteration.
+    *
     * Scale shape: identical to [[pageRankScaled]] — per iteration one
     * key-partitioned join + one (dst) hash agg, shuffles carrying
     * (node, long); per-round parquet staging; the dangling share rides
@@ -202,18 +209,28 @@ object Graph {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
       .na.drop()
-    val e = graft.core.Tables.staged(e0, "wpagerank_edges")
-    val wStats = e.agg(min(col("w")), max(col("w")), count(lit(1)))
-      .first()
-    require(wStats.getLong(2) == 0 ||
-      (wStats.getLong(0) >= 1L && wStats.getLong(1) <= 1000000L),
-      s"pageRankScaledWeighted: weights must sit in [1, 10^6], got " +
-        s"[${wStats.getLong(0)}, ${wStats.getLong(1)}]")
-    require(e.groupBy("src", "dst").count()
-      .filter(col("count") > 1).limit(1).count() == 0,
-      "pageRankScaledWeighted: duplicate (src, dst) pairs — " +
-        "pre-aggregate parallel edges into the weight")
-    val nodes = graft.core.Tables.staged(
+    // the ONE full pass over the edge multiset: aggregate to unique
+    // (src, dst) pairs carrying multiplicity + weight bounds
+    val (pairs, nPairs) = graft.core.Tables.stagedCounted(
+      e0.groupBy("src", "dst").agg(
+        count(lit(1)).as("__c"),
+        min(col("w")).as("__wmin"),
+        max(col("w")).as("w")), "wpagerank_pairs")
+    if (nPairs > 0) {
+      val g = pairs
+        .agg(max(col("__c")), min(col("__wmin")), max(col("w")))
+        .first()
+      require(g.getLong(0) == 1L,
+        "pageRankScaledWeighted: duplicate (src, dst) pairs — " +
+          "pre-aggregate parallel edges into the weight")
+      require(g.getLong(1) >= 1L && g.getLong(2) <= 1000000L,
+        s"pageRankScaledWeighted: weights must sit in [1, 10^6], " +
+          s"got [${g.getLong(1)}, ${g.getLong(2)}]")
+    }
+    // guards passed ⇒ every pair is unique, so (src, dst, w) below IS
+    // the input edge set
+    val e = pairs.select("src", "dst", "w")
+    val (nodes, n) = graft.core.Tables.stagedCounted(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct(),
       "wpagerank_nodes")
@@ -221,7 +238,6 @@ object Graph {
       .agg(sum(col("w")).as("outw"))
     val dangling = graft.core.Tables.staged(
       nodes.join(outW, Seq("node"), "left_anti"), "wpagerank_dangling")
-    val n = nodes.count()
     require(n > 0, "pageRankScaledWeighted: empty graph")
     val base = (Scale * 15L) / (100L * n)
     var ranks = graft.core.Tables.staged(
@@ -290,11 +306,11 @@ object Graph {
     val e = graft.core.Tables.staged(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .na.drop().distinct(), "hits_edges")
-    val nodes = graft.core.Tables.staged(
+    val (nodes, nHits) = graft.core.Tables.stagedCounted(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct(),
       "hits_nodes")
-    require(nodes.limit(1).count() > 0, "hitsScaled: empty graph")
+    require(nHits > 0, "hitsScaled: empty graph")
     var hubs = graft.core.Tables.staged(
       nodes.withColumn("hub_s", lit(HitsScale)), "hits_h0")
     var out: DataFrame = null
@@ -525,14 +541,16 @@ object Graph {
     val und = graft.core.Tables.staged(
       e0.unionByName(e0.select(col("dst").as("src"),
         col("src").as("dst"))).distinct(), "kcore_edges")
-    var alive = graft.core.Tables.staged(
+    // per-round survivor counts read the staged writes' parquet
+    // footers (stagedCounted) — the fixpoint check is free; r14 paid a
+    // separate count() job per peel round
+    var (alive, prev) = graft.core.Tables.stagedCounted(
       und.select(col("src").as("node")).distinct(), "kcore_a0")
-    var prev = alive.count()
     var it = 0
     var done = false
     while (it < maxRounds && !done) {
       it += 1
-      val next = graft.core.Tables.staged(
+      val (next, c) = graft.core.Tables.stagedCounted(
         und
           .join(alive.select(col("node").as("src")), Seq("src"),
             "left_semi")
@@ -543,7 +561,6 @@ object Graph {
           .filter(col("deg") >= k)
           .select("node"),
         s"kcore_a$it")
-      val c = next.count()
       // monotone shrink ⇒ equal counts ⇒ equal sets: fixpoint
       if (c == prev) done = true
       prev = c
@@ -583,28 +600,40 @@ object Graph {
     * conservatively as non-members).
     *
     * Scale shape: four frontier BFS walks (per round: one equi-join of
-    * the edge table against the staged CURRENT FRONTIER — not the
-    * cumulative reach — plus one left-anti against the union of staged
-    * frontier tables; shuffles carry (node) only; frontiers stage per
-    * round, the lineage-cut discipline; the two TUBE walks run on the
-    * core-pruned periphery only), plus ONE undirected frontier BFS
-    * from the pivot for its weakly connected component — frontier-
-    * sized work per round, terminating at the pivot's undirected
-    * eccentricity (small-world-bounded on web graphs; `maxRounds`
-    * caps the pathological chain, degrading unreached periphery
-    * conservatively to DISC). A pointer-jumping CC pass would bound
-    * rounds at log-diameter but labels the WHOLE graph to extract one
-    * component — its cost grows with graph size where the BFS's grows
-    * with the component's frontier sizes (measured ~20% slower
-    * end-to-end at the r14 fixture, and structurally worse at scale
-    * where the pivot's component is a fraction of the graph —
-    * PLANS.md). Driver fetches: the pivot row and per-round frontier
-    * counts.
+    * the edge table against the CURRENT FRONTIER — not the cumulative
+    * reach — plus one left-anti against the cumulative reach; shuffles
+    * carry (node) only; the two TUBE walks run on the core-pruned
+    * periphery only), plus ONE undirected frontier BFS from the pivot
+    * for its weakly connected component — frontier-sized work per
+    * round, terminating at the pivot's undirected eccentricity
+    * (small-world-bounded on web graphs; `maxRounds` caps the
+    * pathological chain, degrading unreached periphery conservatively
+    * to DISC — and a capped walk with a live frontier warns LOUDLY on
+    * stderr, since downstream classes are then approximations).
+    *
+    * Per-round orchestration cost (the r14 perf finding — at fixture
+    * scale the bill was pure staging overhead, ~28 extra jobs): each
+    * walk appends its round frontier into ONE reach directory as a
+    * `rnd=K` partition, so (a) frontier emptiness reads the parquet
+    * footers of the slice just written — zero extra jobs — instead of
+    * a `limit(1).count()` job per round, (b) the left-anti target is
+    * a single partitioned parquet table (one scan node) instead of a
+    * per-round-growing union of staged files, and (c) the next
+    * frontier is the partition-pruned `rnd=K` slice. ONE Spark job per
+    * BFS round. A pointer-jumping CC pass would bound rounds at
+    * log-diameter but labels the WHOLE graph to extract one component
+    * — its cost grows with graph size where the BFS's grows with the
+    * component's frontier sizes (measured ~20% slower end-to-end at
+    * the r14 fixture, and structurally worse at scale where the
+    * pivot's component is a fraction of the graph — PLANS.md). Driver
+    * fetches: the pivot row and per-round footer counts.
     *
     * Output: (node, cls), cls ∈ {SCC, IN, OUT, TUBE, TENDRIL, DISC}. */
   def bowTie(edges: DataFrame, srcCol: String, dstCol: String,
              maxRounds: Int = 64): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val spark = edges.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
     val e = graft.core.Tables.staged(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .na.drop().distinct(), "bowtie_edges")
@@ -619,27 +648,42 @@ object Graph {
       .limit(1).collect()
     require(pivotRow.nonEmpty, "bowTie: empty graph")
     val pivot = pivotRow(0).get(0)
-    // frontier BFS from a staged seed set: each round expands only the
-    // NEW nodes; the reach set is the union of staged per-round
-    // frontiers
+    // frontier BFS accumulating into ONE partitioned reach directory
+    // (rnd=K per round — see the scaladoc's orchestration-cost note);
+    // the reach set is the directory read whole
     def reach(ed: DataFrame, seeds: DataFrame, tag: String,
               fromCol: String, toCol: String): DataFrame = {
-      var frontier = graft.core.Tables.staged(seeds, s"bowtie_${tag}0")
-      var reached = frontier
-      var it = 0
-      var done = frontier.limit(1).count() == 0
-      while (!done && it < maxRounds) {
-        it += 1
-        val nxt = graft.core.Tables.staged(
-          ed.join(frontier.withColumnRenamed("node", fromCol),
-              Seq(fromCol))
-            .select(col(toCol).as("node")).distinct()
-            .join(reached, Seq("node"), "left_anti"),
-          s"bowtie_$tag$it")
-        if (nxt.limit(1).count() == 0) done = true
-        else { reached = reached.unionByName(nxt); frontier = nxt }
+      val dir = graft.core.Tables.scratchDir(spark, s"bowtie_$tag")
+      def writeRound(df: DataFrame, rnd: Int): Long = {
+        val p = s"$dir/rnd=$rnd"
+        df.write.mode("overwrite").parquet(p)
+        graft.core.Tables.parquetRowCount(p, hconf)
       }
-      reached
+      var it = 0
+      var cnt = writeRound(seeds.select("node"), 0)
+      if (cnt == 0) seeds.select("node").limit(0)
+      else {
+        while (cnt > 0 && it < maxRounds) {
+          it += 1
+          val frontier = spark.read.parquet(s"$dir/rnd=${it - 1}")
+          val reached = spark.read.parquet(dir).select("node")
+          cnt = writeRound(
+            ed.join(frontier.withColumnRenamed("node", fromCol),
+                Seq(fromCol))
+              .select(col(toCol).as("node")).distinct()
+              .join(reached, Seq("node"), "left_anti"), it)
+        }
+        // ADVICE r14 #5: a silent cap exit misclassifies everything
+        // beyond the horizon (far IN nodes degrade to DISC) with no
+        // signal anywhere — make the degradation loud
+        if (cnt > 0)
+          System.err.println(
+            s"[graft] WARN bowTie walk '$tag' hit maxRounds=" +
+              s"$maxRounds with a live frontier ($cnt nodes) — " +
+              "unreached nodes degrade conservatively; downstream " +
+              "classes are approximate. Raise maxRounds.")
+        spark.read.parquet(dir).select("node")
+      }
     }
     val pivotSeed = nodes.filter(col("node") === lit(pivot))
     val fwd = reach(e, pivotSeed, "f", "src", "dst")
@@ -695,10 +739,16 @@ object Graph {
     * order (0-based, via the two-phase [[Relational.globalRowNumber]]
     * — no single-partition window), which makes the label space
     * integer and the election the same ONE-Long-max packing as the
-    * seeded variant: score = votes · 2²⁰ + (2²⁰ − 1 − label). The
-    * fixed 2²⁰ label cap bounds the node count — guarded loudly; at
-    * larger graphs raise the cap's bit width (votes then bound by
-    * 2^(63−B)). Integer everything ⇒ bit-stable across engines.
+    * seeded variant: score = votes · 2^B + (2^B − 1 − label), with
+    * B = `labelBits` (default 20). The label cap 2^B bounds the node
+    * count — guarded loudly; the packed score stays exact because
+    * votes ≤ degree < n < 2^B, so score < 2^2B ≤ 2^62 for B ≤ 31 (the
+    * same require enforces both bounds — r14 hard-coded B = 20 and
+    * raising it was a code edit, not a parameter). labelBits does NOT
+    * change the result where both fit: the election compares
+    * (votes, label) lexicographically at any B (GraphSpec pins
+    * B = 24 ≡ B = 20). Integer everything ⇒ bit-stable across
+    * engines.
     *
     * Scale shape: identical to [[seededLabelPropagation]] — per round
     * one equi-join of the doubled staged edge table against the staged
@@ -708,21 +758,25 @@ object Graph {
     * init-rank space (not a member pointer). */
   def labelPropagationCommunities(edges: DataFrame, srcCol: String,
                                   dstCol: String,
-                                  iterations: Int): DataFrame = {
+                                  iterations: Int,
+                                  labelBits: Int = 20): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    val labelCap = 1L << 20
+    require(labelBits >= 1 && labelBits <= 31,
+      s"labelBits must sit in [1, 31] (score = votes·2^B + label " +
+        s"residue needs 2^2B ≤ 2^62 to stay exact in Long): $labelBits")
+    val labelCap = 1L << labelBits
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .na.drop().filter(col("src") =!= col("dst"))
     val und = graft.core.Tables.staged(
       e0.unionByName(e0.select(col("dst").as("src"),
         col("src").as("dst"))).distinct(), "lpc_edges")
-    val nodes = graft.core.Tables.staged(
+    val (nodes, n) = graft.core.Tables.stagedCounted(
       und.select(col("src").as("node")).distinct(), "lpc_nodes")
-    val n = nodes.count()
     require(n > 0, "labelPropagationCommunities: empty graph")
     require(n < labelCap,
-      s"labelPropagationCommunities: $n nodes exceed the 2^20 label " +
-        "space — raise the cap's bit width for larger graphs")
+      s"labelPropagationCommunities: $n nodes exceed the 2^$labelBits " +
+        s"label space — raise labelBits (≤ 31) for larger graphs; " +
+        s"votes stay exact by votes < n < 2^$labelBits")
     var labels = graft.core.Tables.staged(
       Relational.globalRowNumber(nodes, Seq(col("node").asc), "__rk")
         .select(col("node"), (col("__rk") - 1L).as("label")), "lpc_l0")
@@ -826,7 +880,9 @@ object Graph {
     val e = graft.core.Tables.staged(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .na.drop().distinct(), "pagerank_edges")
-    val nodes = graft.core.Tables.staged(
+    // node count comes from the staged write's parquet footers — no
+    // separate count() job
+    val (nodes, n) = graft.core.Tables.stagedCounted(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct(),
       "pagerank_nodes")
@@ -834,7 +890,6 @@ object Graph {
       .agg(count(lit(1)).as("outdeg"))
     val dangling = graft.core.Tables.staged(
       nodes.join(outDeg, Seq("node"), "left_anti"), "pagerank_dangling")
-    val n = nodes.count()
     require(n > 0, "pageRankScaled: empty graph")
     val base = (Scale * 15L) / (100L * n)
     val seed = prior match {

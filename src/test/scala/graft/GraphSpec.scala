@@ -436,6 +436,20 @@ class GraphSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(out == Map("a" -> 0L, "b" -> 0L, "c" -> 0L,
       "x" -> 2L, "y" -> 2L, "z" -> 2L))
+    // labelBits is a capacity knob, not a semantic one: the election
+    // compares (votes, label) lexicographically at ANY bit width, so a
+    // wider packing must be bit-identical where both fit (the r15
+    // parameterization of the r14 hard-coded 2^20 cap)
+    val out24 = Graph.labelPropagationCommunities(e, "src", "dst", 5,
+        labelBits = 24)
+      .as[(String, Long)].collect().toMap
+    assert(out24 == out, s"labelBits=24 diverged: $out24 vs $out")
+    // out-of-range bit widths fail loudly (B ≤ 31 keeps votes·2^B +
+    // residue inside Long)
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagationCommunities(e, "src", "dst", 1,
+        labelBits = 32)
+    }
   }
 
   test("extractLinks: attribute order, uppercase tags, and the " +
