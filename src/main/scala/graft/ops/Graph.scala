@@ -686,8 +686,29 @@ object Graph {
       }
     }
     val pivotSeed = nodes.filter(col("node") === lit(pivot))
-    val fwd = reach(e, pivotSeed, "f", "src", "dst")
-    val bwd = reach(e, pivotSeed, "b", "dst", "src")
+    // the five walks form two dependency waves — (fwd ∥ bwd ∥ weak),
+    // then (fromIn ∥ toOut) — and each walk is a chain of SMALL
+    // frontier-sized jobs, so running a wave's walks on concurrent
+    // driver threads overlaps their per-round scheduling/commit
+    // latency (the dominant fixture-scale cost) without changing any
+    // result: the walks of a wave share only read-only staged inputs,
+    // and reach sets are exact regardless of completion order. On a
+    // cluster the scheduler interleaves the concurrent tiny stages
+    // across executors the same way.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration.Inf
+    val fwdF = Future(reach(e, pivotSeed, "f", "src", "dst"))
+    val bwdF = Future(reach(e, pivotSeed, "b", "dst", "src"))
+    val weakF = Future {
+      val undE = graft.core.Tables.staged(
+        e.select(col("src").as("a"), col("dst").as("b"))
+          .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
+          .distinct(), "bowtie_und")
+      reach(undE, pivotSeed, "w", "a", "b")
+    }
+    val fwd = Await.result(fwdF, Inf)
+    val bwd = Await.result(bwdF, Inf)
     val scc = fwd.join(bwd, Seq("node"), "left_semi")
     val inSet = bwd.join(fwd, Seq("node"), "left_anti")
     val outSet = fwd.join(bwd, Seq("node"), "left_anti")
@@ -698,13 +719,11 @@ object Graph {
       e.join(scc.select(col("node").as("src")), Seq("src"), "left_anti")
         .join(scc.select(col("node").as("dst")), Seq("dst"), "left_anti"),
       "bowtie_eprime")
-    val fromIn = reach(ePruned, inSet, "ti", "src", "dst")
-    val toOut = reach(ePruned, outSet, "to", "dst", "src")
-    val undE = graft.core.Tables.staged(
-      e.select(col("src").as("a"), col("dst").as("b"))
-        .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
-        .distinct(), "bowtie_und")
-    val weak = reach(undE, pivotSeed, "w", "a", "b")
+    val fromInF = Future(reach(ePruned, inSet, "ti", "src", "dst"))
+    val toOutF = Future(reach(ePruned, outSet, "to", "dst", "src"))
+    val fromIn = Await.result(fromInF, Inf)
+    val toOut = Await.result(toOutF, Inf)
+    val weak = Await.result(weakF, Inf)
     val f = fwd.withColumn("__f", lit(1))
     val b = bwd.withColumn("__b", lit(1))
     val ti = fromIn.withColumn("__ti", lit(1))
