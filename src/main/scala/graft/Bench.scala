@@ -336,28 +336,53 @@ object Bench {
     phaseTs("io_canary_end") = epochS()
     val ioEnd = ioCanaryRun("end")
     // --- post-suite isolated re-measure ---------------------------------
-    // The artifact's own storm adjudicator: the five queries whose warm
-    // median slowed most RELATIVE TO THEIR OWN COLD this run are re-run
-    // once each after the whole suite (cache cleared + GC between, same
-    // JVM — the "isolated" condition the r13 forensics had to reproduce
-    // manually). A mid-walk disk storm inflates a contiguous block's
-    // warm medians while its members' isolated re-measures return to
-    // cold level; a genuine plan regression stays slow here too. The
-    // judge-on-isolated rule becomes data in the artifact, not prose.
+    // The artifact's own storm adjudicator: the queries that moved most
+    // this run are re-run once each after the whole suite (cache
+    // cleared + GC between, same JVM — the "isolated" condition the r13
+    // forensics had to reproduce manually). A mid-walk disk storm
+    // inflates a contiguous block's warm medians while its members'
+    // isolated re-measures return to cold level; a genuine plan
+    // regression stays slow here too. The judge-on-isolated rule
+    // becomes data in the artifact, not prose.
+    //
+    // TWO triggers (r14 used warm-median/cold alone, which misses a
+    // storm that hits the COLD pass — the ratio DEFLATES — and storms
+    // wider than the top 5):
+    //   "ratio":  top 5 by warm_median / cold (a sustained warm-phase
+    //             slowdown);
+    //   "spread": warm max/min > 2 across the passes (a transient
+    //             storm hitting SOME passes — including one that hit
+    //             cold, leaving warm spread as the only signal).
+    // Capped at 8 total (ratio picks first, then spread by descending
+    // spread); each entry records which trigger(s) fired
+    // (isolated_trigger in the artifact).
     val isolatedFailed =
       scala.collection.mutable.LinkedHashMap[String, String]()
     val warmMedPre = warmRuns.map { case (n, ds) => n -> medianOf(ds) }.toMap
     val coldByName = cold.toMap
-    val movedMost = warmRuns.map(_._1)
+    val spreadPre = warmRuns.map { case (n, ds) =>
+      n -> (if (ds.min > 0) ds.max / ds.min else 1.0) }.toMap
+    val ratioPicks = warmRuns.map(_._1)
       .filter(n => coldByName.contains(n) && coldByName(n) > 0)
       .sortBy(n => -(warmMedPre(n) / coldByName(n)))
       .take(5)
+    val isolatedCap = 8
+    val spreadPicks = warmRuns.map(_._1)
+      .filterNot(ratioPicks.contains)
+      .filter(n => spreadPre(n) > 2.0)
+      .sortBy(n => -spreadPre(n))
+      .take(isolatedCap - ratioPicks.size)
+    val isolatedTrigger =
+      ratioPicks.map(n =>
+        n -> (if (spreadPre.getOrElse(n, 1.0) > 2.0) "both" else "ratio")) ++
+      spreadPicks.map(_ -> "spread")
     phaseTs("isolated") = epochS()
-    val isolated = movedMost.flatMap { n =>
+    val isolated = isolatedTrigger.flatMap { case (n, trig) =>
       SparkEntry.queries.get(n).flatMap { fn =>
         timeInto(isolatedFailed)(n, fn).map { dt =>
           System.err.println(f"[bench] isolated $n%-24s $dt%8.2f s " +
-            f"(cold ${coldByName(n)}%.2f, warm med ${warmMedPre(n)}%.2f)")
+            f"(cold ${coldByName(n)}%.2f, warm med ${warmMedPre(n)}%.2f, " +
+            s"trigger $trig)")
           n -> dt
         }
       }
@@ -494,9 +519,13 @@ object Bench {
       .map { case (k, v) =>
         s"${graft.core.Json.quote(k)}:${graft.core.Json.quote(v)}" }
       .mkString("{", ",", "}")
+    val isolatedTriggerJson = isolatedTrigger
+      .map { case (k, v) =>
+        s"${graft.core.Json.quote(k)}:${graft.core.Json.quote(v)}" }
+      .mkString("{", ",", "}")
     val noisyDerivedJson = jsL(coldStaged.toSeq
       .filter { case (_, c) => c >= noisyStagedMin })
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(coldOk)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"warm_spread":${js(warmSpread)},"failed":$failedJson,"canary_failed":$canaryFailedJson,"cold_canary_prewarmed":${canaryEnabled},"total_warm":$totalWarm,"host_factor":$hfJson,"canary_start":${js(canaryStart)},"canary_mid":${js(canaryMid)},"canary_end":${js(canaryEnd)},"canary_pinned":${js(canaryPinned)},"io_factor":$iofJson,"io_canary_start":${ioStart.mkString("[", ",", "]")},"io_canary_mid":${ioMid.mkString("[", ",", "]")},"io_canary_end":${ioEnd.mkString("[", ",", "]")},"io_canary_pinned":$ioCanaryPinned,"io_share":$ioShare,"io_bound_queries":$ioBoundJson,"total_warm_normalized":$totalWarmNormJson,"total_warm_normalized_dual":$totalWarmDualJson,"queries_warm_normalized":${js(warmNormalized)},"queries_warm_normalized_dual":${js(warmDual)},"queries_warm_gc_ms":${jsL(warmGcMed)},"queries_cold_gc_ms":$coldGcJson,"phase_ts":${js(phaseTs.toSeq)},"queries_cold_ts":${js(coldTs.toSeq)},"warm_pass_ts":${jsArr(warmTsRuns.toSeq)},"queries_isolated":${js(isolated)},"isolated_failed":$isolatedFailedJson,"noisy_derived":$noisyDerivedJson,"noisy_rule":"staged_writes+2*two_phase>=${noisyStagedMin}|streaming_*","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(coldOk)},"queries_warm":${js(warm)},"queries_warm_min":${js(warmMin)},"warm_passes":${jsArr(warmRuns)},"warm_pass_count":$warmPasses,"warm_spread":${js(warmSpread)},"failed":$failedJson,"canary_failed":$canaryFailedJson,"cold_canary_prewarmed":${canaryEnabled},"total_warm":$totalWarm,"host_factor":$hfJson,"canary_start":${js(canaryStart)},"canary_mid":${js(canaryMid)},"canary_end":${js(canaryEnd)},"canary_pinned":${js(canaryPinned)},"io_factor":$iofJson,"io_canary_start":${ioStart.mkString("[", ",", "]")},"io_canary_mid":${ioMid.mkString("[", ",", "]")},"io_canary_end":${ioEnd.mkString("[", ",", "]")},"io_canary_pinned":$ioCanaryPinned,"io_share":$ioShare,"io_bound_queries":$ioBoundJson,"total_warm_normalized":$totalWarmNormJson,"total_warm_normalized_dual":$totalWarmDualJson,"queries_warm_normalized":${js(warmNormalized)},"queries_warm_normalized_dual":${js(warmDual)},"queries_warm_gc_ms":${jsL(warmGcMed)},"queries_cold_gc_ms":$coldGcJson,"phase_ts":${js(phaseTs.toSeq)},"queries_cold_ts":${js(coldTs.toSeq)},"warm_pass_ts":${jsArr(warmTsRuns.toSeq)},"queries_isolated":${js(isolated)},"isolated_trigger":$isolatedTriggerJson,"isolated_failed":$isolatedFailedJson,"noisy_derived":$noisyDerivedJson,"noisy_rule":"staged_writes+2*two_phase>=${noisyStagedMin}|streaming_*","sf":"$sfDir"}"""
     if (failed.nonEmpty)
       System.err.println(
         s"[bench] ${failed.size} queries FAILED (excluded from timings): " +

@@ -766,12 +766,16 @@ object LlmQueries {
     * under 13 words — the wordShingles convention), benchmark grams
     * from the doc_id % 97 slice, per-train-doc distinct-gram hit
     * counts joined on gram TEXT (the Spark side joins on xxhash64 of
-    * the same grams — identical result short of a 64-bit collision). */
+    * the same grams — identical result short of a 64-bit collision).
+    * Zero-token docs (empty norm) are filtered from both gram sides,
+    * mirroring the Spark-side guard against the empty-string-gram
+    * false positive. */
   private def exactDecontaminateOracleSql: String =
     s"""WITH u AS (SELECT doc_id, coalesce(text, '') AS text
              FROM documents),
          w AS (SELECT doc_id AS id, $normSql AS norm,
-             string_split($normSql, ' ') AS ws FROM u),
+             string_split($normSql, ' ') AS ws FROM u
+           WHERE len($normSql) > 0),
          s13 AS (SELECT id, unnest(CASE WHEN len(ws) >= 13
                THEN list_transform(range(1, len(ws) - 11),
                     i -> array_to_string(ws[i:i+12], ' '))

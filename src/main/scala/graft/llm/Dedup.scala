@@ -301,6 +301,11 @@ object Dedup {
     * at any scale. Docs under n words contribute their whole
     * normalized text as one gram (the wordShingles short-doc
     * convention), so a verbatim short benchmark item still matches.
+    * ZERO-token documents (null/empty/whitespace-only text) are
+    * dropped from BOTH gram sides first — the short-doc convention
+    * would otherwise turn each into a single empty-string gram, and
+    * one empty benchmark doc would flag every empty train doc as 100%
+    * contaminated (ADVICE r14 #3); an empty doc can't quote anything.
     *
     * Output — one row per CONTAMINATED train doc:
     * (train_id, n_hits, n_grams, frac): distinct matching grams,
@@ -308,10 +313,13 @@ object Dedup {
   def exactNgramContamination(train: DataFrame, bench: DataFrame,
                               textCol: String, idCol: String,
                               n: Int = 13): DataFrame = {
-    val grams = (df: DataFrame) => df.select(
-      col(idCol).as("train_id"),
-      array_distinct(graft.llm.TextAnalysis.wordShingles(
-        coalesce(col(textCol), lit("")), n)).as("gs"))
+    val grams = (df: DataFrame) => df
+      .filter(length(graft.llm.TextAnalysis.normalizeText(
+        coalesce(col(textCol), lit("")))) > 0)
+      .select(
+        col(idCol).as("train_id"),
+        array_distinct(graft.llm.TextAnalysis.wordShingles(
+          coalesce(col(textCol), lit("")), n)).as("gs"))
     val benchGrams = grams(bench)
       .select(explode(col("gs")).as("g"))
       .select(xxhash64(col("g")).as("gh")).distinct()

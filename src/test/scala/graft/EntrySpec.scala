@@ -29,31 +29,42 @@ class EntrySpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracles without queries: $extra")
   }
 
-  test("no query registration key is duplicated at the SOURCE level " +
-       "(a duplicate inside one Map literal silently shadows the " +
-       "earlier entry — r14 lost an operator's query to this)") {
-    import scala.jdk.CollectionConverters._
-    val re = java.util.regex.Pattern
-      .compile("\"([a-z0-9_]+)\"\\s*->\\s*\\(\\(s")
-    val walk = java.nio.file.Files
-      .walk(java.nio.file.Paths.get("src/main/scala/graft"))
-    val keys =
-      try walk.iterator().asScala
-        .filter(_.toString.endsWith(".scala"))
-        .flatMap { f =>
-          val txt = new String(java.nio.file.Files.readAllBytes(f))
-          val m = re.matcher(txt)
-          Iterator.continually(m).takeWhile(_.find()).map(_.group(1))
-            .toList
-        }.toList
-      finally walk.close()
-    val dups = keys.groupBy(identity).filter(_._2.size > 1).keys.toSeq
-    assert(dups.isEmpty, s"duplicate query registrations: $dups")
-    // the scan must actually see the registrations (a moved tree or a
-    // changed registration idiom would silently neuter this tripwire)
-    assert(keys.size >= SparkEntry.queries.size,
-      s"source scan found ${keys.size} registrations but the registry " +
-        s"holds ${SparkEntry.queries.size} — pattern out of date")
+  test("no registration key is duplicated at the SOURCE level in " +
+       "EITHER map (a duplicate inside one Map literal silently " +
+       "shadows the earlier entry — r14 lost an operator's QUERY to " +
+       "this, and a duplicate ORACLE key would silently swap a " +
+       "query's oracle)") {
+    // exact-occurrence counting over the registry files: every
+    // registered key must appear as `"key" ->` exactly twice (query
+    // lambda + oracle entry) or once (query without an oracle). This
+    // covers all oracle idioms — string literal, s-interpolated, def
+    // reference — which the r14 lambda-only regex ("key" -> ((s) did
+    // not (ADVICE r14 #2). Scope is pinned to the registry files so
+    // unrelated maps (Bench.canaryPinned uses `"q1_agg" -> 1.263`)
+    // don't inflate counts; a registry moved to a NEW file shows up
+    // as count 0 here — loud, and the cue to extend the list.
+    val registryFiles = Seq("CoreQueries", "LlmQueries", "RptQueries",
+      "CorpusQueries", "SparkEntry")
+      .map(n => java.nio.file.Paths.get(s"src/main/scala/graft/$n.scala"))
+    val srcs = registryFiles.map { f =>
+      assert(java.nio.file.Files.exists(f), s"registry file moved: $f")
+      new String(java.nio.file.Files.readAllBytes(f))
+    }
+    val oracleKeys = SparkEntry.oracleSql.keySet
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { k =>
+      val pat = java.util.regex.Pattern
+        .compile("\"" + java.util.regex.Pattern.quote(k) + "\"\\s*->")
+      val n = srcs.map { s =>
+        val m = pat.matcher(s)
+        Iterator.continually(m).takeWhile(_.find()).size
+      }.sum
+      val expected = if (oracleKeys(k)) 2 else 1
+      if (n != expected)
+        Some(s"""$k: found $n source occurrences of "$k" ->, """ +
+          s"expected $expected (1 query + ${expected - 1} oracle)")
+      else None
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
   }
 
   test("every bench canary query stays registered (a silent rename " +
@@ -64,9 +75,13 @@ class EntrySpec extends AnyFunSuite {
   }
 
   test("sample queries return rows at sf0.001") {
+    // text_bm25 guards against the r14 vacuous-oracle regression (the
+    // maxDfFrac default emptied BOTH engines' results, so the hash
+    // compare passed on two empty sets)
     Seq("q1_agg", "sliding_scores", "report_shape", "dedup_minhash",
-        "embedding_cosine_topk", "row_num_surrogate").foreach { q =>
-      assert(SparkEntry.queries(q)(spark, dir).count() > 0, q)
-    }
+        "embedding_cosine_topk", "row_num_surrogate", "text_bm25")
+      .foreach { q =>
+        assert(SparkEntry.queries(q)(spark, dir).count() > 0, q)
+      }
   }
 }

@@ -1445,6 +1445,20 @@ class LlmSpec extends AnyFunSuite {
     // epsilon}, one matches → 1/3; doc 2 clean (absent); doc 3 under
     // n words: whole normalized text matches bench 11's → 1/1
     assert(out == Seq((1L, 1L, 3L, 0.333333), (3L, 1L, 1L, 1.0)))
+    // zero-token docs drop from BOTH gram sides: an empty/whitespace/
+    // null benchmark doc must not turn every empty train doc into a
+    // 100%-contaminated hit via the empty-string gram (r14 ADVICE #3)
+    val trainE = train.unionByName(
+      Seq((4L, ""), (5L, "   "), (6L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val benchE = bench.unionByName(
+      Seq((12L, "")).toDF("doc_id", "text"))
+    val outE = Dedup.exactNgramContamination(trainE, benchE, "text",
+        "doc_id", n = 3)
+      .orderBy("train_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(outE == Seq((1L, 1L, 3L, 0.333333), (3L, 1L, 1L, 1.0)),
+      s"empty docs must not contaminate: $outE")
   }
 
   test("bm25TopK maxDfFrac drops a stopword term: guarded run equals " +
