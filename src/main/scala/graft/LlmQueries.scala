@@ -1122,8 +1122,11 @@ object LlmQueries {
     * capped BFS reaches well inside maxRounds = 64 on this graph) and
     * the identical CASE classification — pure set algebra, so any
     * divergence is a real reachability bug, not arithmetic drift. */
-  private def bowtieOracleSql: String =
-    """WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  /** The [[bowtieEdges]] fixture graph as a DuckDB CTE pair (e,
+    * bnodes) — shared by the bow-tie and SCC-census oracles (a def,
+    * per the shared-oracle-fragment init-order discipline). */
+  private def bowtieEdgesSqlCtes: String =
+    """e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
            SELECT coalesce(source, 'unk') || '.com' AS src,
                   coalesce(lang, 'und') || '.org' AS dst
              FROM documents
@@ -1158,7 +1161,10 @@ object LlmQueries {
                   'discB' || CAST(doc_id % 103 AS VARCHAR) || '.iso'
              FROM documents WHERE doc_id % 17 = 0)),
          bnodes AS MATERIALIZED (SELECT DISTINCT node FROM (
-           SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+           SELECT src AS node FROM e UNION ALL SELECT dst FROM e))"""
+
+  private def bowtieOracleSql: String =
+    s"""WITH RECURSIVE $bowtieEdgesSqlCtes,
          dg AS (SELECT node, count(*) AS deg FROM (
            SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
            GROUP BY node),
@@ -1204,6 +1210,83 @@ object LlmQueries {
          LEFT JOIN fin fi ON fi.node = n.node
          LEFT JOIN tou t2 ON t2.node = n.node
          LEFT JOIN wk w ON w.node = n.node
+         ORDER BY n.node"""
+
+  /** Distributed-BPE-training oracle (Bpe.trainDistributed twin):
+    * unrolls every merge round in SQL. Word symbol state is a STRING
+    * with each symbol individually wrapped in chr(31) — so the merge
+    * of pair (a, b) is one non-overlapping left-to-right
+    * replace('␟a␟␟b␟' → '␟ab␟'), exactly [[Bpe.mergePair]]'s
+    * semantics, with full-symbol anchoring (a symbol SUFFIX can never
+    * false-match: the char before it is text, not the wrap char). The
+    * encoding assumes symbols never contain chr(31) — true for the
+    * whitespace-split fixture vocabulary; the Spark side carries real
+    * arrays and has no such constraint. Pair counts are BIGINT, the
+    * argmax tie-break (count desc, a, b) and the per-round vocab
+    * rewrite mirror the Spark loop — bit-replica by construction. */
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { i =>
+      s"""pr_$i AS (SELECT p.a AS a, p.b AS b,
+             CAST(sum(cnt) AS BIGINT) AS c
+           FROM (SELECT cnt, unnest(list_transform(range(1, len(ws)),
+               j -> {'a': ws[j], 'b': ws[j+1]})) AS p
+             FROM (SELECT cnt, string_split(trim(st, chr(31)),
+                 chr(31)||chr(31)) AS ws FROM v_${i - 1}
+               WHERE len(st) > 0))
+           GROUP BY a, b),
+         bs_$i AS (SELECT a, b FROM pr_$i ORDER BY c DESC, a, b
+           LIMIT 1),
+         v_$i AS MATERIALIZED (SELECT w, cnt, replace(st,
+             chr(31)||bs.a||chr(31)||chr(31)||bs.b||chr(31),
+             chr(31)||bs.a||bs.b||chr(31)) AS st
+           FROM v_${i - 1} CROSS JOIN bs_$i bs)"""
+    }.mkString(",\n         ")
+    val sel = (1 to nMerges).map { i =>
+      s"SELECT CAST($i AS INT) AS rank, a AS lhs, b AS rhs FROM bs_$i"
+    }.mkString(" UNION ALL ")
+    s"""WITH u AS (SELECT $normSql AS nrm FROM (
+             SELECT coalesce(text, '') AS text FROM documents
+             WHERE doc_id < 64) x),
+         wd AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT unnest(string_split(nrm, ' ')) AS w FROM u)
+           WHERE length(w) > 0 GROUP BY w),
+         v_0 AS MATERIALIZED (SELECT w, cnt,
+             chr(31) || array_to_string(
+               list_transform(range(1, length(w)+1), i -> w[i]),
+               chr(31)||chr(31)) || chr(31) AS st
+           FROM wd),
+         $rounds
+         SELECT * FROM ($sel) ORDER BY rank"""
+  }
+
+  /** SCC-census oracle (Graph.sccCensus twin): both ids are SEMANTIC
+    * (min node of the strongly / weakly connected component), so the
+    * oracle computes them straight from reflexive-transitive closure
+    * — a recursive CTE over the directed edges for scc_id (mutual
+    * pairs = closure ⋈ reversed closure), another over the doubled
+    * undirected edges for wcc_id — while the Spark side runs the
+    * iterative forward-backward coloring. Any divergence is a real
+    * partition bug, not arithmetic drift. Closure is O(n·m) — fine at
+    * the fixture graph's ~constant few-hundred domain nodes. */
+  private def sccCensusOracleSql: String =
+    s"""WITH RECURSIVE $bowtieEdgesSqlCtes,
+         rp AS (SELECT node AS a, node AS b FROM bnodes
+           UNION
+           SELECT r.a, e.dst FROM rp r JOIN e ON e.src = r.b),
+         scc AS (SELECT f.a AS node, min(f.b) AS scc_id
+           FROM rp f JOIN rp r ON r.a = f.b AND r.b = f.a
+           GROUP BY f.a),
+         ue AS (SELECT src AS a, dst AS b FROM e
+           UNION SELECT dst, src FROM e),
+         up AS (SELECT node AS a, node AS b FROM bnodes
+           UNION
+           SELECT r.a, u.b FROM up r JOIN ue u ON u.a = r.b),
+         wcc AS (SELECT a AS node, min(b) AS wcc_id FROM up
+           GROUP BY a)
+         SELECT n.node, w.wcc_id, s.scc_id
+         FROM bnodes n
+         JOIN wcc w ON w.node = n.node
+         JOIN scc s ON s.node = n.node
          ORDER BY n.node"""
 
   /** Unseeded label-propagation oracle
@@ -2475,6 +2558,26 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // DISTRIBUTED BPE merge learning (Bpe.trainDistributed): the
+    // vocabulary table stays distributed, each round is one adjacent-
+    // pair aggregation, and the driver fetches ONLY the argmax pair —
+    // O(rounds) rows total, removing bpe_tokenize's 200k-word training
+    // bound. Fixture: 12 merges over the doc_id < 64 slice so the
+    // DuckDB oracle can unroll every round as a bit-replica (pair
+    // counts are integer, the tie-break is (count desc, a, b), and the
+    // merge application is the same non-overlapping left-to-right
+    // replace).
+    "bpe_train_distributed" -> ((s, dir) => {
+      import s.implicits._
+      Bpe.trainDistributed(
+          t(s, dir, "documents").filter(col("doc_id") < 64),
+          "text", nMerges = 12)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rank", "lhs", "rhs")
+        .orderBy("rank")
+    }),
+
     // trgx shift-cut: the full mlvar pipeline — build date-keyed order
     // trees (JSON TEXT storage boundary), then windowed feature sums
     "trgx_shift_cut" -> ((s, dir) => {
@@ -2718,6 +2821,18 @@ object LlmQueries {
     // reachability, so the recursive-CTE oracle matches bit-for-bit.
     "link_bowtie" -> ((s, dir) =>
       graft.ops.Graph.bowTie(bowtieEdges(s, dir), "src", "dst")
+        .orderBy("node")),
+
+    // full SCC + weak-component census over the same bow-tie fixture
+    // graph (≥2 disjoint components by construction — the disc*.iso
+    // pairs — each containing known SCCs): wcc_id/scc_id = min node of
+    // the weak / strong component, the link-farm census ("how many
+    // disjoint mutual-link rings, how big" = GROUP BY wcc_id, scc_id)
+    // that bowTie's single-pivot view lumps into DISC. Semantic ids ⇒
+    // the oracle is pure recursive-CTE closure while the Spark side
+    // runs the multi-round forward-backward coloring.
+    "link_scc_census" -> ((s, dir) =>
+      graft.ops.Graph.sccCensus(bowtieEdges(s, dir), "src", "dst")
         .orderBy("node")),
 
     // weighted PageRank: rank mass splits proportional to the LINK
@@ -4012,6 +4127,7 @@ object LlmQueries {
          FROM (SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
              '\s+', ' ', 'g')) AS nrm FROM documents)
          ORDER BY doc_id""",
+    "bpe_train_distributed" -> bpeTrainOracleSql(12),
     "trgx_shift_cut" ->
       """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS asof
            FROM orders),
@@ -4119,6 +4235,7 @@ object LlmQueries {
     "link_label_prop" -> labelPropOracleSql(3),
     "link_kcore" -> kCoreOracleSql(2, 8),
     "link_bowtie" -> bowtieOracleSql,
+    "link_scc_census" -> sccCensusOracleSql,
     "link_communities" -> communitiesOracleSql(4),
     "link_pagerank_weighted" -> wpagerankOracleSql(5),
     "benchmark_decontaminate_exact" -> exactDecontaminateOracleSql,

@@ -743,6 +743,179 @@ object Graph {
           .otherwise("DISC").as("cls"))
   }
 
+  /** Full SCC + weak-component census — the whole-graph structural
+    * partition [[bowTie]] deliberately does NOT compute (bow-tie
+    * classifies relative to ONE pivot and lumps everything outside the
+    * pivot's weak component as DISC): label EVERY node with
+    *   wcc_id — the smallest node id in its weakly connected component
+    *   scc_id — the smallest node id in its strongly connected
+    *            component,
+    * the link-farm census a crawl-quality team actually queries ("how
+    * many disjoint mutual-link rings exist and how big" = GROUP BY
+    * (wcc_id, scc_id)). Both ids are SEMANTIC (a pure function of the
+    * graph, independent of the algorithm), so the DuckDB oracle can
+    * compute them from true recursive-CTE reachability closure while
+    * this side runs a distributed algorithm.
+    *
+    * Algorithm — iterative forward-backward coloring (the Orzan /
+    * FW-BW multi-SCC discipline), per outer round:
+    *   1. forward MIN-label coloring to fixpoint on the remaining
+    *      subgraph: color(v) = min({v} ∪ {color(u) : u→v}) — the
+    *      smallest node that reaches v. All members of an SCC share
+    *      one forward-reach set, hence one color.
+    *   2. every color class provably contains its ROOT (color(r) = r:
+    *      anything reaching r reaches the whole class, so a smaller
+    *      reacher would have recolored it); SCC(r) = the backward
+    *      reach of r along COLOR-PRESERVING edges — mutual
+    *      reachability: r reaches the class, these reach r. All
+    *      classes sweep in ONE frontier BFS carrying (node, color).
+    *   3. emit those SCCs (scc_id = the root = the class min by
+    *      construction), remove them, repeat on the remainder.
+    * Each round removes ≥ 1 SCC per color class (the root's), so the
+    * loop terminates; on web graphs the first round's giant class
+    * removes the core and a handful of rounds drain the periphery.
+    * Removing whole SCCs never changes remaining SCCs (they are
+    * equivalence classes), so per-round results compose to the global
+    * partition. wcc_id rides [[graft.llm.Dedup.connectedComponents]]
+    * (pointer-jumping, log-diameter rounds).
+    *
+    * Determinism/exactness: pure set algebra + MIN over node ids in
+    * the column's native ordering — no arithmetic at all, bit-stable
+    * across engines and partitionings.
+    *
+    * Scale shape: per coloring round one equi-join of the remaining
+    * edge table against the color table + one (dst) hash agg, deltas
+    * staged with footer-count loop control; the backward sweep is the
+    * [[bowTie]] rnd=K-partitioned frontier BFS (one job per round)
+    * keyed on (node, color); per-round SCC output appends into one
+    * partitioned result directory. Shuffles carry (node, node-id)
+    * pairs only. Caps (`maxOuterRounds`, `maxIters`) bound pathological
+    * chains and WARN LOUDLY when hit — unfinished nodes emit null
+    * scc_id rather than a silently wrong label.
+    *
+    * Output: (node, wcc_id, scc_id). */
+  def sccCensus(edges: DataFrame, srcCol: String, dstCol: String,
+                maxOuterRounds: Int = 32,
+                maxIters: Int = 64): DataFrame = {
+    require(maxOuterRounds >= 1,
+      s"maxOuterRounds must be >= 1: $maxOuterRounds")
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    val spark = edges.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    def warn(msg: String): Unit =
+      System.err.println(s"[graft] WARN sccCensus: $msg")
+    val e = graft.core.Tables.staged(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .na.drop().distinct(), "scc_edges")
+    val (nodes, nNodes) = graft.core.Tables.stagedCounted(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct(),
+      "scc_nodes")
+    require(nNodes > 0, "sccCensus: empty graph")
+    val wcc = graft.core.Tables.staged(
+      graft.llm.Dedup.connectedComponents(
+        e.select(col("src").as("id1"), col("dst").as("id2")), maxIters)
+        .select(col("id").as("node"), col("comp").as("wcc_id")),
+      "scc_wcc")
+    def writePart(df: DataFrame, dir: String, rnd: Int): Long = {
+      val p = s"$dir/rnd=$rnd"
+      df.write.mode("overwrite").parquet(p)
+      graft.core.Tables.parquetRowCount(p, hconf)
+    }
+    val resDir = graft.core.Tables.scratchDir(spark, "scc_res")
+    var active = nodes
+    var nActive = nNodes
+    var ea = e
+    var outer = 0
+    while (nActive > 0 && outer < maxOuterRounds) {
+      outer += 1
+      // 1. forward min coloring to fixpoint: stage only the CHANGED
+      // rows each round (footer count = loop control), fold them in
+      var colors = graft.core.Tables.staged(
+        active.select(col("node"), col("node").as("color")),
+        s"scc_c${outer}_0")
+      var chg = 1L
+      var it = 0
+      while (chg > 0 && it < maxIters) {
+        it += 1
+        val cand = ea
+          .join(colors.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(min(col("color")).as("cand"))
+        val (delta, nd) = graft.core.Tables.stagedCounted(
+          colors.join(cand, Seq("node"))
+            .filter(col("cand") < col("color"))
+            .select(col("node"), col("cand").as("color")),
+          s"scc_cd${outer}_$it")
+        chg = nd
+        if (nd > 0)
+          colors = graft.core.Tables.staged(
+            colors.join(delta.select("node"), Seq("node"), "left_anti")
+              .unionByName(delta), s"scc_c${outer}_$it")
+      }
+      if (chg > 0)
+        warn(s"coloring hit maxIters=$maxIters still changing " +
+          s"(outer round $outer) — scc_id labels this round may " +
+          "merge distinct SCCs' classes; raise maxIters.")
+      // 2. color-preserving edges; backward frontier BFS from every
+      // class root simultaneously, carrying (node, color)
+      val ec = graft.core.Tables.staged(
+        ea.join(colors.select(col("node").as("src"),
+            col("color").as("cs")), Seq("src"))
+          .join(colors.select(col("node").as("dst"),
+            col("color").as("cd")), Seq("dst"))
+          .filter(col("cs") === col("cd"))
+          .select(col("src"), col("dst"), col("cs").as("color")),
+        s"scc_ec$outer")
+      val bwDir = graft.core.Tables.scratchDir(spark, s"scc_bw$outer")
+      var itb = 0
+      var cnt = writePart(
+        colors.filter(col("node") === col("color"))
+          .select("node", "color"), bwDir, 0)
+      while (cnt > 0 && itb < maxIters) {
+        itb += 1
+        val frontier = spark.read.parquet(s"$bwDir/rnd=${itb - 1}")
+        val reached = spark.read.parquet(bwDir).select("node", "color")
+        cnt = writePart(
+          ec.join(frontier.withColumnRenamed("node", "dst"),
+              Seq("dst", "color"))
+            .select(col("src").as("node"), col("color")).distinct()
+            .join(reached, Seq("node", "color"), "left_anti"),
+          bwDir, itb)
+      }
+      if (cnt > 0)
+        warn(s"backward sweep hit maxIters=$maxIters with a live " +
+          s"frontier (outer round $outer) — some SCC members stay " +
+          "unlabeled this round; raise maxIters.")
+      val sccRound = spark.read.parquet(bwDir)
+        .select(col("node"), col("color").as("scc_id"))
+      writePart(sccRound, resDir, outer)
+      // 3. shrink to the unlabeled remainder
+      val shrunk = graft.core.Tables.stagedCounted(
+        active.join(sccRound.select("node"), Seq("node"), "left_anti"),
+        s"scc_a$outer")
+      active = shrunk._1
+      nActive = shrunk._2
+      if (nActive > 0)
+        ea = graft.core.Tables.staged(
+          ea.join(active.select(col("node").as("src")), Seq("src"),
+              "left_semi")
+            .join(active.select(col("node").as("dst")), Seq("dst"),
+              "left_semi"), s"scc_e$outer")
+    }
+    if (nActive > 0)
+      warn(s"$nActive nodes still unlabeled after maxOuterRounds=" +
+        s"$maxOuterRounds — they emit null scc_id. Raise " +
+        "maxOuterRounds (each round drains one SCC per color class; " +
+        "long chain-of-SCCs graphs need more).")
+    val scc = spark.read.parquet(resDir).select("node", "scc_id")
+    nodes.join(wcc, Seq("node"), "left")
+      .join(scc, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("wcc_id"), col("node")).as("wcc_id"),
+        col("scc_id"))
+  }
+
   /** Unseeded label propagation (Raghavan et al. 2007) — community
     * detection with zero curation, the complement to
     * [[seededLabelPropagation]] and [[kCore]] for link-farm discovery:

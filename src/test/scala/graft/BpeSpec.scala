@@ -98,4 +98,26 @@ class BpeSpec extends AnyFunSuite {
     val ranks = merges.zipWithIndex.toMap
     assert(Bpe.encodeWord("the", ranks).length == 1)
   }
+  test("trainDistributed is bit-identical to the driver-side learner " +
+       "on the same corpus, stops on exhaustion, and fetches O(rounds)") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the the the thorn"),
+      (3L, "mats that matter"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // the bounded driver-side learner with maxWords covering the whole
+    // vocab IS the reference semantics; distributed must match exactly
+    val ref = Bpe.train(df, "text", nMerges = 15, maxWords = 100)
+    val dist = Bpe.trainDistributed(df, "text", nMerges = 15)
+    assert(dist == ref, s"distributed $dist != reference $ref")
+    // exhaustion: a vocab this small runs out of pairs before 200
+    // merges — both learners stop at the same realized merge count
+    // (every word fully merged to one symbol), which also shows the
+    // driver fetch is one argmax row per REALIZED round, not O(vocab)
+    val refAll = Bpe.train(df, "text", nMerges = 200, maxWords = 100)
+    val distAll = Bpe.trainDistributed(df, "text", nMerges = 200)
+    assert(distAll == refAll && distAll.size < 200,
+      s"exhaustion mismatch: ${distAll.size} vs ${refAll.size}")
+  }
 }

@@ -420,6 +420,36 @@ class GraphSpec extends AnyFunSuite {
     assert(out == Map("a" -> "SCC", "b" -> "SCC", "c" -> "SCC"))
   }
 
+  test("sccCensus: two disjoint weak components, each containing a " +
+       "known SCC, label every node; a chain of SCCs needs multiple " +
+       "drain rounds; duplicate/null edges collapse") {
+    // component 1: cycle {a,b,c} + downstream tail c→d + a second
+    // cycle {e,f} fed FROM the tail (d→e) — a chain of three SCCs
+    // ({a,b,c} → {d} → {e,f}), so the coloring drains over ≥2 outer
+    // rounds: round 1's coloring paints everything 'a' but only
+    // {a,b,c} reaches back to the root.
+    // component 2: cycle {x,y} with feeder w→x.
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "e"), ("e", "f"), ("f", "e"),
+      ("w", "x"), ("x", "y"), ("y", "x"),
+      ("a", "b"), (null.asInstanceOf[String], "a"))
+      .toDF("src", "dst")
+    val out = Graph.sccCensus(edges, "src", "dst")
+      .as[(String, String, String)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out == Map(
+      "a" -> (("a", "a")), "b" -> (("a", "a")), "c" -> (("a", "a")),
+      "d" -> (("a", "d")),
+      "e" -> (("a", "e")), "f" -> (("a", "e")),
+      "w" -> (("w", "w")),
+      "x" -> (("w", "x")), "y" -> (("w", "x"))), s"got $out")
+    // the census view: component sizes and their internal SCC counts
+    val census = out.toSeq.groupBy(_._2._1)
+      .map { case (w, ns) => w -> (ns.size, ns.map(_._2._2).distinct.size) }
+    assert(census == Map("a" -> ((6, 3)), "w" -> ((3, 2))))
+  }
+
   test("labelPropagationCommunities: two cliques with one bridge " +
        "settle into two communities (hand-unrolled rounds)") {
     // triangles {a,b,c} and {x,y,z} bridged by c—x; init labels are

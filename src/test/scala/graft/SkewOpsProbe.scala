@@ -32,8 +32,12 @@ object SkewOpsProbe {
     // probe (r13 shipped it opt-in-only by mistake — judge advice r13)
     val onlyGraph13 =
       sys.env.get("GRAFT_PROBE_ONLY").contains("graph13")
+    // GRAFT_PROBE_ONLY=scc15 runs just the r15 SCC-census probe inside
+    // the graph13 section (iteration aid; the full section re-runs it)
+    val onlyScc15 = sys.env.get("GRAFT_PROBE_ONLY").contains("scc15")
     val runGraph13 =
-      sys.env.get("GRAFT_PROBE_ONLY").forall(_ == "graph13")
+      sys.env.get("GRAFT_PROBE_ONLY").forall(p =>
+        p == "graph13" || p == "scc15")
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select($"doc_id", $"text", $"lang", $"source")
 
@@ -58,19 +62,19 @@ object SkewOpsProbe {
           nodeOf($"doc_id" * 7919L + 13L).as("dst"))
         .unionByName(d.filter(pmod($"doc_id", lit(10)) === 0)
           .select(nodeOf($"doc_id").as("src"), lit("hub").as("dst")))
-      val tH = time {
+      val tH = if (onlyScc15) 0.0 else time {
         val h = graft.ops.Graph.hitsScaled(edges, "src", "dst", 3)
         assert(h.count() > 0)
       }
-      println(f"HITS mult=$mult rows=$rows iters=3 t=$tH%.2f s")
-      val tT = time {
+      if (!onlyScc15) println(f"HITS mult=$mult rows=$rows iters=3 t=$tH%.2f s")
+      val tT = if (onlyScc15) 0.0 else time {
         val tr = graft.ops.Graph.triangleCounts(edges, "src", "dst")
         // the hub must have generated zero wedges yet still carry its
         // triangle count — spot-read it while the plan is hot
         assert(tr.filter($"node" === "hub").count() == 1)
       }
-      println(f"TRIANGLES mult=$mult rows=$rows t=$tT%.2f s")
-      val tL = time {
+      if (!onlyScc15) println(f"TRIANGLES mult=$mult rows=$rows t=$tT%.2f s")
+      val tL = if (onlyScc15) 0.0 else time {
         // label must be a function of the NODE (doc_id mod 1e5), not
         // the raw id — replicas of one node must agree
         val seeds = d.filter(pmod($"doc_id", lit(100)) === 0)
@@ -82,21 +86,21 @@ object SkewOpsProbe {
           edges, "src", "dst", seeds, 3)
         assert(lp.count() > 0)
       }
-      println(f"LABELPROP mult=$mult rows=$rows iters=3 t=$tL%.2f s")
-      val tB = time {
+      if (!onlyScc15) println(f"LABELPROP mult=$mult rows=$rows iters=3 t=$tL%.2f s")
+      val tB = if (onlyScc15) 0.0 else time {
         // hub in-degree rows/10 ⇒ the max-degree pivot IS the hub;
         // frontier BFS + pointer-jumping CC under the same skew
         val bt = graft.ops.Graph.bowTie(edges, "src", "dst")
         assert(bt.filter($"cls" === "SCC").count() > 0)
       }
-      println(f"BOWTIE mult=$mult rows=$rows t=$tB%.2f s")
-      val tC = time {
+      if (!onlyScc15) println(f"BOWTIE mult=$mult rows=$rows t=$tB%.2f s")
+      val tC = if (onlyScc15) 0.0 else time {
         val lc = graft.ops.Graph.labelPropagationCommunities(
           edges, "src", "dst", 3)
         assert(lc.count() > 0)
       }
-      println(f"COMMUNITIES mult=$mult rows=$rows iters=3 t=$tC%.2f s")
-      val tW = time {
+      if (!onlyScc15) println(f"COMMUNITIES mult=$mult rows=$rows iters=3 t=$tC%.2f s")
+      val tW = if (onlyScc15) 0.0 else time {
         // multiplicity of the raw edge multiset as the weight — the
         // hub edge carries weight rows/10/…, exercising the
         // (rank·w) div W path under the same skewed in-sum
@@ -106,9 +110,25 @@ object SkewOpsProbe {
           we, "src", "dst", "w", 3)
         assert(wr.count() > 0)
       }
-      println(f"WPAGERANK mult=$mult rows=$rows iters=3 t=$tW%.2f s")
+      if (!onlyScc15) println(f"WPAGERANK mult=$mult rows=$rows iters=3 t=$tW%.2f s")
+      val tS = time {
+        // r15 SCC census under the same hub skew, on the BRODER shape
+        // (half the edges doubled back ⇒ one giant SCC + shallow
+        // one-directional periphery — a real web graph's structure;
+        // the raw functional substrate's sqrt(n)-deep rho-chains are
+        // the documented pathological case for the per-round SCC
+        // drain, not the crawl regime the op targets). Convergence is
+        // asserted, not assumed: zero null scc_id ⇒ the cap never hit.
+        val bidir = edges.unionByName(
+          edges.filter(pmod(xxhash64($"src"), lit(2)) === 0)
+            .select($"dst".as("src"), $"src".as("dst")))
+        val sc = graft.ops.Graph.sccCensus(bidir, "src", "dst")
+        assert(sc.filter($"scc_id".isNull).count() == 0)
+      }
+      println(f"SCCCENSUS mult=$mult rows=$rows t=$tS%.2f s")
     }
-    for (mult <- Seq(64, 256) if !onlyIvfpq && !onlyGraph13) {
+    for (mult <- Seq(64, 256) if !onlyIvfpq && !onlyGraph13 &&
+        !onlyScc15) {
       val d = (0 until mult).map(i => docs.select(
           ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"),
           $"text", $"lang", $"source")).reduce(_ unionByName _)
