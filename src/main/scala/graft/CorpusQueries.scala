@@ -403,6 +403,20 @@ object CorpusQueries {
         .join(broadcast(qs), Seq("lang"), "left")
         .orderBy("lang")
     }),
+
+    // the SAME card derived from persisted per-shard MERGEABLE sketch
+    // state (Corpus.cardSketch: Long counters + source sets + value
+    // histograms, staged once) — the release-over-release card at
+    // 100 TB as a metadata read, never a corpus re-scan. The oracle is
+    // corpus_card's own re-scan SQL: sketch-merge must be bit-identical
+    // to re-scan (the quantiles replay percentile_cont's exact
+    // arithmetic from the merged histogram).
+    "corpus_card_merged" -> ((s, dir) => {
+      val sk = graft.core.Tables.staged(
+        Corpus.cardSketch(t(s, dir, "documents"), "doc_id", "lang",
+          "source", "text", "n_chars", nShards = 8), "card_sketch")
+      Corpus.cardFromSketches(sk).orderBy("lang")
+    }),
     // dataset versioning: diff two corpus releases on map-side content
     // fingerprints (the shuffle carries (id, 32-hex md5), never text).
     // Release B is synthesized from A deterministically: doc_id % 7 == 0
@@ -993,21 +1007,10 @@ object CorpusQueries {
          SELECT d.doc_id, d.lang, d.n_chars
          FROM documents d JOIN thr USING (lang)
          WHERE d.n_chars >= thr.q ORDER BY d.doc_id""",
-    "corpus_card" ->
-      s"""WITH d0 AS (SELECT lang, source, n_chars,
-             coalesce(text, '') AS text FROM documents),
-         s AS (SELECT lang, count(*) AS n_docs,
-             CAST(sum(CAST($tokWsSql AS BIGINT)) AS BIGINT) AS n_tokens,
-             count(DISTINCT source) AS n_sources
-           FROM d0 GROUP BY lang),
-         q AS (SELECT lang,
-             round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
-             round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
-           FROM documents GROUP BY lang)
-         SELECT s.lang, s.n_docs, s.n_tokens, s.n_sources,
-           q.p50_chars, q.p90_chars
-         FROM s LEFT JOIN q USING (lang)
-         ORDER BY lang NULLS FIRST""",
+    "corpus_card" -> corpusCardOracleSql,
+    // the sketch-merged card must equal the re-scan card EXACTLY —
+    // same oracle by construction
+    "corpus_card_merged" -> corpusCardOracleSql,
     "corpus_release_diff" ->
       """WITH b AS (
            SELECT doc_id,
@@ -1129,6 +1132,27 @@ object CorpusQueries {
     * corpus_epoch_budget_select and corpus_epoch_mixture — one
     * replica, no drift. */
   // a def for the same init-order reason as epochQuotaOracleCtes
+  /** The re-scan dataset-card replica — shared verbatim by
+    * corpus_card (re-scan path) and corpus_card_merged (sketch-merge
+    * path): the merge must be bit-identical to the re-scan, so they
+    * compare against the SAME SQL (a def, per the shared-fragment
+    * init-order discipline). */
+  private def corpusCardOracleSql: String =
+    s"""WITH d0 AS (SELECT lang, source, n_chars,
+             coalesce(text, '') AS text FROM documents),
+         s AS (SELECT lang, count(*) AS n_docs,
+             CAST(sum(CAST($tokWsSql AS BIGINT)) AS BIGINT) AS n_tokens,
+             count(DISTINCT source) AS n_sources
+           FROM d0 GROUP BY lang),
+         q AS (SELECT lang,
+             round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+             round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+           FROM documents GROUP BY lang)
+         SELECT s.lang, s.n_docs, s.n_tokens, s.n_sources,
+           q.p50_chars, q.p90_chars
+         FROM s LEFT JOIN q USING (lang)
+         ORDER BY lang NULLS FIRST"""
+
   private def epochSelectOracleCtes: String =
     s"""dd AS (SELECT doc_id, source,
              CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tok

@@ -537,4 +537,95 @@ object Corpus {
       .filter(col(rankCol) <= k)
       .drop("__h", "__tot")
   }
+
+  /** Per-shard MERGEABLE card-sketch state — the release-over-release
+    * dataset card as a metadata read instead of a corpus re-scan: each
+    * (shard, lang) row carries everything [[cardFromSketches]] needs,
+    * and every column MERGES exactly across shards (and across
+    * releases, by unioning sketch tables):
+    *   - n_docs / n_tokens: Long counters (merge = sum);
+    *   - src_set: the shard's distinct source set (merge = set union —
+    *     exact because source is a curated low-cardinality dimension;
+    *     at an unbounded-cardinality dimension swap in an HLL sketch
+    *     column and accept approximate n_sources);
+    *   - hist: the shard's (value, count) histogram over the non-null
+    *     chars column, sorted (merge = per-value count sum — exact
+    *     because n_chars is a bounded-cardinality integer; at an
+    *     unbounded continuous column swap in a KLL sketch and accept
+    *     approximate quantiles).
+    * Sketch size is shards × langs × distinct values — independent of
+    * document count, which is the entire point: persist this once per
+    * shard write, and the card never touches the corpus again.
+    * CorpusSpec + the corpus_card_merged oracle pin card-from-sketch ≡
+    * card-from-re-scan bit-for-bit on the fixture. */
+  def cardSketch(df: DataFrame, idCol: String, langCol: String,
+                 sourceCol: String, textCol: String, charsCol: String,
+                 nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val shard = pmod(xxhash64(col(idCol)), lit(nShards.toLong))
+    val counts = df.groupBy(shard.as("shard"),
+        col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCountWs(coalesce(col(textCol), lit("")))
+          .cast("long")).as("n_tokens"),
+        sort_array(collect_set(col(sourceCol))).as("src_set"))
+    val hist = df.filter(col(charsCol).isNotNull)
+      .groupBy(shard.as("shard"), col(langCol).as("lang"),
+        col(charsCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("shard", "lang")
+      .agg(sort_array(collect_list(struct(col("v"), col("c"))))
+        .as("hist"))
+    // plain (null-rejecting) join: a null-lang group's quantiles are
+    // dropped by the CARD join in both engines anyway (SQL USING and
+    // Seq-join agree), so losing its hist here changes nothing
+    counts.join(hist, Seq("shard", "lang"), "left")
+  }
+
+  /** The dataset card derived from [[cardSketch]] state ALONE — reads
+    * the sketch table, never the corpus. Bit-identical to the re-scan
+    * card (corpus_card): counters sum, source sets union, and the
+    * quantiles replay [[graft.ops.Quantiles.groupedQuantileCont]]'s
+    * exact percentile_cont arithmetic from the merged histogram —
+    * the same h = p·(n−1), f = h−⌊h⌋, and the same two IEEE products
+    * v_lo·(1−f) + v_hi·f summed in a 2-row aggregate, so not even an
+    * ulp moves. The per-lang cumulative rank runs over DISTINCT
+    * values of the histogram (sketch-sized), not rows.
+    * Output: (lang, n_docs, n_tokens, n_sources, p50_chars,
+    * p90_chars) — corpus_card's exact schema. */
+  def cardFromSketches(sk: DataFrame,
+                       probs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val base = sk.groupBy("lang").agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      size(array_distinct(flatten(collect_list(col("src_set")))))
+        .cast("long").as("n_sources"))
+    val mergedHist = sk.select(col("lang"), explode(col("hist")).as("h"))
+      .groupBy(col("lang"), col("h.v").as("v"))
+      .agg(sum(col("h.c")).as("c"))
+    val wCum = Window.partitionBy("lang").orderBy("v")
+    val e = mergedHist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("lang")))
+      .select(col("lang"), col("v"), col("c"), col("cum"), col("n"),
+        explode(array(probs.map(lit(_)): _*)).as("prob"))
+    val h = col("prob") * (col("n") - lit(1L)).cast("double")
+    val f = h - floor(h)
+    val lo = floor(h).cast("long") + lit(1L)
+    val first = col("cum") - col("c") + lit(1L)
+    val c1 = e.filter(lo >= first && lo <= col("cum"))
+      .select(col("lang"), col("prob"),
+        (col("v") * (lit(1.0) - f)).as("__c"))
+    val c2 = e.filter(f > lit(0.0) &&
+        lo + lit(1L) >= first && lo + lit(1L) <= col("cum"))
+      .select(col("lang"), col("prob"), (col("v") * f).as("__c"))
+    val qs = c1.unionByName(c2)
+      .groupBy("lang", "prob").agg(sum(col("__c")).as("quantile"))
+      .groupBy("lang").agg(
+        round(sum(when(col("prob") === 0.5, col("quantile"))), 6)
+          .as("p50_chars"),
+        round(sum(when(col("prob") === 0.9, col("quantile"))), 6)
+          .as("p90_chars"))
+    base.join(broadcast(qs), Seq("lang"), "left")
+  }
 }

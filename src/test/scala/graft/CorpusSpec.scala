@@ -426,4 +426,48 @@ class CorpusSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSeq.sorted
     assert(reseeded.map(_._2).toSet != out.map(_._2).toSet)
   }
+
+  test("cardFromSketches over per-shard sketch state is bit-identical " +
+       "to the re-scan card, including null lang/source/chars rows") {
+    val rows = Seq(
+      (1L, "alpha beta gamma", "en", "web", 16),
+      (2L, "delta", "en", "book", 5),
+      (3L, "epsilon zeta", "en", "web", 12),
+      (4L, "eta theta iota kappa", "fr", "web", 20),
+      (5L, "lambda", "fr", null.asInstanceOf[String], 6),
+      (6L, null.asInstanceOf[String], null.asInstanceOf[String],
+        "web", 0),
+      (7L, "mu nu", "de", "wiki", 0)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      // a real null in n_chars for doc 7 (excluded from quantiles,
+      // kept in counts; the tuple Int can't carry one)
+      .withColumn("n_chars",
+        when($"doc_id" === 7L, lit(null)).otherwise($"n_chars"))
+    // reference: the corpus_card re-scan shape
+    def rescan = {
+      val qs = graft.ops.Quantiles.groupedQuantileCont(rows,
+          Seq("lang"), "n_chars", Seq(0.5, 0.9))
+        .groupBy("lang").agg(
+          round(sum(when($"prob" === 0.5, $"quantile")), 6)
+            .as("p50_chars"),
+          round(sum(when($"prob" === 0.9, $"quantile")), 6)
+            .as("p90_chars"))
+      rows.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.llm.TextAnalysis.tokenCountWs(
+            coalesce($"text", lit(""))).cast("long")).as("n_tokens"),
+          countDistinct($"source").as("n_sources"))
+        .join(broadcast(qs), Seq("lang"), "left")
+    }
+    // sketch across 3 shards, merged — must not move a bit
+    val sk = Corpus.cardSketch(rows, "doc_id", "lang", "source",
+      "text", "n_chars", nShards = 3)
+    val got = Corpus.cardFromSketches(sk)
+      .orderBy($"lang".asc_nulls_first).collect().toSeq
+    val ref = rescan.orderBy($"lang".asc_nulls_first).collect().toSeq
+    assert(got == ref, s"sketch card $got != re-scan card $ref")
+    // and the sketch really is corpus-size-independent state: one row
+    // per (shard, lang) pair present, each carrying set + histogram
+    assert(sk.count() <= 3 * 4)
+  }
 }

@@ -38,6 +38,10 @@ object SkewOpsProbe {
     val runGraph13 =
       sys.env.get("GRAFT_PROBE_ONLY").forall(p =>
         p == "graph13" || p == "scc15")
+    // GRAFT_PROBE_ONLY=card15 runs just the r15 sketch-card probe
+    val onlyCard15 = sys.env.get("GRAFT_PROBE_ONLY").contains("card15")
+    val runCard15 = sys.env.get("GRAFT_PROBE_ONLY")
+      .forall(_ == "card15")
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select($"doc_id", $"text", $"lang", $"source")
 
@@ -127,8 +131,34 @@ object SkewOpsProbe {
       }
       println(f"SCCCENSUS mult=$mult rows=$rows t=$tS%.2f s")
     }
+    // ---- r15 mergeable sketch card: the claim under test is that the
+    // CARD step's cost is a function of sketch size (shards × langs ×
+    // distinct n_chars — constant here), not corpus size. The sketch
+    // BUILD scans the corpus (its cost grows with mult, reported for
+    // honesty); the card derivation from the persisted sketch must
+    // stay flat 64 → 256.
+    for (mult <- Seq(64, 256) if runCard15) {
+      val d = (0 until mult).map(i => docs.select(
+          ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"),
+          $"text", $"lang", $"source",
+          length(coalesce($"text", lit(""))).as("n_chars")))
+        .reduce(_ unionByName _)
+      val rows = d.count()
+      var sk: org.apache.spark.sql.DataFrame = null
+      val tBuild = time {
+        sk = graft.core.Tables.staged(
+          graft.llm.Corpus.cardSketch(d, "doc_id", "lang", "source",
+            "text", "n_chars", nShards = 8), "probe_card_sketch")
+      }
+      val skRows = sk.count()
+      val tCard = time {
+        assert(graft.llm.Corpus.cardFromSketches(sk).count() > 0)
+      }
+      println(f"CARDSKETCH mult=$mult rows=$rows sketch_rows=$skRows " +
+        f"build=$tBuild%.2f s card=$tCard%.2f s")
+    }
     for (mult <- Seq(64, 256) if !onlyIvfpq && !onlyGraph13 &&
-        !onlyScc15) {
+        !onlyScc15 && !onlyCard15) {
       val d = (0 until mult).map(i => docs.select(
           ($"doc_id" + lit(i.toLong * 10000000L)).as("doc_id"),
           $"text", $"lang", $"source")).reduce(_ unionByName _)
