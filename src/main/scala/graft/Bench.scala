@@ -462,7 +462,11 @@ object Bench {
           "ccnet_perplexity_buckets", "corpus_shard",
           "quality_quantiles", "quality_percentile_filter",
           "corpus_card", "report_score_gt_rural_period_bg",
-          "dedup_components")(n)
+          "dedup_components",
+          // r15 additions (new keys — no prior-round baseline to
+          // re-pin): both are staged-iteration queries (per-round
+          // vocab restage / persisted sketch table)
+          "bpe_train_distributed", "corpus_card_merged")(n)
     val ioBoundTimed = warm.map(_._1).filter(isIoBound)
     // First-order two-factor cost model: an io-bound query's time is
     // raw ≈ base·((1−s)·host_factor + s·io_factor), s the query's
