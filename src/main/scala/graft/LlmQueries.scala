@@ -2286,6 +2286,35 @@ object LlmQueries {
         .orderBy("train_id")
     }),
 
+    // the SAME exact-decontamination screen as an INGEST-TIME property
+    // (StreamOps.continuousDecontamIngest — the eighth continuous
+    // probe): the benchmark gram table persists once, the corpus
+    // arrives as two AvailableNow batches (odd ids, then even),
+    // verdicts append idempotently. A per-doc verdict is a pure
+    // function of (doc, benchmark), so any split converges to the
+    // batch result — the oracle IS benchmark_decontaminate_exact's.
+    "streaming_decontaminate_ingest" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val base = graft.core.Tables.tmpDir + "/stream_decontam_q"
+      StreamOps.deletePath(s, base)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 2 === 1)
+        .coalesce(4).write.parquet(s"$base/in1")
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(4).write.parquet(s"$base/in2")
+      val schema = s.read.parquet(s"$base/in1").schema
+      StreamOps.continuousDecontamIngest(
+        StreamOps.readTableStream(s, s"$base/in1", schema),
+        "text", "doc_id", bench, s"$base/grams", s"$base/verdicts")
+      StreamOps.continuousDecontamIngest(
+        StreamOps.readTableStream(s, s"$base/in2", schema),
+        "text", "doc_id", bench, s"$base/grams", s"$base/verdicts")
+      s.read.parquet(s"$base/verdicts").orderBy("train_id")
+    }),
+
     // release novelty: per-doc fraction of shingles a new crawl adds
     // over the previous release (both sides corpus-sized — shuffle
     // join on 8-byte shingle hashes, nothing broadcast). New release:
@@ -4239,6 +4268,9 @@ object LlmQueries {
     "link_communities" -> communitiesOracleSql(4),
     "link_pagerank_weighted" -> wpagerankOracleSql(5),
     "benchmark_decontaminate_exact" -> exactDecontaminateOracleSql,
+    // the ingest-time screen must converge to the batch screen under
+    // any batch split — same oracle by construction
+    "streaming_decontaminate_ingest" -> exactDecontaminateOracleSql,
     // reciprocity + assortativity replica: HUGEINT Pearson components
     // (cast BEFORE multiplying, mirroring the decimal(38,0) side),
     // double arithmetic only in the final ratio

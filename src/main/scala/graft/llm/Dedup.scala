@@ -312,18 +312,35 @@ object Dedup {
     * distinct grams in the doc, their exact ratio (round 6). */
   def exactNgramContamination(train: DataFrame, bench: DataFrame,
                               textCol: String, idCol: String,
-                              n: Int = 13): DataFrame = {
-    val grams = (df: DataFrame) => df
+                              n: Int = 13): DataFrame =
+    contaminationAgainstGrams(train, textCol, idCol,
+      benchmarkGramTable(bench, textCol, n), n)
+
+  /** The distinct n-gram hashes of a zero-token-filtered document set
+    * (the wordShingles short-doc convention) — [[exactNgramContamination]]'s
+    * FIXED side, split out so an ingest pipeline can build it once,
+    * persist it, and probe it per batch
+    * ([[graft.streaming.StreamOps.continuousDecontamIngest]]).
+    * Output: (gh: Long), distinct. */
+  def benchmarkGramTable(bench: DataFrame, textCol: String,
+                         n: Int = 13): DataFrame =
+    bench
       .filter(length(graft.llm.TextAnalysis.normalizeText(
         coalesce(col(textCol), lit("")))) > 0)
-      .select(
-        col(idCol).as("train_id"),
-        array_distinct(graft.llm.TextAnalysis.wordShingles(
-          coalesce(col(textCol), lit("")), n)).as("gs"))
-    val benchGrams = grams(bench)
+      .select(array_distinct(graft.llm.TextAnalysis.wordShingles(
+        coalesce(col(textCol), lit("")), n)).as("gs"))
       .select(explode(col("gs")).as("g"))
       .select(xxhash64(col("g")).as("gh")).distinct()
-    grams(train)
+
+  /** [[exactNgramContamination]]'s probe side against a prebuilt
+    * benchmark gram-hash table. The verdict row for a train doc is a
+    * pure function of (doc text, benchmark grams) — batch-independent,
+    * which is what makes the streaming form converge to the batch
+    * result under any split or replay. */
+  def contaminationAgainstGrams(train: DataFrame, textCol: String,
+                                idCol: String, benchGrams: DataFrame,
+                                n: Int = 13): DataFrame =
+    docGrams(train, textCol, idCol, n)
       .withColumn("n_grams", size(col("gs")).cast("long"))
       .select(col("train_id"), col("n_grams"),
         explode(col("gs")).as("g"))
@@ -335,7 +352,17 @@ object Dedup {
       .select(col("train_id"), col("n_hits"), col("n_grams"),
         round(col("n_hits").cast("double") /
           col("n_grams").cast("double"), 6).as("frac"))
-  }
+
+  /** Shared gram extraction: zero-token docs dropped, distinct
+    * n-grams per doc (whole normalized text under n words). */
+  private def docGrams(df: DataFrame, textCol: String, idCol: String,
+                       n: Int): DataFrame = df
+    .filter(length(graft.llm.TextAnalysis.normalizeText(
+      coalesce(col(textCol), lit("")))) > 0)
+    .select(
+      col(idCol).as("train_id"),
+      array_distinct(graft.llm.TextAnalysis.wordShingles(
+        coalesce(col(textCol), lit("")), n)).as("gs"))
 
   /** 64-bit SimHash over whitespace tokens (weighted bit-vote of
     * per-token hashes) via the native codegen'd Catalyst expression —

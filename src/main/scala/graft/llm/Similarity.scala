@@ -704,7 +704,20 @@ object Similarity {
     * candidates; callers keep argmax-by-margin per id_a (the standard
     * "max-margin" extraction) or threshold. */
   def marginMine(a: DataFrame, b: DataFrame, queries: DataFrame,
-                 vecCol: String, idCol: String, k: Int): DataFrame = {
+                 vecCol: String, idCol: String, k: Int,
+                 maxQueries: Long = 10000L): DataFrame = {
+    require(maxQueries >= 1, s"maxQueries must be >= 1: $maxQueries")
+    // the few-queries contract enforced by CODE (r13 watch item): the
+    // forward scan is bruteForceTopK with the queries broadcast, and
+    // the backward scan's query side is ≤ |queries|·k candidates — a
+    // corpus-sized query set would silently broadcast the corpus. One
+    // cheap count on the small side before any scan work.
+    val nq = queries.count()
+    require(nq <= maxQueries,
+      s"marginMine: $nq queries exceed maxQueries=$maxQueries — " +
+        "queries broadcast against the corpus scan; batch a large " +
+        "query load (or substitute the IVF provider) or raise " +
+        "maxQueries deliberately")
     val fwd = graft.core.Tables.staged(
       bruteForceTopK(b, queries, vecCol, idCol, k)
         .withColumn("cos4",

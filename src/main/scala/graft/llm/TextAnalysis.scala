@@ -988,9 +988,11 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75,
-               maxDfFrac: Double = 0.5): DataFrame = {
+               maxDfFrac: Double = 0.5,
+               maxQueries: Long = 10000L): DataFrame = {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1]: $maxDfFrac")
+    require(maxQueries >= 1, s"maxQueries must be >= 1: $maxQueries")
     val toks = docs.select(col(idCol).as("doc_id"),
       split(normalizeText(col(textCol)), " ").as("ws"))
     val dl = graft.core.Tables.staged(
@@ -1003,6 +1005,17 @@ object TextAnalysis {
     val qt = queryTerms.select(
       col(queryTerms.columns(0)).as("query_id"),
       col(queryTerms.columns(1)).as("term"))
+    // the few-queries contract enforced by CODE (r13 watch item): the
+    // query-term table broadcasts and each query owns a rank window
+    // whose candidate set is its posting-list union — a corpus-sized
+    // "query table" would silently plan a broadcast of the corpus plus
+    // N corpus-sized windows. The count is one job over the
+    // config-sized side, paid before any corpus work.
+    val nq = qt.select("query_id").distinct().count()
+    require(nq <= maxQueries,
+      s"bm25TopK: $nq distinct queries exceed maxQueries=$maxQueries " +
+        "— the query side broadcasts and owns per-query rank windows; " +
+        "batch a large query load or raise maxQueries deliberately")
     val vocab = qt.select("term").distinct()
     val tf = graft.core.Tables.staged(
       toks.select(col("doc_id"), explode(col("ws")).as("term"))

@@ -771,12 +771,21 @@ object Graph {
     *      classes sweep in ONE frontier BFS carrying (node, color).
     *   3. emit those SCCs (scc_id = the root = the class min by
     *      construction), remove them, repeat on the remainder.
-    * Each round removes ≥ 1 SCC per color class (the root's), so the
-    * loop terminates; on web graphs the first round's giant class
-    * removes the core and a handful of rounds drain the periphery.
-    * Removing whole SCCs never changes remaining SCCs (they are
-    * equivalence classes), so per-round results compose to the global
-    * partition. wcc_id rides [[graft.llm.Dedup.connectedComponents]]
+    * Each outer round STARTS with a TRIM sweep (the FW-BW-Trim
+    * discipline): nodes with no in-edges or no out-edges in the
+    * remaining subgraph cannot sit on a cycle, so they are singleton
+    * SCCs (scc_id = themselves) — emitted and removed in ~4 cheap
+    * jobs per trim round, iterated to fixpoint. Trimming drains the
+    * tree/chain periphery (most of a crawl graph's node count, and
+    * the O(chain-depth) pathological case for the coloring drain) at
+    * trim-round cost instead of full coloring+sweep cost; the
+    * coloring then works only on the 2-cycle-bearing residue.
+    * Each coloring round removes ≥ 1 SCC per color class (the
+    * root's), so the loop terminates; on web graphs trim strips the
+    * tendrils and round 1's giant class removes the core. Removing
+    * whole SCCs never changes remaining SCCs (they are equivalence
+    * classes), so per-round results compose to the global partition.
+    * wcc_id rides [[graft.llm.Dedup.connectedComponents]]
     * (pointer-jumping, log-diameter rounds).
     *
     * Determinism/exactness: pure set algebra + MIN over node ids in
@@ -812,11 +821,18 @@ object Graph {
         .unionByName(e.select(col("dst").as("node"))).distinct(),
       "scc_nodes")
     require(nNodes > 0, "sccCensus: empty graph")
-    val wcc = graft.core.Tables.staged(
+    // wcc is independent of the scc drain — run the pointer-jumping
+    // pass on a concurrent driver thread so its log-diameter rounds
+    // overlap the drain's rounds (the bowTie wave discipline; results
+    // are exact sets either way)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration.Inf
+    val wccF = Future(graft.core.Tables.staged(
       graft.llm.Dedup.connectedComponents(
         e.select(col("src").as("id1"), col("dst").as("id2")), maxIters)
         .select(col("id").as("node"), col("comp").as("wcc_id")),
-      "scc_wcc")
+      "scc_wcc"))
     def writePart(df: DataFrame, dir: String, rnd: Int): Long = {
       val p = s"$dir/rnd=$rnd"
       df.write.mode("overwrite").parquet(p)
@@ -827,8 +843,44 @@ object Graph {
     var nActive = nNodes
     var ea = e
     var outer = 0
+    var trimRound = 0
     while (nActive > 0 && outer < maxOuterRounds) {
       outer += 1
+      // 0. TRIM to fixpoint: sources (no in-edges) and sinks (no
+      // out-edges) of the remaining subgraph are singleton SCCs —
+      // emit + shrink at ~4 jobs per round, so chains and tree
+      // periphery never reach the expensive coloring
+      var trimming = true
+      while (trimming && nActive > 0 && trimRound < maxIters * 4) {
+        trimRound += 1
+        val (single, nSingle) = graft.core.Tables.stagedCounted(
+          active
+            .join(ea.select(col("dst").as("node")), Seq("node"),
+              "left_anti")
+            .unionByName(active
+              .join(ea.select(col("src").as("node")), Seq("node"),
+                "left_anti"))
+            .distinct(), s"scc_trim$trimRound")
+        if (nSingle == 0) trimming = false
+        else {
+          writePart(single.select(col("node"),
+            col("node").as("scc_id")), resDir, 1000000 + trimRound)
+          val shrunkT = graft.core.Tables.stagedCounted(
+            active.join(single, Seq("node"), "left_anti"),
+            s"scc_ta$trimRound")
+          active = shrunkT._1
+          nActive = shrunkT._2
+          if (nActive > 0)
+            ea = graft.core.Tables.staged(
+              ea.join(active.select(col("node").as("src")), Seq("src"),
+                  "left_semi")
+                .join(active.select(col("node").as("dst")), Seq("dst"),
+                  "left_semi"), s"scc_te$trimRound")
+        }
+      }
+      if (nActive == 0) {
+        // trim drained everything — no coloring needed this round
+      } else {
       // 1. forward min coloring to fixpoint: stage only the CHANGED
       // rows each round (footer count = loop control), fold them in
       var colors = graft.core.Tables.staged(
@@ -902,6 +954,7 @@ object Graph {
               "left_semi")
             .join(active.select(col("node").as("dst")), Seq("dst"),
               "left_semi"), s"scc_e$outer")
+      }
     }
     if (nActive > 0)
       warn(s"$nActive nodes still unlabeled after maxOuterRounds=" +
@@ -909,6 +962,7 @@ object Graph {
         "maxOuterRounds (each round drains one SCC per color class; " +
         "long chain-of-SCCs graphs need more).")
     val scc = spark.read.parquet(resDir).select("node", "scc_id")
+    val wcc = Await.result(wccF, Inf)
     nodes.join(wcc, Seq("node"), "left")
       .join(scc, Seq("node"), "left")
       .select(col("node"),

@@ -246,6 +246,49 @@ object StreamOps {
     q
   }
 
+  /** Continuous exact-decontamination screening — contamination
+    * checking as an INGEST-TIME property, the way
+    * [[continuousDedupIngest]] already makes near-dup suppression one:
+    * the benchmark's distinct 13-gram hashes are the FIXED side
+    * ([[graft.llm.Dedup.benchmarkGramTable]] — built from `bench` and
+    * persisted at `gramPath` once, ~benchmark-sized), and every
+    * micro-batch of incoming train docs probes it map-side
+    * ([[graft.llm.Dedup.contaminationAgainstGrams]]: one broadcast
+    * semi-join + a (train_id) hash agg — zero batch-text shuffle),
+    * appending the contaminated docs' verdict rows to `resultPath`.
+    *
+    * Replay safety (foreachBatch is at-least-once): a doc's verdict is
+    * a PURE FUNCTION of (its text, the benchmark grams) — batch-split-
+    * independent — and the append is [[guardedAppend]]-anti-joined on
+    * train_id, so redelivery adds nothing and any batch split
+    * converges to the batch-mode result (the registered probe's oracle
+    * IS the batch query's oracle). A crash before the gram-table write
+    * heals on replay via the existence check; the gram table is a
+    * deterministic function of `bench`, so a half-written dir is
+    * rewritten whole (mode overwrite). Single-writer contract as
+    * [[guardedAppend]]. */
+  def continuousDecontamIngest(docs: DataFrame, textCol: String,
+                               idCol: String, bench: DataFrame,
+                               gramPath: String, resultPath: String,
+                               n: Int = 13): StreamingQuery = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.core.Tables.stagedScope {
+          val s = batch.sparkSession
+          if (!pathExists(s, gramPath))
+            graft.llm.Dedup.benchmarkGramTable(bench, textCol, n)
+              .write.mode("overwrite").parquet(gramPath)
+          val verdicts = graft.llm.Dedup.contaminationAgainstGrams(
+            batch, textCol, idCol, s.read.parquet(gramPath), n)
+          guardedAppend(s, verdicts, resultPath, "train_id")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Continuous link-graph ingest with warm-started re-ranking — the
     * incremental crawl loop ([[graft.ops.Graph.pageRankScaledResume]])
     * as a stream. Each micro-batch's edges are appended to the

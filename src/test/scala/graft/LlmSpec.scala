@@ -1485,5 +1485,20 @@ class LlmSpec extends AnyFunSuite {
       TextAnalysis.bm25TopK(docs, "doc_id", "text", qt, 5,
         maxDfFrac = 0.0)
     }
+    // the few-queries contract is CODE, not convention (r13 watch):
+    // two distinct query ids against maxQueries = 1 fail loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq((0L, "spark"), (1L, "the")).toDF("query_id", "term"), 5,
+        maxQueries = 1L)
+    }
+    // and marginMine's query side carries the same guard
+    val vs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.5, 0.5))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.llm.Similarity.marginMine(vs, vs,
+        vs.filter(col("vec_id") < 2), "embedding", "vec_id", 1,
+        maxQueries = 1L)
+    }
   }
 }
