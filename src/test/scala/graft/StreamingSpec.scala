@@ -183,6 +183,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).select("id").distinct().count() == 4)
   }
 
+  test("continuousDecontamIngest: verdicts match the batch screen, " +
+       "replay adds nothing, the gram table heals if missing") {
+    import graft.llm.Dedup
+    val base = TestSpark.tmpPath("cdci").toString
+    val gp = s"$base/grams"; val rp = s"$base/verdicts"
+    val in = s"$base/in"
+    val bench = Seq(
+      (100L, "alpha beta gamma"),
+      (101L, "tiny doc")).toDF("doc_id", "text")
+    // batch 1: doc 1 quotes a bench gram (1/3), doc 2 clean, doc 3
+    // matches a short bench doc whole-text
+    Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "zeta eta theta iota kappa"),
+        (3L, "tiny doc")).toDF("doc_id", "text").write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def drive(): Unit = StreamOps.continuousDecontamIngest(
+      StreamOps.readTableStream(spark, in, schema),
+      "text", "doc_id", bench, gp, rp, n = 3)
+    drive()
+    def verdicts() = spark.read.parquet(rp)
+      .select("train_id", "n_hits", "n_grams", "frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val batchRef = Dedup.exactNgramContamination(
+        spark.read.parquet(in), bench, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(verdicts() == batchRef && batchRef.map(_._1) == Seq(1L, 3L),
+      s"ingest ${verdicts()} != batch $batchRef")
+    // batch 2: redeliver everything (no checkpoint → full replay) plus
+    // one new contaminated doc — replay adds nothing, the new doc's
+    // verdict is the same pure function of (doc, benchmark)
+    Seq((4L, "x alpha beta gamma y z")).toDF("doc_id", "text")
+      .write.mode("append").parquet(in)
+    // crash simulation: the gram table vanished between runs — the
+    // existence check must rebuild it (deterministic function of bench)
+    StreamOps.deletePath(spark, gp)
+    drive()
+    val after = verdicts()
+    val batchAll = Dedup.exactNgramContamination(
+        spark.read.parquet(in), bench, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(after == batchAll && after.map(_._1) == Seq(1L, 3L, 4L),
+      s"replay must be idempotent and converge to batch: $after")
+  }
+
   test("continuousPageRankIngest: version-guarded re-rank — growth " +
        "warm-starts, pure redelivery neither re-ranks nor duplicates") {
     val base = TestSpark.tmpPath("cpri").toString
