@@ -417,6 +417,28 @@ object CorpusQueries {
           "source", "text", "n_chars", nShards = 8), "card_sketch")
       Corpus.cardFromSketches(sk).orderBy("lang")
     }),
+
+    // REAL HLL registers as the mergeable sketch column — the
+    // unbounded-cardinality path corpus_card_merged's exact source
+    // sets stand in for: per-(shard, lang) DataSketches HLL sketches
+    // persist once (binary column), the card-time merge is
+    // hll_union_agg + estimate over sketch rows only. Below the
+    // sketch's list/set-mode threshold (hundreds of distinct values
+    // at the default lgK = 12) the estimate is EXACT — always true
+    // for the curated source dimension — so the oracle is the exact
+    // distinct count and the comparison is bit-strict, not
+    // approximate.
+    "corpus_sources_hll" -> ((s, dir) => {
+      val shard = pmod(xxhash64(col("doc_id")), lit(8L))
+      val sk = graft.core.Tables.staged(
+        t(s, dir, "documents")
+          .groupBy(shard.as("shard"), col("lang"))
+          .agg(hll_sketch_agg(col("source")).as("sk")), "hll_sketch")
+      sk.groupBy("lang")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("n_sources"))
+        .orderBy("lang")
+    }),
     // dataset versioning: diff two corpus releases on map-side content
     // fingerprints (the shuffle carries (id, 32-hex md5), never text).
     // Release B is synthesized from A deterministically: doc_id % 7 == 0
@@ -1011,6 +1033,12 @@ object CorpusQueries {
     // the sketch-merged card must equal the re-scan card EXACTLY —
     // same oracle by construction
     "corpus_card_merged" -> corpusCardOracleSql,
+    // HLL is exact in list/set mode at this cardinality, so the
+    // oracle is the exact distinct count — a strict compare
+    "corpus_sources_hll" ->
+      """SELECT lang, CAST(count(DISTINCT source) AS BIGINT)
+           AS n_sources
+         FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""",
     "corpus_release_diff" ->
       """WITH b AS (
            SELECT doc_id,
