@@ -81,8 +81,12 @@ object Tables {
 
   private val stagedPaths =
     new java.util.concurrent.ConcurrentLinkedQueue[Staged]()
+  // a scope FRAME is a concurrent queue, not an ArrayList: with
+  // [[scopedFuture]] several worker threads may register dirs into the
+  // SAME caller frame concurrently
+  private type Frame = java.util.concurrent.ConcurrentLinkedQueue[Staged]
   private val scopePaths =
-    new ThreadLocal[java.util.ArrayDeque[java.util.ArrayList[Staged]]] {
+    new ThreadLocal[java.util.ArrayDeque[Frame]] {
       override def initialValue() = new java.util.ArrayDeque()
     }
   @volatile private var hookInstalled = false
@@ -222,14 +226,42 @@ object Tables {
 
   /** Run `f`, then delete every staging dir [[staged]] created inside
     * it on this thread — the bounded-disk form for per-batch loops.
-    * The staged data must be fully consumed within the scope. */
+    * The staged data must be fully consumed within the scope.
+    * Concurrent driver threads spawned INSIDE the scope must go
+    * through [[scopedFuture]] — the frame is a ThreadLocal, so a bare
+    * Future's registrations would bypass the scope and land in the
+    * global reaper queue (unreaped until clearStaged/shutdown). */
   def stagedScope[T](f: => T): T = {
-    val frame = new java.util.ArrayList[Staged]()
+    val frame = new Frame()
     scopePaths.get().push(frame)
     try f
     finally {
       scopePaths.get().pop()
       frame.forEach(_.delete())
+    }
+  }
+
+  /** `Future(body)` with the calling thread's innermost [[stagedScope]]
+    * frame propagated onto the worker thread — staging dirs the future
+    * registers are reaped by the CALLER's enclosing scope, exactly as
+    * if the work had run inline (ADVICE r15 #2: the concurrent graph
+    * walks inside a foreachBatch's per-batch scope were leaking their
+    * scratch dirs into the global queue). The caller must Await the
+    * future before its enclosing scope exits — the frame is deleted at
+    * scope exit, so a still-running future would stage into deleted
+    * dirs (every caller here is a fork/join wave, which satisfies
+    * this by construction). With no enclosing scope this is a plain
+    * Future (registrations go to the global queue as before). */
+  def scopedFuture[T](body: => T)(
+      implicit ec: scala.concurrent.ExecutionContext):
+      scala.concurrent.Future[T] = {
+    val frame = scopePaths.get().peek()
+    scala.concurrent.Future {
+      if (frame == null) body
+      else {
+        scopePaths.get().push(frame)
+        try body finally scopePaths.get().pop()
+      }
     }
   }
 

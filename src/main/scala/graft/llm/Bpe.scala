@@ -58,13 +58,32 @@ object Bpe {
     out.result()
   }
 
+  /** UTF-8 byte-order string comparison — the collation BOTH engines
+    * this module must agree with already use: Spark's UTF8String
+    * binary ordering (what [[trainDistributed]]'s orderBy compares)
+    * and DuckDB's memcmp (what the bpe_train_distributed oracle's
+    * ORDER BY compares). UTF-8 byte order equals Unicode CODE-POINT
+    * order; Java's String.compareTo is UTF-16 CODE-UNIT order, which
+    * disagrees for symbols mixing supplementary code points (emoji,
+    * U+10000+) with BMP chars ≥ U+E000 — a count tie between such
+    * pairs would have selected different argmaxes in the two learners
+    * (ADVICE r15 #4). Comparing the UTF-8 bytes unsigned keeps all
+    * three sides bit-identical on ANY vocabulary. */
+  private def utf8Compare(x: String, y: String): Int =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Classic BPE merge learning: `nMerges` rounds of "merge the most
     * frequent adjacent symbol pair" over the (bounded) word-frequency
-    * table. Fully deterministic: ties break on the lexicographically
-    * smallest pair. No end-of-word marker — merges never cross word
-    * boundaries here because encoding operates per word, so
-    * concatenating a word's tokens reproduces the word exactly (the
-    * round-trip property the oracle checks). */
+    * table. Fully deterministic: ties break on the smallest pair in
+    * UTF-8 BYTE order ([[utf8Compare]] — identical to
+    * [[trainDistributed]]'s Spark binary-string tie-break and the
+    * DuckDB oracle's, including on supplementary-plane symbols). No
+    * end-of-word marker — merges never cross word boundaries here
+    * because encoding operates per word, so concatenating a word's
+    * tokens reproduces the word exactly (the round-trip property the
+    * oracle checks). */
   def learnMerges(wordFreqs: Seq[(String, Long)],
       nMerges: Int): Seq[(String, String)] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
@@ -87,10 +106,18 @@ object Bpe {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        val best = counts.toSeq
-          .minBy { case ((a, b), c) => (-c, a, b) }._1
-        merges += best
-        vocab = vocab.map { case (syms, f) => (mergePair(syms, best), f) }
+        // explicit fold, not minBy: deterministic regardless of hash
+        // iteration order, and the pair tie-break is UTF-8 byte order
+        var best: ((String, String), Long) = null
+        counts.foreach { case (p, c) =>
+          if (best == null || c > best._2 || (c == best._2 && {
+            val ca = utf8Compare(p._1, best._1._1)
+            ca < 0 || (ca == 0 && utf8Compare(p._2, best._1._2) < 0)
+          })) best = (p, c)
+        }
+        merges += best._1
+        vocab = vocab.map { case (syms, f) =>
+          (mergePair(syms, best._1), f) }
         i += 1
       }
     }
@@ -129,10 +156,14 @@ object Bpe {
     * Semantics are bit-identical to [[learnMerges]] on the same word
     * frequencies (BpeSpec pins it): same pair counting over adjacent
     * symbols weighted by word frequency, same (count desc, pair asc)
-    * argmax tie-break, same non-overlapping left-to-right merge
-    * application, same exhaustion stop. Integer counts + string
-    * ordering only ⇒ engine-exact, so a DuckDB oracle can unroll the
-    * rounds (bpe_train_distributed).
+    * argmax tie-break — pair order is UTF-8 BYTE order on all three
+    * sides (Spark binary strings here, [[utf8Compare]] in the driver
+    * learner, memcmp in the DuckDB oracle), so the equivalence holds
+    * even for vocabularies mixing supplementary-plane symbols with
+    * BMP chars ≥ U+E000 (ADVICE r15 #4) — same non-overlapping
+    * left-to-right merge application, same exhaustion stop. Integer
+    * counts + string ordering only ⇒ engine-exact, so a DuckDB oracle
+    * can unroll the rounds (bpe_train_distributed).
     *
     * Scale shape: the vocab table re-stages per round (lineage cut,
     * the PageRank discipline); pair extraction is a vocab-sized

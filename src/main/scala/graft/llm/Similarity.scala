@@ -702,7 +702,17 @@ object Similarity {
     *
     * Output: id_a, id_b, cos (round 4), margin (round 6) — ALL forward
     * candidates; callers keep argmax-by-margin per id_a (the standard
-    * "max-margin" extraction) or threshold. */
+    * "max-margin" extraction) or threshold.
+    *
+    * NOTE (since r15): the few-queries contract is enforced BY CODE —
+    * more than `maxQueries` (default 10 000) DISTINCT query ids throws
+    * up front instead of silently broadcasting a corpus-sized query
+    * set against the scan. Callers with a genuinely large query load
+    * batch it or raise `maxQueries` deliberately. The guard counts
+    * DISTINCT ids (one cheap agg on the config-sized side), the same
+    * measure as [[graft.llm.TextAnalysis.bm25TopK]]'s sibling guard —
+    * a duplicated query set does not trip the cap spuriously
+    * (ADVICE r15 #5). */
   def marginMine(a: DataFrame, b: DataFrame, queries: DataFrame,
                  vecCol: String, idCol: String, k: Int,
                  maxQueries: Long = 10000L): DataFrame = {
@@ -712,9 +722,9 @@ object Similarity {
     // the backward scan's query side is ≤ |queries|·k candidates — a
     // corpus-sized query set would silently broadcast the corpus. One
     // cheap count on the small side before any scan work.
-    val nq = queries.count()
+    val nq = queries.select(idCol).distinct().count()
     require(nq <= maxQueries,
-      s"marginMine: $nq queries exceed maxQueries=$maxQueries — " +
+      s"marginMine: $nq distinct queries exceed maxQueries=$maxQueries — " +
         "queries broadcast against the corpus scan; batch a large " +
         "query load (or substitute the IVF provider) or raise " +
         "maxQueries deliberately")

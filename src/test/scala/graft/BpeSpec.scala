@@ -120,4 +120,24 @@ class BpeSpec extends AnyFunSuite {
     assert(distAll == refAll && distAll.size < 200,
       s"exhaustion mismatch: ${distAll.size} vs ${refAll.size}")
   }
+  test("learnMerges ties break in UTF-8 byte order — identical to " +
+       "trainDistributed's Spark binary-string argmax on a " +
+       "supplementary-plane vs BMP>=U+E000 tie (ADVICE r15 #4)") {
+    // two words, one occurrence each: the pair counts TIE at 1, so
+    // the argmax is decided purely by the pair ordering. U+E000 is
+    // 3 UTF-8 bytes (EE 80 80) < U+1F600's 4 (F0 9F 98 80), so
+    // UTF-8/code-point order picks the U+E000 pair — but Java's
+    // UTF-16 compareTo sorts the emoji's high surrogate D83D BELOW
+    // E000 and would have picked the emoji pair: exactly the
+    // collation split that broke driver/distributed bit-identity.
+    val e000 = "\uE000"
+    val emoji = new String(Character.toChars(0x1F600))
+    val df = Seq((1L, e000 + e000 + " " + emoji + emoji))
+      .toDF("doc_id", "text")
+    val ref = Bpe.train(df, "text", nMerges = 2, maxWords = 100)
+    val dist = Bpe.trainDistributed(df, "text", nMerges = 2)
+    assert(ref.head == ((e000, e000)),
+      s"driver learner must pick the UTF-8-smaller pair, got $ref")
+    assert(dist == ref, s"distributed $dist != reference $ref")
+  }
 }

@@ -450,6 +450,35 @@ class GraphSpec extends AnyFunSuite {
     assert(census == Map("a" -> ((6, 3)), "w" -> ((3, 2))))
   }
 
+  test("sccCensus: an anti-sorted chain of SCCs converges in far " +
+       "fewer outer rounds than the chain depth (randomized color " +
+       "keys — VERDICT r15 #2)") {
+    // 24 two-node SCCs a_i <-> b_i chained a_i -> a_{i+1} with node
+    // ids ASCENDING along the chain — the r15 pathological case: raw
+    // node-id coloring paints the whole chain with a_00's color, its
+    // backward sweep removes ONE SCC, and the drain needs 24 outer
+    // rounds. Per-round randomized keys drain every key-order prefix
+    // minimum's class per round instead, so maxOuterRounds = 8 must
+    // suffice: with the old coloring these labels would be null.
+    val n = 24
+    val pairs = (0 until n).flatMap { i =>
+      val (a, b) = (f"$i%02d_a", f"$i%02d_b")
+      Seq((a, b), (b, a)) ++
+        (if (i < n - 1) Seq((a, f"${i + 1}%02d_a")) else Nil)
+    }
+    val out = Graph.sccCensus(pairs.toDF("src", "dst"), "src", "dst",
+        maxOuterRounds = 8)
+      .as[(String, String, String)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val expected = (0 until n).flatMap { i =>
+      Seq(f"$i%02d_a" -> (("00_a", f"$i%02d_a")),
+        f"$i%02d_b" -> (("00_a", f"$i%02d_a")))
+    }.toMap
+    assert(out == expected,
+      s"chain not fully labeled in 8 rounds: " +
+        s"${out.count(_._2._2 == null)} null scc_ids")
+  }
+
   test("labelPropagationCommunities: two cliques with one bridge " +
        "settle into two communities (hand-unrolled rounds)") {
     // triangles {a,b,c} and {x,y,z} bridged by c—x; init labels are
