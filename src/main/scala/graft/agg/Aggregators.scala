@@ -72,6 +72,23 @@ object Aggregators {
   def strMin(c: Column): Column =
     strMinRaw(graft.functions.Functions.convertNull(c))
 
+  /** kll_sketch_agg(x, k) → serialized KLL quantile sketch (binary) —
+    * the mergeable unbounded-cardinality quantile state for the
+    * dataset card (KllAggs.scala; Spark's own DataSketches jar). */
+  def kllSketch(c: Column, k: Int = 200): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(KllSketchAgg(GraftBridge.expression(c), k)
+      .toAggregateExpression())
+  }
+
+  /** kll_merge_agg(sketch) → merged serialized KLL sketch — the
+    * card-time union over persisted per-shard sketch rows. */
+  def kllMerge(c: Column, k: Int = 200): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(KllMergeAgg(GraftBridge.expression(c), k)
+      .toAggregateExpression())
+  }
+
   /** `merge-with union` of two map-of-array columns (snapshot self-join
     * merge, model/d_bolome_order_show_debut.clj:89) — pure Catalyst
     * higher-order functions, no UDF. */

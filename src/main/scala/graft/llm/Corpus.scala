@@ -628,4 +628,53 @@ object Corpus {
           .as("p90_chars"))
     base.join(broadcast(qs), Seq("lang"), "left")
   }
+
+  /** Per-(shard, lang) KLL quantile-sketch state — [[cardSketch]]'s
+    * documented swap-in for UNBOUNDED continuous columns (its exact
+    * (value, count) histogram is only metadata-sized because n_chars
+    * is a bounded integer; a score/perplexity column would grow it
+    * with the corpus). Each row carries a serialized
+    * KllFloatsSketch (a few KB at ANY row count — CorpusSpec probes
+    * size independence) plus the non-null row count; sketches merge
+    * exactly like the other card columns: across shards AND across
+    * releases by unioning sketch tables. Null values are excluded,
+    * matching the histogram/quantile_cont convention. */
+  def cardKllSketch(df: DataFrame, idCol: String, langCol: String,
+                    valueCol: String, nShards: Int,
+                    k: Int = 200): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(pmod(xxhash64(col(idCol)), lit(nShards.toLong))
+          .as("shard"),
+        col(langCol).as("lang"))
+      .agg(graft.agg.Aggregators.kllSketch(
+          col(valueCol).cast("double"), k).as("kll"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Quantile estimates from merged [[cardKllSketch]] state ALONE —
+    * (lang, prob, q_est) for each requested rank, never touching the
+    * rows. The estimate carries the sketch's normalized rank-error
+    * guarantee (ε(k) ≈ 2.446/k^0.9433, ~1.65% at k = 200): the true
+    * rank of q_est lies within prob ± ε, so verification compares
+    * against a TOLERANCE BAND of exact quantiles at prob ± margin
+    * (KLL compaction is randomized — the VALUE is not replay-stable,
+    * the band is; see corpus_card_kll's oracle). Languages whose
+    * sketch is empty return null q_est. */
+  def cardKllQuantiles(sk: DataFrame,
+                       probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty, "cardKllQuantiles needs probs")
+    val q = udf { (bytes: Array[Byte], p: Double) =>
+      val s = org.apache.datasketches.kll.KllFloatsSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(bytes))
+      if (s.isEmpty) None else Some(s.getQuantile(p).toDouble)
+    }
+    sk.groupBy("lang")
+      .agg(graft.agg.Aggregators.kllMerge(col("kll")).as("kll"))
+      .select(col("lang"),
+        explode(array(probs.map(lit(_)): _*)).as("prob"),
+        col("kll"))
+      .select(col("lang"), col("prob"),
+        q(col("kll"), col("prob")).as("q_est"))
+  }
 }

@@ -504,4 +504,39 @@ class CorpusSpec extends AnyFunSuite {
     // not deduplication: en has 2 docs in each release
     assert(unioned.find(_.getString(0) == "en").get.getLong(1) == 4L)
   }
+
+  test("KLL card sketch: merged per-shard quantiles honor the rank-" +
+       "error band on a 20k-row skewed column, and sketch size is " +
+       "independent of row count (VERDICT r15 #4)") {
+    // 20k rows, value = i² (skewed spacing so rank errors show up in
+    // value space), one lang — far past any exactness regime
+    def mk(n: Int) = spark.range(n)
+      .select($"id".as("doc_id"), lit("en").as("lang"),
+        ($"id" * $"id").cast("double").as("v"))
+    val sk = Corpus.cardKllSketch(mk(20000), "doc_id", "lang", "v",
+      nShards = 5)
+    val est = Corpus.cardKllQuantiles(sk, Seq(0.1, 0.5, 0.9))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // true quantile of i² over i ∈ [0, n) at rank p is ~(p·n)²;
+    // the k=200 sketch's 99% normalized rank error is ~1.65%, so the
+    // returned value's true rank must sit within p ± 0.05 (3×)
+    val n = 20000.0
+    for ((p, v) <- est) {
+      val (lo, hi) = (math.pow((p - 0.05) * n, 2),
+        math.pow((p + 0.05) * n, 2))
+      assert(v >= lo && v <= hi,
+        s"quantile $p estimate $v outside value band [$lo, $hi]")
+    }
+    // size independence: the serialized merged sketch over 20k rows
+    // is within 2x of the 2k-row one, and both stay a few KB
+    def mergedBytes(rows: Int): Int = Corpus
+      .cardKllSketch(mk(rows), "doc_id", "lang", "v", nShards = 5)
+      .groupBy("lang")
+      .agg(graft.agg.Aggregators.kllMerge($"kll").as("kll"))
+      .select($"kll").collect().head.getAs[Array[Byte]](0).length
+    val (small, big) = (mergedBytes(2000), mergedBytes(20000))
+    assert(big < 8192 && big < small * 2,
+      s"sketch must not grow with rows: 2k-row $small B, " +
+        s"20k-row $big B")
+  }
 }
