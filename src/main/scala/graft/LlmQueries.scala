@@ -1289,6 +1289,39 @@ object LlmQueries {
          JOIN scc s ON s.node = n.node
          ORDER BY n.node"""
 
+  /** Neighborhood-function oracle (Graph.neighborhoodFunction twin):
+    * min-distance closure via a bounded recursive CTE over the
+    * bow-tie fixture edges (UNION-deduped (a, b, t) triples, t ≤ 40
+    * ≫ the fixture diameter), then N(t) = pairs with d ≤ t for
+    * t = 0..max-eccentricity, frac = one IEEE divide of exact BIGINTs
+    * rounded at 6, and the effective diameter by the same integer
+    * pairs·10 ≥ 9·total compare the Spark side uses. Valid because
+    * the Spark side's sketches are EXACT at the fixture's bounded
+    * node count (coupon mode at lgK = 12) — any divergence is a real
+    * reachability bug, not sketch noise. */
+  private def neighborhoodOracleSql: String =
+    s"""WITH RECURSIVE $bowtieEdgesSqlCtes,
+         r AS (SELECT node AS a, node AS b, 0 AS t FROM bnodes
+           UNION
+           SELECT r.a, e.dst, r.t + 1 FROM r JOIN e ON e.src = r.b
+           WHERE r.t < 40),
+         d AS (SELECT a, b, min(t) AS d FROM r GROUP BY a, b),
+         tm AS (SELECT CAST(max(d) AS INT) AS t_max,
+             CAST(count(*) AS BIGINT) AS total FROM d),
+         nt AS (SELECT CAST(ts.t AS INT) AS t,
+             (SELECT CAST(count(*) AS BIGINT) FROM d
+              WHERE d.d <= ts.t) AS pairs
+           FROM (SELECT unnest(range(0,
+             (SELECT t_max + 1 FROM tm))) AS t) ts),
+         eff AS (SELECT min(t) AS eff_t FROM nt CROSS JOIN tm
+           WHERE pairs * 10 >= 9 * tm.total)
+         SELECT nt.t, nt.pairs,
+           round(CAST(nt.pairs AS DOUBLE) / CAST(tm.total AS DOUBLE),
+             6) AS frac,
+           nt.t = eff.eff_t AS is_eff_diameter
+         FROM nt CROSS JOIN tm CROSS JOIN eff
+         ORDER BY nt.t"""
+
   /** Unseeded label-propagation oracle
     * (Graph.labelPropagationCommunities twin): init labels are the
     * 0-based dense rank over ascending node order, then `iters`
@@ -2864,6 +2897,20 @@ object LlmQueries {
       graft.ops.Graph.sccCensus(bowtieEdges(s, dir), "src", "dst")
         .orderBy("node")),
 
+    // HyperBall neighborhood function + 90% effective diameter over
+    // the same bow-tie fixture graph: per-node HLL registers iterated
+    // over the edge table, N(t) = reachable ordered pairs within t
+    // hops. At lgK = 12 the per-node sketches stay in exact coupon
+    // mode (node count bounded by the planted-arm moduli at every
+    // SF), so the oracle replays N(t) from a recursive-CTE min-
+    // distance closure — the exact-regime pin; the approximate
+    // production regime carries the corpus_sources_hll_approx band
+    // discipline.
+    "link_neighborhood_function" -> ((s, dir) =>
+      graft.ops.Graph.neighborhoodFunction(bowtieEdges(s, dir),
+        "src", "dst")
+        .orderBy("t")),
+
     // weighted PageRank: rank mass splits proportional to the LINK
     // COUNT between two domains (the edge multiset's multiplicity,
     // which the uniform variant's distinct() throws away) — a domain
@@ -3025,6 +3072,44 @@ object LlmQueries {
         val latest = ranks.agg(max("graph_version")).first().getLong(0)
         ranks.filter(col("graph_version") === latest)
           .select("node", "rank_s").orderBy("node")
+      }
+    }),
+
+    // the census as a STREAM with incremental recomputation
+    // (StreamOps.continuousSccIngest): wave 1 = the bow-tie fixture
+    // WITHOUT its planted in/out/tube/tendril arms (full census at
+    // version |E1| — the core component plus the disc*.iso pairs),
+    // wave 2 = the full fixture (a redelivery of every wave-1 edge —
+    // suppressed — plus the arm edges). The arms all attach to the
+    // core, so the incremental pass recomputes ONLY the core's weak
+    // component while every disc pair's rows carry from version 1
+    // (StreamingSpec proves the carry with a poisoned-prior arm);
+    // the final table must equal the batch census — the oracle IS
+    // link_scc_census's recursive-CTE closure oracle, verbatim.
+    "streaming_scc_ingest" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val base = graft.core.Tables.tmpDir + "/stream_scc_q"
+      StreamOps.deletePath(s, base)
+      val full = bowtieEdges(s, dir)
+      val empty = full.select(col("src").as("node"),
+        col("src").as("wcc_id"), col("src").as("scc_id")).limit(0)
+      if (full.isEmpty) empty else {
+        val armRe = "^(in|out|tube|tend)[0-9]+\\.net$"
+        full.filter(!col("src").rlike(armRe) &&
+            !col("dst").rlike(armRe))
+          .coalesce(4).write.parquet(s"$base/in1")
+        full.coalesce(4).write.parquet(s"$base/in2")
+        val schema = s.read.parquet(s"$base/in1").schema
+        StreamOps.continuousSccIngest(
+          StreamOps.readTableStream(s, s"$base/in1", schema),
+          "src", "dst", s"$base/edges", s"$base/census")
+        StreamOps.continuousSccIngest(
+          StreamOps.readTableStream(s, s"$base/in2", schema),
+          "src", "dst", s"$base/edges", s"$base/census")
+        val cen = s.read.parquet(s"$base/census")
+        val latest = cen.agg(max("graph_version")).first().getLong(0)
+        cen.filter(col("graph_version") === latest)
+          .select("node", "wcc_id", "scc_id").orderBy("node")
       }
     }),
 
@@ -4265,6 +4350,7 @@ object LlmQueries {
     "link_kcore" -> kCoreOracleSql(2, 8),
     "link_bowtie" -> bowtieOracleSql,
     "link_scc_census" -> sccCensusOracleSql,
+    "link_neighborhood_function" -> neighborhoodOracleSql,
     "link_communities" -> communitiesOracleSql(4),
     "link_pagerank_weighted" -> wpagerankOracleSql(5),
     "benchmark_decontaminate_exact" -> exactDecontaminateOracleSql,
@@ -4315,6 +4401,10 @@ object LlmQueries {
                + 0.0 END AS assortativity
          FROM ne CROSS JOIN rc CROSS JOIN nu CROSS JOIN cp""",
     "streaming_pagerank_ingest" -> pagerankStreamingOracleSql(3, 2),
+    // the incremental streaming census must converge to the batch
+    // census of the full graph — the same pure recursive-CTE closure
+    // oracle, verbatim
+    "streaming_scc_ingest" -> sccCensusOracleSql,
     "robots_filter" ->
       """WITH d AS (SELECT doc_id, coalesce(source, 'unk') AS src0
              FROM documents),

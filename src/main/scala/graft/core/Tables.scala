@@ -147,11 +147,20 @@ object Tables {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return 0L
+    // skip hidden path components (_temporary from a crashed append,
+    // .staging, _SUCCESS-style markers) exactly like Spark's reader —
+    // otherwise a crash mid-append would inflate the count with
+    // uncommitted task files the read side never sees
+    val baseDepth = p.toUri.getPath.split("/").length
+    def visible(f: org.apache.hadoop.fs.Path): Boolean =
+      f.toUri.getPath.split("/").drop(baseDepth)
+        .forall(seg => !seg.startsWith("_") && !seg.startsWith("."))
     var total = 0L
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+      if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+          visible(f.getPath)) {
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromStatus(f, conf))

@@ -1052,6 +1052,178 @@ object Graph {
         col("scc_id"))
   }
 
+  /** Incremental [[sccCensus]]: recompute only the weak components
+    * TOUCHED by an edge delta, carrying `prior` labels everywhere
+    * else — the streaming-pagerank warm-start pattern applied to the
+    * census (VERDICT r15 next-round #8). On a daily crawl the delta
+    * touches a sliver of the component space; the untouched
+    * components' rows are reused VERBATIM (GraphSpec proves it by
+    * planting a poisoned prior row in an untouched component and
+    * watching it carry), so the work is ∝ the touched components'
+    * subgraph + the delta, not the graph.
+    *
+    * Why this is exact: weak components partition the graph and both
+    * census ids are per-component-local semantic functions (min node
+    * of the weak / strong component). A new edge can only merge or
+    * extend the weak components its endpoints touch, so:
+    *   1. contract each delta endpoint to its prior wcc_id (a node
+    *      absent from `prior` stands for itself);
+    *   2. the connected components of that CONTRACTED delta graph
+    *      (delta-sized — [[graft.llm.Dedup.connectedComponents]])
+    *      name every affected prior component and new node;
+    *   3. the affected entities' full-graph subgraph re-runs
+    *      [[sccCensus]]; prior rows of unaffected wcc_ids carry.
+    * An unaffected component has identical nodes and edges in both
+    * graphs, so its rows are identical by determinism — the composed
+    * output equals the full recomputation bit-for-bit.
+    *
+    * `edges` is the FULL standing distinct edge set, `delta` the
+    * edges not reflected in `prior` ((src, dst) columns named like
+    * `edges`), `prior` a (node, wcc_id, scc_id) census of
+    * `edges MINUS delta`. */
+  def sccCensusIncremental(edges: DataFrame, srcCol: String,
+                           dstCol: String, delta: DataFrame,
+                           prior: DataFrame,
+                           maxOuterRounds: Int = 32,
+                           maxIters: Int = 64): DataFrame = {
+    val pw = graft.core.Tables.staged(
+      prior.select(col("node"), col("wcc_id"), col("scc_id")),
+      "scci_prior")
+    val d = delta.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .na.drop().distinct()
+    // 1-2. contracted delta graph → affected entity set (prior
+    // wcc_ids and brand-new node ids; the two can't collide — a
+    // wcc_id IS an old node id and a new node isn't)
+    val dm = d
+      .join(pw.select(col("node").as("src"), col("wcc_id").as("ws")),
+        Seq("src"), "left")
+      .join(pw.select(col("node").as("dst"), col("wcc_id").as("wd")),
+        Seq("dst"), "left")
+      .select(coalesce(col("ws"), col("src")).as("id1"),
+        coalesce(col("wd"), col("dst")).as("id2"))
+    val affected = graft.core.Tables.staged(
+      graft.llm.Dedup.connectedComponents(dm, maxIters)
+        .select(col("id").as("ent")).distinct(), "scci_aff")
+    // 3. the affected subgraph: an edge belongs iff its src's weak
+    // component (prior id, or the new node itself) is affected — for
+    // edges of the standing graph src and dst always share a
+    // component, and every delta edge's entities are affected by
+    // construction
+    val ew = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .na.drop().distinct()
+      .join(pw.select(col("node").as("src"), col("wcc_id").as("ws")),
+        Seq("src"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("ws"), col("src")).as("ent"))
+    val sub = ew.join(affected, Seq("ent"), "left_semi")
+      .select("src", "dst")
+    val recomputed = sccCensus(sub, "src", "dst", maxOuterRounds,
+      maxIters)
+    val carried = pw.join(
+      affected.select(col("ent").as("wcc_id")), Seq("wcc_id"),
+      "left_anti")
+      .select("node", "wcc_id", "scc_id")
+    carried.unionByName(recomputed.select("node", "wcc_id", "scc_id"))
+  }
+
+  /** Neighborhood function + effective diameter — HyperBall (Boldi &
+    * Vigna 2013; the HyperANF/webgraph statistic): N(t) = the number
+    * of ordered pairs (a, b) with a directed path a→b of length ≤ t,
+    * for t = 0 (self pairs) up to the graph's maximum eccentricity,
+    * plus the 90% effective diameter (the smallest t with
+    * N(t) ≥ 0.9·N(∞)) — the crawl-graph health curve that says how
+    * fast reachability saturates, the natural companion to [[bowTie]]
+    * and [[sccCensus]] (VERDICT r15 next-round #7).
+    *
+    * Algorithm — per-node HLL registers iterated over the edge table:
+    * sk_0(v) = sketch({v}); each round unions every node's sketch
+    * with its OUT-neighbors' sketches (one (dst) equi-join + one
+    * (src) hll_union_agg + one scalar hll_union — Spark's own
+    * DataSketches HLL column functions, the corpus_sources_hll
+    * machinery); N(t) = Σ_v estimate(sk_t(v)). The loop stops the
+    * first round the total stops growing (register unions are
+    * monotone, so estimates are non-decreasing) or at `maxT`, which
+    * warns loudly.
+    *
+    * Exactness regime: at the default lgK = 12 (k = 4096 registers)
+    * a sketch stays in exact coupon mode until several hundred
+    * distinct ids, so on the registered fixture graph (node count
+    * bounded by the planted-arm moduli at every SF) every per-node
+    * reach count is EXACT and the DuckDB oracle replays N(t) from a
+    * bounded recursive-CTE distance closure. In production the same
+    * code runs approximate at web scale with the published
+    * 1.04/√k ≈ 1.6% RSE — the corpus_sources_hll_approx band
+    * harness is the template for verifying that regime.
+    *
+    * Scale shape: per round ONE edge-table join against the sketch
+    * table + one (src) hash agg; shuffles carry (node, sketch-bytes)
+    * where a sketch is ≤ ~k bytes (4 KB at lgK 12, a few hundred
+    * bytes in coupon mode) — HyperBall's whole point: the naive
+    * closure is O(n·reach) rows, this is O(n·k) bytes bounded per
+    * round, log-diameter rounds on small-world graphs. The sketch
+    * table stages per round (lineage cut); the only driver fetch is
+    * ONE (sum, 1-row) per round.
+    *
+    * Output: (t, pairs, frac, is_eff_diameter) — one row per t with
+    * growth, frac = round(pairs / N(∞), 6), is_eff_diameter marks
+    * the smallest t with pairs·10 ≥ 9·N(∞) (integer compare, engine-
+    * exact). */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String,
+                           dstCol: String, lgK: Int = 12,
+                           maxT: Int = 32): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK must sit in [4, 21]: $lgK")
+    require(maxT >= 1, s"maxT must be >= 1: $maxT")
+    val spark = edges.sparkSession
+    val e = graft.core.Tables.staged(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .na.drop().distinct(), "nf_edges")
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var sk = graft.core.Tables.staged(
+      nodes.groupBy("node")
+        .agg(hll_sketch_agg(col("node"), lgK).as("sk")), "nf_sk0")
+    def pairsOf(df: DataFrame): Long =
+      df.agg(sum(hll_sketch_estimate(col("sk"))).as("p"))
+        .first().getLong(0)
+    val buf = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    var prev = pairsOf(sk)
+    buf += ((0, prev))
+    var t = 0
+    var growing = true
+    while (growing && t < maxT) {
+      t += 1
+      val nb = e
+        .join(sk.select(col("node").as("dst"), col("sk").as("nsk")),
+          Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(hll_union_agg(col("nsk")).as("nsk"))
+      sk = graft.core.Tables.staged(
+        sk.join(nb, Seq("node"), "left")
+          .select(col("node"),
+            when(col("nsk").isNull, col("sk"))
+              .otherwise(hll_union(col("sk"), col("nsk"))).as("sk")),
+        s"nf_sk$t")
+      val pairs = pairsOf(sk)
+      if (pairs > prev) { buf += ((t, pairs)); prev = pairs }
+      else growing = false
+    }
+    if (growing)
+      System.err.println(
+        s"[graft] WARN neighborhoodFunction hit maxT=$maxT still " +
+          "growing — N(t) has not saturated; the effective diameter " +
+          "is a lower bound. Raise maxT.")
+    val total = prev
+    val effT = buf.find { case (_, p) => p * 10L >= 9L * total }
+      .map(_._1).getOrElse(buf.last._1)
+    import spark.implicits._
+    buf.toSeq.toDF("t", "pairs")
+      .select(col("t").cast("int").as("t"), col("pairs"),
+        round(col("pairs").cast("double") / lit(total.toDouble), 6)
+          .as("frac"),
+        (col("t") === lit(effT)).as("is_eff_diameter"))
+  }
+
   /** Unseeded label propagation (Raghavan et al. 2007) — community
     * detection with zero curation, the complement to
     * [[seededLabelPropagation]] and [[kCore]] for link-farm discovery:

@@ -479,6 +479,67 @@ class GraphSpec extends AnyFunSuite {
         s"${out.count(_._2._2 == null)} null scc_ids")
   }
 
+  test("sccCensusIncremental: equals the full census, and an " +
+       "untouched component's prior rows carry VERBATIM (poisoned-" +
+       "row proof that no recompute happens there)") {
+    // full graph: component 1 = cycle {a,b} plus the DELTA tail b->c;
+    // component 2 = cycle {x,y}, untouched by the delta
+    val all = Seq(("a", "b"), ("b", "a"), ("b", "c"),
+      ("x", "y"), ("y", "x")).toDF("src", "dst")
+    val delta = Seq(("b", "c")).toDF("src", "dst")
+    val correctPrior = Seq(
+      ("a", "a", "a"), ("b", "a", "a"),
+      ("x", "x", "x"), ("y", "x", "x"))
+      .toDF("node", "wcc_id", "scc_id")
+    // 1. with a correct prior the incremental result IS the full
+    // census of the full graph
+    val inc = Graph.sccCensusIncremental(all, "src", "dst", delta,
+        correctPrior)
+      .as[(String, String, String)].collect().toSet
+    val full = Graph.sccCensus(all, "src", "dst")
+      .as[(String, String, String)].collect().toSet
+    assert(inc == full && inc == Set(
+      ("a", "a", "a"), ("b", "a", "a"), ("c", "a", "c"),
+      ("x", "x", "x"), ("y", "x", "x")))
+    // 2. poison the untouched component's prior rows: they must come
+    // back verbatim — the only way that happens is zero recompute
+    // work on that component
+    val poisoned = Seq(
+      ("a", "a", "a"), ("b", "a", "a"),
+      ("x", "POISON", "BAD"), ("y", "POISON", "BAD"))
+      .toDF("node", "wcc_id", "scc_id")
+    val carried = Graph.sccCensusIncremental(all, "src", "dst", delta,
+        poisoned)
+      .as[(String, String, String)].collect().toSet
+    assert(carried == Set(
+      ("a", "a", "a"), ("b", "a", "a"), ("c", "a", "c"),
+      ("x", "POISON", "BAD"), ("y", "POISON", "BAD")),
+      s"untouched rows must carry untouched: $carried")
+  }
+
+  test("neighborhoodFunction: hand-computed N(t) on a path + cycle " +
+       "mix, exact at fixture scale, self-pairs at t=0, effective " +
+       "diameter marked once") {
+    // a -> b -> c -> a (3-cycle) with a pendant chain c -> d -> e and
+    // an isolated pair x -> y. Min-distance closure by hand:
+    //  t=0: 7 self pairs
+    //  t=1: +6 edges = 13
+    //  t=2: +(a,c) (b,a) (c,b) (b,d) (c,e) = 18
+    //  t=3: +(a,d) (b,e) = 20
+    //  t=4: +(a,e) = 21; t>=5: 21 (saturated)
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "e"), ("x", "y")).toDF("src", "dst")
+    val out = Graph.neighborhoodFunction(e, "src", "dst")
+      .as[(Int, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out.map(t => (t._1, t._2)) ==
+      Seq((0, 7L), (1, 13L), (2, 18L), (3, 20L), (4, 21L)),
+      s"N(t) mismatch: $out")
+    // frac is pairs / N(inf); 90% effective diameter: smallest t with
+    // pairs*10 >= 9*21 = 189 -> t=3 (20*10=200; N(2)=18 -> 180 misses)
+    assert(out.count(_._4) == 1 && out.find(_._4).get._1 == 3)
+    assert(out.last._3 == 1.0)
+  }
+
   test("labelPropagationCommunities: two cliques with one bridge " +
        "settle into two communities (hand-unrolled rounds)") {
     // triangles {a,b,c} and {x,y,z} bridged by c—x; init labels are

@@ -115,21 +115,33 @@ object SkewOpsProbe {
         assert(wr.count() > 0)
       }
       if (!onlyScc15) println(f"WPAGERANK mult=$mult rows=$rows iters=3 t=$tW%.2f s")
+      // BRODER shape (half the edges doubled back ⇒ one giant SCC +
+      // shallow one-directional periphery — a real web graph's
+      // structure; the raw functional substrate's sqrt(n)-deep
+      // rho-chains are the documented pathological case for the
+      // per-round SCC drain, not the crawl regime the op targets)
+      val bidir = edges.unionByName(
+        edges.filter(pmod(xxhash64($"src"), lit(2)) === 0)
+          .select($"dst".as("src"), $"src".as("dst")))
       val tS = time {
-        // r15 SCC census under the same hub skew, on the BRODER shape
-        // (half the edges doubled back ⇒ one giant SCC + shallow
-        // one-directional periphery — a real web graph's structure;
-        // the raw functional substrate's sqrt(n)-deep rho-chains are
-        // the documented pathological case for the per-round SCC
-        // drain, not the crawl regime the op targets). Convergence is
-        // asserted, not assumed: zero null scc_id ⇒ the cap never hit.
-        val bidir = edges.unionByName(
-          edges.filter(pmod(xxhash64($"src"), lit(2)) === 0)
-            .select($"dst".as("src"), $"src".as("dst")))
+        // r15 SCC census under the hub skew. Convergence is asserted,
+        // not assumed: zero null scc_id ⇒ the cap never hit.
         val sc = graft.ops.Graph.sccCensus(bidir, "src", "dst")
         assert(sc.filter($"scc_id".isNull).count() == 0)
       }
       println(f"SCCCENSUS mult=$mult rows=$rows t=$tS%.2f s")
+      val tN = time {
+        // r16 HyperBall on the same Broder shape: ~10^5 nodes whose
+        // giant-SCC reach sets are ~the whole core — the per-node
+        // sketch column is what bounds the cost (lgK 8 ⇒ ≤ 256 B
+        // dense, approximate regime; the registered fixture runs the
+        // exact regime). Saturation must arrive in small-world
+        // rounds — maxT is an assertion here, not just a cap.
+        val nf = graft.ops.Graph.neighborhoodFunction(
+          bidir, "src", "dst", lgK = 8, maxT = 24)
+        assert(nf.count() > 0 && nf.count() <= 24)
+      }
+      println(f"NEIGHBORHOOD mult=$mult rows=$rows lgK=8 t=$tN%.2f s")
     }
     // ---- r15 mergeable sketch card: the claim under test is that the
     // CARD step's cost is a function of sketch size (shards × langs ×

@@ -249,6 +249,65 @@ class StreamingSpec extends AnyFunSuite {
         s"vs $batch2")
   }
 
+  test("continuousSccIngest: full census at v1, incremental carry at " +
+       "v2 (poisoned untouched rows survive), pure redelivery writes " +
+       "nothing, a deleted census table heals") {
+    val base = TestSpark.tmpPath("csci").toString
+    val in = s"$base/in"; val ep = s"$base/edges"; val cp = s"$base/census"
+    // wave 1: two disjoint 2-cycles — version 4, full census
+    Seq(("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"))
+      .toDF("src", "dst").write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def drive(): Unit = StreamOps.continuousSccIngest(
+      StreamOps.readTableStream(spark, in, schema),
+      "src", "dst", ep, cp)
+    drive()
+    def latest() = {
+      val c = spark.read.parquet(cp)
+      val v = c.agg(max($"graph_version")).head().getLong(0)
+      (v, c.filter($"graph_version" === v)
+        .select("node", "wcc_id", "scc_id")
+        .as[(String, String, String)].collect().toSet)
+    }
+    val (v1, c1) = latest()
+    assert(v1 == 4L && c1 == Set(("a", "a", "a"), ("b", "a", "a"),
+      ("x", "x", "x"), ("y", "x", "x")))
+    // poison the untouched component's v1 rows IN THE TABLE, then
+    // wave 2: full redelivery (suppressed) + a new tail b->c — the
+    // incremental pass must recompute only {a,b,c}'s component and
+    // carry the poisoned x/y rows verbatim into version 5
+    val doctored = spark.read.parquet(cp)
+      .withColumn("wcc_id", when($"node".isin("x", "y"), "POISON")
+        .otherwise($"wcc_id"))
+      .withColumn("scc_id", when($"node".isin("x", "y"), "BAD")
+        .otherwise($"scc_id"))
+      .collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(doctored.toSeq),
+        spark.read.parquet(cp).schema)
+      .write.mode("overwrite").parquet(cp)
+    Seq(("b", "c")).toDF("src", "dst").write.mode("append").parquet(in)
+    drive()
+    val (v2, c2) = latest()
+    assert(v2 == 5L && c2 == Set(
+      ("a", "a", "a"), ("b", "a", "a"), ("c", "a", "c"),
+      ("x", "POISON", "BAD"), ("y", "POISON", "BAD")),
+      s"v2 must recompute only the touched component: $c2")
+    // wave 3: pure redelivery — version unchanged, nothing written
+    drive()
+    assert(latest()._1 == 5L)
+    assert(spark.read.parquet(cp)
+      .select("graph_version").distinct().count() == 2)
+    // crash heal: the census table vanishes — the next drive rebuilds
+    // a FULL (correct) census at the standing version
+    StreamOps.deletePath(spark, cp)
+    drive()
+    val (v4, c4) = latest()
+    assert(v4 == 5L && c4 == Set(
+      ("a", "a", "a"), ("b", "a", "a"), ("c", "a", "c"),
+      ("x", "x", "x"), ("y", "x", "x")), s"heal must be full: $c4")
+  }
+
   test("continuousPageRankIngest: version-guarded re-rank — growth " +
        "warm-starts, pure redelivery neither re-ranks nor duplicates") {
     val base = TestSpark.tmpPath("cpri").toString
