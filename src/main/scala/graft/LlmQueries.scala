@@ -1125,8 +1125,13 @@ object LlmQueries {
   /** The [[bowtieEdges]] fixture graph as a DuckDB CTE pair (e,
     * bnodes) — shared by the bow-tie and SCC-census oracles (a def,
     * per the shared-oracle-fragment init-order discipline). */
-  private def bowtieEdgesSqlCtes: String =
-    """e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  private def bowtieEdgesSqlCtes: String = bowtieEdgesSqlCtesWith("")
+
+  /** [[bowtieEdgesSqlCtes]] with an extra UNION ALL arm spliced into
+    * the edge CTE — the pagerankGraphCtes `extraArm` pattern, used by
+    * the streaming census oracle to plant its sentinel component. */
+  private def bowtieEdgesSqlCtesWith(extraArm: String): String =
+    s"""e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
            SELECT coalesce(source, 'unk') || '.com' AS src,
                   coalesce(lang, 'und') || '.org' AS dst
              FROM documents
@@ -1159,7 +1164,8 @@ object LlmQueries {
            UNION ALL
            SELECT 'discA' || CAST(doc_id % 101 AS VARCHAR) || '.iso',
                   'discB' || CAST(doc_id % 103 AS VARCHAR) || '.iso'
-             FROM documents WHERE doc_id % 17 = 0)),
+             FROM documents WHERE doc_id % 17 = 0
+           $extraArm)),
          bnodes AS MATERIALIZED (SELECT DISTINCT node FROM (
            SELECT src AS node FROM e UNION ALL SELECT dst FROM e))"""
 
@@ -1268,8 +1274,14 @@ object LlmQueries {
     * iterative forward-backward coloring. Any divergence is a real
     * partition bug, not arithmetic drift. Closure is O(n·m) — fine at
     * the fixture graph's ~constant few-hundred domain nodes. */
-  private def sccCensusOracleSql: String =
-    s"""WITH RECURSIVE $bowtieEdgesSqlCtes,
+  private def sccCensusOracleSql: String = sccCensusOracleSqlWith("")
+
+  /** [[sccCensusOracleSql]] over the fixture graph plus an extra edge
+    * arm — the streaming census oracle plants its sentinel component
+    * this way (one row iff documents is nonempty, matching the
+    * query's empty guard — the pagerank-streaming sentinel trick). */
+  private def sccCensusOracleSqlWith(extraArm: String): String =
+    s"""WITH RECURSIVE ${bowtieEdgesSqlCtesWith(extraArm)},
          rp AS (SELECT node AS a, node AS b FROM bnodes
            UNION
            SELECT r.a, e.dst FROM rp r JOIN e ON e.src = r.b),
@@ -3076,16 +3088,20 @@ object LlmQueries {
     }),
 
     // the census as a STREAM with incremental recomputation
-    // (StreamOps.continuousSccIngest): wave 1 = the bow-tie fixture
-    // WITHOUT its planted in/out/tube/tendril arms (full census at
-    // version |E1| — the core component plus the disc*.iso pairs),
-    // wave 2 = the full fixture (a redelivery of every wave-1 edge —
-    // suppressed — plus the arm edges). The arms all attach to the
-    // core, so the incremental pass recomputes ONLY the core's weak
-    // component while every disc pair's rows carry from version 1
-    // (StreamingSpec proves the carry with a poisoned-prior arm);
-    // the final table must equal the batch census — the oracle IS
-    // link_scc_census's recursive-CTE closure oracle, verbatim.
+    // (StreamOps.continuousSccIngest): wave 1 = the full bow-tie
+    // fixture (full census at version |E1| — the standing cold-start
+    // unit, link_scc_census's own work), wave 2 = a redelivery of
+    // every wave-1 edge (suppressed) plus ONE sentinel edge forming a
+    // brand-new 2-node component — the daily-crawl shape where the
+    // delta touches a sliver of the component space: the incremental
+    // pass recomputes ONLY the sentinel pair while the core and every
+    // disc pair CARRY from version 1 (StreamingSpec proves the carry
+    // with a poisoned-prior arm; the r16 first cut delivered the arm
+    // edges in wave 2 instead, which recomputed ~the whole graph and
+    // doubled the census bill for zero carried demonstration). Final
+    // table = batch census of fixture + sentinel — the oracle is
+    // link_scc_census's recursive-CTE closure with the sentinel arm
+    // spliced in.
     "streaming_scc_ingest" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val base = graft.core.Tables.tmpDir + "/stream_scc_q"
@@ -3094,11 +3110,11 @@ object LlmQueries {
       val empty = full.select(col("src").as("node"),
         col("src").as("wcc_id"), col("src").as("scc_id")).limit(0)
       if (full.isEmpty) empty else {
-        val armRe = "^(in|out|tube|tend)[0-9]+\\.net$"
-        full.filter(!col("src").rlike(armRe) &&
-            !col("dst").rlike(armRe))
-          .coalesce(4).write.parquet(s"$base/in1")
-        full.coalesce(4).write.parquet(s"$base/in2")
+        full.coalesce(4).write.parquet(s"$base/in1")
+        full.unionByName(s.range(1)
+            .select(lit("newa.test").as("src"),
+              lit("newb.test").as("dst")))
+          .coalesce(4).write.parquet(s"$base/in2")
         val schema = s.read.parquet(s"$base/in1").schema
         StreamOps.continuousSccIngest(
           StreamOps.readTableStream(s, s"$base/in1", schema),
@@ -4404,7 +4420,9 @@ object LlmQueries {
     // the incremental streaming census must converge to the batch
     // census of the full graph — the same pure recursive-CTE closure
     // oracle, verbatim
-    "streaming_scc_ingest" -> sccCensusOracleSql,
+    "streaming_scc_ingest" -> sccCensusOracleSqlWith(
+      """UNION ALL
+         SELECT DISTINCT 'newa.test', 'newb.test' FROM documents"""),
     "robots_filter" ->
       """WITH d AS (SELECT doc_id, coalesce(source, 'unk') AS src0
              FROM documents),

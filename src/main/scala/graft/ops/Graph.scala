@@ -1068,11 +1068,13 @@ object Graph {
     * extend the weak components its endpoints touch, so:
     *   1. contract each delta endpoint to its prior wcc_id (a node
     *      absent from `prior` stands for itself);
-    *   2. the connected components of that CONTRACTED delta graph
-    *      (delta-sized — [[graft.llm.Dedup.connectedComponents]])
-    *      name every affected prior component and new node;
-    *   3. the affected entities' full-graph subgraph re-runs
-    *      [[sccCensus]]; prior rows of unaffected wcc_ids carry.
+    *   2. the DISTINCT contracted endpoints name every affected
+    *      prior component and new node (how the touched entities
+    *      merge is the recomputation's job — membership in the
+    *      touched set is per-endpoint, no connectivity pass needed);
+    *   3. the affected entities' full-graph subgraph recomputes
+    *      (driver-side when small — see below — else
+    *      [[sccCensus]]); prior rows of unaffected wcc_ids carry.
     * An unaffected component has identical nodes and edges in both
     * graphs, so its rows are identical by determinism — the composed
     * output equals the full recomputation bit-for-bit.
@@ -1080,20 +1082,42 @@ object Graph {
     * `edges` is the FULL standing distinct edge set, `delta` the
     * edges not reflected in `prior` ((src, dst) columns named like
     * `edges`), `prior` a (node, wcc_id, scc_id) census of
-    * `edges MINUS delta`. */
+    * `edges MINUS delta`.
+    *
+    * Small-subgraph fast path: the distributed census's cost floor is
+    * its ROUND COUNT (tens of tiny staged jobs — right when the
+    * touched subgraph is large, pure orchestration overhead when a
+    * daily delta touches a sliver). When the affected subgraph has
+    * ≤ `smallCutoff` edges (known free from the staging write's
+    * footer count) and the node type is string/integer, it is
+    * collected and labeled DRIVER-SIDE — union-find for wcc,
+    * iterative Tarjan for scc, min-member ids under the SAME ordering
+    * Spark's min uses (UTF-8 byte order for strings) — so both paths
+    * produce bit-identical output (GraphSpec pins it) and the common
+    * incremental case costs one bounded collect instead of a full
+    * census round structure. The default cutoff keeps the collect in
+    * the same bounded-driver-fetch class as the guarded config
+    * fetches. */
   def sccCensusIncremental(edges: DataFrame, srcCol: String,
                            dstCol: String, delta: DataFrame,
                            prior: DataFrame,
                            maxOuterRounds: Int = 32,
-                           maxIters: Int = 64): DataFrame = {
-    val pw = graft.core.Tables.staged(
-      prior.select(col("node"), col("wcc_id"), col("scc_id")),
-      "scci_prior")
+                           maxIters: Int = 64,
+                           smallCutoff: Long = 100000L): DataFrame = {
+    // prior is NOT re-staged: every caller hands a materialized table
+    // (the streaming ingest reads it straight from parquet), so a
+    // staging write would be pure overhead on the op's fixed-cost
+    // floor — it is scanned three times below as a cheap re-read
+    val pw = prior.select(col("node"), col("wcc_id"), col("scc_id"))
     val d = delta.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .na.drop().distinct()
-    // 1-2. contracted delta graph → affected entity set (prior
+    // 1-2. contract delta endpoints to prior wcc_ids → the affected
+    // entity set is simply the DISTINCT CONTRACTED ENDPOINTS (prior
     // wcc_ids and brand-new node ids; the two can't collide — a
-    // wcc_id IS an old node id and a new node isn't)
+    // wcc_id IS an old node id and a new node isn't). No
+    // connected-components pass is needed here: which touched
+    // entities end up merged TOGETHER is the recomputation's job to
+    // discover, membership in the touched set is per-endpoint.
     val dm = d
       .join(pw.select(col("node").as("src"), col("wcc_id").as("ws")),
         Seq("src"), "left")
@@ -1102,29 +1126,166 @@ object Graph {
       .select(coalesce(col("ws"), col("src")).as("id1"),
         coalesce(col("wd"), col("dst")).as("id2"))
     val affected = graft.core.Tables.staged(
-      graft.llm.Dedup.connectedComponents(dm, maxIters)
-        .select(col("id").as("ent")).distinct(), "scci_aff")
+      dm.select(col("id1").as("ent"))
+        .unionByName(dm.select(col("id2").as("ent"))).distinct(),
+      "scci_aff")
     // 3. the affected subgraph: an edge belongs iff its src's weak
     // component (prior id, or the new node itself) is affected — for
     // edges of the standing graph src and dst always share a
     // component, and every delta edge's entities are affected by
     // construction
+    // NO distinct here — that would shuffle the WHOLE standing edge
+    // table just to dedup rows [[sccCensus]] dedups again anyway; the
+    // left-semi membership probe is duplicate-indifferent
     val ew = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .na.drop().distinct()
+      .na.drop()
       .join(pw.select(col("node").as("src"), col("wcc_id").as("ws")),
         Seq("src"), "left")
       .select(col("src"), col("dst"),
         coalesce(col("ws"), col("src")).as("ent"))
-    val sub = ew.join(affected, Seq("ent"), "left_semi")
-      .select("src", "dst")
-    val recomputed = sccCensus(sub, "src", "dst", maxOuterRounds,
-      maxIters)
+    val (sub, nSub) = graft.core.Tables.stagedCounted(
+      ew.join(affected, Seq("ent"), "left_semi")
+        .select("src", "dst").distinct(), "scci_sub")
+    val nodeType = sub.schema("src").dataType
+    val driverable = nodeType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    val recomputed =
+      if (nSub == 0)
+        prior.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", nodeType),
+            org.apache.spark.sql.types.StructField("wcc_id", nodeType),
+            org.apache.spark.sql.types.StructField("scc_id", nodeType))))
+      else if (nSub <= smallCutoff && driverable)
+        censusDriverSide(sub, nodeType)
+      else sccCensus(sub, "src", "dst", maxOuterRounds, maxIters)
     val carried = pw.join(
       affected.select(col("ent").as("wcc_id")), Seq("wcc_id"),
       "left_anti")
       .select("node", "wcc_id", "scc_id")
     carried.unionByName(recomputed.select("node", "wcc_id", "scc_id"))
+  }
+
+  /** [[sccCensusIncremental]]'s bounded driver-side census: exact
+    * union-find wcc + ITERATIVE Tarjan scc (explicit frame stack — a
+    * 100k-edge chain must not blow the JVM stack) over a collected
+    * edge list, with min-member ids compared in Spark's own order
+    * (UTF8 binary bytes for strings, natural for integers) so the
+    * result is bit-identical to the distributed census. */
+  private def censusDriverSide(
+      sub: DataFrame,
+      nodeType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = sub.sparkSession
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) => java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      case (x: Long, y: Long) => x < y
+      case (x: Int, y: Int)   => x < y
+      case _ => throw new IllegalStateException(
+        s"censusDriverSide: unsupported node values $a / $b")
+    }
+    val edgeRows = sub.collect()
+    val ids = new java.util.HashMap[Any, Integer]()
+    val vals = scala.collection.mutable.ArrayBuffer[Any]()
+    def id(v: Any): Int = {
+      val got = ids.get(v)
+      if (got != null) got.intValue()
+      else { ids.put(v, vals.length); vals += v; vals.length - 1 }
+    }
+    val es = edgeRows.map(r => (id(r.get(0)), id(r.get(1))))
+    val n = vals.length
+    // wcc: union-find with path compression
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    // scc: iterative Tarjan
+    val adj = {
+      val builders = Array.fill(n)(
+        scala.collection.mutable.ArrayBuffer[Int]())
+      es.foreach { case (a, b) => builders(a) += b }
+      builders.map(_.toArray)
+    }
+    val idx = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val on = new Array[Boolean](n)
+    val sccOf = new Array[Int](n)
+    val st = new java.util.ArrayDeque[Integer]()
+    var counter = 0
+    var root = 0
+    while (root < n) {
+      if (idx(root) < 0) {
+        val frames = new java.util.ArrayDeque[Array[Int]]()
+        frames.push(Array(root, 0))
+        while (!frames.isEmpty) {
+          val fr = frames.peek()
+          val v = fr(0)
+          if (idx(v) < 0) {
+            idx(v) = counter; low(v) = counter; counter += 1
+            st.push(v); on(v) = true
+          }
+          var advanced = false
+          while (fr(1) < adj(v).length && !advanced) {
+            val w = adj(v)(fr(1)); fr(1) += 1
+            if (idx(w) < 0) { frames.push(Array(w, 0)); advanced = true }
+            else if (on(w)) low(v) = math.min(low(v), idx(w))
+          }
+          if (!advanced) {
+            frames.pop()
+            if (!frames.isEmpty) {
+              val p = frames.peek()(0)
+              low(p) = math.min(low(p), low(v))
+            }
+            if (low(v) == idx(v)) {
+              var w = -1
+              do {
+                w = st.pop(); on(w) = false; sccOf(w) = v
+              } while (w != v)
+            }
+          }
+        }
+      }
+      root += 1
+    }
+    // semantic ids: min member per group, in Spark's ordering
+    val wccMin = new java.util.HashMap[Int, Any]()
+    val sccMin = new java.util.HashMap[Int, Any]()
+    var i = 0
+    while (i < n) {
+      val w = find(i); val s = sccOf(i); val v = vals(i)
+      val cw = wccMin.get(w)
+      if (cw == null || lt(v, cw)) wccMin.put(w, v)
+      val cs = sccMin.get(s)
+      if (cs == null || lt(v, cs)) sccMin.put(s, v)
+      i += 1
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+    i = 0
+    while (i < n) {
+      rows.add(org.apache.spark.sql.Row(
+        vals(i), wccMin.get(find(i)), sccMin.get(sccOf(i))))
+      i += 1
+    }
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("wcc_id", nodeType),
+        org.apache.spark.sql.types.StructField("scc_id", nodeType))))
   }
 
   /** Neighborhood function + effective diameter — HyperBall (Boldi &

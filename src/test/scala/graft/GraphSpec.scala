@@ -477,6 +477,18 @@ class GraphSpec extends AnyFunSuite {
     assert(out == expected,
       s"chain not fully labeled in 8 rounds: " +
         s"${out.count(_._2._2 == null)} null scc_ids")
+    // the incremental op's driver-side Tarjan path must agree with
+    // the distributed census on this 48-node 24-SCC graph too
+    // (delta = everything, empty prior ⇒ the whole graph recomputes
+    // through the fast path)
+    val emptyPrior = Seq.empty[(String, String, String)]
+      .toDF("node", "wcc_id", "scc_id")
+    val viaDriver = Graph.sccCensusIncremental(
+        pairs.toDF("src", "dst"), "src", "dst",
+        pairs.toDF("src", "dst"), emptyPrior)
+      .as[(String, String, String)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(viaDriver == expected, s"driver-side path diverged")
   }
 
   test("sccCensusIncremental: equals the full census, and an " +
@@ -492,13 +504,18 @@ class GraphSpec extends AnyFunSuite {
       ("x", "x", "x"), ("y", "x", "x"))
       .toDF("node", "wcc_id", "scc_id")
     // 1. with a correct prior the incremental result IS the full
-    // census of the full graph
+    // census of the full graph — via the driver-side fast path
+    // (default cutoff) AND the distributed path (cutoff 0), which
+    // must agree bit-for-bit
     val inc = Graph.sccCensusIncremental(all, "src", "dst", delta,
         correctPrior)
       .as[(String, String, String)].collect().toSet
+    val incDist = Graph.sccCensusIncremental(all, "src", "dst", delta,
+        correctPrior, smallCutoff = 0L)
+      .as[(String, String, String)].collect().toSet
     val full = Graph.sccCensus(all, "src", "dst")
       .as[(String, String, String)].collect().toSet
-    assert(inc == full && inc == Set(
+    assert(inc == full && incDist == full && inc == Set(
       ("a", "a", "a"), ("b", "a", "a"), ("c", "a", "c"),
       ("x", "x", "x"), ("y", "x", "x")))
     // 2. poison the untouched component's prior rows: they must come

@@ -120,16 +120,37 @@ object SkewOpsProbe {
       // structure; the raw functional substrate's sqrt(n)-deep
       // rho-chains are the documented pathological case for the
       // per-round SCC drain, not the crawl regime the op targets)
-      val bidir = edges.unionByName(
+      // staged: the probe substrate is a 64/256-way union over the
+      // docs scan — re-deriving it per reference would bill the
+      // fixture's lineage to the op under test (the streaming ingest
+      // consumes a standing parquet table, so staged parquet is the
+      // faithful shape)
+      val bidir = graft.core.Tables.staged(edges.unionByName(
         edges.filter(pmod(xxhash64($"src"), lit(2)) === 0)
-          .select($"dst".as("src"), $"src".as("dst")))
+          .select($"dst".as("src"), $"src".as("dst"))), "probe_bidir")
+      var cen: org.apache.spark.sql.DataFrame = null
       val tS = time {
         // r15 SCC census under the hub skew. Convergence is asserted,
         // not assumed: zero null scc_id ⇒ the cap never hit.
-        val sc = graft.ops.Graph.sccCensus(bidir, "src", "dst")
-        assert(sc.filter($"scc_id".isNull).count() == 0)
+        cen = graft.core.Tables.staged(
+          graft.ops.Graph.sccCensus(bidir, "src", "dst"), "probe_cen")
+        assert(cen.filter($"scc_id".isNull).count() == 0)
       }
       println(f"SCCCENSUS mult=$mult rows=$rows t=$tS%.2f s")
+      val nCen = cen.count()
+      val tI = time {
+        // r16 incremental census: a 2-edge delta planting one fresh
+        // component — the daily-crawl shape. Work must be ∝ the
+        // touched sliver (here: the delta alone), NOT the graph: the
+        // full census above took tS on the same substrate.
+        val delta = Seq(("newa.test", "newb.test"),
+          ("newb.test", "newa.test")).toDF("src", "dst")
+        val inc = graft.ops.Graph.sccCensusIncremental(
+          bidir.unionByName(delta), "src", "dst", delta, cen)
+        assert(inc.count() == nCen + 2)
+      }
+      println(f"INCCENSUS mult=$mult rows=$rows t=$tI%.2f s " +
+        f"(full=$tS%.2f s)")
       val tN = time {
         // r16 HyperBall on the same Broder shape: ~10^5 nodes whose
         // giant-SCC reach sets are ~the whole core — the per-node
