@@ -665,13 +665,19 @@ object CorpusQueries {
     * (its consumption): planted ¼-to-3¼-epoch caps keyed off n_tokens,
     * budget = ¾ of one full epoch, weights = doc counts. */
   private def epochQuotaTable(s: SparkSession, dir: String): DataFrame = {
-    val cfg = t(s, dir, "documents")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCountWs(coalesce(col("text"), lit("")))
-          .cast("long")).as("n_tokens"))
-      .withColumn("cap_tokens",
-        expr("((1L + n_tokens % 12) * n_tokens) div 4"))
+    // staged ONCE: the per-source config is consumed twice (the total
+    // fetch below and cappedLargestRemainder's own staging pass) — an
+    // unstaged plan would run the full documents scan + token kernel
+    // per consumer
+    val cfg = graft.core.Tables.staged(
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCountWs(coalesce(col("text"), lit("")))
+            .cast("long")).as("n_tokens"))
+        .withColumn("cap_tokens",
+          expr("((1L + n_tokens % 12) * n_tokens) div 4")),
+      "epoch_cfg")
     val totalTok = cfg.agg(coalesce(sum(col("n_tokens")), lit(0L)))
       .first().getLong(0)
     graft.ops.Apportion.cappedLargestRemainder(cfg, Seq("source"),

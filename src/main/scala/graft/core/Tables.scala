@@ -113,7 +113,37 @@ object Tables {
     stagedWrites.incrementAndGet()
     registerStagedDir(path, df.sparkSession.sessionState.newHadoopConf())
     df.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
+    readStagedBack(df, path)
+  }
+
+  /** Read back a parquet dir this call just wrote from `df`, passing
+    * the writer's own schema instead of re-inferring it from footers.
+    * The schema a parquet read INFERS for a Spark-written table is
+    * exactly the written schema with every level forced nullable and
+    * metadata dropped (file relations apply `asNullable`), so handing
+    * that to the reader is a value-identity that skips the per-call
+    * footer open — a driver-side fixed cost every [[staged]] round
+    * trip paid, dominating iterative callers that stage per round. */
+  private def readStagedBack(df: org.apache.spark.sql.DataFrame,
+      path: String): org.apache.spark.sql.DataFrame =
+    df.sparkSession.read.schema(nullableSchema(df.schema)).parquet(path)
+
+  private def nullableSchema(s: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType =
+    deepNullable(s).asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private def deepNullable(dt: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, deepNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(deepNullable(a.elementType), containsNull = true)
+      case m: MapType => MapType(deepNullable(m.keyType),
+        deepNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
   }
 
   /** [[staged]] plus the EXACT row count of what was just written,
@@ -131,8 +161,196 @@ object Tables {
     stagedWrites.incrementAndGet()
     registerStagedDir(path, conf)
     df.write.mode("overwrite").parquet(path)
-    (df.sparkSession.read.parquet(path), parquetRowCount(path, conf))
+    (readStagedBack(df, path), parquetRowCount(path, conf))
   }
+
+  /** [[staged]] plus the exact (min, max) of one STRING column of what
+    * was just written, read from the parquet footers — zero extra Spark
+    * jobs. Footer min/max for BINARY columns is the unsigned
+    * byte-lexicographic order, which is exactly UTF8String's (Spark's
+    * string min/max), and parquet-mr stores row-group statistics
+    * untruncated at these lengths, so the values equal
+    * `df.agg(min(col), max(col)).first()` bit-for-bit over the non-null
+    * rows. Returns None when any footer lacks usable statistics or no
+    * block carries a non-null value (caller falls back to the agg job —
+    * correctness never rides on stats being present). */
+  def stagedWithStringRange(df: org.apache.spark.sql.DataFrame,
+      tag: String, colName: String):
+      (org.apache.spark.sql.DataFrame, Option[(String, String)]) = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val path = s"$tmpDir/stage_${tag}_" +
+      java.util.UUID.randomUUID().toString
+    stagedWrites.incrementAndGet()
+    registerStagedDir(path, conf)
+    df.write.mode("overwrite").parquet(path)
+    (readStagedBack(df, path), parquetStringMinMax(path, conf, colName))
+  }
+
+  /** Footer-statistics (min, max) of a top-level string column across
+    * every visible parquet file under `path` — see
+    * [[stagedWithStringRange]] for the exactness argument. */
+  def parquetStringMinMax(path: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      colName: String): Option[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val baseDepth = p.toUri.getPath.split("/").length
+    def visible(f: org.apache.hadoop.fs.Path): Boolean =
+      f.toUri.getPath.split("/").drop(baseDepth)
+        .forall(seg => !seg.startsWith("_") && !seg.startsWith("."))
+    // min/max tracked as raw UTF-8 bytes with UNSIGNED lexicographic
+    // comparison — UTF8String's order, which differs from Java
+    // String's UTF-16 order on supplementary-vs-BMP mixes
+    def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    var lo: Array[Byte] = null
+    var hi: Array[Byte] = null
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+          visible(f.getPath)) {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(f, conf))
+        try {
+          val blocks = rd.getFooter.getBlocks
+          var bi = 0
+          while (bi < blocks.size()) {
+            val cols = blocks.get(bi).getColumns
+            var ci = 0
+            var found = false
+            while (ci < cols.size()) {
+              val c = cols.get(ci)
+              if (c.getPath.toDotString == colName) {
+                found = true
+                val st = c.getStatistics
+                // a block with rows but unusable stats makes the whole
+                // range unknown; an all-null block just contributes
+                // nothing (SQL min/max ignore nulls)
+                if (st == null || st.isEmpty)
+                  return None
+                if (st.hasNonNullValue) {
+                  st match {
+                    case bs: org.apache.parquet.column.statistics
+                        .BinaryStatistics =>
+                      val mn = bs.genericGetMin.getBytes
+                      val mx = bs.genericGetMax.getBytes
+                      if (lo == null || cmp(mn, lo) < 0) lo = mn
+                      if (hi == null || cmp(mx, hi) > 0) hi = mx
+                    case _ => return None
+                  }
+                }
+              }
+              ci += 1
+            }
+            if (!found) return None
+            bi += 1
+          }
+        } finally rd.close()
+      }
+    }
+    if (lo == null) None
+    else Some((new String(lo, java.nio.charset.StandardCharsets.UTF_8),
+      new String(hi, java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  /** [[staged]] plus the exact footer MAX of one top-level int/long
+    * column of what was just written — zero extra Spark jobs. The
+    * loop-control primitive for staged fixpoint iterations whose stop
+    * test is "did ANY row change": carry a 0/1 changed flag and read
+    * its max from the footers instead of launching a max() job per
+    * round. None when stats are unusable or every value is null
+    * (caller falls back to the agg job). */
+  def stagedWithLongMax(df: org.apache.spark.sql.DataFrame,
+      tag: String, colName: String):
+      (org.apache.spark.sql.DataFrame, Option[Long]) = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val path = s"$tmpDir/stage_${tag}_" +
+      java.util.UUID.randomUUID().toString
+    stagedWrites.incrementAndGet()
+    registerStagedDir(path, conf)
+    df.write.mode("overwrite").parquet(path)
+    (readStagedBack(df, path), parquetLongMax(path, conf, colName))
+  }
+
+  /** Footer-statistics max of a top-level int32/int64 column across
+    * every visible parquet file under `path` — numeric stats are exact
+    * (no truncation applies), so this equals `max(col)` bit-for-bit
+    * over the non-null rows. None when a block lacks usable stats or
+    * no non-null value exists. */
+  def parquetLongMax(path: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      colName: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val baseDepth = p.toUri.getPath.split("/").length
+    def visible(f: org.apache.hadoop.fs.Path): Boolean =
+      f.toUri.getPath.split("/").drop(baseDepth)
+        .forall(seg => !seg.startsWith("_") && !seg.startsWith("."))
+    var hi: Option[Long] = None
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+          visible(f.getPath)) {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(f, conf))
+        try {
+          val blocks = rd.getFooter.getBlocks
+          var bi = 0
+          while (bi < blocks.size()) {
+            val cols = blocks.get(bi).getColumns
+            var ci = 0
+            var found = false
+            while (ci < cols.size()) {
+              val c = cols.get(ci)
+              if (c.getPath.toDotString == colName) {
+                found = true
+                val st = c.getStatistics
+                if (st == null || st.isEmpty) return None
+                if (st.hasNonNullValue) {
+                  val v: Long = st match {
+                    case ls: org.apache.parquet.column.statistics
+                        .LongStatistics => ls.genericGetMax
+                    case is: org.apache.parquet.column.statistics
+                        .IntStatistics => is.genericGetMax.toLong
+                    case _ => return None
+                  }
+                  if (hi.isEmpty || v > hi.get) hi = Some(v)
+                }
+              }
+              ci += 1
+            }
+            if (!found) return None
+            bi += 1
+          }
+        } finally rd.close()
+      }
+    }
+    hi
+  }
+
+  /** Read back a parquet dir the CALLER wrote from a plan with schema
+    * `schemaOf`, skipping footer schema inference (the [[staged]]
+    * read-back contract for self-managed writes — graph-loop round
+    * dirs and partitioned reach directories). For a partitioned dir,
+    * include the partition column in `schemaOf`. */
+  def readAsWritten(spark: SparkSession, path: String,
+      schemaOf: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.DataFrame =
+    spark.read.schema(nullableSchema(schemaOf)).parquet(path)
 
   /** Exact row count of a parquet directory from file-footer metadata
     * alone — a driver-side listing + footer reads, no Spark job. Sums

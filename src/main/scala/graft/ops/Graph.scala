@@ -132,8 +132,6 @@ object Graph {
       "ppr_nodes")
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
-    val dangling = graft.core.Tables.staged(
-      nodes.join(outDeg, Seq("node"), "left_anti"), "ppr_dangling")
     val (seedSet, m) = graft.core.Tables.stagedCounted(
       nodes.join(
         seeds.select(col(seeds.columns.head).as("node"))
@@ -143,34 +141,39 @@ object Graph {
       "personalizedPageRankScaled: no seed is a graph node")
     val baseS = (Scale * 15L) / (100L * m)
     val seedFlag = seedSet.withColumn("__s", lit(1))
+    // the rank table carries out-degree (null ⇔ dangling) and the seed
+    // flag — the pageRankRun fusion: no per-round outDeg recompute, no
+    // staged dangling table, no per-round seedFlag join
     var ranks = graft.core.Tables.staged(
       nodes.join(seedFlag, Seq("node"), "left")
+        .join(outDeg, Seq("node"), "left")
         .select(col("node"),
           when(col("__s") === 1, lit(Scale / m)).otherwise(lit(0L))
-            .as("rank_s")),
+            .as("rank_s"),
+          col("outdeg"), col("__s")),
       "ppr_r0")
     for (i <- 1 to iterations) {
-      val shareDf = ranks.join(dangling, Seq("node"), "left_semi")
+      val shareDf = ranks.filter(col("outdeg").isNull)
         .agg(expr(s"coalesce(sum(rank_s), 0L) div ${m}L")
           .as("__share"))
       val contrib = e
         .join(ranks, col("src") === ranks("node"))
-        .join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           expr("rank_s div outdeg").as("c"))
       val inSum = contrib.groupBy("node").agg(sum(col("c")).as("in_s"))
       ranks = graft.core.Tables.staged(
-        nodes.join(inSum, Seq("node"), "left")
-          .join(seedFlag, Seq("node"), "left")
+        ranks.select(col("node"), col("outdeg"), col("__s"))
+          .join(inSum, Seq("node"), "left")
           .crossJoin(broadcast(shareDf))
           .select(col("node"),
             (when(col("__s") === 1, lit(baseS)).otherwise(lit(0L)) +
               expr("(85 * (coalesce(in_s, 0L) + " +
                 "CASE WHEN __s = 1 THEN __share ELSE 0L END)) div 100"))
-              .as("rank_s")),
+              .as("rank_s"),
+            col("outdeg"), col("__s")),
         s"ppr_r$i")
     }
-    ranks
+    ranks.select(col("node"), col("rank_s"))
   }
 
   /** Weighted PageRank in the same scaled-Long exact arithmetic as
@@ -230,39 +233,43 @@ object Graph {
     // guards passed ⇒ every pair is unique, so (src, dst, w) below IS
     // the input edge set
     val e = pairs.select("src", "dst", "w")
+    // the rank table carries each node's out-weight (null ⇔ dangling)
+    // — the pageRankRun fusion: no per-round outW recompute (a full
+    // edge scan + shuffle), no staged dangling table
+    val outW = e.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("__ow"))
     val (nodes, n) = graft.core.Tables.stagedCounted(
       e.select(col("src").as("node"))
-        .unionByName(e.select(col("dst").as("node"))).distinct(),
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+        .join(outW, Seq("node"), "left"),
       "wpagerank_nodes")
-    val outW = e.groupBy(col("src").as("node"))
-      .agg(sum(col("w")).as("outw"))
-    val dangling = graft.core.Tables.staged(
-      nodes.join(outW, Seq("node"), "left_anti"), "wpagerank_dangling")
     require(n > 0, "pageRankScaledWeighted: empty graph")
     val base = (Scale * 15L) / (100L * n)
     var ranks = graft.core.Tables.staged(
-      nodes.withColumn("rank_s", lit(Scale / n)), "wpagerank_r0")
+      nodes.withColumn("rank_s", lit(Scale / n))
+        .select(col("node"), col("rank_s"), col("__ow")),
+      "wpagerank_r0")
     for (i <- 1 to iterations) {
-      val shareDf = ranks.join(dangling, Seq("node"), "left_semi")
+      val shareDf = ranks.filter(col("__ow").isNull)
         .agg(expr(s"coalesce(sum(rank_s), 0L) div ${n}L")
           .as("__share"))
       val contrib = e
         .join(ranks, col("src") === ranks("node"))
-        .join(outW.withColumnRenamed("node", "src")
-          .withColumnRenamed("outw", "__ow"), Seq("src"))
         .select(col("dst").as("node"),
           expr("(rank_s * w) div __ow").as("c"))
       val inSum = contrib.groupBy("node").agg(sum(col("c")).as("in_s"))
       ranks = graft.core.Tables.staged(
-        nodes.join(inSum, Seq("node"), "left")
+        ranks.select(col("node"), col("__ow"))
+          .join(inSum, Seq("node"), "left")
           .crossJoin(broadcast(shareDf))
           .select(col("node"),
             (lit(base) +
               expr("(85 * (coalesce(in_s, 0L) + __share)) div 100"))
-              .as("rank_s")),
+              .as("rank_s"),
+            col("__ow")),
         s"wpagerank_r$i")
     }
-    ranks
+    ranks.select(col("node"), col("rank_s"))
   }
 
   /** Fixed denominator for [[hitsScaled]] scores: hub/authority
@@ -311,45 +318,54 @@ object Graph {
         .unionByName(e.select(col("dst").as("node"))).distinct(),
       "hits_nodes")
     require(nHits > 0, "hitsScaled: empty graph")
-    var hubs = graft.core.Tables.staged(
-      nodes.withColumn("hub_s", lit(HitsScale)), "hits_h0")
-    var out: DataFrame = null
+    // per iteration: TWO staged writes (a_raw, h_raw) and ZERO driver
+    // fetches. The L1 divisors ride 1-row broadcast aggregates over the
+    // just-staged table (the pageRankRun dangling-share fusion) instead
+    // of driver-side scalar reads; hub values for the next round come
+    // straight off the staged h_raw table (a zero-score node drops out
+    // of the inner contribution join — adding zeros ≡ dropping them, so
+    // the sums are bit-identical to the old nodes-completed hub table);
+    // the full (node, auth_s, hub_s) completion is built ONCE at the
+    // end instead of staged every round. Round 1's authority sum uses
+    // h_0 = HitsScale directly (count · HitsScale) — no h_0 table, no
+    // join. Previously: four staged writes + two driver fetches/round.
+    def divisor(raw: DataFrame, valCol: String, name: String): DataFrame =
+      raw.agg(greatest(
+        expr(s"coalesce(sum($valCol), 0L) div ${HitsScale}L"),
+        lit(1L)).as(name))
+    var aRaw: DataFrame = null
+    var hRaw: DataFrame = null
+    var daDf: DataFrame = null
+    var dhDf: DataFrame = null
     for (i <- 1 to iterations) {
       // authority update: in-neighbor hub sum, staged, then L1-divided
-      val aRaw = graft.core.Tables.staged(
-        e.join(hubs, col("src") === hubs("node"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("hub_s")).as("a_raw")),
-        s"hits_araw$i")
-      // total reads the STAGED aggregate — one columnar Long scan, the
-      // pageRankScaledConverged stop-read pattern
-      val ta = aRaw.agg(coalesce(sum(col("a_raw")), lit(0L)))
-        .head().getLong(0)
-      val da = math.max(ta / HitsScale, 1L)
-      val auth = graft.core.Tables.staged(
-        nodes.join(aRaw, Seq("node"), "left")
-          .select(col("node"),
-            expr(s"coalesce(a_raw, 0L) div ${da}L").as("auth_s")),
-        s"hits_a$i")
+      val aIn =
+        if (i == 1)
+          e.groupBy(col("dst").as("node"))
+            .agg((count(lit(1)) * HitsScale).as("a_raw"))
+        else
+          e.join(hRaw, col("src") === hRaw("node"))
+            .crossJoin(broadcast(dhDf))
+            .groupBy(col("dst").as("node"))
+            .agg(sum(expr("h_raw div __dh")).as("a_raw"))
+      aRaw = graft.core.Tables.staged(aIn, s"hits_araw$i")
+      daDf = divisor(aRaw, "a_raw", "__da")
       // hub update: out-neighbor authority sum
-      val hRaw = graft.core.Tables.staged(
-        e.join(auth, col("dst") === auth("node"))
+      hRaw = graft.core.Tables.staged(
+        e.join(aRaw, col("dst") === aRaw("node"))
+          .crossJoin(broadcast(daDf))
           .groupBy(col("src").as("node"))
-          .agg(sum(col("auth_s")).as("h_raw")),
+          .agg(sum(expr("a_raw div __da")).as("h_raw")),
         s"hits_hraw$i")
-      val th = hRaw.agg(coalesce(sum(col("h_raw")), lit(0L)))
-        .head().getLong(0)
-      val dh = math.max(th / HitsScale, 1L)
-      out = graft.core.Tables.staged(
-        nodes.join(aRaw, Seq("node"), "left")
-          .join(hRaw, Seq("node"), "left")
-          .select(col("node"),
-            expr(s"coalesce(a_raw, 0L) div ${da}L").as("auth_s"),
-            expr(s"coalesce(h_raw, 0L) div ${dh}L").as("hub_s")),
-        s"hits_$i")
-      hubs = out.select(col("node"), col("hub_s"))
+      dhDf = divisor(hRaw, "h_raw", "__dh")
     }
-    out
+    nodes.join(aRaw, Seq("node"), "left")
+      .join(hRaw, Seq("node"), "left")
+      .crossJoin(broadcast(daDf))
+      .crossJoin(broadcast(dhDf))
+      .select(col("node"),
+        expr("coalesce(a_raw, 0L) div __da").as("auth_s"),
+        expr("coalesce(h_raw, 0L) div __dh").as("hub_s"))
   }
 
   /** Per-node triangle counts + local clustering coefficient over the
@@ -651,6 +667,13 @@ object Graph {
     // frontier BFS accumulating into ONE partitioned reach directory
     // (rnd=K per round — see the scaladoc's orchestration-cost note);
     // the reach set is the directory read whole
+    val nodeT = nodes.schema("node").dataType
+    // frontier/reach reads skip footer schema inference (the staged
+    // read-back contract): the written shape is known
+    val rSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeT)))
+    val rSchemaP = rSchema.add(org.apache.spark.sql.types.StructField(
+      "rnd", org.apache.spark.sql.types.IntegerType))
     def reach(ed: DataFrame, seeds: DataFrame, tag: String,
               fromCol: String, toCol: String): DataFrame = {
       val dir = graft.core.Tables.scratchDir(spark, s"bowtie_$tag")
@@ -665,8 +688,10 @@ object Graph {
       else {
         while (cnt > 0 && it < maxRounds) {
           it += 1
-          val frontier = spark.read.parquet(s"$dir/rnd=${it - 1}")
-          val reached = spark.read.parquet(dir).select("node")
+          val frontier = graft.core.Tables.readAsWritten(spark,
+            s"$dir/rnd=${it - 1}", rSchema)
+          val reached = graft.core.Tables.readAsWritten(spark,
+            dir, rSchemaP).select("node")
           cnt = writeRound(
             ed.join(frontier.withColumnRenamed("node", fromCol),
                 Seq(fromCol))
@@ -682,7 +707,8 @@ object Graph {
               s"$maxRounds with a live frontier ($cnt nodes) — " +
               "unreached nodes degrade conservatively; downstream " +
               "classes are approximate. Raise maxRounds.")
-        spark.read.parquet(dir).select("node")
+        graft.core.Tables.readAsWritten(spark, dir, rSchemaP)
+          .select("node")
       }
     }
     val pivotSeed = nodes.filter(col("node") === lit(pivot))
@@ -843,6 +869,7 @@ object Graph {
         .unionByName(e.select(col("dst").as("node"))).distinct(),
       "scc_nodes")
     require(nNodes > 0, "sccCensus: empty graph")
+    val nodeT = nodes.schema("node").dataType
     // wcc is independent of the scc drain — run the pointer-jumping
     // pass on a concurrent driver thread so its log-diameter rounds
     // overlap the drain's rounds (the bowTie wave discipline; results
@@ -881,18 +908,32 @@ object Graph {
       while (trimming && nActive > 0 && trimLeft > 0) {
         trimLeft -= 1
         trimRound += 1
-        val (single, nSingle) = graft.core.Tables.stagedCounted(
+        // the singleton set is written ONCE — directly into its result
+        // partition (writePart's footer count doubles as the loop
+        // control), read back for the shrink instead of staging a
+        // separate copy; the edge shrink anti-joins against the SMALL
+        // singles set (broadcast-sized) rather than semi-joining the
+        // large remaining-active set twice — same set algebra
+        // (ea endpoints ⊆ active, so dropping singles ≡ keeping
+        // active∖singles), one fewer staged write per trim round
+        val nSingle = writePart(
           active
             .join(ea.select(col("dst").as("node")), Seq("node"),
               "left_anti")
             .unionByName(active
               .join(ea.select(col("src").as("node")), Seq("node"),
                 "left_anti"))
-            .distinct(), s"scc_trim$trimRound")
+            .distinct()
+            .select(col("node"), col("node").as("scc_id")),
+          resDir, 1000000 + trimRound)
         if (nSingle == 0) trimming = false
         else {
-          writePart(single.select(col("node"),
-            col("node").as("scc_id")), resDir, 1000000 + trimRound)
+          val single = graft.core.Tables.readAsWritten(spark,
+            s"$resDir/rnd=${1000000 + trimRound}",
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("node", nodeT),
+              org.apache.spark.sql.types.StructField("scc_id", nodeT))))
+            .select("node")
           val shrunkT = graft.core.Tables.stagedCounted(
             active.join(single, Seq("node"), "left_anti"),
             s"scc_ta$trimRound")
@@ -900,10 +941,10 @@ object Graph {
           nActive = shrunkT._2
           if (nActive > 0)
             ea = graft.core.Tables.staged(
-              ea.join(active.select(col("node").as("src")), Seq("src"),
-                  "left_semi")
-                .join(active.select(col("node").as("dst")), Seq("dst"),
-                  "left_semi"), s"scc_te$trimRound")
+              ea.join(single.select(col("node").as("src")), Seq("src"),
+                  "left_anti")
+                .join(single.select(col("node").as("dst")), Seq("dst"),
+                  "left_anti"), s"scc_te$trimRound")
         }
       }
       if (trimming && nActive > 0 && trimLeft == 0)
@@ -942,20 +983,30 @@ object Graph {
       var it = 0
       while (chg > 0 && it < maxIters) {
         it += 1
+        // ONE staged write per round (was two: a changed-rows delta +
+        // the folded table): the update left-joins the candidate mins
+        // into the color table directly and carries a 0/1 changed
+        // flag whose footer MAX is the fixpoint test — the stop
+        // decision costs zero Spark jobs, like every other loop
+        // control here
         val cand = ea
-          .join(colors.withColumnRenamed("node", "src"), Seq("src"))
+          .join(colors.select(col("node").as("src"), col("color")),
+            Seq("src"))
           .groupBy(col("dst").as("node"))
           .agg(min(col("color")).as("cand"))
-        val (delta, nd) = graft.core.Tables.stagedCounted(
-          colors.join(cand, Seq("node"))
-            .filter(col("cand") < col("color"))
-            .select(col("node"), col("cand").as("color")),
-          s"scc_cd${outer}_$it")
-        chg = nd
-        if (nd > 0)
-          colors = graft.core.Tables.staged(
-            colors.join(delta.select("node"), Seq("node"), "left_anti")
-              .unionByName(delta), s"scc_c${outer}_$it")
+        val upd = colors.select(col("node"), col("color"))
+          .join(cand, Seq("node"), "left")
+          .select(col("node"),
+            when(col("cand") < col("color"), col("cand"))
+              .otherwise(col("color")).as("color"),
+            when(col("cand") < col("color"), lit(1)).otherwise(lit(0))
+              .as("__chg"))
+        val (next, mx) = graft.core.Tables.stagedWithLongMax(
+          upd, s"scc_c${outer}_$it", "__chg")
+        colors = next
+        chg = mx.getOrElse(
+          next.agg(coalesce(max(col("__chg")), lit(0))).first()
+            .getInt(0).toLong)
       }
       if (chg > 0) {
         // NEVER-WRONG discipline (ADVICE r15 #3's bug class): a
@@ -982,14 +1033,24 @@ object Graph {
           .select(col("src"), col("dst"), col("cs").as("color")),
         s"scc_ec$outer")
       val bwDir = graft.core.Tables.scratchDir(spark, s"scc_bw$outer")
+      // frontier/reach reads skip footer schema inference (the staged
+      // read-back contract): the written shape is known
+      val colorT = keyed.schema("ck").dataType
+      val fSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeT),
+        org.apache.spark.sql.types.StructField("color", colorT)))
+      val fSchemaP = fSchema.add(org.apache.spark.sql.types.StructField(
+        "rnd", org.apache.spark.sql.types.IntegerType))
       var itb = 0
       var cnt = writePart(
         colors.filter(col("color.n") === col("node"))
           .select("node", "color"), bwDir, 0)
       while (cnt > 0 && itb < maxIters) {
         itb += 1
-        val frontier = spark.read.parquet(s"$bwDir/rnd=${itb - 1}")
-        val reached = spark.read.parquet(bwDir).select("node", "color")
+        val frontier = graft.core.Tables.readAsWritten(spark,
+          s"$bwDir/rnd=${itb - 1}", fSchema)
+        val reached = graft.core.Tables.readAsWritten(spark,
+          bwDir, fSchemaP).select("node", "color")
         cnt = writePart(
           ec.join(frontier.withColumnRenamed("node", "dst"),
               Seq("dst", "color"))
@@ -997,8 +1058,8 @@ object Graph {
             .join(reached, Seq("node", "color"), "left_anti"),
           bwDir, itb)
       }
-      val reachedAll = spark.read.parquet(bwDir)
-        .select("node", "color")
+      val reachedAll = graft.core.Tables.readAsWritten(spark,
+        bwDir, fSchemaP).select("node", "color")
       // ADVICE r15 #3: a capped sweep used to emit the root's SCC
       // PARTIALLY — its unreached members then recomputed on a
       // subgraph missing part of their true SCC and got silently
@@ -1012,8 +1073,8 @@ object Graph {
             s"frontier (outer round $outer) — withholding the " +
             "still-sweeping color classes whole (a partial class " +
             "would split its SCC); raise maxIters.")
-          val liveColors = spark.read.parquet(s"$bwDir/rnd=$itb")
-            .select("color").distinct()
+          val liveColors = graft.core.Tables.readAsWritten(spark,
+            s"$bwDir/rnd=$itb", fSchema).select("color").distinct()
           reachedAll.join(liveColors, Seq("color"), "left_anti")
         } else reachedAll
       // scc_id stays SEMANTIC under the randomized color keys: the
@@ -1043,7 +1104,13 @@ object Graph {
         s"$maxOuterRounds — they emit null scc_id (never a wrong " +
         "label). Raise maxOuterRounds, or maxIters if rounds were " +
         "withheld by capped coloring/sweeps.")
-    val scc = spark.read.parquet(resDir).select("node", "scc_id")
+    val scc = graft.core.Tables.readAsWritten(spark, resDir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeT),
+        org.apache.spark.sql.types.StructField("scc_id", nodeT),
+        org.apache.spark.sql.types.StructField("rnd",
+          org.apache.spark.sql.types.IntegerType))))
+      .select("node", "scc_id")
     val wcc = Await.result(wccF, Inf)
     nodes.join(wcc, Seq("node"), "left")
       .join(scc, Seq("node"), "left")
@@ -1541,25 +1608,30 @@ object Graph {
     val e = graft.core.Tables.staged(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .na.drop().distinct(), "pagerank_edges")
-    // node count comes from the staged write's parquet footers — no
-    // separate count() job
-    val (nodes, n) = graft.core.Tables.stagedCounted(
-      e.select(col("src").as("node"))
-        .unionByName(e.select(col("dst").as("node"))).distinct(),
-      "pagerank_nodes")
+    // the rank table CARRIES each node's out-degree (null ⇔ dangling):
+    // the per-iteration plan used to recompute the outDeg aggregate (a
+    // full edge scan + shuffle per round) and semi-join a separate
+    // staged dangling table — both are now one column of the table the
+    // round reads anyway. Node count comes from the staged write's
+    // parquet footers — no separate count() job.
     val outDeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
-    val dangling = graft.core.Tables.staged(
-      nodes.join(outDeg, Seq("node"), "left_anti"), "pagerank_dangling")
+    val (nodes, n) = graft.core.Tables.stagedCounted(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+        .join(outDeg, Seq("node"), "left"),
+      "pagerank_nodes")
     require(n > 0, "pageRankScaled: empty graph")
     val base = (Scale * 15L) / (100L * n)
     val seed = prior match {
       case None => nodes.withColumn("rank_s", lit(Scale / n))
+        .select(col("node"), col("rank_s"), col("outdeg"))
       case Some(p) => nodes
         .join(p.select(col("node"), col("rank_s").as("__prior")),
           Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("__prior"), lit(Scale / n)).as("rank_s"))
+          coalesce(col("__prior"), lit(Scale / n)).as("rank_s"),
+          col("outdeg"))
     }
     var ranks = graft.core.Tables.staged(seed, "pagerank_r0")
     var it = 0
@@ -1572,27 +1644,31 @@ object Graph {
       // instead of a scalar-fetch action + the write; at crawl-graph
       // iteration counts the saved job-launch latency is the
       // difference between 2N and N scheduler round-trips
-      val shareDf = ranks.join(dangling, Seq("node"), "left_semi")
+      val shareDf = ranks.filter(col("outdeg").isNull)
         .agg(expr(s"coalesce(sum(rank_s), 0L) div ${n}L")
           .as("__share"))
+      // the src side of the contribution join only ever matches rank
+      // rows with outdeg ≥ 1 (a dangling node never appears as src)
       val contrib = e
         .join(ranks, col("src") === ranks("node"))
-        .join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           expr("rank_s div outdeg").as("c"))
       val inSum = contrib.groupBy("node").agg(sum(col("c")).as("in_s"))
-      val updBase = nodes.join(inSum, Seq("node"), "left")
+      val updBase = ranks.select(
+          col("node"), col("rank_s").as("__old"), col("outdeg"))
+        .join(inSum, Seq("node"), "left")
         .crossJoin(broadcast(shareDf))
       val newRank =
         (lit(base) +
           expr("(85 * (coalesce(in_s, 0L) + __share)) div 100"))
           .as("rank_s")
       val upd = eps match {
-        case None => updBase.select(col("node"), newRank)
+        case None =>
+          updBase.select(col("node"), newRank, col("outdeg"))
         case Some(_) => updBase
-          .join(ranks.select(col("node"), col("rank_s").as("__old")),
-            Seq("node"))
-          .select(col("node"), newRank, col("__old"))
+          // the previous rank rides the table the update reads anyway
+          // (no extra self-join for the delta)
+          .select(col("node"), newRank, col("outdeg"), col("__old"))
           .withColumn("__delta", abs(col("rank_s") - col("__old")))
           .drop("__old")
       }
@@ -1605,6 +1681,6 @@ object Graph {
         if (d < e0) done = true
       }
     }
-    (if (eps.isDefined) ranks.drop("__delta") else ranks, it)
+    (ranks.select(col("node"), col("rank_s")), it)
   }
 }

@@ -60,19 +60,23 @@ object Reports {
                             metrics: Seq[(String, Column)],
                             project: String, category: String,
                             report: String): DataFrame = {
-    val fact = graft.core.Tables.staged(m.filter(rowFilter),
-      s"rpt_$report")
-    // bounded one-row driver fetch for the month axis (the
-    // report_score_overall convention)
-    val rng = fact.agg(min(dtCol), max(dtCol)).first()
-    // an all-null range means rowFilter ate every fact row — a bad
-    // filter constant in a new instantiation; fail loudly instead of
-    // shipping a silently empty report (r9 ADVICE)
-    require(!rng.isNullAt(0),
-      s"slidingSelectorReport($report): rowFilter eliminated every " +
-        "fact row — check the filter constants")
+    // the month axis comes from the parquet footers of the staged
+    // write (exact string min/max — zero extra Spark jobs); the
+    // one-row agg fetch is only the fallback when stats are absent
+    val (fact, footerRng) = graft.core.Tables.stagedWithStringRange(
+      m.filter(rowFilter), s"rpt_$report", dtCol)
+    val (axisLo, axisHi) = footerRng.getOrElse {
+      val rng = fact.agg(min(dtCol), max(dtCol)).first()
+      // an all-null range means rowFilter ate every fact row — a bad
+      // filter constant in a new instantiation; fail loudly instead of
+      // shipping a silently empty report (r9 ADVICE)
+      require(!rng.isNullAt(0),
+        s"slidingSelectorReport($report): rowFilter eliminated every " +
+          "fact row — check the filter constants")
+      (rng.getString(0), rng.getString(1))
+    }
     val sliding = Relational.slidingScores(fact, groupCols, dtCol,
-      valCol, rng.getString(0), rng.getString(1))
+      valCol, axisLo, axisHi)
     val withSel = derive.foldLeft(sliding) {
       case (d, (n, c)) => d.withColumn(n, c)
     }
@@ -120,14 +124,32 @@ object Reports {
                 endDt: String = "9999-12-31")
       : ((String, String), DataFrame) = {
     require(members.nonEmpty, "empty report family")
-    val frames = members.map { case (name, build) =>
-      val df = build()
-      require(df.schema.fieldNames.toSeq == sinkColumns,
-        s"family member $name must emit the ms.report shape " +
-          s"(${sinkColumns.mkString(", ")}), got " +
-          df.schema.fieldNames.mkString(", "))
-      df
-    }
+    // members build CONCURRENTLY on a bounded driver pool: each build
+    // is a serial chain of tiny jobs (staged fact write + footer-stat
+    // axis read), so the family's wall time was 31 serialized chains —
+    // pure driver/scheduler latency, not compute. The union below
+    // still awaits every member IN ORDER, so the unioned plan, the
+    // sink rows, and the returned frame are identical to the serial
+    // build (ReportFamilySpec pins it). Staged dirs registered from
+    // the worker threads land in the caller's scope via scopedFuture.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(members.size, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val frames = try {
+      val futs = members.map { case (name, build) =>
+        graft.core.Tables.scopedFuture {
+          val df = build()
+          require(df.schema.fieldNames.toSeq == sinkColumns,
+            s"family member $name must emit the ms.report shape " +
+              s"(${sinkColumns.mkString(", ")}), got " +
+              df.schema.fieldNames.mkString(", "))
+          df
+        }
+      }
+      futs.map(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
     frames.reduce(_ unionByName _)
       .write.mode("append").parquet(sinkPath)
     val sink = spark.read.parquet(sinkPath)
