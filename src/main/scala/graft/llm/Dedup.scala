@@ -481,23 +481,31 @@ object Dedup {
       // doubles the distance a label has travelled toward the root
       val jump = labels.select(col("id").as("comp"),
         col("comp").as("jump_comp"))
-      // carry the previous label so convergence is a filter over the
-      // freshly staged result, not an extra join per round
-      val next = staged(labels.join(nbrMin, Seq("id"), "left_outer")
+      // carry a 0/1 changed flag whose parquet-footer MAX is the
+      // convergence test — the stop decision costs ZERO Spark jobs
+      // (was a filter+count job per round on the freshly staged table)
+      val next = labels.join(nbrMin, Seq("id"), "left_outer")
         .join(jump, Seq("comp"), "left_outer")
         .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")),
             coalesce(col("jump_comp"), col("comp")))
-            .as("comp")), "cc_labels")
-      changed = next.filter(col("comp") =!= col("prev")).count()
-      labels = next.select("id", "comp")
+            .as("comp"))
+        .select(col("id"), col("comp"),
+          when(col("comp") =!= col("prev"), lit(1)).otherwise(lit(0))
+            .as("__chg"))
+      val (stagedNext, mx) = graft.core.Tables.stagedWithLongMax(
+        next, "cc_labels", "__chg")
+      changed = mx.getOrElse(
+        stagedNext.agg(coalesce(max(col("__chg")), lit(0))).first()
+          .getInt(0).toLong)
+      labels = stagedNext.select("id", "comp")
       iters += 1
     }
     edges.unpersist()
     if (changed > 0) {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
-          s"($changed labels still changing) — raise maxIters for " +
+          "(labels still changing) — raise maxIters for " +
           "graphs with larger component diameters")
     }
     labels

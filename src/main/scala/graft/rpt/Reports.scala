@@ -150,9 +150,12 @@ object Reports {
       futs.map(f => scala.concurrent.Await.result(f,
         scala.concurrent.duration.Duration.Inf))
     } finally pool.shutdown()
-    frames.reduce(_ unionByName _)
-      .write.mode("append").parquet(sinkPath)
-    val sink = spark.read.parquet(sinkPath)
+    val union = frames.reduce(_ unionByName _)
+    union.write.mode("append").parquet(sinkPath)
+    // every appender writes the ms.report shape (enforced above), so
+    // the sink read passes it instead of re-inferring from footers
+    val sink = graft.core.Tables.readAsWritten(spark, sinkPath,
+      union.schema)
     val rng = graft.etl.TableOps.reportNextDt(
       sink.filter(col("dw_dt") =!= "9999-12-31"), "dw_dt",
       defaultStart, endDt)

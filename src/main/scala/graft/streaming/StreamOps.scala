@@ -51,7 +51,11 @@ object StreamOps {
                             path: String, key: String): Unit = {
     val fresh =
       if (pathExists(s, path))
-        df.join(s.read.parquet(path).select(col(key)).distinct(),
+        // the table holds frames of df's own shape (single-writer
+        // contract), so the guard read passes df's schema instead of
+        // re-inferring from footers every batch
+        df.join(graft.core.Tables.readAsWritten(s, path, df.schema)
+            .select(col(key)).distinct(),
           Seq(key), "left_anti")
       else df
     fresh.write.mode("append").parquet(path)
@@ -205,14 +209,24 @@ object StreamOps {
             .dropDuplicates(idCol), "ingest_collapsed")
           // (b) match against the standing index (empty on first
           // batch); a replayed doc's own entry never suppresses it
+          // standing-table reads pass the ops' own output schemas —
+          // the tables are built from exactly these frames (the
+          // guardedAppend single-writer contract), so no per-batch
+          // footer inference
+          val idxSchema = Dedup.minHashBandTable(collapsed.limit(0),
+            textCol, idCol, numHashes, bands).schema
+          val shSchema = Dedup.hashedShingleTable(collapsed.limit(0),
+            textCol, idCol).schema
           val novel = if (pathExists(s, indexPath)) {
-            val index = s.read.parquet(indexPath)
+            val index = graft.core.Tables.readAsWritten(s, indexPath,
+              idxSchema)
             // a first-batch crash between the index and shingle
             // appends leaves the index standing with no shingle table
             // at all — replay must verify against an empty one, not
             // throw on the missing path
             val shingles =
-              if (pathExists(s, shinglePath)) s.read.parquet(shinglePath)
+              if (pathExists(s, shinglePath))
+                graft.core.Tables.readAsWritten(s, shinglePath, shSchema)
               else Dedup.hashedShingleTable(collapsed.limit(0), textCol,
                 idCol)
             val dups = Dedup.dedupAgainstIndex(collapsed, textCol, idCol,
@@ -232,7 +246,9 @@ object StreamOps {
           // on id so established docs contribute nothing
           guardedAppend(s, novel, corpusPath, idCol)
           val inCorpus = collapsed.join(
-            s.read.parquet(corpusPath).select(col(idCol)).distinct(),
+            graft.core.Tables.readAsWritten(s, corpusPath,
+                collapsed.schema)
+              .select(col(idCol)).distinct(),
             Seq(idCol))
           guardedAppend(s, Dedup.minHashBandTable(inCorpus, textCol,
             idCol, numHashes, bands), indexPath, "id")
@@ -283,6 +299,8 @@ object StreamOps {
                                gramPath: String, resultPath: String,
                                n: Int = 13): StreamingQuery = {
     ensureBenchGramTable(docs.sparkSession, bench, textCol, gramPath, n)
+    val gramSchema =
+      graft.llm.Dedup.benchmarkGramTable(bench, textCol, n).schema
     val q = docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) graft.core.Tables.stagedScope {
@@ -290,7 +308,8 @@ object StreamOps {
           if (!pathExists(s, gramStamp(gramPath)))
             ensureBenchGramTable(s, bench, textCol, gramPath, n)
           val verdicts = graft.llm.Dedup.contaminationAgainstGrams(
-            batch, textCol, idCol, s.read.parquet(gramPath), n)
+            batch, textCol, idCol,
+            graft.core.Tables.readAsWritten(s, gramPath, gramSchema), n)
           guardedAppend(s, verdicts, resultPath, "train_id")
         }
       }
@@ -378,18 +397,34 @@ object StreamOps {
           val clean = batch
             .select(col(srcCol).as("src"), col(dstCol).as("dst"))
             .na.drop().distinct()
+          // standing-table reads pass the known written shapes — no
+          // per-batch footer inference (single-writer contract)
+          val rankSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              clean.schema("src").dataType),
+            org.apache.spark.sql.types.StructField("rank_s",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("graph_version",
+              org.apache.spark.sql.types.LongType)))
           val novel =
             if (pathExists(s, edgesPath))
-              clean.join(s.read.parquet(edgesPath),
+              clean.join(
+                graft.core.Tables.readAsWritten(s, edgesPath,
+                  clean.schema),
                 Seq("src", "dst"), "left_anti")
             else clean
           novel.write.mode("append").parquet(edgesPath)
-          val all = s.read.parquet(edgesPath)
+          val all = graft.core.Tables.readAsWritten(s, edgesPath,
+            clean.schema)
           // rows are distinct by construction (per-batch distinct +
-          // the anti-join), so count() IS the distinct-edge version
-          val version = all.count()
+          // the anti-join), so the footer row count IS the
+          // distinct-edge version — zero extra jobs
+          val version = graft.core.Tables.parquetRowCount(edgesPath,
+            s.sessionState.newHadoopConf())
           val standing =
-            if (pathExists(s, ranksPath)) Some(s.read.parquet(ranksPath))
+            if (pathExists(s, ranksPath))
+              Some(graft.core.Tables.readAsWritten(s, ranksPath,
+                rankSchema))
             else None
           val latestV = standing.map(
             _.agg(max(col("graph_version"))).first().getLong(0))
@@ -446,6 +481,20 @@ object StreamOps {
           val clean = batch
             .select(col(srcCol).as("src"), col(dstCol).as("dst"))
             .na.drop().distinct()
+          // standing-table reads pass the known written shapes — no
+          // per-batch footer inference (single-writer contract)
+          val nodeT = clean.schema("src").dataType
+          val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("src", nodeT),
+            org.apache.spark.sql.types.StructField("dst", nodeT),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.LongType)))
+          val censusSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node", nodeT),
+            org.apache.spark.sql.types.StructField("wcc_id", nodeT),
+            org.apache.spark.sql.types.StructField("scc_id", nodeT),
+            org.apache.spark.sql.types.StructField("graph_version",
+              org.apache.spark.sql.types.LongType)))
           // rows in the table are distinct by construction (per-batch
           // distinct + the anti-join), so the footer row count IS the
           // distinct-edge version — zero extra jobs
@@ -453,8 +502,9 @@ object StreamOps {
             graft.core.Tables.parquetRowCount(edgesPath, hconf)
           val (novel, nNovel) = graft.core.Tables.stagedCounted(
             if (nStanding > 0)
-              clean.join(s.read.parquet(edgesPath)
-                .select("src", "dst"), Seq("src", "dst"), "left_anti")
+              clean.join(
+                graft.core.Tables.readAsWritten(s, edgesPath, edgeSchema)
+                  .select("src", "dst"), Seq("src", "dst"), "left_anti")
             else clean, "scc_ing_novel")
           val version = nStanding + nNovel
           if (nNovel > 0)
@@ -462,11 +512,13 @@ object StreamOps {
               .write.mode("append").parquet(edgesPath)
           val latestV =
             if (pathExists(s, censusPath))
-              Some(s.read.parquet(censusPath)
+              Some(graft.core.Tables.readAsWritten(s, censusPath,
+                  censusSchema)
                 .agg(max(col("graph_version"))).first().getLong(0))
             else None
           if (version > 0 && !latestV.contains(version)) {
-            val all = s.read.parquet(edgesPath)
+            val all = graft.core.Tables.readAsWritten(s, edgesPath,
+              edgeSchema)
             val census = latestV match {
               case None =>
                 graft.ops.Graph.sccCensus(
@@ -475,7 +527,8 @@ object StreamOps {
                 graft.ops.Graph.sccCensusIncremental(
                   all.select("src", "dst"), "src", "dst",
                   all.filter(col("v") > lv).select("src", "dst"),
-                  s.read.parquet(censusPath)
+                  graft.core.Tables.readAsWritten(s, censusPath,
+                      censusSchema)
                     .filter(col("graph_version") === lv)
                     .select("node", "wcc_id", "scc_id"))
             }
@@ -549,7 +602,11 @@ object StreamOps {
             .select(col("cell"), col("corpus_id"),
               col("__cvecn").as("cvec"))
           val novelIdx = if (pathExists(s, indexPath)) {
-            val standing = s.read.parquet(indexPath)
+            // the standing index holds keptIdx-shaped frames
+            // (single-writer contract) — pass the schema, skip the
+            // per-batch footer inference
+            val standing = graft.core.Tables.readAsWritten(s, indexPath,
+              keptIdx.schema)
             // a replayed vector's own standing entry must not suppress
             // it (that turns an index-append-then-crash replay into
             // silent loss) — only OTHER ids' entries count as dups
